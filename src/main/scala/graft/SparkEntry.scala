@@ -1,13 +1,590 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: every operator from SURVEY.md §2 (batch form) plus the
+  * training-data-pipeline extensions, each wired to the testdata tables with
+  * an exact DuckDB oracle twin.
+  *
+  * Conventions that keep the oracle compare honest:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - every floating-point aggregate is rounded (2–6 dp) in BOTH engines, so
+  *    summation-order ulp drift can't flip the hash;
+  *  - every query ends in a full deterministic ORDER BY in both engines;
+  *  - integer-ish outputs are cast to bigint on whichever side needs it
+  *    (DuckDB len() is bigint, its sum(int) is hugeint, Spark size() is int).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Money aggregation in exact decimal — identical results regardless of
+    * partitioning / summation order, and identical to the DuckDB oracle's
+    * decimal arithmetic. Data is 2dp, magnitudes < 1e6 (checked at sf0.1),
+    * so DECIMAL(12,2) inputs never overflow a 38-digit accumulator. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(12,2)")), 2).cast("double")
+
+  /** l_extendedprice*(1-l_discount) in exact decimal: (12,2)×(4,2)→(17,4). */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.6 W2-style multi-aggregate (TPC-H Q1 shape) ----
+    "q1_pricing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+          round(sum(discPrice * (lit(1) + col("l_tax")).cast("decimal(4,2)")), 2).cast("double").as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- P1 filter + P9 projection, pushdown-visible ----
+    "q_filter_events" -> ((s, d) => {
+      RelationalOps.filterProject(
+        t(s, d, "events"),
+        col("event_type") === "click" && col("value") > 10,
+        Seq(col("event_id"), col("user_id"), col("value")))
+        .orderBy("event_id")
+    }),
+
+    // ---- P2 map/projection with computed column ----
+    "q_project_revenue" -> ((s, d) => {
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        discPrice.cast("double").as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- P3 flatMap/explode: corpus word count ----
+    "q_wordcount" -> ((s, d) => {
+      TextAnalysis.wordCounts(t(s, d, "documents"), "text").orderBy("word")
+    }),
+
+    // ---- P8 CASE WHEN bucketing ----
+    "q_case_when" -> ((s, d) => {
+      t(s, d, "customer")
+        .withColumn("bal_bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+        .groupBy("bal_bucket")
+        .agg(count(lit(1)).as("n"), moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy("bal_bucket")
+    }),
+
+    // ---- P10 date formatting ----
+    "q_date_format" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("order_month")
+    }),
+
+    // ---- S3 union/merge of same-schema streams ----
+    "q_union_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      RelationalOps.merge(Seq(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- P7 nested/JSON field extraction ----
+    "q_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- P4 regex parse into structured column ----
+    "q_regex_extract" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"))
+        .groupBy("first_word").agg(count(lit(1)).as("n"))
+        .orderBy("first_word")
+    }),
+
+    // ---- J2/J4 stream-table enrichment (broadcast dim) ----
+    "q_enrich_join" -> ((s, d) => {
+      RelationalOps.enrich(t(s, d, "events"), t(s, d, "customer"),
+        Seq("user_id" -> "c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- J1 time-bounded stream-stream join (batch twin) ----
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      RelationalOps.intervalJoin(clicks, purchases, "user_id", "ts", "ts", "1 HOUR")
+        .groupBy(col("l.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // ---- W1/W9 tumbling window aggregation ----
+    "q_tumbling_window" -> ((s, d) => {
+      RelationalOps.tumblingAgg(t(s, d, "events"), "ts", "1 hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"), moneySum(col("value")).as("total_value")))
+        .select("window_start", "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    }),
+
+    // ---- W6 session windows (gap-close) ----
+    "q_session_window" -> ((s, d) => {
+      RelationalOps.sessionAgg(t(s, d, "events"), "ts", "4 hours", "user_id",
+        Seq(count(lit(1)).as("cnt")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- top-k with deterministic tie-break ----
+    "q_topk_users" -> ((s, d) => {
+      val counts = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
+      RelationalOps.topK(counts, Seq(col("n").desc, col("user_id").asc), 10)
+    }),
+
+    // ---- W5 running total (analytic window) ----
+    "q_running_total" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("value_dec", col("value").cast("decimal(12,2)"))
+      ev.select(col("event_id"), col("user_id"),
+        round(RelationalOps.runningTotal(ev, "user_id", Seq("ts", "event_id"), "value_dec"), 2)
+          .cast("double").as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- TPC-H Q3 shape: join + agg + top-k ----
+    "q3_shipping" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: 6-way join ----
+    "q5_region_revenue" -> ((s, d) => {
+      val asia = t(s, d, "region").filter(col("r_name") === "ASIA")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // ---- text analysis: token budgeting ----
+    "q_tokens" -> ((s, d) => {
+      TextAnalysis.tokenCounts(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"),
+          col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: language ID heuristic ----
+    "q_langid" -> ((s, d) => {
+      TextAnalysis.languageId(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: quality scoring ----
+    "q_quality" -> ((s, d) => {
+      TextAnalysis.qualityScore(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: content fingerprint ----
+    "q_fingerprint" -> ((s, d) => {
+      TextAnalysis.fingerprints(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: exact (hash groupBy) ----
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id").orderBy("fp")
+    }),
+
+    // ---- dedup: MinHash + LSH banding, Jaccard-verified ----
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: SimHash fingerprints ----
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
+    }),
+
+    // ---- dedup: exact n-gram Jaccard pairs (sparse baseline) ----
+    "q_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity: exact cosine top-k (brute force baseline) ----
+    "q_sim_topk" -> ((s, d) => {
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, k = 10)
+    }),
+
+    // ---- similarity: IVF-style blocked near-dup pairs ----
+    "q_neardup_cosine" -> ((s, d) => {
+      Similarity.blockedNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        "label", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal: binary payload + stub decode via mapPartitions ----
+    "q_multimodal_meta" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id")
+      Multimodal.decodeMeta(media)
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB twins. Shared fragments are built programmatically so the two
+    * sides can't drift apart silently. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))),2) AS DOUBLE) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_events" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' AND value > 10 ORDER BY event_id""".stripMargin,
+
+    "q_project_revenue" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) AS DOUBLE) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_wordcount" ->
+      s"""SELECT word, count(*) AS n FROM (
+         |  SELECT unnest($sqlTokens) AS word FROM documents
+         |) GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bal_bucket,
+        | count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))),2) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1 ORDER BY bal_bucket""".stripMargin,
+
+    "q_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
+
+    "q_union_merge" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_type = 'purchase'
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS INT)),4) AS avg_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_word, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY first_word""".stripMargin,
+
+    "q_enrich_join" ->
+      """SELECT c_mktsegment, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type='click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '4 hours'
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_topk_users" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT event_id, user_id,
+        | CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_tokens" ->
+      s"""SELECT doc_id, len($sqlTokens) AS n_ws_tokens,
+         | len(regexp_extract_all(lower(text), '$BpePatternSql')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_langid" -> langIdSql,
+
+    "q_quality" -> qualitySql,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, $sqlFingerprint AS fp FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      s"""SELECT $sqlFingerprint AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_dedup_minhash" -> minhashSql,
+
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_ngram_jaccard" -> ngramJaccardSql,
+
+    "q_sim_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
+        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(q.v, q.v))),4) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_neardup_cosine" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm),4) AS cos_sim
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm),4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | 1 + octet_length(encode(text)) % 640 AS width,
+        | 1 + (octet_length(encode(text)) * 7) % 480 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  // ---------------------------------------------- shared SQL fragments
+
+  /** Whitespace tokens with empties dropped (DuckDB side of
+    * TextFunctions.tokens). */
+  private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private val BpePatternSql = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  private val sqlFingerprint =
+    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+  /** n-gram shingles over `toks` (DuckDB side of TextFunctions.shingles). */
+  private def sqlShingles(toksExpr: String, n: Int): String =
+    s"""CASE WHEN len($toksExpr) <= $n THEN [array_to_string($toksExpr, ' ')]
+       | ELSE list_transform(generate_series(1, len($toksExpr) - ${n - 1}),
+       |        i -> array_to_string(($toksExpr)[i:i+${n - 1}], ' ')) END""".stripMargin
+
+  private def langIdSql: String = {
+    def score(markers: Seq[String]): String =
+      markers.map { m =>
+        val esc = m.replace("'", "''")
+        s"CAST((length(padded) - length(replace(padded, '$esc', ''))) / ${m.length} AS INT)"
+      }.mkString(" + ")
+    val scored = TextFunctions.LangMarkers.map { case (lang, ms) => lang -> score(ms) }
+    val selects = scored.map { case (lang, e) => s"($e) AS s_$lang" }.mkString(", ")
+    val langs = scored.map(_._1)
+    val branches = langs.init.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $later THEN '$lang'"
+    }
+    s"""SELECT doc_id, CASE ${branches.mkString(" ")} ELSE '${langs.last}' END AS lang_pred
+       |FROM (SELECT doc_id, $selects
+       |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val stop = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       | round(punct_ratio, 6) AS punct_ratio,
+       | round(stop_ratio, 6) AS stopword_ratio,
+       | round(least(n_words / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+       |       + stop_ratio * 0.3, 6) AS quality
+       |FROM (
+       |  SELECT doc_id, n_words, n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+       |         n_stop / greatest(n_words, 1.0) AS stop_ratio
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len($sqlTokens) AS DOUBLE) AS n_words,
+       |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+       |      CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+       |             x -> list_contains([$stop], x))) AS DOUBLE) AS n_stop,
+       |      CAST(length(text) AS DOUBLE) AS n_chars
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Distinct (doc, shingle) rows shared by the jaccard/minhash oracles. */
+  private def shinglesCte: String =
+    s"""toks AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id AS doc, unnest(
+       |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+       |       ELSE list_transform(generate_series(1, len(tk) - 2),
+       |              i -> array_to_string(tk[i:i+2], ' ')) END) AS shingle FROM toks),
+       |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)""".stripMargin
+
+  private def ngramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |inter AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       | round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
+       |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
+       |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def minhashSql: String = {
+    val numHashes = 16
+    val rowsPerBand = 4
+    val minCols = (0 until numHashes)
+      .map(j => s"min(md5('$j:' || shingle)) AS mh$j").mkString(",\n|    ")
+    val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc, $b AS band, md5($parts) AS band_key FROM mh"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH $shinglesCte,
+       |mh AS (
+       |  SELECT doc, $minCols
+       |  FROM sh GROUP BY doc),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b
+       |  WHERE a.shingle = b.shingle GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       | round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
+       |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
+       |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simhashSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS doc, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc, pos,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), CAST(pos // 4 AS INT) + 1, 1)) - 1)
+      |               // CAST(pow(2, 3 - pos % 4) AS INT)) % 2 = 1
+      |         THEN 1 ELSE -1 END AS contrib
+      |  FROM tk CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p),
+      |agg AS (
+      |  SELECT doc, pos, CASE WHEN sum(contrib) > 0 THEN '1' ELSE '0' END AS b
+      |  FROM bits GROUP BY doc, pos)
+      |SELECT doc, string_agg(b, '' ORDER BY pos) AS simhash
+      |FROM agg GROUP BY doc ORDER BY doc""".stripMargin
 }

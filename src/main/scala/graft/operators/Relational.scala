@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator surface (SURVEY.md §2.3–§2.6)
+  * re-expressed as batch-composable Spark ops. Streaming twins live in
+  * graft.streaming; these batch forms are what the DuckDB oracle checks.
+  *
+  * Scale notes per op are inline; the common thread: declare, don't
+  * hand-schedule — Catalyst pushes filters/projections to the parquet scan
+  * and AQE picks shuffle vs broadcast at runtime.
+  */
+object RelationalOps {
+
+  /** P1/P2/P9: filter + project. Both reach the scan as PushedFilters /
+    * ReadSchema pruning — verified in spec via explain. */
+  def filterProject(df: DataFrame, predicate: Column, projections: Seq[Column]): DataFrame =
+    df.filter(predicate).select(projections: _*)
+
+  /** S3: merge same-schema inputs (union is a zero-shuffle concatenation of
+    * partitions). */
+  def merge(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** J2/J4: enrich a fact stream with a dimension. Dimension side is
+    * broadcast — at 100 TB the fact side never shuffles. */
+  def enrich(facts: DataFrame, dim: DataFrame, joinCols: Seq[(String, String)]): DataFrame = {
+    val cond = joinCols.map { case (f, d) => facts(f) === dim(d) }.reduce(_ && _)
+    facts.join(broadcast(dim), cond, "inner")
+  }
+
+  /** J1 batch twin: time-bounded equi-join (left event joined to right
+    * events of the same key within [left.ts, left.ts + window]). The equi
+    * key carries the shuffle; the range predicate filters inside each key
+    * group — same state-bounding idea as the streaming join's TTL. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, window: String): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $window"),
+      "inner")
+  }
+
+  /** W1/W9 batch twin: tumbling event-time window aggregation. */
+  def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
+                  extraKeys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val keys = window(col(tsCol), duration).as("w") +: extraKeys.map(col)
+    df.groupBy(keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** W6 batch twin: session windows (gap-based), via the native
+    * session_window expression — merges happen inside the aggregate, one
+    * shuffle on (key). */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+                 keyCol: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("sw.start"))
+      .withColumn("session_end", col("sw.end"))
+      .drop("sw")
+
+  /** W5 batch twin: running total per key, ordered by event time. One
+    * shuffle on the key; each partition streams its frame — no whole-window
+    * buffering for a running (unbounded-preceding) frame. */
+  def runningTotal(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                   valueCol: String): Column = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sum(col(valueCol)).over(w)
+  }
+
+  /** Top-k by an aggregate with deterministic tie-break. Physically
+    * TakeOrderedAndProject: per-partition heaps of size k, then a k-row
+    * merge on the driver — no global sort. */
+  def topK(df: DataFrame, orderBy: Seq[Column], k: Int): DataFrame =
+    df.orderBy(orderBy: _*).limit(k)
+}

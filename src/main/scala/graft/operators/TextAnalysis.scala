@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document-level text analysis for corpus curation: token budgeting,
+  * language ID, quality scoring, fingerprinting. All pure column
+  * expressions — one codegen'd projection over the scan, no shuffle at all
+  * (the 100 TB plan is scan → project → write, fully parallel). */
+object TextAnalysis {
+
+  /** Whitespace and BPE-ish token counts per document. */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      bpeTokenCount(lower(col(textCol))).as("n_bpe_tokens"))
+
+  /** Marker-word language identification (deterministic heuristic). */
+  def languageId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), langId(lower(col(textCol))).as("lang_pred"))
+
+  /** Quality metrics + a composite score in [0,1]:
+    * 0.4·min(1, words/100) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
+    * Thresholds chosen to separate prose from boilerplate/noise. */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(tokens(t)).cast("double")
+    val nPunct = punctCount(t).cast("double")
+    val nStop = stopwordCount(t).cast("double")
+    val nChars = length(t).cast("double")
+    val punctRatio = nPunct / greatest(nChars, lit(1.0))
+    val stopRatio = nStop / greatest(nWords, lit(1.0))
+    docs.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(
+        least(nWords / 100.0, lit(1.0)) * 0.4
+          + (lit(1.0) - punctRatio) * 0.3
+          + stopRatio * 0.3,
+        6).as("quality"))
+  }
+
+  /** Canonical-text md5 fingerprint per document. */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+
+  /** Word frequency across the corpus (the flatMap/explode op, P3). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run after
+`sbt "runMain graft.Verify <sfDir> <outDir>"`, compares each dumped
+parquet against the DuckDB oracle SQL on the same testdata tables."""
+import json, sys, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    res_path = f"{out_dir}/{name}"
+    if not glob.glob(f"{res_path}/*.parquet"):
+        bad.append((name, "NO RESULT DUMPED")); continue
+    try:
+        spark_df = con.sql(f"FROM '{res_path}/*.parquet'").df()
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        bad.append((name, f"SQL ERROR: {e}")); continue
+    sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
+    if sc != dc:
+        bad.append((name, f"COLUMNS spark={sc} duck={dc}")); continue
+    a = spark_df[sc].sort_values(sc).reset_index(drop=True)
+    b = duck_df[sc].sort_values(sc).reset_index(drop=True)
+    if len(a) != len(b):
+        bad.append((name, f"ROWS spark={len(a)} duck={len(b)}")); continue
+    try:
+        import pandas as pd
+        diff_cols = []
+        for c in sc:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                if not ((av - bv).abs().fillna(0) <= 1e-12).all():
+                    diff_cols.append(c)
+            else:
+                if not (av.astype(str) == bv.astype(str)).all():
+                    diff_cols.append(c)
+        if diff_cols:
+            bad.append((name, f"VALUES differ in {diff_cols}"))
+            for c in diff_cols[:2]:
+                m = (a[c].astype(str) != b[c].astype(str))
+                print(f"  {name}.{c}: first diffs\n   spark: {a[m][c].head(3).tolist()}\n   duck : {b[m][c].head(3).tolist()}")
+        else:
+            ok.append((name, len(a)))
+    except Exception as e:
+        bad.append((name, f"COMPARE ERROR: {e}"))
+
+for n, r in ok: print(f"PASS {n} ({r} rows)")
+for n, r in bad: print(f"FAIL {n}: {r}")
+print(f"\n{len(ok)}/{len(ok)+len(bad)} pass")
+sys.exit(1 if bad else 0)
