@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** J3: stream–remote-table join — per-key lookups against an external
+  * service with a read-through TTL cache and a process-wide rate limiter
+  * (RemoteTableJoinExample.java:131-187: 10 req/s job-wide, 5 s cache TTL).
+  *
+  * Deliberately OUTSIDE Catalyst: a side-effecting RPC has no relational
+  * semantics to optimize, so it runs as `mapPartitions` with a
+  * lazily-initialized per-executor client — one client per JVM, init once,
+  * shared across partitions (the reference's TableReadFunction lifecycle).
+  * Zero-egress here, so the default client is a deterministic stub; a real
+  * HTTP client swaps in via the same trait.
+  */
+object RemoteLookup {
+
+  trait LookupClient extends Serializable {
+    def fetch(key: String): Option[Double]
+  }
+
+  /** Deterministic fake quote service (no network in this environment). */
+  final class StubQuoteClient extends LookupClient {
+    def fetch(key: String): Option[Double] =
+      if (key.isEmpty) None
+      else Some((math.abs(key.hashCode % 10000)) / 100.0)
+  }
+
+  /** Read-through cache with TTL + token-bucket rate limiter, shared per
+    * executor JVM (object-level state survives across partitions/tasks). */
+  final class RateLimitedCache(client: LookupClient, ttlMs: Long, maxPerSec: Int)
+      extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Double])]()
+    @transient private lazy val stamps =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+
+    private def acquire(): Unit = {
+      var ok = false
+      while (!ok) {
+        val now = System.nanoTime()
+        while (Option(stamps.peek()).exists(now - _ > 1e9.toLong)) stamps.poll()
+        if (stamps.size < maxPerSec) { stamps.add(now); ok = true }
+        else Thread.sleep(5)
+      }
+    }
+
+    def get(key: String): Option[Double] = {
+      val now = System.currentTimeMillis()
+      val hit = cache.get(key)
+      if (hit != null && now - hit._1 < ttlMs) hit._2
+      else {
+        acquire()
+        val v = client.fetch(key)
+        cache.put(key, (now, v))
+        v
+      }
+    }
+  }
+
+  /** Enrich a stream of symbols with their latest quote. Symbols that fail
+    * the lookup are dropped (reference treats errors as non-retriable for
+    * missing symbols, RemoteTableJoinExample.java:162-187). */
+  def joinQuotes(symbols: Dataset[String], client: LookupClient = new StubQuoteClient,
+                 cacheTtlMs: Long = 5000, maxReqPerSec: Int = 10)(
+      implicit spark: SparkSession): Dataset[StockQuote] = {
+    import spark.implicits._
+    val shared = new RateLimitedCache(client, cacheTtlMs, maxReqPerSec)
+    symbols.mapPartitions { it =>
+      it.flatMap(sym => shared.get(sym).map(close => StockQuote(sym, close)))
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Arbitrary stateful streaming operators — the Spark analogue of the
+  * reference's RocksDB KeyValueStore + changelog (SURVEY.md §2.6 W5,
+  * §2.5 J2). State lives in the streaming state store, checkpointed per
+  * micro-batch (replacing Samza's Kafka changelog topics).
+  */
+object StatefulOps {
+
+  /** W5: all-time running counter, emitted with every update — the
+    * `count-edits-all-time` semantics (WikipediaApplication.java:166-181,
+    * store config wikipedia-application.properties:31-34).
+    *
+    * Keyed by a caller-supplied partition key. For a single global total at
+    * 100 TB scale do NOT feed one constant key (single hot partition):
+    * pre-aggregate per shard (e.g. `pmod(hash(...), nShards)` as the key)
+    * and sum the shard subtotals at read time — counts are associative, so
+    * the merge is exact.
+    */
+  def runningCount[K: org.apache.spark.sql.Encoder](
+      events: Dataset[K])(implicit spark: SparkSession): Dataset[(K, Long)] = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val outEnc: org.apache.spark.sql.Encoder[(K, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        implicitly[org.apache.spark.sql.Encoder[K]], org.apache.spark.sql.Encoders.scalaLong)
+    events.groupByKey(identity)
+      .mapGroupsWithState[Long, (K, Long)](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+  }
+
+  private sealed trait Upd
+  private final case class ProfileUpd(userId: String, company: String) extends Upd
+  private final case class ViewUpd(userId: String, pageId: String) extends Upd
+
+  /** J2, exact changelog semantics: enrich each page view with the LATEST
+    * profile seen for that user; views with no profile yet are dropped
+    * (inner-join null-drop, StreamTableJoinExample.java:126-146). The
+    * profile stream and the view stream co-process in one stateful operator
+    * keyed on userId — the "table" is per-key state upserted by the
+    * changelog (stream.sendTo(Table), :122-124), not a snapshot join.
+    *
+    * Within a micro-batch, profile updates for a key apply before that
+    * key's views (matching the reference test's profiles-first feeding,
+    * TestSamzaCookBookExamples.java:145-177).
+    */
+  def streamTableJoin(pageViews: Dataset[PageView], profiles: Dataset[Profile])(
+      implicit spark: SparkSession): Dataset[EnrichedPageView] = {
+    import spark.implicits._
+    val updates: Dataset[(String, String, String, Boolean)] =
+      profiles.map(p => (p.userId, p.company, "", true))
+        .union(pageViews.map(v => (v.userId, "", v.pageId, false)))
+    updates.groupByKey(_._1)
+      .flatMapGroupsWithState[String, EnrichedPageView](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId, rows, state: GroupState[String]) =>
+          val (profileRows, viewRows) = rows.toSeq.partition(_._4)
+          profileRows.lastOption.foreach(p => state.update(p._2))
+          state.getOption match {
+            case Some(company) =>
+              viewRows.iterator.map(v => EnrichedPageView(userId, company, v._3))
+            case None => Iterator.empty
+          }
+      }
+  }
+}
