@@ -1,0 +1,40 @@
+package graft
+
+import graft.expressions.{CosineSimilarity, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the native expressions:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * makes `cosine_sim(a, b)` and `word_shingles(text, n)` available to
+  * `spark.sql(...)` — the engine's equivalent of the reference's SQL UDF
+  * config (samza.sql UDFs, SURVEY.md §2.3 P6-P7). The Column API
+  * (graft.expressions.Exprs) works without any session config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(arrayFloat, arrayFloat)")
+        CosineSimilarity(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(text, n)")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Number].intValue()
+        }
+        WordShingles(args(0), n)
+      }))
+  }
+}

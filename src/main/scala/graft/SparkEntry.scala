@@ -542,19 +542,32 @@ object SparkEntry {
        |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Hex substring [start, start+len) of column `c` as a bigint — DuckDB has
+    * no base-conversion function, so expand the positional polynomial. */
+  private def sqlHexToInt(c: String, start: Int, len: Int): String = {
+    val terms = (0 until len).map { k =>
+      val p = BigInt(16).pow(len - 1 - k)
+      s"(strpos('0123456789abcdef', substr($c, ${start + k}, 1)) - 1) * $p"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
   private def minhashSql: String = {
     val numHashes = 16
     val rowsPerBand = 4
     val minCols = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || shingle)) AS mh$j").mkString(",\n|    ")
+      .map(j => s"min(h1 + $j * h2) AS mh$j").mkString(",\n|    ")
     val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($parts) AS band_key FROM mh"
     }.mkString("\n|  UNION ALL ")
     s"""WITH $shinglesCte,
+       |mhsrc AS (
+       |  SELECT doc, ${sqlHexToInt("h", 1, 15)} AS h1, ${sqlHexToInt("h", 16, 10)} AS h2
+       |  FROM (SELECT doc, md5(shingle) AS h FROM sh)),
        |mh AS (
        |  SELECT doc, $minCols
-       |  FROM sh GROUP BY doc),
+       |  FROM mhsrc GROUP BY doc),
        |bands AS (
        |  $bandSelects),
        |cand AS (
@@ -572,19 +585,30 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  private def simhashSql: String =
-    """WITH tk AS (
-      |  SELECT doc_id AS doc, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-      |  FROM documents),
-      |bits AS (
-      |  SELECT doc, pos,
-      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), CAST(pos // 4 AS INT) + 1, 1)) - 1)
-      |               // CAST(pow(2, 3 - pos % 4) AS INT)) % 2 = 1
-      |         THEN 1 ELSE -1 END AS contrib
-      |  FROM tk CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p),
-      |agg AS (
-      |  SELECT doc, pos, CASE WHEN sum(contrib) > 0 THEN '1' ELSE '0' END AS b
-      |  FROM bits GROUP BY doc, pos)
-      |SELECT doc, string_agg(b, '' ORDER BY pos) AS simhash
-      |FROM agg GROUP BY doc ORDER BY doc""".stripMargin
+  private def simhashSql: String = {
+    val digitCols = (0 until 16)
+      .map(i => s"strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1 AS d$i")
+      .mkString(",\n|    ")
+    val sumCols = (0 until 64).map { k =>
+      val pow2 = 1 << (3 - k % 4)
+      s"sum(CASE WHEN (d${k / 4} // $pow2) % 2 = 1 THEN cnt ELSE -cnt END) AS s$k"
+    }.mkString(",\n|    ")
+    val bitConcat = (0 until 64)
+      .map(k => s"(CASE WHEN s$k > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS doc, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |tc AS (SELECT doc, tok, count(*) AS cnt FROM tk GROUP BY doc, tok),
+       |src AS (
+       |  SELECT doc, cnt,
+       |    $digitCols
+       |  FROM tc),
+       |agg AS (
+       |  SELECT doc,
+       |    $sumCols
+       |  FROM src GROUP BY doc)
+       |SELECT doc, $bitConcat AS simhash
+       |FROM agg ORDER BY doc""".stripMargin
+  }
 }

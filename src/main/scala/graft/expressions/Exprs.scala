@@ -1,0 +1,15 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column-API bindings for the native expressions (no session extension
+  * needed — usable on any SparkSession). */
+object Exprs {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}

@@ -30,26 +30,35 @@ object Dedup {
   private def shingleRows(docs: DataFrame, textCol: String, idCol: String,
                           shingleSize: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
-      .select(col("doc"), explode(shinglesFromTokens(col("tk"), shingleSize)).as("shingle"))
+      .select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), shingleSize)).as("shingle"))
       .distinct()
 
-  /** Per-seed hash of a shingle: H(seed || ":" || shingle), H = md5 hex
-    * (oracle mode) or xxhash64-as-hex (scale mode — codegen'd, ~5× cheaper).
-    * The min of a hex string is its lexicographic min — identical in any
-    * engine. */
-  private def seedHash(seed: Int, useMd5: Boolean): Column = {
-    val keyed = concat(lit(s"$seed:"), col("shingle"))
-    if (useMd5) md5(keyed) else conv(xxhash64(keyed).cast("string"), 10, 16)
-  }
-
-  /** MinHash signature: ONE aggregation with `numHashes` min() columns —
-    * a single shuffle of the shingle rows, no row explosion, all map-side
-    * combinable. (A per-(doc,seed) explode would multiply shuffle volume by
-    * numHashes for no benefit.) */
+  /** MinHash signature via double hashing (Kirsch–Mitzenmacher): hash each
+    * shingle ONCE, split the digest into two integers (h1 = 60 bits,
+    * h2 = 40 bits), and derive the seed family as h_j = h1 + j·h2 —
+    * j·h2 < 2^44, so h_j < 2^61 never overflows a signed 64-bit value,
+    * which matters because the DuckDB oracle errors on bigint overflow.
+    * This replaces numHashes digest computations per shingle with one.
+    *
+    * One aggregation with `numHashes` min() columns — a single shuffle of
+    * the shingle rows, no row explosion, all map-side combinable. md5 mode
+    * anchors the oracle; xxhash64 mode is the cheaper scale default (no
+    * overflow concern there — Spark wraps silently and deterministically).
+    */
   private def signatures(sh: DataFrame, numHashes: Int, useMd5: Boolean): DataFrame = {
-    val aggs = (0 until numHashes).map(j => min(seedHash(j, useMd5)).as(s"mh$j"))
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    val withH = if (useMd5) {
+      val h = md5(col("shingle"))
+      sh.select(col("doc"),
+        conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 16, 10), 16, 10).cast("long").as("h2"))
+    } else {
+      sh.select(col("doc"),
+        xxhash64(col("shingle")).as("h1"),
+        xxhash64(col("shingle"), lit(1)).as("h2"))
+    }
+    val aggs = (0 until numHashes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j"))
+    withH.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: band b's key = md5 of minhashes [b*r, b*r+r) joined with
@@ -105,10 +114,12 @@ object Dedup {
   private def verifyJaccardOnShingles(sh: DataFrame, pairs: DataFrame,
                                       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // Shingle equality is part of the SECOND join's key — joining on id_b
+    // alone and filtering afterwards would materialize an |A|×|B| shingle
+    // cross product per candidate pair (measured 30M rows for 11k pairs).
     val inter = pairs
-      .join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shingle", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("shingle", "sh_b"), Seq("id_b"))
-      .filter(col("sh_a") === col("sh_b"))
+      .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
@@ -150,29 +161,29 @@ object Dedup {
     * aggregates. ~128 rows per document in flight, all map-side combinable.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // Token multiplicity is a weight, so aggregate (doc, token) → count and
-    // hash each distinct token ONCE, instead of recomputing md5 at all 64
-    // bit positions of every occurrence. Σ contrib over duplicate rows ==
-    // Σ contrib·count over distinct rows — the oracle uses the former, the
-    // engine the latter.
+    // Two structural choices keep this one codegen'd pass:
+    //  - token multiplicity is a weight: aggregate (doc, token) → count and
+    //    hash each distinct token ONCE (Σ contrib over duplicate rows ==
+    //    Σ contrib·count over distinct rows);
+    //  - the 64 bit positions are 64 sum() AGG COLUMNS over the token rows,
+    //    not a 64× explode — no row multiplication, map-side combinable,
+    //    and the bit arithmetic on 16 pre-extracted hex digits stays in
+    //    whole-stage codegen. The final fingerprint is a concat of 64
+    //    sign bits — no collect_list/sort.
     val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("tok")))
-    val withPos = toks.select(col("doc"), col("h"), col("cnt"),
-      explode(sequence(lit(0), lit(63))).as("pos"))
-    // hex digit pos/4 of md5(tok), bit (3 - pos%4) of that digit;
-    // arithmetic form because functions.shiftright only takes a literal
-    // shift amount
-    val digit = conv(substr(col("h"), (col("pos") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
-    val pow2 = pow(lit(2.0), lit(3) - pmod(col("pos"), lit(4))).cast("int")
-    val bit = pmod(floor(digit / pow2).cast("int"), lit(2))
-    val contrib = (when(bit === 1, 1).otherwise(-1)) * col("cnt")
-    withPos
-      .withColumn("contrib", contrib)
-      .groupBy("doc", "pos").agg(sum("contrib").as("s"))
-      .withColumn("b", when(col("s") > 0, "1").otherwise("0"))
-      .groupBy("doc")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("b")))),
-        x => x.getField("b")), "").as("simhash"))
+    val h = md5(col("tok"))
+    val digits = (0 until 16).map(i =>
+      conv(substring(h, i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+    val src = toks.select(col("doc") +: col("cnt") +: digits: _*)
+    val sums = (0 until 64).map { k =>
+      val d = col(s"d${k / 4}")
+      val pow2 = 1 << (3 - k % 4)
+      val bit = pmod(floor(d / pow2).cast("int"), lit(2))
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$k")
+    }
+    val agged = src.groupBy("doc").agg(sums.head, sums.tail: _*)
+    val bits = (0 until 64).map(k => when(col(s"s$k") > 0, "1").otherwise("0"))
+    agged.select(col("doc"), concat(bits: _*).as("simhash"))
   }
 }

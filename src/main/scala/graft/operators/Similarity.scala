@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.Exprs.cosineSim
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -29,7 +30,7 @@ object Similarity {
       .select(col(vecCol).as("q_vec"))
     val scored = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(probe))
-      .select(col(idCol), round(cosine(col(vecCol), col("q_vec")), 4).as("cos_sim"))
+      .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
     scored.orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
@@ -60,14 +61,12 @@ object Similarity {
     * block key carries the shuffle; pair generation is per-block. */
   def blockedNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                           blockCol: String, threshold: Double): DataFrame = {
-    val normed = emb.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-    val a = normed.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = normed.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cos_sim"))
+        round(cosineSim(col("v_a"), col("v_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -79,7 +78,7 @@ object Similarity {
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), round(cosineSim(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }
