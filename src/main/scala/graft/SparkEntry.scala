@@ -280,6 +280,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- §3.3 SQL entry point: statements over registered views ----
+    "q_sql_filter" -> ((s, d) => {
+      graft.sql.SqlSurface.registerUdfs(s)
+      graft.sql.SqlSurface.registerTables(s, d)
+      s.sql("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+              |WHERE standardize(c_mktsegment) = 'building'
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_sql_casewhen" -> ((s, d) => {
+      graft.sql.SqlSurface.registerUdfs(s)
+      graft.sql.SqlSurface.registerTables(s, d)
+      s.sql("""SELECT event_id,
+              |  CASE WHEN CAST(get_sql_field(props, 'k') AS INT) > 50 THEN 1 ELSE 0 END AS quality
+              |FROM events ORDER BY event_id""".stripMargin)
+    }),
+
+    "q_sql_groupby" -> ((s, d) => {
+      graft.sql.SqlSurface.registerTables(s, d)
+      s.sql("""SELECT event_type AS page_key, count(*) AS views
+              |FROM events GROUP BY event_type ORDER BY page_key""".stripMargin)
+    }),
+
     // ---- multimodal: binary payload + stub decode via mapPartitions ----
     "q_multimodal_meta" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -456,6 +479,19 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm),4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sql_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE lower(trim(c_mktsegment)) = 'building' ORDER BY c_custkey""".stripMargin,
+
+    "q_sql_casewhen" ->
+      """SELECT event_id,
+        | CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END AS quality
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sql_groupby" ->
+      """SELECT event_type AS page_key, count(*) AS views
+        |FROM events GROUP BY event_type ORDER BY page_key""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+/** Source factories (SURVEY.md §2.1). Every reference input maps here:
+  *
+  *  - S1 Kafka topics      → `kafkaJson` (decode = from_json over `value`)
+  *  - S2 custom push feed  → `replayFeed` (DataSource V2 micro-batch, see
+  *                           ReplayFeedProvider) or `fileJson` replay
+  *  - S3 multi-stream merge→ union of sources / multi-topic subscribe
+  *  - S4/S5 EventHubs, Kinesis → Kafka-shaped; same `kafkaJson` wiring
+  *  - S6 in-memory test    → MemoryStream (see specs)
+  *
+  * This container has no Kafka broker or connector jar (zero-egress), so
+  * `kafkaJson` is compile-checked wiring; swap-in is a spark-submit
+  * `--packages` concern, not a code change.
+  */
+object Sources {
+
+  def kafkaJson(spark: SparkSession, brokers: String, topics: String,
+                schema: StructType): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics) // comma-separated = S3 multi-topic merge
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("m"),
+        col("timestamp").as("arrivalTs"))
+      .select(col("m.*"), col("arrivalTs"))
+
+  /** File-directory replay of JSON-per-line events; `filesPerTrigger`
+    * throttles ingestion to simulate a live feed. */
+  def fileJson(spark: SparkSession, dir: String, schema: StructType,
+               filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .json(dir)
+
+  /** Synthetic load source (rows/sec), for soak tests. */
+  def rate(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** S2: the custom push-source capability — a DataSource V2 micro-batch
+    * stream replaying a line file at a bounded rate. */
+  def replayFeed(spark: SparkSession, path: String, linesPerBatch: Int = 100): DataFrame =
+    spark.readStream
+      .format("graft.sources.ReplayFeedProvider")
+      .option("path", path)
+      .option("linesPerBatch", linesPerBatch)
+      .load()
+}
+
+/** Sink factories (SURVEY.md §2.2). K1 kafka, K2 table-upsert, K3 rolled
+  * file blobs, K4 side-effecting writer, K5 memory test sink. */
+object Sinks {
+
+  /** K1: serialize all columns to a JSON `value` and produce to a topic. */
+  def kafkaJson[T](ds: Dataset[T], brokers: String, topic: String,
+                   checkpoint: String): DataStreamWriter[_] =
+    ds.toDF().select(to_json(struct(col("*"))).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K3: rolled file output — `maxRecordsPerFile` is the engine's version
+    * of the reference's maxMessagesPerBlob=2 blob-roll knob
+    * (azure-blob-application.properties:43). Format "parquet" here; "avro"
+    * once spark-avro is on the classpath. */
+  def rolledFiles[T](ds: Dataset[T], dir: String, checkpoint: String,
+                     maxRecordsPerFile: Long, format: String = "parquet"): DataStreamWriter[_] =
+    ds.writeStream.format(format)
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+
+  /** K2/K4: per-micro-batch callback — dimension-table upserts, remote
+    * writes with client lifecycle, anything side-effecting. */
+  def foreachBatchSink[T](ds: Dataset[T])(f: (Dataset[T], Long) => Unit): DataStreamWriter[T] =
+    ds.writeStream.foreachBatch(f)
+
+  /** K5: named in-memory sink for assertions. */
+  def memory[T](ds: Dataset[T], name: String): DataStreamWriter[T] =
+    ds.writeStream.format("memory").queryName(name)
+}
