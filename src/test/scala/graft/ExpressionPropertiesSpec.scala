@@ -1,0 +1,80 @@
+package graft
+
+import graft.expressions.{Exprs, ShingleKernel}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests pinning the native expressions to their composable
+  * reference semantics on arbitrary inputs — the codegen kernels must be
+  * drop-in equal to the slow forms they replaced. */
+class ExpressionPropertiesSpec extends SparkSpec {
+
+  /** Deterministic sampling (scalatestplus bridge isn't on the offline
+    * classpath, so drive ScalaCheck generators directly). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+  private val spacedText = for {
+    t <- text; pre <- Gen.choose(0, 2); mid <- Gen.choose(0, 2)
+  } yield (" " * pre) + t.replace(" ", " " * (mid + 1))
+
+  /** Naive reference implementation of the shingle semantics. */
+  private def naiveShingles(s: String, n: Int): Seq[String] = {
+    val toks = s.split(" ").filter(_.nonEmpty).toSeq
+    if (toks.length <= n) Seq(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  test("ShingleKernel matches the naive sliding-window semantics on arbitrary spacing") {
+    for {
+      s <- samples(spacedText, 300)
+      n <- 1 to 5
+    } {
+      val got = ShingleKernel.compute(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(got == naiveShingles(s, n), s"text=<$s> n=$n")
+    }
+  }
+
+  test("CosineSimilarity expression equals the HOF formulation on random vectors") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat)))
+      .toDF("id", "v")
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        Exprs.cosineSim(col("a.v"), col("b.v")).as("native"),
+        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(zip_with(col("a.v"), col("a.v"), (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)) *
+           sqrt(aggregate(zip_with(col("b.v"), col("b.v"), (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)))).as("hof"))
+      .select(max(abs(col("native") - col("hof"))).as("maxdiff"))
+      .as[Double].collect()(0)
+    assert(both == 0.0, s"native and HOF cosine must be bit-identical, max diff $both")
+  }
+
+  test("wikipedia parser round-trips generated well-formed lines") {
+    import spark.implicits._
+    val titles = Seq("Some Page", "Talk:Thing", "Special:Log/x", "A (b) c")
+    val flagsSet = Seq("", "M", "N", "!", "B", "MB", "N!")
+    val lines = for {
+      (t, i) <- titles.zipWithIndex
+      f <- flagsSet
+    } yield graft.streaming.WikipediaFeedEvent("#en.wikipedia",
+      s"[[$t]] $f https://x.org/d?i=$i * user$i * (${if (i % 2 == 0) "+" else "-"}${i + 1}) summary $i",
+      1000000L + i, "src")
+    val parsed = graft.streaming.WikipediaParse.parse(lines.toDF())
+    assert(parsed.count() == lines.length, "every well-formed line must parse")
+    val rows = parsed.collect()
+    rows.foreach { r =>
+      assert(titles.contains(r.getAs[String]("title")))
+      assert(r.getAs[Boolean]("isMinor") == r.getAs[String]("unparsedFlags").contains("M"))
+      assert(r.getAs[Boolean]("isTalk") == r.getAs[String]("title").startsWith("Talk:"))
+    }
+  }
+}
