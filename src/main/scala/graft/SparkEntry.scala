@@ -28,17 +28,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Money aggregation in exact decimal — identical results regardless of
-    * partitioning / summation order, and identical to the DuckDB oracle's
-    * decimal arithmetic. Data is 2dp, magnitudes < 1e6 (checked at sf0.1),
-    * so DECIMAL(12,2) inputs never overflow a 38-digit accumulator. */
-  private def moneySum(c: Column): Column =
-    round(sum(c.cast("decimal(12,2)")), 2).cast("double")
+  /** Money arithmetic in integer cents — exact (data is 2dp, magnitudes
+    * < 1e6, so sums stay far below 2^53 even at 100× scale), invariant to
+    * partitioning / summation order, identical to the DuckDB oracle's
+    * integer arithmetic, and — unlike decimal aggregation, which boxes a
+    * Decimal per row — a primitive codegen'd long sum. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
-  /** l_extendedprice*(1-l_discount) in exact decimal: (12,2)×(4,2)→(17,4). */
-  private def discPrice: Column =
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+  private def moneySum(c: Column): Column = round(sum(cents(c)) / 100.0, 2)
+
+  /** l_extendedprice*(1-l_discount) in 1e-4-dollar integer units. */
+  private def discUnits: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
 
   // ---------------------------------------------------------------- queries
 
@@ -52,8 +53,8 @@ object SparkEntry {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
-          round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
-          round(sum(discPrice * (lit(1) + col("l_tax")).cast("decimal(4,2)")), 2).cast("double").as("sum_charge"),
+          round(sum(discUnits) / 10000.0, 2).as("sum_disc_price"),
+          round(sum(discUnits * (lit(100L) + cents(col("l_tax")))) / 1000000.0, 2).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 6).as("avg_disc"),
@@ -74,7 +75,7 @@ object SparkEntry {
     "q_project_revenue" -> ((s, d) => {
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        discPrice.cast("double").as("revenue"))
+        (discUnits / 10000.0).as("revenue"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -178,10 +179,10 @@ object SparkEntry {
 
     // ---- W5 running total (analytic window) ----
     "q_running_total" -> ((s, d) => {
-      val ev = t(s, d, "events").withColumn("value_dec", col("value").cast("decimal(12,2)"))
+      val ev = t(s, d, "events").withColumn("value_cents", cents(col("value")))
       ev.select(col("event_id"), col("user_id"),
-        round(RelationalOps.runningTotal(ev, "user_id", Seq("ts", "event_id"), "value_dec"), 2)
-          .cast("double").as("running_value"))
+        round(RelationalOps.runningTotal(ev, "user_id", Seq("ts", "event_id"), "value_cents") / 100.0, 2)
+          .as("running_value"))
         .orderBy("event_id")
     }),
 
@@ -193,7 +194,7 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+        .agg(round(sum(discUnits) / 10000.0, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -212,7 +213,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+        .agg(round(sum(discUnits) / 10000.0, 2).as("revenue"))
         .orderBy("n_name")
     }),
 
@@ -321,9 +322,9 @@ object SparkEntry {
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS sum_disc_price,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) * CAST(1+l_tax AS DECIMAL(4,2))),2) AS DOUBLE) AS sum_charge,
+        | round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2) AS sum_base_price,
+        | round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0, 2) AS sum_disc_price,
+        | round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT)))/1000000.0, 2) AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),6) AS avg_disc,
@@ -337,7 +338,7 @@ object SparkEntry {
 
     "q_project_revenue" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2)) AS DOUBLE) AS revenue
+        | (CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_wordcount" ->
@@ -349,12 +350,12 @@ object SparkEntry {
       """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
         |            WHEN c_acctbal < 5000 THEN 'mid'
         |            ELSE 'high' END AS bal_bucket,
-        | count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))),2) AS DOUBLE) AS total_bal
+        | count(*) AS n, round(sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0, 2) AS total_bal
         |FROM customer GROUP BY 1 ORDER BY bal_bucket""".stripMargin,
 
     "q_date_format" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
-        | count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS total_price
+        | count(*) AS n, round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_price
         |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
 
     "q_union_merge" ->
@@ -375,7 +376,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY first_word""".stripMargin,
 
     "q_enrich_join" ->
-      """SELECT c_mktsegment, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS total_value
+      """SELECT c_mktsegment, count(*) AS n, round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -389,7 +390,7 @@ object SparkEntry {
 
     "q_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))),2) AS DOUBLE) AS total_value
+        | count(*) AS n, round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_session_window" ->
@@ -409,13 +410,13 @@ object SparkEntry {
 
     "q_running_total" ->
       """SELECT event_id, user_id,
-        | CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_value
+        | round(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0, 2) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+        | round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -426,7 +427,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
-      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(4,2))),2) AS DOUBLE) AS revenue
+      """SELECT n_name, round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
