@@ -55,9 +55,11 @@ object SparkEntry {
           moneySum(col("l_extendedprice")).as("sum_base_price"),
           round(sum(discUnits) / 10000.0, 2).as("sum_disc_price"),
           round(sum(discUnits * (lit(100L) + cents(col("l_tax")))) / 1000000.0, 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          // averages via exact integer sums, so the quotient (and its
+          // rounding) is identical regardless of partition order
+          round(sum(cents(col("l_quantity"))) / 100.0 / count(lit(1)), 4).as("avg_qty"),
+          round(sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1)), 4).as("avg_price"),
+          round(sum(cents(col("l_discount"))) / 100.0 / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -281,6 +283,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- similarity: random-hyperplane LSH ANN (the scale path) ----
+    "q_sim_lsh" -> ((s, d) => {
+      Similarity.lshNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        dim = 64, bits = 8, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- §3.3 SQL entry point: statements over registered views ----
     "q_sql_filter" -> ((s, d) => {
       graft.sql.SqlSurface.registerUdfs(s)
@@ -325,9 +334,9 @@ object SparkEntry {
         | round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2) AS sum_base_price,
         | round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0, 2) AS sum_disc_price,
         | round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT)))/1000000.0, 2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),6) AS avg_disc,
+        | round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*), 4) AS avg_qty,
+        | round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*), 4) AS avg_price,
+        | round(sum(CAST(round(l_discount*100) AS BIGINT))/100.0/count(*), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -481,6 +490,8 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm),4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_sim_lsh" -> simLshSql,
+
     "q_sql_filter" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE lower(trim(c_mktsegment)) = 'building' ORDER BY c_custkey""".stripMargin,
@@ -578,6 +589,28 @@ object SparkEntry {
        |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
        |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH oracle: the hyperplane sign vectors come from the SAME generator
+    * the engine uses (VectorFunctions.hyperplaneSigns), inlined as literal
+    * arrays, so both engines bucket identically by construction. */
+  private def simLshSql: String = {
+    val bits = 8
+    val bucketExpr = (0 until bits).map { j =>
+      val plane = graft.functions.VectorFunctions.hyperplaneSigns(64, j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketExpr AS bucket FROM n)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       | round(list_dot_product(a.v, b.v)
+       |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),4) AS cos_sim
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v)
+       |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),4) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Hex substring [start, start+len) of column `c` as a bigint — DuckDB has
     * no base-conversion function, so expand the positional polynomial. */

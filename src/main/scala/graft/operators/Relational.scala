@@ -82,4 +82,17 @@ object RelationalOps {
     * merge on the driver — no global sort. */
   def topK(df: DataFrame, orderBy: Seq[Column], k: Int): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
+
+  /** Skew-resistant equi-join: salt the skewed (left) side's key into
+    * `saltBuckets` sub-keys and replicate the right side once per salt, so
+    * one hot key spreads over `saltBuckets` reducers instead of melting a
+    * single one. Use when AQE's skew-join split isn't available (e.g. the
+    * join feeds a co-partitioned downstream op) or the skew is extreme.
+    * Right side is replicated ×saltBuckets — keep it the smaller input. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -49,9 +49,10 @@ object Similarity {
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), round(cosineSim(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
+    // no distinct needed: each vector lives in exactly one bucket, so a
+    // pair can only be produced once
   }
 
   /** IVF-style blocked near-duplicate pairs: only compare vectors sharing a
