@@ -283,6 +283,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- multimodal: 1→N frame sampling over binary payloads ----
+    "q_multimodal_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id")
+      Multimodal.sampleFrames(media).toDF().orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- similarity: random-hyperplane LSH ANN (the scale path) ----
     "q_sim_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -489,6 +496,13 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm),4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        | unnest(generate_series(0, octet_length(encode(text)) % 4)) AS frame_idx,
+        | unnest(generate_series(0, octet_length(encode(text)) % 4))
+        |   * (octet_length(encode(text)) // (1 + octet_length(encode(text)) % 4)) AS frame_off
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_sim_lsh" -> simLshSql,
 

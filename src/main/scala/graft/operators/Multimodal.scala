@@ -21,6 +21,7 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int, first_byte: Int)
+  case class FrameMeta(doc_id: Long, frame_idx: Long, frame_off: Long)
 
   /** Deterministic fake decode: stands in for an image decoder. A real
     * implementation would replace only this object. */
@@ -39,6 +40,20 @@ object Multimodal {
     * no real media; UTF-8 bytes stand in for image bytes). */
   def withPayload(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"), encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Frame sampling: the 1→N decode shape (video → frames, audio →
+    * windows). The stub derives a deterministic frame count (1 + len % 4)
+    * and byte offsets from the payload; a real decoder swaps into the same
+    * flatMap. Output rows are small typed metadata — the heavy payload
+    * bytes never leave the task that decoded them. */
+  def sampleFrames(media: DataFrame)(implicit spark: SparkSession): Dataset[FrameMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { row =>
+      val len = row.payload.length.toLong
+      val frames = 1 + (len % 4)
+      (0L until frames).map(i => FrameMeta(row.doc_id, i, i * (len / frames)))
+    }
+  }
 
   /** Decode metadata per payload via mapPartitions — the per-partition
     * iterator is the batch: codec state initializes once per task. */
