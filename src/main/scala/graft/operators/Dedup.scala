@@ -170,7 +170,12 @@ object Dedup {
     //    and the bit arithmetic on 16 pre-extracted hex digits stays in
     //    whole-stage codegen. The final fingerprint is a concat of 64
     //    sign bits — no collect_list/sort.
-    val toks = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+    // word_shingles(text, 1) == tokens, via the codegen kernel instead of
+    // the interpreted filter(split(...)) chain; the empty-text edge case
+    // ([""] vs []) is closed by the non-empty filter.
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("tok"))
+      .filter(col("tok") =!= "")
       .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
     val h = md5(col("tok"))
     val digits = (0 until 16).map(i =>

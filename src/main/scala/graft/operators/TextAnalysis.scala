@@ -48,8 +48,11 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
 
-  /** Word frequency across the corpus (the flatMap/explode op, P3). */
+  /** Word frequency across the corpus (the flatMap/explode op, P3).
+    * Tokenization via the codegen shingle kernel (n=1 == tokens); the
+    * non-empty filter closes the empty-text edge ([""] vs []). */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("word"))
+    docs.select(explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
+      .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
 }
