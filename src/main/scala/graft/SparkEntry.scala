@@ -283,6 +283,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- text analysis: TF-IDF top terms per document ----
+    "q_tfidf" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc", "rank")
+    }),
+
     // ---- multimodal: 1→N frame sampling over binary payloads ----
     "q_multimodal_frames" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -496,6 +502,22 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm),4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH words AS (
+         |  SELECT doc_id AS doc, unnest($sqlTokens) AS word FROM documents),
+         |tf AS (SELECT doc, word, count(*) AS tf FROM words GROUP BY doc, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc, tf.word AS word, round(tf * ln(nn.n / df), 4) AS tfidf
+         |  FROM tf JOIN dfreq ON tf.word = dfreq.word, nn),
+         |ranked AS (
+         |  SELECT doc, word, tfidf,
+         |    row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, word) AS rank
+         |  FROM scored)
+         |SELECT doc, word, tfidf, rank FROM ranked WHERE rank <= 3
+         |ORDER BY doc, rank""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id,

@@ -48,6 +48,31 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N / docfreq), top `k` terms ranked by the ROUNDED score — rounding
+    * before ranking matters because distinct (tf, df) pairs can produce
+    * mathematically equal products (2·ln4 = 4·ln2) that land an ulp apart
+    * when evaluated in different engines; rounding makes them exact ties,
+    * broken deterministically by term.
+    *
+    * Two shuffles (doc-term counts, term doc-frequencies) + one broadcast
+    * of the per-term df (vocabulary-sized, small) — corpus never re-shuffles. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val scored = tf.join(broadcast(df), "word")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy("doc").orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("word"), col("tfidf"), col("rank").cast("long").as("rank"))
+  }
+
   /** Word frequency across the corpus (the flatMap/explode op, P3).
     * Tokenization via the codegen shingle kernel (n=1 == tokens); the
     * non-empty filter closes the empty-text edge ([""] vs []). */

@@ -20,6 +20,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("writePartitioned lays out hive partitions with bounded file counts") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 4).cast("string").as("part"), (col("id") * 2).as("v"))
+    graft.operators.Outputs.writePartitioned(df, dir, "part", filesPerPartition = 2, Seq("id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    val partDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part="))
+    assert(partDirs.length == 4)
+    // partition pruning works on the layout
+    val pruned = back.filter(col("part") === "1")
+    assert(pruned.count() == 250)
+    assert(pruned.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      .contains("PartitionFilters: [isnotnull(part"))
+  }
+
   test("intervalJoin only pairs rows inside the time bound") {
     val l = Seq((1L, ts(1000)), (2L, ts(5000))).toDF("user_id", "ts")
     val r = Seq((1L, ts(1000 + 1800)), (1L, ts(1000 + 7200)), (2L, ts(4000))).toDF("user_id", "ts")
