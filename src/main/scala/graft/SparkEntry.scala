@@ -173,6 +173,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- hopping (sliding) window aggregation ----
+    "q_hopping_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // ---- analytic lag: inter-event gap per user ----
+    "q_lag_analytics" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- top-k with deterministic tie-break ----
     "q_topk_users" -> ((s, d) => {
       val counts = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
@@ -425,6 +444,18 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_hopping_window" ->
+      """SELECT window_start, event_type, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS window_start, event_type FROM events
+        |) GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+
+    "q_lag_analytics" ->
+      """SELECT event_id, user_id,
+        | epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_topk_users" ->
       """SELECT user_id, count(*) AS n FROM events

@@ -12,4 +12,8 @@ object Exprs {
 
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Shingles deduped at the source — for set-semantics consumers. */
+  def wordShinglesDistinct(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct = true))
 }

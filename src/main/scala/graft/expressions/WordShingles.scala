@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   array_to_string(tk[i:i+n-1], ' '))` over
   * `list_filter(string_split(text,' '), x -> x <> '')`.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = false)
     extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -37,10 +37,10 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    ShingleKernel.compute(input.asInstanceOf[UTF8String], n)
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleKernel.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleKernel.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -49,14 +49,17 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object ShingleKernel {
-  /** Static kernel invoked from generated code (and from interpreted eval). */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  /** Static kernel invoked from generated code (and from interpreted eval).
+    * `distinct = true` dedups shingles at the source (first-occurrence
+    * order) — set-semantics consumers (MinHash, Jaccard) then skip a whole
+    * corpus-wide distinct shuffle. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val toks = text.toString.split(" ").filter(_.nonEmpty)
     val out: Array[UTF8String] =
       if (toks.length <= n) Array(UTF8String.fromString(toks.mkString(" ")))
       else {
         val sb = new java.lang.StringBuilder(32)
-        Array.tabulate(toks.length - n + 1) { i =>
+        val raw = Array.tabulate(toks.length - n + 1) { i =>
           sb.setLength(0)
           var j = 0
           while (j < n) {
@@ -64,9 +67,13 @@ object ShingleKernel {
             sb.append(toks(i + j))
             j += 1
           }
-          UTF8String.fromString(sb.toString)
+          sb.toString
         }
+        val strings = if (distinct) raw.distinct else raw
+        strings.map(UTF8String.fromString)
       }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
+
+  def compute(text: UTF8String, n: Int): ArrayData = compute(text, n, distinct = false)
 }

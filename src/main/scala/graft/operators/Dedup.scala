@@ -26,13 +26,14 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct (doc, shingle) rows — the shared intermediate of every
-    * shingle-based dedup variant. */
+    * shingle-based dedup variant. Uniqueness is established INSIDE the
+    * shingle kernel (per-document set), so no corpus-wide distinct shuffle
+    * is needed — rows come out of the scan already unique per doc. */
   private def shingleRows(docs: DataFrame, textCol: String, idCol: String,
                           shingleSize: Int): DataFrame =
     docs
       .select(col(idCol).as("doc"),
-        explode(graft.expressions.Exprs.wordShingles(col(textCol), shingleSize)).as("shingle"))
-      .distinct()
+        explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
 
   /** MinHash signature via double hashing (Kirsch–Mitzenmacher): hash each
     * shingle ONCE, split the digest into two integers (h1 = 60 bits,
