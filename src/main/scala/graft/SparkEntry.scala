@@ -679,32 +679,19 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Hex substring [start, start+len) of column `c` as a bigint — DuckDB has
-    * no base-conversion function, so expand the positional polynomial. */
-  private def sqlHexToInt(c: String, start: Int, len: Int): String = {
-    val terms = (0 until len).map { k =>
-      val p = BigInt(16).pow(len - 1 - k)
-      s"(strpos('0123456789abcdef', substr($c, ${start + k}, 1)) - 1) * $p"
-    }
-    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
-  }
-
   private def minhashSql: String = {
     val numHashes = 16
     val rowsPerBand = 4
     val minCols = (0 until numHashes)
-      .map(j => s"min(h1 + $j * h2) AS mh$j").mkString(",\n|    ")
+      .map(j => s"min(md5('$j:' || shingle)) AS mh$j").mkString(",\n|    ")
     val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($parts) AS band_key FROM mh"
     }.mkString("\n|  UNION ALL ")
     s"""WITH $shinglesCte,
-       |mhsrc AS (
-       |  SELECT doc, ${sqlHexToInt("h", 1, 15)} AS h1, ${sqlHexToInt("h", 16, 10)} AS h2
-       |  FROM (SELECT doc, md5(shingle) AS h FROM sh)),
        |mh AS (
        |  SELECT doc, $minCols
-       |  FROM mhsrc GROUP BY doc),
+       |  FROM sh GROUP BY doc),
        |bands AS (
        |  $bandSelects),
        |cand AS (

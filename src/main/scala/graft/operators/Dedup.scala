@@ -35,31 +35,24 @@ object Dedup {
       .select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
 
-  /** MinHash signature via double hashing (Kirsch–Mitzenmacher): hash each
-    * shingle ONCE, split the digest into two integers (h1 = 60 bits,
-    * h2 = 40 bits), and derive the seed family as h_j = h1 + j·h2 —
-    * j·h2 < 2^44, so h_j < 2^61 never overflows a signed 64-bit value,
-    * which matters because the DuckDB oracle errors on bigint overflow.
-    * This replaces numHashes digest computations per shingle with one.
+  /** MinHash signature: `numHashes` genuinely independent hash functions,
+    * one min() agg column each — a single shuffle of the shingle rows, no
+    * row explosion, all map-side combinable.
     *
-    * One aggregation with `numHashes` min() columns — a single shuffle of
-    * the shingle rows, no row explosion, all map-side combinable. md5 mode
-    * anchors the oracle; xxhash64 mode is the cheaper scale default (no
-    * overflow concern there — Spark wraps silently and deterministically).
+    * Each seed gets its OWN full hash (md5 of "j:shingle" for the oracle
+    * path, xxhash64 seeded with j for the scale path). A double-hashing
+    * derivation (h1 + j·h2) was tried and reverted: with j·h2 orders of
+    * magnitude below h1's range, the argmin of every seed collapses to the
+    * same shingle and the family degenerates — near-dup pairs at J≈0.8 got
+    * missed SYSTEMATICALLY (same pairs at any band count). The
+    * DedupScaleModeSpec recall test pins this.
     */
   private def signatures(sh: DataFrame, numHashes: Int, useMd5: Boolean): DataFrame = {
-    val withH = if (useMd5) {
-      val h = md5(col("shingle"))
-      sh.select(col("doc"),
-        conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(h, 16, 10), 16, 10).cast("long").as("h2"))
-    } else {
-      sh.select(col("doc"),
-        xxhash64(col("shingle")).as("h1"),
-        xxhash64(col("shingle"), lit(1)).as("h2"))
-    }
-    val aggs = (0 until numHashes).map(j => min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j"))
-    withH.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    def h(j: Int): Column =
+      if (useMd5) min(md5(concat(lit(s"$j:"), col("shingle"))))
+      else min(xxhash64(lit(j), col("shingle")))
+    val aggs = (0 until numHashes).map(j => h(j).as(s"mh$j"))
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: band b's key = md5 of minhashes [b*r, b*r+r) joined with
