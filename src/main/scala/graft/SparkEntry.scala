@@ -173,6 +173,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- rollup: hierarchical subtotals ----
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total_price"))
+        // label subtotal rows instead of NULL: the engines disagree on NULL
+        // sort position, and labels read better anyway
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_price"))
+        .orderBy("status", "priority")
+    }),
+
     // ---- hopping (sliding) window aggregation ----
     "q_hopping_window" -> ((s, d) => {
       t(s, d, "events")
@@ -444,6 +458,14 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q_hopping_window" ->
       """SELECT window_start, event_type, count(*) AS n FROM (
