@@ -173,6 +173,50 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- exact percentiles (interpolated, type-7 quantile) ----
+    "q_percentiles" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("event_type")
+    }),
+
+    // ---- exact distributed moments (mean/variance via integer sums) ----
+    "q_stats_moments" -> ((s, d) => {
+      val c = cents(col("value"))
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
+        .select(col("event_type"), col("n"),
+          round(col("s1") / 100.0 / col("n"), 4).as("mean_value"),
+          // sample variance from exact integer moments: (n*s2 - s1^2) / (n*(n-1)) / 1e4
+          round((col("n") * col("s2") - col("s1") * col("s1"))
+            / (col("n") * (col("n") - 1)) / 10000.0, 4).as("var_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- anti join: customers with no orders ----
+    "q_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- moving average over a row frame ----
+    "q_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          round(sum(cents(col("value"))).over(w) / 100.0
+            / count(lit(1)).over(w), 4).as("moving_avg"))
+        .orderBy("event_id")
+    }),
+
     // ---- rollup: hierarchical subtotals ----
     "q_rollup" -> ((s, d) => {
       t(s, d, "orders")
@@ -458,6 +502,37 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT event_type, n,
+        | round(s1 / 100.0 / n, 4) AS mean_value,
+        | round((n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0, 4) AS var_value
+        |FROM (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT event_id, user_id,
+        | round(sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0
+        |   / count(*) OVER w, 4) AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
