@@ -173,6 +173,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- pivot: wide per-key counts ----
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // ---- string function battery ----
+    "q_string_funcs" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("u8"),
+          lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- exact percentiles (interpolated, type-7 quantile) ----
     "q_percentiles" -> ((s, d) => {
       t(s, d, "events")
@@ -502,6 +524,23 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'view') AS view,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(substr(c_name, 1, 8)) AS u8,
+        | lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+        | reverse(c_mktsegment) AS rev_seg,
+        | levenshtein(c_mktsegment, 'BUILDING') AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,
