@@ -173,6 +173,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- set operations: except / intersect ----
+    "q_set_ops" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clickers = ev.filter(col("event_type") === "click").select("user_id")
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
+      clickers.except(buyers).withColumn("relation", lit("click_only"))
+        .unionByName(clickers.intersect(buyers).withColumn("relation", lit("both")))
+        .orderBy("relation", "user_id")
+    }),
+
     // ---- pivot: wide per-key counts ----
     "q_pivot" -> ((s, d) => {
       t(s, d, "events")
@@ -524,6 +534,18 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT user_id, 'click_only' AS relation FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'both' AS relation FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY relation, user_id""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
