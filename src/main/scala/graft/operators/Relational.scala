@@ -14,16 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
-  /** P1/P2/P9: filter + project. Both reach the scan as PushedFilters /
-    * ReadSchema pruning — verified in spec via explain. */
+  /** P1/P2/P9: filter + project (FilterExample.java:94-99, the SQL
+    * projection lists). Both reach the scan as PushedFilters / ReadSchema
+    * pruning — verified in spec via explain. */
   def filterProject(df: DataFrame, predicate: Column, projections: Seq[Column]): DataFrame =
     df.filter(predicate).select(projections: _*)
 
-  /** S3: merge same-schema inputs (union is a zero-shuffle concatenation of
-    * partitions). */
+  /** S3: merge same-schema inputs (the 3-channel wikipedia merge,
+    * WikipediaApplication.java:104-112); union is a zero-shuffle
+    * concatenation of partitions. */
   def merge(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
 
-  /** J2/J4: enrich a fact stream with a dimension. Dimension side is
+  /** J2/J4: enrich a fact stream with a dimension
+    * (StreamTableJoinExample.java:126-146 snapshot form). Dimension side is
     * broadcast — at 100 TB the fact side never shuffles. */
   def enrich(facts: DataFrame, dim: DataFrame, joinCols: Seq[(String, String)]): DataFrame = {
     val cond = joinCols.map { case (f, d) => facts(f) === dim(d) }.reduce(_ && _)
@@ -33,7 +36,8 @@ object RelationalOps {
   /** J1 batch twin: time-bounded equi-join (left event joined to right
     * events of the same key within [left.ts, left.ts + window]). The equi
     * key carries the shuffle; the range predicate filters inside each key
-    * group — same state-bounding idea as the streaming join's TTL. */
+    * group — same state-bounding idea as the streaming join's 3-minute TTL
+    * (JoinExample.java:116-147). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, window: String): DataFrame = {
     val l = left.alias("l")
@@ -45,7 +49,8 @@ object RelationalOps {
       "inner")
   }
 
-  /** W1/W9 batch twin: tumbling event-time window aggregation. */
+  /** W1/W9 batch twin: tumbling event-time window aggregation
+    * (TumblingWindowExample.java:106-118; samza-sql-groupby samza.sql:7-10). */
   def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
                   extraKeys: Seq[String], aggs: Seq[Column]): DataFrame = {
     val keys = window(col(tsCol), duration).as("w") +: extraKeys.map(col)
@@ -55,9 +60,9 @@ object RelationalOps {
       .drop("w")
   }
 
-  /** W6 batch twin: session windows (gap-based), via the native
-    * session_window expression — merges happen inside the aggregate, one
-    * shuffle on (key). */
+  /** W6 batch twin: session windows (gap-based,
+    * SessionWindowExample.java:104-117), via the native session_window
+    * expression — merges happen inside the aggregate, one shuffle on (key). */
   def sessionAgg(df: DataFrame, tsCol: String, gap: String,
                  keyCol: String, aggs: Seq[Column]): DataFrame =
     df.groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
@@ -66,7 +71,8 @@ object RelationalOps {
       .withColumn("session_end", col("sw.end"))
       .drop("sw")
 
-  /** W5 batch twin: running total per key, ordered by event time. One
+  /** W5 batch twin (WikipediaApplication.java:166-181 count-edits-all-time):
+    * running total per key, ordered by event time. One
     * shuffle on the key; each partition streams its frame — no whole-window
     * buffering for a running (unbounded-preceding) frame. */
   def runningTotal(df: DataFrame, keyCol: String, orderCols: Seq[String],
