@@ -367,6 +367,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: connected-components clustering of near-dup pairs ----
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
+      Dedup.nearDupClusters(pairs)
+        .orderBy("id")
+    }),
+
     // ---- dedup: SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
@@ -668,6 +676,8 @@ object SparkEntry {
 
     "q_dedup_minhash" -> minhashSql,
 
+    "q_dedup_clusters" -> dedupClustersSql,
+
     "q_dedup_simhash" -> simhashSql,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
@@ -837,7 +847,9 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  private def minhashSql: String = {
+  /** CTE chain producing verified minhash near-dup pairs (shared by the
+    * pair query and the clustering query). */
+  private def minhashPairCtes: String = {
     val numHashes = 16
     val rowsPerBand = 4
     val minCols = (0 until numHashes)
@@ -846,7 +858,7 @@ object SparkEntry {
       val parts = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($parts) AS band_key FROM mh"
     }.mkString("\n|  UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        |mh AS (
        |  SELECT doc, $minCols
        |  FROM sh GROUP BY doc),
@@ -859,13 +871,31 @@ object SparkEntry {
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
        |  FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b
-       |  WHERE a.shingle = b.shingle GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       | round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
-       |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
-       |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |  WHERE a.shingle = b.shingle GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
+       |  FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
+       |  WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.5)""".stripMargin
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashPairCtes
+       |SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT id_a, id_b FROM verified
+       |  UNION SELECT id_b, id_a FROM verified
+       |  UNION SELECT id_a, id_a FROM verified
+       |  UNION SELECT id_b, id_b FROM verified),
+       |reach(src, dst) AS (
+       |  SELECT id_a, id_b FROM edges
+       |  UNION
+       |  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
+       |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |ORDER BY id""".stripMargin
 
   private def simhashSql: String = {
     val digitCols = (0 until 16)

@@ -123,6 +123,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected-components clustering over near-duplicate pairs — the
+    * dedup DECISION step: every document in a component keeps the
+    * component's minimum id as its cluster id (the canonical survivor).
+    *
+    * Iterative min-label propagation: each round, every node takes the min
+    * of its own label and its neighbours' labels; converges in O(component
+    * diameter) rounds (near-dup clusters are shallow — pairs chain through
+    * shared content). Each round is one distributed join+aggregate; the
+    * driver only orchestrates the loop and checks the fixpoint, never
+    * holds data. Output: (id, cluster_id) for every id appearing in a pair.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min("cluster_id").as("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.alias("u")
+        .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("old"))
+        .isEmpty == false
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard pairs above a threshold (no LSH pre-filter) — the
     * exact baseline the LSH path approximates. Sparse formulation: docs pair
     * up only through shared shingles (a self-join on the shingle value), so
