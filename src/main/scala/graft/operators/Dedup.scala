@@ -141,6 +141,12 @@ object Dedup {
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Labels only ever decrease (towards the component minimum), so the
+    // fixpoint test is "did the label sum change" — one scalar aggregate
+    // per round instead of a self-join diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -151,13 +157,11 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.alias("u")
-        .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
-        .filter(col("cluster_id") =!= col("old"))
-        .isEmpty == false
+      val curSum = labelSum(updated)
       labels.unpersist()
       labels = updated
-      converged = !changed
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
