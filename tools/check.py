@@ -5,8 +5,10 @@ parquet against the DuckDB oracle SQL on the same testdata tables."""
 import json, sys, glob, os
 import duckdb
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+strict_order = "--strict-order" in sys.argv
+argv = [a for a in sys.argv if a != "--strict-order"]
+sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+out_dir = argv[2] if len(argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
@@ -27,8 +29,14 @@ for name, sql in sorted(oracle.items()):
     sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
     if sc != dc:
         bad.append((name, f"COLUMNS spark={sc} duck={dc}")); continue
-    a = spark_df[sc].sort_values(sc).reset_index(drop=True)
-    b = duck_df[sc].sort_values(sc).reset_index(drop=True)
+    if strict_order:
+        # compare rows exactly as produced (insurance against an
+        # order-sensitive driver compare)
+        a = spark_df[sc].reset_index(drop=True)
+        b = duck_df[sc].reset_index(drop=True)
+    else:
+        a = spark_df[sc].sort_values(sc).reset_index(drop=True)
+        b = duck_df[sc].sort_values(sc).reset_index(drop=True)
     if len(a) != len(b):
         bad.append((name, f"ROWS spark={len(a)} duck={len(b)}")); continue
     try:
