@@ -173,6 +173,14 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- distinct: batch twin of streaming dropDuplicatesWithinWatermark ----
+    "q_distinct" -> ((s, d) => {
+      t(s, d, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
     // ---- set operations: except / intersect ----
     "q_set_ops" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -542,6 +550,10 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_set_ops" ->
       """SELECT user_id, 'click_only' AS relation FROM (

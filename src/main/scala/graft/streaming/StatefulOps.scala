@@ -36,6 +36,62 @@ object StatefulOps {
       }
   }
 
+  /** Streaming event deduplication: drop repeats of `keyCols` while their
+    * state is younger than the watermark delay — the exactly-once guard a
+    * training-data ingest pipeline puts in front of everything else. State
+    * is bounded by the watermark (dropDuplicates without one grows
+    * forever). Batch twin: dropDuplicates / SELECT DISTINCT. */
+  def dedupStream(df: org.apache.spark.sql.DataFrame, tsCol: String,
+                  watermark: String, keyCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** W6 exact variant: sessionization via flatMapGroupsWithState with an
+    * event-time timeout — the fallback SURVEY.md §7.4(4) names for when
+    * session_window's append-mode emission doesn't fit (e.g. emitting
+    * session summaries with custom payloads). State per key = the open
+    * session; the watermark timeout closes and emits it. */
+  final case class SessionState(start: Long, end: Long, count: Long)
+  final case class SessionOut(userId: String, count: Long, durationMs: Long)
+
+  def sessionizeExact(pageViews: Dataset[PageView], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    pageViews
+      .withWatermark("ts", "1 second")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.count, s.end - s.start))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end < gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), count = s.count + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.count, s.end - s.start)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   private sealed trait Upd
   private final case class ProfileUpd(userId: String, company: String) extends Upd
   private final case class ViewUpd(userId: String, pageId: String) extends Upd
