@@ -58,6 +58,23 @@ object Pipelines {
         col("ac.adId").as("adId"))
   }
 
+  /** J1 outer variant (beyond the reference's inner join): page views left
+    * outer joined to ad clicks — views with no click inside the time bound
+    * emit with null click columns once the watermark proves no match can
+    * still arrive. The unmatched-row emission is exactly the state-eviction
+    * moment, so state stays bounded like the inner join's. */
+  def pageViewAdClickLeftJoin(pageViews: Dataset[PageView], adClicks: Dataset[AdClick],
+                              ttl: String = "3 minutes"): DataFrame = {
+    val pv = pageViews.toDF().withWatermark("ts", ttl).alias("pv")
+    val ac = adClicks.toDF().withWatermark("ts", ttl).alias("ac")
+    pv.join(ac,
+      expr(s"pv.pageId = ac.pageId AND " +
+        s"ac.ts BETWEEN pv.ts - INTERVAL $ttl AND pv.ts + INTERVAL $ttl"),
+      "left_outer")
+      .select(col("pv.pageId").as("pageId"), col("pv.userId").as("userId"),
+        col("ac.adId").as("adId"))
+  }
+
   /** J2 (snapshot variant): enrich page views with a profile dimension via
     * broadcast join — the per-micro-batch `foreachBatch` shape when the
     * dimension is a table; StatefulOps.streamTableJoin is the exact

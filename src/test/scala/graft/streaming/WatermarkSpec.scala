@@ -34,4 +34,27 @@ class WatermarkSpec extends SparkSpec {
     assert(u1.toSeq == Seq(2L),
       s"closed window must count only the 2 on-time events, saw ${u1.toSeq}")
   }
+
+  test("stream-stream left outer join emits unmatched views with nulls after the watermark") {
+    val pv = MemoryStream[PageView]
+    val ac = MemoryStream[AdClick]
+    val q = Pipelines.pageViewAdClickLeftJoin(pv.toDS(), ac.toDS(), ttl = "10 seconds")
+      .writeStream.format("memory").queryName("t_louter").outputMode("append").start()
+    pv.addData(PageView("clicked.com", "u1", "x", ts(1000)),
+      PageView("ignored.com", "u2", "x", ts(1001)))
+    ac.addData(AdClick("clicked.com", "ad1", "u1", ts(1002)))
+    q.processAllAvailable()
+    // push BOTH watermarks far past the join bound so the unmatched view emits
+    pv.addData(PageView("f", "u9", "x", ts(5000)))
+    ac.addData(AdClick("f2", "ad9", "u9", ts(5000)))
+    q.processAllAvailable()
+    pv.addData(PageView("g", "u9", "x", ts(9000)))
+    ac.addData(AdClick("g2", "ad9", "u9", ts(9000)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_louter")
+      .filter(org.apache.spark.sql.functions.col("userId").isin("u1", "u2"))
+      .select("userId", "adId").as[(String, Option[String])].collect().toMap
+    assert(rows("u1").contains("ad1"), s"matched view keeps its ad, saw $rows")
+    assert(rows("u2").isEmpty, s"unmatched view must emit with null adId, saw $rows")
+  }
 }
