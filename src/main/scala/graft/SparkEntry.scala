@@ -375,6 +375,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: SimHash near-dup pairs (chunk banding + Hamming verify) ----
+    "q_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- deterministic stratified sampling for training mixes ----
+    "q_sampling" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("keep", pmod(col("doc_id") * 2654435761L, lit(100L)) < 30)
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // ---- dedup: connected-components clustering of near-dup pairs ----
     "q_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
@@ -692,6 +708,13 @@ object SparkEntry {
 
     "q_dedup_simhash" -> simhashSql,
 
+    "q_simhash_pairs" -> simhashPairsSql,
+
+    "q_sampling" ->
+      """SELECT lang, count(*) AS n_total,
+        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_ngram_jaccard" -> ngramJaccardSql,
 
     "q_sim_topk" ->
@@ -909,7 +932,9 @@ object SparkEntry {
        |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
        |ORDER BY id""".stripMargin
 
-  private def simhashSql: String = {
+  /** CTE chain ending in sh64(doc, simhash) — shared by the fingerprint
+    * query and the hamming-pairs query. */
+  private def simhashCtes: String = {
     val digitCols = (0 until 16)
       .map(i => s"strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1 AS d$i")
       .mkString(",\n|    ")
@@ -920,7 +945,7 @@ object SparkEntry {
     val bitConcat = (0 until 64)
       .map(k => s"(CASE WHEN s$k > 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id AS doc, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
        |  FROM documents),
        |tc AS (SELECT doc, tok, count(*) AS cnt FROM tk GROUP BY doc, tok),
@@ -931,8 +956,24 @@ object SparkEntry {
        |agg AS (
        |  SELECT doc,
        |    $sumCols
-       |  FROM src GROUP BY doc)
-       |SELECT doc, $bitConcat AS simhash
-       |FROM agg ORDER BY doc""".stripMargin
+       |  FROM src GROUP BY doc),
+       |sh64 AS (SELECT doc, $bitConcat AS simhash FROM agg)""".stripMargin
   }
+
+  private def simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc, simhash FROM sh64 ORDER BY doc""".stripMargin
+
+  private def simhashPairsSql: String =
+    s"""WITH $simhashCtes,
+       |chunks AS (
+       |  SELECT doc, simhash, i AS chunk_id, substr(simhash, 1 + 16 * i, 16) AS chunk
+       |  FROM sh64 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b, a.simhash AS sa, b.simhash AS sb
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc < b.doc)
+       |SELECT id_a, id_b, hamming(sa, sb) AS hamming FROM cand
+       |WHERE hamming(sa, sb) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 }

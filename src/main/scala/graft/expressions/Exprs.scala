@@ -13,6 +13,10 @@ object Exprs {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
+  def hammingDist(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Shingles deduped at the source — for set-semantics consumers. */
   def wordShinglesDistinct(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct = true))

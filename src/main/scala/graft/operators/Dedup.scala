@@ -123,6 +123,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs: band each 64-bit fingerprint into four
+    * 16-bit chunks; fingerprints within Hamming distance d <= 3 of each
+    * other MUST share at least one chunk (pigeonhole), so chunk buckets are
+    * a lossless candidate filter at that radius (and a high-recall one a
+    * bit beyond); candidates verify with the codegen'd Hamming kernel.
+    * Output: (id_a, id_b, hamming) with id_a < id_b. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val chunks = sh
+      .select(col("doc"), col("simhash"), explode(sequence(lit(0), lit(3))).as("chunk_id"))
+      .withColumn("chunk", substr(col("simhash"), lit(1) + lit(16) * col("chunk_id"), lit(16)))
+    val a = chunks.select(col("chunk_id"), col("chunk"), col("doc").as("id_a"), col("simhash").as("sa"))
+    val b = chunks.select(col("chunk_id"), col("chunk"), col("doc").as("id_b"), col("simhash").as("sb"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.Exprs.hammingDist(col("sa"), col("sb")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Connected-components clustering over near-duplicate pairs — the
     * dedup DECISION step: every document in a component keeps the
     * component's minimum id as its cluster id (the canonical survivor).
