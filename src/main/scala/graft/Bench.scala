@@ -29,14 +29,21 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
+        }
+      (name, (System.nanoTime() - t0) / 1e9, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failed queries get a -1 sentinel (never a partial elapsed time that
+    // could read as a healthy fast run) and land in the "failed" list.
+    val qs = results.map { case (k, v, f) => "\"" + k + "\":" + (if (f) -1.0 else v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedList = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.filterNot(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

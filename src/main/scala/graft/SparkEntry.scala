@@ -226,13 +226,20 @@ object SparkEntry {
     // ---- exact distributed moments (mean/variance via integer sums) ----
     "q_stats_moments" -> ((s, d) => {
       val c = cents(col("value"))
+      // The numerator n*s2 - s1^2 exceeds Long range well below target scale
+      // (s1 ~ 1e10 per group already overflows when squared — ANSI mode
+      // would throw, pre-ANSI would silently wrap). Both products go through
+      // decimal(38,0): exact to 1e38, which covers ~1e12 rows of 5-digit
+      // cents per group; the exact integer numerator then casts to double
+      // (round-to-nearest, identical in both engines) for the division.
+      val dec = (cn: String) => col(cn).cast("decimal(38,0)")
       t(s, d, "events")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
         .select(col("event_type"), col("n"),
           round(col("s1") / 100.0 / col("n"), 4).as("mean_value"),
           // sample variance from exact integer moments: (n*s2 - s1^2) / (n*(n-1)) / 1e4
-          round((col("n") * col("s2") - col("s1") * col("s1"))
+          round((dec("n") * dec("s2") - dec("s1") * dec("s1")).cast("double")
             / (col("n") * (col("n") - 1)) / 10000.0, 4).as("var_value"))
         .orderBy("event_type")
     }),
@@ -404,10 +411,15 @@ object SparkEntry {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
     }),
 
-    // ---- dedup: exact n-gram Jaccard pairs (sparse baseline) ----
+    // ---- dedup: SimHash packed-long fingerprints (the scale form) ----
+    "q_simhash_packed" -> ((s, d) => {
+      Dedup.simhashPacked(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
+    }),
+
+    // ---- dedup: exact n-gram Jaccard pairs (sparse baseline, df-cut) ----
     "q_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        shingleSize = 3, threshold = 0.2)
+        shingleSize = 3, threshold = 0.2, maxDf = 100)
         .orderBy("id_a", "id_b")
     }),
 
@@ -609,7 +621,8 @@ object SparkEntry {
     "q_stats_moments" ->
       """SELECT event_type, n,
         | round(s1 / 100.0 / n, 4) AS mean_value,
-        | round((n * s2 - s1 * s1) / (n * (n - 1)) / 10000.0, 4) AS var_value
+        | round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |   / (n * (n - 1)) / 10000.0, 4) AS var_value
         |FROM (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
@@ -707,6 +720,8 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersSql,
 
     "q_dedup_simhash" -> simhashSql,
+
+    "q_simhash_packed" -> simhashPackedSql,
 
     "q_simhash_pairs" -> simhashPairsSql,
 
@@ -848,12 +863,29 @@ object SparkEntry {
        |              i -> array_to_string(tk[i:i+2], ' ')) END) AS shingle FROM toks),
        |sz AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc)""".stripMargin
 
+  /** Mirrors Dedup.ngramJaccardPairs exactly: candidate pairs arise only
+    * through shingles with df <= maxDf (the skew cut); the intersection
+    * count splits into the rare part (from the self-join itself) plus the
+    * hot remainder counted per candidate pair, so reported jaccard values
+    * are exact over the FULL shingle sets. */
   private def ngramJaccardSql: String =
     s"""WITH $shinglesCte,
+       |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+       |rare AS (SELECT doc, sh.shingle FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+       |         WHERE df <= 100),
+       |hot AS (SELECT doc, sh.shingle FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+       |        WHERE df > 100),
+       |inter_rare AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_rare
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc < b.doc
+       |  GROUP BY 1, 2),
+       |inter_hot AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_hot
+       |  FROM inter_rare c JOIN hot a ON a.doc = c.id_a JOIN hot b ON b.doc = c.id_b
+       |  WHERE a.shingle = b.shingle GROUP BY 1, 2),
        |inter AS (
-       |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-       |  GROUP BY 1, 2)
+       |  SELECT r.id_a, r.id_b, r.n_rare + coalesce(h.n_hot, 0) AS n_inter
+       |  FROM inter_rare r LEFT JOIN inter_hot h ON r.id_a = h.id_a AND r.id_b = h.id_b)
        |SELECT id_a, id_b,
        | round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
        |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
@@ -888,7 +920,8 @@ object SparkEntry {
     val numHashes = 16
     val rowsPerBand = 4
     val minCols = (0 until numHashes)
-      .map(j => s"min(md5('$j:' || shingle)) AS mh$j").mkString(",\n|    ")
+      .map(j => s"min(substr(md5('${j / 4}:' || shingle), ${1 + 8 * (j % 4)}, 8)) AS mh$j")
+      .mkString(",\n|    ")
     val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($parts) AS band_key FROM mh"
@@ -963,6 +996,20 @@ object SparkEntry {
   private def simhashSql: String =
     s"""WITH $simhashCtes
        |SELECT doc, simhash FROM sh64 ORDER BY doc""".stripMargin
+
+  /** Signed 64-bit packed form of the same sign bits (bit 0 = MSB, two's
+    * complement): distinct powers of two summed — DuckDB widens the
+    * intermediate to HUGEINT around the MIN_LONG term, the final CAST
+    * brings it back to BIGINT exactly. */
+  private def simhashPackedSql: String = {
+    val msb = "(CASE WHEN s0 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+    val rest = (1 until 64)
+      .map(k => s"(CASE WHEN s$k > 0 THEN ${1L << (63 - k)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $simhashCtes
+       |SELECT doc, CAST($msb + $rest AS BIGINT) AS simhash FROM agg
+       |ORDER BY doc""".stripMargin
+  }
 
   private def simhashPairsSql: String =
     s"""WITH $simhashCtes,

@@ -64,9 +64,13 @@ object TextAnalysis {
       .filter(col("word") =!= "")
     val tf = words.groupBy("doc", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    // Corpus size as a 1-row broadcast join, NOT an eager count(): the
+    // whole operator stays one lazy plan (composable, cacheable by the
+    // caller, no hidden extra corpus scan as a driver-side action).
+    val nDf = docs.select(countDistinct(col(idCol)).cast("double").as("n_docs"))
     val scored = tf.join(broadcast(df), "word")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
     val w = Window.partitionBy("doc").orderBy(col("tfidf").desc, col("word").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

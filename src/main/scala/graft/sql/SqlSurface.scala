@@ -23,28 +23,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
+  /** Both functions register as NATIVE expression builders, not UDFs:
+    *  - `standardize(s)` compiles to `lower(trim(s))` — whole-stage
+    *    codegen, no boxing, and Catalyst can constant-fold / push it;
+    *  - `get_sql_field(json, 'a.b')` compiles to
+    *    `get_json_object(json, '$.a.b')` — the dotted path concatenates
+    *    onto '$.' at plan time, the optimizer constant-folds it to a
+    *    literal JsonPath, and GetJsonObject's streaming parser (shared,
+    *    path compiled once) replaces the old per-row Jackson tree
+    *    materialization. Same null semantics: null input, null/missing
+    *    path, or malformed JSON all yield null.
+    */
   def registerUdfs(spark: SparkSession): Unit = {
-    spark.udf.register("standardize",
-      (s: String) => if (s == null) null else s.trim.toLowerCase)
-    spark.udf.register("get_sql_field", (json: String, path: String) => {
-      if (json == null || path == null) null
-      else {
-        // dotted path -> JsonPath; evaluated with the session-independent
-        // JacksonParser route via Dataset API would need a session, so use
-        // a tiny manual descent over Jackson's tree model.
-        val mapper = SqlSurface.mapper
-        var node = mapper.readTree(json)
-        val parts = path.split("\\.")
-        var i = 0
-        while (node != null && i < parts.length) { node = node.get(parts(i)); i += 1 }
-        if (node == null || node.isNull) null
-        else if (node.isValueNode) node.asText()
-        else node.toString
-      }
+    import org.apache.spark.sql.catalyst.expressions.{Expression, GetJsonObject, Literal, Lower, StringTrim, Concat}
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.registerNativeFunction(spark, "standardize", (args: Seq[Expression]) => {
+      require(args.length == 1, "standardize(str)")
+      Lower(StringTrim(args.head))
+    })
+    ColumnBridge.registerNativeFunction(spark, "get_sql_field", (args: Seq[Expression]) => {
+      require(args.length == 2, "get_sql_field(json, dotted_path)")
+      GetJsonObject(args.head, Concat(Seq(Literal("$."), args(1))))
     })
   }
-
-  @transient lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Register every testdata table as a temp view. */
   def registerTables(spark: SparkSession, dir: String): Unit =

@@ -26,19 +26,27 @@ object RemoteLookup {
       else Some((math.abs(key.hashCode % 10000)) / 100.0)
   }
 
-  /** Read-through cache with TTL + token-bucket rate limiter, shared per
-    * executor JVM (object-level state survives across partitions/tasks). */
+  /** Read-through cache with TTL + token-bucket rate limiter. The closure
+    * deserializes one `RateLimitedCache` instance PER TASK, so the mutable
+    * state cannot live on the instance (that would rate-limit per task, and
+    * N concurrent tasks would hit the service at N×maxPerSec). Instead the
+    * cache map and limiter stamps live in a JVM-wide registry keyed by
+    * (ttlMs, maxPerSec, client class): every task in an executor resolves
+    * the SAME shared state, giving the reference's per-process limit
+    * (RemoteTableJoinExample.java:133 — 10 req/s job-wide when the job is
+    * one process; at 1000 executors the budget is per-executor, which is
+    * the standard distributed reading of a "job-wide" limiter). */
   final class RateLimitedCache(client: LookupClient, ttlMs: Long, maxPerSec: Int)
       extends Serializable {
-    @transient private lazy val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Double])]()
-    @transient private lazy val stamps =
-      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    private def shared = RateLimitedCache.stateFor(ttlMs, maxPerSec, client.getClass.getName)
 
     private def acquire(): Unit = {
+      val stamps = shared.stamps
       var ok = false
       while (!ok) {
         val now = System.nanoTime()
+        // One winner cleans + claims under the queue's own thread safety;
+        // the size check races benignly (at worst a transient ±1 token).
         while (Option(stamps.peek()).exists(now - _ > 1e9.toLong)) stamps.poll()
         if (stamps.size < maxPerSec) { stamps.add(now); ok = true }
         else Thread.sleep(5)
@@ -46,6 +54,7 @@ object RemoteLookup {
     }
 
     def get(key: String): Option[Double] = {
+      val cache = shared.cache
       val now = System.currentTimeMillis()
       val hit = cache.get(key)
       if (hit != null && now - hit._1 < ttlMs) hit._2
@@ -56,6 +65,17 @@ object RemoteLookup {
         v
       }
     }
+  }
+
+  object RateLimitedCache {
+    final class State {
+      val cache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Double])]()
+      val stamps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    }
+    private val registry =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Int, String), State]()
+    private[streaming] def stateFor(ttlMs: Long, maxPerSec: Int, clientClass: String): State =
+      registry.computeIfAbsent((ttlMs, maxPerSec, clientClass), _ => new State)
   }
 
   /** Enrich a stream of symbols with their latest quote. Symbols that fail

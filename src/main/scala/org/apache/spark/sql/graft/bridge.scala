@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native-expression SQL function on a live session (the
+    * runtime-registration twin of `SparkSessionExtensions.injectFunction`,
+    * which only applies at session build). Used for the reference-parity
+    * SQL functions that compile to built-in Catalyst expressions rather
+    * than row-at-a-time UDFs. */
+  def registerNativeFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                             builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -45,10 +45,19 @@ for name, sql in sorted(oracle.items()):
         for c in sc:
             av, bv = a[c], b[c]
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                if not ((av - bv).abs().fillna(0) <= 1e-12).all():
+                # Null masks must agree FIRST: a null/NaN on one side where
+                # the other has a real value is a diff (the old fillna(0)
+                # compare silently passed exactly that case).
+                am, bm = av.isna(), bv.isna()
+                if not (am == bm).all():
+                    diff_cols.append(c)
+                elif not ((av[~am] - bv[~bm]).abs() <= 1e-12).all():
                     diff_cols.append(c)
             else:
-                if not (av.astype(str) == bv.astype(str)).all():
+                am, bm = av.isna(), bv.isna()
+                if not (am == bm).all():
+                    diff_cols.append(c)
+                elif not (av[~am].astype(str) == bv[~bm].astype(str)).all():
                     diff_cols.append(c)
         if diff_cols:
             bad.append((name, f"VALUES differ in {diff_cols}"))
