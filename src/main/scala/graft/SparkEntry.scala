@@ -155,6 +155,34 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- J1 left-outer variant (batch twin of the streaming null
+    //      emission: clicks with no purchase in the bound keep a row) ----
+    "q_interval_join_left" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      RelationalOps.intervalJoin(clicks, purchases, "user_id", "ts", "ts", "1 HOUR", "left_outer")
+        .groupBy(col("l.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("r.ts")).as("n_matched"))
+        .orderBy("user_id")
+    }),
+
+    // ---- as-of join: latest purchase value at or before each click ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      // unique (key, ts) on the right side pins determinism when several
+      // purchases share a timestamp
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(cents(col("value"))).as("p_cents"))
+      RelationalOps.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("p_cents"))
+        .select(col("event_id"), col("user_id"), col("p_cents").as("last_purchase_cents"))
+        .orderBy("event_id")
+    }),
+
     // ---- W1/W9 tumbling window aggregation ----
     "q_tumbling_window" -> ((s, d) => {
       RelationalOps.tumblingAgg(t(s, d, "events"), "ts", "1 hour",
@@ -562,6 +590,23 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_interval_join_left" ->
+      """SELECT c.user_id AS user_id, count(*) AS n_rows, count(p.ts) AS n_matched
+        |FROM (SELECT user_id, ts FROM events WHERE event_type='click') c
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT c.event_id AS event_id, c.user_id AS user_id, p.p_cents AS last_purchase_cents
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT)) AS p_cents
+        |  FROM events WHERE event_type='purchase' GROUP BY 1, 2) p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -39,14 +39,45 @@ object RelationalOps {
     * group — same state-bounding idea as the streaming join's 3-minute TTL
     * (JoinExample.java:116-147). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   leftTs: String, rightTs: String, window: String): DataFrame = {
+                   leftTs: String, rightTs: String, window: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.alias("l")
     val r = right.alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $window"),
-      "inner")
+      joinType)
+  }
+
+  /** As-of join (backward, inclusive): for every left row, the LATEST right
+    * row of the same key with rightTs <= leftTs — the point-in-time lookup
+    * of feature stores and slowly-changing enrichment.
+    *
+    * Formulated as union-of-streams + one window pass, NOT as an
+    * inequality join: a range theta-join materializes |L|×|R| per key
+    * before filtering (quadratic on hot keys), while this is sort-by
+    * (key, ts) and a running last_value(ignoreNulls) — one shuffle, linear
+    * scan, whatever the key skew. Right rows sort BEFORE left rows at
+    * equal timestamps, which is what makes the match inclusive.
+    * `rightVals` must be unique per (key, rightTs) for determinism —
+    * pre-aggregate the right side if needed. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val payload = left.columns.filterNot(_ == key).toSeq
+    val lSel = Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
+      payload.map(col) ++
+      rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val rSel = Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rightVals.map(col)
+    val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightVals.foldLeft(u)((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side")
   }
 
   /** W1/W9 batch twin: tumbling event-time window aggregation

@@ -69,8 +69,9 @@ object Sinks {
 
   /** K3: rolled file output — `maxRecordsPerFile` is the engine's version
     * of the reference's maxMessagesPerBlob=2 blob-roll knob
-    * (azure-blob-application.properties:43). Format "parquet" here; "avro"
-    * once spark-avro is on the classpath. */
+    * (azure-blob-application.properties:43). Format "parquet" here; for
+    * the reference's actual Avro record format use `AvroSink.rolledAvro`
+    * (plain Avro container files, no spark-avro needed). */
   def rolledFiles[T](ds: Dataset[T], dir: String, checkpoint: String,
                      maxRecordsPerFile: Long, format: String = "parquet"): DataStreamWriter[_] =
     ds.writeStream.format(format)
