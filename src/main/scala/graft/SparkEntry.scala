@@ -477,6 +477,19 @@ object SparkEntry {
       Multimodal.sampleFrames(media).toDF().orderBy("doc_id", "frame_idx")
     }),
 
+    // ---- similarity: IVF coarse quantizer assignment ----
+    "q_ivf_assign" -> ((s, d) => {
+      Similarity.ivfAssign(t(s, d, "embeddings"), "embedding", "vec_id", k = 8)
+        .orderBy("vec_id")
+    }),
+
+    // ---- similarity: end-to-end IVF near-dup pairs (quantize + in-cell) ----
+    "q_ivf_pairs" -> ((s, d) => {
+      Similarity.ivfNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = 8, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity: random-hyperplane LSH ANN (the scale path) ----
     "q_sim_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -820,6 +833,10 @@ object SparkEntry {
         |   * (octet_length(encode(text)) // (1 + octet_length(encode(text)) % 4)) AS frame_off
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "q_ivf_assign" -> ivfAssignSql,
+
+    "q_ivf_pairs" -> ivfPairsSql,
+
     "q_sim_lsh" -> simLshSql,
 
     "q_sql_filter" ->
@@ -935,6 +952,40 @@ object SparkEntry {
        | round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
        |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
        |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF quantizer oracle: centroids = the 8 lowest-id vectors (the same
+    * deterministic seeding the engine uses); argmax by rounded cosine with
+    * ties to the smaller centroid id — row_number here, max(struct) in the
+    * engine, equivalent orderings. */
+  private def ivfAssignCtes: String =
+    """c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings WHERE vec_id < 8),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      |scored AS (
+      |  SELECT v.vec_id, cid,
+      |    round(list_dot_product(vv, cv)
+      |      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))),4) AS cs
+      |  FROM v, c),
+      |assign AS (
+      |  SELECT vec_id, cid, cs FROM (
+      |    SELECT vec_id, cid, cs,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1)""".stripMargin
+
+  private def ivfAssignSql: String =
+    s"""WITH $ivfAssignCtes
+       |SELECT vec_id, cid AS centroid_id, cs AS cos_sim FROM assign
+       |ORDER BY vec_id""".stripMargin
+
+  private def ivfPairsSql: String =
+    s"""WITH $ivfAssignCtes,
+       |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id)
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       | round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) AS cos_sim
+       |FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
 
   /** LSH oracle: the hyperplane sign vectors come from the SAME generator

@@ -71,6 +71,40 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF coarse quantizer: assign every vector to its most-cosine-similar
+    * centroid. Centroids here are the k lowest-id vectors — a deterministic
+    * seeding that both engines can express exactly; a production run would
+    * refine them with k-means iterations, each of which is THIS SAME PLAN
+    * (assign, then average per cell) repeated, so the scale shape is what
+    * matters: centroids broadcast (k is small), the corpus streams through
+    * one codegen'd projection scoring k cosines per row, and the argmax is
+    * a map-side-combinable max(struct) aggregate — no window sort, no
+    * corpus self-shuffle. Ties break to the smallest centroid id via the
+    * negated-id struct field. */
+  def ivfAssign(emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val centroids = emb.filter(col(idCol) < k)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+    val scored = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        round(cosineSim(col(vecCol), col("c_vec")), 4).as("cos_sim"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("cos_sim"), (-col("centroid_id")).as("neg_cid"))).as("best"))
+      .select(col(idCol), (-col("best.neg_cid")).as("centroid_id"),
+        col("best.cos_sim").as("cos_sim"))
+  }
+
+  /** End-to-end IVF near-dup pairs: quantize, then compare only within a
+    * cell — `blockedNearDupPairs` over REAL quantizer cells instead of a
+    * precomputed label. Balanced cells come from the quantizer itself
+    * (vectors spread over the k nearest seeds), closing the round-1 note
+    * that label-blocking assumed balance. */
+  def ivfNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+                      k: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, vecCol, idCol, k).select(col(idCol), col("centroid_id"))
+    blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol, "centroid_id", threshold)
+  }
+
   /** Exact all-pairs cosine above a threshold — the baseline LSH
     * approximates. Quadratic; for oracle checks and small corpora. */
   def exactNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,

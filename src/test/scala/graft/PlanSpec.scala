@@ -43,4 +43,26 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_topk_users").contains("TakeOrderedAndProject"))
     assert(plan("q_sim_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("as-of join compiles to union + window — no join operator anywhere") {
+    // The range theta-join formulation would show a Join with a non-equi
+    // condition (quadratic per hot key); the union-of-streams form must not
+    // contain ANY join node — its only shuffles are the right side's
+    // pre-aggregation and the window sort.
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), "asofJoin must not plan a join operator")
+    assert(p.contains("Window"), "running last_value window expected")
+  }
+
+  test("ngram df-cut: hot-shingle split uses broadcast anti/semi joins") {
+    val p = plan("q_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti") || p.contains("LeftSemi")),
+      "rare/hot split must broadcast the hot-shingle list, not shuffle the shingle relation")
+  }
+
+  test("packed SimHash pairing verifies with codegen'd bit_count, not string hamming") {
+    val p = plan("q_simhash_pairs")
+    assert(p.contains("bit_count"), "Hamming verify must be bit_count over packed longs")
+  }
 }
