@@ -31,4 +31,20 @@ object Outputs {
               outDir: String, targetFiles: Int): Unit =
     spark.read.parquet(dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Save `df` as a BUCKETED catalog table: rows hash-partitioned into
+    * `numBuckets` files on `bucketCols` and sorted within each bucket.
+    * Two tables bucketed the same way join WITHOUT any exchange — the
+    * bucketing IS the shuffle, paid once at write time instead of on
+    * every join (the standard layout for a fact table that joins on the
+    * same key across many pipelines; `OutputsSpec` asserts the
+    * exchange-free plan). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -43,4 +43,24 @@ class RelationalOpsSpec extends SparkSpec {
     // user1: +30min in, +2h out; user2: r.ts before l.ts -> out
     assert(out.count() == 1)
   }
+
+  test("bucketed tables join with ZERO exchanges (write-once shuffle)") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("a"))
+      val other = spark.range(500).select(col("id").as("k"), (col("id") * 7).as("b"))
+      graft.operators.Outputs.writeBucketed(facts, "bkt_facts", Seq("k"), 4)
+      graft.operators.Outputs.writeBucketed(other, "bkt_other", Seq("k"), 4)
+      val joined = spark.table("bkt_facts").join(spark.table("bkt_other"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"same-bucketing join must not shuffle either side:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_other")
+    }
+  }
 }
