@@ -392,6 +392,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis: n-gram repetition ratio (boilerplate signal) ----
+    "q_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionScore(t(s, d, "documents"), "text", "doc_id", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: PII pattern counts (redaction triage) ----
+    "q_pii_counts" -> ((s, d) => {
+      TextAnalysis.piiCounts(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: content fingerprint ----
     "q_fingerprint" -> ((s, d) => {
       TextAnalysis.fingerprints(t(s, d, "documents"), "text", "doc_id")
@@ -765,6 +777,23 @@ object SparkEntry {
     "q_langid" -> langIdSql,
 
     "q_quality" -> qualitySql,
+
+    "q_repetition" -> {
+      val sh = sqlShingles(sqlTokens, 3)
+      s"""SELECT doc_id,
+         | CAST(len(sh) AS BIGINT) AS n_shingles,
+         | CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         | round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio
+         |FROM (SELECT doc_id, $sh AS sh FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_counts" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id, $sqlFingerprint AS fp FROM documents ORDER BY doc_id""",

@@ -77,6 +77,35 @@ object TextAnalysis {
       .select(col("doc"), col("word"), col("tfidf"), col("rank").cast("long").as("rank"))
   }
 
+  /** n-gram repetition ratio per document (a Gopher-style quality rule:
+    * heavily templated/boilerplate text repeats shingles). ZERO shuffle and
+    * zero row explosion: both shingle counts come from array lengths of the
+    * codegen'd shingle kernels inside one projection — at 100 TB this is a
+    * pure scan-side column. rep_ratio = 1 − distinct/total. */
+  def repetitionScore(docs: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3): DataFrame = {
+    val all = size(graft.expressions.Exprs.wordShingles(col(textCol), shingleSize)).cast("double")
+    val dist = size(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).cast("double")
+    docs.select(
+      col(idCol),
+      all.cast("long").as("n_shingles"),
+      dist.cast("long").as("n_distinct"),
+      round(lit(1.0) - dist / all, 6).as("rep_ratio"))
+  }
+
+  /** PII-pattern counts per document (email / URL / IPv4) — the redaction
+    * triage pass of a curation pipeline. Pure regexp_count projection;
+    * patterns stay RE2-compatible so the DuckDB twin is exact. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  def piiCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ipv4"))
+
   /** Word frequency across the corpus (the flatMap/explode op, P3).
     * Tokenization via the codegen shingle kernel (n=1 == tokens); the
     * non-empty filter closes the empty-text edge ([""] vs []). */

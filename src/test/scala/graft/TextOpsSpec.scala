@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Positive-example coverage for the curation signals whose oracle rows
+  * are all-zero on the synthetic corpus (it plants no PII) and for the
+  * repetition ratio's edge cases. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiCounts fires on emails, urls and ipv4 and not on clean text") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.org or bob@sub.domain.co"),
+      (2L, "see https://example.com/path?q=1 and http://other.net"),
+      (3L, "server at 10.0.0.1 and 192.168.1.255 responded"),
+      (4L, "a perfectly clean sentence with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiCounts(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 0L, 0L)))
+    assert(out(1) == ((2L, 0L, 2L, 0L)))
+    assert(out(2) == ((3L, 0L, 0L, 2L)))
+    assert(out(3) == ((4L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionScore: unique text ~0, fully repeated text high, short text defined") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),  // all shingles unique
+      (2L, Seq.fill(20)("spam ham eggs").mkString(" ")), // heavy repetition
+      (3L, "hi")                                         // shorter than shingle size
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == 0.0)
+    assert(byId(2L)._4 > 0.9, s"templated text must score high, got ${byId(2L)}")
+    assert(byId(3L)._2 == 1L && byId(3L)._4 == 0.0, "short docs shingle to one unit, ratio 0")
+  }
+}
