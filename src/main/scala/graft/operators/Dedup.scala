@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   *  - hash functions are parameterized: md5 (engine-portable, anchors the
   *    DuckDB oracle) vs xxhash64 (codegen'd, ~5× cheaper — the default at
   *    scale). Both paths share the same plan shape.
+  *
+  * Cache lifecycle: operators persist intermediates that feed two plan
+  * branches (the shingle relation, the rare-pair intersections). The
+  * persists are lazy — they materialize only when the caller executes the
+  * returned plan — and Spark's ContextCleaner reclaims them once the
+  * returned DataFrame is no longer referenced; `nearDupClusters`, which
+  * drives its own actions, checkpoints instead and frees its rounds
+  * eagerly as labels advance.
   */
 object Dedup {
 
