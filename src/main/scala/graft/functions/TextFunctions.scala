@@ -55,9 +55,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Occurrence count of a literal marker substring, via length delta.
-    * Exactly `(length(t) - length(replace(t, m, ''))) / length(m)`. */
+    * Exactly `(length(t) - length(replace(t, m, ''))) / length(m)`.
+    * Literal `replace`, not a quoted-pattern regexp_replace — the langid
+    * scorer evaluates 20 markers per row and the regex machinery was the
+    * dominant cost of that projection. */
   def occurrences(text: Column, marker: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+    ((length(text) - length(call_function("replace", text, lit(marker), lit("")))) / marker.length).cast("int")
 
   /** Language marker words (surrounded by spaces to match whole words).
     * Deterministic scoring heuristic; the oracle replicates the same CASE

@@ -379,8 +379,13 @@ object Dedup {
       .filter(col("tok") =!= "")
       .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
     val h = md5(col("tok"))
-    val digits = (0 until 16).map(i =>
-      conv(substring(h, i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+    // hex digit value via ascii arithmetic — '0'-'9' are 48-57, 'a'-'f'
+    // are 97-102 (md5 is lowercase); avoids conv()'s per-digit string
+    // radix parse, stays in codegen as two int ops
+    val digits = (0 until 16).map { i =>
+      val a = ascii(substring(h, i + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).as(s"d$i")
+    }
     val src = toks.select(col("doc") +: col("cnt") +: digits: _*)
     val sums = (0 until 64).map { k =>
       val d = col(s"d${k / 4}")
