@@ -389,8 +389,10 @@ object Dedup {
     val src = toks.select(col("doc") +: col("cnt") +: digits: _*)
     val sums = (0 until 64).map { k =>
       val d = col(s"d${k / 4}")
-      val pow2 = 1 << (3 - k % 4)
-      val bit = pmod(floor(d / pow2).cast("int"), lit(2))
+      // (d >> shift) & 1 — pure int ops; the floor(d / 2^s) % 2 form went
+      // through a DOUBLE divide + floor + pmod, ×64 columns per row (the
+      // DuckDB twin keeps `(d // p) % 2`, identical on 0..15)
+      val bit = shiftright(d, 3 - k % 4).bitwiseAND(lit(1))
       sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$k")
     }
     src.groupBy("doc").agg(sums.head, sums.tail: _*)
