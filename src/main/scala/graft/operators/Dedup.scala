@@ -169,10 +169,19 @@ object Dedup {
     * (8 bytes vs the 64-char bit string's ~72), chunk keys as 16-bit ints,
     * and the Hamming verify is `bit_count(sa ^ sb)` — a single codegen'd
     * POPCNT instead of a 64-char loop. Identical pairs and distances to the
-    * string form (pinned by DedupScaleModeSpec). */
+    * string form (pinned by DedupPackedSpec). */
   private def simhashNearDupsPacked(docs: DataFrame, textCol: String, idCol: String,
-                                    maxDist: Int): DataFrame = {
-    val sh = simhashPacked(docs, textCol, idCol)
+                                    maxDist: Int): DataFrame =
+    pairsFromPackedFingerprints(simhashPacked(docs, textCol, idCol), maxDist)
+
+  /** SCALE-mode pairing: xxhash64 fingerprints + the same chunk banding.
+    * The fastest end-to-end SimHash path; not oracle-comparable (hash
+    * family differs), recall pinned by DedupScaleModeSpec. */
+  def simhashNearDupsFast(docs: DataFrame, textCol: String, idCol: String,
+                          maxDist: Int = 3): DataFrame =
+    pairsFromPackedFingerprints(simhashPackedFast(docs, textCol, idCol), maxDist)
+
+  private def pairsFromPackedFingerprints(sh: DataFrame, maxDist: Int): DataFrame = {
     // 4 chunk structs instead of explode+variable shift: shiftrightunsigned
     // needs a literal shift amount, and 4 unrolled extractions stay in one
     // codegen'd projection anyway.
@@ -354,6 +363,33 @@ object Dedup {
     // Distinct powers of two can't carry, so the OR is a sum; bit 0 maps to
     // Long.MinValue (two's complement MSB) and the 63 positive bits sum to
     // at most Long.MaxValue — no overflow even under ANSI mode.
+    val msb = when(col("s0") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    val packed = (1 until 64).map { k =>
+      when(col(s"s$k") > 0, lit(1L << (63 - k))).otherwise(lit(0L))
+    }.foldLeft(msb)(_ + _)
+    agged.select(col("doc"), packed.as("simhash"))
+  }
+
+  /** SimHash packed fingerprints in SCALE mode: token bits come from ONE
+    * xxhash64 per token — `(h >> k) & 1` for all 64 positions — instead of
+    * md5 + 16 hex-digit extractions. Same plan shape and output type as
+    * `simhashPacked`; different (equally valid) hash family, so
+    * fingerprints are not comparable across modes — pick one per corpus.
+    * DuckDB has no xxhash64, hence the md5 family anchors the oracle and
+    * this anchors throughput (the recall spec pins that both families
+    * catch planted near-dups). */
+  def simhashPackedFast(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
+    val h = xxhash64(col("tok"))
+    val src = toks.select(col("doc"), col("cnt"), h.as("h"))
+    val sums = (0 until 64).map { k =>
+      val bit = shiftrightunsigned(col("h"), 63 - k).bitwiseAND(lit(1L))
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$k")
+    }
+    val agged = src.groupBy("doc").agg(sums.head, sums.tail: _*)
     val msb = when(col("s0") > 0, lit(Long.MinValue)).otherwise(lit(0L))
     val packed = (1 until 64).map { k =>
       when(col(s"s$k") > 0, lit(1L << (63 - k))).otherwise(lit(0L))

@@ -32,4 +32,44 @@ class DedupScaleModeSpec extends SparkSpec {
       assert(pairs.size >= truth.size)
     }
   }
+
+  test("both SimHash families are locality-sensitive, and fast-mode banding is lossless") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // ground truth at J >= 0.95: nearly-identical token multisets. SimHash
+    // does NOT guarantee Hamming <= 3 for them (a J=0.95 pair in this
+    // corpus sits at distance 4-6 in the md5 family) — the property a
+    // family must have is that true near-dups land FAR below random
+    // distance (E[random] = 32 bits): assert <= 16 for every truth pair.
+    val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture corpus has extreme near-dups")
+    def hammings(fp: DataFrame): Map[(Long, Long), Long] = {
+      val t = truth.toSeq.toDF("id_a", "id_b")
+      t.join(fp.select(col("doc").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
+        .join(fp.select(col("doc").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("h"))
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    }
+    val md5H = hammings(Dedup.simhashPacked(docs, "text", "doc_id"))
+    val fastH = hammings(Dedup.simhashPackedFast(docs, "text", "doc_id"))
+    truth.foreach { p =>
+      assert(md5H(p) <= 16, s"md5 family puts near-dup $p at ${md5H(p)} bits")
+      assert(fastH(p) <= 16, s"xxhash64 family puts near-dup $p at ${fastH(p)} bits")
+    }
+    // banding losslessness for the fast family: the banded pipeline must
+    // return EXACTLY the brute-force Hamming<=3 pair set (pigeonhole: <=3
+    // flipped bits cannot touch all four 16-bit chunks)
+    val fp = Dedup.simhashPackedFast(docs, "text", "doc_id")
+    val brute = fp.select(col("doc").as("id_a"), col("simhash").as("sa"))
+      .crossJoin(fp.select(col("doc").as("id_b"), col("simhash").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupsFast(docs, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"banding lost pairs: ${brute -- banded}, invented: ${banded -- brute}")
+  }
 }
