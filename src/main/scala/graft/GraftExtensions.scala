@@ -15,18 +15,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * (graft.expressions.Exprs) works without any session config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
+object GraftExtensions {
+  /** The injected function set, exposed so a live session can register the
+    * SAME builders at runtime (ColumnBridge.registerNativeFunction) and so
+    * specs evaluate them end-to-end without building a fresh session. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(arrayFloat, arrayFloat)")
         CosineSimilarity(args(0), args(1))
-      }))
-
-    ext.injectFunction((
-      FunctionIdentifier("word_shingles"),
+      }),
+    (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "word_shingles(text, n)")
@@ -35,6 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => other.eval().asInstanceOf[Number].intValue()
         }
         WordShingles(args(0), n)
+      }),
+    (FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[graft.expressions.HammingDistance].getName, "hamming_dist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hamming_dist(bitsA, bitsB)")
+        graft.expressions.HammingDistance(args(0), args(1))
       }))
-  }
+
+  /** Runtime registration on a live session — same builders the build-time
+    * extension injects. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerNativeFunction(spark, id.funcName, builder)
+    }
 }

@@ -502,6 +502,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- similarity: IVF nprobe ANN search ----
+    "q_ivf_topk" -> ((s, d) => {
+      Similarity.ivfTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, k = 10, kCentroids = 8, nprobe = 2)
+    }),
+
     // ---- similarity: random-hyperplane LSH ANN (the scale path) ----
     "q_sim_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -866,6 +872,8 @@ object SparkEntry {
 
     "q_ivf_pairs" -> ivfPairsSql,
 
+    "q_ivf_topk" -> ivfTopKSql,
+
     "q_sim_lsh" -> simLshSql,
 
     "q_sql_filter" ->
@@ -1016,6 +1024,31 @@ object SparkEntry {
        |FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
        |WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** nprobe ANN oracle: probe cells = the 2 centroids most similar to the
+    * query vector (rounded cosine, ties to smaller id — same ordering as
+    * the engine's TakeOrdered); candidates = corpus rows assigned to those
+    * cells; exact rank within. */
+  private def ivfTopKSql: String =
+    s"""WITH $ivfAssignCtes,
+       |q AS (SELECT vv AS qv FROM v WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cid FROM (
+       |    SELECT cid,
+       |      round(list_dot_product(cv, qv)
+       |        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),4) AS c_sim
+       |    FROM c, q
+       |    ORDER BY c_sim DESC, cid LIMIT 2)),
+       |cand AS (
+       |  SELECT a.vec_id, v.vv FROM assign a
+       |  JOIN pcells p ON a.cid = p.cid
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE a.vec_id <> 0)
+       |SELECT vec_id,
+       | round(list_dot_product(vv, qv)
+       |   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) AS cos_sim
+       |FROM cand, q
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** LSH oracle: the hyperplane sign vectors come from the SAME generator
     * the engine uses (VectorFunctions.hyperplaneSigns), inlined as literal

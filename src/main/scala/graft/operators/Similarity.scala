@@ -105,6 +105,35 @@ object Similarity {
     blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol, "centroid_id", threshold)
   }
 
+  /** IVF ANN search — the standard nprobe query: rank the centroids by
+    * similarity to the probe vector, scan ONLY the corpus cells of the
+    * `nprobe` nearest, exact-rank within them. Cost is (k centroid
+    * cosines) + (nprobe/k of the corpus) instead of a full scan; recall
+    * follows nprobe. Plan shape: probe and cell list are 1-row/nprobe-row
+    * broadcasts; the corpus scan filters on the broadcast cell set before
+    * any cosine; final top-k is TakeOrderedAndProject. */
+  def ivfTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
+              k: Int, kCentroids: Int, nprobe: Int): DataFrame = {
+    val probe = emb.filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
+    val centroids = emb.filter(col(idCol) < kCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+    val probeCells = centroids.crossJoin(broadcast(probe))
+      .select(col("centroid_id"),
+        round(cosineSim(col("c_vec"), col("q_vec")), 4).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+    val assigned = ivfAssign(emb, vecCol, idCol, kCentroids)
+      .select(col(idCol), col("centroid_id"))
+    emb.join(assigned, idCol)
+      .join(broadcast(probeCells), "centroid_id")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine above a threshold — the baseline LSH
     * approximates. Quadratic; for oracle checks and small corpora. */
   def exactNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
