@@ -33,6 +33,9 @@ object Bench {
     // a JVM artifact, not a property of the plan. Min-of-reps is the
     // steady-state number the 100 TB projection actually scales from.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // reps=0 would make every query an untested 0.0s "success" — exactly
+    // the healthy-looking-zero the -1 failure sentinel exists to prevent
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -266,9 +266,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
         .select(col("event_type"), col("n"),
           round(col("s1") / 100.0 / col("n"), 4).as("mean_value"),
-          // sample variance from exact integer moments: (n*s2 - s1^2) / (n*(n-1)) / 1e4
+          // sample variance from exact integer moments: (n*s2 - s1^2) / (n*(n-1)) / 1e4.
+          // The denominator multiplies as double too — n*(n-1) in Long
+          // wraps/throws at n > ~3e9 rows per group, the regime the decimal
+          // numerator exists for.
           round((dec("n") * dec("s2") - dec("s1") * dec("s1")).cast("double")
-            / (col("n") * (col("n") - 1)) / 10000.0, 4).as("var_value"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000.0, 4).as("var_value"))
         .orderBy("event_type")
     }),
 
@@ -698,7 +701,7 @@ object SparkEntry {
       """SELECT event_type, n,
         | round(s1 / 100.0 / n, 4) AS mean_value,
         | round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-        |   / (n * (n - 1)) / 10000.0, 4) AS var_value
+        |   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0, 4) AS var_value
         |FROM (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,

@@ -228,12 +228,17 @@ object Dedup {
     // smaller than the corpus that produced it — inheriting the corpus-scale
     // shuffle width would pay dozens of near-empty tasks per round. Size the
     // loop's shuffles from the measured edge count (the count is free: edges
-    // was just checkpointed), restore the session setting afterwards.
-    val spark = edges.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(4L, math.min(prevShuffle.toLong, edges.count() / 500000L + 4L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    // was just checkpointed) — on a CHILD session (`newSession`: shared
+    // SparkContext, isolated SQLConf), so a concurrent query planned on the
+    // caller's session never sees the shrunken width and no restore step
+    // can be skipped by a killed driver.
+    val parentSession = edges.sparkSession
+    val session = parentSession.newSession()
+    val loopParts = math.max(4L,
+      math.min(parentSession.conf.get("spark.sql.shuffle.partitions").toLong,
+        edges.count() / 500000L + 4L))
+    session.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val e = session.createDataFrame(edges.rdd, edges.schema).localCheckpoint()
     // Lazy checkpoints: `localCheckpoint(eager = false)` marks the round's
     // result for materialize-on-first-action, and the labelSum fixpoint
     // check IS that action — one Spark job per round instead of two.
@@ -242,14 +247,15 @@ object Dedup {
     // itself takes min(x, min neighbour) — near-dup components are shallow
     // (pairs chain through shared content), so this often IS the fixpoint
     // and the loop only confirms it.
-    var labels = edges.groupBy(col("id_a").as("id"))
+    var labels = e.groupBy(col("id_a").as("id"))
       .agg(min(least(col("id_a"), col("id_b"))).as("cluster_id"))
       .localCheckpoint(eager = false)
     // Labels only ever decrease (towards the component minimum), so the
     // fixpoint test is "did the label sum change" — one scalar aggregate
-    // per round instead of a self-join diff.
+    // per round instead of a self-join diff. coalesce(..., 0) keeps the
+    // empty-graph case (no pairs at all) a clean empty result, not an NPE.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("cluster_id")).collect()(0).getLong(0)
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -264,7 +270,7 @@ object Dedup {
       //    convergence is O(log diameter) rounds instead of O(diameter):
       //    a 1000-link chain resolves in ~10 rounds.
       val own = labels.select(col("id"), col("cluster_id").as("cl"))
-      val fromNeighbors = edges
+      val fromNeighbors = e
         .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
         .select(col("id_a").as("id"), col("cluster_id").as("cl"))
       val parent = labels.select(col("id").as("p_id"), col("cluster_id").as("p_cl"))
@@ -285,7 +291,6 @@ object Dedup {
           "(labelSum still changing) — components deeper than the doubling " +
           "horizon have partially-propagated cluster ids; raise maxIters.")
     labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Exact n-gram Jaccard pairs above a threshold (no LSH pre-filter) — the
@@ -358,17 +363,8 @@ object Dedup {
     * string form (bit 0 of the string is the MSB), two's complement for the
     * top bit. The scale representation: 8 bytes through every shuffle and
     * `bit_count(a ^ b)` for Hamming distance. */
-  def simhashPacked(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val agged = simhashSums(docs, textCol, idCol)
-    // Distinct powers of two can't carry, so the OR is a sum; bit 0 maps to
-    // Long.MinValue (two's complement MSB) and the 63 positive bits sum to
-    // at most Long.MaxValue — no overflow even under ANSI mode.
-    val msb = when(col("s0") > 0, lit(Long.MinValue)).otherwise(lit(0L))
-    val packed = (1 until 64).map { k =>
-      when(col(s"s$k") > 0, lit(1L << (63 - k))).otherwise(lit(0L))
-    }.foldLeft(msb)(_ + _)
-    agged.select(col("doc"), packed.as("simhash"))
-  }
+  def simhashPacked(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    packSums(simhashSums(docs, textCol, idCol))
 
   /** SimHash packed fingerprints in SCALE mode: token bits come from ONE
     * xxhash64 per token — `(h >> k) & 1` for all 64 positions — instead of
@@ -379,23 +375,36 @@ object Dedup {
     * this anchors throughput (the recall spec pins that both families
     * catch planted near-dups). */
   def simhashPackedFast(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
-    val h = xxhash64(col("tok"))
-    val src = toks.select(col("doc"), col("cnt"), h.as("h"))
+    val toks = tokenCounts(docs, textCol, idCol)
+    val src = toks.select(col("doc"), col("cnt"), xxhash64(col("tok")).as("h"))
     val sums = (0 until 64).map { k =>
       val bit = shiftrightunsigned(col("h"), 63 - k).bitwiseAND(lit(1L))
       sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$k")
     }
-    val agged = src.groupBy("doc").agg(sums.head, sums.tail: _*)
+    packSums(src.groupBy("doc").agg(sums.head, sums.tail: _*))
+  }
+
+  /** (doc, s0..s63) sign sums → one signed 64-bit BIGINT. Distinct powers
+    * of two can't carry, so the OR is a sum; bit 0 maps to Long.MinValue
+    * (two's complement MSB) and the 63 positive bits sum to at most
+    * Long.MaxValue — no overflow even under ANSI mode. Shared by both hash
+    * families so the encoding can never diverge between them. */
+  private def packSums(agged: DataFrame): DataFrame = {
     val msb = when(col("s0") > 0, lit(Long.MinValue)).otherwise(lit(0L))
     val packed = (1 until 64).map { k =>
       when(col(s"s$k") > 0, lit(1L << (63 - k))).otherwise(lit(0L))
     }.foldLeft(msb)(_ + _)
     agged.select(col("doc"), packed.as("simhash"))
   }
+
+  /** Weighted distinct tokens per document — the shared prelude of every
+    * SimHash family (token multiplicity is a weight: hash each distinct
+    * token once, Σ contrib over duplicate rows == Σ contrib·count). */
+  private def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
 
   /** Shared SimHash kernel: (doc, s0..s63) signed bit-position sums.
     * Two structural choices keep this one codegen'd pass:
@@ -410,10 +419,7 @@ object Dedup {
     * the interpreted filter(split(...)) chain; the empty-text edge case
     * ([""] vs []) is closed by the non-empty filter. */
   private def simhashSums(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy("doc", "tok").agg(count(lit(1)).as("cnt"))
+    val toks = tokenCounts(docs, textCol, idCol)
     val h = md5(col("tok"))
     // hex digit value via ascii arithmetic — '0'-'9' are 48-57, 'a'-'f'
     // are 97-102 (md5 is lowercase); avoids conv()'s per-digit string

@@ -64,20 +64,29 @@ object RelationalOps {
     * pre-aggregate the right side if needed. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val payload = left.columns.filterNot(_ == key).toSeq
+    // The right row travels as ONE nullable struct, not per-column: a
+    // last(ignoreNulls) applied per value column would skip a right row
+    // whose VALUE is legitimately null (returning a stale older value —
+    // not as-of semantics) and could even stitch fields of different
+    // right rows together. The struct is null exactly on left rows, so
+    // last(struct, ignoreNulls) always picks the latest right ROW
+    // atomically, null values and all.
+    val rvType = StructType(rightVals.map(c => right.schema(c)))
     val lSel = Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
-      payload.map(col) ++
-      rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+      payload.map(col) :+
+      lit(null).cast(rvType).as("__rv")
     val rSel = Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
-      payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      rightVals.map(col)
+      payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(rightVals.map(col): _*).as("__rv")
     val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals.foldLeft(u)((df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__ts", "__side")
+    rightVals.foldLeft(filled)((df, c) => df.withColumn(c, col("__rv").getField(c)))
+      .drop("__ts", "__side", "__rv")
   }
 
   /** W1/W9 batch twin: tumbling event-time window aggregation

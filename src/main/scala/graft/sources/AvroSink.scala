@@ -56,7 +56,15 @@ object AvroSink {
 
   /** Batch write: every partition rolls its own sequence of container
     * files. `batchTag` namespaces file names (streaming passes the
-    * micro-batch id). */
+    * micro-batch id).
+    *
+    * Task-attempt safety: speculative or retried attempts of the same
+    * partition must not write the same destination path concurrently, so
+    * each attempt streams into `.inprogress-<taskAttemptId>-<name>` and
+    * PUBLISHES by rename on file completion. Partition content is
+    * deterministic per batch, so the publish is idempotent: the rename
+    * loser (destination already present) just discards its temp file.
+    * A failed attempt's partial temp file is deleted in the finally. */
   def writeRolled(df: DataFrame, dir: String, maxRecordsPerFile: Int,
                   batchTag: Long = 0L): Unit = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
@@ -64,20 +72,43 @@ object AvroSink {
     // Avro Schema is not serializable-stable across versions — ship JSON.
     val schemaJson = avroSchema(st).toString
     val fieldTypes = st.fields.map(_.dataType)
+    // The SESSION's effective Hadoop conf (spark.hadoop.*, fs.defaultFS,
+    // object-store credentials) must reach the executor — a bare
+    // `new Configuration()` only sees classpath XML and breaks abfs/s3
+    // targets. Configuration isn't serializable; ship its entries.
+    val hadoopConfMap: Map[String, String] = {
+      val hc = df.sparkSession.sparkContext.hadoopConfiguration
+      val b = Map.newBuilder[String, String]
+      val it = hc.iterator()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     df.foreachPartition { (it: Iterator[Row]) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val pid = TaskContext.getPartitionId()
+      val attemptId = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      val conf = new Configuration(false)
+      hadoopConfMap.foreach { case (k, v) => conf.set(k, v) }
       val outDir = new Path(dir)
-      val fs = outDir.getFileSystem(new Configuration())
+      val fs = outDir.getFileSystem(conf)
       fs.mkdirs(outDir)
       var writer: DataFileWriter[GenericRecord] = null
+      var tmpPath: Path = null
+      var finalPath: Path = null
       var inFile = 0
       var seq = 0
+      def publish(): Unit = if (writer != null) {
+        writer.close()
+        writer = null
+        if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+      }
       def roll(): Unit = {
-        if (writer != null) writer.close()
+        publish()
+        val name = f"part-$batchTag%05d-$pid%05d-$seq%05d.avro"
+        finalPath = new Path(outDir, name)
+        tmpPath = new Path(outDir, s".inprogress-$attemptId-$name")
         writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        writer.create(schema, fs.create(
-          new Path(outDir, f"part-$batchTag%05d-$pid%05d-$seq%05d.avro"), true))
+        writer.create(schema, fs.create(tmpPath, true))
         inFile = 0
         seq += 1
       }
@@ -102,7 +133,11 @@ object AvroSink {
           writer.append(rec)
           inFile += 1
         }
-      } finally if (writer != null) writer.close()
+        publish()
+      } finally if (writer != null) {
+        writer.close()
+        fs.delete(tmpPath, false)
+      }
     }
   }
 

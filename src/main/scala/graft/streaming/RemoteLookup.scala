@@ -35,10 +35,18 @@ object RemoteLookup {
     * the SAME shared state, giving the reference's per-process limit
     * (RemoteTableJoinExample.java:133 — 10 req/s job-wide when the job is
     * one process; at 1000 executors the budget is per-executor, which is
-    * the standard distributed reading of a "job-wide" limiter). */
-  final class RateLimitedCache(client: LookupClient, ttlMs: Long, maxPerSec: Int)
+    * the standard distributed reading of a "job-wide" limiter).
+    *
+    * `scope` disambiguates DISTINCT backends served by the same client
+    * class (two endpoints of one HTTP client type must not share a cache —
+    * they would return each other's values — nor a rate budget). Defaults
+    * to the client class name, which is correct when one class == one
+    * backend; pass the endpoint/config identity otherwise. */
+  final class RateLimitedCache(client: LookupClient, ttlMs: Long, maxPerSec: Int,
+                               scope: String = null)
       extends Serializable {
-    private def shared = RateLimitedCache.stateFor(ttlMs, maxPerSec, client.getClass.getName)
+    private val scopeKey = if (scope != null) scope else client.getClass.getName
+    private def shared = RateLimitedCache.stateFor(ttlMs, maxPerSec, scopeKey)
 
     private def acquire(): Unit = {
       val stamps = shared.stamps
@@ -82,10 +90,11 @@ object RemoteLookup {
     * the lookup are dropped (reference treats errors as non-retriable for
     * missing symbols, RemoteTableJoinExample.java:162-187). */
   def joinQuotes(symbols: Dataset[String], client: LookupClient = new StubQuoteClient,
-                 cacheTtlMs: Long = 5000, maxReqPerSec: Int = 10)(
+                 cacheTtlMs: Long = 5000, maxReqPerSec: Int = 10,
+                 scope: String = null)(
       implicit spark: SparkSession): Dataset[StockQuote] = {
     import spark.implicits._
-    val shared = new RateLimitedCache(client, cacheTtlMs, maxReqPerSec)
+    val shared = new RateLimitedCache(client, cacheTtlMs, maxReqPerSec, scope)
     symbols.mapPartitions { it =>
       it.flatMap(sym => shared.get(sym).map(close => StockQuote(sym, close)))
     }

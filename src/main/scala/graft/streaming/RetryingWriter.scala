@@ -21,9 +21,13 @@ object RetryingWriter {
     require(attempts >= 1, "attempts must be >= 1")
     var i = 0
     while (true) {
+      // NonFatal only: an InterruptedException is Spark cancelling this
+      // task (retrying the side effect on a dead task duplicates external
+      // writes and stalls teardown by attempts × backoff), and fatal JVM
+      // errors (OOM) must fail fast, not loop.
       try return f
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           i += 1
           if (i >= attempts) throw e
           Thread.sleep(backoffMs)

@@ -32,6 +32,11 @@ class DedupPackedSpec extends SparkSpec {
     assert(pk == str)
   }
 
+  test("nearDupClusters: empty pair set yields an empty result, not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupClusters(empty).count() == 0)
+  }
+
   test("nearDupClusters: path graph converges and the result plan stays flat") {
     // Path 0-1-2-...-19: diameter 19 needs several doubling rounds (a
     // single propagation round resolves only distance-1 labels).

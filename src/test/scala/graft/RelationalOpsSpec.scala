@@ -44,6 +44,18 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("asofJoin: a null right VALUE is a real match, not skipped for an older row") {
+    val left = Seq(("u1", ts(30), "click")).toDF("k", "ts", "what")
+    val right = Seq(("u1", ts(10), Option(100L)), ("u1", ts(20), Option.empty[Long]))
+      .toDF("k", "rts", "v")
+    val out = RelationalOps.asofJoin(left, right, "k", "ts", "rts", Seq("v")).collect()
+    assert(out.length == 1)
+    // the as-of row is (u1, ts20, null) — a per-column ignoreNulls would
+    // wrongly resurrect the older 100
+    assert(out(0).isNullAt(out(0).fieldIndex("v")),
+      s"expected the ts=20 null value, got ${out(0)}")
+  }
+
   test("bucketed tables join with ZERO exchanges (write-once shuffle)") {
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
