@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.UpsertParquet
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** K2 materialized table: latest-wins upsert compaction of a changelog
+  * stream into a queryable parquet table, with bucket-pruned rewrites —
+  * untouched buckets' files must be byte-identical (same mtime) after a
+  * batch that doesn't touch them. */
+class UpsertParquetSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def bucketFiles(dir: java.io.File): Map[String, Long] =
+    dir.listFiles().filter(_.getName.startsWith("__bucket=")).flatMap { b =>
+      b.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${b.getName}/${f.getName}" -> f.lastModified())
+    }.toMap
+
+  test("changelog stream materializes as a latest-wins table; untouched buckets stay put") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_tbl").toFile
+    java.nio.file.Files.delete(dir.toPath) // sink creates it
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toFile
+    // (userId, company, version) — the version rides on the changelog row,
+    // the reference's changelog-offset analogue
+    val in = MemoryStream[(String, String, Long)]
+    val versioned = in.toDS().toDF("userId", "company", "version")
+    val q = UpsertParquet.sink(versioned, dir.getAbsolutePath,
+      ckpt.getAbsolutePath, keyCols = Seq("userId"), seqCol = "version",
+      nBuckets = 8).start()
+    try {
+      in.addData(("u1", "acme", 1L), ("u2", "globex", 2L), ("u3", "initech", 3L))
+      q.processAllAvailable()
+      val after1 = bucketFiles(dir)
+      assert(UpsertParquet.read(spark, dir.getAbsolutePath).count() == 3)
+
+      // batch 2: u1 changes company (upsert), u4 appears (insert)
+      in.addData(("u1", "hooli", 4L), ("u4", "umbrella", 5L))
+      q.processAllAvailable()
+      val table = UpsertParquet.read(spark, dir.getAbsolutePath)
+        .select("userId", "company").as[(String, String)].collect().toMap
+      assert(table == Map("u1" -> "hooli", "u2" -> "globex",
+        "u3" -> "initech", "u4" -> "umbrella"))
+
+      // bucket pruning: buckets untouched by batch 2 kept their exact files
+      val after2 = bucketFiles(dir)
+      val touched2 = Seq("u1", "u4")
+        .map(k => spark.range(1).select(
+          pmod(hash(lit(k)), lit(8)).cast("int")).collect()(0).getInt(0))
+        .map(b => s"__bucket=$b").toSet
+      val untouched = after1.filterNot { case (path, _) => touched2.exists(path.startsWith) }
+      assert(untouched.nonEmpty, "fixture should leave some bucket untouched")
+      untouched.foreach { case (path, mtime) =>
+        assert(after2.get(path).contains(mtime), s"untouched bucket file $path was rewritten")
+      }
+    } finally q.stop()
+  }
+}
