@@ -221,24 +221,26 @@ object Dedup {
     // one `weak` scale verdict). On a real cluster with a checkpoint dir,
     // swap for reliable `checkpoint()` — localCheckpoint dies with its
     // executor; the plan shape is identical.
-    val edges = pairs.select(col("id_a"), col("id_b"))
+    val edgesRaw = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
     // The loop runs over the PAIRS graph, which is orders of magnitude
     // smaller than the corpus that produced it — inheriting the corpus-scale
-    // shuffle width would pay dozens of near-empty tasks per round. Size the
-    // loop's shuffles from the measured edge count (the count is free: edges
-    // was just checkpointed) — on a CHILD session (`newSession`: shared
-    // SparkContext, isolated SQLConf), so a concurrent query planned on the
-    // caller's session never sees the shrunken width and no restore step
-    // can be skipped by a killed driver.
-    val parentSession = edges.sparkSession
-    val session = parentSession.newSession()
+    // shuffle width would pay dozens of near-empty tasks per round. The loop
+    // therefore runs on a CHILD session (cloneSession: shared SparkContext,
+    // a COPY of the caller's SQLConf — runtime ANSI/timezone/codegen flags
+    // all carry over) with only the shuffle width narrowed, so concurrent
+    // queries on the caller's session never see it and no restore step can
+    // be skipped by a killed driver. edgesRaw.rdd plans the corpus-scale
+    // pairs pipeline under the PARENT session (corpus-scale conf), and the
+    // child frame is checkpointed ONCE — the single materialized copy both
+    // the loop and loopParts sizing read.
+    val parentSession = pairs.sparkSession
+    val session = org.apache.spark.sql.graft.ColumnBridge.cloneSession(parentSession)
+    val e = session.createDataFrame(edgesRaw.rdd, edgesRaw.schema).localCheckpoint()
     val loopParts = math.max(4L,
       math.min(parentSession.conf.get("spark.sql.shuffle.partitions").toLong,
-        edges.count() / 500000L + 4L))
+        e.count() / 500000L + 4L))
     session.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val e = session.createDataFrame(edges.rdd, edges.schema).localCheckpoint()
     // Lazy checkpoints: `localCheckpoint(eager = false)` marks the round's
     // result for materialize-on-first-action, and the labelSum fixpoint
     // check IS that action — one Spark job per round instead of two.
@@ -290,7 +292,10 @@ object Dedup {
         .warn(s"nearDupClusters stopped at maxIters=$maxIters WITHOUT converging " +
           "(labelSum still changing) — components deeper than the doubling " +
           "horizon have partially-propagated cluster ids; raise maxIters.")
-    labels
+    // Rebase the (small) result onto the CALLER's session so downstream
+    // plans — the caller's orderBy, joins against corpus tables — run
+    // under the caller's conf, not the loop's narrowed width.
+    parentSession.createDataFrame(labels.rdd, labels.schema)
   }
 
   /** Exact n-gram Jaccard pairs above a threshold (no LSH pre-filter) — the

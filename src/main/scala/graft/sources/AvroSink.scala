@@ -83,12 +83,15 @@ object AvroSink {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
       b.result()
     }
+    // broadcast, not closure capture: the conf is ~1000 entries and would
+    // otherwise reserialize into every task of every micro-batch
+    val confBc = df.sparkSession.sparkContext.broadcast(hadoopConfMap)
     df.foreachPartition { (it: Iterator[Row]) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val pid = TaskContext.getPartitionId()
       val attemptId = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
       val conf = new Configuration(false)
-      hadoopConfMap.foreach { case (k, v) => conf.set(k, v) }
+      confBc.value.foreach { case (k, v) => conf.set(k, v) }
       val outDir = new Path(dir)
       val fs = outDir.getFileSystem(conf)
       fs.mkdirs(outDir)
@@ -100,7 +103,13 @@ object AvroSink {
       def publish(): Unit = if (writer != null) {
         writer.close()
         writer = null
-        if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+        if (!fs.rename(tmpPath, finalPath)) {
+          // rename=false is only benign when another attempt already
+          // published this file; any other cause (lease, quota, perms,
+          // missing parent) must FAIL the task, not silently drop rows
+          if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+          else throw new java.io.IOException(s"avro publish failed: $tmpPath -> $finalPath")
+        }
       }
       def roll(): Unit = {
         publish()

@@ -35,37 +35,55 @@ object UpsertParquet {
     * `keyCols`, newest-first by `seqCol` (ties: changes beat table). */
   def upsertBatch(changes: DataFrame, dir: String, keyCols: Seq[String],
                   seqCol: String, nBuckets: Int): Unit = {
-    if (changes.isEmpty) return
     val spark = changes.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tableExists = fs.exists(new Path(dir))
+    // "Table exists" must mean it HAS bucket data, not that the directory
+    // is present: a pre-created empty dir (or a crash between mkdirs and
+    // the first bucket swap) would otherwise make spark.read.parquet throw
+    // schema-inference errors on every checkpoint replay — a wedged stream.
+    val tableExists = fs.exists(new Path(dir)) &&
+      fs.listStatus(new Path(dir)).exists(_.getPath.getName.startsWith("__bucket="))
+    // Persist: isEmpty, the touched-bucket collect, and the merged write
+    // would otherwise each re-execute the micro-batch plan — and two
+    // divergent evaluations of a nondeterministic source could make
+    // `touched` disagree with the written buckets.
     val batch = changes.withColumn("__bucket", bucketCol(keyCols, nBuckets))
-    val touched = batch.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // bucket IDs only — bounded by nBuckets
-    val merged = {
-      val b = batch.withColumn("__src", lit(1))
-      val all = if (tableExists) {
-        val cur = spark.read.parquet(dir)
-          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*)) // partition-pruned
-          .withColumn("__src", lit(0))
-        cur.unionByName(b)
-      } else b
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col(seqCol).desc, col("__src").desc)
-      all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__src")
-    }
-    val tmp = new Path(dir + ".tmp-swap")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
-    fs.mkdirs(new Path(dir))
-    touched.foreach { bId =>
-      val src = new Path(tmp, s"__bucket=$bId")
-      val dst = new Path(dir, s"__bucket=$bId")
-      fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
-    }
-    fs.delete(tmp, true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = batch.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // bucket IDs only — bounded by nBuckets
+      if (touched.isEmpty) return
+      val merged = {
+        val b = batch.withColumn("__src", lit(1))
+        val all = if (tableExists) {
+          val cur = spark.read.parquet(dir)
+            .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*)) // partition-pruned
+            .withColumn("__src", lit(0))
+          cur.unionByName(b)
+        } else b
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(seqCol).desc, col("__src").desc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__src")
+      }
+      val tmp = new Path(dir + ".tmp-swap")
+      fs.delete(tmp, true)
+      merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
+      fs.mkdirs(new Path(dir))
+      touched.foreach { bId =>
+        val src = new Path(tmp, s"__bucket=$bId")
+        val dst = new Path(dir, s"__bucket=$bId")
+        // check the replacement BEFORE destroying the live bucket — the
+        // reverse order would wipe a bucket's history if the replacement
+        // is unexpectedly absent
+        if (fs.exists(src)) {
+          fs.delete(dst, true)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"bucket swap failed: $src -> $dst")
+        }
+      }
+      fs.delete(tmp, true)
+    } finally batch.unpersist()
   }
 
   /** Streaming form: each micro-batch upserts into the table. */

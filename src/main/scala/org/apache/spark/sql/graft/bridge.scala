@@ -15,6 +15,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Clone a session: shared SparkContext + a COPY of the current session
+    * state (SQLConf, registered functions, temp views). `newSession()`
+    * would start from SparkConf defaults, silently dropping runtime conf
+    * the caller set; `cloneSession` is `private[sql]`, hence the bridge. */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Register a native-expression SQL function on a live session (the
     * runtime-registration twin of `SparkSessionExtensions.injectFunction`,
     * which only applies at session build). Used for the reference-parity
