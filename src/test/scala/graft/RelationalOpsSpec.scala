@@ -44,6 +44,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("asofJoin matches a brute-force inequality-join formulation on seeded random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i => (s"k${rnd.nextInt(10)}", ts(rnd.nextInt(1000)), i.toLong))
+      .toDF("k", "ts", "ev")
+    val right0 = (1 to 200).map(i => (s"k${rnd.nextInt(12)}", ts(rnd.nextInt(1000)), i.toLong))
+      .toDF("k", "rts", "v")
+    val r = right0.groupBy("k", "rts").agg(max("v").as("v")) // unique (k, rts)
+    val out = RelationalOps.asofJoin(left, r, "k", "ts", "rts", Seq("v"))
+      .select("k", "ev", "v").as[(String, Long, Option[Long])].collect().toSet
+    // independent formulation: range theta-join + row_number — the exact
+    // quadratic shape asofJoin exists to avoid, used here as the oracle
+    val joined = left.as("l").join(r.as("r"),
+      expr("l.k = r.k AND r.rts <= l.ts"), "left")
+    val w = Window.partitionBy(col("l.ev")).orderBy(col("r.rts").desc)
+    val expect = joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l.k"), col("l.ev"), col("r.v"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(out == expect)
+    assert(out.size == 300, "every left row appears exactly once")
+  }
+
   test("asofJoin: a null right VALUE is a real match, not skipped for an older row") {
     val left = Seq(("u1", ts(30), "click")).toDF("k", "ts", "what")
     val right = Seq(("u1", ts(10), Option(100L)), ("u1", ts(20), Option.empty[Long]))
