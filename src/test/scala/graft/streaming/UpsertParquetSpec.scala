@@ -19,6 +19,30 @@ class UpsertParquetSpec extends SparkSpec {
         .map(f => s"${b.getName}/${f.getName}" -> f.lastModified())
     }.toMap
 
+  test("many random batches converge to last-write-wins over the full changelog") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_rand").toFile
+    java.nio.file.Files.delete(dir.toPath)
+    val rnd = new scala.util.Random(7)
+    var all = Seq.empty[(String, String, Long)]
+    var version = 0L
+    (1 to 5).foreach { _ =>
+      val batch = (1 to 50).map { _ =>
+        version += 1
+        (s"u${rnd.nextInt(30)}", s"c${rnd.nextInt(100)}", version)
+      }
+      all ++= batch
+      UpsertParquet.upsertBatch(batch.toDF("userId", "company", "version"),
+        dir.getAbsolutePath, Seq("userId"), "version", nBuckets = 8)
+    }
+    val table = UpsertParquet.read(spark, dir.getAbsolutePath)
+      .select("userId", "company", "version")
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = all.groupBy(_._1).map { case (k, rows) =>
+      val latest = rows.maxBy(_._3); k -> ((latest._2, latest._3))
+    }
+    assert(table == expect)
+  }
+
   test("changelog stream materializes as a latest-wins table; untouched buckets stay put") {
     val dir = java.nio.file.Files.createTempDirectory("upsert_tbl").toFile
     java.nio.file.Files.delete(dir.toPath) // sink creates it
