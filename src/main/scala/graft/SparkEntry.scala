@@ -183,6 +183,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- K2 materialized upsert table: multi-batch last-write-wins ----
+    "q_upsert_table" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("event_id"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/tbl"
+      // three deterministic changelog chunks exercise cross-batch merging;
+      // the final table must be last-write-wins by event_id regardless of
+      // how the changelog was split
+      (0 until 3).foreach { i =>
+        graft.sources.UpsertParquet.upsertBatch(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          dir, keyCols = Seq("user_id"), seqCol = "event_id", nBuckets = 16)
+      }
+      graft.sources.UpsertParquet.read(s, dir)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id")
+    }),
+
     // ---- W1/W9 tumbling window aggregation ----
     "q_tumbling_window" -> ((s, d) => {
       RelationalOps.tumblingAgg(t(s, d, "events"), "ts", "1 hour",
@@ -632,6 +649,13 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q_upsert_table" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT c.event_id AS event_id, c.user_id AS user_id, p.p_cents AS last_purchase_cents
