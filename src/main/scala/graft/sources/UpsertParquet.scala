@@ -68,7 +68,11 @@ object UpsertParquet {
       }
       val tmp = new Path(dir + ".tmp-swap")
       fs.delete(tmp, true)
-      merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
+      // cluster by bucket before the partitioned write: without it every
+      // shuffle partition spills a sliver into every bucket directory —
+      // touched-buckets × shuffle-width tiny files per batch
+      merged.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
       fs.mkdirs(new Path(dir))
       touched.foreach { bId =>
         val src = new Path(tmp, s"__bucket=$bId")
