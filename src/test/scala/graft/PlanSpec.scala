@@ -65,4 +65,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_simhash_pairs")
     assert(p.contains("bit_count"), "Hamming verify must be bit_count over packed longs")
   }
+
+  test("IVF probe scans only its nprobe cells of the stored index — no per-probe quantization") {
+    // q_ivf_topk builds the index (side effect), then returns the PROBE
+    // plan. That plan must (a) prune the index scan down to the nprobe
+    // winning cells via PartitionFilters, and (b) contain no aggregate —
+    // the argmax quantization belongs to the build, and its presence here
+    // would mean the probe re-quantizes the corpus (round-2's `weak`).
+    val p = plan("q_ivf_topk")
+    val pruned = p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id") && !l.contains("PartitionFilters: []"))
+    assert(pruned, s"probe must partition-prune on centroid_id:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "probe plan must contain no aggregate (no per-probe quantization)")
+    assert(p.contains("TakeOrderedAndProject"), "final top-k must be per-partition heaps")
+  }
 }

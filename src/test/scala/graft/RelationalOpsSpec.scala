@@ -20,6 +20,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("saltedJoin salt is deterministic: identical bucket layout across executions") {
+    // Content-hash salt (not monotonically_increasing_id) means the same row
+    // lands in the same salt bucket on every execution — including the
+    // partition it shuffles to. Compare per-bucket memberships directly by
+    // re-deriving the salt column the way saltedJoin does.
+    val left = spark.range(5000)
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"), col("id").as("payload"))
+    def buckets() = left
+      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .groupBy("__salt").agg(sum("payload").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val first = buckets()
+    assert(buckets() == first, "salt layout must be identical across executions")
+    // and the hot key actually spreads: its rows occupy >1 bucket
+    val hotSpread = left.filter(col("k") === 1L)
+      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(hotSpread > 1, "hot key must spread across salt buckets")
+  }
+
   test("writePartitioned lays out hive partitions with bounded file counts") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     val df = spark.range(1000)
