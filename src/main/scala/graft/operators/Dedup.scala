@@ -212,7 +212,13 @@ object Dedup {
     * driver only orchestrates the loop and checks the fixpoint, never
     * holds data. Output: (id, cluster_id) for every id appearing in a pair.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** `strict = true` turns maxIters exhaustion into an exception instead of
+    * a warning: a 100× pipeline that feeds cluster ids into a KEEP/DROP
+    * decision must not silently ship partially-propagated labels (documents
+    * of one component split across two cluster ids → near-dups both
+    * surviving dedup). Default stays warn-only for exploratory use. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      strict: Boolean = false): DataFrame = {
     // Each round's input is a checkpoint, not a growing plan: without the
     // truncation, round k's logical plan nests k join+aggregate layers —
     // re-analysis cost grows per round and a lost executor recomputes the
@@ -287,11 +293,13 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"nearDupClusters stopped at maxIters=$maxIters WITHOUT converging " +
-          "(labelSum still changing) — components deeper than the doubling " +
-          "horizon have partially-propagated cluster ids; raise maxIters.")
+    if (!converged) {
+      val msg = s"nearDupClusters stopped at maxIters=$maxIters WITHOUT converging " +
+        "(labelSum still changing) — components deeper than the doubling " +
+        "horizon have partially-propagated cluster ids; raise maxIters."
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     // Rebase the (small) result onto the CALLER's session so downstream
     // plans — the caller's orderBy, joins against corpus tables — run
     // under the caller's conf, not the loop's narrowed width.

@@ -22,11 +22,22 @@ object Sources {
 
   def kafkaJson(spark: SparkSession, brokers: String, topics: String,
                 schema: StructType): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topics) // comma-separated = S3 multi-topic merge
-      .load()
+    decodeKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics) // comma-separated = S3 multi-topic merge
+        .load(),
+      schema)
+
+  /** The value-column decode `kafkaJson` applies to the raw broker frame
+    * (binary `value` + broker `timestamp`). Public and batch-applicable so
+    * the serde round-trip is testable WITHOUT a broker: `KafkaSerdeSpec`
+    * asserts it inverts `Sinks.encodeKafkaValue` row-for-row — the same
+    * produce/consume serde contract the reference exercises end-to-end
+    * (FilterExample.java:86-99). */
+  def decodeKafkaValue(raw: DataFrame, schema: StructType): DataFrame =
+    raw
       .select(from_json(col("value").cast("string"), schema).as("m"),
         col("timestamp").as("arrivalTs"))
       .select(col("m.*"), col("arrivalTs"))
@@ -61,11 +72,17 @@ object Sinks {
   /** K1: serialize all columns to a JSON `value` and produce to a topic. */
   def kafkaJson[T](ds: Dataset[T], brokers: String, topic: String,
                    checkpoint: String): DataStreamWriter[_] =
-    ds.toDF().select(to_json(struct(col("*"))).as("value"))
+    encodeKafkaValue(ds.toDF())
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+
+  /** The value-column encode `kafkaJson` produces (all columns → one JSON
+    * `value`). Public and batch-applicable — see `Sources.decodeKafkaValue`
+    * for the tested round-trip contract. */
+  def encodeKafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(col("*"))).as("value"))
 
   /** K3: rolled file output — `maxRecordsPerFile` is the engine's version
     * of the reference's maxMessagesPerBlob=2 blob-roll knob

@@ -51,4 +51,19 @@ class DedupPackedSpec extends SparkSpec {
     val planNodes = labels.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(planNodes <= 3, s"expected flat checkpointed lineage, got $planNodes plan nodes")
   }
+
+  test("nearDupClusters strict mode throws on maxIters exhaustion; lax mode only warns") {
+    // A 200-node path cannot fully propagate (or even confirm a fixpoint)
+    // in a single round, so maxIters = 1 always exhausts.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupClusters(pairs, maxIters = 1, strict = true)
+    }
+    assert(e.getMessage.contains("WITHOUT converging"))
+    // lax mode returns the partial labels (warn-only) — documented behavior
+    assert(Dedup.nearDupClusters(pairs, maxIters = 1).count() == 200)
+    // and with the default budget the same graph converges fully clean
+    val full = Dedup.nearDupClusters(pairs, strict = true).collect()
+    assert(full.length == 200 && full.forall(_.getLong(1) == 0L))
+  }
 }
