@@ -483,6 +483,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- curation: per-cluster survivor selection (argmax by n_chars) ----
+    "q_cluster_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
+      Dedup.clusterSurvivors(Dedup.nearDupClusters(pairs), docs, "doc_id", "n_chars")
+        .orderBy("cluster_id")
+    }),
+
+    // ---- curation: benchmark n-gram decontamination ----
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      Dedup.decontaminate(train, bench, "text", "doc_id")
+        .orderBy("doc")
+    }),
+
+    // ---- curation: concat-then-chunk sequence packing ----
+    "q_seq_pack" -> ((s, d) => {
+      Curation.packSequences(t(s, d, "documents"), "text", "doc_id",
+        shardCol = "source", budgetTokens = 512)
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: per-domain mixture sampling (broadcast rate table) ----
+    "q_domain_mix" -> ((s, d) => {
+      val rates = Map("en" -> 80, "de" -> 50, "es" -> 50, "fr" -> 30, "zh" -> 20)
+      Curation.domainMixSample(t(s, d, "documents"), "doc_id", "lang", rates,
+        defaultPct = 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), max("target_pct").as("target_pct"))
+        .orderBy("lang")
+    }),
+
     // ---- dedup: SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
@@ -864,6 +899,32 @@ object SparkEntry {
 
     "q_dedup_clusters" -> dedupClustersSql,
 
+    "q_cluster_best" -> clusterBestSql,
+
+    "q_decontaminate" -> decontaminateSql,
+
+    "q_seq_pack" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, source AS shard, CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |off AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |  FROM tc)
+         |SELECT doc_id, shard, n_tokens,
+         |  start_off // 512 AS pack_id, start_off % 512 AS offset_in_pack
+         |FROM off ORDER BY doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH rates(lang, pct) AS (
+        |  VALUES ('en', 80), ('de', 50), ('es', 50), ('fr', 30), ('zh', 20))
+        |SELECT d.lang, count(*) AS n_kept,
+        |  CAST(max(coalesce(r.pct, 10)) AS BIGINT) AS target_pct
+        |FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+        |WHERE (d.doc_id * 2654435761) % 100 < coalesce(r.pct, 10)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "q_dedup_simhash" -> simhashSql,
 
     "q_simhash_packed" -> simhashPackedSql,
@@ -1161,8 +1222,11 @@ object SparkEntry {
     s"""WITH $minhashPairCtes
        |SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b""".stripMargin
 
-  private def dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashPairCtes,
+  /** Recursive-CTE connected components over the verified minhash pairs,
+    * ending in labels(id, cluster_id) — shared by the clusters query and
+    * the survivor-selection query. */
+  private def clusterLabelCtes: String =
+    s"""$minhashPairCtes,
        |edges AS (
        |  SELECT id_a, id_b FROM verified
        |  UNION SELECT id_b, id_a FROM verified
@@ -1171,9 +1235,40 @@ object SparkEntry {
        |reach(src, dst) AS (
        |  SELECT id_a, id_b FROM edges
        |  UNION
-       |  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a)
-       |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+       |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterLabelCtes
+       |SELECT id, cluster_id FROM labels
        |ORDER BY id""".stripMargin
+
+  /** Survivor per cluster: row_number argmax here vs max(struct) in the
+    * engine — identical deterministic ordering (n_chars desc, id asc). */
+  private def clusterBestSql: String =
+    s"""WITH RECURSIVE $clusterLabelCtes,
+       |ranked AS (
+       |  SELECT l.cluster_id, l.id, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY d.n_chars DESC, l.id) AS rn,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+       |  FROM labels l JOIN documents d ON l.id = d.doc_id)
+       |SELECT cluster_id, n_members, id AS keep_id, n_chars AS kept_priority
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
+  /** Mirrors Dedup.decontaminate: bench = docs with doc_id % 20 = 0, their
+    * distinct shingles probe every training doc's distinct shingle set. */
+  private def decontaminateSql: String =
+    s"""WITH $shinglesCte,
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc % 20 = 0)
+       |SELECT s.doc, sz.n_sh AS n_shingles, count(*) AS n_overlap,
+       |  round(CAST(count(*) AS DOUBLE) / sz.n_sh, 4) AS contam_frac
+       |FROM sh s JOIN bench b ON s.shingle = b.shingle
+       |  JOIN sz ON s.doc = sz.doc
+       |WHERE s.doc % 20 <> 0
+       |GROUP BY s.doc, sz.n_sh
+       |ORDER BY s.doc""".stripMargin
 
   /** CTE chain ending in sh64(doc, simhash) — shared by the fingerprint
     * query and the hamming-pairs query. */

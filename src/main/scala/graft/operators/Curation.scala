@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond per-document scoring: sequence packing
+  * for training batches and per-domain mixture sampling. Like the rest of
+  * the curation family these are declared as lazy plans over the documents
+  * table — composable with the dedup keep-lists and quality filters.
+  * (Reference scope: the per-event scoring/filter stages of
+  * samza-hello-samza's cookbook pipelines, e.g. FilterExample.java:96-99,
+  * generalized to the batch curation ops a training pipeline needs.) */
+object Curation {
+
+  /** Concat-then-chunk sequence packing: documents are laid end-to-end in
+    * deterministic (shard, id) order and cut into fixed `budgetTokens`
+    * context windows. Each document reports the pack it STARTS in and its
+    * token offset inside that pack — the exact placement a training-batch
+    * writer needs.
+    *
+    * Scale shape: packing is inherently sequential PER STREAM, so the shard
+    * column is the parallelism unit (source, date bucket, …) — one window
+    * shuffle partitioned by shard, running sums within. No global order, no
+    * driver involvement; 100 TB packs as wide as the shard count. The
+    * running sum stays in LONG (exact) and pack ids come from integer
+    * division — no double rounding at any scale. */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+                    shardCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(shardCol).as("shard"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        expr(s"start_off div $budgetTokens").as("pack_id"),
+        pmod(col("start_off"), lit(budgetTokens.toLong)).as("offset_in_pack"))
+  }
+
+  /** Per-domain mixture sampling: each domain keeps a target percentage of
+    * its documents, chosen by a deterministic content-independent hash of
+    * the id (reproducible across runs and engines — same Knuth
+    * multiplicative hash as the stratified sampler). Domains absent from
+    * `rates` fall back to `defaultPct`.
+    *
+    * Scale shape: the rate table is domain-cardinality (tiny) and
+    * broadcasts; the corpus side is scan → broadcast-hash-join → filter,
+    * zero shuffle of the corpus. Returns the kept rows with their target
+    * rate attached; aggregate downstream for the realized mix. */
+  def domainMixSample(docs: DataFrame, idCol: String, domainCol: String,
+                      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require(rates.values.forall(p => p >= 0 && p <= 100) &&
+      defaultPct >= 0 && defaultPct <= 100, "rates must be percentages in [0,100]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF("__domain", "__pct")
+    docs
+      .join(broadcast(ratesDf), docs(domainCol) === col("__domain"), "left")
+      .withColumn("target_pct", coalesce(col("__pct"), lit(defaultPct)).cast("long"))
+      .filter(pmod(col(idCol) * 2654435761L, lit(100L)) < col("target_pct"))
+      .drop("__domain", "__pct")
+  }
+}

@@ -43,6 +43,58 @@ object Dedup {
       .select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
 
+  /** Benchmark decontamination: for each training document, the count and
+    * fraction of its distinct n-gram shingles that also appear anywhere in
+    * the benchmark set — the standard eval-overlap flag of an LLM data
+    * pipeline. Returns only contaminated documents (n_overlap >= 1).
+    *
+    * Scale shape: the BENCHMARK side (eval sets — megabytes, not
+    * terabytes) collapses to a distinct shingle set and broadcasts, so the
+    * training corpus is probed scan-side by a broadcast hash join and
+    * NEVER shuffles for the membership test. The only shuffled rows are
+    * the matches (corpus-fraction, map-side combinable count); each
+    * document's total shingle count comes from the array length inside the
+    * projection, not a corpus-wide aggregate. */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String,
+                    idCol: String, shingleSize: Int = 3): DataFrame = {
+    val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
+      .select(col("shingle")).distinct()
+    val trainSh = train.select(
+      col(idCol).as("doc"),
+      size(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
+        .cast("long").as("n_shingles"),
+      explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
+        .as("shingle"))
+    trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy("doc", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("contam_frac"))
+  }
+
+  /** Per-cluster survivor selection: given `nearDupClusters` labels and the
+    * documents, keep ONE document per cluster — the one maximizing
+    * `priorityCol` (ties broken by the lowest id, fully deterministic).
+    * Returns (cluster_id, n_members, keep_id, kept_priority).
+    *
+    * Shape: a single map-side-combinable hash aggregate over the labeled
+    * rows — max(struct(priority, -id)) is an argmax that partial-aggregates
+    * on the map side, unlike a row_number window (which must co-locate and
+    * SORT each cluster's rows). Labels are pair-graph-sized, orders of
+    * magnitude smaller than the corpus. */
+  def clusterSurvivors(clusters: DataFrame, docs: DataFrame, idCol: String,
+                       priorityCol: String): DataFrame = {
+    val labeled = clusters.join(
+      docs.select(col(idCol).as("id"), col(priorityCol)), "id")
+    labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(priorityCol).as("p"), (-col("id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("best.p").as("kept_priority"))
+  }
+
   /** MinHash signature: `numHashes` hash functions, one min() agg column
     * each — a single shuffle of the shingle rows, no row explosion, all
     * map-side combinable.

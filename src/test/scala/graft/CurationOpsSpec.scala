@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the round-3 curation operators: sequence packing,
+  * domain-mixture sampling, benchmark decontamination, and cluster-survivor
+  * selection. Each test pins exact values on a planted fixture (the sf0.01
+  * oracle rows check the same ops at corpus scale). */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "src")
+
+  test("packSequences: exact pack ids and offsets, budget boundary lands in the next pack") {
+    // shard A: token counts 3, 4, 5 with budget 4 →
+    //   doc 1 starts at 0 (pack 0, off 0), doc 2 at 3 (pack 0, off 3),
+    //   doc 3 at 7 (pack 1, off 3); shard B: 4 tokens then a doc starting
+    //   exactly at the budget boundary (pack 1, off 0).
+    val docs = docsOf(
+      (1L, "a b c", "A"), (2L, "a b c d", "A"), (3L, "a b c d e", "A"),
+      (10L, "w x y z", "B"), (11L, "q", "B"))
+    val out = Curation.packSequences(docs, "text", "doc_id", "src", budgetTokens = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "pack_id", "offset_in_pack")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L), (3L, 5L, 1L, 3L),
+      (10L, 4L, 0L, 0L), (11L, 1L, 1L, 0L)))
+  }
+
+  test("domainMixSample: rate 100 keeps all, 0 keeps none, default applies, deterministic") {
+    val docs = (0L until 100L).map(i =>
+      (i, "t", if (i % 2 == 0) "keep" else "drop")).toDF("doc_id", "text", "dom")
+    val kept = Curation.domainMixSample(docs, "doc_id", "dom",
+      Map("keep" -> 100, "drop" -> 0))
+    assert(kept.count() === 50L)
+    assert(kept.filter(col("dom") === "drop").count() === 0L)
+    assert(kept.agg(max("target_pct")).as[Long].head() === 100L)
+    // unknown domain falls back to defaultPct
+    val half = Curation.domainMixSample(docs, "doc_id", "dom",
+      Map.empty, defaultPct = 50)
+    val n1 = half.count(); val n2 = half.count()
+    assert(n1 === n2, "hash sampling must be deterministic")
+    assert(n1 > 20L && n1 < 80L, s"default 50% should keep roughly half, got $n1")
+  }
+
+  test("decontaminate: flags exactly the train docs sharing a shingle with the bench set") {
+    // bench doc 0 contains the trigram "alpha beta gamma"; train doc 1
+    // repeats it (contaminated: 1 of its 2 distinct shingles), train doc 2
+    // shares nothing.
+    val bench = docsOf((0L, "alpha beta gamma delta", "b"))
+    val train = docsOf(
+      (1L, "alpha beta gamma epsilon", "t"),
+      (2L, "one two three four five", "t"))
+    val out = Dedup.decontaminate(train, bench, "text", "doc_id")
+      .orderBy("doc")
+      .select("doc", "n_shingles", "n_overlap")
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array((1L, 2L, 1L)), "only doc 1 is contaminated, by 1 of 2 shingles")
+  }
+
+  test("decontaminate: bench side broadcasts — the corpus is probed without a shuffle join") {
+    val bench = docsOf((0L, "alpha beta gamma delta", "b"))
+    val train = docsOf((1L, "alpha beta gamma epsilon", "t"))
+    val plan = Dedup.decontaminate(train, bench, "text", "doc_id")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bench shingle set must broadcast-probe the corpus side")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus must not shuffle for the membership test")
+  }
+
+  test("clusterSurvivors: argmax by priority with lowest-id tie-break") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // tie at 30 → keep id 2
+      (7L, 5L), (8L, 4L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.clusterSurvivors(clusters, docs, "doc_id", "n_chars")
+      .orderBy("cluster_id")
+      .select("cluster_id", "n_members", "keep_id", "kept_priority")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((1L, 3L, 2L, 30L), (7L, 2L, 7L, 5L)))
+  }
+}
