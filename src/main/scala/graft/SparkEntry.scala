@@ -483,6 +483,16 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- similarity: one k-means refit step (IVF index build loop) ----
+    "q_ivf_refit" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", k = 8)
+      Similarity.ivfRefit(emb, "embedding", "vec_id", assigned)
+        .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+          col("mean_val"), col("n_members"))
+        .orderBy("centroid_id", "pos")
+    }),
+
     // ---- curation: per-cluster survivor selection (argmax by n_chars) ----
     "q_cluster_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -983,6 +993,8 @@ object SparkEntry {
 
     "q_ivf_assign" -> ivfAssignSql,
 
+    "q_ivf_refit" -> ivfRefitSql,
+
     "q_ivf_pairs" -> ivfPairsSql,
 
     "q_ivf_topk" -> ivfTopKSql,
@@ -1127,6 +1139,22 @@ object SparkEntry {
     s"""WITH $ivfAssignCtes
        |SELECT vec_id, cid AS centroid_id, cs AS cos_sim FROM assign
        |ORDER BY vec_id""".stripMargin
+
+  /** One Lloyd refit step: per-cell per-dimension member means. Lateral
+    * generate_series gives DuckDB the posexplode; pos is 0-based on both
+    * sides. avg runs in double on both engines (float→double is exact). */
+  private def ivfRefitSql: String =
+    s"""WITH $ivfAssignCtes,
+       |dims AS (SELECT unnest(generate_series(1,
+       |  (SELECT max(len(vv)) FROM v))) AS i),
+       |member AS (
+       |  SELECT a.cid AS centroid_id, d.i - 1 AS pos, vv[d.i] AS x
+       |  FROM assign a JOIN v ON a.vec_id = v.vec_id
+       |  CROSS JOIN dims d WHERE d.i <= len(vv))
+       |SELECT centroid_id, pos, round(avg(x), 4) AS mean_val,
+       |  count(*) AS n_members
+       |FROM member GROUP BY centroid_id, pos
+       |ORDER BY centroid_id, pos""".stripMargin
 
   private def ivfPairsSql: String =
     s"""WITH $ivfAssignCtes,

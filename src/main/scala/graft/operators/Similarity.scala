@@ -119,9 +119,19 @@ object Similarity {
     * a map-side-combinable max(struct) aggregate — no window sort, no
     * corpus self-shuffle. Ties break to the smallest centroid id via the
     * negated-id struct field. */
-  def ivfAssign(emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
-    val centroids = emb.filter(col(idCol) < k)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+  def ivfAssign(emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+    assignToCentroids(emb, vecCol, idCol,
+      emb.filter(col(idCol) < k)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
+
+  /** Assign every vector to its most-cosine-similar centroid from an
+    * explicit centroid frame (`centroid_id`, `c_vec`) — the general form
+    * `ivfAssign` seeds and `kmeansCentroids` iterates. Centroids broadcast
+    * (k is small); the corpus streams through one codegen'd scoring
+    * projection and a map-side-combinable argmax — no window sort, no
+    * corpus self-shuffle. Ties break to the smallest centroid id. */
+  def assignToCentroids(emb: DataFrame, vecCol: String, idCol: String,
+                        centroids: DataFrame): DataFrame = {
     val scored = emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col("centroid_id"),
@@ -130,6 +140,51 @@ object Similarity {
       .agg(max(struct(col("cos_sim"), (-col("centroid_id")).as("neg_cid"))).as("best"))
       .select(col(idCol), (-col("best.neg_cid")).as("centroid_id"),
         col("best.cos_sim").as("cos_sim"))
+  }
+
+  /** One Lloyd (k-means) refit step: new centroid = the per-dimension mean
+    * of each cell's member vectors. Returns the exploded scalar form
+    * (centroid_id, pos, mean_val, n_members) — engine-portable (no
+    * array-typed aggregates to hash-compare) and the exact input
+    * `centroidsFromRefit` folds back into vectors.
+    *
+    * Scale shape: posexplode spreads each vector into d (cell, pos, value)
+    * rows and the mean is ONE map-side-combinable hash aggregate keyed on
+    * (cell, pos) — n·d rows shuffle with partial sums, the result is k·d
+    * rows. No driver state, no iteration inside the plan. */
+  def ivfRefit(emb: DataFrame, vecCol: String, idCol: String,
+               assigned: DataFrame): DataFrame =
+    emb.join(assigned.select(col(idCol), col("centroid_id")), idCol)
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos")
+      .agg(round(avg(col("x")), 4).as("mean_val"), count(lit(1)).as("n_members"))
+
+  /** Fold a refit result back into a (centroid_id, c_vec) frame usable by
+    * `assignToCentroids` — k·d rows in, k rows out, one tiny shuffle. */
+  def centroidsFromRefit(refit: DataFrame): DataFrame =
+    refit.groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_val")))).as("pm"))
+      .select(col("centroid_id"),
+        expr("transform(pm, e -> cast(e.mean_val as float))").as("c_vec"))
+
+  /** Iterated k-means: seed with the k lowest-id vectors (deterministic),
+    * then `iters` rounds of assign → refit. Each round is two jobs over a
+    * broadcast-centroid plan; the corpus is never self-joined. Returns the
+    * final centroid frame for `assignToCentroids` / `buildIvfIndex`-style
+    * consumers. */
+  def kmeansCentroids(emb: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    var centroids = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("c_vec"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(emb, vecCol, idCol, centroids)
+      // localCheckpoint truncates the per-round plan growth (same reasoning
+      // as the CC loop); the centroid frame is k rows — the materialization
+      // is trivially small.
+      centroids = centroidsFromRefit(ivfRefit(emb, vecCol, idCol, assigned))
+        .localCheckpoint()
+    }
+    centroids
   }
 
   /** End-to-end IVF near-dup pairs: quantize, then compare only within a

@@ -84,4 +84,40 @@ class SimilaritySpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
     assert(cellDirs.length == 4, s"expected 4 cell directories, got ${cellDirs.map(_.getName).toList}")
   }
+
+  test("kmeans: refit converges to the planted cluster directions") {
+    // Two well-separated direction clusters; seeds (ids 0 and 1) land one
+    // in each. Axis-heavy base vectors with small deterministic jitter.
+    val rows = (0 until 100).map { i =>
+      val inA = i % 2 == 0 // even ids (incl. seed 0) → cluster A, odd → B
+      val base = if (inA) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      val jit = Array.tabulate(4)(j => ((i * 13 + j * 7) % 10) / 50.0f)
+      (i.toLong, base.zip(jit).map { case (b, e) => b + e })
+    }.toDF("id", "v")
+    val centroids = Similarity.kmeansCentroids(rows, "v", "id", k = 2, iters = 3)
+      .collect()
+    assert(centroids.length == 2)
+    val assigned = Similarity.assignToCentroids(rows, "v", "id",
+      Similarity.kmeansCentroids(rows, "v", "id", k = 2, iters = 3))
+    // every even id shares a cell with seed-derived centroid 0, odds with 1
+    val wrong = assigned.filter(
+      (pmod(col("id"), lit(2)) === 0 && col("centroid_id") =!= 0) ||
+      (pmod(col("id"), lit(2)) === 1 && col("centroid_id") =!= 1)).count()
+    assert(wrong == 0, s"$wrong vectors landed in the wrong planted cluster")
+  }
+
+  test("kmeans: one ivfRefit step reproduces hand-computed per-dimension means") {
+    // two cells of two vectors each, trivially separable
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 0.0f)),   // cell 0
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 5.0f))).toDF("id", "v") // cell 1
+    val assigned = Similarity.ivfAssign(rows, "v", "id", k = 2)
+    val refit = Similarity.ivfRefit(rows, "v", "id", assigned)
+      .orderBy("centroid_id", "pos")
+      .select("centroid_id", "pos", "mean_val", "n_members")
+      .as[(Long, Int, Double, Long)].collect()
+    assert(refit === Array(
+      (0L, 0, 2.0, 2L), (0L, 1, 0.0, 2L),
+      (1L, 0, 0.0, 2L), (1L, 1, 3.0, 2L)))
+  }
 }
