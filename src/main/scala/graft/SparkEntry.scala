@@ -493,6 +493,33 @@ object SparkEntry {
         .orderBy("centroid_id", "pos")
     }),
 
+    // ---- curation: the END-TO-END pipeline under the oracle gate ----
+    // exact-dedup keep-list → near-dup cluster survivors (argmax n_chars)
+    // → quality + language filters. Every stage is an oracle-proven
+    // operator; this query proves the COMPOSITION matches too.
+    "q_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepExact = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val clusters = Dedup.nearDupClusters(
+        Dedup.minhashNearDups(docs, "text", "doc_id",
+          numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5))
+      val survivors = Dedup.clusterSurvivors(clusters, docs, "doc_id", "n_chars")
+      val losers = clusters.join(survivors.select("cluster_id", "keep_id"), "cluster_id")
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+      val quality = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .filter(col("quality") >= 0.5).select("doc_id")
+      val lang = TextAnalysis.languageId(docs, "text", "doc_id")
+        .filter(col("lang_pred") === "en").select("doc_id")
+      docs.join(keepExact, "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: per-cluster survivor selection (argmax by n_chars) ----
     "q_cluster_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -911,6 +938,8 @@ object SparkEntry {
 
     "q_cluster_best" -> clusterBestSql,
 
+    "q_curation" -> curationSql,
+
     "q_decontaminate" -> decontaminateSql,
 
     "q_seq_pack" ->
@@ -1284,6 +1313,32 @@ object SparkEntry {
        |SELECT cluster_id, n_members, id AS keep_id, n_chars AS kept_priority
        |FROM ranked WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
+
+  /** The end-to-end curation pipeline: exact keep-list, near-dup cluster
+    * survivor (argmax n_chars — same ordering as clusterBestSql), quality
+    * and language gates. The stage fragments are the SAME SQL the
+    * individual oracles use (qualitySql / langIdSql wrapped as subqueries,
+    * the recursive label CTEs shared with the cluster queries). */
+  private def curationSql: String =
+    s"""WITH RECURSIVE $clusterLabelCtes,
+       |surv AS (
+       |  SELECT cluster_id, id, rn FROM (
+       |    SELECT l.cluster_id, l.id,
+       |      row_number() OVER (PARTITION BY l.cluster_id
+       |                         ORDER BY d.n_chars DESC, l.id) AS rn
+       |    FROM labels l JOIN documents d ON l.id = d.doc_id)),
+       |keep_exact AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY $sqlFingerprint),
+       |q AS (SELECT * FROM ($qualitySql)),
+       |lg AS (SELECT * FROM ($langIdSql))
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |JOIN keep_exact k ON d.doc_id = k.doc_id
+       |LEFT JOIN (SELECT id FROM surv WHERE rn > 1) loser ON d.doc_id = loser.id
+       |JOIN q ON d.doc_id = q.doc_id
+       |JOIN lg ON d.doc_id = lg.doc_id
+       |WHERE loser.id IS NULL AND q.quality >= 0.5 AND lg.lang_pred = 'en'
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Mirrors Dedup.decontaminate: bench = docs with doc_id % 20 = 0, their
     * distinct shingles probe every training doc's distinct shingle set. */
