@@ -66,6 +66,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bit_count"), "Hamming verify must be bit_count over packed longs")
   }
 
+  test("decontamination probes the corpus via broadcast — no corpus-side shuffle join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench shingle set must broadcast; the corpus must not shuffle for the membership test")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("domain mix: rate table broadcasts and the keep filter runs scan-side") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sequence packing: one shard-key window shuffle plus the final sort, nothing more") {
+    // The running sum must cost exactly one data shuffle (hashpartitioning
+    // on the shard key for the window); the only other exchange is the
+    // query's own deterministic orderBy (rangepartitioning). A third
+    // exchange would mean the pack-id arithmetic re-shuffled.
+    val p = plan("q_seq_pack")
+    assert(p.contains("Window"), "running token sum must be a window function")
+    val exchangeOps = p.linesIterator.count(_.matches(""".*[+:]- Exchange \(\d+\)"""))
+    assert(exchangeOps == 2,
+      s"expected exactly 2 exchanges (window hash + orderBy range), got $exchangeOps:\n$p")
+    assert(p.contains("hashpartitioning(shard"), "window must partition by the shard key")
+  }
+
   test("IVF probe scans only its nprobe cells of the stored index — no per-probe quantization") {
     // q_ivf_topk builds the index (side effect), then returns the PROBE
     // plan. That plan must (a) prune the index scan down to the nprobe
