@@ -493,6 +493,29 @@ object SparkEntry {
         .orderBy("centroid_id", "pos")
     }),
 
+    // ---- feature normalization: per-type z-scores via exact moments ----
+    // The training-pipeline normalization op: per-group mean/std from the
+    // SAME exact integer-cents sums as q_stats_moments (both engines
+    // compute sqrt/divide from identical exact integers, so doubles agree
+    // to the ulp), broadcast back over the scan — corpus never shuffles.
+    "q_feature_norm" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val c = cents(col("value"))
+      val dec = (cn: String) => col(cn).cast("decimal(38,0)")
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(c).as("s1"),
+          sum((c * c).cast("decimal(38,0)")).as("s2"))
+        .select(col("event_type"),
+          (col("s1") / 100.0 / col("n")).as("mu"),
+          sqrt((dec("n") * dec("s2") - dec("s1") * dec("s1")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))
+            / 10000.0).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
     // ---- curation: the END-TO-END pipeline under the oracle gate ----
     // exact-dedup keep-list → near-dup cluster survivors (argmax n_chars)
     // → quality + language filters. Every stage is an oracle-proven
@@ -939,6 +962,21 @@ object SparkEntry {
     "q_cluster_best" -> clusterBestSql,
 
     "q_curation" -> curationSql,
+
+    "q_feature_norm" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
+        |    sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, s1 / 100.0 / n AS mu,
+        |    sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0) AS sd
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
 

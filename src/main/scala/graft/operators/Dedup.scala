@@ -95,6 +95,25 @@ object Dedup {
         col("best.p").as("kept_priority"))
   }
 
+  /** Materialize the near-dup cluster labels as a stored table — the dedup
+    * counterpart of `Similarity.buildIvfIndex`: the minhash+CC kernel runs
+    * ONCE at build time, and every downstream curation stage (survivor
+    * selection, keep/drop joins, incremental delta checks) equi-joins the
+    * stored labels instead of re-deriving them. At 100 TB the kernel is
+    * hours of cluster time; three pipeline stages re-running it inline
+    * (the shape the standalone oracle queries necessarily have) is exactly
+    * what this avoids. */
+  def buildClusterTable(docs: DataFrame, textCol: String, idCol: String,
+                        dir: String, numHashes: Int = 16, rowsPerBand: Int = 4,
+                        shingleSize: Int = 3, threshold: Double = 0.5): Unit =
+    nearDupClusters(minhashNearDups(docs, textCol, idCol,
+      numHashes, rowsPerBand, shingleSize, threshold))
+      .write.mode("overwrite").parquet(dir)
+
+  def readClusterTable(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** MinHash signature: `numHashes` hash functions, one min() agg column
     * each — a single shuffle of the shingle rows, no row explosion, all
     * map-side combinable.

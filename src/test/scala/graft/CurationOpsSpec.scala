@@ -73,6 +73,21 @@ class CurationOpsSpec extends SparkSpec {
       "corpus must not shuffle for the membership test")
   }
 
+  test("materialized cluster table: stored labels drive the same survivors as inline") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("clusters").toString + "/labels"
+    Dedup.buildClusterTable(docs, "text", "doc_id", dir)
+    val stored = Dedup.clusterSurvivors(
+      Dedup.readClusterTable(spark, dir), docs, "doc_id", "n_chars")
+      .orderBy("cluster_id").collect().toList
+    val inline = Dedup.clusterSurvivors(
+      Dedup.nearDupClusters(Dedup.minhashNearDups(docs, "text", "doc_id")),
+      docs, "doc_id", "n_chars")
+      .orderBy("cluster_id").collect().toList
+    assert(stored.nonEmpty && stored == inline,
+      "survivors from the stored label table must equal the inline derivation")
+  }
+
   test("clusterSurvivors: argmax by priority with lowest-id tie-break") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "cluster_id")
