@@ -92,6 +92,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), "window must partition by the shard key")
   }
 
+  test("feature normalization broadcasts the per-group stats back over the scan") {
+    val p = plan("q_feature_norm")
+    assert(p.contains("BroadcastHashJoin"), "stats join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the event scan must not shuffle for the stats join")
+  }
+
   test("IVF probe scans only its nprobe cells of the stored index — no per-probe quantization") {
     // q_ivf_topk builds the index (side effect), then returns the PROBE
     // plan. That plan must (a) prune the index scan down to the nprobe
