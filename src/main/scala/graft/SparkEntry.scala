@@ -28,6 +28,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-JVM tag for scratch paths (e.g. the IVF index dir) so concurrent
+    * processes writing mode=overwrite never race each other's reads. */
+  private val jvmTag: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** Money arithmetic in integer cents — exact (data is 2dp, magnitudes
     * < 1e6, so sums stay far below 2^53 even at 100× scale), invariant to
     * partitioning / summation order, identical to the DuckDB oracle's
@@ -40,6 +44,36 @@ object SparkEntry {
   /** l_extendedprice*(1-l_discount) in 1e-4-dollar integer units. */
   private def discUnits: Column =
     cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  /** Exact per-event_type moments in integer cents — the shared kernel of
+    * q_stats_moments and q_feature_norm (its SQL twin is `momentsStSql`;
+    * a numeric change here must land there too, and nowhere else).
+    * s2 accumulates in decimal(38,0): each c*c is ~1e10 (5-digit cents
+    * squared), so a LONG sum wraps at ~1e9 rows per group — well inside
+    * target scale. s1 stays a primitive long sum (cents sum overflows only
+    * past ~9e13 rows/group). The DuckDB twin keeps s2 as HUGEINT for the
+    * same reach. */
+  private def centsMoments(ev: DataFrame): DataFrame = {
+    val c = cents(col("value"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(c).as("s1"),
+        sum((c * c).cast("decimal(38,0)")).as("s2"))
+  }
+
+  /** Sample variance from the exact integer moments:
+    * (n*s2 - s1²) / (n*(n-1)) / 1e4. The numerator exceeds Long range well
+    * below target scale (s1 ~ 1e10 per group already overflows when
+    * squared — ANSI mode would throw, pre-ANSI silently wrap), so both
+    * products go through decimal(38,0): exact to 1e38, ~1e12 rows of
+    * 5-digit cents per group. The exact integer numerator then casts to
+    * double (round-to-nearest, identical in both engines) for the
+    * division; the denominator multiplies as double for the same reason
+    * (n*(n-1) in Long wraps at n > ~3e9 rows per group). */
+  private def varFromMoments: Column = {
+    val dec = (cn: String) => col(cn).cast("decimal(38,0)")
+    (dec("n") * dec("s2") - dec("s1") * dec("s1")).cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000.0
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -274,31 +308,10 @@ object SparkEntry {
 
     // ---- exact distributed moments (mean/variance via integer sums) ----
     "q_stats_moments" -> ((s, d) => {
-      val c = cents(col("value"))
-      // The numerator n*s2 - s1^2 exceeds Long range well below target scale
-      // (s1 ~ 1e10 per group already overflows when squared — ANSI mode
-      // would throw, pre-ANSI would silently wrap). Both products go through
-      // decimal(38,0): exact to 1e38, which covers ~1e12 rows of 5-digit
-      // cents per group; the exact integer numerator then casts to double
-      // (round-to-nearest, identical in both engines) for the division.
-      val dec = (cn: String) => col(cn).cast("decimal(38,0)")
-      t(s, d, "events")
-        .groupBy("event_type")
-        // s2 accumulates in decimal: each c*c is ~1e10 (5-digit cents
-        // squared), so a LONG sum wraps at ~1e9 rows per group — well
-        // inside target scale. s1 stays a primitive long sum (cents sum
-        // overflows only past ~9e13 rows/group). The DuckDB twin keeps
-        // s2 as HUGEINT for the same reach.
-        .agg(count(lit(1)).as("n"), sum(c).as("s1"),
-          sum((c * c).cast("decimal(38,0)")).as("s2"))
+      centsMoments(t(s, d, "events"))
         .select(col("event_type"), col("n"),
           round(col("s1") / 100.0 / col("n"), 4).as("mean_value"),
-          // sample variance from exact integer moments: (n*s2 - s1^2) / (n*(n-1)) / 1e4.
-          // The denominator multiplies as double too — n*(n-1) in Long
-          // wraps/throws at n > ~3e9 rows per group, the regime the decimal
-          // numerator exists for.
-          round((dec("n") * dec("s2") - dec("s1") * dec("s1")).cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000.0, 4).as("var_value"))
+          round(varFromMoments, 4).as("var_value"))
         .orderBy("event_type")
     }),
 
@@ -466,9 +479,12 @@ object SparkEntry {
     }),
 
     // ---- deterministic stratified sampling for training mixes ----
+    // id reduced mod a prime before the Knuth multiply so the product can't
+    // wrap Long at large ids (same guard as Curation.domainMixSample).
     "q_sampling" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .withColumn("keep", pmod(col("doc_id") * 2654435761L, lit(100L)) < 30)
+        .withColumn("keep",
+          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L)) < 30)
       docs.groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
@@ -495,21 +511,15 @@ object SparkEntry {
 
     // ---- feature normalization: per-type z-scores via exact moments ----
     // The training-pipeline normalization op: per-group mean/std from the
-    // SAME exact integer-cents sums as q_stats_moments (both engines
-    // compute sqrt/divide from identical exact integers, so doubles agree
-    // to the ulp), broadcast back over the scan — corpus never shuffles.
+    // SAME exact integer-cents kernel as q_stats_moments (centsMoments /
+    // varFromMoments — one site per engine for any future numeric fix),
+    // broadcast back over the scan — corpus never shuffles.
     "q_feature_norm" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val c = cents(col("value"))
-      val dec = (cn: String) => col(cn).cast("decimal(38,0)")
-      val stats = ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(c).as("s1"),
-          sum((c * c).cast("decimal(38,0)")).as("s2"))
+      val stats = centsMoments(ev)
         .select(col("event_type"),
           (col("s1") / 100.0 / col("n")).as("mu"),
-          sqrt((dec("n") * dec("s2") - dec("s1") * dec("s1")).cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double"))
-            / 10000.0).as("sd"))
+          sqrt(varFromMoments).as("sd"))
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("mu")) / col("sd"), 4).as("z"))
@@ -526,7 +536,8 @@ object SparkEntry {
         .select(col("keep_id").as("doc_id"))
       val clusters = Dedup.nearDupClusters(
         Dedup.minhashNearDups(docs, "text", "doc_id",
-          numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5))
+          numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5),
+        strict = true) // feeds a KEEP/DROP decision — never ship split labels
       val survivors = Dedup.clusterSurvivors(clusters, docs, "doc_id", "n_chars")
       val losers = clusters.join(survivors.select("cluster_id", "keep_id"), "cluster_id")
         .filter(col("id") =!= col("keep_id"))
@@ -639,7 +650,14 @@ object SparkEntry {
     // then reads only its nprobe cell directories (partition-pruned scan,
     // no per-probe quantization — round-2's `weak`, cleared).
     "q_ivf_topk" -> ((s, d) => {
-      val idx = s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // Dir is unique per (dataset path, JVM): the path hash disambiguates
+      // datasets the character sanitization would collide (sf-1 vs sf_1),
+      // and the per-JVM tag keeps concurrent processes (a live Verify plus
+      // the test suite's plan() probe) from racing overwrite-mode writes
+      // against each other's reads. Within one JVM the dir is stable, so
+      // repeated calls rebuild in place as intended.
+      val idx = s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
       Similarity.buildIvfIndex(t(s, d, "embeddings"), "embedding", "vec_id",
         kCentroids = 8, indexDir = idx)
       Similarity.ivfProbeById(s, idx, "embedding", "vec_id",
@@ -840,16 +858,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stats_moments" ->
-      """SELECT event_type, n,
-        | round(s1 / 100.0 / n, 4) AS mean_value,
-        | round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-        |   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0, 4) AS var_value
-        |FROM (
-        |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
-        |    sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS s2
-        |  FROM events GROUP BY event_type)
-        |ORDER BY event_type""".stripMargin,
+      s"""SELECT event_type, n,
+         | round(s1 / 100.0 / n, 4) AS mean_value,
+         | round($momentsVarSql, 4) AS var_value
+         |FROM ($momentsStSql)
+         |ORDER BY event_type""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
@@ -964,19 +977,13 @@ object SparkEntry {
     "q_curation" -> curationSql,
 
     "q_feature_norm" ->
-      """WITH st AS (
-        |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1,
-        |    sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS s2
-        |  FROM events GROUP BY event_type),
-        |m AS (
-        |  SELECT event_type, s1 / 100.0 / n AS mu,
-        |    sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0) AS sd
-        |  FROM st)
-        |SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 4) AS z
-        |FROM events e JOIN m USING (event_type)
-        |ORDER BY e.event_id""".stripMargin,
+      s"""WITH st AS ($momentsStSql),
+         |m AS (
+         |  SELECT event_type, s1 / 100.0 / n AS mu, sqrt($momentsVarSql) AS sd
+         |  FROM st)
+         |SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 4) AS z
+         |FROM events e JOIN m USING (event_type)
+         |ORDER BY e.event_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
 
@@ -999,7 +1006,7 @@ object SparkEntry {
         |SELECT d.lang, count(*) AS n_kept,
         |  CAST(max(coalesce(r.pct, 10)) AS BIGINT) AS target_pct
         |FROM documents d LEFT JOIN rates r ON d.lang = r.lang
-        |WHERE (d.doc_id * 2654435761) % 100 < coalesce(r.pct, 10)
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 100 < coalesce(r.pct, 10)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
@@ -1010,7 +1017,7 @@ object SparkEntry {
 
     "q_sampling" ->
       """SELECT lang, count(*) AS n_total,
-        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        | CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
@@ -1093,6 +1100,20 @@ object SparkEntry {
   /** Whitespace tokens with empties dropped (DuckDB side of
     * TextFunctions.tokens). */
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB twin of `centsMoments` — exact integer-cents (n, s1, s2) per
+    * event_type, s2 in HUGEINT (DuckDB's sum(BIGINT) default) matching the
+    * Spark side's decimal(38,0) reach. One site per engine. */
+  private val momentsStSql: String =
+    "SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s1, " +
+      "sum(CAST(round(value*100) AS BIGINT) * CAST(round(value*100) AS BIGINT)) AS s2 " +
+      "FROM events GROUP BY event_type"
+
+  /** DuckDB twin of `varFromMoments`. */
+  private val momentsVarSql: String =
+    "CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0"
 
   private val BpePatternSql = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 

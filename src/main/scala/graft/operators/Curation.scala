@@ -43,8 +43,12 @@ object Curation {
   /** Per-domain mixture sampling: each domain keeps a target percentage of
     * its documents, chosen by a deterministic content-independent hash of
     * the id (reproducible across runs and engines — same Knuth
-    * multiplicative hash as the stratified sampler). Domains absent from
-    * `rates` fall back to `defaultPct`.
+    * multiplicative hash as the stratified sampler). The id is reduced mod
+    * a prime BEFORE the multiply so the product stays well inside Long
+    * range at any id (a raw id * 2654435761 wraps past id ≈ 3.5e9 — Spark
+    * would silently wrap while an ANSI engine errors, breaking the
+    * cross-engine reproducibility this hash exists for). Domains absent
+    * from `rates` fall back to `defaultPct`.
     *
     * Scale shape: the rate table is domain-cardinality (tiny) and
     * broadcasts; the corpus side is scan → broadcast-hash-join → filter,
@@ -60,7 +64,7 @@ object Curation {
     docs
       .join(broadcast(ratesDf), docs(domainCol) === col("__domain"), "left")
       .withColumn("target_pct", coalesce(col("__pct"), lit(defaultPct)).cast("long"))
-      .filter(pmod(col(idCol) * 2654435761L, lit(100L)) < col("target_pct"))
+      .filter(pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L, lit(100L)) < col("target_pct"))
       .drop("__domain", "__pct")
   }
 }

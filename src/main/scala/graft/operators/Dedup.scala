@@ -102,12 +102,19 @@ object Dedup {
     * stored labels instead of re-deriving them. At 100 TB the kernel is
     * hours of cluster time; three pipeline stages re-running it inline
     * (the shape the standalone oracle queries necessarily have) is exactly
-    * what this avoids. */
+    * what this avoids.
+    *
+    * Strict convergence is the DEFAULT here, unlike the exploratory
+    * `nearDupClusters`: a stored label table feeds KEEP/DROP joins with no
+    * oracle compare downstream, so a component whose diameter outruns
+    * `maxIters` must fail the build, not ship split cluster ids that let
+    * both halves of a near-dup pair survive dedup. */
   def buildClusterTable(docs: DataFrame, textCol: String, idCol: String,
                         dir: String, numHashes: Int = 16, rowsPerBand: Int = 4,
-                        shingleSize: Int = 3, threshold: Double = 0.5): Unit =
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxIters: Int = 20, strict: Boolean = true): Unit =
     nearDupClusters(minhashNearDups(docs, textCol, idCol,
-      numHashes, rowsPerBand, shingleSize, threshold))
+      numHashes, rowsPerBand, shingleSize, threshold), maxIters, strict)
       .write.mode("overwrite").parquet(dir)
 
   def readClusterTable(spark: org.apache.spark.sql.SparkSession,

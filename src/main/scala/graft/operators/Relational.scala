@@ -146,8 +146,21 @@ object RelationalOps {
     // key would put the whole hot key back into one bucket). Fully
     // IDENTICAL duplicate rows share a bucket — the price of determinism;
     // dedup them first if that's the skew shape.
+    // Map-typed columns are excluded from the salt: Spark's hash() rejects
+    // MapType (map equality is undefined), and an all-columns hash would
+    // fail analysis for any schema carrying one (e.g. parsed JSON attrs).
+    import org.apache.spark.sql.types.{DataType, ArrayType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType     => false
+      case a: ArrayType   => hashable(a.elementType)
+      case s: StructType  => s.fields.forall(f => hashable(f.dataType))
+      case _              => true
+    }
+    val saltCols = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedJoin: no hashable columns to derive a deterministic salt from")
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(saltCols: _*), lit(saltBuckets)))
     val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }

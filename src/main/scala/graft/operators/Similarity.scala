@@ -176,13 +176,28 @@ object Similarity {
                       k: Int, iters: Int): DataFrame = {
     var centroids = emb.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("c_vec"))
-    for (_ <- 0 until iters) {
+    for (round <- 0 until iters) {
       val assigned = assignToCentroids(emb, vecCol, idCol, centroids)
       // localCheckpoint truncates the per-round plan growth (same reasoning
       // as the CC loop); the centroid frame is k rows — the materialization
       // is trivially small.
-      centroids = centroidsFromRefit(ivfRefit(emb, vecCol, idCol, assigned))
+      val refitted = centroidsFromRefit(ivfRefit(emb, vecCol, idCol, assigned))
         .localCheckpoint()
+      // A cell that attracted zero members this round (duplicate seeds, or
+      // near-ties collapsed by the 4-decimal cosine rounding always
+      // tie-breaking to the smaller id) vanishes from the refit — without
+      // this, the function silently returns < k centroids and every later
+      // round runs with fewer cells. Carry the previous centroid forward
+      // instead (standard Lloyd practice) and warn; both frames are k-row
+      // checkpoints, so the anti-join and count are trivial.
+      val dropped = centroids.join(refitted.select("centroid_id"),
+        Seq("centroid_id"), "left_anti")
+      val nDropped = dropped.count()
+      if (nDropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"kmeansCentroids: $nDropped of $k cells empty in round $round; " +
+            "carrying previous centroids forward")
+      centroids = refitted.unionByName(dropped).localCheckpoint()
     }
     centroids
   }

@@ -40,6 +40,18 @@ class RelationalOpsSpec extends SparkSpec {
     assert(hotSpread > 1, "hot key must spread across salt buckets")
   }
 
+  test("saltedJoin works on schemas with map-typed columns (salt skips them)") {
+    // hash() rejects MapType at analysis time; the salt must derive from
+    // the hashable columns only, not fail the whole join.
+    val left = spark.range(100)
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"),
+        map(lit("a"), col("id")).as("attrs"))
+    val right = Seq((1L, "hot"), (11L, "cold")).toDF("k", "v")
+    val salted = RelationalOps.saltedJoin(left, right, "k", saltBuckets = 4)
+    assert(salted.count() == left.join(right, "k").count())
+  }
+
   test("writePartitioned lays out hive partitions with bounded file counts") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString
     val df = spark.range(1000)

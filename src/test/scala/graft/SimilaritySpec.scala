@@ -106,6 +106,21 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0, s"$wrong vectors landed in the wrong planted cluster")
   }
 
+  test("kmeans: an emptied cell keeps its centroid (k stays k)") {
+    // Seeds are ids 0 and 1 with IDENTICAL vectors: every vector ties
+    // between the two centroids and the tie-break always picks the smaller
+    // id, so cell 1 attracts zero members in the refit. Without the
+    // carry-forward, kmeansCentroids would silently return 1 centroid.
+    val rows = (0 until 20).map { i =>
+      (i.toLong, if (i <= 1) Array(1f, 1f, 0f, 0f)
+                 else Array(1f, 1f, (i % 3) / 10f, 0f))
+    }.toDF("id", "v")
+    val centroids = Similarity.kmeansCentroids(rows, "v", "id", k = 2, iters = 2)
+    assert(centroids.count() == 2,
+      "an emptied cell must carry its previous centroid forward, not vanish")
+    assert(centroids.select("centroid_id").as[Int].collect().sorted === Array(0, 1))
+  }
+
   test("kmeans: one ivfRefit step reproduces hand-computed per-dimension means") {
     // two cells of two vectors each, trivially separable
     val rows = Seq(
