@@ -589,6 +589,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- curation: per-language quality-percentile cut ----
+    // "top 25% per language" — per-group exact percentile threshold
+    // (group-cardinality agg) broadcast back over the scan-side quality
+    // projection; the corpus never shuffles.
+    "q_quality_cut" -> ((s, d) => {
+      Curation.qualityPercentileCut(t(s, d, "documents"), "text", "doc_id",
+        groupCol = "lang", pct = 0.75)
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: per-source corpus data card ----
+    // doc/token volume, mean quality, language-mix entropy; every
+    // cross-row sum in exact integer units (order-invariant), entropy via
+    // the one-pass ln(N) − Σ c·ln(c)/N form.
+    "q_corpus_stats" -> ((s, d) => {
+      TextAnalysis.corpusStats(t(s, d, "documents"), "text", "doc_id",
+        sourceCol = "source", langCol = "lang")
+        .orderBy("source")
+    }),
+
     // ---- dedup: SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
@@ -610,6 +630,16 @@ object SparkEntry {
     "q_sim_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "embedding", "vec_id",
         queryId = 0L, k = 10)
+    }),
+
+    // ---- similarity: BATCHED exact top-k (bounded top-k aggregate) ----
+    // p probes in ONE corpus scan; the per-probe top-k is the map-side-
+    // combinable TopKHits aggregate (shuffle = tasks × p × k rows), not a
+    // window sort of the p × n scored set.
+    "q_sim_topk_batch" -> ((s, d) => {
+      Similarity.bruteForceTopKBatch(t(s, d, "embeddings"), "embedding", "vec_id",
+        probeIds = Seq(0L, 1L, 2L), k = 10)
+        .orderBy("probe_id", "rnk")
     }),
 
     // ---- similarity: IVF-style blocked near-dup pairs ----
@@ -944,6 +974,12 @@ object SparkEntry {
 
     "q_quality" -> qualitySql,
 
+    "q_quality_cut" -> qualityCutSql,
+
+    "q_corpus_stats" -> corpusStatsSql,
+
+    "q_sim_topk_batch" -> simTopkBatchSql,
+
     "q_repetition" -> {
       val sh = sqlShingles(sqlTokens, 3)
       s"""SELECT doc_id,
@@ -1165,6 +1201,63 @@ object SparkEntry {
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-language percentile cut — qualitySql wrapped, threshold via
+    * quantile_cont (DuckDB's linear-interpolation percentile == Spark's
+    * exact `percentile`). */
+  private def qualityCutSql: String =
+    s"""WITH q AS (
+       |  SELECT qq.doc_id, d.lang AS grp, qq.quality
+       |  FROM (${qualitySql}) qq JOIN documents d USING (doc_id)),
+       |th AS (
+       |  SELECT grp, round(quantile_cont(quality, 0.75), 4) AS q_thresh
+       |  FROM q GROUP BY grp)
+       |SELECT q.doc_id, q.grp, q.quality, th.q_thresh
+       |FROM q JOIN th USING (grp)
+       |WHERE q.quality >= th.q_thresh
+       |ORDER BY q.doc_id""".stripMargin
+
+  /** Per-source data card — integer micro-unit sums and the one-pass
+    * entropy form, mirroring TextAnalysis.corpusStats exactly. */
+  private def corpusStatsSql: String =
+    s"""WITH q AS (
+       |  SELECT qq.doc_id, qq.n_words, qq.quality, d.source, d.lang
+       |  FROM (${qualitySql}) qq JOIN documents d USING (doc_id)),
+       |pl AS (
+       |  SELECT source, lang, count(*) AS c,
+       |    CAST(sum(n_words) AS BIGINT) AS tok,
+       |    CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS qm
+       |  FROM q GROUP BY source, lang),
+       |t AS (
+       |  SELECT source, c, tok, qm,
+       |    CAST(round(c * ln(c) * 1000000) AS BIGINT) AS ent_micro
+       |  FROM pl)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_langs,
+       |  round(sum(qm) / 1000000.0 / sum(c), 4) AS avg_quality,
+       |  round(ln(sum(c)) - sum(ent_micro) / 1000000.0 / sum(c), 4) AS lang_entropy
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Batched exact top-k — the window form the TopKHits aggregate
+    * replaces at scale; per-probe ordering matches the aggregate's
+    * (cos DESC, vec_id ASC) contract. */
+  private def simTopkBatchSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+      |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      |s AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
+      |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(p.q, p.q))), 4) AS cos_sim
+      |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+      |r AS (
+      |  SELECT probe_id, vec_id, cos_sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM s)
+      |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim FROM r
+      |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
 
   /** Distinct (doc, shingle) rows shared by the jaccard/minhash oracles. */
   private def shinglesCte: String =

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate inside the bounded top-k aggregate. */
+case class Hit(cos_sim: Double, vec_id: Long)
+
+/** Bounded top-k aggregate: keeps the `k` best hits by (cos_sim DESC,
+  * vec_id ASC). This is what makes BATCHED nearest-neighbor search scale:
+  * a window `row_number() <= k` must shuffle and sort every scored
+  * (probe × corpus) row, while this aggregate is map-side combinable with
+  * a ≤ k-element partial state — the shuffle carries only
+  * (map tasks × probes × k) rows regardless of corpus size.
+  *
+  * Determinism: callers pass the cosine ROUNDED (4 dp) so mathematically
+  * tied scores are exact double ties, broken by the smaller vec_id — the
+  * same contract as `bruteForceTopK`'s ORDER BY and the DuckDB twin's
+  * window ordering.
+  *
+  * `reduce` re-sorts a ≤ (k+1)-element buffer per input row — O(k log k)
+  * with tiny constants (k is 10-100 in practice); the aggregate stays
+  * object-hash-aggregated, which is the expected physical form for a
+  * typed buffer (no codegen, but state is k elements, not the corpus). */
+class TopKHits(k: Int) extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
+  require(k > 0, s"k must be positive: $k")
+
+  private def better(a: Hit, b: Hit): Boolean =
+    a.cos_sim > b.cos_sim || (a.cos_sim == b.cos_sim && a.vec_id < b.vec_id)
+  private def trim(s: Seq[Hit]): Seq[Hit] = s.sortWith(better).take(k)
+
+  override def zero: Seq[Hit] = Nil
+  override def reduce(buf: Seq[Hit], a: Hit): Seq[Hit] =
+    // skip the sort when the buffer is full and `a` can't displace the tail
+    if (buf.size >= k && !better(a, buf.last)) buf else trim(buf :+ a)
+  override def merge(x: Seq[Hit], y: Seq[Hit]): Seq[Hit] = trim(x ++ y)
+  override def finish(r: Seq[Hit]): Seq[Hit] = r
+  override def bufferEncoder: Encoder[Seq[Hit]] = TopKHits.seqHitEncoder
+  override def outputEncoder: Encoder[Seq[Hit]] = TopKHits.seqHitEncoder
+}
+
+object TopKHits {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  private[functions] val seqHitEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+  val hitEncoder: Encoder[Hit] = Encoders.product[Hit]
+}

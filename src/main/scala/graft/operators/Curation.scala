@@ -67,4 +67,30 @@ object Curation {
       .filter(pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L, lit(100L)) < col("target_pct"))
       .drop("__domain", "__pct")
   }
+
+  /** Per-group quality-percentile cut: keep each group's documents at or
+    * above its own `pct` quality percentile — "top 25% per language"-style
+    * curation where a single global threshold would drown low-resource
+    * domains.
+    *
+    * Scale shape: quality is a scan-side projection (zero shuffle); the
+    * threshold agg shuffles only (group, quality) pairs and yields one row
+    * per group, which broadcasts back over the corpus — the corpus itself
+    * never shuffles. The threshold uses EXACT `percentile` (holds a
+    * per-group value multiset) for oracle parity; at 100 TB swap in
+    * `approx_percentile(..., accuracy)` — same plan shape, bounded state
+    * (the exact-vs-sketch accuracy trade is pinned in SketchSpec). */
+  def qualityPercentileCut(docs: DataFrame, textCol: String, idCol: String,
+                           groupCol: String, pct: Double): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0,1): $pct")
+    // group col rides through the quality projection (keepCols) — one
+    // corpus scan, no self-join back for the grouping column
+    val q = TextAnalysis.qualityScore(docs, textCol, idCol, keepCols = Seq(groupCol))
+      .select(col(idCol), col(groupCol).as("grp"), col("quality"))
+    val thresh = q.groupBy("grp")
+      .agg(round(expr(s"percentile(quality, $pct)"), 4).as("q_thresh"))
+    q.join(broadcast(thresh), "grp")
+      .filter(col("quality") >= col("q_thresh"))
+      .select(col(idCol), col("grp"), col("quality"), col("q_thresh"))
+  }
 }

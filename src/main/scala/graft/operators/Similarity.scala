@@ -34,6 +34,32 @@ object Similarity {
     scored.orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
+  /** Exact top-k for a BATCH of probe vectors in one corpus scan — the
+    * shape a training pipeline's retrieval/eval stage needs (p queries at
+    * once, not one). The probe set broadcasts (p rows); the corpus streams
+    * through the scored projection once; the per-probe top-k is the
+    * bounded `TopKHits` aggregate, map-side combinable with ≤ k elements
+    * of state per (task, probe) — the shuffle carries tasks × p × k rows,
+    * NOT the p × n scored set a `row_number()` window would sort. At 100 TB
+    * with large probe batches, point probes go to the stored IVF index
+    * (`ivfProbe`); this is the exact-scan batch form. */
+  def bruteForceTopKBatch(emb: DataFrame, vecCol: String, idCol: String,
+                          probeIds: Seq[Long], k: Int): DataFrame = {
+    val probes = emb.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("q_vec"))
+    val topk = udaf(new graft.functions.TopKHits(k), graft.functions.TopKHits.hitEncoder)
+    emb.crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"),
+        round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"),
+        col(idCol).as("vec_id"))
+      .groupBy("probe_id")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.vec_id").as("vec_id"), col("col.cos_sim").as("cos_sim"))
+  }
+
   /** Bucket assignment for every vector: b-bit hyperplane sign pattern. */
   def lshBuckets(emb: DataFrame, vecCol: String, idCol: String,
                  dim: Int, bits: Int): DataFrame =

@@ -23,8 +23,12 @@ object TextAnalysis {
 
   /** Quality metrics + a composite score in [0,1]:
     * 0.4·min(1, words/100) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
-    * Thresholds chosen to separate prose from boilerplate/noise. */
-  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * Thresholds chosen to separate prose from boilerplate/noise.
+    * `keepCols` carries extra input columns through the projection so
+    * downstream group-wise consumers (e.g. the percentile cut) don't need
+    * a self-join back onto the corpus for them. */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String,
+                   keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nWords = size(tokens(t)).cast("double")
     val nPunct = punctCount(t).cast("double")
@@ -33,15 +37,15 @@ object TextAnalysis {
     val punctRatio = nPunct / greatest(nChars, lit(1.0))
     val stopRatio = nStop / greatest(nWords, lit(1.0))
     docs.select(
-      col(idCol),
-      nWords.cast("long").as("n_words"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
+      col(idCol) +: keepCols.map(col) :+
+      nWords.cast("long").as("n_words") :+
+      round(punctRatio, 6).as("punct_ratio") :+
+      round(stopRatio, 6).as("stopword_ratio") :+
       round(
         least(nWords / 100.0, lit(1.0)) * 0.4
           + (lit(1.0) - punctRatio) * 0.3
           + stopRatio * 0.3,
-        6).as("quality"))
+        6).as("quality"): _*)
   }
 
   /** Canonical-text md5 fingerprint per document. */
@@ -105,6 +109,39 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"),
       regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ipv4"))
+
+  /** Per-source corpus "data card": document/token volume, mean quality,
+    * and language-mix entropy — the one-page summary a training-mix
+    * decision starts from.
+    *
+    * Exactness under distribution: quality (already rounded 6 dp per doc)
+    * sums as integer MICRO-units and the entropy terms c·ln(c) round to
+    * 6 dp integer units per (source, lang) row before summing — every
+    * cross-row sum is over integers, so the result is invariant to
+    * partitioning/summation order and identical in the DuckDB twin (the
+    * same exact-integer idiom as the cents kernels). Entropy uses the
+    * algebraic form H = ln(N) − Σ c·ln(c) / N, which needs only ONE pass
+    * over the per-(source, lang) counts.
+    *
+    * Scale shape: scan-side projection → one (source, lang) partial-agg
+    * shuffle (tiny cardinality) → one (source) agg. The corpus shuffles
+    * nothing but its per-group partial sums. */
+  def corpusStats(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, langCol: String): DataFrame = {
+    val perDoc = qualityScore(docs, textCol, idCol, keepCols = Seq(sourceCol, langCol))
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"), col("n_words"),
+        round(col("quality") * 1e6, 0).cast("long").as("q_micro"))
+    val perLang = perDoc.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"), sum("n_words").as("tok"), sum("q_micro").as("qm"))
+      .withColumn("ent_micro",
+        round(col("c").cast("double") * log(col("c").cast("double")) * 1e6, 0).cast("long"))
+    perLang.groupBy("source")
+      .agg(sum("c").as("n_docs"), sum("tok").as("n_tokens"),
+        count(lit(1)).as("n_langs"),
+        round(sum("qm") / 1e6 / sum("c"), 4).as("avg_quality"),
+        round(log(sum(col("c")).cast("double")) - sum("ent_micro") / 1e6 / sum("c"), 4)
+          .as("lang_entropy"))
+  }
 
   /** Word frequency across the corpus (the flatMap/explode op, P3).
     * Tokenization via the codegen shingle kernel (n=1 == tokens); the

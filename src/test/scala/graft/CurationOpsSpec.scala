@@ -14,6 +14,27 @@ class CurationOpsSpec extends SparkSpec {
   private def docsOf(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "text", "src")
 
+  test("qualityPercentileCut: per-group threshold keeps each group's own top slice") {
+    // Group A: long prose docs (high quality) + short fragments; group B:
+    // all short fragments. A global threshold would keep nothing from B —
+    // the per-group cut must keep B's best relative to B's own percentile.
+    val prose = "the quick brown fox jumps over the lazy dog and then " * 10
+    val docs = Seq(
+      (1L, prose + "it was a very pleasant day in the countryside", "A"),
+      (2L, prose, "A"), (3L, "x y", "A"), (4L, "z", "A"),
+      (5L, "k l m n o p q r s t u v w", "B"), (6L, "a b", "B"),
+      (7L, "c", "B"), (8L, "d e f", "B")
+    ).toDF("doc_id", "text", "lang")
+    val kept = Curation.qualityPercentileCut(docs, "text", "doc_id", "lang", pct = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(Set(1L, 2L)).size == 2, "group A's prose docs must survive")
+    assert(kept.contains(5L), "group B's best doc must survive ITS OWN percentile cut")
+    assert(!kept.contains(7L), "group B's worst doc must be cut")
+    // every kept row carries its group's threshold, and quality >= it
+    val rows = Curation.qualityPercentileCut(docs, "text", "doc_id", "lang", pct = 0.5)
+    assert(rows.filter(col("quality") < col("q_thresh")).count() == 0)
+  }
+
   test("packSequences: exact pack ids and offsets, budget boundary lands in the next pack") {
     // shard A: token counts 3, 4, 5 with budget 4 →
     //   doc 1 starts at 0 (pack 0, off 0), doc 2 at 3 (pack 0, off 3),

@@ -112,4 +112,27 @@ class PlanSpec extends SparkSpec {
       "probe plan must contain no aggregate (no per-probe quantization)")
     assert(p.contains("TakeOrderedAndProject"), "final top-k must be per-partition heaps")
   }
+
+  test("batched top-k: bounded aggregate with map-side combine, no window sort") {
+    // The scored (probe × corpus) rows must reach the shuffle already
+    // reduced to ≤ k per (task, probe) by the TopKHits partial aggregate —
+    // a row_number window here would shuffle AND sort the full scored set.
+    val p = plan("q_sim_topk_batch")
+    assert(p.contains("ObjectHashAggregate"), "typed top-k agg must object-hash-aggregate")
+    assert(p.toLowerCase.contains("partial_topkhits"),
+      "partial (map-side) aggregation mode expected before the shuffle")
+    assert(!p.contains("Window"), "no window sort of the scored set")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe set must broadcast")
+  }
+
+  test("quality percentile cut: one corpus scan, thresholds broadcast back") {
+    val p = plan("q_quality_cut")
+    assert(p.contains("BroadcastHashJoin"), "per-group thresholds must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle for the threshold join")
+    // one scan for the quality side, one feeding the threshold agg — the
+    // keepCols plumbing means no THIRD scan/self-join for the group column
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 2, s"expected at most 2 document scans, got $scans:\n$p")
+  }
 }

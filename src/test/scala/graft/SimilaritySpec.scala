@@ -106,6 +106,33 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0, s"$wrong vectors landed in the wrong planted cluster")
   }
 
+  test("batched top-k agrees with the single-probe exact form for every probe") {
+    val emb = vecs(300)
+    val batch = Similarity.bruteForceTopKBatch(emb, "v", "id",
+      probeIds = Seq(0L, 5L, 9L), k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for (p <- Seq(0L, 5L, 9L)) {
+      val single = Similarity.bruteForceTopK(emb, "v", "id", p, 7).collect()
+        .zipWithIndex.map { case (r, i) => (p, i + 1L, r.getLong(0), r.getDouble(1)) }
+      val got = batch.filter(_._1 == p).sortBy(_._2)
+      assert(got.toSeq == single.toSeq, s"probe $p: batch != single-probe top-k")
+    }
+  }
+
+  test("TopKHits aggregate: bounded state, exact tie-break by smaller id") {
+    import graft.functions.{Hit, TopKHits}
+    val agg = new TopKHits(3)
+    // reduce never grows past k, and equal scores keep the smaller id
+    val hits = Seq(Hit(0.5, 10), Hit(0.9, 7), Hit(0.9, 4), Hit(0.7, 2), Hit(0.9, 9))
+    val reduced = hits.foldLeft(agg.zero)(agg.reduce)
+    assert(reduced.size == 3)
+    assert(reduced == Seq(Hit(0.9, 4), Hit(0.9, 7), Hit(0.9, 9)))
+    // merge of two partials == reduce over the concatenated stream
+    val (l, r) = hits.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == reduced, "merge must equal single-stream reduce")
+  }
+
   test("kmeans: an emptied cell keeps its centroid (k stays k)") {
     // Seeds are ids 0 and 1 with IDENTICAL vectors: every vector ties
     // between the two centroids and the tie-break always picks the smaller

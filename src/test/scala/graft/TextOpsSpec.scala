@@ -36,4 +36,23 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(2L)._4 > 0.9, s"templated text must score high, got ${byId(2L)}")
     assert(byId(3L)._2 == 1L && byId(3L)._4 == 0.0, "short docs shingle to one unit, ratio 0")
   }
+
+  test("corpusStats: exact counts, token sums, and hand-computed language entropy") {
+    // srcA: 2 en + 2 de (uniform over 2 langs → entropy ln 2);
+    // srcB: 3 en only (entropy 0). Token counts are whitespace words.
+    val docs = Seq(
+      (1L, "a b c", "en", "srcA"), (2L, "d e", "en", "srcA"),
+      (3L, "f", "de", "srcA"), (4L, "g h i j", "de", "srcA"),
+      (5L, "k l", "en", "srcB"), (6L, "m", "en", "srcB"), (7L, "n o p", "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.corpusStats(docs, "text", "doc_id", "source", "lang")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.length == 2)
+    val (a, b) = (out(0), out(1))
+    assert(a._1 == "srcA" && a._2 == 4L && a._3 == 10L && a._4 == 2L)
+    assert(math.abs(a._6 - math.log(2)) < 1e-3, s"uniform 2-lang entropy must be ln2, got ${a._6}")
+    assert(b._1 == "srcB" && b._2 == 3L && b._3 == 6L && b._4 == 1L)
+    assert(b._6 == 0.0, "single-language source must have zero entropy")
+  }
 }
