@@ -599,6 +599,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: exact-n-per-group deterministic sample ----
+    // fixed COUNT per language (vs q_sampling's percentage) via the
+    // bounded top-k aggregate over a content hash — no window sort.
+    "q_fixed_sample" -> ((s, d) => {
+      Curation.fixedSizeSample(t(s, d, "documents"), "doc_id", "lang", n = 40)
+        .orderBy("grp", "doc_id")
+    }),
+
     // ---- curation: per-source corpus data card ----
     // doc/token volume, mean quality, language-mix entropy; every
     // cross-row sum in exact integer units (order-invariant), entropy via
@@ -977,6 +985,15 @@ object SparkEntry {
     "q_quality_cut" -> qualityCutSql,
 
     "q_corpus_stats" -> corpusStatsSql,
+
+    "q_fixed_sample" ->
+      """WITH r AS (
+        |  SELECT lang AS grp, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |SELECT grp, doc_id FROM r WHERE rn <= 40
+        |ORDER BY grp, doc_id""".stripMargin,
 
     "q_sim_topk_batch" -> simTopkBatchSql,
 

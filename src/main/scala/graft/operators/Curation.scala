@@ -68,6 +68,32 @@ object Curation {
       .drop("__domain", "__pct")
   }
 
+  /** Exact-size deterministic sample: exactly `n` documents per group
+    * (all of them if the group is smaller), chosen by ranking a
+    * content-independent hash of the id — reproducible across runs,
+    * partitionings, and engines, unlike `TABLESAMPLE`/`rand()`.
+    * `domainMixSample` keeps a PERCENTAGE; this keeps a COUNT — the form a
+    * fixed token-budget mix ("exactly 1M docs per language") needs.
+    *
+    * Scale shape: the per-group ranking is NOT a window sort (which would
+    * shuffle and sort every row) but the bounded `TopKHits` aggregate —
+    * map-side combinable with ≤ n elements of state per (task, group), so
+    * the shuffle carries tasks × groups × n rows regardless of corpus
+    * size. Hash ties (rare) break by the smaller id, exactly like the
+    * oracle's ORDER BY. */
+  def fixedSizeSample(docs: DataFrame, idCol: String, groupCol: String,
+                      n: Int): DataFrame = {
+    val topn = udaf(new graft.functions.TopKHits(n), graft.functions.TopKHits.hitEncoder)
+    // same overflow-safe Knuth hash as the percentage samplers; NEGATED so
+    // the max-first top-k aggregate keeps the n SMALLEST hash values —
+    // matching the oracle's ascending row_number order.
+    val h = pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L, lit(1000000007L))
+    docs.select(col(groupCol).as("grp"), col(idCol))
+      .withColumn("__negh", -h.cast("double"))
+      .groupBy("grp").agg(topn(col("__negh"), col(idCol)).as("hits"))
+      .select(col("grp"), explode(col("hits.vec_id")).as(idCol))
+  }
+
   /** Per-group quality-percentile cut: keep each group's documents at or
     * above its own `pct` quality percentile — "top 25% per language"-style
     * curation where a single global threshold would drown low-resource

@@ -14,6 +14,26 @@ class CurationOpsSpec extends SparkSpec {
   private def docsOf(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "text", "src")
 
+  test("fixedSizeSample: exactly n per big group, whole group when smaller, deterministic") {
+    val docs = ((1L to 100L).map(i => (i, s"t$i", "big")) ++
+      (101L to 103L).map(i => (i, s"t$i", "tiny"))).toDF("doc_id", "text", "lang")
+    val out = Curation.fixedSizeSample(docs, "doc_id", "lang", n = 10)
+      .as[(String, Long)].collect().toSet
+    assert(out.count(_._1 == "big") == 10, "big group must keep exactly n")
+    assert(out.count(_._1 == "tiny") == 3, "smaller-than-n group keeps all members")
+    // same selection as the window formulation it replaces at scale
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(1000000007L))
+    val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+    val expected = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("lang"), col("doc_id")).as[(String, Long)].collect().toSet
+    assert(out == expected, "bounded-agg sample must equal the window formulation")
+    // and a second run selects the identical set
+    val again = Curation.fixedSizeSample(docs, "doc_id", "lang", n = 10)
+      .as[(String, Long)].collect().toSet
+    assert(again == out)
+  }
+
   test("qualityPercentileCut: per-group threshold keeps each group's own top slice") {
     // Group A: long prose docs (high quality) + short fragments; group B:
     // all short fragments. A global threshold would keep nothing from B —
