@@ -479,12 +479,9 @@ object SparkEntry {
     }),
 
     // ---- deterministic stratified sampling for training mixes ----
-    // id reduced mod a prime before the Knuth multiply so the product can't
-    // wrap Long at large ids (same guard as Curation.domainMixSample).
     "q_sampling" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .withColumn("keep",
-          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L)) < 30)
+        .withColumn("keep", Curation.knuthHash(col("doc_id"), 100L) < 30)
       docs.groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))

@@ -3,20 +3,22 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One scored candidate inside the bounded top-k aggregate. */
-case class Hit(cos_sim: Double, vec_id: Long)
+/** One scored candidate inside the bounded top-k aggregate. Field names are
+  * domain-neutral: `score` is a cosine for ANN callers and a negated id
+  * hash for the samplers; `id` is whatever row identity the caller ranks. */
+case class Hit(score: Double, id: Long)
 
-/** Bounded top-k aggregate: keeps the `k` best hits by (cos_sim DESC,
-  * vec_id ASC). This is what makes BATCHED nearest-neighbor search scale:
-  * a window `row_number() <= k` must shuffle and sort every scored
-  * (probe × corpus) row, while this aggregate is map-side combinable with
-  * a ≤ k-element partial state — the shuffle carries only
-  * (map tasks × probes × k) rows regardless of corpus size.
+/** Bounded top-k aggregate: keeps the `k` best hits by (score DESC,
+  * id ASC). This is what makes BATCHED per-group ranking scale: a window
+  * `row_number() <= k` must shuffle and sort every scored row, while this
+  * aggregate is map-side combinable with a ≤ k-element partial state — the
+  * shuffle carries only (map tasks × groups × k) rows regardless of input
+  * size.
   *
-  * Determinism: callers pass the cosine ROUNDED (4 dp) so mathematically
-  * tied scores are exact double ties, broken by the smaller vec_id — the
-  * same contract as `bruteForceTopK`'s ORDER BY and the DuckDB twin's
-  * window ordering.
+  * Determinism: callers pass scores that are exact ties when
+  * mathematically tied (ANN rounds the cosine to 4 dp; the samplers use an
+  * integer hash), broken by the smaller id — the same contract as the
+  * DuckDB twins' window ordering.
   *
   * `reduce` re-sorts a ≤ (k+1)-element buffer per input row — O(k log k)
   * with tiny constants (k is 10-100 in practice); the aggregate stays
@@ -26,7 +28,7 @@ class TopKHits(k: Int) extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
   require(k > 0, s"k must be positive: $k")
 
   private def better(a: Hit, b: Hit): Boolean =
-    a.cos_sim > b.cos_sim || (a.cos_sim == b.cos_sim && a.vec_id < b.vec_id)
+    a.score > b.score || (a.score == b.score && a.id < b.id)
   private def trim(s: Seq[Hit]): Seq[Hit] = s.sortWith(better).take(k)
 
   override def zero: Seq[Hit] = Nil

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * generalized to the batch curation ops a training pipeline needs.) */
 object Curation {
 
+  /** Overflow-safe Knuth multiplicative hash of an id column, in [0, mod):
+    * the id reduces mod a prime BEFORE the multiply so the product stays
+    * well inside Long range at any id (a raw id * 2654435761 wraps past
+    * id ≈ 3.5e9 — Spark would silently wrap while an ANSI engine errors,
+    * breaking cross-engine reproducibility). The ONE definition both
+    * samplers and their oracle twins mirror — change it here and in the
+    * SQL together, nowhere else. */
+  private[graft] def knuthHash(id: org.apache.spark.sql.Column, mod: Long) =
+    pmod(pmod(id, lit(1000003L)) * 2654435761L, lit(mod))
+
   /** Concat-then-chunk sequence packing: documents are laid end-to-end in
     * deterministic (shard, id) order and cut into fixed `budgetTokens`
     * context windows. Each document reports the pack it STARTS in and its
@@ -43,12 +53,9 @@ object Curation {
   /** Per-domain mixture sampling: each domain keeps a target percentage of
     * its documents, chosen by a deterministic content-independent hash of
     * the id (reproducible across runs and engines — same Knuth
-    * multiplicative hash as the stratified sampler). The id is reduced mod
-    * a prime BEFORE the multiply so the product stays well inside Long
-    * range at any id (a raw id * 2654435761 wraps past id ≈ 3.5e9 — Spark
-    * would silently wrap while an ANSI engine errors, breaking the
-    * cross-engine reproducibility this hash exists for). Domains absent
-    * from `rates` fall back to `defaultPct`.
+    * multiplicative hash as the stratified sampler — see `knuthHash` for
+    * the overflow-safety contract). Domains absent from `rates` fall back
+    * to `defaultPct`.
     *
     * Scale shape: the rate table is domain-cardinality (tiny) and
     * broadcasts; the corpus side is scan → broadcast-hash-join → filter,
@@ -64,7 +71,7 @@ object Curation {
     docs
       .join(broadcast(ratesDf), docs(domainCol) === col("__domain"), "left")
       .withColumn("target_pct", coalesce(col("__pct"), lit(defaultPct)).cast("long"))
-      .filter(pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L, lit(100L)) < col("target_pct"))
+      .filter(knuthHash(col(idCol), 100L) < col("target_pct"))
       .drop("__domain", "__pct")
   }
 
@@ -84,14 +91,14 @@ object Curation {
   def fixedSizeSample(docs: DataFrame, idCol: String, groupCol: String,
                       n: Int): DataFrame = {
     val topn = udaf(new graft.functions.TopKHits(n), graft.functions.TopKHits.hitEncoder)
-    // same overflow-safe Knuth hash as the percentage samplers; NEGATED so
-    // the max-first top-k aggregate keeps the n SMALLEST hash values —
-    // matching the oracle's ascending row_number order.
-    val h = pmod(pmod(col(idCol), lit(1000003L)) * 2654435761L, lit(1000000007L))
+    // the shared Knuth hash, NEGATED so the max-first top-k aggregate keeps
+    // the n SMALLEST hash values — matching the oracle's ascending
+    // row_number order.
+    val h = knuthHash(col(idCol), 1000000007L)
     docs.select(col(groupCol).as("grp"), col(idCol))
       .withColumn("__negh", -h.cast("double"))
       .groupBy("grp").agg(topn(col("__negh"), col(idCol)).as("hits"))
-      .select(col("grp"), explode(col("hits.vec_id")).as(idCol))
+      .select(col("grp"), explode(col("hits.id")).as(idCol))
   }
 
   /** Per-group quality-percentile cut: keep each group's documents at or

@@ -57,7 +57,7 @@ object Similarity {
       .agg(topk(col("cos_sim"), col("vec_id")).as("hits"))
       .select(col("probe_id"), posexplode(col("hits")))
       .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
-        col("col.vec_id").as("vec_id"), col("col.cos_sim").as("cos_sim"))
+        col("col.id").as("vec_id"), col("col.score").as("cos_sim"))
   }
 
   /** Bucket assignment for every vector: b-bit hyperplane sign pattern. */

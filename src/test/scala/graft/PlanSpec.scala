@@ -131,8 +131,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "per-group thresholds must broadcast")
     assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle for the threshold join")
     // one scan for the quality side, one feeding the threshold agg — the
-    // keepCols plumbing means no THIRD scan/self-join for the group column
-    val scans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
-    assert(scans <= 2, s"expected at most 2 document scans, got $scans:\n$p")
+    // keepCols plumbing means no THIRD scan/self-join for the group column.
+    // Path-based reads have no table name on the node line, so count the
+    // scan NODES (this plan reads only the documents table). FormattedMode
+    // prints each node twice — tree line "Scan parquet  (n)" and detail
+    // header "(n) Scan parquet" — so match the tree form only.
+    assert(scanNodes(p) == 2, s"expected exactly 2 document scans:\n$p")
   }
+
+  test("fixed-size sample: bounded aggregate, no window sort, single corpus scan") {
+    // Same contract as the batched top-k: the per-group ranking must be
+    // the map-side-combinable TopKHits aggregate, not a row_number window
+    // over every row.
+    val p = plan("q_fixed_sample")
+    assert(p.contains("ObjectHashAggregate"), "typed top-n agg must object-hash-aggregate")
+    assert(p.toLowerCase.contains("partial_topkhits"),
+      "partial (map-side) aggregation mode expected before the shuffle")
+    assert(!p.contains("Window"), "no window sort of the corpus")
+    assert(scanNodes(p) == 1, "exactly one corpus scan")
+  }
+
+  /** Scan NODES in a FormattedMode plan: tree lines read "Scan parquet  (n)"
+    * while the detail section repeats "(n) Scan parquet" — count tree form. */
+  private def scanNodes(p: String): Int =
+    p.linesIterator.count(l => l.matches(""".*Scan parquet\s+\(\d+\)\s*"""))
 }
