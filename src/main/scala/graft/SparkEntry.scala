@@ -604,6 +604,23 @@ object SparkEntry {
         .orderBy("grp", "doc_id")
     }),
 
+    // ---- curation: temperature-rebalanced mixture sampling ----
+    // keep rates ∝ N^α/N per language (α=0.5 flattens toward uniform),
+    // realized by the deterministic hash filter; reported per language.
+    "q_temp_sample" -> ((s, d) => {
+      Curation.temperatureSample(t(s, d, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetTotal = 200L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), max("keep_pct").as("keep_pct"))
+        .orderBy("lang")
+    }),
+
+    // ---- text analysis: token-length histogram ----
+    "q_token_hist" -> ((s, d) => {
+      TextAnalysis.tokenHistogram(t(s, d, "documents"), "text", binWidth = 50)
+        .orderBy("bin_lo")
+    }),
+
     // ---- curation: per-source corpus data card ----
     // doc/token volume, mean quality, language-mix entropy; every
     // cross-row sum in exact integer units (order-invariant), entropy via
@@ -982,6 +999,25 @@ object SparkEntry {
     "q_quality_cut" -> qualityCutSql,
 
     "q_corpus_stats" -> corpusStatsSql,
+
+    "q_temp_sample" ->
+      """WITH cnt AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(n, 0.5) AS w FROM cnt),
+        |z AS (SELECT sum(w) AS z FROM w),
+        |p AS (
+        |  SELECT lang, least(CAST(100 AS BIGINT),
+        |    CAST(round(100.0 * 200 * w / z.z / n) AS BIGINT)) AS keep_pct
+        |  FROM w, z)
+        |SELECT d.lang, count(*) AS n_kept, CAST(max(p.keep_pct) AS BIGINT) AS keep_pct
+        |FROM documents d JOIN p USING (lang)
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 100 < p.keep_pct
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_token_hist" ->
+      s"""SELECT (CAST(len($sqlTokens) AS BIGINT) // 50) * 50 AS bin_lo,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY bin_lo""".stripMargin,
 
     "q_fixed_sample" ->
       """WITH r AS (

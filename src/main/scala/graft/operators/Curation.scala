@@ -75,6 +75,39 @@ object Curation {
       .drop("__domain", "__pct")
   }
 
+  /** Temperature-based mixture sampling: per-domain keep percentages
+    * derived from corpus counts — weight w_d ∝ N_d^alpha (alpha in (0,1]
+    * flattens the mix toward uniform, the standard multilingual
+    * rebalancing rule), target kept count n_d = targetTotal·w_d/Σw,
+    * keep percentage pct_d = min(100, round(100·n_d/N_d)). Rows are then
+    * kept by the same deterministic `knuthHash` filter as the other
+    * samplers, so the realized sample is reproducible across runs and
+    * engines.
+    *
+    * Scale shape: the domain-count agg is map-side combinable and
+    * domain-cardinality small; the Σw normalization is a 1-row broadcast
+    * (no window, no driver collect); the per-domain pct table broadcasts
+    * back over the scan. The corpus never shuffles. pct_d is rounded to an
+    * INTEGER percentage in both engines, so the double power/sum ulp can't
+    * flip a keep decision (same rounding idiom as the rest of the oracle
+    * surface). Returns kept rows with their domain's pct attached. */
+  def temperatureSample(docs: DataFrame, idCol: String, domainCol: String,
+                        alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val counts = docs.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), lit(alpha)))
+    val z = counts.select(sum("__w").as("__z"))
+    val pcts = counts.crossJoin(broadcast(z))
+      .select(col("__dom"),
+        least(lit(100L),
+          round(lit(100.0) * targetTotal * col("__w") / col("__z") / col("__n"), 0)
+            .cast("long")).as("keep_pct"))
+    docs.join(broadcast(pcts), docs(domainCol) === col("__dom"))
+      .filter(knuthHash(col(idCol), 100L) < col("keep_pct"))
+      .drop("__dom")
+  }
+
   /** Exact-size deterministic sample: exactly `n` documents per group
     * (all of them if the group is smaller), chosen by ranking a
     * content-independent hash of the id — reproducible across runs,

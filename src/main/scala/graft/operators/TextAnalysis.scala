@@ -143,6 +143,18 @@ object TextAnalysis {
           .as("lang_entropy"))
   }
 
+  /** Token-length histogram: fixed-width bins over the whitespace token
+    * count — the length-distribution panel of a data card (and the input
+    * to a truncation/packing budget decision). One codegen'd projection +
+    * one integer agg; exact at any scale. */
+  def tokenHistogram(docs: DataFrame, textCol: String,
+                     binWidth: Int = 50): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    docs.select(size(tokens(col(textCol))).cast("long").as("__n"))
+      .select((expr(s"__n div $binWidth") * binWidth).as("bin_lo"))
+      .groupBy("bin_lo").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Word frequency across the corpus (the flatMap/explode op, P3).
     * Tokenization via the codegen shingle kernel (n=1 == tokens); the
     * non-empty filter closes the empty-text edge ([""] vs []). */

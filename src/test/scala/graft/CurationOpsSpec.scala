@@ -14,6 +14,28 @@ class CurationOpsSpec extends SparkSpec {
   private def docsOf(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "text", "src")
 
+  test("temperatureSample: alpha=1 is proportional, alpha<1 boosts the small domain's rate") {
+    val docs = ((1L to 900L).map(i => (i, s"t$i", "big")) ++
+      (901L to 1000L).map(i => (i, s"t$i", "small"))).toDF("doc_id", "text", "lang")
+    // alpha = 1: w ∝ N, so every domain's keep pct is 100·target/totalN = 50%
+    val prop = Curation.temperatureSample(docs, "doc_id", "lang", alpha = 1.0,
+      targetTotal = 500L)
+    val pctsProp = prop.groupBy("lang").agg(max("keep_pct").as("p"))
+      .as[(String, Long)].collect().toMap
+    assert(pctsProp("big") == 50L && pctsProp("small") == 50L)
+    // alpha = 0.5: w ∝ √N → the small domain keeps a HIGHER fraction of
+    // itself than the big one (the whole point of temperature flattening)
+    val flat = Curation.temperatureSample(docs, "doc_id", "lang", alpha = 0.5,
+      targetTotal = 500L)
+    val pctsFlat = flat.groupBy("lang").agg(max("keep_pct").as("p"))
+      .as[(String, Long)].collect().toMap
+    assert(pctsFlat("small") > pctsFlat("big"),
+      s"flattening must favor the small domain: $pctsFlat")
+    // hand-check: w_big=30, w_small=10, z=40 → pct_big = 100·500·(30/40)/900
+    // = 41.67 → 42; pct_small = 100·500·(10/40)/100 = 125 → capped 100
+    assert(pctsFlat("big") == 42L && pctsFlat("small") == 100L, pctsFlat.toString)
+  }
+
   test("fixedSizeSample: exactly n per big group, whole group when smaller, deterministic") {
     val docs = ((1L to 100L).map(i => (i, s"t$i", "big")) ++
       (101L to 103L).map(i => (i, s"t$i", "tiny"))).toDF("doc_id", "text", "lang")

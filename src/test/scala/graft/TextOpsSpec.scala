@@ -37,6 +37,18 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L)._2 == 1L && byId(3L)._4 == 0.0, "short docs shingle to one unit, ratio 0")
   }
 
+  test("tokenHistogram: exact bin edges, boundary counts land in the upper bin") {
+    val docs = Seq(
+      (1L, "a b c"),                         // 3 tokens  → bin 0
+      (2L, Seq.fill(50)("x").mkString(" ")), // 50 tokens → bin 50 (boundary)
+      (3L, Seq.fill(49)("x").mkString(" ")), // 49        → bin 0
+      (4L, Seq.fill(120)("x").mkString(" ")) // 120       → bin 100
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenHistogram(docs, "text", binWidth = 50)
+      .orderBy("bin_lo").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (50L, 1L), (100L, 1L)))
+  }
+
   test("corpusStats: exact counts, token sums, and hand-computed language entropy") {
     // srcA: 2 en + 2 de (uniform over 2 langs → entropy ln 2);
     // srcB: 3 en only (entropy 0). Token counts are whitespace words.
