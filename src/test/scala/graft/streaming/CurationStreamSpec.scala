@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming curation gate: the batch curation kernels applied at ingest.
+  * Each micro-batch must apply the SAME quality/lang/sampling decisions as
+  * the batch oracle queries (pure projections), and exact dedup must drop
+  * a within-watermark duplicate arriving in a LATER micro-batch (state
+  * carries across batches, bounded by the watermark). */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class Doc(doc_id: Long, text: String, ev_ts: java.sql.Timestamp)
+
+  private val prose =
+    "the quick brown fox jumps over the lazy dog and then it was a very " * 8
+
+  test("gate keeps quality English prose, drops low-quality/wrong-lang/duplicate docs") {
+    val in = MemoryStream[Doc]
+    val out = CurationStream.curationGate(in.toDF(), "text", "doc_id", "ev_ts",
+      minQuality = 0.5, wantLang = "en", keepPct = 100,
+      dedupWatermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("t_cgate")
+      .outputMode("append").start()
+
+    in.addData(
+      Doc(1L, prose + "first unique document", ts(1000)),
+      Doc(2L, "x", ts(1001)), // low quality: one-char fragment
+      Doc(3L, "der die das und ist nicht von mit auf ein " * 10, ts(1002))) // German
+    q.processAllAvailable()
+    // duplicate of doc 1's text arrives in a LATER micro-batch — the
+    // fingerprint state must still be live (within the watermark) and drop it
+    in.addData(Doc(4L, prose + "first unique document", ts(1010)),
+      Doc(5L, prose + "a second unique document", ts(1011)))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("t_cgate").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L),
+      s"expected only the two unique quality English docs, got $kept")
+    // the gate surfaces its decisions: quality and predicted language ride along
+    val cols = spark.table("t_cgate").columns.toSeq
+    assert(cols == Seq("doc_id", "ev_ts", "quality", "lang_pred", "fp"))
+  }
+
+  test("sampling hash drops the same ids on a stream as in batch") {
+    val in = MemoryStream[Doc]
+    // keepPct = 30: exactly the ids the batch q_sampling keep-rule selects
+    val out = CurationStream.curationGate(in.toDF(), "text", "doc_id", "ev_ts",
+      minQuality = 0.0, wantLang = "en", keepPct = 30,
+      dedupWatermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("t_csample")
+      .outputMode("append").start()
+    val ids = (1L to 200L)
+    in.addData(ids.map(i => Doc(i, prose + s"unique tail $i", ts(1000 + i))): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("t_csample").select("doc_id").as[Long].collect().toSet
+    val expected = ids.filter(i => math.floorMod(
+      math.floorMod(i, 1000003L) * 2654435761L, 100L) < 30).toSet
+    assert(kept == expected, "stream and batch must sample identical id sets")
+    assert(kept.nonEmpty && kept.size < ids.size, "the 30% cut must be a real subset")
+  }
+}
