@@ -481,7 +481,7 @@ object SparkEntry {
     // ---- deterministic stratified sampling for training mixes ----
     "q_sampling" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .withColumn("keep", Curation.knuthHash(col("doc_id"), 100L) < 30)
+        .withColumn("keep", Curation.keepsAtPct(col("doc_id"), lit(30)))
       docs.groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
@@ -1002,12 +1002,15 @@ object SparkEntry {
 
     "q_temp_sample" ->
       """WITH cnt AS (
-        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, n, pow(n, 0.5) AS w FROM cnt),
-        |z AS (SELECT sum(w) AS z FROM w),
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n, CAST(round(pow(n, 0.5) * 1000000) AS BIGINT) AS w
+        |  FROM cnt),
+        |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
         |p AS (
         |  SELECT lang, least(CAST(100 AS BIGINT),
-        |    CAST(round(100.0 * 200 * w / z.z / n) AS BIGINT)) AS keep_pct
+        |    CAST(round(100.0 * 200 * (w / z.z) / n) AS BIGINT)) AS keep_pct
         |  FROM w, z)
         |SELECT d.lang, count(*) AS n_kept, CAST(max(p.keep_pct) AS BIGINT) AS keep_pct
         |FROM documents d JOIN p USING (lang)

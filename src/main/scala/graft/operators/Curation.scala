@@ -24,6 +24,14 @@ object Curation {
   private[graft] def knuthHash(id: org.apache.spark.sql.Column, mod: Long) =
     pmod(pmod(id, lit(1000003L)) * 2654435761L, lit(mod))
 
+  /** THE keep rule every percentage sampler applies (batch and streaming):
+    * a row survives when its id hash lands below the keep percentage.
+    * Centralized so the comparison (`<`, mod 100) can never drift between
+    * the sampler family members and their oracle twins. */
+  private[graft] def keepsAtPct(id: org.apache.spark.sql.Column,
+                                pct: org.apache.spark.sql.Column) =
+    knuthHash(id, 100L) < pct
+
   /** Concat-then-chunk sequence packing: documents are laid end-to-end in
     * deterministic (shard, id) order and cut into fixed `budgetTokens`
     * context windows. Each document reports the pack it STARTS in and its
@@ -71,7 +79,7 @@ object Curation {
     docs
       .join(broadcast(ratesDf), docs(domainCol) === col("__domain"), "left")
       .withColumn("target_pct", coalesce(col("__pct"), lit(defaultPct)).cast("long"))
-      .filter(knuthHash(col(idCol), 100L) < col("target_pct"))
+      .filter(keepsAtPct(col(idCol), col("target_pct")))
       .drop("__domain", "__pct")
   }
 
@@ -87,24 +95,36 @@ object Curation {
     * Scale shape: the domain-count agg is map-side combinable and
     * domain-cardinality small; the Σw normalization is a 1-row broadcast
     * (no window, no driver collect); the per-domain pct table broadcasts
-    * back over the scan. The corpus never shuffles. pct_d is rounded to an
-    * INTEGER percentage in both engines, so the double power/sum ulp can't
-    * flip a keep decision (same rounding idiom as the rest of the oracle
-    * surface). Returns kept rows with their domain's pct attached. */
+    * back over the scan. The corpus never shuffles.
+    *
+    * Determinism: each weight N^α rounds to an exact integer micro-unit
+    * PER DOMAIN before the Σw sum — so the only cross-row sum is over
+    * integers (order-invariant, engine-identical), and pct_d is computed
+    * from identical exact integers in both engines before its own integer
+    * rounding. A raw double Σw would be partition-order dependent and
+    * ulp-divergent from the oracle's pow/sum at .5 pct boundaries — the
+    * same reasoning as `corpusStats`' entropy terms.
+    *
+    * Rows with a NULL domain are excluded from BOTH the normalization and
+    * the output (an equi-join could never keep them, and counting their
+    * weight in Σw would silently deflate every real domain's rate); route
+    * them through `domainMixSample`'s `defaultPct` path if they should be
+    * sampled. Returns kept rows with their domain's pct attached. */
   def temperatureSample(docs: DataFrame, idCol: String, domainCol: String,
                         alpha: Double, targetTotal: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
-    val counts = docs.groupBy(col(domainCol).as("__dom"))
+    val nonNull = docs.filter(col(domainCol).isNotNull)
+    val counts = nonNull.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).cast("double").as("__n"))
-      .withColumn("__w", pow(col("__n"), lit(alpha)))
+      .withColumn("__w", round(pow(col("__n"), lit(alpha)) * 1e6, 0).cast("long"))
     val z = counts.select(sum("__w").as("__z"))
     val pcts = counts.crossJoin(broadcast(z))
       .select(col("__dom"),
         least(lit(100L),
-          round(lit(100.0) * targetTotal * col("__w") / col("__z") / col("__n"), 0)
+          round(lit(100.0) * targetTotal * (col("__w") / col("__z")) / col("__n"), 0)
             .cast("long")).as("keep_pct"))
-    docs.join(broadcast(pcts), docs(domainCol) === col("__dom"))
-      .filter(knuthHash(col(idCol), 100L) < col("keep_pct"))
+    nonNull.join(broadcast(pcts), nonNull(domainCol) === col("__dom"))
+      .filter(keepsAtPct(col(idCol), col("keep_pct")))
       .drop("__dom")
   }
 

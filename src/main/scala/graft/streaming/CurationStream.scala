@@ -37,7 +37,7 @@ object CurationStream {
     val kept = scored
       .filter(col("quality") >= minQuality &&
         col("lang_pred") === wantLang &&
-        Curation.knuthHash(col(idCol), 100L) < keepPct)
+        Curation.keepsAtPct(col(idCol), lit(keepPct)))
     StatefulOps.dedupStream(kept, tsCol, dedupWatermark, Seq("fp"))
       .select(col(idCol), col(tsCol), col("quality"), col("lang_pred"), col("fp"))
   }
