@@ -615,6 +615,13 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- curation: fixed-size token chunking with overlap ----
+    "q_chunking" -> ((s, d) => {
+      Curation.chunkDocuments(t(s, d, "documents"), "text", "doc_id",
+        chunkTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---- text analysis: token-length histogram ----
     "q_token_hist" -> ((s, d) => {
       TextAnalysis.tokenHistogram(t(s, d, "documents"), "text", binWidth = 50)
@@ -1021,6 +1028,19 @@ object SparkEntry {
       s"""SELECT (CAST(len($sqlTokens) AS BIGINT) // 50) * 50 AS bin_lo,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+
+    "q_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
+         |k AS (
+         |  SELECT doc_id, tk, (greatest(len(tk) - 64, 0) + 48 - 1) // 48 AS kk
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, tk, unnest(generate_series(0, kk)) AS chunk_id FROM k)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+         |  CAST(len(tk[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tok,
+         |  array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_fixed_sample" ->
       """WITH r AS (

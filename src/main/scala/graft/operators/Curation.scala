@@ -154,6 +154,37 @@ object Curation {
       .select(col("grp"), explode(col("hits.id")).as(idCol))
   }
 
+  /** Fixed-size token chunking with overlap: each document splits into
+    * windows of `chunkTokens` tokens whose starts advance by `stride`
+    * (stride < chunkTokens ⇒ overlapping context windows, the standard
+    * long-document preprocessing for training and retrieval). The last
+    * chunk is the first one reaching the end of the document, so every
+    * token lands in ≥ 1 chunk and no chunk is fully contained in its
+    * predecessor; chunk count = ceil(max(n−chunk,0)/stride) + 1 — computed
+    * in INTEGER arithmetic ((a + stride − 1) div stride), so both engines
+    * agree exactly at any length.
+    *
+    * Scale shape: tokenize → sequence → posexplode → slice, all inside one
+    * codegen'd projection chain — zero shuffle, output rows ≈ input tokens
+    * / stride. 100 TB chunks as wide as the scan. */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens: stride=$stride chunk=$chunkTokens")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__k",
+        expr(s"(greatest(size(__toks) - $chunkTokens, 0) + $stride - 1) div $stride"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__k").cast("int"))).as(Seq("__pos", "chunk_id")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        size(slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-group quality-percentile cut: keep each group's documents at or
     * above its own `pct` quality percentile — "top 25% per language"-style
     * curation where a single global threshold would drown low-resource

@@ -14,6 +14,33 @@ class CurationOpsSpec extends SparkSpec {
   private def docsOf(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "text", "src")
 
+  test("chunkDocuments: exact chunk boundaries, overlap, tail chunk, and tiny-doc edge") {
+    // 10 tokens, chunk 4, stride 3 → k = ceil((10-4)/3) = 2 → 3 chunks:
+    // [0..3], [3..6], [6..9]; the tail chunk is full here (start 6 + 4 = 10).
+    // 11 tokens → k = ceil(7/3) = 3 → 4 chunks, last = [9..10] (2 tokens).
+    // 2 tokens (< chunk) → 1 chunk of 2. Empty text → 1 empty chunk.
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")),
+      (3L, "a b"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "text", "doc_id", chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)) ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)))
+    assert(out.filter(_._1 == 1L).map(_._5) ==
+      Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._4)) ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 2L)))
+    assert(out.filter(_._1 == 3L) == Seq((3L, 0L, 0L, 2L, "a b")))
+    assert(out.filter(_._1 == 4L) == Seq((4L, 0L, 0L, 0L, "")))
+    // every token of doc 2 is covered by at least one chunk
+    val covered = out.filter(_._1 == 2L).flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0L until 11L).toSet, "chunks must cover every token")
+  }
+
   test("temperatureSample: alpha=1 is proportional, alpha<1 boosts the small domain's rate") {
     val docs = ((1L to 900L).map(i => (i, s"t$i", "big")) ++
       (901L to 1000L).map(i => (i, s"t$i", "small"))).toDF("doc_id", "text", "lang")
