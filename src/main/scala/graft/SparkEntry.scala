@@ -723,6 +723,12 @@ object SparkEntry {
         queryId = 0L, k = 10, nprobe = 2)
     }),
 
+    // ---- similarity: int8 scalar quantization (vector compression) ----
+    "q_quantize_int8" -> ((s, d) => {
+      Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id", "pos")
+    }),
+
     // ---- similarity: random-hyperplane LSH ANN (the scale path) ----
     "q_sim_lsh" -> ((s, d) => {
       Similarity.lshNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -1128,6 +1134,21 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_total,
         | CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(len(vv)) FROM v))) AS i),
+        |e AS (
+        |  SELECT vec_id, d.i - 1 AS pos, vv[d.i] AS x
+        |  FROM v CROSS JOIN dims d WHERE d.i <= len(vv)),
+        |s AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos)
+        |SELECT e.vec_id, CAST(e.pos AS BIGINT) AS pos,
+        |  CAST(CASE WHEN s.hi = s.lo THEN 0
+        |            ELSE round((e.x - s.lo) / (s.hi - s.lo) * 254.0) END AS BIGINT) AS code
+        |FROM e JOIN s USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q_ngram_jaccard" -> ngramJaccardSql,
 

@@ -318,6 +318,36 @@ object Similarity {
     ivfProbeById(emb.sparkSession, dir, vecCol, idCol, queryId, k, nprobe)
   }
 
+  /** Per-dimension int8 scalar quantization — the vector-compression pass
+    * a 100 TB embedding store runs before anything else (4 bytes/dim → 1:
+    * a 100 TB float corpus becomes 25 TB of codes + a d-row codebook).
+    * code = round(254·(x − lo_d)/(hi_d − lo_d)) per dimension, lo/hi from
+    * corpus-wide min/max; a degenerate dimension (hi == lo) codes to 0.
+    * Dequantization error is bounded by (hi−lo)/254/2 per dimension
+    * (pinned in SimilaritySpec).
+    *
+    * Every arithmetic step is elementary IEEE (subtract/divide/multiply/
+    * HALF_UP round — no pow/ln), so codes are bit-identical across
+    * engines and partitionings; min/max are exact order-invariant aggs.
+    *
+    * Scale shape: posexplode streams n·d (id, pos, x) rows through one
+    * projection; the codebook is a d-row map-side-combinable agg that
+    * broadcasts back — the corpus never shuffles. Returned in the exploded
+    * (id, pos, code) form the oracle compares; pack back to array<byte>
+    * with collect_list over pos-sorted structs when writing a table. */
+  def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val ex = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    val stats = ex.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    ex.join(broadcast(stats), "pos")
+      .select(col(idCol), col("pos"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254.0, 0)
+            .cast("long"))
+          .as("code"))
+  }
+
   /** Exact all-pairs cosine above a threshold — the baseline LSH
     * approximates. Quadratic; for oracle checks and small corpora. */
   def exactNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,

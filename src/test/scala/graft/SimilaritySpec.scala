@@ -133,6 +133,31 @@ class SimilaritySpec extends SparkSpec {
     assert(merged == reduced, "merge must equal single-stream reduce")
   }
 
+  test("quantizeInt8: codes in [0,254], dequant error within the half-step bound, degenerate dim -> 0") {
+    val emb = vecs(200).withColumn("v",
+      // plant a constant dimension by overwriting index 0
+      expr("transform(v, (x, i) -> case when i = 0 then cast(7.5 as float) else x end)"))
+    val codes = Similarity.quantizeInt8(emb, "v", "id")
+    val stats = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+    val exploded = emb.select(col("id").as("id2"), posexplode(col("v")).as(Seq("p2", "x")))
+    val joined = codes.join(stats, codes("pos") === stats("pos"))
+      .join(exploded, codes("id") === col("id2") && codes("pos") === col("p2"))
+    val bad = joined.filter(col("code") < 0 || col("code") > 254).count()
+    assert(bad == 0, "codes must stay in [0, 254]")
+    // dequantized value within half a quantization step of the original
+    val err = joined.filter(col("hi") =!= col("lo"))
+      .select(abs(col("x").cast("double") -
+        (col("lo") + col("code") / 254.0 * (col("hi") - col("lo"))))
+        .as("e"), ((col("hi") - col("lo")) / 254.0 / 2.0 + 1e-9).as("bound"))
+    assert(err.filter(col("e") > col("bound")).count() == 0,
+      "dequantization error must stay within half a step")
+    // the planted constant dimension codes to 0 everywhere
+    val const0 = codes.filter(col("pos") === 0).select("code").distinct().collect()
+    assert(const0.map(_.getLong(0)).toSeq == Seq(0L), "degenerate dim must code to 0")
+  }
+
   test("kmeans: an emptied cell keeps its centroid (k stays k)") {
     // Seeds are ids 0 and 1 with IDENTICAL vectors: every vector ties
     // between the two centroids and the tie-break always picks the smaller
