@@ -1142,7 +1142,7 @@ object SparkEntry {
         |  (SELECT max(len(vv)) FROM v))) AS i),
         |e AS (
         |  SELECT vec_id, d.i - 1 AS pos, vv[d.i] AS x
-        |  FROM v CROSS JOIN dims d WHERE d.i <= len(vv)),
+        |  FROM v CROSS JOIN dims d WHERE d.i <= len(vv) AND isfinite(vv[d.i])),
         |s AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos)
         |SELECT e.vec_id, CAST(e.pos AS BIGINT) AS pos,
         |  CAST(CASE WHEN s.hi = s.lo THEN 0

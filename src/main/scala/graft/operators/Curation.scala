@@ -176,7 +176,7 @@ object Curation {
       .withColumn("__k",
         expr(s"(greatest(size(__toks) - $chunkTokens, 0) + $stride - 1) div $stride"))
       .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(0), col("__k").cast("int"))).as(Seq("__pos", "chunk_id")))
+        explode(sequence(lit(0), col("__k").cast("int"))).as("chunk_id"))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         (col("chunk_id") * stride).cast("long").as("start_tok"),
         size(slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)))

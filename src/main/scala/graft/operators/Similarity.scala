@@ -336,9 +336,17 @@ object Similarity {
     * (id, pos, code) form the oracle compares; pack back to array<byte>
     * with collect_list over pos-sorted structs when writing a table. */
   def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    // Non-finite entries are dropped BEFORE the codebook agg: one NaN/Inf
+    // would otherwise poison its whole dimension's min/max, turning every
+    // code in that dimension into a NaN that the long cast rejects (ANSI)
+    // — a single bad vector must not abort a corpus-wide pass. The bad
+    // (id, pos) rows are absent from the output; the oracle twin filters
+    // isfinite(x) identically.
     val ex = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("x").cast("double").as("x"))
+      .filter(!isnan(col("x")) &&
+        col("x") > Double.NegativeInfinity && col("x") < Double.PositiveInfinity)
     val stats = ex.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
     ex.join(broadcast(stats), "pos")
       .select(col(idCol), col("pos"),

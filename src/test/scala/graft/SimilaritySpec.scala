@@ -158,6 +158,20 @@ class SimilaritySpec extends SparkSpec {
     assert(const0.map(_.getLong(0)).toSeq == Seq(0L), "degenerate dim must code to 0")
   }
 
+  test("quantizeInt8: a NaN entry is dropped, not allowed to poison its dimension") {
+    val emb = vecs(50).withColumn("v",
+      // vector 0 gets NaN in dimension 1
+      expr("case when id = 0 then transform(v, (x, i) -> " +
+        "case when i = 1 then cast('NaN' as float) else x end) else v end"))
+    val codes = Similarity.quantizeInt8(emb, "v", "id").cache()
+    // the bad (id=0, pos=1) cell is absent; every other cell of dim 1 codes fine
+    assert(codes.filter(col("id") === 0 && col("pos") === 1).count() == 0)
+    assert(codes.filter(col("pos") === 1).count() == 49)
+    assert(codes.filter(col("code") < 0 || col("code") > 254).count() == 0,
+      "remaining codes must stay in range — NaN must not poison the codebook")
+    codes.unpersist()
+  }
+
   test("kmeans: an emptied cell keeps its centroid (k stays k)") {
     // Seeds are ids 0 and 1 with IDENTICAL vectors: every vector ties
     // between the two centroids and the tie-break always picks the smaller
