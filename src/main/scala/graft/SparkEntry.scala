@@ -75,6 +75,49 @@ object SparkEntry {
       (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000.0
   }
 
+  /** documents ∪ deterministic customer "profile cards" — the PII-bearing
+    * corpus for the redaction queries. The raw documents table contains
+    * zero PII-shaped spans at every SF (verified in DuckDB), which made the
+    * original documents-only q_pii_counts a vacuous all-zeros hash match.
+    * The cards derive entirely from real customer rows with an
+    * engine-identical construction (same SQL in the oracle): 1/3 of cards
+    * carry an email, 1/2 a URL, all a host IP — so both match and no-match
+    * branches are live at every SF. Card ids offset by 1e6 to stay disjoint
+    * from doc_ids. */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val cards = t(s, d, "customer").select(
+      (col("c_custkey") + lit(1000000L)).as("doc_id"),
+      concat(
+        col("c_name"), lit(" <"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lower(regexp_replace(col("c_name"), "#", "")), lit("@example.com")))
+          .otherwise(lit("no-email")),
+        lit("> host 10.0."), col("c_custkey") % 256, lit("."), col("c_nationkey") % 256,
+        lit(" via "),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("https://example.org/u/"), col("c_custkey")))
+          .otherwise(lit("offline"))).as("text"))
+    docs.unionByName(cards)
+  }
+
+  /** DuckDB twin of [[piiCorpus]] — kept adjacent so the two constructions
+    * can be reviewed for equivalence side by side. */
+  private val piiCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT c_custkey + 1000000 AS doc_id,
+      | concat(c_name, ' <',
+      |   CASE WHEN c_custkey % 3 = 0
+      |        THEN concat(lower(replace(c_name, '#', '')), '@example.com')
+      |        ELSE 'no-email' END,
+      |   '> host 10.0.', c_custkey % 256, '.', c_nationkey % 256,
+      |   ' via ',
+      |   CASE WHEN c_custkey % 2 = 0
+      |        THEN concat('https://example.org/u/', c_custkey)
+      |        ELSE 'offline' END) AS text
+      |FROM customer""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -449,9 +492,34 @@ object SparkEntry {
     }),
 
     // ---- text analysis: PII pattern counts (redaction triage) ----
+    // Input is documents ∪ synthesized customer profile cards: the raw
+    // corpus has zero PII-shaped spans at every SF, so documents alone made
+    // this oracle row vacuous (the round-2 q_anti_join lesson). The cards
+    // are built from real customer rows with a visible, engine-identical
+    // construction — 1/3 get an email, 1/2 a URL, all a host IP — so the
+    // counts exercise match and no-match branches at every SF.
     "q_pii_counts" -> ((s, d) => {
-      TextAnalysis.piiCounts(t(s, d, "documents"), "text", "doc_id")
+      TextAnalysis.piiCounts(piiCorpus(s, d), "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: PII redaction (the action the counts gate) ----
+    "q_pii_redact" -> ((s, d) => {
+      TextAnalysis.redactPii(piiCorpus(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: cross-corpus repeated-span (boilerplate) removal ----
+    "q_boilerplate" -> ((s, d) => {
+      TextAnalysis.stripRepeatedSpans(t(s, d, "documents"), "text", "doc_id",
+          span = 2, maxDf = 20)
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality: unigram log-probability (perplexity proxy) ----
+    "q_unigram_lp" -> ((s, d) => {
+      TextAnalysis.unigramLogProb(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc")
     }),
 
     // ---- text analysis: content fingerprint ----
@@ -1070,11 +1138,47 @@ object SparkEntry {
     },
 
     "q_pii_counts" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-        | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4
+        |FROM ($piiCorpusSql) ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   'https?://[^\\s]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS clean_text
+        |FROM ($piiCorpusSql) ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(generate_series(0, (len(tk) + 1) // 2 - 1)) AS cidx, tk FROM t),
+        |chunks AS (
+        |  SELECT doc_id, cidx, array_to_string(tk[cidx*2+1 : cidx*2+2], ' ') AS chunk FROM c),
+        |df AS (SELECT chunk, count(*) AS cnt FROM chunks GROUP BY chunk),
+        |kept AS (SELECT doc_id, cidx, chunk FROM chunks JOIN df USING (chunk) WHERE cnt <= 20),
+        |agg AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text, count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        | CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST((len(t.tk) + 1) // 2 - coalesce(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_lp" ->
+      """WITH w AS (
+        |  SELECT doc_id AS doc, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM w)
+        |SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(sum(CAST(round(ln(cnt / n_total) * 1e6, 0) AS BIGINT)) / 1e6 / count(*), 4) AS avg_logprob
+        |FROM w JOIN v USING (word) CROSS JOIN tot
+        |GROUP BY doc ORDER BY doc""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id, $sqlFingerprint AS fp FROM documents ORDER BY doc_id""",

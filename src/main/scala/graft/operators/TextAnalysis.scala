@@ -110,6 +110,102 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(UrlPattern)).cast("long").as("n_urls"),
       regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ipv4"))
 
+  /** PII redaction (the action the triage counts above gate): replace each
+    * email / URL / IPv4 match with a typed placeholder token. Order matters
+    * and is part of the contract — URLs first (so an address inside a URL
+    * is swallowed by `<URL>`, not half-redacted), then emails, then bare
+    * IPs. Pure projection, zero shuffle; RE2-safe patterns keep the DuckDB
+    * twin exact. */
+  def redactPii(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("clean_text"))
+
+  /** Cross-corpus repeated-span removal (the boilerplate-strip pass of a
+    * web-curation pipeline, done at line level by CCNet/RefinedWeb; here the
+    * unit is a fixed `span`-token chunk because the corpus has no line
+    * structure). A span whose exact text occurs more than `maxDf` times
+    * across the WHOLE corpus is dropped from every document; survivors are
+    * reassembled in order.
+    *
+    * Scale shape: chunk explode is scan-side; the df count is one
+    * map-side-combinable shuffle of (short-string chunk, count) partial
+    * sums; membership is a LEFT ANTI join against only the spans that
+    * FAILED the cut — the Zipf head, ~total/maxDf distinct values at
+    * worst, which stays broadcastable when the kept-span relation (nearly
+    * the whole corpus) would not be. Same df-cut idiom as
+    * [[graft.operators.Dedup.ngramJaccardPairs]]. Reassembly is one
+    * groupBy(doc) of (idx, chunk) pairs. No driver-side data, no
+    * quadratic step. */
+  def stripRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                         span: Int = 2, maxDf: Long = 20): DataFrame = {
+    require(span > 0, s"span must be positive: $span")
+    // Empty tokens (leading/trailing/double spaces, empty docs) are removed
+    // so an empty document chunks to NOTHING, not to one empty chunk.
+    val tk = array_remove(graft.expressions.Exprs.wordShingles(col(textCol), 1), "")
+    val base = docs.select(col(idCol).as("doc"), tk.as("tk"))
+      .select(col("doc"), col("tk"),
+        floor((size(col("tk")) + span - 1) / span).cast("int").as("n_chunks"))
+    // sequence(0, n-1) DESCENDS when n = 0 (Spark generates 0..-1), so the
+    // empty-document case must be filtered out, not guarded arithmetically.
+    val chunks = base.filter(col("n_chunks") > 0)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => array_join(slice(col("tk"), i * span + 1, lit(span)), " "))))
+      .select(col("doc"), col("pos").as("cidx"), col("col").as("chunk"))
+    val hot = chunks.groupBy("chunk").agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") > maxDf).select("chunk")
+    val kept = chunks.join(hot, Seq("chunk"), "left_anti")
+      .groupBy("doc")
+      .agg(array_sort(collect_list(struct(col("cidx"), col("chunk")))).as("ks"))
+      .select(col("doc"),
+        array_join(transform(col("ks"), k => k("chunk")), " ").as("clean_text"),
+        size(col("ks")).cast("long").as("n_kept"))
+    base.join(kept, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** Unigram log-probability per document — the cheap perplexity proxy used
+    * as a fluency/quality filter (a high-magnitude avg_logprob flags
+    * gibberish or vocabulary-skewed text). Model = the corpus itself:
+    * p(w) = count(w) / total_tokens.
+    *
+    * Exactness under distribution: each token's ln p(w) is rounded to
+    * integer MICRO-units before the per-doc sum (the same order-invariant
+    * integer idiom as corpusStats), so partitioning never changes the
+    * result and the DuckDB twin is exact.
+    *
+    * Scale shape: one vocabulary agg (Zipf-small result, map-side
+    * combined), broadcast back over the token stream, one per-doc agg.
+    * At open-web scale the vocabulary relation is the thing to cap
+    * (top-V + OOV floor) or materialize once as an index artifact next to
+    * the IVF centroids; the per-doc pass is unchanged either way. */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // Total token count derives from the vocabulary counts (Σ cnt), not a
+    // third pass over the token stream — the vocab exchange is reused.
+    val total = vocab.select(sum(col("cnt")).cast("double").as("n_total"))
+    words.join(broadcast(vocab), "word")
+      .crossJoin(broadcast(total))
+      .select(col("doc"),
+        round(log(col("cnt") / col("n_total")) * 1e6, 0).cast("long").as("lp_micro"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_micro").as("s"))
+      .select(col("doc"), col("n_tokens"),
+        round(col("s") / 1e6 / col("n_tokens"), 4).as("avg_logprob"))
+  }
+
   /** Per-source corpus "data card": document/token volume, mean quality,
     * and language-mix entropy — the one-page summary a training-mix
     * decision starts from.

@@ -151,6 +151,33 @@ class PlanSpec extends SparkSpec {
     assert(scanNodes(p) == 1, "exactly one corpus scan")
   }
 
+  test("boilerplate strip: hot-span head broadcasts as LEFT ANTI, no window sort") {
+    // The membership test must join against the small `df > maxDf` head
+    // (broadcast anti), never the near-corpus-sized kept-span relation —
+    // same df-cut idiom as the ngram Jaccard pairs.
+    val p = plan("q_boilerplate")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "hot-span membership must be a broadcast anti join")
+    assert(!p.contains("SortMergeJoin"), "the chunk stream must not shuffle for the cut")
+    assert(!p.contains("Window"), "reassembly is a groupBy agg, not a window sort")
+  }
+
+  test("unigram logprob: vocabulary broadcasts back over the token stream") {
+    val p = plan("q_unigram_lp")
+    assert(p.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the token stream must not shuffle for the vocab join")
+    assert(!p.contains("Window"))
+  }
+
+  test("PII redaction is a pure scan-side projection — no join, agg, or shuffle before the sort") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Join"), "redaction must not join")
+    assert(!p.contains("Aggregate"), "redaction must not aggregate")
+    // exactly one exchange: the final presentation orderBy
+    assert(p.linesIterator.count(l => l.matches(""".*\bExchange\s+\(\d+\)\s*""")) == 1,
+      s"only the presentation sort may exchange:\n$p")
+  }
+
   /** Scan NODES in a FormattedMode plan: tree lines read "Scan parquet  (n)"
     * while the detail section repeats "(n) Scan parquet" — count tree form. */
   private def scanNodes(p: String): Int =

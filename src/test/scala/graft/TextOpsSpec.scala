@@ -67,4 +67,52 @@ class TextOpsSpec extends SparkSpec {
     assert(b._1 == "srcB" && b._2 == 3L && b._3 == 6L && b._4 == 1L)
     assert(b._6 == 0.0, "single-language source must have zero entropy")
   }
+
+  test("redactPii: URL-first order swallows credentials inside URLs; clean text unchanged") {
+    val docs = Seq(
+      (1L, "mail jane.doe@example.org from 10.0.0.1"),
+      (2L, "fetch https://user@host.example.com/p?x=1 now"), // @ inside URL: one <URL>, no <EMAIL>
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "text", "doc_id")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail <EMAIL> from <IP>")
+    assert(out(1)._2 == "fetch <URL> now",
+      s"URL must be redacted whole before the email pass, got ${out(1)._2}")
+    assert(out(2)._2 == "nothing sensitive here at all")
+  }
+
+  test("stripRepeatedSpans drops corpus-frequent spans, keeps rare ones in order") {
+    // Span "buy now" appears in 4 docs (df=4 > maxDf=3); every other span is
+    // unique. Doc 4 is pure boilerplate; doc 5 is empty; doc 6 has an odd
+    // token count (tail chunk of 1 token must survive).
+    val docs = Seq(
+      (1L, "buy now alpha beta"),
+      (2L, "buy now gamma delta"),
+      (3L, "buy now epsilon zeta"),
+      (4L, "buy now buy now"),
+      (5L, ""),
+      (6L, "rare span tail")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripRepeatedSpans(docs, "text", "doc_id", span = 2, maxDf = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L), "every input doc must appear")
+    assert(out(0) == ((1L, "alpha beta", 1L, 1L)))
+    assert(out(3) == ((4L, "", 0L, 2L)), "all-boilerplate doc must come back empty, not vanish")
+    assert(out(4) == ((5L, "", 0L, 0L)), "empty doc must come back empty with zero chunks")
+    assert(out(5) == ((6L, "rare span tail", 2L, 0L)), "odd-length tail chunk must survive")
+  }
+
+  test("unigramLogProb matches a hand-computed two-word corpus") {
+    // Corpus: 6 tokens total — "a"×4, "b"×2. p(a)=2/3, p(b)=1/3.
+    val docs = Seq(
+      (1L, "a a a"),   // mean lp = ln(2/3)
+      (2L, "a b b")    // mean lp = (ln(2/3) + 2 ln(1/3)) / 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == 3L && out(1)._2 == 3L)
+    assert(math.abs(out(0)._3 - math.log(2.0 / 3)) < 1e-4)
+    assert(math.abs(out(1)._3 - (math.log(2.0 / 3) + 2 * math.log(1.0 / 3)) / 3) < 1e-4)
+  }
 }
