@@ -723,6 +723,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: n-gram containment pairs (subset/quote detection) ----
+    "q_ngram_contain" -> ((s, d) => {
+      Dedup.ngramContainmentPairs(t(s, d, "documents"), "text", "doc_id",
+        shingleSize = 3, threshold = 0.2, maxDf = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity: exact cosine top-k (brute force baseline) ----
     "q_sim_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -1256,6 +1263,8 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> ngramJaccardSql,
 
+    "q_ngram_contain" -> ngramContainmentSql,
+
     "q_sim_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
@@ -1471,8 +1480,10 @@ object SparkEntry {
     * count splits into the rare part (from the self-join itself) plus the
     * hot remainder counted per candidate pair, so reported jaccard values
     * are exact over the FULL shingle sets. */
-  private def ngramJaccardSql: String =
-    s"""WITH $shinglesCte,
+  /** Shared CTE prefix of the exact n-gram pair family — mirrors
+    * `Dedup.ngramIntersections` (candidates, df-cut, exact intersection). */
+  private def ngramInterCtes: String =
+    s"""$shinglesCte,
        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
        |rare AS (SELECT doc, sh.shingle FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
        |         WHERE df <= 100),
@@ -1488,11 +1499,22 @@ object SparkEntry {
        |  WHERE a.shingle = b.shingle GROUP BY 1, 2),
        |inter AS (
        |  SELECT r.id_a, r.id_b, r.n_rare + coalesce(h.n_hot, 0) AS n_inter
-       |  FROM inter_rare r LEFT JOIN inter_hot h ON r.id_a = h.id_a AND r.id_b = h.id_b)
+       |  FROM inter_rare r LEFT JOIN inter_hot h ON r.id_a = h.id_a AND r.id_b = h.id_b)""".stripMargin
+
+  private def ngramJaccardSql: String =
+    s"""WITH $ngramInterCtes
        |SELECT id_a, id_b,
        | round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
        |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
        |WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def ngramContainmentSql: String =
+    s"""WITH $ngramInterCtes
+       |SELECT id_a, id_b,
+       | round(CAST(n_inter AS DOUBLE) / least(x.n_sh, y.n_sh),4) AS containment
+       |FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
+       |WHERE round(CAST(n_inter AS DOUBLE) / least(x.n_sh, y.n_sh),4) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
   /** IVF quantizer oracle: centroids = the 8 lowest-id vectors (the same

@@ -399,7 +399,36 @@ object Dedup {
     * so reported scores are exact. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
-                        maxDf: Int = 100): DataFrame = {
+                        maxDf: Int = 100): DataFrame =
+    ngramIntersections(docs, textCol, idCol, shingleSize, maxDf)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(round(col("jaccard"), 4) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+    * The asymmetric companion to [[ngramJaccardPairs]] — a short document
+    * quoted whole inside a long one scores containment ≈ 1 while its
+    * Jaccard (inter/union) stays near |A|/|B| and slips under any useful
+    * Jaccard threshold. This is the dedup rule for subset/quote/expanded
+    * re-post relationships. Same candidate generation, same skew guard,
+    * same exact verify as the Jaccard form — only the final scoring
+    * formula differs. */
+  def ngramContainmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, threshold: Double = 0.5,
+                            maxDf: Int = 100): DataFrame =
+    ngramIntersections(docs, textCol, idCol, shingleSize, maxDf)
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(round(col("containment"), 4) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+
+  /** Shared kernel of the exact n-gram pair family: candidate pairs via the
+    * df-cut rare-shingle self-join, exact intersection counts via the
+    * rare+hot split, and both set sizes — (id_a, id_b, n_inter, n_a, n_b).
+    * See [[ngramJaccardPairs]] for the plan rationale. */
+  private def ngramIntersections(docs: DataFrame, textCol: String, idCol: String,
+                                 shingleSize: Int, maxDf: Int): DataFrame = {
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The hot-shingle list is the vocabulary TAIL above maxDf — tiny by
@@ -431,9 +460,7 @@ object Dedup {
       .withColumn("n_inter", col("n_rare") + coalesce(col("n_hot"), lit(0L)))
       .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(round(col("jaccard"), 4) >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint. Bit k of the result is

@@ -103,6 +103,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5) == ((6L, "rare span tail", 2L, 0L)), "odd-length tail chunk must survive")
   }
 
+  test("ngramContainmentPairs: a quoted subset scores ~1 where Jaccard stays low") {
+    // Doc 2 is doc 1's first 6 tokens verbatim: containment = 4/4 = 1.0
+    // (every trigram of doc 2 appears in doc 1), while Jaccard = 4/18 ≈ 0.22
+    // — under a useful Jaccard threshold. Doc 3 is unrelated.
+    val long = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo"
+    val docs = Seq(
+      (1L, long),
+      (2L, "alpha bravo charlie delta echo foxtrot"),
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra")
+    ).toDF("doc_id", "text")
+    val contain = graft.operators.Dedup
+      .ngramContainmentPairs(docs, "text", "doc_id", shingleSize = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(contain == Seq((1L, 2L, 1.0)),
+      s"subset doc must hit containment 1.0 and nothing else may pair: $contain")
+    val jac = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", shingleSize = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "the same pair must be invisible to Jaccard at 0.5")
+  }
+
   test("unigramLogProb matches a hand-computed two-word corpus") {
     // Corpus: 6 tokens total — "a"×4, "b"×2. p(a)=2/3, p(b)=1/3.
     val docs = Seq(
