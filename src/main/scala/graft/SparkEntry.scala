@@ -290,6 +290,12 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // ---- time-series gap fill + forward fill (resample/pad) ----
+    "q_gap_fill" -> ((s, d) => {
+      RelationalOps.gapFill(t(s, d, "events"), "ts", Seq("event_type"), "value")
+        .orderBy("event_type", "bucket")
+    }),
+
     // ---- W6 session windows (gap-close) ----
     "q_session_window" -> ((s, d) => {
       RelationalOps.sessionAgg(t(s, d, "events"), "ts", "4 hours", "user_id",
@@ -392,6 +398,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total_price"))
         // label subtotal rows instead of NULL: the engines disagree on NULL
         // sort position, and labels read better anyway
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_price"))
+        .orderBy("status", "priority")
+    }),
+
+    // ---- cube (all grouping-set combinations, incl. the rollup-missing
+    // (ALL, priority) slice) ----
+    "q_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total_price"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -540,6 +559,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: edit-distance verify on MinHash band candidates ----
+    "q_edit_pairs" -> ((s, d) => {
+      Dedup.editDistancePairs(t(s, d, "documents"), "text", "doc_id",
+        maxDist = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: SimHash near-dup pairs (chunk banding + Hamming verify) ----
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxDist = 3)
@@ -634,6 +660,16 @@ object SparkEntry {
       val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
       val train = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
       Dedup.decontaminate(train, bench, "text", "doc_id")
+        .orderBy("doc")
+    }),
+
+    // ---- curation: Bloom-prefiltered decontamination (same result, the
+    // bench-side-too-big-to-broadcast scale shape) ----
+    "q_decontam_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+      Dedup.decontaminateBloom(train, bench, "text", "doc_id")
         .orderBy("doc")
     }),
 
@@ -777,6 +813,13 @@ object SparkEntry {
       Similarity.ivfNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
         k = 8, threshold = 0.35)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity: semantic dedup (SemDeDup — in-cell cosine prune) ----
+    "q_semdedup" -> ((s, d) => {
+      Similarity.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = 8, threshold = 0.35)
+        .orderBy("vec_id")
     }),
 
     // ---- similarity: IVF nprobe ANN search over the MATERIALIZED index ----
@@ -1028,6 +1071,35 @@ object SparkEntry {
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |         FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |         FROM span),
+        |j AS (SELECT g.event_type, g.bucket, h.n_events, h.cents
+        |      FROM grid g LEFT JOIN hourly h
+        |        ON g.event_type = h.event_type AND g.bucket = h.bucket)
+        |SELECT event_type, bucket,
+        |  coalesce(n_events, 0) AS n_events,
+        |  round(last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS filled_value,
+        |  n_events IS NULL AS is_gap
+        |FROM j ORDER BY event_type, bucket""".stripMargin,
+
     "q_hopping_window" ->
       """SELECT window_start, event_type, count(*) AS n FROM (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type FROM events
@@ -1195,6 +1267,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q_dedup_minhash" -> minhashSql,
+    "q_edit_pairs" -> editPairsSql,
 
     "q_dedup_clusters" -> dedupClustersSql,
 
@@ -1212,6 +1285,9 @@ object SparkEntry {
          |ORDER BY e.event_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
+    // identical SQL by design: the Bloom stage is a pre-filter whose false
+    // positives the exact join removes — same rows, same hash
+    "q_decontam_bloom" -> decontaminateSql,
 
     "q_seq_pack" ->
       s"""WITH tc AS (
@@ -1313,6 +1389,7 @@ object SparkEntry {
     "q_ivf_refit" -> ivfRefitSql,
 
     "q_ivf_pairs" -> ivfPairsSql,
+    "q_semdedup" -> semDedupSql,
 
     "q_ivf_topk" -> ivfTopKSql,
 
@@ -1567,6 +1644,21 @@ object SparkEntry {
        |WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup oracle: drop every vector with a smaller-id in-cell
+    * neighbor at cosine ≥ 0.35 (same cells + pair kernel as
+    * `ivfPairsSql`); what's left is the kept set. */
+  private def semDedupSql: String =
+    s"""WITH $ivfAssignCtes,
+       |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35)
+       |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY v.vec_id""".stripMargin
+
   /** nprobe ANN oracle: probe cells = the 2 centroids most similar to the
     * query vector (rounded cosine, ties to smaller id — same ordering as
     * the engine's TakeOrdered); candidates = corpus rows assigned to those
@@ -1614,9 +1706,11 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** CTE chain producing verified minhash near-dup pairs (shared by the
-    * pair query and the clustering query). */
-  private def minhashPairCtes: String = {
+  /** CTE chain producing the raw MinHash band CANDIDATE pairs (`cand`) —
+    * the shared front half of every banded-candidate verify: Jaccard
+    * (`minhashPairCtes`) and Levenshtein (`editPairsSql`) verifies both
+    * read from it. */
+  private def minhashCandCtes: String = {
     val numHashes = 16
     val rowsPerBand = 4
     val minCols = (0 until numHashes)
@@ -1635,7 +1729,13 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc)""".stripMargin
+  }
+
+  /** CTE chain producing verified minhash near-dup pairs (shared by the
+    * pair query and the clustering query). */
+  private def minhashPairCtes: String =
+    s"""$minhashCandCtes,
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
        |  FROM cand c JOIN sh a ON a.doc = c.id_a JOIN sh b ON b.doc = c.id_b
@@ -1645,7 +1745,19 @@ object SparkEntry {
        |    round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) AS jaccard
        |  FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
        |  WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4) >= 0.5)""".stripMargin
-  }
+
+  /** Levenshtein-verified banded candidates — same `cand` CTE as the
+    * Jaccard verify; the thresholded filter mirrors the engine's
+    * `levenshtein(a, b, maxDist) >= 0` early-exit form. */
+  private def editPairsSql: String =
+    s"""WITH $minhashCandCtes
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.id_a
+       |JOIN documents db ON db.doc_id = c.id_b
+       |WHERE levenshtein(da.text, db.text) <= 10
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def minhashSql: String =
     s"""WITH $minhashPairCtes

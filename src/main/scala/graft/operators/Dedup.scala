@@ -195,6 +195,82 @@ object Dedup {
     verifyJaccardOnShingles(sh, candidates, threshold)
   }
 
+  /** Edit-distance-verified near-dup pairs: MinHash band candidates,
+    * verified with character-level Levenshtein ≤ `maxDist`. The character
+    * verify catches the class shingle-Jaccard under-weights — a handful of
+    * scattered single-character edits barely moves a 3-gram set, but a
+    * template-instantiated pair ("v1.2" → "v1.3" everywhere) is exactly
+    * edit-distance-small. Output: (id_a, id_b, edit_dist), id_a < id_b.
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) PER PAIR — the one cost rule
+    * of this operator is that it must never see the corpus cross product,
+    * so it runs only on the banded candidate set (corpus-linear by the LSH
+    * argument). The verify uses the thresholded kernel
+    * (`levenshtein(a, b, maxDist)`): the DP band-prunes and early-exits
+    * at maxDist+1, so a candidate pair of two long UNRELATED docs costs
+    * O(maxDist·len), not O(len²). Texts join the candidate set by id —
+    * only candidate rows carry text through the shuffle. */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,
+                        shingleSize: Int = 3, useMd5: Boolean = true): DataFrame = {
+    val bands = minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
+      shingleSize, useMd5)
+    val a = bands.select(col("band"), col("band_key"), col("doc").as("id_a"))
+    val b = bands.select(col("band"), col("band_key"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val texts = docs.select(col(idCol), col(textCol))
+    candidates
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      // thresholded form returns -1 above maxDist — the filter is the verify
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
+  /** Bloom-filter decontamination — `decontaminate` for when the benchmark
+    * side is too big to broadcast raw (a full eval-suite union: hundreds of
+    * millions of shingles, GBs of strings). The bench shingle set collapses
+    * to a Bloom filter (~1.2 bytes/item at 1% fpp — 100M shingles ≈ 120 MB,
+    * broadcastable where the raw strings are not); the corpus probes it
+    * SCAN-SIDE, so ~99% of non-overlapping shingle rows die before any
+    * shuffle; the survivors then shuffle-join the real bench set for the
+    * exact verify. False positives cost only a wasted verify row — the
+    * output is bit-identical to `decontaminate` (pinned in spec), so the
+    * Bloom stage is pure shuffle-volume reduction.
+    *
+    * The probe is a closure over `util.sketch.BloomFilter` (a deliberate
+    * non-codegen island: Spark's native BloomFilterMightContain is not
+    * public API) — acceptable because it replaces a shuffle of the whole
+    * corpus-shingle relation, not a codegen'd projection. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, shingleSize: Int = 3,
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
+      .select(col("shingle")).distinct()
+    val bf = benchSh.stat.bloomFilter("shingle", expectedItems, fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val trainSh = train.select(
+      col(idCol).as("doc"),
+      size(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
+        .cast("long").as("n_shingles"),
+      explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
+        .as("shingle"))
+      .filter(mightContain(col("shingle")))
+    // exact verify: a plain (shuffle) join by design — the scenario is
+    // "bench too big to broadcast"; survivors are corpus-sublinear
+    trainSh.join(benchSh, "shingle")
+      .groupBy("doc", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("doc"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("contam_frac"))
+  }
+
   /** Exact n-gram Jaccard for a given pair set: |A ∩ B| / |A ∪ B| over
     * distinct shingles. Expressed as explode + two semi-shuffles — never
     * materializes shingle sets in memory. */

@@ -123,6 +123,54 @@ object RelationalOps {
     sum(col(valueCol)).over(w)
   }
 
+  /** Time-series gap fill with forward fill — the resample/pad step every
+    * event-analytics consumer needs before charting or feature-izing a
+    * metric: bucket events to `unit` granularity per key, generate the
+    * FULL per-key bucket grid between that key's first and last bucket,
+    * and carry the last observed value forward across empty buckets.
+    * Returns (keys..., bucket, n_events, filled_value, is_gap).
+    *
+    * Numeric contract: per-bucket sums accumulate in integer cents
+    * (order-invariant, engine-exact); the /100 happens once, AFTER the
+    * forward fill, so a filled bucket reproduces its donor bucket's value
+    * bit-for-bit.
+    *
+    * Scale shape: one map-side-combinable aggregate brings the data down
+    * to (key, bucket) grain — the grid, the left join, and the window all
+    * run at BUCKET cardinality (keys × time-range/unit), orders of
+    * magnitude below event cardinality, so the window sort is over a tiny
+    * relation and the event corpus itself never hits a window. The grid
+    * explode is per key from a 1-row-per-key span aggregate. */
+  def gapFill(df: DataFrame, tsCol: String, keyCols: Seq[String],
+              valueCol: String, unit: String = "hour"): DataFrame = {
+    val keys = keyCols.map(col)
+    val centsCol = round(col(valueCol) * 100, 0).cast("long")
+    // The bucket-grain aggregate feeds TWO branches (the span→grid side and
+    // the join side); without a persist each branch re-scans the event
+    // corpus. Lazy persist — materializes on first execution, reclaimed by
+    // the ContextCleaner once the plan is dereferenced (Dedup's documented
+    // cache-lifecycle convention).
+    val bucketed = df
+      .groupBy(keys :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
+      .agg(count(lit(1)).as("n_events"), sum(centsCol).as("__cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val span = bucketed.groupBy(keys: _*)
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val grid = span.select(
+      keys :+ explode(sequence(col("__lo"), col("__hi"),
+        expr(s"interval 1 $unit"))).as("bucket"): _*)
+    val joined = grid.join(bucketed, keyCols :+ "bucket", "left")
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      keys ++ Seq(
+        col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("__cents"), ignoreNulls = true).over(w) / 100.0, 2)
+          .as("filled_value"),
+        col("n_events").isNull.as("is_gap")): _*)
+  }
+
   /** Top-k by an aggregate with deterministic tie-break. Physically
     * TakeOrderedAndProject: per-partition heaps of size k, then a k-row
     * merge on the driver — no global sort. */

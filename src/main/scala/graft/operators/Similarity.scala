@@ -239,6 +239,30 @@ object Similarity {
     blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol, "centroid_id", threshold)
   }
 
+  /** Semantic deduplication (the SemDeDup shape: coarse-cluster the
+    * embedding space, then drop within-cluster cosine near-duplicates,
+    * keeping one representative per duplicate neighborhood). Documents with
+    * no lexical overlap but the same meaning — translations, paraphrases,
+    * boilerplate re-writes — are invisible to MinHash/SimHash and exactly
+    * what this catches. Returns the KEPT ids.
+    *
+    * Keep rule: a vector is dropped iff some SMALLER-id vector in its
+    * quantizer cell has cosine ≥ `threshold` with it — deterministic,
+    * order-free, and one representative (the lowest id) survives per
+    * duplicate neighborhood. Scale shape is the IVF one: quantize via
+    * broadcast centroids (no corpus self-shuffle), pair-generate only
+    * within cells (hot cells sub-split by the guard), and the final drop
+    * is a left-anti join against the pair-graph-sized dup-id set — the
+    * corpus itself never enters a quadratic step. */
+  def semDedup(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+               threshold: Double, maxCell: Int = 100000): DataFrame = {
+    val assigned = ivfAssign(emb, vecCol, idCol, k).select(col(idCol), col("centroid_id"))
+    val dupIds = blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol,
+      "centroid_id", threshold, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Materialize the IVF index: quantize the corpus ONCE and store it as a
     * parquet table hive-partitioned on `centroid_id`, plus a k-row centroid
     * table at `<indexDir>.centroids`. This is what makes IVF an INDEX —

@@ -163,6 +163,45 @@ class CurationOpsSpec extends SparkSpec {
       "corpus must not shuffle for the membership test")
   }
 
+  test("decontaminateBloom: bit-identical to exact decontaminate on the sf0.001 corpus") {
+    // The Bloom stage is pure pre-filtering: false positives die in the
+    // exact verify join, so the two forms must agree row-for-row.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 0)
+    val exact = Dedup.decontaminate(train, bench, "text", "doc_id")
+      .orderBy("doc").collect().toList
+    val bloom = Dedup.decontaminateBloom(train, bench, "text", "doc_id")
+      .orderBy("doc").collect().toList
+    assert(exact.nonEmpty && bloom == exact,
+      "Bloom pre-filter must not change the result — only the shuffle volume")
+  }
+
+  test("editDistancePairs: banded candidates verify at character level; threshold cuts") {
+    // docs 1/2: identical but one substituted word ("dog" → "dpg" — edit
+    // distance 1); doc 3: an exact copy of doc 1 (distance 0); doc 4:
+    // unrelated (never a band candidate). High shingle overlap guarantees
+    // the near-identical family shares LSH bands.
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the sun sets slowly behind the quiet green hills tonight"
+    val docs = docsOf(
+      (1L, base, "t"),
+      (2L, base.replace("dog", "dpg"), "t"),
+      (3L, base, "t"),
+      (4L, "completely different words live in this other document entirely " +
+        "nothing shared at all anywhere", "t"))
+    val out = Dedup.editDistancePairs(docs, "text", "doc_id", maxDist = 5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)),
+      s"expected the near-identical family only, got ${out.mkString(",")}")
+    // maxDist = 0: only the exact copy survives the thresholded verify
+    val strict = Dedup.editDistancePairs(docs, "text", "doc_id", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(strict === Array((1L, 3L)))
+  }
+
   test("materialized cluster table: stored labels drive the same survivors as inline") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("clusters").toString + "/labels"

@@ -110,6 +110,27 @@ class RelationalOpsSpec extends SparkSpec {
       s"expected the ts=20 null value, got ${out(0)}")
   }
 
+  test("gapFill: missing buckets appear with n_events=0 and the forward-filled value") {
+    // key "a": events in hours 0, 1, 3 — hour 2 is the gap; key "b": one
+    // hour only (no grid beyond it, no cross-key leakage).
+    val events = Seq(
+      ("a", ts(0), 1.25), ("a", ts(100), 1.25),   // hour 0: two events, sum 2.50
+      ("a", ts(3600), 7.75),                       // hour 1
+      ("a", ts(3 * 3600), 0.50),                   // hour 3
+      ("b", ts(3600), 9.99)
+    ).toDF("k", "ts", "value")
+    val out = RelationalOps.gapFill(events, "ts", Seq("k"), "value")
+      .orderBy("k", "bucket")
+      .select("k", "n_events", "filled_value", "is_gap")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 2.50, false),   // hour 0
+      ("a", 1L, 7.75, false),   // hour 1
+      ("a", 0L, 7.75, true),    // hour 2: GAP — carries hour 1's value
+      ("a", 1L, 0.50, false),   // hour 3
+      ("b", 1L, 9.99, false)))
+  }
+
   test("bucketed tables join with ZERO exchanges (write-once shuffle)") {
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -172,6 +172,24 @@ class SimilaritySpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("semDedup: in-cell cosine dups drop, lowest id survives, distinct content kept") {
+    // One-hot directions: cos = 1.0 for the same axis, 0.0 across axes.
+    // Seeds (k=2) are e0 and e1; every vector tie-breaks to its true cell.
+    // id 3 duplicates id 0's direction (cell 0) and id 5 duplicates id 1's
+    // (scaled ×2 — SAME direction, different magnitude: cosine dedup must
+    // treat it as a dup). ids 2 and 4 are unique axes → kept.
+    def oneHot(axis: Int, scale: Float = 1f) =
+      Array.tabulate(8)(j => if (j == axis) scale else 0f)
+    val emb = Seq(
+      (0L, oneHot(0)), (1L, oneHot(1)), (2L, oneHot(2)),
+      (3L, oneHot(0)), (4L, oneHot(3)), (5L, oneHot(1, 2f))
+    ).toDF("id", "v")
+    val kept = Similarity.semDedup(emb, "v", "id", k = 2, threshold = 0.99)
+      .as[Long].collect().sorted
+    assert(kept === Array(0L, 1L, 2L, 4L),
+      "3 (dup of 0) and 5 (same direction as 1) must drop; one rep per neighborhood survives")
+  }
+
   test("kmeans: an emptied cell keeps its centroid (k stays k)") {
     // Seeds are ids 0 and 1 with IDENTICAL vectors: every vector ties
     // between the two centroids and the tie-break always picks the smaller
