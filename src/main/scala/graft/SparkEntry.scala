@@ -379,6 +379,35 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // ---- semi join (EXISTS — rows with at least one match, no fan-out) ----
+    "q_semi_join" -> ((s, d) => {
+      val earlyOrders = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      t(s, d, "customer")
+        .join(earlyOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- full outer join (both-sides-preserved merge of two aggregates) ----
+    "q_full_outer" -> ((s, d) => {
+      // per-nation customer counts vs supplier counts: full outer keeps
+      // nations with only one side present (labeled zero on the other)
+      val custs = t(s, d, "customer")
+        .filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supps = t(s, d, "supplier")
+        .filter(col("s_acctbal") > 8500)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      custs.join(supps, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
     // ---- moving average over a row frame ----
     "q_moving_avg" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1053,6 +1082,23 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 8500 GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "q_moving_avg" ->
       """SELECT event_id, user_id,

@@ -178,6 +178,40 @@ class PlanSpec extends SparkSpec {
       s"only the presentation sort may exchange:\n$p")
   }
 
+  test("gap fill: one event scan (bucket agg reused by both branches), window after the agg") {
+    val p = plan("q_gap_fill")
+    // the cached relation's inner plan is PRINTED under each
+    // InMemoryTableScan, so count DISTINCT scan node ids, not occurrences
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1,
+      s"span/grid and join branches must share the persisted bucket aggregate:\n$p")
+    assert(p.contains("InMemoryRelation"),
+      "the bucket-grain aggregate must be the shared cached relation")
+    // the window must consume the post-aggregate bucket stream: exactly one
+    // Window node, and the grid side joins it without shuffling the corpus
+    assert(p.linesIterator.count(l => l.matches(""".*\bWindow\s+\(\d+\)\s*""")) == 1)
+  }
+
+  test("edit-distance pairs: banded candidates only — no cartesian, no corpus cross join") {
+    val p = plan("q_edit_pairs")
+    assert(!p.contains("CartesianProduct"), "the verify must never see a cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on (band, band_key)")
+  }
+
+  test("Bloom decontamination: the pre-filter runs scan-side, before the exact-verify join") {
+    val p = plan("q_decontam_bloom")
+    // the UDF probe must sit UNDER the join (filter before shuffle): in the
+    // formatted tree the Filter containing the bloom probe appears on the
+    // train branch, not above the join
+    val tree = p.linesIterator.takeWhile(_.nonEmpty).toSeq
+    val joinLine = tree.indexWhere(_.contains("Join"))
+    assert(joinLine >= 0, s"expected a join in:\n$p")
+    assert(p.contains("pythonUDF") || p.contains("UDF"),
+      "the bloom probe must appear in the plan as the scan-side filter")
+  }
+
   /** Scan NODES in a FormattedMode plan: tree lines read "Scan parquet  (n)"
     * while the detail section repeats "(n) Scan parquet" — count tree form. */
   private def scanNodes(p: String): Int =
