@@ -692,6 +692,20 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // ---- text: cross-doc repeated spans (sliding-window substring dedup) ----
+    "q_repeated_spans" -> ((s, d) => {
+      TextAnalysis.repeatedSpans(t(s, d, "documents"), "text", "doc_id",
+        spanTokens = 8, minDocs = 2)
+        .orderBy("span")
+    }),
+
+    // ---- curation: per-group winsorization (percentile clamp) ----
+    "q_winsorize" -> ((s, d) => {
+      Curation.winsorize(t(s, d, "events"), "value", Seq("event_type"))
+        .select("event_id", "event_type", "value", "clamped", "was_clamped")
+        .orderBy("event_id")
+    }),
+
     // ---- curation: Bloom-prefiltered decontamination (same result, the
     // bench-side-too-big-to-broadcast scale shape) ----
     "q_decontam_bloom" -> ((s, d) => {
@@ -1203,6 +1217,28 @@ object SparkEntry {
     "q_quality" -> qualitySql,
 
     "q_quality_cut" -> qualityCutSql,
+
+    "q_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(0, len(tk) - 8)) AS pos, tk
+         |      FROM t WHERE len(tk) >= 8),
+         |s AS (SELECT doc_id, array_to_string(tk[pos+1 : pos+8], ' ') AS span
+         |      FROM w)
+         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |  min(doc_id) AS first_doc
+         |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value,
+        |  least(greatest(value, lo), hi) AS clamped,
+        |  least(greatest(value, lo), hi) <> value AS was_clamped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |ORDER BY event_id""".stripMargin,
 
     "q_corpus_stats" -> corpusStatsSql,
 

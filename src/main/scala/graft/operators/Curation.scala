@@ -210,4 +210,32 @@ object Curation {
       .filter(col("quality") >= col("q_thresh"))
       .select(col(idCol), col("grp"), col("quality"), col("q_thresh"))
   }
+
+  /** Per-group winsorization: clamp a numeric column to its group's
+    * [loPct, hiPct] percentile band — the outlier-robust alternative to
+    * dropping rows (feature pipelines keep the row, cap the value). The
+    * complement of [[qualityPercentileCut]] (filter) and the z-score
+    * normalize (shift): same percentile kernel, clamp as the action.
+    *
+    * Percentiles are rounded to 4 decimals BEFORE the clamp comparison on
+    * both engines, so the keep-or-clamp decision is bit-identical; an
+    * unclamped value passes through as its original parquet double.
+    *
+    * Scale shape: one (group, value) aggregate — exact `percentile` here
+    * for oracle parity, `approx_percentile` at 100 TB (same plan, bounded
+    * state) — broadcast back over the scan; the corpus never shuffles. */
+  def winsorize(df: DataFrame, valCol: String, groupCols: Seq[String],
+                loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1: $loPct $hiPct")
+    val keys = groupCols.map(col)
+    val bands = df.groupBy(keys: _*)
+      .agg(round(expr(s"percentile($valCol, $loPct)"), 4).as("__lo"),
+        round(expr(s"percentile($valCol, $hiPct)"), 4).as("__hi"))
+    df.join(broadcast(bands), groupCols)
+      .withColumn("clamped",
+        least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .withColumn("was_clamped", col("clamped") =!= col(valCol))
+      .drop("__lo", "__hi")
+  }
 }

@@ -173,6 +173,43 @@ object TextAnalysis {
           .as("n_dropped"))
   }
 
+  /** Cross-document repeated SPAN detection at sliding-window granularity —
+    * the detection kernel of substring-level dedup (the "same 8+-token span
+    * verbatim in many documents" pass): every `spanTokens`-token window of
+    * every document, grouped corpus-wide, keeping spans seen in at least
+    * `minDocs` DISTINCT documents. Complements [[stripRepeatedSpans]]:
+    * that pass cuts on ALIGNED fixed chunks (cheap, removal-oriented);
+    * sliding windows catch duplication at ANY offset — a quote pasted
+    * mid-sentence never lands on a chunk boundary but always produces
+    * matching windows. Returns (span, n_docs, n_occ, first_doc).
+    *
+    * Scale shape: the window relation is ~n_tokens rows per document (vs
+    * n_tokens/span for the chunk pass — this operator is the more
+    * expensive of the two BY DESIGN; run it on the post-curation corpus or
+    * a sample). The group-by is one shuffle keyed on the span with partial
+    * aggregation; n_docs is a two-phase distinct on (span, doc) pairs. At
+    * 100 TB, group on a 64-bit span hash instead of the string (the
+    * md5/xxhash64 lane trade documented at [[graft.operators.Dedup]]) and
+    * add the df-cut head/tail split if a span goes Zipf-hot. */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0 && minDocs > 0, s"need positive span/minDocs")
+    docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= spanTokens)
+      .select(col("doc"),
+        explode(sequence(lit(0), size(col("__toks")) - spanTokens)).as("pos"),
+        col("__toks"))
+      .select(col("doc"),
+        array_join(slice(col("__toks"), col("pos") + 1, lit(spanTokens)), " ")
+          .as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Unigram log-probability per document — the cheap perplexity proxy used
     * as a fluency/quality filter (a high-magnitude avg_logprob flags
     * gibberish or vocabulary-skewed text). Model = the corpus itself:

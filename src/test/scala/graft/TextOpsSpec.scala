@@ -125,6 +125,42 @@ class TextOpsSpec extends SparkSpec {
     assert(jac.isEmpty, "the same pair must be invisible to Jaccard at 0.5")
   }
 
+  test("repeatedSpans: unaligned cross-doc span found; within-doc repeat alone excluded") {
+    // docs 1 and 2 share the same 4-token span at DIFFERENT offsets (1 vs
+    // 3 tokens in) — the aligned-chunk pass would miss it, sliding windows
+    // must not. doc 3 repeats a span twice internally but no other doc has
+    // it → excluded at minDocs=2. doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "x alpha beta gamma delta y z"),
+      (2L, "p q r alpha beta gamma delta"),
+      (3L, "one two three four one two three four"),
+      (4L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedSpans(docs, "text", "doc_id",
+      spanTokens = 4, minDocs = 2)
+      .orderBy("span")
+      .select("span", "n_docs", "n_occ", "first_doc")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("alpha beta gamma delta", 2L, 2L, 1L)),
+      s"exactly the shared span, found at unaligned offsets: $out")
+  }
+
+  test("winsorize: values clamp to the group's own percentile band") {
+    // group "a": 1..20 → type-7 p05 = 1.95, p95 = 19.05 (both engines
+    // interpolate identically; q_percentiles pins the parity corpus-wide).
+    // group "b": all equal → band collapses, nothing clamps.
+    val rows = (1 to 20).map(i => ("a", i.toDouble)) ++ Seq.fill(5)(("b", 7.0))
+    val df = rows.toDF("k", "v")
+    val out = graft.operators.Curation.winsorize(df, "v", Seq("k"))
+      .select("k", "v", "clamped", "was_clamped")
+      .as[(String, Double, Double, Boolean)].collect().toSeq
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    assert(a.head == ("a", 1.0, 1.95, true) && a.last == ("a", 20.0, 19.05, true))
+    assert(a.count(_._4) == 2, "only the two extreme values clamp at p05/p95 of 1..20")
+    assert(out.filter(_._1 == "b").forall(r => r._3 == 7.0 && !r._4),
+      "a degenerate band must pass every value through unclamped")
+  }
+
   test("unigramLogProb matches a hand-computed two-word corpus") {
     // Corpus: 6 tokens total — "a"×4, "b"×2. p(a)=2/3, p(b)=1/3.
     val docs = Seq(
