@@ -41,4 +41,76 @@ object CurationStream {
     StatefulOps.dedupStream(kept, tsCol, dedupWatermark, Seq("fp"))
       .select(col(idCol), col(tsCol), col("quality"), col("lang_pred"), col("fp"))
   }
+
+  /** One micro-batch of incremental NEAR-dup dedup against a stored band
+    * index — the streaming lift of the batch shape `IncrementalDedupSpec`
+    * pins ([[graft.operators.Dedup.minhashBands]] as a persisted table):
+    * the batch's band keys (1) equi-join the index to find collisions with
+    * any PREVIOUSLY ingested document, (2) self-join for within-batch
+    * collisions the index can't know yet (earlier id wins), and (3) append
+    * to the index so later batches see this one. Returns one row per batch
+    * doc: (doc, is_dup, matched_doc — the smallest colliding id, null when
+    * clean).
+    *
+    * Scale shape: the historical corpus is touched ONLY through the band
+    * index (4 small rows per doc, bucketable on band_key); no text rescan,
+    * no growing executor state — the index lives in storage, so unlike a
+    * `dropDuplicates` state store it survives restarts and is shared by
+    * the batch pipeline. Band collisions are CANDIDATES (the LSH
+    * guarantee); a verify stage joining stored shingles filters false
+    * positives exactly as in the batch operator — at the reference's
+    * dedup-gate semantics the band flag is the drop signal.
+    *
+    * Idempotency note: a foreachBatch RETRY can re-append the same batch's
+    * bands. The self-collision filter (`doc =!= old_doc`) keeps the flags
+    * correct; duplicate index rows only cost lookup fan-out and compact
+    * away with [[graft.operators.Outputs]] — on a production cluster write
+    * the index through a transactional table format instead. */
+  def nearDupStep(batch: DataFrame, textCol: String, idCol: String,
+                  indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bands = graft.operators.Dedup.minhashBands(batch, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val stored =
+      if (fs.exists(idxPath)) spark.read.parquet(indexDir) else bands.limit(0)
+    val oldHits = bands
+      .join(stored.select(col("band"), col("band_key"), col("doc").as("old_doc")),
+        Seq("band", "band_key"))
+      .filter(col("doc") =!= col("old_doc"))
+      .groupBy("doc").agg(min("old_doc").as("m_old"))
+    val withinHits = bands
+      .join(bands.select(col("band"), col("band_key"), col("doc").as("other_doc")),
+        Seq("band", "band_key"))
+      .filter(col("other_doc") < col("doc"))
+      .groupBy("doc").agg(min("other_doc").as("m_new"))
+    val flags = batch.select(col(idCol).as("doc"))
+      .join(oldHits, Seq("doc"), "left")
+      .join(withinHits, Seq("doc"), "left")
+      .select(col("doc"),
+        (col("m_old").isNotNull || col("m_new").isNotNull).as("is_dup"),
+        least(col("m_old"), col("m_new")).as("matched_doc"))
+    // append AFTER the lookup plans are built — but force the flags first so
+    // this batch can't see its own appended bands through the stored read
+    val out = flags.localCheckpoint(eager = true)
+    bands.write.mode("append").parquet(indexDir)
+    bands.unpersist()
+    out
+  }
+
+  /** The ingest wrapper: run [[nearDupStep]] per micro-batch via
+    * foreachBatch, appending the per-doc flags to `flagsDir`. The band
+    * index at `indexDir` is both this stream's state and a queryable
+    * artifact the batch pipeline shares. */
+  def nearDupIngest(docs: DataFrame, textCol: String, idCol: String,
+                    indexDir: String, flagsDir: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        nearDupStep(b, textCol, idCol, indexDir)
+          .write.mode("append").parquet(flagsDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -45,6 +45,40 @@ class CurationStreamSpec extends SparkSpec {
     assert(cols == Seq("doc_id", "ev_ts", "quality", "lang_pred", "fp"))
   }
 
+  test("incremental near-dup: index collisions across batches, within-batch earlier id wins") {
+    val tmp = java.nio.file.Files.createTempDirectory("neardup").toString
+    val in = MemoryStream[Doc]
+    val q = CurationStream.nearDupIngest(in.toDF(), "text", "doc_id",
+      s"$tmp/index", s"$tmp/flags", s"$tmp/ckpt")
+
+    // batch 1: doc 1 is the original; doc 2 is its near-dup IN THE SAME
+    // batch (the index can't know it yet — the self-join must)
+    in.addData(
+      Doc(1L, prose + "original tail", ts(1000)),
+      Doc(2L, prose + "original tail edited", ts(1001)))
+    q.processAllAvailable()
+    // batch 2: doc 3 near-dups doc 1 ACROSS batches (via the stored
+    // index); doc 4 is unrelated
+    in.addData(
+      Doc(3L, prose + "original tail third copy", ts(1010)),
+      Doc(4L, "entirely different content with nothing shared at all xyzzy " * 10, ts(1011)))
+    q.processAllAvailable()
+    q.stop()
+
+    val flags = spark.read.parquet(s"$tmp/flags")
+      .select("doc", "is_dup", "matched_doc")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map { case (k, v, m) => k -> (v, m) }.toMap
+    assert(flags(1L) == (false, None), s"the original must be clean: $flags")
+    assert(flags(2L) == (true, Some(1L)), s"within-batch dup must match the earlier id: $flags")
+    assert(flags(3L)._1 && flags(3L)._2.contains(1L),
+      s"cross-batch dup must collide through the stored index: $flags")
+    assert(flags(4L) == (false, None), s"unrelated doc must stay clean: $flags")
+    // the index now carries bands for all four docs — the batch pipeline's
+    // shared artifact, not executor state
+    assert(spark.read.parquet(s"$tmp/index").select("doc").distinct().count() == 4)
+  }
+
   test("sampling hash drops the same ids on a stream as in batch") {
     val in = MemoryStream[Doc]
     // keepPct = 30: exactly the ids the batch q_sampling keep-rule selects
