@@ -692,6 +692,12 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // ---- curation: BPE pair counts (one tokenizer-training iteration) ----
+    "q_bpe_pairs" -> ((s, d) => {
+      Curation.bpePairCounts(t(s, d, "documents"), "text", minCount = 50L)
+        .orderBy("left_sym", "right_sym")
+    }),
+
     // ---- text: cross-doc repeated spans (sliding-window substring dedup) ----
     "q_repeated_spans" -> ((s, d) => {
       TextAnalysis.repeatedSpans(t(s, d, "documents"), "text", "doc_id",
@@ -1217,6 +1223,18 @@ object SparkEntry {
     "q_quality" -> qualitySql,
 
     "q_quality_cut" -> qualityCutSql,
+
+    "q_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($sqlTokens) AS word FROM documents),
+         |wf AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         |p AS (
+         |  SELECT substr(word, ii, 1) AS left_sym,
+         |    substr(word, ii + 1, 1) AS right_sym, n
+         |  FROM (SELECT word, n, unnest(generate_series(1, len(word) - 1)) AS ii
+         |        FROM wf WHERE len(word) >= 2))
+         |SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+         |FROM p GROUP BY 1, 2 HAVING sum(n) >= 50
+         |ORDER BY left_sym, right_sym""".stripMargin,
 
     "q_repeated_spans" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),

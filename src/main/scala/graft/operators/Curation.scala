@@ -211,6 +211,44 @@ object Curation {
       .select(col(idCol), col("grp"), col("quality"), col("q_thresh"))
   }
 
+  /** Adjacent-symbol pair counts over the corpus word-frequency table —
+    * the counting kernel of one BPE (byte-pair-encoding) merge iteration:
+    * tokenizer training IS this aggregate, repeated with the winning pair
+    * merged into the symbol table each round. Returns
+    * (left_sym, right_sym, pair_count) with pair_count = Σ word_freq over
+    * every adjacent occurrence, cut at `minCount`.
+    *
+    * Scale shape — the reason this is cheap at 100 TB: the corpus-sized
+    * work is ONE word-count aggregate (map-side combined, Zipf-small
+    * result). The pair explode then runs over the VOCABULARY (distinct
+    * words × word length), orders of magnitude below corpus token count;
+    * frequencies ride along as weights. Iterating merges re-runs only the
+    * vocabulary-sized half. */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    minCount: Long = 1L): DataFrame = {
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("n"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("left_sym"),
+        col("word").substr(col("i") + 1, lit(1)).as("right_sym"),
+        col("n"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum(col("n")).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+  }
+
+  /** The merge decision of a BPE round: the highest-count pair, ties to
+    * the lexicographically smallest (deterministic across partitionings) —
+    * one map-side-combinable argmax over the pair table. */
+  def bpeTopPair(pairCounts: DataFrame): DataFrame =
+    pairCounts
+      .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
+      .limit(1)
+
   /** Per-group winsorization: clamp a numeric column to its group's
     * [loPct, hiPct] percentile band — the outlier-robust alternative to
     * dropping rows (feature pipelines keep the row, cap the value). The

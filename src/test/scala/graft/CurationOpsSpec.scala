@@ -163,6 +163,21 @@ class CurationOpsSpec extends SparkSpec {
       "corpus must not shuffle for the membership test")
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs, deterministic top pair") {
+    // corpus: "low low lower" + "low" → word freqs low×3, lower×1.
+    // pairs: (l,o) = 3+1 = 4, (o,w) = 4, (w,e) = 1, (e,r) = 1; single-char
+    // words contribute nothing.
+    val docs = Seq((1L, "low low lower"), (2L, "low a")).toDF("doc_id", "text")
+    val pairs = Curation.bpePairCounts(docs, "text")
+      .orderBy("left_sym", "right_sym")
+      .as[(String, String, Long)].collect().toSeq
+    assert(pairs == Seq(("e", "r", 1L), ("l", "o", 4L), ("o", "w", 4L), ("w", "e", 1L)))
+    // top pair: (l,o) and (o,w) tie at 4 — lexicographic tie-break picks (l,o)
+    val top = Curation.bpeTopPair(Curation.bpePairCounts(docs, "text"))
+      .as[(String, String, Long)].head()
+    assert(top == (("l", "o", 4L)))
+  }
+
   test("decontaminateBloom: bit-identical to exact decontaminate on the sf0.001 corpus") {
     // The Bloom stage is pure pre-filtering: false positives die in the
     // exact verify join, so the two forms must agree row-for-row.
