@@ -254,8 +254,12 @@ object Dedup {
                          idCol: String, shingleSize: Int = 3,
                          expectedItems: Long = 1L << 20,
                          fpp: Double = 0.01): DataFrame = {
+    // The bench shingle set feeds TWO consumers: the Bloom build (an eager
+    // action at construction time) and the exact-verify join — persist so
+    // the distinct runs once, not twice.
     val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
       .select(col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = benchSh.stat.bloomFilter("shingle", expectedItems, fpp)
     val bfB = train.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
