@@ -187,12 +187,19 @@ object Dedup {
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand)
+    verifyJaccardOnShingles(sh, bandCandidates(bands), threshold)
+  }
+
+  /** Candidate pairs from a band relation: same-bucket docs, ordered ids,
+    * one row per pair (the distinct collapses multi-band collisions). The
+    * Scala twin of the oracle's `cand` CTE — shared by the Jaccard and
+    * Levenshtein verifies. */
+  private def bandCandidates(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("band_key"), col("doc").as("id_a"))
     val b = bands.select(col("band"), col("band_key"), col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_key"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccardOnShingles(sh, candidates, threshold)
   }
 
   /** Edit-distance-verified near-dup pairs: MinHash band candidates,
@@ -220,11 +227,7 @@ object Dedup {
     val bands = minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
       shingleSize, useMd5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bands.select(col("band"), col("band_key"), col("doc").as("id_a"))
-    val b = bands.select(col("band"), col("band_key"), col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candidates = bandCandidates(bands)
     val texts = docs.select(col(idCol), col(textCol))
     candidates
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
@@ -252,7 +255,7 @@ object Dedup {
     * corpus-shingle relation, not a codegen'd projection. */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, textCol: String,
                          idCol: String, shingleSize: Int = 3,
-                         expectedItems: Long = 1L << 20,
+                         expectedItems: Long = -1L,
                          fpp: Double = 0.01): DataFrame = {
     // The bench shingle set feeds TWO consumers: the Bloom build (an eager
     // action at construction time) and the exact-verify join — persist so
@@ -260,7 +263,14 @@ object Dedup {
     val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
       .select(col("shingle")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bf = benchSh.stat.bloomFilter("shingle", expectedItems, fpp)
+    // Default sizing comes from the ACTUAL distinct count (the build is
+    // already an eager action over the persisted set, so the count is one
+    // cheap extra pass): a fixed default silently saturates at the
+    // 100M-shingle scale this operator targets — fill ratio → 1, fpp → 1,
+    // and the pre-filter degrades to a no-op that still pays its build.
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("shingle", items, fpp)
     val bfB = train.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
     val trainSh = train.select(

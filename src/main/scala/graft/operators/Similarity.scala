@@ -234,9 +234,11 @@ object Similarity {
     * (vectors spread over the k nearest seeds), closing the round-1 note
     * that label-blocking assumed balance. */
   def ivfNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
-                      k: Int, threshold: Double): DataFrame = {
+                      k: Int, threshold: Double,
+                      maxCell: Int = 100000): DataFrame = {
     val assigned = ivfAssign(emb, vecCol, idCol, k).select(col(idCol), col("centroid_id"))
-    blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol, "centroid_id", threshold)
+    blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol, "centroid_id",
+      threshold, maxCell)
   }
 
   /** Semantic deduplication (the SemDeDup shape: coarse-cluster the
@@ -256,9 +258,7 @@ object Similarity {
     * corpus itself never enters a quadratic step. */
   def semDedup(emb: DataFrame, vecCol: String, idCol: String, k: Int,
                threshold: Double, maxCell: Int = 100000): DataFrame = {
-    val assigned = ivfAssign(emb, vecCol, idCol, k).select(col(idCol), col("centroid_id"))
-    val dupIds = blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol,
-      "centroid_id", threshold, maxCell)
+    val dupIds = ivfNearDupPairs(emb, vecCol, idCol, k, threshold, maxCell)
       .select(col("id_b").as(idCol)).distinct()
     emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
   }

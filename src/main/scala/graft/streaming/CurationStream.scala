@@ -62,23 +62,30 @@ object CurationStream {
     * dedup-gate semantics the band flag is the drop signal.
     *
     * Idempotency note: a foreachBatch RETRY can re-append the same batch's
-    * bands. The self-collision filter (`doc =!= old_doc`) keeps the flags
-    * correct; duplicate index rows only cost lookup fan-out and compact
-    * away with [[graft.operators.Outputs]] — on a production cluster write
-    * the index through a transactional table format instead. */
+    * bands. The stored side therefore EXCLUDES the current batch's ids
+    * (left-anti on the batch id set) before the lookup — without that, a
+    * retried batch would find its own first-attempt bands in the index and
+    * flag BOTH members of a within-batch pair (dropping the content
+    * entirely). Duplicate index rows from a retry only cost lookup fan-out
+    * and compact away with [[graft.operators.Outputs]] — on a production
+    * cluster write the index through a transactional table format instead. */
   def nearDupStep(batch: DataFrame, textCol: String, idCol: String,
                   indexDir: String): DataFrame = {
     val spark = batch.sparkSession
     val bands = graft.operators.Dedup.minhashBands(batch, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    // resolve the filesystem FROM the path (s3a://, hdfs://, file:// all
+    // work regardless of fs.defaultFS); FileSystem.get(conf) would pin the
+    // default scheme and throw Wrong-FS for anything else
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
     val stored =
       if (fs.exists(idxPath)) spark.read.parquet(indexDir) else bands.limit(0)
     val oldHits = bands
-      .join(stored.select(col("band"), col("band_key"), col("doc").as("old_doc")),
+      .join(stored
+        .join(batch.select(col(idCol).as("doc")), Seq("doc"), "left_anti")
+        .select(col("band"), col("band_key"), col("doc").as("old_doc")),
         Seq("band", "band_key"))
-      .filter(col("doc") =!= col("old_doc"))
       .groupBy("doc").agg(min("old_doc").as("m_old"))
     val withinHits = bands
       .join(bands.select(col("band"), col("band_key"), col("doc").as("other_doc")),

@@ -200,16 +200,27 @@ class PlanSpec extends SparkSpec {
       "candidate generation must be an equi-join on (band, band_key)")
   }
 
-  test("Bloom decontamination: the pre-filter runs scan-side, before the exact-verify join") {
+  test("Bloom decontamination: the pre-filter runs scan-side, BELOW the exact-verify join") {
     val p = plan("q_decontam_bloom")
-    // the UDF probe must sit UNDER the join (filter before shuffle): in the
-    // formatted tree the Filter containing the bloom probe appears on the
-    // train branch, not above the join
+    // operators above the join print BEFORE the join line in the formatted
+    // tree, descendants after — so "UDF filter's tree line comes after the
+    // verify join's" pins the probe to the join's input side, where it
+    // kills rows before the shuffle. Find the UDF-bearing Filter node id in
+    // the detail section, then locate both nodes in the tree.
     val tree = p.linesIterator.takeWhile(_.nonEmpty).toSeq
     val joinLine = tree.indexWhere(_.contains("Join"))
     assert(joinLine >= 0, s"expected a join in:\n$p")
-    assert(p.contains("pythonUDF") || p.contains("UDF"),
-      "the bloom probe must appear in the plan as the scan-side filter")
+    // detail headers read "(n) Filter"; the node's condition follows within
+    // a few lines — a UDF there marks the bloom-probe filter
+    val udfFilterIds = """\((\d+)\) Filter""".r.findAllMatchIn(p).map(_.group(1))
+      .toSeq.distinct.filter { id =>
+        p.split(java.util.regex.Pattern.quote(s"($id) Filter")).lift(1)
+          .exists(_.linesIterator.take(4).mkString("\n").contains("UDF"))
+      }
+    assert(udfFilterIds.nonEmpty, s"expected a UDF-bearing Filter node in:\n$p")
+    val udfLines = udfFilterIds.map(id => tree.indexWhere(_.matches(s".*\\bFilter \\($id\\)\\s*")))
+    assert(udfLines.exists(_ > joinLine),
+      s"the bloom-probe Filter must sit BELOW the verify join (pre-shuffle):\n$p")
   }
 
   /** Scan NODES in a FormattedMode plan: tree lines read "Scan parquet  (n)"

@@ -79,6 +79,25 @@ class CurationStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/index").select("doc").distinct().count() == 4)
   }
 
+  test("nearDupStep: a retried batch (bands already appended) reproduces identical flags") {
+    // Simulates a foreachBatch retry: the first attempt appended the
+    // batch's bands to the index before failing downstream; the re-run
+    // must NOT find the batch's own first-attempt bands and flag the
+    // earlier member of a within-batch pair (which would drop both copies).
+    val tmp = java.nio.file.Files.createTempDirectory("neardup-retry").toString
+    val batch = Seq(
+      (1L, prose + "original tail"),
+      (2L, prose + "original tail edited")).toDF("doc_id", "text")
+    val first = CurationStream.nearDupStep(batch, "text", "doc_id", s"$tmp/index")
+      .orderBy("doc").select("doc", "is_dup").as[(Long, Boolean)].collect().toSeq
+    val retry = CurationStream.nearDupStep(batch, "text", "doc_id", s"$tmp/index")
+      .orderBy("doc").select("doc", "is_dup").as[(Long, Boolean)].collect().toSeq
+    assert(first == Seq((1L, false), (2L, true)),
+      s"first attempt: earlier id clean, later id flagged: $first")
+    assert(retry == first,
+      s"the retry must ignore the batch's own stored bands: $retry != $first")
+  }
+
   test("sampling hash drops the same ids on a stream as in batch") {
     val in = MemoryStream[Doc]
     // keepPct = 30: exactly the ids the batch q_sampling keep-rule selects
