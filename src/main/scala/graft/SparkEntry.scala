@@ -864,6 +864,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- similarity: hybrid search (cosine relevance × quality prior) ----
+    // The retrieval stage's production ranking: ANN relevance combined
+    // with a scan-side document prior. Composes the broadcast-probe cosine
+    // kernel with the quality projection through the id join — the corpus
+    // streams once per side, the probe broadcasts, the top-k is a
+    // TakeOrderedAndProject.
+    "q_hybrid_search" -> ((s, d) => {
+      import graft.expressions.Exprs.cosineSim
+      val emb = t(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_vec"))
+      val scored = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(cosineSim(col("embedding"), col("q_vec")), 4).as("cos_sim"))
+      val quality = TextAnalysis.qualityScore(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id").as("vec_id"), col("quality"))
+      scored.join(quality, "vec_id")
+        .select(col("vec_id"), col("cos_sim"), col("quality"),
+          round(col("cos_sim") * 0.7 + col("quality") * 0.3, 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- similarity: semantic dedup (SemDeDup — in-cell cosine prune) ----
     "q_semdedup" -> ((s, d) => {
       Similarity.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -1490,6 +1514,18 @@ object SparkEntry {
 
     "q_ivf_pairs" -> ivfPairsSql,
     "q_semdedup" -> semDedupSql,
+    "q_hybrid_search" ->
+      s"""WITH q AS ($qualitySql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |c AS (SELECT vec_id,
+         |  round(list_dot_product(v, qv)
+         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),4) AS cos_sim
+         |  FROM e, p WHERE vec_id <> 0)
+         |SELECT c.vec_id AS vec_id, cos_sim, q.quality AS quality,
+         |  round(cos_sim * 0.7 + q.quality * 0.3, 4) AS score
+         |FROM c JOIN q ON c.vec_id = q.doc_id
+         |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "q_ivf_topk" -> ivfTopKSql,
 
