@@ -871,21 +871,10 @@ object SparkEntry {
     // streams once per side, the probe broadcasts, the top-k is a
     // TakeOrderedAndProject.
     "q_hybrid_search" -> ((s, d) => {
-      import graft.expressions.Exprs.cosineSim
-      val emb = t(s, d, "embeddings")
-      val probe = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").as("q_vec"))
-      val scored = emb.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"),
-          round(cosineSim(col("embedding"), col("q_vec")), 4).as("cos_sim"))
       val quality = TextAnalysis.qualityScore(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id").as("vec_id"), col("quality"))
-      scored.join(quality, "vec_id")
-        .select(col("vec_id"), col("cos_sim"), col("quality"),
-          round(col("cos_sim") * 0.7 + col("quality") * 0.3, 4).as("score"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-        .limit(10)
+      Similarity.hybridTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        quality, "quality", queryId = 0L, k = 10)
     }),
 
     // ---- similarity: semantic dedup (SemDeDup — in-cell cosine prune) ----

@@ -241,6 +241,28 @@ object Similarity {
       threshold, maxCell)
   }
 
+  /** Hybrid search: cosine relevance to a stored query vector combined
+    * with a per-document PRIOR (quality, freshness, source weight) — the
+    * retrieval stage's production ranking. `prior` must carry (idCol,
+    * priorCol). Same scale shape as [[bruteForceTopK]]: the probe
+    * broadcasts, the corpus streams through the codegen'd cosine once,
+    * joins the prior by id, and the top-k is a TakeOrderedAndProject —
+    * no corpus shuffle, no window sort. */
+  def hybridTopK(emb: DataFrame, vecCol: String, idCol: String,
+                 prior: DataFrame, priorCol: String, queryId: Long, k: Int,
+                 wSim: Double = 0.7, wPrior: Double = 0.3): DataFrame = {
+    val probe = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(probe))
+      .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
+      .join(prior.select(col(idCol), col(priorCol)), Seq(idCol))
+      .select(col(idCol), col("cos_sim"), col(priorCol),
+        round(col("cos_sim") * wSim + col(priorCol) * wPrior, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Semantic deduplication (the SemDeDup shape: coarse-cluster the
     * embedding space, then drop within-cluster cosine near-duplicates,
     * keeping one representative per duplicate neighborhood). Documents with

@@ -62,13 +62,18 @@ object CurationStream {
     * dedup-gate semantics the band flag is the drop signal.
     *
     * Idempotency note: a foreachBatch RETRY can re-append the same batch's
-    * bands. The stored side therefore EXCLUDES the current batch's ids
-    * (left-anti on the batch id set) before the lookup — without that, a
-    * retried batch would find its own first-attempt bands in the index and
-    * flag BOTH members of a within-batch pair (dropping the content
-    * entirely). Duplicate index rows from a retry only cost lookup fan-out
-    * and compact away with [[graft.operators.Outputs]] — on a production
-    * cluster write the index through a transactional table format instead. */
+    * bands. The stored side therefore EXCLUDES the batch's own band ROWS
+    * (left-anti on the exact (doc, band, band_key) triple) before the
+    * lookup — without that, a retried batch would find its first-attempt
+    * bands in the index and flag BOTH members of a within-batch pair
+    * (dropping the content entirely). The triple-level anti (vs dropping
+    * every stored row of the batch's ids) keeps cross-batch detection
+    * intact when an id is RE-ingested with new content: the id's old
+    * bands stay visible, so another batch member duplicating the old
+    * content still flags. Duplicate index rows from a retry only cost
+    * lookup fan-out and compact away with [[graft.operators.Outputs]] —
+    * on a production cluster write the index through a transactional
+    * table format instead. */
   def nearDupStep(batch: DataFrame, textCol: String, idCol: String,
                   indexDir: String): DataFrame = {
     val spark = batch.sparkSession
@@ -83,9 +88,11 @@ object CurationStream {
       if (fs.exists(idxPath)) spark.read.parquet(indexDir) else bands.limit(0)
     val oldHits = bands
       .join(stored
-        .join(batch.select(col(idCol).as("doc")), Seq("doc"), "left_anti")
+        .join(bands.select("doc", "band", "band_key"),
+          Seq("doc", "band", "band_key"), "left_anti")
         .select(col("band"), col("band_key"), col("doc").as("old_doc")),
         Seq("band", "band_key"))
+      .filter(col("doc") =!= col("old_doc"))
       .groupBy("doc").agg(min("old_doc").as("m_old"))
     val withinHits = bands
       .join(bands.select(col("band"), col("band_key"), col("doc").as("other_doc")),

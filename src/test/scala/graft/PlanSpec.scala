@@ -208,7 +208,9 @@ class PlanSpec extends SparkSpec {
     // kills rows before the shuffle. Find the UDF-bearing Filter node id in
     // the detail section, then locate both nodes in the tree.
     val tree = p.linesIterator.takeWhile(_.nonEmpty).toSeq
-    val joinLine = tree.indexWhere(_.contains("Join"))
+    // anchor on the LAST join in the tree (the deepest — the verify join):
+    // a future plan gaining an upper join must not loosen the pin
+    val joinLine = tree.lastIndexWhere(_.contains("Join"))
     assert(joinLine >= 0, s"expected a join in:\n$p")
     // detail headers read "(n) Filter"; the node's condition follows within
     // a few lines — a UDF there marks the bloom-probe filter

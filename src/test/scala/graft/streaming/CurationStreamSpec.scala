@@ -98,6 +98,26 @@ class CurationStreamSpec extends SparkSpec {
       s"the retry must ignore the batch's own stored bands: $retry != $first")
   }
 
+  test("nearDupStep: a re-ingested id's OLD bands still catch another doc duplicating them") {
+    // batch 1: doc 1 carries text X. batch 2 re-ingests id 1 with NEW text
+    // Y and brings doc 2 carrying the old text X. The band-row-level anti
+    // (not an id-level one) must keep doc 1's stored X bands visible so
+    // doc 2 flags against them — while doc 1 itself (matching only its own
+    // old rows) stays clean.
+    val tmp = java.nio.file.Files.createTempDirectory("neardup-reuse").toString
+    val textX = prose + "original tail"
+    val textY = "entirely different fresh content with nothing shared at all xyzzy " * 10
+    CurationStream.nearDupStep(
+      Seq((1L, textX)).toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index").count()
+    val second = CurationStream.nearDupStep(
+      Seq((1L, textY), (2L, textX + " tiny edit")).toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmp/index")
+      .orderBy("doc").select("doc", "is_dup", "matched_doc")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(second == Seq((1L, false, None), (2L, true, Some(1L))),
+      s"doc 2 must flag against id 1's OLD stored bands: $second")
+  }
+
   test("sampling hash drops the same ids on a stream as in batch") {
     val in = MemoryStream[Doc]
     // keepPct = 30: exactly the ids the batch q_sampling keep-rule selects
