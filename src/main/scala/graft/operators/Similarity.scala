@@ -308,6 +308,25 @@ object Similarity {
       .write.mode("overwrite").parquet(indexDir + ".centroids")
   }
 
+  /** Append a DELTA of vectors to a stored IVF index without rebuilding —
+    * the ingest path of the index lifecycle (the ANN twin of the dedup
+    * band-index delta join): assign the delta against the STORED centroid
+    * table, so cell semantics match the existing partitions exactly, and
+    * append into the same centroid-partitioned layout. Probes see the new
+    * vectors immediately through the identical partition pruning; the
+    * corpus already in the index is never touched. Call from foreachBatch
+    * for streaming ingest. (Centroid drift under sustained ingest is the
+    * documented rebuild trigger — refit with `kmeansCentroids` and rewrite
+    * when cell sizes skew.) */
+  def appendToIvfIndex(delta: DataFrame, vecCol: String, idCol: String,
+                       indexDir: String): Unit = {
+    val centroids = delta.sparkSession.read.parquet(indexDir + ".centroids")
+    val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
+      .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
+    delta.join(assigned, idCol)
+      .write.partitionBy("centroid_id").mode("append").parquet(indexDir)
+  }
+
   /** Probe a stored IVF index: rank the k stored centroids against the
     * 1-row `probe` frame (column `q_vec`), then scan ONLY the `nprobe`
     * nearest cells and exact-rank within them. Cost is (k centroid cosines)

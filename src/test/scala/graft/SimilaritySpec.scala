@@ -172,6 +172,30 @@ class SimilaritySpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("appendToIvfIndex: incremental build probes identically to a one-shot build") {
+    // Build on the first half, append the second; the delta assigns
+    // against the STORED centroids (ids < k live in the first half), so
+    // the incremental index must be logically identical to the one-shot —
+    // pinned by comparing probes.
+    val all = vecs(100)
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf-inc").toString + "/idx"
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf-full").toString + "/idx"
+    Similarity.buildIvfIndex(all.filter(col("id") < 50), "v", "id", kCentroids = 4, dirInc)
+    Similarity.appendToIvfIndex(all.filter(col("id") >= 50), "v", "id", dirInc)
+    Similarity.buildIvfIndex(all, "v", "id", kCentroids = 4, dirFull)
+    val pInc = Similarity.ivfProbeById(spark, dirInc, "v", "id", queryId = 7L, k = 5, nprobe = 2)
+      .collect().toSeq
+    val pFull = Similarity.ivfProbeById(spark, dirFull, "v", "id", queryId = 7L, k = 5, nprobe = 2)
+      .collect().toSeq
+    assert(pInc.nonEmpty && pInc == pFull,
+      s"incremental and one-shot indexes must probe identically: $pInc vs $pFull")
+    // and the appended vectors are actually reachable: a probe for a
+    // second-half vector finds second-half neighbors
+    val ids = Similarity.ivfProbeById(spark, dirInc, "v", "id", queryId = 70L, k = 5, nprobe = 4)
+      .select("id").as[Long].collect().toSet
+    assert(ids.exists(_ >= 50), s"appended vectors must be probe-reachable: $ids")
+  }
+
   test("semDedup: in-cell cosine dups drop, lowest id survives, distinct content kept") {
     // One-hot directions: cos = 1.0 for the same axis, 0.0 across axes.
     // Seeds (k=2) are e0 and e1; every vector tie-breaks to its true cell.
