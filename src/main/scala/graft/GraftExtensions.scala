@@ -45,6 +45,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "hamming_dist(bitsA, bitsB)")
         graft.expressions.HammingDistance(args(0), args(1))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text)")
+        graft.expressions.NfcNormalize(args(0))
       }))
 
   /** Runtime registration on a live session — same builders the build-time

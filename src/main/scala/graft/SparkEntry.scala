@@ -698,6 +698,29 @@ object SparkEntry {
         .orderBy("left_sym", "right_sym")
     }),
 
+    // ---- text: Unicode NFC normalization (native codegen expression) ----
+    // Composed vs decomposed forms of the same visible text hash apart
+    // without this pass — exact dedup silently misses them. The raw corpus
+    // is ASCII, so decomposed forms are synthesized (same pattern as the
+    // PII rows): combining marks U+0301/U+0308 that NFC folds into single
+    // code points.
+    "q_normalize" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val synth = Seq(
+        (100001L, "café du monde"),
+        (100002L, "über angström units"),
+        (100003L, "already composed café")
+      ).toDF("doc_id", "text")
+      docs.unionByName(synth)
+        .select(col("doc_id"),
+          (graft.expressions.Exprs.nfcNormalize(col("text")) =!= col("text")).as("changed"),
+          length(col("text")).cast("long").as("len_before"),
+          length(graft.expressions.Exprs.nfcNormalize(col("text"))).cast("long").as("len_after"),
+          md5(graft.expressions.Exprs.nfcNormalize(col("text")).cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text: cross-doc repeated spans (sliding-window substring dedup) ----
     "q_repeated_spans" -> ((s, d) => {
       TextAnalysis.repeatedSpans(t(s, d, "documents"), "text", "doc_id",
@@ -1248,6 +1271,19 @@ object SparkEntry {
          |SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
          |FROM p GROUP BY 1, 2 HAVING sum(n) >= 50
          |ORDER BY left_sym, right_sym""".stripMargin,
+
+    "q_normalize" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 100001, 'cafe' || chr(769) || ' du monde'
+        |  UNION ALL SELECT 100002,
+        |    'u' || chr(776) || 'ber angstro' || chr(776) || 'm units'
+        |  UNION ALL SELECT 100003, 'already composed caf' || chr(233))
+        |SELECT doc_id, nfc_normalize(text) <> text AS changed,
+        |  CAST(length(text) AS BIGINT) AS len_before,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_after,
+        |  md5(nfc_normalize(text)) AS norm_md5
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_repeated_spans" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),

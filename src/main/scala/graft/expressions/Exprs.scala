@@ -17,6 +17,9 @@ object Exprs {
     ColumnBridge.column(HammingDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
   /** Shingles deduped at the source — for set-semantics consumers. */
   def wordShinglesDistinct(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct = true))
