@@ -33,8 +33,14 @@ class TopKHits(k: Int) extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
 
   override def zero: Seq[Hit] = Nil
   override def reduce(buf: Seq[Hit], a: Hit): Seq[Hit] =
+    // A NaN score (cosine of a zero vector) is dropped OUTRIGHT: NaN
+    // compares false against everything, so once admitted it could never
+    // be displaced — whether it survived would depend on arrival order,
+    // breaking the aggregate's partitioning-invariance contract.
+    if (a.score.isNaN) buf
     // skip the sort when the buffer is full and `a` can't displace the tail
-    if (buf.size >= k && !better(a, buf.last)) buf else trim(buf :+ a)
+    else if (buf.size >= k && !better(a, buf.last)) buf
+    else trim(buf :+ a)
   override def merge(x: Seq[Hit], y: Seq[Hit]): Seq[Hit] = trim(x ++ y)
   override def finish(r: Seq[Hit]): Seq[Hit] = r
   override def bufferEncoder: Encoder[Seq[Hit]] = TopKHits.seqHitEncoder

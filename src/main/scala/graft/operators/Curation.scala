@@ -270,10 +270,18 @@ object Curation {
     val bands = df.groupBy(keys: _*)
       .agg(round(expr(s"percentile($valCol, $loPct)"), 4).as("__lo"),
         round(expr(s"percentile($valCol, $hiPct)"), 4).as("__hi"))
-    df.join(broadcast(bands), groupCols)
+      // rename the keys so the null-safe join condition below is unambiguous
+      .select(groupCols.map(c => col(c).as(s"__k_$c")) ++
+        Seq(col("__lo"), col("__hi")): _*)
+    // NULL-SAFE key equality (<=>): a null group gets its own percentile
+    // band from the groupBy, and a plain equi-join would silently DROP all
+    // its rows (null never equals null) — violating the keep-the-row
+    // contract this operator exists for.
+    val cond = groupCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(bands), cond)
       .withColumn("clamped",
         least(greatest(col(valCol), col("__lo")), col("__hi")))
       .withColumn("was_clamped", col("clamped") =!= col(valCol))
-      .drop("__lo", "__hi")
+      .drop(groupCols.map(c => s"__k_$c") ++ Seq("__lo", "__hi"): _*)
   }
 }

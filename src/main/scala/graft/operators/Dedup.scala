@@ -59,12 +59,15 @@ object Dedup {
                     idCol: String, shingleSize: Int = 3): DataFrame = {
     val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
       .select(col("shingle")).distinct()
-    val trainSh = train.select(
-      col(idCol).as("doc"),
-      size(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
-        .cast("long").as("n_shingles"),
-      explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
-        .as("shingle"))
+    // Shingle the text ONCE: naming the array in its own projection and
+    // exploding the REFERENCE keeps one kernel evaluation per row (two
+    // syntactic calls in one select are two physical evaluations — the
+    // Project and the Generate are separate operators, no CSE applies).
+    val trainSh = train
+      .select(col(idCol).as("doc"),
+        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize).as("__sh"))
+      .select(col("doc"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("shingle"))
     trainSh.join(broadcast(benchSh), "shingle")
       .groupBy("doc", "n_shingles")
       .agg(count(lit(1)).as("n_overlap"))
@@ -273,12 +276,13 @@ object Dedup {
     val bf = benchSh.stat.bloomFilter("shingle", items, fpp)
     val bfB = train.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
-    val trainSh = train.select(
-      col(idCol).as("doc"),
-      size(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
-        .cast("long").as("n_shingles"),
-      explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
-        .as("shingle"))
+    // single kernel evaluation per row — same reference-explode shape as
+    // `decontaminate`
+    val trainSh = train
+      .select(col(idCol).as("doc"),
+        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize).as("__sh"))
+      .select(col("doc"), size(col("__sh")).cast("long").as("n_shingles"),
+        explode(col("__sh")).as("shingle"))
       .filter(mightContain(col("shingle")))
     // exact verify: a plain (shuffle) join by design — the scenario is
     // "bench too big to broadcast"; survivors are corpus-sublinear

@@ -244,10 +244,13 @@ object Similarity {
   /** Hybrid search: cosine relevance to a stored query vector combined
     * with a per-document PRIOR (quality, freshness, source weight) — the
     * retrieval stage's production ranking. `prior` must carry (idCol,
-    * priorCol). Same scale shape as [[bruteForceTopK]]: the probe
-    * broadcasts, the corpus streams through the codegen'd cosine once,
-    * joins the prior by id, and the top-k is a TakeOrderedAndProject —
-    * no corpus shuffle, no window sort. */
+    * priorCol); a document MISSING from the prior frame ranks with prior
+    * 0.0 (left join) rather than silently dropping out of the candidate
+    * set — a freshly ingested doc whose prior hasn't been computed yet
+    * must still be findable by relevance alone. Same scale shape as
+    * [[bruteForceTopK]]: the probe broadcasts, the corpus streams through
+    * the codegen'd cosine once, joins the prior by id, and the top-k is a
+    * TakeOrderedAndProject — no corpus shuffle, no window sort. */
   def hybridTopK(emb: DataFrame, vecCol: String, idCol: String,
                  prior: DataFrame, priorCol: String, queryId: Long, k: Int,
                  wSim: Double = 0.7, wPrior: Double = 0.3): DataFrame = {
@@ -256,9 +259,11 @@ object Similarity {
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(probe))
       .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
-      .join(prior.select(col(idCol), col(priorCol)), Seq(idCol))
-      .select(col(idCol), col("cos_sim"), col(priorCol),
-        round(col("cos_sim") * wSim + col(priorCol) * wPrior, 4).as("score"))
+      .join(prior.select(col(idCol), col(priorCol)), Seq(idCol), "left")
+      .select(col(idCol), col("cos_sim"),
+        coalesce(col(priorCol), lit(0.0)).as(priorCol),
+        round(col("cos_sim") * wSim + coalesce(col(priorCol), lit(0.0)) * wPrior, 4)
+          .as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -373,7 +378,10 @@ object Similarity {
   /** End-to-end IVF ANN: build (or rebuild) the stored index, then probe
     * it. The build is the one-time cost IVF amortizes over many probes —
     * callers with a probe workload build once via `buildIvfIndex` and then
-    * call `ivfProbe` per query. */
+    * call `ivfProbe` per query. With the default `indexDir`, each call
+    * writes a FRESH uniquely-named index directory (a full partitioned
+    * copy of the corpus) that the caller owns and must clean up — pass an
+    * explicit stable `indexDir` for anything beyond a one-shot query. */
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
               k: Int, kCentroids: Int, nprobe: Int,
               indexDir: String = null): DataFrame = {
@@ -398,8 +406,11 @@ object Similarity {
     * Scale shape: posexplode streams n·d (id, pos, x) rows through one
     * projection; the codebook is a d-row map-side-combinable agg that
     * broadcasts back — the corpus never shuffles. Returned in the exploded
-    * (id, pos, code) form the oracle compares; pack back to array<byte>
-    * with collect_list over pos-sorted structs when writing a table. */
+    * (id, pos, code) form the oracle compares. Codes span 0..254 (the
+    * unsigned-byte range); Spark's byte type is SIGNED, so when packing to
+    * array<byte> (collect_list over pos-sorted structs) store `code - 127`
+    * — a cast of a raw code > 127 throws under ANSI — and add 127 back at
+    * dequantization. */
   def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
     // Non-finite entries are dropped BEFORE the codebook agg: one NaN/Inf
     // would otherwise poison its whole dimension's min/max, turning every

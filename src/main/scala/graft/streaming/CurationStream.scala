@@ -114,16 +114,20 @@ object CurationStream {
   }
 
   /** The ingest wrapper: run [[nearDupStep]] per micro-batch via
-    * foreachBatch, appending the per-doc flags to `flagsDir`. The band
-    * index at `indexDir` is both this stream's state and a queryable
-    * artifact the batch pipeline shares. */
+    * foreachBatch, writing the per-doc flags under `flagsDir`. Each epoch
+    * OVERWRITES its own `epoch=<id>` subdirectory (readable as one
+    * partitioned table), so a retried batch replaces its first attempt's
+    * flags instead of appending duplicates — the flags side of the same
+    * retry-idempotency contract [[nearDupStep]] keeps for the lookups.
+    * The band index at `indexDir` is both this stream's state and a
+    * queryable artifact the batch pipeline shares. */
   def nearDupIngest(docs: DataFrame, textCol: String, idCol: String,
                     indexDir: String, flagsDir: String,
                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
         nearDupStep(b, textCol, idCol, indexDir)
-          .write.mode("append").parquet(flagsDir)
+          .write.mode("overwrite").parquet(s"$flagsDir/epoch=$epoch")
       }
       .option("checkpointLocation", checkpointDir)
       .start()

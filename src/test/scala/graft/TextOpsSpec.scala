@@ -161,6 +161,23 @@ class TextOpsSpec extends SparkSpec {
       "a degenerate band must pass every value through unclamped")
   }
 
+  test("winsorize: rows with a NULL group key are kept and clamp within their own band") {
+    // a plain equi-join would silently drop the null group (null != null);
+    // the null-safe join must keep the rows AND use the null group's own
+    // percentiles, not another group's.
+    val rows = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0)) ++
+      (1 to 20).map(i => (Option.empty[String], i.toDouble))
+    val df = rows.toDF("k", "v")
+    val out = graft.operators.Curation.winsorize(df, "v", Seq("k"))
+      .select("k", "v", "clamped", "was_clamped")
+      .as[(Option[String], Double, Double, Boolean)].collect().toSeq
+    val nulls = out.filter(_._1.isEmpty).sortBy(_._2)
+    assert(nulls.size == 20, s"null-group rows must survive the band join: ${out.size}")
+    assert(nulls.head == ((None, 1.0, 1.95, true)) && nulls.last == ((None, 20.0, 19.05, true)),
+      s"null group must clamp within its OWN band: ${nulls.head}, ${nulls.last}")
+    assert(out.count(_._1.nonEmpty) == 3, "named group unaffected")
+  }
+
   test("unigramLogProb matches a hand-computed two-word corpus") {
     // Corpus: 6 tokens total — "a"×4, "b"×2. p(a)=2/3, p(b)=1/3.
     val docs = Seq(
