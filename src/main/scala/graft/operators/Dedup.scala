@@ -57,17 +57,25 @@ object Dedup {
     * projection, not a corpus-wide aggregate. */
   def decontaminate(train: DataFrame, bench: DataFrame, textCol: String,
                     idCol: String, shingleSize: Int = 3): DataFrame = {
-    val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
-      .select(col("shingle")).distinct()
-    // Shingle the text ONCE: naming the array in its own projection and
-    // exploding the REFERENCE keeps one kernel evaluation per row (two
-    // syntactic calls in one select are two physical evaluations — the
-    // Project and the Generate are separate operators, no CSE applies).
+    // Shingle the text ONCE per side: the array is named in its own
+    // projection and the REFERENCE is exploded (two syntactic kernel calls
+    // in one select are two physical evaluations — Project and Generate
+    // don't share subexpressions). explode_outer, NOT explode: the
+    // non-outer form triggers InferFiltersFromGenerate, whose size/notnull
+    // predicates push below the defining projection and SUBSTITUTE the
+    // kernel — a third evaluation per row in a scan-side filter. The outer
+    // form's null row (an empty doc) dies in the inner join.
+    val benchSh = bench
+      .select(explode_outer(
+        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
+        .as("shingle"))
+      .filter(col("shingle").isNotNull) // generated attr: stays ABOVE the Generate
+      .distinct()
     val trainSh = train
       .select(col(idCol).as("doc"),
         graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize).as("__sh"))
       .select(col("doc"), size(col("__sh")).cast("long").as("n_shingles"),
-        explode(col("__sh")).as("shingle"))
+        explode_outer(col("__sh")).as("shingle"))
     trainSh.join(broadcast(benchSh), "shingle")
       .groupBy("doc", "n_shingles")
       .agg(count(lit(1)).as("n_overlap"))
@@ -262,9 +270,14 @@ object Dedup {
                          fpp: Double = 0.01): DataFrame = {
     // The bench shingle set feeds TWO consumers: the Bloom build (an eager
     // action at construction time) and the exact-verify join — persist so
-    // the distinct runs once, not twice.
-    val benchSh = shingleRows(bench, textCol, idCol, shingleSize)
-      .select(col("shingle")).distinct()
+    // the distinct runs once, not twice. Same single-kernel explode_outer
+    // shape as `decontaminate` (see the comment there).
+    val benchSh = bench
+      .select(explode_outer(
+        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize))
+        .as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Default sizing comes from the ACTUAL distinct count (the build is
     // already an eager action over the persisted set, so the count is one
@@ -282,7 +295,7 @@ object Dedup {
       .select(col(idCol).as("doc"),
         graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize).as("__sh"))
       .select(col("doc"), size(col("__sh")).cast("long").as("n_shingles"),
-        explode(col("__sh")).as("shingle"))
+        explode_outer(col("__sh")).as("shingle"))
       .filter(mightContain(col("shingle")))
     // exact verify: a plain (shuffle) join by design — the scenario is
     // "bench too big to broadcast"; survivors are corpus-sublinear

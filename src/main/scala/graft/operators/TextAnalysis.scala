@@ -194,12 +194,18 @@ object TextAnalysis {
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
                     spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
     require(spanTokens > 0 && minDocs > 0, s"need positive span/minDocs")
+    // Single tokenizer evaluation: the too-short guard lives INSIDE the
+    // generator (null → explode_outer emits one null-pos row, filtered on
+    // the GENERATED attribute, which cannot push below the Generate). An
+    // explicit `filter(size(__toks) >= span)` instead would push below
+    // the defining projection, substitute the kernel, and re-tokenize
+    // every row in a scan-side filter (pinned by KernelSingleEvalSpec).
     docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= spanTokens)
-      .select(col("doc"),
-        explode(sequence(lit(0), size(col("__toks")) - spanTokens)).as("pos"),
-        col("__toks"))
+      .select(col("doc"), col("__toks"),
+        explode_outer(when(size(col("__toks")) >= spanTokens,
+          sequence(lit(0), size(col("__toks")) - spanTokens))).as("pos"))
+      .filter(col("pos").isNotNull)
       .select(col("doc"),
         array_join(slice(col("__toks"), col("pos") + 1, lit(spanTokens)), " ")
           .as("span"))
