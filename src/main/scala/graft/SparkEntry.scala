@@ -350,8 +350,8 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy("event_type")
         .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+          (round(expr("percentile(value, 0.5)"), 4) + lit(0.0)).as("p50"),
+          (round(expr("percentile(value, 0.95)"), 4) + lit(0.0)).as("p95"))
         .orderBy("event_type")
     }),
 
@@ -1121,8 +1121,8 @@ object SparkEntry {
 
     "q_percentiles" ->
       """SELECT event_type,
-        | round(quantile_cont(value, 0.5), 4) AS p50,
-        | round(quantile_cont(value, 0.95), 4) AS p95
+        | round(quantile_cont(value, 0.5), 4) + 0.0 AS p50,
+        | round(quantile_cont(value, 0.95), 4) + 0.0 AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stats_moments" ->
@@ -1298,13 +1298,15 @@ object SparkEntry {
 
     "q_winsorize" ->
       """WITH b AS (
-        |  SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo,
-        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 4) + 0.0 AS lo,
+        |    round(quantile_cont(value, 0.95), 4) + 0.0 AS hi
         |  FROM events GROUP BY 1)
         |SELECT event_id, e.event_type, value,
         |  least(greatest(value, lo), hi) AS clamped,
         |  least(greatest(value, lo), hi) <> value AS was_clamped
-        |FROM events e JOIN b ON e.event_type = b.event_type
+        |-- null-safe join mirrors the engine's <=>: a null event_type group
+        |-- keeps its rows (the operator's keep-the-row contract, TextOpsSpec)
+        |FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
         |ORDER BY event_id""".stripMargin,
 
     "q_corpus_stats" -> corpusStatsSql,
@@ -1448,7 +1450,8 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
          |  FROM tc)
          |SELECT doc_id, shard, n_tokens,
-         |  start_off // 512 AS pack_id, start_off % 512 AS offset_in_pack
+         |  CAST(start_off // 512 AS BIGINT) AS pack_id,
+         |  CAST(start_off % 512 AS BIGINT) AS offset_in_pack
          |FROM off ORDER BY doc_id""".stripMargin,
 
     "q_domain_mix" ->
@@ -1495,7 +1498,7 @@ object SparkEntry {
         |SELECT vec_id,
         | round(list_dot_product(CAST(embedding AS DOUBLE[]), q.v)
         |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-        |      * sqrt(list_dot_product(q.v, q.v))),4) AS cos_sim
+        |      * sqrt(list_dot_product(q.v, q.v))),4) + 0.0 AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
@@ -1545,10 +1548,10 @@ object SparkEntry {
          |p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |c AS (SELECT vec_id,
          |  round(list_dot_product(v, qv)
-         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),4) AS cos_sim
+         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
          |  FROM e, p WHERE vec_id <> 0)
          |SELECT c.vec_id AS vec_id, cos_sim, q.quality AS quality,
-         |  round(cos_sim * 0.7 + q.quality * 0.3, 4) AS score
+         |  round(cos_sim * 0.7 + q.quality * 0.3, 4) + 0.0 AS score
          |FROM c JOIN q ON c.vec_id = q.doc_id
          |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin,
 
@@ -1655,7 +1658,7 @@ object SparkEntry {
        |  SELECT qq.doc_id, d.lang AS grp, qq.quality
        |  FROM (${qualitySql}) qq JOIN documents d USING (doc_id)),
        |th AS (
-       |  SELECT grp, round(quantile_cont(quality, 0.75), 4) AS q_thresh
+       |  SELECT grp, round(quantile_cont(quality, 0.75), 4) + 0.0 AS q_thresh
        |  FROM q GROUP BY grp)
        |SELECT q.doc_id, q.grp, q.quality, th.q_thresh
        |FROM q JOIN th USING (grp)
@@ -1695,7 +1698,7 @@ object SparkEntry {
       |  SELECT p.probe_id, e.vec_id,
       |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
       |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-      |         * sqrt(list_dot_product(p.q, p.q))), 4) AS cos_sim
+      |         * sqrt(list_dot_product(p.q, p.q))), 4) + 0.0 AS cos_sim
       |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
       |r AS (
       |  SELECT probe_id, vec_id, cos_sim,
@@ -1776,7 +1779,7 @@ object SparkEntry {
 
   private def ivfAssignSql: String =
     s"""WITH $ivfAssignCtes
-       |SELECT vec_id, cid AS centroid_id, cs AS cos_sim FROM assign
+       |SELECT vec_id, cid AS centroid_id, cs + 0.0 AS cos_sim FROM assign
        |ORDER BY vec_id""".stripMargin
 
   /** One Lloyd refit step: per-cell per-dimension member means. Lateral
@@ -1790,7 +1793,7 @@ object SparkEntry {
        |  SELECT a.cid AS centroid_id, d.i - 1 AS pos, vv[d.i] AS x
        |  FROM assign a JOIN v ON a.vec_id = v.vec_id
        |  CROSS JOIN dims d WHERE d.i <= len(vv))
-       |SELECT centroid_id, pos, round(avg(x), 4) AS mean_val,
+       |SELECT centroid_id, pos, round(avg(x), 4) + 0.0 AS mean_val,
        |  count(*) AS n_members
        |FROM member GROUP BY centroid_id, pos
        |ORDER BY centroid_id, pos""".stripMargin
@@ -1841,7 +1844,7 @@ object SparkEntry {
        |  WHERE a.vec_id <> 0)
        |SELECT vec_id,
        | round(list_dot_product(vv, qv)
-       |   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) AS cos_sim
+       |   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
        |FROM cand, q
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 

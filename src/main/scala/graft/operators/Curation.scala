@@ -205,7 +205,7 @@ object Curation {
     val q = TextAnalysis.qualityScore(docs, textCol, idCol, keepCols = Seq(groupCol))
       .select(col(idCol), col(groupCol).as("grp"), col("quality"))
     val thresh = q.groupBy("grp")
-      .agg(round(expr(s"percentile(quality, $pct)"), 4).as("q_thresh"))
+      .agg((round(expr(s"percentile(quality, $pct)"), 4) + lit(0.0)).as("q_thresh"))
     q.join(broadcast(thresh), "grp")
       .filter(col("quality") >= col("q_thresh"))
       .select(col(idCol), col("grp"), col("quality"), col("q_thresh"))
@@ -268,8 +268,8 @@ object Curation {
       s"need 0 <= loPct < hiPct <= 1: $loPct $hiPct")
     val keys = groupCols.map(col)
     val bands = df.groupBy(keys: _*)
-      .agg(round(expr(s"percentile($valCol, $loPct)"), 4).as("__lo"),
-        round(expr(s"percentile($valCol, $hiPct)"), 4).as("__hi"))
+      .agg((round(expr(s"percentile($valCol, $loPct)"), 4) + lit(0.0)).as("__lo"),
+        (round(expr(s"percentile($valCol, $hiPct)"), 4) + lit(0.0)).as("__hi"))
       // rename the keys so the null-safe join condition below is unambiguous
       .select(groupCols.map(c => col(c).as(s"__k_$c")) ++
         Seq(col("__lo"), col("__hi")): _*)

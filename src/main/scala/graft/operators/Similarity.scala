@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.expressions.Exprs.cosineSim
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Round to 4 decimals AND normalize -0.0 → +0.0 (IEEE: x + 0.0 maps
+    * -0.0 to +0.0, every other value unchanged). A mean/cosine whose true
+    * value sits within an ulp of zero can round to -0.0 in one engine and
+    * +0.0 in another (summation order flips the sign of the residual);
+    * the values compare equal but hash/print differently, so every
+    * rounded-float OUTPUT column goes through this, with the oracle twins
+    * applying the same `+ 0.0` on the SQL side. */
+  private def r4(c: Column): Column = round(c, 4) + lit(0.0)
+
   /** Exact top-k most-cosine-similar rows to the vector with id `queryId`.
     * The probe vector travels as a broadcast scalar subquery (one row), so
     * the big side streams through codegen'd expressions without shuffling.
@@ -30,7 +39,7 @@ object Similarity {
       .select(col(vecCol).as("q_vec"))
     val scored = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(probe))
-      .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
+      .select(col(idCol), r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"))
     scored.orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
@@ -51,7 +60,7 @@ object Similarity {
     emb.crossJoin(broadcast(probes))
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"),
-        round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"),
+        r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"),
         col(idCol).as("vec_id"))
       .groupBy("probe_id")
       .agg(topk(col("cos_sim"), col("vec_id")).as("hits"))
@@ -71,10 +80,17 @@ object Similarity {
     * DETERMINISTIC content hash of the id into ceil(size/maxCell) sub-cells,
     * bounding per-task pair work at ~maxCell²/2 while cells under the cap
     * are untouched (exactness below the cap is the common case — the default
-    * cap only engages on pathological skew). Pairs ACROSS sub-cells of a
-    * split cell are skipped — the same explicit recall trade
-    * `ngramJaccardPairs.maxDf` makes; use `oversizedCells` to audit which
-    * cells (and how many rows) took it. The size join broadcasts: cell
+    * cap only engages on pathological skew). The default maxCell = 8192
+    * keeps that bound at ~3.4e7 pairs — seconds of single-task work — where
+    * the old 100k default "guarded" a skewed cell into ~5e9 pairs/task,
+    * hours at 64 dims, i.e. a task that never finishes at 100× scale.
+    * RECALL TRADE (same contract as `ngramJaccardPairs.maxDf`): pairs
+    * ACROSS sub-cells of a split cell are skipped, so a true near-dup pair
+    * inside an oversized cell is found only if the id hash lands both rows
+    * in the same sub-cell (~1/ceil(size/maxCell) chance). Cells under the
+    * cap lose nothing. Raise `maxCell` to buy recall with task time, and
+    * use `oversizedCells` to audit which cells (and how many rows) took
+    * the trade. The size join broadcasts: cell
     * cardinality is bounded by construction (labels / 2^bits buckets /
     * k quantizer cells). */
   private def withSubCell(rows: DataFrame, cellCol: String, idCol: String,
@@ -99,7 +115,7 @@ object Similarity {
     * `maxCell` sub-split (hot-cell guard, see `withSubCell`). */
   def lshNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                       dim: Int, bits: Int, threshold: Double,
-                      maxCell: Int = 100000): DataFrame = {
+                      maxCell: Int = 8192): DataFrame = {
     val withBucket = withSubCell(
       emb.select(col(idCol), col(vecCol))
         .withColumn("bucket", lshBucket(col(vecCol), dim, bits)),
@@ -108,7 +124,7 @@ object Similarity {
     val b = withBucket.select(col("bucket"), col("__sub"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("bucket", "__sub"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosineSim(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), r4(cosineSim(col("vec_a"), col("vec_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
     // no distinct needed: each vector lives in exactly one (bucket, sub)
     // cell, so a pair can only be produced once
@@ -122,7 +138,7 @@ object Similarity {
     * blocks above `maxCell` sub-split (hot-cell guard, see `withSubCell`). */
   def blockedNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                           blockCol: String, threshold: Double,
-                          maxCell: Int = 100000): DataFrame = {
+                          maxCell: Int = 8192): DataFrame = {
     val blocked = withSubCell(
       emb.select(col(blockCol).as("blk"), col(idCol), col(vecCol)),
       "blk", idCol, maxCell)
@@ -131,7 +147,7 @@ object Similarity {
     a.join(b, Seq("blk", "__sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosineSim(col("v_a"), col("v_b")), 4).as("cos_sim"))
+        r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -161,7 +177,7 @@ object Similarity {
     val scored = emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col("centroid_id"),
-        round(cosineSim(col(vecCol), col("c_vec")), 4).as("cos_sim"))
+        r4(cosineSim(col(vecCol), col("c_vec"))).as("cos_sim"))
     scored.groupBy(col(idCol))
       .agg(max(struct(col("cos_sim"), (-col("centroid_id")).as("neg_cid"))).as("best"))
       .select(col(idCol), (-col("best.neg_cid")).as("centroid_id"),
@@ -183,7 +199,7 @@ object Similarity {
     emb.join(assigned.select(col(idCol), col("centroid_id")), idCol)
       .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("centroid_id", "pos")
-      .agg(round(avg(col("x")), 4).as("mean_val"), count(lit(1)).as("n_members"))
+      .agg(r4(avg(col("x"))).as("mean_val"), count(lit(1)).as("n_members"))
 
   /** Fold a refit result back into a (centroid_id, c_vec) frame usable by
     * `assignToCentroids` — k·d rows in, k rows out, one tiny shuffle. */
@@ -235,7 +251,7 @@ object Similarity {
     * that label-blocking assumed balance. */
   def ivfNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
                       k: Int, threshold: Double,
-                      maxCell: Int = 100000): DataFrame = {
+                      maxCell: Int = 8192): DataFrame = {
     val assigned = ivfAssign(emb, vecCol, idCol, k).select(col(idCol), col("centroid_id"))
     blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol, "centroid_id",
       threshold, maxCell)
@@ -258,11 +274,16 @@ object Similarity {
       .select(col(vecCol).as("q_vec"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(probe))
-      .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
+      .select(col(idCol), r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"))
+      // a zero-norm or NaN-poisoned embedding yields cos_sim = NaN, and a
+      // descending sort ranks NaN above every real score — the garbage row
+      // would be the TOP hit. Drop non-finite scores, mirroring TopKHits'
+      // NaN-drop contract for the batched path.
+      .filter(!isnan(col("cos_sim")))
       .join(prior.select(col(idCol), col(priorCol)), Seq(idCol), "left")
       .select(col(idCol), col("cos_sim"),
         coalesce(col(priorCol), lit(0.0)).as(priorCol),
-        round(col("cos_sim") * wSim + coalesce(col(priorCol), lit(0.0)) * wPrior, 4)
+        r4(col("cos_sim") * wSim + coalesce(col(priorCol), lit(0.0)) * wPrior)
           .as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -284,7 +305,7 @@ object Similarity {
     * is a left-anti join against the pair-graph-sized dup-id set — the
     * corpus itself never enters a quadratic step. */
   def semDedup(emb: DataFrame, vecCol: String, idCol: String, k: Int,
-               threshold: Double, maxCell: Int = 100000): DataFrame = {
+               threshold: Double, maxCell: Int = 8192): DataFrame = {
     val dupIds = ivfNearDupPairs(emb, vecCol, idCol, k, threshold, maxCell)
       .select(col("id_b").as(idCol)).distinct()
     emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
@@ -322,13 +343,30 @@ object Similarity {
     * corpus already in the index is never touched. Call from foreachBatch
     * for streaming ingest. (Centroid drift under sustained ingest is the
     * documented rebuild trigger — refit with `kmeansCentroids` and rewrite
-    * when cell sizes skew.) */
+    * when cell sizes skew.)
+    *
+    * RETRY IDEMPOTENT (same contract as the dedup band index's
+    * `nearDupStep`): a foreachBatch retry re-runs this append with the same
+    * delta, and a plain append would land every vector twice — probes would
+    * then return the same id twice. The delta is anti-joined against the
+    * ids ALREADY PRESENT in the cells it targets before writing, so a
+    * replay appends nothing. The existence probe is cheap and scale-safe:
+    * the touched-cell list is bounded by k (collected like `ivfProbe`'s
+    * nprobe list), so the read is partition-pruned to those directories
+    * and column-pruned to the id — never a full-index scan. */
   def appendToIvfIndex(delta: DataFrame, vecCol: String, idCol: String,
                        indexDir: String): Unit = {
-    val centroids = delta.sparkSession.read.parquet(indexDir + ".centroids")
+    val spark = delta.sparkSession
+    val centroids = spark.read.parquet(indexDir + ".centroids")
     val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
-    delta.join(assigned, idCol)
+    val rows = delta.join(assigned, idCol).localCheckpoint()
+    val cells = rows.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val existingIds = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol))
+    rows.join(existingIds, Seq(idCol), "left_anti")
       .write.partitionBy("centroid_id").mode("append").parquet(indexDir)
   }
 
@@ -349,7 +387,7 @@ object Similarity {
     val centroids = spark.read.parquet(indexDir + ".centroids")
     val cells = centroids.crossJoin(broadcast(probe))
       .select(col("centroid_id"),
-        round(cosineSim(col("c_vec"), col("q_vec")), 4).as("c_sim"))
+        r4(cosineSim(col("c_vec"), col("q_vec"))).as("c_sim"))
       .orderBy(col("c_sim").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select("centroid_id")
@@ -358,7 +396,7 @@ object Similarity {
       .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
       .filter(col(idCol) =!= excludeId)
       .crossJoin(broadcast(probe))
-      .select(col(idCol), round(cosineSim(col(vecCol), col("q_vec")), 4).as("cos_sim"))
+      .select(col(idCol), r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -440,7 +478,7 @@ object Similarity {
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosineSim(col("vec_a"), col("vec_b")), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), r4(cosineSim(col("vec_a"), col("vec_b"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -84,8 +84,16 @@ object CurationStream {
     // work regardless of fs.defaultFS); FileSystem.get(conf) would pin the
     // default scheme and throw Wrong-FS for anything else
     val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // existing-but-EMPTY index (a first attempt that died mid-write leaves
+    // the directory with only _temporary — no committed parquet) must read
+    // as absent: parquet schema inference throws on a committed-file-less
+    // dir and would wedge every subsequent micro-batch. AnalysisException
+    // is the committed-data probe — cheaper and more precise than listing.
     val stored =
-      if (fs.exists(idxPath)) spark.read.parquet(indexDir) else bands.limit(0)
+      if (fs.exists(idxPath))
+        try spark.read.parquet(indexDir)
+        catch { case _: org.apache.spark.sql.AnalysisException => bands.limit(0) }
+      else bands.limit(0)
     val oldHits = bands
       .join(stored
         .join(bands.select("doc", "band", "band_key"),
