@@ -2,6 +2,7 @@ package graft.sql
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Entry point C (SURVEY.md §3.3): the SQL surface. The reference runs
   * Calcite-planned `INSERT INTO <sink> SELECT ...` statements over streams
@@ -53,4 +54,81 @@ object SqlSurface {
 
   /** Run a SQL statement over the registered views. */
   def sql(spark: SparkSession, statement: String): DataFrame = spark.sql(statement)
+
+  /** A parsed `INSERT INTO <system>.<target> SELECT ...` statement: the
+    * sink system (`kafka`, `memory`, `file`/`parquet`), the target within
+    * it (topic / query name / path leaf), and the SELECT remainder. */
+  final case class SqlInsert(system: String, target: String, select: String)
+
+  /** Parse the reference's statement shape — `INSERT INTO <system>.<topic>
+    * SELECT ...` with leading `--` comment lines, any casing, and optional
+    * backticks (all four samza.sql files use exactly this form, e.g.
+    * samza-sql-filter/src/main/sql/samza.sql:4-7). */
+  def parseInsert(statement: String): SqlInsert = {
+    val body = statement.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n").trim
+    val re = """(?is)^insert\s+into\s+`?([\w.$-]+)`?\s*\.\s*`?([\w.$-]+)`?\s+(select\b.*)$""".r
+    body match {
+      case re(system, target, select) =>
+        SqlInsert(system.toLowerCase(java.util.Locale.ROOT), target, select.trim)
+      case _ => throw new IllegalArgumentException(
+        s"not an INSERT INTO <system>.<target> SELECT ... statement: $statement")
+    }
+  }
+
+  /** The reference qualifies STREAM references with their system too
+    * (`FROM kafka.`PageViewEvent``); here streams are registered temp
+    * views, which live outside any database, so the system qualifier is
+    * stripped from FROM/JOIN positions before Catalyst sees the text —
+    * `kafka.ProfileChanges` resolves to the view `ProfileChanges`. Only
+    * the three reference system names are stripped; a real
+    * `database.table` reference passes through untouched. */
+  private val sysQualifier =
+    """(?i)\b(from|join)(\s+)`?(kafka|eventhubs|kinesis)`?\s*\.\s*""".r
+
+  def stripSystemQualifiers(select: String): String =
+    sysQualifier.replaceAllIn(select, m => m.group(1) + m.group(2))
+
+  /** Run a reference-shaped `INSERT INTO <system>.<topic> SELECT ...`
+    * end-to-end: plan the SELECT with Catalyst over the registered views
+    * (which may be streaming views — `createOrReplaceTempView` on a
+    * MemoryStream/Kafka frame keeps it streaming) and return the WIRED
+    * `DataStreamWriter` for the parsed sink — the caller only `.start()`s.
+    *
+    * Sink mapping (SURVEY.md §3.3):
+    *  - `kafka.topic`  → `Sinks.kafkaJson` wiring: all columns to one JSON
+    *    `value`, format("kafka"), topic = target; needs `brokers` (and
+    *    optionally `checkpoint`) in `options`.
+    *  - `memory.name`  → named memory sink (the test harness form).
+    *  - `file.leaf` / `parquet.leaf` → rolled parquet files under
+    *    `options("path")` (the directory; the target is its leaf name),
+    *    checkpoint required as for any file sink.
+    * Unknown systems throw rather than silently writing nowhere. */
+  def insertInto(spark: SparkSession, statement: String,
+                 options: Map[String, String] = Map.empty): DataStreamWriter[_] = {
+    val ins = parseInsert(statement)
+    val selected = spark.sql(stripSystemQualifiers(ins.select))
+    require(selected.isStreaming,
+      "insertInto wires streaming sinks; for batch views run sql() and write the result")
+    val checkpoint = options.get("checkpoint")
+    def withCheckpoint[T](w: DataStreamWriter[T]): DataStreamWriter[T] =
+      checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+    ins.system match {
+      case "kafka" =>
+        val brokers = options.getOrElse("brokers",
+          throw new IllegalArgumentException("kafka sink needs options(\"brokers\")"))
+        withCheckpoint(graft.sources.Sinks.encodeKafkaValue(selected)
+          .writeStream.format("kafka")
+          .option("kafka.bootstrap.servers", brokers)
+          .option("topic", ins.target))
+      case "memory" =>
+        withCheckpoint(selected.writeStream.format("memory").queryName(ins.target))
+      case "file" | "parquet" =>
+        val path = options.getOrElse("path",
+          throw new IllegalArgumentException("file sink needs options(\"path\")"))
+        withCheckpoint(selected.writeStream.format("parquet").option("path", path))
+      case other => throw new IllegalArgumentException(
+        s"unknown sink system '$other' (know kafka, memory, file/parquet)")
+    }
+  }
 }

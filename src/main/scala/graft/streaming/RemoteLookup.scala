@@ -19,11 +19,28 @@ object RemoteLookup {
     def fetch(key: String): Option[Double]
   }
 
+  /** The reference's actual read-function shape: `getAsync` returning a
+    * CompletableFuture (RemoteTableJoinExample.java:162-187), so a
+    * high-latency backend overlaps requests instead of stalling the
+    * partition one RPC at a time. */
+  trait AsyncLookupClient extends Serializable {
+    def fetchAsync(key: String): java.util.concurrent.CompletableFuture[Option[Double]]
+  }
+
   /** Deterministic fake quote service (no network in this environment). */
   final class StubQuoteClient extends LookupClient {
     def fetch(key: String): Option[Double] =
       if (key.isEmpty) None
       else Some((math.abs(key.hashCode % 10000)) / 100.0)
+  }
+
+  /** Async face of any sync client: runs `fetch` on the JVM-wide common
+    * pool. A real HTTP/NIO client implements [[AsyncLookupClient]] directly
+    * (no thread per request); this adapter is for clients that only expose
+    * a blocking call. */
+  final class AsyncAdapter(client: LookupClient) extends AsyncLookupClient {
+    def fetchAsync(key: String): java.util.concurrent.CompletableFuture[Option[Double]] =
+      java.util.concurrent.CompletableFuture.supplyAsync(() => client.fetch(key))
   }
 
   /** Read-through cache with TTL + token-bucket rate limiter. The closure
@@ -73,6 +90,23 @@ object RemoteLookup {
         v
       }
     }
+
+    /** Async read-through: cache hits complete immediately; misses acquire
+      * a rate token SYNCHRONOUSLY (the limiter bounds request STARTS, so
+      * overlap never lets more than maxPerSec launch per second) and write
+      * the cache on completion. */
+    def getAsync(key: String, async: AsyncLookupClient):
+        java.util.concurrent.CompletableFuture[Option[Double]] = {
+      val cache = shared.cache
+      val now = System.currentTimeMillis()
+      val hit = cache.get(key)
+      if (hit != null && now - hit._1 < ttlMs)
+        java.util.concurrent.CompletableFuture.completedFuture(hit._2)
+      else {
+        acquire()
+        async.fetchAsync(key).thenApply { v => cache.put(key, (now, v)); v }
+      }
+    }
   }
 
   object RateLimitedCache {
@@ -97,6 +131,39 @@ object RemoteLookup {
     val shared = new RateLimitedCache(client, cacheTtlMs, maxReqPerSec, scope)
     symbols.mapPartitions { it =>
       it.flatMap(sym => shared.get(sym).map(close => StockQuote(sym, close)))
+    }
+  }
+
+  /** The OVERLAPPED form of [[joinQuotes]] — the reference's `getAsync`
+    * semantics (RemoteTableJoinExample.java:162-187): up to `maxInFlight`
+    * lookups are outstanding per task at once, so a backend with latency L
+    * costs ~L·ceil(misses/maxInFlight) per partition instead of L·misses,
+    * while the rate limiter still bounds request STARTS per second per JVM
+    * (tokens are acquired synchronously before each launch). Cache
+    * semantics are identical to the sync path — hits complete immediately
+    * and never consume a token or an in-flight slot.
+    *
+    * The window is issued in order and drained in order (results keep the
+    * input order within a partition); a failed future surfaces — remote
+    * errors are the caller's retry policy, exactly as in the sync path. */
+  def joinQuotesAsync(symbols: Dataset[String],
+                      client: AsyncLookupClient = new AsyncAdapter(new StubQuoteClient),
+                      cacheTtlMs: Long = 5000, maxReqPerSec: Int = 10,
+                      maxInFlight: Int = 8, scope: String = null)(
+      implicit spark: SparkSession): Dataset[StockQuote] = {
+    require(maxInFlight >= 1, s"maxInFlight must be >= 1: $maxInFlight")
+    import spark.implicits._
+    val scopeKey = if (scope != null) scope else client.getClass.getName
+    val shared = new RateLimitedCache(null, cacheTtlMs, maxReqPerSec, scopeKey)
+    symbols.mapPartitions { it =>
+      it.grouped(maxInFlight).flatMap { window =>
+        // launch the whole window before joining any of it — this is where
+        // the overlap comes from (spec-pinned: >1 concurrently in flight)
+        val launched = window.map(sym => (sym, shared.getAsync(sym, client)))
+        launched.flatMap { case (sym, fut) =>
+          fut.join().map(close => StockQuote(sym, close))
+        }
+      }
     }
   }
 }

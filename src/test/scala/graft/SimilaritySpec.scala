@@ -194,6 +194,16 @@ class SimilaritySpec extends SparkSpec {
     val ids = Similarity.ivfProbeById(spark, dirInc, "v", "id", queryId = 70L, k = 5, nprobe = 4)
       .select("id").as[Long].collect().toSet
     assert(ids.exists(_ >= 50), s"appended vectors must be probe-reachable: $ids")
+    // retry idempotency: a foreachBatch replay re-appends the same delta;
+    // the anti-join against ids already in the target cells must make the
+    // replay a no-op — no duplicate vector rows, probes unchanged
+    val before = spark.read.parquet(dirInc).count()
+    Similarity.appendToIvfIndex(all.filter(col("id") >= 50), "v", "id", dirInc)
+    assert(spark.read.parquet(dirInc).count() == before,
+      "a replayed append must add nothing")
+    assert(Similarity.ivfProbeById(spark, dirInc, "v", "id", queryId = 7L,
+      k = 5, nprobe = 2).collect().toSeq == pFull,
+      "probes must be unchanged after a replayed append")
   }
 
   test("semDedup: in-cell cosine dups drop, lowest id survives, distinct content kept") {

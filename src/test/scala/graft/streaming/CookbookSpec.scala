@@ -119,4 +119,58 @@ class CookbookSpec extends SparkSpec {
     assert(out.length == 3) // empty symbol dropped
     assert(out.filter(_.symbol == "AAPL").map(_.close).distinct.length == 1)
   }
+
+  test("J3 async remote join overlaps lookups while the rate limit holds " +
+      "(RemoteTableJoinExample.java:162-187 getAsync semantics)") {
+    AsyncProbe.reset()
+    // 8 distinct keys, one partition, 150 ms latency each, window of 4:
+    // the sync path would cost 8×150 ms; the windowed path ~2×150 ms.
+    val keys = spark.createDataset((1 to 8).map(i => s"SYM$i")).repartition(1)
+    val t0 = System.nanoTime()
+    val out = RemoteLookup.joinQuotesAsync(keys, new LatencyAsyncStub(150),
+      maxReqPerSec = 100, maxInFlight = 4, scope = "probe-overlap").collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.length == 8)
+    assert(out.map(_.symbol).toSeq == (1 to 8).map(i => s"SYM$i")) // order kept
+    // the overlap claim: >1 request genuinely in flight at once
+    assert(AsyncProbe.maxObserved.get() > 1,
+      s"max in-flight was ${AsyncProbe.maxObserved.get()}")
+    // and meaningfully faster than serial (8×150 = 1200 ms serial floor)
+    assert(elapsedMs < 1000, s"took $elapsedMs ms — no overlap happened")
+
+    // rate limit still binds request STARTS: 6 misses at 3/s means any
+    // 4th start is >= ~1 s after the one 3 positions earlier
+    AsyncProbe.reset()
+    val keys2 = spark.createDataset((1 to 6).map(i => s"RL$i")).repartition(1)
+    RemoteLookup.joinQuotesAsync(keys2, new LatencyAsyncStub(1),
+      maxReqPerSec = 3, maxInFlight = 6, scope = "probe-rate").collect()
+    val starts = AsyncProbe.startNanos.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted
+    assert(starts.length == 6)
+    starts.sliding(4).foreach { w =>
+      assert(w.last - w.head >= 900L * 1000 * 1000,
+        s"4 starts within ${(w.last - w.head) / 1e6} ms breaks 3/s") }
+  }
+}
+
+/** JVM-wide gauges for the async-overlap spec: closures re-serialize the
+  * client per task, so observations must land in static state. */
+object AsyncProbe {
+  val inFlight = new java.util.concurrent.atomic.AtomicInteger
+  val maxObserved = new java.util.concurrent.atomic.AtomicInteger
+  val startNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  def reset(): Unit = { inFlight.set(0); maxObserved.set(0); startNanos.clear() }
+}
+
+/** Async stub with injected latency; records start stamps + concurrency. */
+final class LatencyAsyncStub(latencyMs: Long) extends RemoteLookup.AsyncLookupClient {
+  def fetchAsync(key: String): java.util.concurrent.CompletableFuture[Option[Double]] =
+    java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      AsyncProbe.startNanos.add(System.nanoTime())
+      val cur = AsyncProbe.inFlight.incrementAndGet()
+      AsyncProbe.maxObserved.updateAndGet(m => math.max(m, cur))
+      Thread.sleep(latencyMs)
+      AsyncProbe.inFlight.decrementAndGet()
+      Some(1.0)
+    }
 }
