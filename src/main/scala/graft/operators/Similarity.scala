@@ -323,14 +323,27 @@ object Similarity {
     * IN-list and pruning kicks in. At 100 TB the same layout holds — cells
     * are directories, a probe is an nprobe-directory scan. */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
-                    kCentroids: Int, indexDir: String): Unit = {
-    val assigned = ivfAssign(emb, vecCol, idCol, kCentroids)
+                    kCentroids: Int, indexDir: String): Unit =
+    buildIvfIndexWith(emb, vecCol, idCol,
+      emb.filter(col(idCol) < kCentroids)
+        .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("c_vec")),
+      indexDir)
+
+  /** `buildIvfIndex` over an EXPLICIT centroid frame (`centroid_id`,
+    * `c_vec`) — the form the k-means loop feeds: refine with
+    * `kmeansCentroids`, then index with the refined centroids so cells
+    * reflect the data's actual structure instead of the deterministic
+    * lowest-id seeding. Probe-side (`ivfProbe`) is unchanged — it reads
+    * whatever `.centroids` table the build wrote. */
+  def buildIvfIndexWith(emb: DataFrame, vecCol: String, idCol: String,
+                        centroids: DataFrame, indexDir: String): Unit = {
+    val cents = centroids.select(
+      col("centroid_id").cast("int").as("centroid_id"), col("c_vec"))
+    val assigned = assignToCentroids(emb, vecCol, idCol, cents)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
     emb.join(assigned, idCol)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(indexDir)
-    emb.filter(col(idCol) < kCentroids)
-      .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("c_vec"))
-      .coalesce(1)
+    cents.coalesce(1)
       .write.mode("overwrite").parquet(indexDir + ".centroids")
   }
 
