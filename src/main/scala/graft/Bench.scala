@@ -56,7 +56,12 @@ object Bench {
     val failedList = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filterNot(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"reps":$reps,"sf":"$sfDir"}""")
+    // 1-min system load at the END of the run: round-3's recorded tail had
+    // 3-5× entries that were machine contention, not plan changes — a load
+    // far above the allotted CPU count flags a recording to distrust.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"reps":$reps,"load_avg":$loadAvg,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,18 @@ class SimilaritySpec extends SparkSpec {
     assert(over.length == 1 && over(0).getLong(1) == 2000L)
   }
 
+  test("blocked pairs: the DEFAULT maxCell engages on a cell the old cap ignored") {
+    // 9000 rows in one cell sits under the old 100k default (which would
+    // have generated C(9000,2) ≈ 40.5M pairs on ONE task) but over the
+    // tightened 8192: the default must sub-split into 2 hash cells,
+    // bounding candidates at ~2·C(4500,2) ≈ 20M spread across tasks.
+    val emb = vecs(9000).withColumn("label", lit(0))
+    val n = Similarity.blockedNearDupPairs(emb, "v", "id", "label",
+      threshold = -1.0).count() // no maxCell arg — the default is the guard
+    assert(n < 30000000L, s"default cap must sub-split the 9000-row cell, got $n")
+    assert(n > 10000000L, s"sub-cells must still pair within themselves, got $n")
+  }
+
   test("blocked pairs: cells at or under maxCell are untouched (exact results)") {
     val emb = vecs(200).withColumn("label", (col("id") % 4).cast("int"))
     val capped = Similarity.blockedNearDupPairs(emb, "v", "id", "label",
