@@ -815,6 +815,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- output: deterministic training-shard assignment ----
+    // The pipeline's final global shuffle: shard by one id scramble,
+    // position within the shard by an independent second scramble — both
+    // pure integer arithmetic shared with the DuckDB twin.
+    "q_train_shards" -> ((s, d) => {
+      Outputs.shardAssignments(t(s, d, "documents"), "doc_id", numShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: per-domain mixture sampling (broadcast rate table) ----
     "q_domain_mix" -> ((s, d) => {
       val rates = Map("en" -> 80, "de" -> 50, "es" -> 50, "fr" -> 30, "zh" -> 20)
@@ -1519,6 +1528,18 @@ object SparkEntry {
          |  CAST(start_off // 512 AS BIGINT) AS pack_id,
          |  CAST(start_off % 512 AS BIGINT) AS offset_in_pack
          |FROM off ORDER BY doc_id""".stripMargin,
+
+    "q_train_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000003) * 2654435761) % 8 AS shard_id,
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS ord
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard_id ORDER BY ord, doc_id) AS BIGINT) - 1
+        |    AS pos_in_shard
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_domain_mix" ->
       """WITH rates(lang, pct) AS (

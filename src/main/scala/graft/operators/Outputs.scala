@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Output-layout management for pipeline results — at 100 TB the WRITE
   * layout decides every downstream read's cost:
@@ -31,6 +32,63 @@ object Outputs {
               outDir: String, targetFiles: Int): Unit =
     spark.read.parquet(dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Deterministic training-shard assignment — the GLOBAL SHUFFLE every
+    * training-data pipeline ends with: each document lands in one of
+    * `numShards` shards by a content-free id hash, and gets a reproducible
+    * position within its shard by a SECOND independent scramble of the
+    * same hash family. Two properties the downstream loader needs:
+    *  - shard contents are uncorrelated with ingest order (documents
+    *    arrive source-clustered; contiguous assignment would put one
+    *    domain in one shard and train on it in one contiguous stretch);
+    *  - the whole layout is a pure function of the ids — re-running the
+    *    pipeline reproduces byte-identical shards, and an incremental doc
+    *    joins its shard without moving anything else.
+    *
+    * Scale shape: shard assignment is a scan-side projection (the shared
+    * overflow-safe multiplicative hash, see `Curation.knuthHash`); the
+    * position is a row_number window per shard — ONE hash exchange on
+    * shard_id and a within-shard sort, which the sharded WRITE pays
+    * anyway to cluster its files. Positions exist for loaders that seek
+    * (epoch resume at sample k); `writeTrainingShards` skips the window
+    * when `withPositions = false` — file order IS the scramble order.
+    * The knuth family anchors the oracle (integer arithmetic both engines
+    * share); at 100 TB swap the scramble for xxhash64 — same plan, the
+    * same oracle-vs-scale split the MinHash lanes document. */
+  def shardAssignments(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val id = F.col(idCol)
+    df.select(id,
+        Curation.knuthHash(id, numShards.toLong).as("shard_id"),
+        Curation.knuthHash(id, 1000000007L).as("__ord"))
+      .withColumn("pos_in_shard",
+        (F.row_number().over(
+          Window.partitionBy("shard_id").orderBy(F.col("__ord"), id)) - 1)
+          .cast("long"))
+      .drop("__ord")
+  }
+
+  /** Write the corpus as `numShards` hive-partitioned shard directories in
+    * scramble order — the artifact a training loader streams. Joins the
+    * assignment back by id so payload columns ride through untouched. */
+  def writeTrainingShards(df: DataFrame, idCol: String, numShards: Int,
+                          dir: String, withPositions: Boolean = false): Unit = {
+    val id = F.col(idCol)
+    val laid =
+      if (withPositions)
+        // positions wanted: join the windowed assignment back by id
+        df.join(shardAssignments(df, idCol, numShards), idCol)
+          .withColumn("__ord", F.col("pos_in_shard"))
+      else
+        // no positions: skip the window entirely — shard + scramble are
+        // scan-side projections and the write's sort gives the order
+        df.withColumn("shard_id", Curation.knuthHash(id, numShards.toLong))
+          .withColumn("__ord", Curation.knuthHash(id, 1000000007L))
+    laid.repartition(numShards, F.col("shard_id"))
+      .sortWithinPartitions(F.col("__ord"), id)
+      .drop("__ord")
+      .write.partitionBy("shard_id").mode("overwrite").parquet(dir)
+  }
 
   /** Save `df` as a BUCKETED catalog table: rows hash-partitioned into
     * `numBuckets` files on `bucketCols` and sorted within each bucket.

@@ -42,6 +42,30 @@ object Sources {
         col("timestamp").as("arrivalTs"))
       .select(col("m.*"), col("arrivalTs"))
 
+  /** `decodeKafkaValue` with CORRUPT-RECORD ROUTING: malformed payloads
+    * don't silently decode to all-null rows (the default PERMISSIVE
+    * behavior, which loses the evidence) — they surface flagged, raw
+    * payload intact, so a dead-letter sink can keep them for replay
+    * after a producer fix. An ingest stream at scale always has a
+    * malformed tail; dropping it silently is a data-loss bug and failing
+    * the stream on it (FAILFAST) is an availability bug — routing is the
+    * production answer. Null payloads (Kafka tombstones) are NOT corrupt:
+    * they pass through with null fields, flag false.
+    *
+    * Columns out: schema's fields + `raw_value` + `arrivalTs` +
+    * `is_corrupt` — still one codegen'd projection, no extra pass. */
+  def decodeKafkaValueWithDlq(raw: DataFrame, schema: StructType): DataFrame = {
+    val withCr = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    raw
+      .select(from_json(col("value").cast("string"), withCr,
+          java.util.Map.of("columnNameOfCorruptRecord", "_corrupt_record")).as("m"),
+        col("value").cast("string").as("raw_value"),
+        col("timestamp").as("arrivalTs"))
+      .select(col("m.*"), col("raw_value"), col("arrivalTs"))
+      .withColumn("is_corrupt", col("_corrupt_record").isNotNull)
+      .drop("_corrupt_record")
+  }
+
   /** File-directory replay of JSON-per-line events; `filesPerTrigger`
     * throttles ingestion to simulate a live feed. */
   def fileJson(spark: SparkSession, dir: String, schema: StructType,
@@ -104,4 +128,24 @@ object Sinks {
   /** K5: named in-memory sink for assertions. */
   def memory[T](ds: Dataset[T], name: String): DataStreamWriter[T] =
     ds.writeStream.format("memory").queryName(name)
+
+  /** Dead-letter routing sink for a `decodeKafkaValueWithDlq` stream: each
+    * micro-batch splits once (persisted, so decode runs a single time) —
+    * clean rows to `goodDir`, corrupt raw payloads to `dlqDir`. Both sides
+    * OVERWRITE their own `epoch=<id>` subdirectory, the same
+    * retry-idempotency contract as `CurationStream.nearDupIngest`: a
+    * replayed batch replaces its first attempt instead of duplicating it,
+    * and each side reads back as one hive-partitioned table. */
+  def dlqSink(decoded: DataFrame, goodDir: String, dlqDir: String,
+              checkpoint: String): DataStreamWriter[_] =
+    decoded.writeStream.foreachBatch { (b: DataFrame, epoch: Long) =>
+      val c = b.persist()
+      c.filter(!col("is_corrupt"))
+        .drop("is_corrupt", "raw_value")
+        .write.mode("overwrite").parquet(s"$goodDir/epoch=$epoch")
+      c.filter(col("is_corrupt"))
+        .select(col("raw_value"), col("arrivalTs"))
+        .write.mode("overwrite").parquet(s"$dlqDir/epoch=$epoch")
+      c.unpersist(); ()
+    }.option("checkpointLocation", checkpoint)
 }

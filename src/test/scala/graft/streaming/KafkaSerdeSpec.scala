@@ -51,4 +51,50 @@ class KafkaSerdeSpec extends SparkSpec {
       .drop("arrivalTs").as[(Long, (String, Int))].collect().sortBy(_._1).toSeq
     assert(back == Seq((10L, ("inner", 42)), (11L, ("deep", -1))))
   }
+
+  test("decodeKafkaValueWithDlq flags malformed payloads, keeps raw evidence, passes tombstones") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val raw = Seq(
+      ("""{"id": 1, "txt": "good"}""", true),
+      ("""{"id": 2 "txt": missing-comma}""", true), // malformed
+      ("""not json at all""", true),
+      (null.asInstanceOf[String], true) // tombstone: null payload
+    ).toDF("v", "dummy")
+      .select(col("v").cast("binary").as("value"), lit(ts(5)).as("timestamp"))
+    val out = graft.sources.Sources.decodeKafkaValueWithDlq(raw, schema)
+      .select("id", "txt", "raw_value", "is_corrupt")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))
+    assert(out.length == 4)
+    val good = out.filter(!_._4)
+    val bad = out.filter(_._4)
+    assert(bad.length == 2, s"exactly the two malformed rows flag: ${out.toSeq}")
+    // corrupt rows keep the raw payload for replay
+    assert(bad.forall(_._3.isDefined))
+    assert(bad.exists(_._3.contains("not json at all")))
+    // the good row decodes; the tombstone passes with null fields, unflagged
+    assert(good.exists(t => t._1.contains(1L) && t._2.contains("good")))
+    assert(good.exists(t => t._1.isEmpty && t._2.isEmpty && t._3.isEmpty))
+  }
+
+  test("dlqSink routes a stream: clean rows to good, corrupt payloads to the DLQ, epoch-idempotent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    in.addData("""{"id": 10, "txt": "a"}""", """BROKEN{""", """{"id": 11, "txt": "b"}""")
+    val raw = in.toDF()
+      .select(col("value").cast("binary").as("value"),
+        lit(ts(7)).as("timestamp"))
+    val base = java.nio.file.Files.createTempDirectory("dlq").toString
+    val q = graft.sources.Sinks.dlqSink(
+      graft.sources.Sources.decodeKafkaValueWithDlq(raw, schema),
+      s"$base/good", s"$base/dlq", s"$base/ck").start()
+    q.processAllAvailable(); q.stop()
+    val good = spark.read.parquet(s"$base/good").select("id", "txt")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(good == Seq((10L, "a"), (11L, "b")))
+    val dlq = spark.read.parquet(s"$base/dlq").select("raw_value").as[String].collect().toSeq
+    assert(dlq == Seq("BROKEN{"))
+  }
 }
