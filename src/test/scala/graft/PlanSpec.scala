@@ -229,4 +229,20 @@ class PlanSpec extends SparkSpec {
     * while the detail section repeats "(n) Scan parquet" — count tree form. */
   private def scanNodes(p: String): Int =
     p.linesIterator.count(l => l.matches(""".*Scan parquet\s+\(\d+\)\s*"""))
+
+  test("training shards: one hash exchange on shard_id, window after it, no extra shuffle") {
+    // shard assignment is a scan-side projection; the ONLY exchange is the
+    // hash partition on shard_id that the in-shard row_number needs (and
+    // which the sharded write pays anyway), plus the deterministic
+    // ORDER BY's range exchange. A second hash exchange would mean the
+    // scramble column leaked into its own shuffle stage.
+    val p = plan("q_train_shards")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"exactly one hash exchange (shard_id), got $hashEx:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Arguments: hashpartitioning(shard_id")),
+      "the one hash exchange must key on shard_id")
+    assert(p.contains("Window"), "in-shard positions come from one window over the sharded rows")
+  }
 }
