@@ -815,6 +815,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: deterministic train/val/test split ----
+    "q_eval_split" -> ((s, d) => {
+      Curation.splitAssignments(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
+    // ---- text: corpus bigram model with conditional log-probs ----
+    "q_bigram_lp" -> ((s, d) => {
+      TextAnalysis.bigramCondLogProb(t(s, d, "documents"), "text", minCount = 25L)
+        .orderBy("w1", "w2")
+    }),
+
     // ---- output: deterministic training-shard assignment ----
     // The pipeline's final global shuffle: shard by one id scramble,
     // position within the shard by an independent second scramble — both
@@ -1528,6 +1543,30 @@ object SparkEntry {
          |  CAST(start_off // 512 AS BIGINT) AS pack_id,
          |  CAST(start_off % 512 AS BIGINT) AS offset_in_pack
          |FROM off ORDER BY doc_id""".stripMargin,
+
+    "q_eval_split" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
+        |         WHEN ((doc_id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_bigram_lp" ->
+      s"""WITH toks AS (SELECT $sqlTokens AS tk FROM documents),
+         |bi AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+         |  FROM toks WHERE len(tk) >= 2),
+         |c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cnt FROM bi GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM c GROUP BY w1)
+         |SELECT c.w1, c.w2, CAST(cnt AS BIGINT) AS cnt,
+         |  round(ln(CAST(cnt AS DOUBLE) / c1), 4) + 0.0 AS cond_lp
+         |FROM c JOIN l USING (w1) WHERE cnt >= 25
+         |ORDER BY w1, w2""".stripMargin,
 
     "q_train_shards" ->
       """WITH h AS (

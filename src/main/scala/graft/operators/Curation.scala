@@ -24,6 +24,33 @@ object Curation {
   private[graft] def knuthHash(id: org.apache.spark.sql.Column, mod: Long) =
     pmod(pmod(id, lit(1000003L)) * 2654435761L, lit(mod))
 
+  /** Deterministic train/validation/test split — the eval-holdout stage
+    * every training pipeline runs before anything touches the data. The
+    * SAME id hash as the samplers buckets each document into a named
+    * split by cumulative percentage thresholds: with (train 90, val 5,
+    * test 5), hash < 90 → train, < 95 → val, else test. Properties that
+    * matter and fall out of the hash: membership is a pure function of
+    * the id (reproducible across runs, machines, and engines — no seed
+    * state to lose), immune to ingest order, and STABLE UNDER GROWTH —
+    * a document added tomorrow cannot move today's documents between
+    * splits, so eval contamination can't creep in through re-splitting.
+    * Scale shape: one scan-side codegen'd projection, zero shuffles.
+    * `splits` maps name → percentage; must sum to 100. Iteration order
+    * of the thresholds is the ascending cumulative boundary, so the
+    * assignment is independent of map ordering. */
+  def splitAssignments(df: DataFrame, idCol: String,
+                       splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100: $splits")
+    require(splits.forall(_._2 > 0), s"every split needs a positive share: $splits")
+    val h = knuthHash(col(idCol), 100L)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr0 = splits.zip(cum).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), bound), rest) => when(h < bound, name).otherwise(rest)
+    }
+    df.select(col(idCol), expr0.as("split"))
+  }
+
   /** THE keep rule every percentage sampler applies (batch and streaming):
     * a row survives when its id hash lands below the keep percentage.
     * Centralized so the comparison (`<`, mod 100) can never drift between

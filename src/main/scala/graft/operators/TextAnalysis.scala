@@ -249,6 +249,41 @@ object TextAnalysis {
         round(col("s") / 1e6 / col("n_tokens"), 4).as("avg_logprob"))
   }
 
+  /** Corpus bigram model counts with conditional log-probabilities —
+    * the order-2 sibling of [[unigramLogProb]] and the statistic behind
+    * n-gram-LM quality filters (a document whose bigrams are all
+    * low-probability under the corpus model is noise or another language)
+    * and contamination probes. cond_lp = ln(c(w1,w2) / c(w1·)) where the
+    * left-context total c(w1·) comes from the bigram counts themselves
+    * (Σ over w2), so the model is self-consistent: probabilities given
+    * each context sum to 1 exactly, with no last-token-of-document edge
+    * case leaking in from a separate unigram pass.
+    *
+    * `minCount` bounds the reported vocabulary (the Zipf tail is noise
+    * and at open-web scale the untruncated bigram relation is the thing
+    * to cap) — applied AFTER the context totals so truncation never
+    * changes a reported probability.
+    *
+    * Scale shape: the token stream explodes to one bigram row per
+    * adjacent pair (≈ corpus token count) into a map-side-combinable
+    * (w1, w2) count agg; the context totals re-aggregate THAT Zipf-small
+    * relation, not the corpus. One corpus-sized shuffle total. */
+  def bigramCondLogProb(docs: DataFrame, textCol: String,
+                        minCount: Long = 1L): DataFrame = {
+    val toks = docs.select(
+        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks.select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val ctx = cnt.groupBy("w1").agg(sum("cnt").as("c1"))
+    cnt.join(ctx, "w1")
+      .filter(col("cnt") >= minCount)
+      .select(col("w1"), col("w2"), col("cnt"),
+        (round(log(col("cnt") / col("c1")), 4) + lit(0.0)).as("cond_lp"))
+  }
+
   /** Per-source corpus "data card": document/token volume, mean quality,
     * and language-mix entropy — the one-page summary a training-mix
     * decision starts from.

@@ -245,4 +245,26 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(out === Array((1L, 3L, 2L, 30L), (7L, 2L, 7L, 5L)))
   }
+
+  test("splitAssignments: full coverage, expected shares, stable under growth") {
+    val docs = spark.range(10000).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val a = Curation.splitAssignments(docs, "doc_id", splits).cache()
+    // every doc gets exactly one split, shares near the declared pcts
+    assert(a.count() == 10000)
+    val byName = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 8500 && byName("train") < 9500, s"$byName")
+    assert(byName("val") > 250 && byName("val") < 750, s"$byName")
+    // STABILITY UNDER GROWTH: adding documents must not move existing ones
+    val grown = Curation.splitAssignments(
+      spark.range(20000).select(col("id").as("doc_id")), "doc_id", splits)
+      .filter(col("doc_id") < 10000)
+    assert(a.exceptAll(grown).isEmpty && grown.exceptAll(a).isEmpty,
+      "a grown corpus must not re-split the original documents")
+    // bad percentage declarations fail fast
+    assertThrows[IllegalArgumentException](
+      Curation.splitAssignments(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
+    a.unpersist()
+  }
 }

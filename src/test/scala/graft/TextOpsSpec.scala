@@ -190,4 +190,30 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - math.log(2.0 / 3)) < 1e-4)
     assert(math.abs(out(1)._3 - (math.log(2.0 / 3) + 2 * math.log(1.0 / 3)) / 3) < 1e-4)
   }
+
+  test("bigramCondLogProb: hand-computed conditionals, context-consistent, minCount after totals") {
+    // bigrams: "a b"x3 (docs 1,1,2), "b a"x1, "a c"x1 -> c(a.)=4, c(b.)=1
+    val docs = Seq(
+      (1L, "a b a b"),  // a b, b a, a b
+      (2L, "a b"),      // a b
+      (3L, "a c")       // a c
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCondLogProb(docs, "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(t => ((t._1, t._2), (t._3, t._4))).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "c")))
+    assert(out(("a", "b"))._1 == 3L)
+    assert(math.abs(out(("a", "b"))._2 - math.log(3.0 / 4)) < 1e-4)
+    assert(math.abs(out(("a", "c"))._2 - math.log(1.0 / 4)) < 1e-4)
+    assert(out(("b", "a"))._2 == 0.0, "c(b a)=c(b.)=1 -> ln(1)=0, and +0.0 not -0.0")
+    // probabilities given each context sum to 1 (self-consistent model)
+    val pSumA = math.exp(out(("a", "b"))._2) + math.exp(out(("a", "c"))._2)
+    assert(math.abs(pSumA - 1.0) < 1e-3)
+    // minCount truncates the REPORT, not the totals: "a c" disappears but
+    // "a b"'s conditional still uses c(a.)=4
+    val cut = TextAnalysis.bigramCondLogProb(docs, "text", minCount = 2L)
+      .as[(String, String, Long, Double)].collect()
+    assert(cut.map(t => (t._1, t._2)).toSet == Set(("a", "b")))
+    assert(math.abs(cut.head._4 - math.log(3.0 / 4)) < 1e-4)
+  }
 }
