@@ -111,8 +111,18 @@ object SqlSurface {
     require(selected.isStreaming,
       "insertInto wires streaming sinks; for batch views run sql() and write the result")
     val checkpoint = options.get("checkpoint")
+    // An aggregating SELECT (the samza-sql-groupby statement shape) can't
+    // emit in append mode without a watermark; the reference's grouped
+    // INSERT continuously re-emits updated counts, which is `update` mode
+    // here. Default: update for aggregated plans, append otherwise;
+    // options("outputMode") overrides.
+    val mode = options.getOrElse("outputMode",
+      if (selected.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined) "update" else "append")
     def withCheckpoint[T](w: DataStreamWriter[T]): DataStreamWriter[T] =
-      checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+      checkpoint.fold(w.outputMode(mode))(c =>
+        w.outputMode(mode).option("checkpointLocation", c))
     ins.system match {
       case "kafka" =>
         val brokers = options.getOrElse("brokers",

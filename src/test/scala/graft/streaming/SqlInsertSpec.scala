@@ -69,6 +69,25 @@ class SqlInsertSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "Ada", "L", "EngineCo"), (3L, "Cyd", "M", "PlanCo")))
   }
 
+  test("a grouped INSERT (samza-sql-groupby shape) runs in update mode end-to-end") {
+    val in = MemoryStream[SqlProfile]
+    in.addData(profiles)
+    in.toDS().createOrReplaceTempView("ProfileChanges")
+    // the reference's aggregating statement shape
+    // (samza-sql-groupby/src/main/sql/samza.sql:7-10): grouped counts,
+    // continuously re-emitted — update mode is inferred from the plan
+    val q = SqlSurface.insertInto(spark,
+      """insert into kafka.groupbyTopic
+        |  select company, count(*) as Views
+        |  from kafka.ProfileChanges
+        |  group by company""".stripMargin
+        .replace("kafka.groupbyTopic", "memory.grouped_out"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("grouped_out").as[(String, Long)].collect().toMap
+    assert(out == Map("EngineCo" -> 1L, "DataCo" -> 1L, "PlanCo" -> 1L))
+  }
+
   test("INSERT INTO kafka.<topic> returns a wired writer; unknown system throws") {
     val in = MemoryStream[SqlProfile]
     in.toDS().createOrReplaceTempView("ProfileChanges")
