@@ -67,4 +67,57 @@ object Multimodal {
       }
     }
   }
+
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature extraction: payload → fixed-dimension embedding, the bridge
+    * from the media lane into the Similarity family (the extracted
+    * vectors feed `bruteForceTopK`/`buildIvfIndex`/`semDedup` unchanged —
+    * spec-pinned composition). The model inference is STUBBED as an
+    * L2-normalized byte histogram — deterministic, unit-norm, and
+    * sensitive to content like a real encoder's output; a real model
+    * swap (ONNX session, JNI) changes only the per-row function and the
+    * per-partition init point. Batch shape is the real contract:
+    * mapPartitions so model/session state initializes once per task and
+    * the payload bytes never leave the task that decoded them — only the
+    * d-float vector travels. */
+  def extractFeatures(media: DataFrame, dim: Int = 16)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition model/session init would go here
+      it.map { row =>
+        val h = new Array[Float](dim)
+        row.payload.foreach(b => h((b & 0xff) % dim) += 1f)
+        val norm = math.sqrt(h.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+        MediaFeatures(row.doc_id,
+          if (norm > 0f) h.map(_ / norm) else h)
+      }
+    }
+  }
+
+  case class ResizePlan(doc_id: Long, width: Int, height: Int,
+                        out_w: Int, out_h: Int, scale: Double)
+
+  /** Resize planning: fit each decoded (width, height) into a target box
+    * preserving aspect ratio — the metadata half of a resize stage,
+    * runnable WITHOUT touching payload bytes (pure arithmetic over
+    * `decodeMeta` output, so parquet prunes the binary column). The
+    * pixel-pushing half belongs in the same mapPartitions as the decode;
+    * splitting plan from execution lets the planner run corpus-wide
+    * (e.g. to size output storage) at metadata cost. Never upscales:
+    * images already inside the box keep scale 1.0. */
+  def resizePlan(meta: Dataset[MediaMeta], maxW: Int, maxH: Int)(
+      implicit spark: SparkSession): Dataset[ResizePlan] = {
+    import spark.implicits._
+    require(maxW >= 1 && maxH >= 1, s"target box must be positive: $maxW x $maxH")
+    meta.map { m =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      ResizePlan(m.doc_id, m.width, m.height,
+        math.max(1, math.floor(m.width * scale).toInt),
+        math.max(1, math.floor(m.height * scale).toInt), scale)
+    }
+  }
 }

@@ -40,7 +40,11 @@ object Similarity {
     val scored = emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(probe))
       .select(col(idCol), r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"))
-    scored.orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
+    // a zero-norm/NaN-poisoned row scores NaN, which a descending sort
+    // ranks above every real hit — drop it (the TopKHits/hybridTopK
+    // NaN-drop contract, uniform across the whole top-k family)
+    scored.filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col(idCol).asc).limit(k)
   }
 
   /** Exact top-k for a BATCH of probe vectors in one corpus scan — the
@@ -410,6 +414,8 @@ object Similarity {
       .filter(col(idCol) =!= excludeId)
       .crossJoin(broadcast(probe))
       .select(col(idCol), r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"))
+      // same NaN-drop contract as bruteForceTopK
+      .filter(!isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -481,6 +487,23 @@ object Similarity {
           .otherwise(round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254.0, 0)
             .cast("long"))
           .as("code"))
+  }
+
+  /** ANN quality evaluation: recall of an approximate top-k result
+    * against the exact one — THE metric that justifies (or rejects) an
+    * index's nprobe/bits setting before a 100 TB corpus commits to it.
+    * Both inputs are (idCol, ...) result frames; recall = |approx ∩
+    * exact| / |exact|. Returns one row (k, n_hit, recall). Left-semi on
+    * the exact side so duplicate ids in a buggy approx result can't
+    * inflate recall past 1. Cost: two k-row frames, one tiny join —
+    * the probes being compared dominate, not the comparison. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame = {
+    val hits = exact.select(col(idCol))
+      .join(approx.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    exact.select(count(lit(1)).as("k"))
+      .crossJoin(hits.select(count(lit(1)).as("n_hit")))
+      .select(col("k"), col("n_hit"),
+        (round(col("n_hit") / col("k"), 4) + lit(0.0)).as("recall"))
   }
 
   /** Exact all-pairs cosine above a threshold — the baseline LSH
