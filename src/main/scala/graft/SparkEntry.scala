@@ -1013,20 +1013,25 @@ object SparkEntry {
         queryId = 0L, k = 10, nprobe = 2)
     }),
 
-    // ---- similarity: ANN recall@k of the IVF probe vs the exact scan ----
-    // The index-quality gate: how much of the true top-10 does an
-    // nprobe=2 probe of the 8-cell index recover? Both sides are
-    // deterministic, so the recall itself is oracle-checkable.
+    // ---- similarity: ANN recall@k curve of the IVF probe vs exact ----
+    // The index-quality gate: how much of the true top-10 does a probe
+    // of the 8-cell index recover per nprobe? At sf0.01 the curve is
+    // 0.9 → 1.0 for nprobe 1 → 2 — a DISCRIMINATING measurement (both
+    // settings deterministic on both engines), the evidence an operator
+    // needs before committing an nprobe to a 100 TB corpus.
     "q_ann_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag-recall"
       Similarity.buildIvfIndex(emb, "embedding", "vec_id", kCentroids = 8, idx)
-      val approx = Similarity.ivfProbeById(s, idx, "embedding", "vec_id",
-        queryId = 0L, k = 10, nprobe = 2)
       val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
         queryId = 0L, k = 10)
-      Similarity.recallAtK(exact, approx, "vec_id")
+      Seq(1, 2).map { np =>
+        val approx = Similarity.ivfProbeById(s, idx, "embedding", "vec_id",
+          queryId = 0L, k = 10, nprobe = np)
+        Similarity.recallAtK(exact, approx, "vec_id")
+          .select(lit(np.toLong).as("nprobe"), col("k"), col("n_hit"), col("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
     }),
 
     // ---- similarity: int8 scalar quantization (vector compression) ----
@@ -1982,35 +1987,39 @@ object SparkEntry {
        |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, cs AS cos_sim
        |FROM af ORDER BY vec_id""".stripMargin
 
-  /** Recall@10 of the nprobe=2 IVF probe against the exact scan — the
-    * same probe/exact kernels as `ivfTopKSql`/the q_sim_topk oracle,
-    * intersected. */
-  private def annRecallSql: String =
+  /** Recall@10 of the IVF probe against the exact scan, per nprobe —
+    * the same probe/exact kernels as `ivfTopKSql`/the q_sim_topk oracle,
+    * intersected; one UNION ALL arm per nprobe setting. */
+  private def annRecallSql: String = {
+    def arm(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, k.k, h.n_hit,
+         |  round(CAST(h.n_hit AS DOUBLE) / k.k, 4) + 0.0 AS recall
+         |FROM
+         |  (SELECT CAST(count(*) AS BIGINT) AS k FROM exact) k,
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM exact e
+         |   WHERE e.vec_id IN (
+         |     SELECT a.vec_id FROM assign a
+         |     JOIN (SELECT cid FROM (
+         |         SELECT cid, round(list_dot_product(cv, qv)
+         |           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),4) AS c_sim
+         |         FROM c, q ORDER BY c_sim DESC, cid LIMIT $np)) p ON a.cid = p.cid
+         |     JOIN v ON v.vec_id = a.vec_id CROSS JOIN q
+         |     WHERE a.vec_id <> 0
+         |     ORDER BY round(list_dot_product(vv, qv)
+         |       / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) DESC, a.vec_id
+         |     LIMIT 10)) h""".stripMargin
     s"""WITH $ivfAssignCtes,
        |q AS (SELECT vv AS qv FROM v WHERE vec_id = 0),
-       |pcells AS (
-       |  SELECT cid FROM (
-       |    SELECT cid, round(list_dot_product(cv, qv)
-       |      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),4) AS c_sim
-       |    FROM c, q ORDER BY c_sim DESC, cid LIMIT 2)),
-       |approx AS (
-       |  SELECT a.vec_id FROM assign a JOIN pcells p ON a.cid = p.cid
-       |  JOIN v ON v.vec_id = a.vec_id CROSS JOIN q
-       |  WHERE a.vec_id <> 0
-       |  ORDER BY round(list_dot_product(vv, qv)
-       |    / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) DESC, a.vec_id
-       |  LIMIT 10),
        |exact AS (
        |  SELECT vec_id FROM v CROSS JOIN q WHERE vec_id <> 0
        |  ORDER BY round(list_dot_product(vv, qv)
        |    / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) DESC, vec_id
-       |  LIMIT 10),
-       |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM exact),
-       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM exact e
-       |      WHERE e.vec_id IN (SELECT vec_id FROM approx))
-       |SELECT k.k, h.n_hit,
-       |  round(CAST(h.n_hit AS DOUBLE) / k.k, 4) + 0.0 AS recall
-       |FROM k, h""".stripMargin
+       |  LIMIT 10)
+       |${arm(1)}
+       |UNION ALL
+       |${arm(2)}
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** Probe over the refined index: the 2 refined centroids most similar
     * to the query vector, then exact rank within their cells — mirrors
