@@ -276,6 +276,82 @@ object Curation {
       .orderBy(col("pair_count").desc, col("left_sym").asc, col("right_sym").asc)
       .limit(1)
 
+  /** Full BPE tokenizer TRAINING: `numMerges` rounds of count-adjacent-
+    * pairs → pick the argmax pair (ties lexicographic — deterministic
+    * across partitionings) → greedily merge its occurrences left-to-right
+    * in every word's symbol sequence. Returns the ordered merge list —
+    * the tokenizer artifact (apply = replay the merges in order).
+    *
+    * Scale shape — the property that makes tokenizer training feasible on
+    * a 100 TB corpus: the corpus-sized work is ONE word-frequency
+    * aggregate, paid before round 1. Every merge round then operates on
+    * the VOCABULARY relation (distinct words × counts — Zipf-small, ~1e6
+    * rows for open-web text), so N rounds cost N vocabulary passes, not N
+    * corpus scans. Per round: one map-side-combinable pair agg, a 1-row
+    * argmax collect (bounded driver state, same class as the CC fixpoint
+    * scalar), and a codegen'd fold over the symbol arrays;
+    * `localCheckpoint` truncates the per-round plan growth exactly as in
+    * `kmeansCentroids`. Stops early when no pair clears `minCount`. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 1L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var vocab = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(split(col("word"), "").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> struct(syms[i] as l, syms[i+1] as r))")).as("p"))
+        .groupBy("p.l", "p.r").agg(sum("n").as("c"))
+        .filter(col("c") >= minCount)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        vocab = vocab.select(mergeFold(l, r).as("syms"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenizer APPLY: segment every distinct word by replaying a trained
+    * merge list in order. Same vocabulary-relation shape as training —
+    * the corpus contributes one distinct-words pass; each merge is a
+    * codegen'd fold over the Zipf-small vocab. Join the result back on
+    * the word column to tokenize a corpus (the vocab broadcast is the
+    * standard dictionary-apply join). */
+  def bpeSegments(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    var vocab = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .distinct()
+      .select(col("word"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    for ((l, r) <- merges)
+      vocab = vocab.select(col("word"), mergeFold(l, r).as("syms")).localCheckpoint()
+    vocab
+  }
+
+  /** Greedy left-to-right merge of (l, r) occurrences in a symbol array:
+    * fold, joining x onto the accumulator's tail when tail = l and x = r
+    * (a just-created l+r can't re-consume — it no longer equals l). The
+    * ONE merge-application definition train and apply both use. */
+  private def mergeFold(l: String, r: String) = expr(
+    s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+       |  if (size(acc) > 0 AND element_at(acc, -1) = ${sqlStr(l)} AND x = ${sqlStr(r)},
+       |      concat(slice(acc, 1, size(acc) - 1), array(${sqlStr(l + r)})),
+       |      concat(acc, array(x))))""".stripMargin)
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Per-group winsorization: clamp a numeric column to its group's
     * [loPct, hiPct] percentile band — the outlier-robust alternative to
     * dropping rows (feature pipelines keep the row, cap the value). The

@@ -267,4 +267,26 @@ class CurationOpsSpec extends SparkSpec {
       Curation.splitAssignments(docs, "doc_id", Seq("a" -> 50, "b" -> 40)))
     a.unpersist()
   }
+
+  test("bpeTrain: hand-computed merge sequence, greedy apply, early stop and minCount") {
+    // vocab: ab x2, abc x1, aaa x1.
+    // r1 pairs: (a,b)=3, (b,c)=1, (a,a)=2 -> merge (a,b)
+    // r2: (ab,c)=1, (a,a)=2 -> merge (a,a)   [aaa greedily -> [aa, a]]
+    // r3: (ab,c)=1, (aa,a)=1 -> lex tie-break: (aa,a)
+    // r4: (ab,c)=1 -> merge (ab,c); r5: nothing left -> early stop
+    val docs = Seq((1L, "ab ab abc"), (2L, "aaa")).toDF("doc_id", "text")
+    val merges = Curation.bpeTrain(docs, "text", numMerges = 10)
+    assert(merges == Seq(("a", "b"), ("a", "a"), ("aa", "a"), ("ab", "c")),
+      s"merge sequence must match the hand computation: $merges")
+    // minCount prunes the tail: only pairs with corpus count >= 2 merge
+    val merges2 = Curation.bpeTrain(docs, "text", numMerges = 10, minCount = 2L)
+    assert(merges2 == Seq(("a", "b"), ("a", "a")), s"$merges2")
+    // APPLY replays the merges: fully-merged words collapse to one symbol,
+    // an unseen word segments greedily with the same merges
+    val seg = Curation.bpeSegments(
+      Seq((1L, "ab abc aaa abba")).toDF("doc_id", "text"), "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(seg("ab") == Seq("ab") && seg("abc") == Seq("abc") && seg("aaa") == Seq("aaa"))
+    assert(seg("abba") == Seq("ab", "b", "a"), s"${seg("abba")}")
+  }
 }
