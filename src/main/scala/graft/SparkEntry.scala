@@ -1589,10 +1589,12 @@ object SparkEntry {
          |FROM c JOIN l USING (w1) WHERE cnt >= 25
          |ORDER BY w1, w2""".stripMargin,
 
+    // the scramble reduces mod the big prime BEFORE the shard mod: the
+    // Knuth multiplier is ≡ 1 mod 8, so a direct mod-8 would be id % 8
     "q_train_shards" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |    ((doc_id % 1000003) * 2654435761) % 8 AS shard_id,
+        |    (((doc_id % 1000003) * 2654435761) % 1000000007) % 8 AS shard_id,
         |    ((doc_id % 1000003) * 2654435761) % 1000000007 AS ord
         |  FROM documents)
         |SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,

@@ -48,7 +48,14 @@ object Curation {
     val expr0 = splits.zip(cum).init.foldRight(lit(splits.last._1)) {
       case (((name, _), bound), rest) => when(h < bound, name).otherwise(rest)
     }
-    df.select(col(idCol), expr0.as("split"))
+    // a null id hashes to null, every `h < bound` is false, and the
+    // fold's otherwise would SILENTLY route the row into the LAST split —
+    // concentrated eval contamination from exactly the malformed rows a
+    // holdout stage must reject. Fail loudly at execution instead.
+    val guarded = when(col(idCol).isNull,
+      raise_error(lit(s"splitAssignments: null $idCol — split membership " +
+        "must be a pure function of a non-null id"))).otherwise(expr0)
+    df.select(col(idCol), guarded.as("split"))
   }
 
   /** THE keep rule every percentage sampler applies (batch and streaming):

@@ -36,8 +36,8 @@ object Outputs {
   /** Deterministic training-shard assignment — the GLOBAL SHUFFLE every
     * training-data pipeline ends with: each document lands in one of
     * `numShards` shards by a content-free id hash, and gets a reproducible
-    * position within its shard by a SECOND independent scramble of the
-    * same hash family. Two properties the downstream loader needs:
+    * position within its shard from the same scramble value. Two
+    * properties the downstream loader needs:
     *  - shard contents are uncorrelated with ingest order (documents
     *    arrive source-clustered; contiguous assignment would put one
     *    domain in one shard and train on it in one contiguous stretch);
@@ -45,8 +45,19 @@ object Outputs {
     *    pipeline reproduces byte-identical shards, and an incremental doc
     *    joins its shard without moving anything else.
     *
-    * Scale shape: shard assignment is a scan-side projection (the shared
-    * overflow-safe multiplicative hash, see `Curation.knuthHash`); the
+    * The shard id is the scramble REDUCED MOD A LARGE PRIME FIRST
+    * (`shardScramble`): the naive `knuthHash(id, numShards)` degenerates
+    * for power-of-two shard counts — the Knuth multiplier 2654435761 is
+    * ≡ 1 mod 2^k (k ≤ 4... 2^4 divides 2654435760), so `(id·K) mod 8 =
+    * id mod 8`: zero low-bit mixing, and any id allocation with a stride
+    * sharing a factor with numShards (per-worker ranges, fixed low bits)
+    * would collapse into few shards. Reducing mod 1000000007 before the
+    * shard mod destroys that congruence, so every shard count mixes.
+    * Within a shard the scramble value itself is the position order (its
+    * residue mod numShards is constant per shard, so ordering by it IS
+    * the independent in-shard scramble).
+    *
+    * Scale shape: shard assignment is a scan-side projection; the
     * position is a row_number window per shard — ONE hash exchange on
     * shard_id and a within-shard sort, which the sharded WRITE pays
     * anyway to cluster its files. Positions exist for loaders that seek
@@ -59,8 +70,8 @@ object Outputs {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     val id = F.col(idCol)
     df.select(id,
-        Curation.knuthHash(id, numShards.toLong).as("shard_id"),
-        Curation.knuthHash(id, 1000000007L).as("__ord"))
+        F.pmod(shardScramble(id), F.lit(numShards.toLong)).as("shard_id"),
+        shardScramble(id).as("__ord"))
       .withColumn("pos_in_shard",
         (F.row_number().over(
           Window.partitionBy("shard_id").orderBy(F.col("__ord"), id)) - 1)
@@ -68,24 +79,32 @@ object Outputs {
       .drop("__ord")
   }
 
+  /** The one scramble the shard family derives everything from. */
+  private def shardScramble(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Curation.knuthHash(id, 1000000007L)
+
   /** Write the corpus as `numShards` hive-partitioned shard directories in
     * scramble order — the artifact a training loader streams. Joins the
     * assignment back by id so payload columns ride through untouched. */
   def writeTrainingShards(df: DataFrame, idCol: String, numShards: Int,
                           dir: String, withPositions: Boolean = false): Unit = {
     val id = F.col(idCol)
-    val laid =
+    // shard + scramble are scan-side projections over the payload rows —
+    // ONE scan of the corpus, no self-join. The optional position window
+    // runs AFTER the shard repartition and requires exactly that
+    // partitioning, so it adds no exchange of its own.
+    val laid = df
+      .withColumn("shard_id", F.pmod(shardScramble(id), F.lit(numShards.toLong)))
+      .withColumn("__ord", shardScramble(id))
+      .repartition(numShards, F.col("shard_id"))
+    val withPos =
       if (withPositions)
-        // positions wanted: join the windowed assignment back by id
-        df.join(shardAssignments(df, idCol, numShards), idCol)
-          .withColumn("__ord", F.col("pos_in_shard"))
-      else
-        // no positions: skip the window entirely — shard + scramble are
-        // scan-side projections and the write's sort gives the order
-        df.withColumn("shard_id", Curation.knuthHash(id, numShards.toLong))
-          .withColumn("__ord", Curation.knuthHash(id, 1000000007L))
-    laid.repartition(numShards, F.col("shard_id"))
-      .sortWithinPartitions(F.col("__ord"), id)
+        laid.withColumn("pos_in_shard",
+          (F.row_number().over(
+            Window.partitionBy("shard_id").orderBy(F.col("__ord"), id)) - 1)
+            .cast("long"))
+      else laid
+    withPos.sortWithinPartitions(F.col("__ord"), id)
       .drop("__ord")
       .write.partitionBy("shard_id").mode("overwrite").parquet(dir)
   }

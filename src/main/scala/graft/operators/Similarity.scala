@@ -129,7 +129,11 @@ object Similarity {
     a.join(b, Seq("bucket", "__sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), r4(cosineSim(col("vec_a"), col("vec_b"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      // !isnan FIRST: Spark comparisons rank NaN above every number, so a
+      // zero-norm/NaN-poisoned vector would otherwise pass ANY threshold
+      // and pair with every cellmate (the top-k family's NaN-drop
+      // contract, applied to the pair family)
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
     // no distinct needed: each vector lives in exactly one (bucket, sub)
     // cell, so a pair can only be produced once
   }
@@ -152,7 +156,9 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      // NaN passes any >= threshold in Spark's ordering — drop it, or a
+      // bad vector pairs with every cellmate and semDedup mass-drops
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 
   /** IVF coarse quantizer: assign every vector to its most-cosine-similar
@@ -503,7 +509,7 @@ object Similarity {
     exact.select(count(lit(1)).as("k"))
       .crossJoin(hits.select(count(lit(1)).as("n_hit")))
       .select(col("k"), col("n_hit"),
-        (round(col("n_hit") / col("k"), 4) + lit(0.0)).as("recall"))
+        r4(col("n_hit") / col("k")).as("recall"))
   }
 
   /** Exact all-pairs cosine above a threshold — the baseline LSH
@@ -515,6 +521,6 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), r4(cosineSim(col("vec_a"), col("vec_b"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 }

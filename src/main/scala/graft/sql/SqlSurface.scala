@@ -67,7 +67,11 @@ object SqlSurface {
   def parseInsert(statement: String): SqlInsert = {
     val body = statement.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n").trim
-    val re = """(?is)^insert\s+into\s+`?([\w.$-]+)`?\s*\.\s*`?([\w.$-]+)`?\s+(select\b.*)$""".r
+    // the SYSTEM group takes no dots — dotted Kafka topic names are
+    // idiomatic (`kafka.page.views` = system kafka, topic page.views),
+    // so the first dot is the system/target split and the target keeps
+    // the rest
+    val re = """(?is)^insert\s+into\s+`?([\w$-]+)`?\s*\.\s*`?([\w.$-]+)`?\s+(select\b.*)$""".r
     body match {
       case re(system, target, select) =>
         SqlInsert(system.toLowerCase(java.util.Locale.ROOT), target, select.trim)
@@ -134,9 +138,13 @@ object SqlSurface {
       case "memory" =>
         withCheckpoint(selected.writeStream.format("memory").queryName(ins.target))
       case "file" | "parquet" =>
-        val path = options.getOrElse("path",
-          throw new IllegalArgumentException("file sink needs options(\"path\")"))
-        withCheckpoint(selected.writeStream.format("parquet").option("path", path))
+        // the parsed target IS the output's leaf directory under the
+        // caller's base path — the statement's named destination stays
+        // authoritative instead of being silently ignored
+        val base = options.getOrElse("path",
+          throw new IllegalArgumentException("file sink needs options(\"path\") base dir"))
+        withCheckpoint(selected.writeStream.format("parquet")
+          .option("path", s"${base.stripSuffix("/")}/${ins.target}"))
       case other => throw new IllegalArgumentException(
         s"unknown sink system '$other' (know kafka, memory, file/parquet)")
     }

@@ -87,12 +87,20 @@ object CurationStream {
     // existing-but-EMPTY index (a first attempt that died mid-write leaves
     // the directory with only _temporary — no committed parquet) must read
     // as absent: parquet schema inference throws on a committed-file-less
-    // dir and would wedge every subsequent micro-batch. AnalysisException
-    // is the committed-data probe — cheaper and more precise than listing.
+    // dir and would wedge every subsequent micro-batch. ONLY the
+    // schema-inference failure maps to empty — any other AnalysisException
+    // (corrupted committed files, incompatible schema evolution) rethrows:
+    // treating those as empty would silently forget every indexed doc and
+    // let historical duplicates pass as new, with the stream still green.
     val stored =
       if (fs.exists(idxPath))
         try spark.read.parquet(indexDir)
-        catch { case _: org.apache.spark.sql.AnalysisException => bands.limit(0) }
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
+                String.valueOf(e.getMessage).contains("Unable to infer schema") =>
+            bands.limit(0)
+        }
       else bands.limit(0)
     val oldHits = bands
       .join(stored

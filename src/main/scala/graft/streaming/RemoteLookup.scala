@@ -80,13 +80,17 @@ object RemoteLookup {
 
     def get(key: String): Option[Double] = {
       val cache = shared.cache
-      val now = System.currentTimeMillis()
       val hit = cache.get(key)
-      if (hit != null && now - hit._1 < ttlMs) hit._2
+      if (hit != null && System.currentTimeMillis() - hit._1 < ttlMs) hit._2
       else {
         acquire()
         val v = client.fetch(key)
-        cache.put(key, (now, v))
+        // stamp at COMPLETION: acquire() can sleep under token pressure
+        // and the fetch itself takes the backend's latency — a pre-fetch
+        // stamp would write entries already near (or past) expiry,
+        // turning the cache into a permanent miss storm when latency
+        // approaches the TTL
+        cache.put(key, (System.currentTimeMillis(), v))
         v
       }
     }
@@ -98,13 +102,16 @@ object RemoteLookup {
     def getAsync(key: String, async: AsyncLookupClient):
         java.util.concurrent.CompletableFuture[Option[Double]] = {
       val cache = shared.cache
-      val now = System.currentTimeMillis()
       val hit = cache.get(key)
-      if (hit != null && now - hit._1 < ttlMs)
+      if (hit != null && System.currentTimeMillis() - hit._1 < ttlMs)
         java.util.concurrent.CompletableFuture.completedFuture(hit._2)
       else {
         acquire()
-        async.fetchAsync(key).thenApply { v => cache.put(key, (now, v)); v }
+        // completion-time stamp — see get(): a launch-time stamp ages the
+        // entry by the whole in-flight latency
+        async.fetchAsync(key).thenApply { v =>
+          cache.put(key, (System.currentTimeMillis(), v)); v
+        }
       }
     }
   }

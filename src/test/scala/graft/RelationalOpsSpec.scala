@@ -87,6 +87,15 @@ class RelationalOpsSpec extends SparkSpec {
         countDistinct("pos_in_shard").as("nd"), count(lit(1)).as("n"))
       .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 || col("nd") =!= col("n"))
     assert(posOk.count() == 0, "pos_in_shard must be 0..n-1 per shard")
+    // POWER-OF-TWO MIXING (regression): the Knuth multiplier is ≡ 1 mod 8,
+    // so shard = hash mod 8 DIRECTLY would be id mod 8 — ids allocated
+    // with stride 8 (per-worker ranges, fixed low bits) would all land in
+    // ONE shard. The prime-mod intermediate must spread them.
+    val strided = spark.range(1000).select((col("id") * 8).as("doc_id"))
+    val sSizes = graft.operators.Outputs.shardAssignments(strided, "doc_id", 8)
+      .groupBy("shard_id").count().select("count").as[Long].collect()
+    assert(sSizes.length == 8 && sSizes.forall(s => s > 60 && s < 190),
+      s"stride-8 ids must spread over all 8 shards: ${sSizes.toSeq}")
     // deterministic: a second run reproduces the exact layout
     val b = graft.operators.Outputs.shardAssignments(docs, "doc_id", numShards = 8)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)

@@ -154,23 +154,28 @@ class CookbookSpec extends SparkSpec {
 }
 
 /** JVM-wide gauges for the async-overlap spec: closures re-serialize the
-  * client per task, so observations must land in static state. */
+  * client per task, so observations must land in static state. The stub
+  * runs on its OWN fixed pool, not ForkJoinPool.commonPool — common-pool
+  * parallelism is cores-1, so on a small CI box the sleeps would
+  * serialize and the overlap assertions would fail with no product bug. */
 object AsyncProbe {
   val inFlight = new java.util.concurrent.atomic.AtomicInteger
   val maxObserved = new java.util.concurrent.atomic.AtomicInteger
   val startNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8)
   def reset(): Unit = { inFlight.set(0); maxObserved.set(0); startNanos.clear() }
 }
 
 /** Async stub with injected latency; records start stamps + concurrency. */
 final class LatencyAsyncStub(latencyMs: Long) extends RemoteLookup.AsyncLookupClient {
   def fetchAsync(key: String): java.util.concurrent.CompletableFuture[Option[Double]] =
-    java.util.concurrent.CompletableFuture.supplyAsync { () =>
+    java.util.concurrent.CompletableFuture.supplyAsync(() => {
       AsyncProbe.startNanos.add(System.nanoTime())
       val cur = AsyncProbe.inFlight.incrementAndGet()
       AsyncProbe.maxObserved.updateAndGet(m => math.max(m, cur))
       Thread.sleep(latencyMs)
       AsyncProbe.inFlight.decrementAndGet()
       Some(1.0)
-    }
+    }, AsyncProbe.pool)
 }

@@ -39,6 +39,11 @@ class SqlInsertSpec extends SparkSpec {
     val ins2 = SqlSurface.parseInsert(
       "insert into kafka.groupbyTopic select count(*) as Views from kafka.`PageViewEvent`")
     assert(ins2.system == "kafka" && ins2.target == "groupbyTopic")
+    // dotted topic names are idiomatic Kafka: first dot splits, the
+    // target keeps the rest
+    val ins3 = SqlSurface.parseInsert(
+      "INSERT INTO kafka.page.views.v2 SELECT a FROM kafka.b")
+    assert(ins3.system == "kafka" && ins3.target == "page.views.v2")
     assertThrows[IllegalArgumentException](
       SqlSurface.parseInsert("SELECT 1"))
   }
