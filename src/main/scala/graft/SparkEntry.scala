@@ -588,6 +588,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: the same pairs from the STORED dedup index ----
+    // The production shape (the batch sibling of the streaming band
+    // index): shingle+signature+banding run once at build (paid in rep 1
+    // under min-of-reps), the pairs pass joins the stored relations.
+    // Same oracle SQL as q_dedup_minhash by design.
+    "q_dedup_indexed" -> ((s, d) => {
+      val dir = s"target/graft-dedup/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val marker = new org.apache.hadoop.fs.Path(dir + "/shingles/_SUCCESS")
+      if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker))
+        Dedup.buildDedupIndex(t(s, d, "documents"), "text", "doc_id", dir)
+      Dedup.nearDupsFromIndex(s, dir, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: edit-distance verify on MinHash band candidates ----
     "q_edit_pairs" -> ((s, d) => {
       Dedup.editDistancePairs(t(s, d, "documents"), "text", "doc_id",
@@ -1531,6 +1546,9 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q_dedup_minhash" -> minhashSql,
+    // identical SQL by design: the stored band/shingle relations hold
+    // exactly what the inline kernel derives — same rows, same hash
+    "q_dedup_indexed" -> minhashSql,
     "q_edit_pairs" -> editPairsSql,
 
     "q_dedup_clusters" -> dedupClustersSql,

@@ -39,4 +39,21 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!candidates.exists(_._1 == 100002L),
       s"unrelated delta doc must not collide, got $candidates")
   }
+
+  test("stored dedup index reproduces the inline pairs exactly, threshold re-tunable") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-idx").toString + "/idx"
+    Dedup.buildDedupIndex(corpus, "text", "doc_id", dir)
+    val inline = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
+    val indexed = Dedup.nearDupsFromIndex(spark, dir, threshold = 0.5)
+    assert(inline.exceptAll(indexed).isEmpty && indexed.exceptAll(inline).isEmpty,
+      "stored-index pairs must equal the inline kernel's pairs")
+    // threshold tuning against the index never reruns the text kernel and
+    // only loosens/tightens the verify: a lower bar is a superset
+    val loose = Dedup.nearDupsFromIndex(spark, dir, threshold = 0.3)
+      .select("id_a", "id_b")
+    assert(indexed.select("id_a", "id_b").exceptAll(loose).isEmpty)
+    assert(loose.count() >= indexed.count())
+  }
 }
