@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.apps.IngestCurationApp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** The end-to-end ingest composition: corrupt lines to the DLQ, the
+  * curation gate (quality/language/sampling/dedup) on the clean side,
+  * survivors landing as deterministic training shards. */
+class IngestCurationAppSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("feed splits into shards + DLQ; the gate drops junk; shards are deterministic") {
+    val goodText = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val in = MemoryStream[String]
+    in.addData(
+      s"""{"doc_id": 1, "text": "$goodText", "ts": "2026-01-01T00:00:00"}""",
+      s"""{"doc_id": 2, "text": "$goodText now with more words", "ts": "2026-01-01T00:00:01"}""",
+      s"""{"doc_id": 2, "text": "$goodText now with more words", "ts": "2026-01-01T00:00:01"}""", // dup id
+      """{"doc_id": 3, "text": "!!! ??? ### $$$ %%% @@@ !!! ??? ###", "ts": "2026-01-01T00:00:02"}""", // junk quality
+      """{"doc_id": 4, "text": null, "ts": "2026-01-01T00:00:03"}""",                             // null text -> langid fails gate
+      """{"doc_id": 5, "ts": "2026-01-01T00:00:04"""",                                            // malformed json
+      """not json at all""")
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val q = IngestCurationApp.run(spark, in.toDF(), base,
+      minQuality = 0.3, lang = "en", keepPct = 100, numShards = 4)
+    q.processAllAvailable(); q.stop()
+
+    val dlq = spark.read.parquet(s"$base/dlq").select("raw_value").as[String].collect()
+    assert(dlq.length == 2, s"exactly the two malformed lines route to the DLQ: ${dlq.toSeq}")
+    assert(dlq.exists(_.contains("not json")))
+
+    val shards = spark.read.parquet(s"$base/shards")
+    val kept = shards.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L),
+      s"gate keeps the two quality English docs once each: $kept")
+    // shard assignment matches the deterministic operator
+    val expected = graft.operators.Outputs.shardAssignments(
+      shards.select("doc_id"), "doc_id", 4).select(col("doc_id"), col("shard_id"))
+    assert(shards.select("doc_id", "shard_id").exceptAll(expected).isEmpty)
+  }
+}
