@@ -846,8 +846,8 @@ object SparkEntry {
     }),
 
     // ---- output: deterministic training-shard assignment ----
-    // The pipeline's final global shuffle: shard by one id scramble,
-    // position within the shard by an independent second scramble — both
+    // The pipeline's final global shuffle: one id scramble drives both the
+    // shard id (modulo) and the position within the shard (rank order) —
     // pure integer arithmetic shared with the DuckDB twin.
     "q_train_shards" -> ((s, d) => {
       Outputs.shardAssignments(t(s, d, "documents"), "doc_id", numShards = 8)
@@ -1040,8 +1040,11 @@ object SparkEntry {
         f"-${d.hashCode}%08x-$jvmTag-recall"
       // build once per (dataset, JVM): the recall math is the measurement,
       // the index is its input artifact (q_ivf_topk keeps the
-      // build-inclusive accounting for the build lifecycle itself)
-      val marker = new org.apache.hadoop.fs.Path(idx + "/_SUCCESS")
+      // build-inclusive accounting for the build lifecycle itself).
+      // Probe the LAST-written artifact (.centroids follows the main index
+      // in buildIvfIndexWith) so a build that died between the two writes
+      // re-runs instead of wedging every later rep on a missing table.
+      val marker = new org.apache.hadoop.fs.Path(idx + ".centroids/_SUCCESS")
       if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker))
         Similarity.buildIvfIndex(emb, "embedding", "vec_id", kCentroids = 8, idx)
       val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",

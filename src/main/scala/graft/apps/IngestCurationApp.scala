@@ -10,13 +10,21 @@ import org.apache.spark.sql.types._
   * suite tells, as one runnable app: a JSON document feed streams in,
   * malformed payloads route to a dead-letter directory, clean documents
   * pass the curation gate (quality ≥ threshold, language match,
-  * deterministic sampling, within-watermark exact dedup), and each
+  * deterministic sampling, content-fingerprint exact dedup), and each
   * micro-batch of survivors lands in deterministic training shards.
   *
   * Every stage is an operator this library tests independently
-  * (`decodeKafkaValueWithDlq`-style corrupt routing, `curationGate`,
-  * `writeTrainingShards`); the app is their composition, with the same
-  * epoch-overwrite retry idempotency the streaming dedup sink uses. At
+  * (`decodeKafkaValueWithDlq`-style corrupt routing,
+  * `CurationStream.gateScan` — the SAME scan-side gate the streaming
+  * `curationGate` runs — and `writeTrainingShards`); the app is their
+  * composition, with the same epoch-overwrite retry idempotency the
+  * streaming dedup sink uses. Exact dedup here is CONTENT-based
+  * (fingerprint of the text, not the id): within a batch the smallest id
+  * per fingerprint survives, and a stored fingerprint index at
+  * `<outDir>/fpindex` drops re-ingested content across batches — the
+  * batch-side analogue of `curationGate`'s within-watermark stateful
+  * dedup, with storage instead of stream state so it survives restarts
+  * (the same state-in-storage shape as `nearDupStep`'s band index). At
   * scale the feed is Kafka (`Sources.kafkaJson`) and the shard directory
   * is object storage — neither changes a line of the pipeline.
   *
@@ -24,7 +32,8 @@ import org.apache.spark.sql.types._
   *   [minQuality] [lang] [keepPct] [numShards]
   * Feed lines: {"doc_id": 1, "text": "...", "ts": "2026-01-01T00:00:00"}
   * Output: <outDir>/shards/epoch=N/shard_id=K/ parquet files (curated docs),
-  *         <outDir>/dlq/epoch=N/ parquet files (malformed raw lines).
+  *         <outDir>/dlq/epoch=N/ parquet files (malformed raw lines),
+  *         <outDir>/fpindex/epoch=N/ fingerprints first seen in epoch N.
   */
 object IngestCurationApp {
 
@@ -61,6 +70,9 @@ object IngestCurationApp {
   def run(spark: SparkSession, raw: DataFrame, outDir: String,
           minQuality: Double, lang: String, keepPct: Int,
           numShards: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail FAST at wiring time — gateScan re-validates per batch, but a
+    // bad pct should refuse to start, not kill the first micro-batch
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100]: $keepPct")
     // decode with corrupt routing (the DLQ contract: malformed lines keep
     // their raw bytes; a JSON null-field line is data, not corruption)
     val withCr = docSchema.add("_corrupt_record", StringType)
@@ -80,24 +92,40 @@ object IngestCurationApp {
         b.filter(col("is_corrupt"))
           .select(col("raw_value"))
           .write.mode("overwrite").parquet(s"$outDir/dlq/epoch=$epoch")
-        // the curation gate runs BATCH-side inside foreachBatch: quality,
-        // language, sampling hash, and exact dedup within the batch (the
-        // cross-batch watermark dedup lives in the streaming form,
-        // CurationStream.curationGate — here each epoch is the unit)
+        // the curation gate runs BATCH-side inside foreachBatch, through
+        // the SAME scan-side gate as the streaming form (one home for the
+        // quality/language/sampling semantics and the keepPct validation)
         val clean = b.filter(!col("is_corrupt"))
           .select(col("doc_id"), col("text"), col("ts"))
-        val scored = graft.operators.TextAnalysis
-          .qualityScore(clean, "text", "doc_id", keepCols = Seq("text", "ts"))
-          .withColumn("lang_pred",
-            graft.functions.TextFunctions.langId(lower(col("text"))))
-        val kept = scored
-          .filter(col("quality") >= minQuality && col("lang_pred") === lang &&
-            graft.operators.Curation.keepsAtPct(col("doc_id"), lit(keepPct)))
-          .dropDuplicates("doc_id")
-          .select("doc_id", "text", "ts", "quality", "lang_pred")
-        Outputs.writeTrainingShards(kept, "doc_id", numShards,
-          s"$outDir/shards/epoch=$epoch")
-        b.unpersist(); ()
+        val gated = CurationStream.gateScan(clean, "text", "doc_id", "ts",
+          minQuality, lang, keepPct)
+        // exact dedup is CONTENT-based: within the batch the smallest id
+        // per fingerprint survives (argmin via min(struct) — no window
+        // sort), covering both re-delivered ids and same-text-new-id rows
+        val first = gated
+          .groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("text"), col("ts"),
+            col("quality"), col("lang_pred"))).as("r"))
+          .select(col("fp"), col("r.*"))
+        // ... and across batches a stored fingerprint index drops content
+        // any EARLIER epoch already shipped. The anti-join excludes the
+        // batch's OWN epoch rows so a foreachBatch retry (whose first
+        // attempt may have committed the index write) still keeps its
+        // survivors, and both the shard and index writes overwrite their
+        // epoch directory — the nearDupStep/flags retry contract.
+        val fpDir = s"$outDir/fpindex"
+        val likeFp = first.select(col("fp")).withColumn("epoch", lit(epoch))
+        val storedFp = CurationStream.readIndexOrEmpty(spark, fpDir, likeFp)
+        val fresh = first
+          .join(storedFp.filter(col("epoch") =!= lit(epoch)).select("fp"),
+            Seq("fp"), "left_anti")
+          .persist()
+        Outputs.writeTrainingShards(
+          fresh.select("doc_id", "text", "ts", "quality", "lang_pred"),
+          "doc_id", numShards, s"$outDir/shards/epoch=$epoch")
+        fresh.select("fp")
+          .write.mode("overwrite").parquet(s"$fpDir/epoch=$epoch")
+        fresh.unpersist(); b.unpersist(); ()
       }
       .start()
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.TextFunctions._
 import graft.operators.{Curation, TextAnalysis}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The curation kernels lifted to Structured Streaming — the ingest-time
@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   * cross-watermark dups). */
 object CurationStream {
 
+  /** The SCAN side of the ingest gate, shared by the streaming form
+    * ([[curationGate]]) and the foreachBatch ingest app
+    * ([[graft.apps.IngestCurationApp]]): quality threshold, language
+    * match, the deterministic `keepPct`% sampling hash, and the content
+    * fingerprint the dedup stage keys on. Pure codegen projection +
+    * filter — identical semantics on a stream and a batch by
+    * construction, and the single home of the argument validation.
+    * Returns `idCol, textCol, tsCol, quality, lang_pred, fp`. */
+  def gateScan(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
+               minQuality: Double, wantLang: String, keepPct: Int): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100]: $keepPct")
+    TextAnalysis.qualityScore(docs, textCol, idCol, keepCols = Seq(textCol, tsCol))
+      .withColumn("lang_pred", langId(lower(col(textCol))))
+      .withColumn("fp", fingerprint(col(textCol)))
+      .filter(col("quality") >= minQuality &&
+        col("lang_pred") === wantLang &&
+        Curation.keepsAtPct(col(idCol), lit(keepPct)))
+  }
+
   /** Ingest gate: keep documents that (1) clear the quality threshold,
     * (2) match the wanted language, (3) survive the deterministic
     * `keepPct`% sampling hash, and (4) are the first copy of their content
@@ -29,17 +48,35 @@ object CurationStream {
   def curationGate(docs: DataFrame, textCol: String, idCol: String,
                    tsCol: String, minQuality: Double, wantLang: String,
                    keepPct: Int, dedupWatermark: String = "10 minutes"): DataFrame = {
-    require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100]: $keepPct")
-    val scored = TextAnalysis.qualityScore(docs, textCol, idCol,
-        keepCols = Seq(textCol, tsCol))
-      .withColumn("lang_pred", langId(lower(col(textCol))))
-      .withColumn("fp", fingerprint(col(textCol)))
-    val kept = scored
-      .filter(col("quality") >= minQuality &&
-        col("lang_pred") === wantLang &&
-        Curation.keepsAtPct(col(idCol), lit(keepPct)))
+    val kept = gateScan(docs, textCol, idCol, tsCol, minQuality, wantLang, keepPct)
     StatefulOps.dedupStream(kept, tsCol, dedupWatermark, Seq("fp"))
       .select(col(idCol), col(tsCol), col("quality"), col("lang_pred"), col("fp"))
+  }
+
+  /** Read a stored index directory, treating ABSENT or uncommitted-empty
+    * (a first write attempt that died leaves the path existing with only
+    * `_temporary` — no committed parquet) as an empty frame shaped like
+    * `like`. ONLY the schema-inference failure maps to empty — any other
+    * AnalysisException (corrupted committed files, incompatible schema
+    * evolution) rethrows: treating those as empty would silently forget
+    * every indexed row and let historical duplicates pass as new, with
+    * the stream still green. */
+  private[graft] def readIndexOrEmpty(spark: SparkSession, dir: String,
+                                      like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // resolve the filesystem FROM the path (s3a://, hdfs://, file:// all
+    // work regardless of fs.defaultFS); FileSystem.get(conf) would pin the
+    // default scheme and throw Wrong-FS for anything else
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      try spark.read.parquet(dir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
+              String.valueOf(e.getMessage).contains("Unable to infer schema") =>
+          like.limit(0)
+      }
+    else like.limit(0)
   }
 
   /** One micro-batch of incremental NEAR-dup dedup against a stored band
@@ -79,29 +116,9 @@ object CurationStream {
     val spark = batch.sparkSession
     val bands = graft.operators.Dedup.minhashBands(batch, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-    // resolve the filesystem FROM the path (s3a://, hdfs://, file:// all
-    // work regardless of fs.defaultFS); FileSystem.get(conf) would pin the
-    // default scheme and throw Wrong-FS for anything else
-    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // existing-but-EMPTY index (a first attempt that died mid-write leaves
-    // the directory with only _temporary — no committed parquet) must read
-    // as absent: parquet schema inference throws on a committed-file-less
-    // dir and would wedge every subsequent micro-batch. ONLY the
-    // schema-inference failure maps to empty — any other AnalysisException
-    // (corrupted committed files, incompatible schema evolution) rethrows:
-    // treating those as empty would silently forget every indexed doc and
-    // let historical duplicates pass as new, with the stream still green.
-    val stored =
-      if (fs.exists(idxPath))
-        try spark.read.parquet(indexDir)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
-                String.valueOf(e.getMessage).contains("Unable to infer schema") =>
-            bands.limit(0)
-        }
-      else bands.limit(0)
+    // absent or uncommitted-empty index reads as empty; see
+    // readIndexOrEmpty for the failure-mode contract
+    val stored = readIndexOrEmpty(spark, indexDir, bands)
     val oldHits = bands
       .join(stored
         .join(bands.select("doc", "band", "band_key"),

@@ -162,8 +162,14 @@ object AsyncProbe {
   val inFlight = new java.util.concurrent.atomic.AtomicInteger
   val maxObserved = new java.util.concurrent.atomic.AtomicInteger
   val startNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  // daemon threads: a static never-shut-down pool must not pin the JVM
+  // alive after the suite in an in-process (non-forked) runner
   val pool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(8)
+    java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+      val t = new Thread(r, "async-probe")
+      t.setDaemon(true)
+      t
+    })
   def reset(): Unit = { inFlight.set(0); maxObserved.set(0); startNanos.clear() }
 }
 

@@ -19,6 +19,7 @@ class IngestCurationAppSpec extends SparkSpec {
       s"""{"doc_id": 1, "text": "$goodText", "ts": "2026-01-01T00:00:00"}""",
       s"""{"doc_id": 2, "text": "$goodText now with more words", "ts": "2026-01-01T00:00:01"}""",
       s"""{"doc_id": 2, "text": "$goodText now with more words", "ts": "2026-01-01T00:00:01"}""", // dup id
+      s"""{"doc_id": 9, "text": "$goodText", "ts": "2026-01-01T00:00:05"}""",                     // new id, SAME content as doc 1
       """{"doc_id": 3, "text": "!!! ??? ### $$$ %%% @@@ !!! ??? ###", "ts": "2026-01-01T00:00:02"}""", // junk quality
       """{"doc_id": 4, "text": null, "ts": "2026-01-01T00:00:03"}""",                             // null text -> langid fails gate
       """{"doc_id": 5, "ts": "2026-01-01T00:00:04"""",                                            // malformed json
@@ -26,7 +27,7 @@ class IngestCurationAppSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("ingest").toString
     val q = IngestCurationApp.run(spark, in.toDF(), base,
       minQuality = 0.3, lang = "en", keepPct = 100, numShards = 4)
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
 
     val dlq = spark.read.parquet(s"$base/dlq").select("raw_value").as[String].collect()
     assert(dlq.length == 2, s"exactly the two malformed lines route to the DLQ: ${dlq.toSeq}")
@@ -34,11 +35,36 @@ class IngestCurationAppSpec extends SparkSpec {
 
     val shards = spark.read.parquet(s"$base/shards")
     val kept = shards.select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 9 duplicates doc 1's CONTENT under a new id — the fingerprint
+    // dedup drops it and the smallest id survives
     assert(kept == Seq(1L, 2L),
       s"gate keeps the two quality English docs once each: $kept")
     // shard assignment matches the deterministic operator
     val expected = graft.operators.Outputs.shardAssignments(
       shards.select("doc_id"), "doc_id", 4).select(col("doc_id"), col("shard_id"))
     assert(shards.select("doc_id", "shard_id").exceptAll(expected).isEmpty)
+
+    // a LATER batch re-delivering doc 1 (same id+content) and duplicating
+    // doc 2's content under a fresh id ships neither again — the stored
+    // fingerprint index catches cross-epoch dups that per-batch state
+    // cannot — while genuinely new content still lands
+    in.addData(
+      s"""{"doc_id": 1, "text": "$goodText", "ts": "2026-01-01T00:01:00"}""",
+      s"""{"doc_id": 7, "text": "$goodText now with more words", "ts": "2026-01-01T00:01:01"}""",
+      s"""{"doc_id": 8, "text": "$goodText and this copy is genuinely fresh text", "ts": "2026-01-01T00:01:02"}""")
+    q.processAllAvailable(); q.stop()
+    val kept2 = spark.read.parquet(s"$base/shards")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(1L, 2L, 8L),
+      s"only the fresh-content doc lands in the second epoch: $kept2")
+  }
+
+  test("a bad keepPct refuses to start instead of failing the first batch") {
+    val in = MemoryStream[String]
+    val base = java.nio.file.Files.createTempDirectory("ingest-bad").toString
+    intercept[IllegalArgumentException] {
+      IngestCurationApp.run(spark, in.toDF(), base,
+        minQuality = 0.3, lang = "en", keepPct = 150, numShards = 4)
+    }
   }
 }

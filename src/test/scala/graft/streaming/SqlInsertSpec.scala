@@ -93,6 +93,24 @@ class SqlInsertSpec extends SparkSpec {
     assert(out == Map("EngineCo" -> 1L, "DataCo" -> 1L, "PlanCo" -> 1L))
   }
 
+  test("INSERT INTO file.<leaf> lands parquet under options(path)/<leaf>") {
+    val in = MemoryStream[SqlProfile]
+    in.addData(profiles)
+    in.toDS().createOrReplaceTempView("ProfileChanges")
+    val base = java.nio.file.Files.createTempDirectory("sql-insert-file").toString
+    // the statement's named destination is the leaf directory under the
+    // caller's base path (documented sink mapping) — pin the composition
+    // end-to-end, trailing slash and all
+    val q = SqlSurface.insertInto(spark,
+      "INSERT INTO file.pm_out SELECT memberId, company FROM kafka.ProfileChanges",
+      Map("path" -> (base + "/"), "checkpoint" -> s"$base/ck"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$base/pm_out")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "EngineCo"), (2L, "DataCo"), (3L, "PlanCo")))
+  }
+
   test("INSERT INTO kafka.<topic> returns a wired writer; unknown system throws") {
     val in = MemoryStream[SqlProfile]
     in.toDS().createOrReplaceTempView("ProfileChanges")
