@@ -41,7 +41,10 @@ object PlanDoc {
     "q_eval_split" -> "train/val/test split: the hash IS the operator — pure projection + 3-row agg, zero corpus shuffle",
     "q_bigram_lp" -> "bigram LM: token-sized explode into one map-side-combinable count agg; context totals re-aggregate the Zipf-small relation",
     "q_ivf_assign2" -> "2-iter refined assignment: still broadcast centroids + map-side argmax — refit never changes the plan shape",
-    "q_ivf_topk2" -> "probe of the refined-centroid index: partition-pruned cell scan + 1-row probe broadcast + TakeOrderedAndProject")
+    "q_ivf_topk2" -> "probe of the refined-centroid index: partition-pruned cell scan + 1-row probe broadcast + TakeOrderedAndProject",
+    "q_bigram_score" -> "LM scoring pass: pair stream joins ONLY broadcast relations (trimmed model, unigram vocab, 1-row total) then one per-doc agg",
+    "q_source_overlap" -> "DISTINCT (source, shingle) self-join — per-key fan-out bounded by source count, no df-cut needed",
+    "q_gopher_flags" -> "per-rule quality gates: one codegen projection chain, zero shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

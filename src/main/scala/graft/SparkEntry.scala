@@ -845,6 +845,30 @@ object SparkEntry {
         .orderBy("w1", "w2")
     }),
 
+    // ---- text: per-doc bigram log-prob (LM perplexity filter) ----
+    // The model applied back over the corpus: broadcast joins only, one
+    // per-doc agg; the score a CCNet-style perplexity cut ranks on.
+    "q_bigram_score" -> ((s, d) => {
+      TextAnalysis.bigramDocLogProb(t(s, d, "documents"), "text", "doc_id",
+        minCount = 25L)
+        .orderBy("doc")
+    }),
+
+    // ---- text: cross-source shingle-overlap matrix (leakage audit) ----
+    // One row per source pair; the self-join is on the DISTINCT
+    // (source, shingle) relation, so per-key fan-out is bounded by the
+    // source count, not document frequency — exact with no df-cut.
+    "q_source_overlap" -> ((s, d) => {
+      TextAnalysis.sourceOverlap(t(s, d, "documents"), "text", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
+    // ---- text: Gopher-style per-rule quality flags ----
+    "q_gopher_flags" -> ((s, d) => {
+      TextAnalysis.gopherQualityFlags(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- output: deterministic training-shard assignment ----
     // The pipeline's final global shuffle: one id scramble drives both the
     // shard id (modulo) and the position within the shard (rank order) —
@@ -1614,6 +1638,88 @@ object SparkEntry {
          |  round(ln(CAST(cnt AS DOUBLE) / c1), 4) + 0.0 AS cond_lp
          |FROM c JOIN l USING (w1) WHERE cnt >= 25
          |ORDER BY w1, w2""".stripMargin,
+
+    // the model CTEs repeat q_bigram_lp (same tokenizer, same minCount);
+    // the backoff term is stupid-backoff 0.4·p_unigram(w2), per-pair
+    // log-probs go to integer 1e4-units BEFORE the doc sum
+    "q_bigram_score" ->
+      s"""WITH t0 AS (SELECT doc_id AS doc, $sqlTokens AS tk FROM documents),
+         |toks AS (SELECT doc, tk FROM t0 WHERE len(tk) >= 2),
+         |p AS (SELECT doc, b.w1 AS w1, b.w2 AS w2 FROM (
+         |  SELECT doc, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b FROM toks)),
+         |c AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM c GROUP BY w1),
+         |m AS (SELECT c.w1, c.w2, round(ln(CAST(cnt AS DOUBLE) / c1), 4) + 0.0 AS cond_lp
+         |      FROM c JOIN l USING (w1) WHERE cnt >= 25),
+         |v AS (SELECT w2, count(*) AS ucnt
+         |      FROM (SELECT unnest(tk) AS w2 FROM toks) GROUP BY w2),
+         |tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS n_total FROM v),
+         |sc AS (SELECT p.doc,
+         |        CAST(round(coalesce(m.cond_lp,
+         |          round(ln(0.4 * v.ucnt / tot.n_total), 4) + 0.0) * 10000, 0)
+         |          AS BIGINT) AS lpm
+         |      FROM p LEFT JOIN m ON p.w1 = m.w1 AND p.w2 = m.w2
+         |        JOIN v ON p.w2 = v.w2 CROSS JOIN tot)
+         |SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(sum(lpm) / 10000.0, 4) + 0.0 AS bigram_lp
+         |FROM sc GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // DISTINCT (source, shingle) relation self-joined on shingle —
+    // mirrors TextAnalysis.sourceOverlap (same 3-gram CASE as shinglesCte)
+    "q_source_overlap" ->
+      s"""WITH t0 AS (SELECT source, $sqlTokens AS tk FROM documents),
+         |sh AS (SELECT DISTINCT source, unnest(
+         |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+         |       ELSE list_transform(generate_series(1, len(tk) - 2),
+         |              i -> array_to_string(tk[i:i+2], ' ')) END) AS shingle FROM t0),
+         |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+         |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+         |            count(*) AS n_common
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  CAST(x.n_sh AS BIGINT) AS n_a, CAST(y.n_sh AS BIGINT) AS n_b,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  round(CAST(n_common AS DOUBLE) / (x.n_sh + y.n_sh - n_common), 4) + 0.0
+         |    AS jaccard,
+         |  round(CAST(n_common AS DOUBLE) / least(x.n_sh, y.n_sh), 4) + 0.0
+         |    AS containment
+         |FROM inter JOIN sz x ON source_a = x.source JOIN sz y ON source_b = y.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // per-rule Gopher gates over the lowercased token list; ratio columns
+    // null (not NaN) for the empty document, rules then coalesce to false
+    "q_gopher_flags" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT)
+        |      AS n_chars_tok,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(tk),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+        |  FROM t0),
+        |r AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN round(n_chars_tok / CAST(n_words AS DOUBLE), 4) + 0.0 END
+        |      AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN round(n_alpha / CAST(n_words AS DOUBLE), 4) + 0.0 END AS alpha_frac,
+        |    n_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+        |  coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_mean_len,
+        |  coalesce(alpha_frac >= 0.8, FALSE) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        |    AND coalesce(alpha_frac >= 0.8, FALSE)
+        |    AND (n_stop >= 2)) AS pass_all
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the scramble reduces mod the big prime BEFORE the shard mod: the
     // Knuth multiplier is ≡ 1 mod 8, so a direct mod-8 would be id % 8

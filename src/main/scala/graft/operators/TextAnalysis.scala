@@ -284,6 +284,64 @@ object TextAnalysis {
         (round(log(col("cnt") / col("c1")), 4) + lit(0.0)).as("cond_lp"))
   }
 
+  /** Per-document bigram log-probability under the corpus model — the
+    * LM-perplexity quality filter (the CCNet recipe: score every document
+    * under a reference LM and cut the tail). [[bigramCondLogProb]] is the
+    * MODEL; this applies it back over the corpus: each adjacent token pair
+    * scores its conditional log-prob when the model knows the bigram
+    * (count ≥ `minCount`), else backs off to `backoff`·p_unigram(w2)
+    * (stupid backoff — no discounting mass to renormalize, which keeps
+    * the oracle twin exact). A document of common-word prose scores near
+    * the corpus average; gibberish, wrong-language, or template text
+    * scores far below it. Returns (doc, n_pairs, bigram_lp) where
+    * `bigram_lp` is the document TOTAL at 4 dp — normalize by `n_pairs`
+    * downstream for a length-independent cut.
+    *
+    * Exactness under distribution: per-pair log-probs round to 4 dp then
+    * convert to integer 1e4-units BEFORE the per-doc sum (the repo's
+    * order-invariant integer idiom), so partitioning never changes the
+    * result and the DuckDB twin hash-matches.
+    *
+    * Scale shape: the pair stream is corpus-sized but joins ONLY against
+    * broadcast relations (the minCount-trimmed bigram model and the
+    * unigram vocab — both Zipf-small); one per-doc agg shuffle of partial
+    * sums ends the plan. At open-web scale the model relation is the
+    * thing to cap (raise minCount / top-V with an OOV floor) or
+    * materialize once as a stored artifact next to the IVF centroids —
+    * the per-doc pass is unchanged either way. */
+  def bigramDocLogProb(docs: DataFrame, textCol: String, idCol: String,
+                       minCount: Long = 1L, backoff: Double = 0.4): DataFrame = {
+    val model = bigramCondLogProb(docs, textCol, minCount)
+      .select("w1", "w2", "cond_lp")
+    val toks = docs.select(col(idCol).as("doc"),
+        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val vocab = toks.select(explode(col("tk")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("ucnt"))
+    val total = vocab.select(sum("ucnt").cast("double").as("n_total"))
+    val pairs = toks.select(col("doc"), explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    pairs
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab), Seq("w2"))  // same-corpus vocab: always hits
+      .crossJoin(broadcast(total))
+      .select(col("doc"),
+        coalesce(col("cond_lp"),
+          round(log(lit(backoff) * col("ucnt") / col("n_total")), 4) + lit(0.0))
+          .as("lp"))
+      .select(col("doc"), round(col("lp") * 1e4, 0).cast("long").as("lpm"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_pairs"), sum("lpm").as("s"))
+      // report the exact 4-dp TOTAL, not a rounded average: the integer
+      // sum over 4-dp units divided by 1e4 is an exact decimal in both
+      // engines, while avg = s/1e4/n lands ON the round-half boundary
+      // whenever s/n hits a quarter-unit (measured at sf0.001: one doc
+      // flips engines at 4 dp). Consumers normalize by n_pairs.
+      .select(col("doc"), col("n_pairs"),
+        (round(col("s") / 1e4, 4) + lit(0.0)).as("bigram_lp"))
+  }
+
   /** Per-source corpus "data card": document/token volume, mean quality,
     * and language-mix entropy — the one-page summary a training-mix
     * decision starts from.
@@ -315,6 +373,93 @@ object TextAnalysis {
         round(sum("qm") / 1e6 / sum("c"), 4).as("avg_quality"),
         round(log(sum(col("c")).cast("double")) - sum("ent_micro") / 1e6 / sum("c"), 4)
           .as("lang_entropy"))
+  }
+
+  /** Cross-source shingle-overlap matrix — the corpus-level contamination
+    * audit: for every pair of sources, how much of their 3-word shingle
+    * vocabulary is shared? High overlap between a training source and an
+    * eval source is leakage; high overlap between two training sources is
+    * double-counted content the mixture weights should know about. The
+    * per-document pair ops ([[graft.operators.Dedup.ngramJaccardPairs]])
+    * answer "which documents"; this answers "which SOURCES", one row per
+    * unordered pair.
+    *
+    * Scale shape — and why this self-join is safe where a per-document one
+    * is not: the joined relation is DISTINCT (source, shingle), so a
+    * shingle contributes at most one row PER SOURCE and the per-key join
+    * fan-out is bounded by n_sources² (a constant ~dozens), not by
+    * document frequency. No df-cut needed, results exact. Two
+    * corpus-sized shuffles total (the distinct, the shingle join); the
+    * per-source sizes broadcast back over the tiny pair relation. */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val rel = docs.select(col(srcCol).as("source"),
+        explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 3))
+          .as("shingle"))
+      .distinct()
+    val sizes = rel.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = rel.join(
+        rel.select(col("shingle"), col("source").as("source_b")), Seq("shingle"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        (round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4)
+          + lit(0.0)).as("jaccard"),
+        (round(col("n_common") / least(col("n_a"), col("n_b")), 4) + lit(0.0))
+          .as("containment"))
+  }
+
+  /** Gopher-style per-rule quality flags — the named heuristic gates of
+    * the Gopher/MassiveText cleaning recipe as EXPLAINABLE columns (the
+    * composite [[qualityScore]] ranks; this tells you WHY a document
+    * fails): word-count window, mean-word-length window, alphabetic-word
+    * fraction, and a minimum count of distinct common stopwords. Each
+    * rule is its own boolean so curation can tighten or drop one rule
+    * without re-deriving the metrics; `pass_all` is their conjunction.
+    * Pure codegen projection — zero shuffle at any scale.
+    *
+    * Null/empty text yields n_words = 0: the ratio columns stay null and
+    * every rule fails (an empty document is not trainable prose). */
+  def gopherQualityFlags(docs: DataFrame, textCol: String, idCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                         minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // tokens() (split + drop-empties — the exact twin of the oracle's SQL
+    // fragment), with null text coalesced to the empty document first
+    // (n_words = 0, all rules fail) so neither engine's null propagation
+    // reaches the array kernels
+    val tk = tokens(lower(coalesce(col(textCol), lit(""))))
+    docs
+      .select(col(idCol), tk.as("tk"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("aggregate(tk, 0L, (a, x) -> a + length(x))").as("n_chars_tok"),
+        expr("size(filter(tk, x -> x rlike '[A-Za-z]'))").cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("tk")),
+          array(stopList.map(lit): _*))).cast("long").as("n_stop"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0,
+          round(col("n_chars_tok") / col("n_words").cast("double"), 4) + lit(0.0))
+          .as("mean_word_len"),
+        when(col("n_words") > 0,
+          round(col("n_alpha") / col("n_words").cast("double"), 4) + lit(0.0))
+          .as("alpha_frac"),
+        col("n_stop"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"), col("alpha_frac"),
+        col("n_stop"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_words"),
+        coalesce(col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen, lit(false)).as("r_mean_len"),
+        coalesce(col("alpha_frac") >= minAlphaFrac, lit(false)).as("r_alpha"),
+        (col("n_stop") >= minStopHits).as("r_stop"))
+      .withColumn("pass_all",
+        col("r_words") && col("r_mean_len") && col("r_alpha") && col("r_stop"))
   }
 
   /** Token-length histogram: fixed-width bins over the whitespace token

@@ -216,4 +216,74 @@ class TextOpsSpec extends SparkSpec {
     assert(cut.map(t => (t._1, t._2)).toSet == Set(("a", "b")))
     assert(math.abs(cut.head._4 - math.log(3.0 / 4)) < 1e-4)
   }
+
+  private def r4(x: Double): Double = math.round(x * 1e4) / 1e4
+
+  test("bigramDocLogProb: hand-computed totals; unknown bigrams back off to 0.4·p_unigram") {
+    // bigrams: doc1 = (a,b)(b,a)(a,b), doc2 = (a,b)(b,c)
+    // counts: (a,b)=3, (b,a)=1, (b,c)=1; contexts c(a.)=3, c(b.)=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramDocLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc1: ln(3/3) + ln(1/2) + ln(3/3); doc2: ln(3/3) + ln(1/2)
+    val lnHalf = r4(math.log(1.0 / 2))
+    assert(out(0) == ((1L, 3L, lnHalf)), s"doc1: ${out(0)}")
+    assert(out(1) == ((2L, 2L, lnHalf)), s"doc2: ${out(1)}")
+
+    // minCount above every count empties the model: every pair scores the
+    // stupid-backoff 0.4 * p_unigram(w2) over unigrams a:3 b:3 c:1 (N=7)
+    val bo = TextAnalysis.bigramDocLogProb(docs, "text", "doc_id", minCount = 4L)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val lpA = r4(math.log(0.4 * 3 / 7.0)); val lpB = lpA
+    val lpC = r4(math.log(0.4 * 1 / 7.0))
+    assert(bo(0)._3 == r4(lpB + lpA + lpB), s"doc1 backoff: ${bo(0)}")
+    assert(bo(1)._3 == r4(lpB + lpC), s"doc2 backoff: ${bo(1)}")
+    // a one-token document has no bigrams and drops out entirely
+    val one = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramDocLogProb(one, "text", "doc_id").count() == 0)
+  }
+
+  test("sourceOverlap: hand-computed shingle sets; zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "x y z w", "A"),   // shingles {x y z, y z w}
+      (2L, "x y z w", "A"),   // duplicate content: set size still 2
+      (3L, "x y z", "B"),     // <= 3 tokens: one whole-text shingle {x y z}
+      (4L, "p q r s", "C")    // {p q r, q r s} — disjoint from A and B
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    // only the overlapping pair appears; absent row == zero overlap
+    assert(out.length == 1, s"exactly one overlapping pair: ${out.toSeq}")
+    val (a, b, na, nb, common, jac, cont) = out.head
+    assert((a, b, na, nb, common) == (("A", "B", 2L, 1L, 1L)))
+    assert(jac == 0.5, "1 common / (2 + 1 - 1)")
+    assert(cont == 1.0, "B's whole set is inside A")
+  }
+
+  test("gopherQualityFlags: each rule fails independently; empty/null text fails all") {
+    val good = Seq.fill(15)("the cat runs of").mkString(" ")  // 60 words, 2 stopwords
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of"),                                  // too short
+      (3L, Seq.fill(20)("123 456 789").mkString(" ")), // no alphabetic words
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(docs, "text", "doc_id")
+      .select("doc_id", "n_words", "n_stop", "r_words", "r_mean_len", "r_alpha",
+        "r_stop", "pass_all")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 60L, 2L, true, true, true, true, true)), s"good: ${out(0)}")
+    // mean word length (3+2)/2 = 2.5 also dips under the 3.0 floor
+    assert(out(1) == ((2L, 2L, 2L, false, false, true, true, false)), s"short: ${out(1)}")
+    assert(!out(2)._6 && !out(2)._8, s"numeric doc fails r_alpha: ${out(2)}")
+    assert(out(3) == ((4L, 0L, 0L, false, false, false, false, false)), s"empty: ${out(3)}")
+    assert(out(4) == ((5L, 0L, 0L, false, false, false, false, false)), s"null: ${out(4)}")
+    // the ratio columns are null (not NaN) for the empty document
+    val nulls = TextAnalysis.gopherQualityFlags(docs, "text", "doc_id")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 4L)
+      .select("mean_word_len", "alpha_frac").collect()
+    assert(nulls.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
 }

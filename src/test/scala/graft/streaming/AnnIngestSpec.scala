@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+/** The streaming IVF ingest lifecycle: first batch bootstraps the index
+  * (non-zero-based ids), later batches delta-append, probes see new
+  * vectors immediately, and a replayed step appends nothing. */
+class AnnIngestSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def v(x: Float, y: Float): Seq[Float] = Seq(x, y, 0.1f, 0.1f)
+
+  test("bootstrap from a non-zero-based stream, append, probe, replay-idempotent") {
+    val idx = java.nio.file.Files.createTempDirectory("ann-ingest").toString + "/idx"
+    val ck = java.nio.file.Files.createTempDirectory("ann-ingest-ck").toString
+    val in = MemoryStream[VecRow]
+    // ids start at 10: buildIvfIndex's `id < k` seeding would pick NOTHING
+    in.addData(
+      VecRow(10L, v(1f, 0f)), VecRow(11L, v(0f, 1f)),
+      VecRow(12L, v(0.9f, 0.1f)), VecRow(13L, v(0.1f, 0.9f)))
+    val q = AnnIngest.ivfIngest(in.toDF(), "embedding", "vec_id", idx,
+      kCentroids = 2, checkpointDir = ck)
+    q.processAllAvailable()
+    // bootstrap committed: centroid table + partitioned cells exist
+    assert(spark.read.parquet(idx + ".centroids").count() == 2)
+    assert(spark.read.parquet(idx).count() == 4)
+
+    // a second batch lands near the (1,0) cluster and is probe-visible
+    // immediately after the epoch
+    in.addData(VecRow(20L, v(0.95f, 0.05f)), VecRow(21L, v(0.05f, 0.95f)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(idx).count() == 6)
+    val probe = spark.createDataFrame(Seq(Tuple1(v(1f, 0f)))).toDF("q_vec")
+    val hits = Similarity.ivfProbe(spark, idx, "embedding", "vec_id", probe,
+      excludeId = -1L, k = 3, nprobe = 1).select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(20L), s"new vector probe-visible: $hits")
+    assert(hits.subsetOf(Set(10L, 12L, 20L)), s"one-cell probe stays in-cluster: $hits")
+
+    // a foreachBatch RETRY re-runs the same step with the same delta:
+    // the per-cell anti-join appends nothing
+    val replay = Seq(VecRow(20L, v(0.95f, 0.05f)), VecRow(21L, v(0.05f, 0.95f)))
+      .toDF()
+    AnnIngest.ivfIngestStep(replay, "embedding", "vec_id", idx, kCentroids = 2)
+    assert(spark.read.parquet(idx).count() == 6, "replayed delta appends nothing")
+    // ... and probes return each id at most once
+    val again = Similarity.ivfProbe(spark, idx, "embedding", "vec_id", probe,
+      excludeId = -1L, k = 10, nprobe = 2).select("vec_id").as[Long].collect()
+    assert(again.length == again.distinct.length, s"no duplicate ids: ${again.toSeq}")
+  }
+}
