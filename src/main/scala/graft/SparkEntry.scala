@@ -1064,12 +1064,9 @@ object SparkEntry {
         f"-${d.hashCode}%08x-$jvmTag-recall"
       // build once per (dataset, JVM): the recall math is the measurement,
       // the index is its input artifact (q_ivf_topk keeps the
-      // build-inclusive accounting for the build lifecycle itself).
-      // Probe the LAST-written artifact (.centroids follows the main index
-      // in buildIvfIndexWith) so a build that died between the two writes
-      // re-runs instead of wedging every later rep on a missing table.
-      val marker = new org.apache.hadoop.fs.Path(idx + ".centroids/_SUCCESS")
-      if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker))
+      // build-inclusive accounting for the build lifecycle itself);
+      // committed-ness probes the shared last-written-artifact helper
+      if (!Similarity.ivfIndexCommitted(s, idx))
         Similarity.buildIvfIndex(emb, "embedding", "vec_id", kCentroids = 8, idx)
       val exact = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
         queryId = 0L, k = 10)
@@ -1669,10 +1666,11 @@ object SparkEntry {
     // mirrors TextAnalysis.sourceOverlap (same 3-gram CASE as shinglesCte)
     "q_source_overlap" ->
       s"""WITH t0 AS (SELECT source, $sqlTokens AS tk FROM documents),
-         |sh AS (SELECT DISTINCT source, unnest(
+         |sh0 AS (SELECT source, unnest(
          |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
          |       ELSE list_transform(generate_series(1, len(tk) - 2),
          |              i -> array_to_string(tk[i:i+2], ' ')) END) AS shingle FROM t0),
+         |sh AS (SELECT DISTINCT source, shingle FROM sh0 WHERE shingle <> ''),
          |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
          |inter AS (SELECT a.source AS source_a, b.source AS source_b,
          |            count(*) AS n_common

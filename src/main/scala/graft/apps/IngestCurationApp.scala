@@ -18,10 +18,11 @@ import org.apache.spark.sql.types._
   * `CurationStream.gateScan` — the SAME scan-side gate the streaming
   * `curationGate` runs — and `writeTrainingShards`); the app is their
   * composition, with the same epoch-overwrite retry idempotency the
-  * streaming dedup sink uses. Exact dedup here is CONTENT-based
-  * (fingerprint of the text, not the id): within a batch the smallest id
-  * per fingerprint survives, and a stored fingerprint index at
-  * `<outDir>/fpindex` drops re-ingested content across batches — the
+  * streaming dedup sink uses. Exact dedup enforces BOTH uniqueness
+  * invariants: per id (a re-delivered id — byte-identical or edited —
+  * never ships twice) and per content fingerprint (byte-identical text
+  * under a new id never ships twice), within a batch and, through the
+  * stored (fp, doc_id) index at `<outDir>/fpindex`, across batches — the
   * batch-side analogue of `curationGate`'s within-watermark stateful
   * dedup, with storage instead of stream state so it survives restarts
   * (the same state-in-storage shape as `nearDupStep`'s band index). At
@@ -99,31 +100,43 @@ object IngestCurationApp {
           .select(col("doc_id"), col("text"), col("ts"))
         val gated = CurationStream.gateScan(clean, "text", "doc_id", "ts",
           minQuality, lang, keepPct)
-        // exact dedup is CONTENT-based: within the batch the smallest id
-        // per fingerprint survives (argmin via min(struct) — no window
-        // sort), covering both re-delivered ids and same-text-new-id rows
-        val first = gated
+        // exact dedup keeps BOTH invariants downstream loaders assume:
+        // unique doc_id AND unique content. First one row per id (a
+        // re-delivered id with EDITED text resolves deterministically to
+        // its lexicographically-first fingerprint), then one row per
+        // content fingerprint (smallest id wins) — both argmins via
+        // min(struct), no window sort
+        val oneId = gated
+          .groupBy(col("doc_id"))
+          .agg(min(struct(col("fp"), col("text"), col("ts"),
+            col("quality"), col("lang_pred"))).as("r"))
+          .select(col("doc_id"), col("r.*"))
+        val first = oneId
           .groupBy(col("fp"))
           .agg(min(struct(col("doc_id"), col("text"), col("ts"),
             col("quality"), col("lang_pred"))).as("r"))
           .select(col("fp"), col("r.*"))
-        // ... and across batches a stored fingerprint index drops content
-        // any EARLIER epoch already shipped. The anti-join excludes the
-        // batch's OWN epoch rows so a foreachBatch retry (whose first
-        // attempt may have committed the index write) still keeps its
-        // survivors, and both the shard and index writes overwrite their
-        // epoch directory — the nearDupStep/flags retry contract.
+        // ... and across batches a stored (fp, doc_id) index drops BOTH
+        // content any earlier epoch shipped AND ids already shipped (an
+        // edited re-delivery is not a new training document). The
+        // anti-joins exclude the batch's OWN epoch rows so a foreachBatch
+        // retry (whose first attempt may have committed the index write)
+        // still keeps its survivors, and both the shard and index writes
+        // overwrite their epoch directory — the nearDupStep/flags retry
+        // contract.
         val fpDir = s"$outDir/fpindex"
-        val likeFp = first.select(col("fp")).withColumn("epoch", lit(epoch))
-        val storedFp = CurationStream.readIndexOrEmpty(spark, fpDir, likeFp)
+        val likeFp = first.select(col("fp"), col("doc_id"))
+          .withColumn("epoch", lit(epoch))
+        val prior = CurationStream.readIndexOrEmpty(spark, fpDir, likeFp)
+          .filter(col("epoch") =!= lit(epoch))
         val fresh = first
-          .join(storedFp.filter(col("epoch") =!= lit(epoch)).select("fp"),
-            Seq("fp"), "left_anti")
+          .join(prior.select("fp"), Seq("fp"), "left_anti")
+          .join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
           .persist()
         Outputs.writeTrainingShards(
           fresh.select("doc_id", "text", "ts", "quality", "lang_pred"),
           "doc_id", numShards, s"$outDir/shards/epoch=$epoch")
-        fresh.select("fp")
+        fresh.select("fp", "doc_id")
           .write.mode("overwrite").parquet(s"$fpDir/epoch=$epoch")
         fresh.unpersist(); b.unpersist(); ()
       }

@@ -357,6 +357,19 @@ object Similarity {
       .write.mode("overwrite").parquet(indexDir + ".centroids")
   }
 
+  /** Has a build of the IVF index at `indexDir` COMMITTED? Probes the
+    * `_SUCCESS` marker of the `.centroids` table — the LAST artifact
+    * [[buildIvfIndexWith]] writes — so a build that died between the main
+    * index and the centroid write reads as absent and re-runs, instead of
+    * leaving a probe-breaking half-index that every later caller trusts.
+    * The write order is an invariant of this file; consumers must use this
+    * helper rather than hand-building the marker path. */
+  def ivfIndexCommitted(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(indexDir + ".centroids/_SUCCESS")
+    marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
+  }
+
   /** Append a DELTA of vectors to a stored IVF index without rebuilding —
     * the ingest path of the index lifecycle (the ANN twin of the dedup
     * band-index delta join): assign the delta against the STORED centroid

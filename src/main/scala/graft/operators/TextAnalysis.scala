@@ -395,6 +395,10 @@ object TextAnalysis {
     val rel = docs.select(col(srcCol).as("source"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 3))
           .as("shingle"))
+      // a blank document's whole-text shingle is "" (the kernel's <= n
+      // branch); without this filter two sources that each contain one
+      // blank doc would read as sharing content — a false leakage signal
+      .filter(col("shingle") =!= "")
       .distinct()
     val sizes = rel.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val inter = rel.join(

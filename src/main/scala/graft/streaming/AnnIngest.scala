@@ -45,13 +45,12 @@ object AnnIngest {
   def ivfIngestStep(batch: DataFrame, vecCol: String, idCol: String,
                     indexDir: String, kCentroids: Int): Unit = {
     val spark = batch.sparkSession
-    // the .centroids table is written LAST in buildIvfIndexWith, so its
-    // _SUCCESS marker is the committed-build signal: a build that died
-    // between the index and centroid writes re-runs instead of leaving a
-    // probe-breaking half-index behind
-    val marker = new org.apache.hadoop.fs.Path(indexDir + ".centroids/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
+    // an EMPTY batch (no-data micro-batch, idle-source trigger, restart
+    // replay) must not bootstrap: a zero-centroid index would COMMIT its
+    // marker and every later batch would take the append path, where
+    // assigning against zero centroids drops every vector forever
+    if (batch.isEmpty) return
+    if (!Similarity.ivfIndexCommitted(spark, indexDir)) {
       val w = Window.orderBy(col(idCol))
       val seeds = batch.orderBy(col(idCol)).limit(kCentroids)
         .select((row_number().over(w) - 1).cast("int").as("centroid_id"),

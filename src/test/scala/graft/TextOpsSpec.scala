@@ -258,6 +258,15 @@ class TextOpsSpec extends SparkSpec {
     assert((a, b, na, nb, common) == (("A", "B", 2L, 1L, 1L)))
     assert(jac == 0.5, "1 common / (2 + 1 - 1)")
     assert(cont == 1.0, "B's whole set is inside A")
+
+    // blank documents produce the kernel's "" whole-text shingle; it must
+    // NOT read as shared content between otherwise-disjoint sources
+    val blanks = Seq(
+      (1L, "x y z w", "A"), (2L, "", "A"),
+      (3L, "p q r s", "C"), (4L, "   ", "C")
+    ).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.sourceOverlap(blanks, "text", "source").count() == 0,
+      "a blank doc in each source is not leakage")
   }
 
   test("gopherQualityFlags: each rule fails independently; empty/null text fails all") {

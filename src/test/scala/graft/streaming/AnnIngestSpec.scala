@@ -53,4 +53,19 @@ class AnnIngestSpec extends SparkSpec {
       excludeId = -1L, k = 10, nprobe = 2).select("vec_id").as[Long].collect()
     assert(again.length == again.distinct.length, s"no duplicate ids: ${again.toSeq}")
   }
+
+  test("an empty first batch does not bootstrap a zero-centroid index") {
+    val idx = java.nio.file.Files.createTempDirectory("ann-empty").toString + "/idx"
+    val empty = Seq.empty[VecRow].toDF()
+    AnnIngest.ivfIngestStep(empty, "embedding", "vec_id", idx, kCentroids = 2)
+    assert(!Similarity.ivfIndexCommitted(spark, idx),
+      "empty batch must leave no committed index — a zero-centroid index " +
+        "would route every later batch down the append path and drop all vectors")
+    // the real first batch still bootstraps normally afterwards
+    AnnIngest.ivfIngestStep(
+      Seq(VecRow(10L, v(1f, 0f)), VecRow(11L, v(0f, 1f))).toDF(),
+      "embedding", "vec_id", idx, kCentroids = 2)
+    assert(Similarity.ivfIndexCommitted(spark, idx))
+    assert(spark.read.parquet(idx).count() == 2)
+  }
 }

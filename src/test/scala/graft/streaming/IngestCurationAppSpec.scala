@@ -44,19 +44,27 @@ class IngestCurationAppSpec extends SparkSpec {
       shards.select("doc_id"), "doc_id", 4).select(col("doc_id"), col("shard_id"))
     assert(shards.select("doc_id", "shard_id").exceptAll(expected).isEmpty)
 
-    // a LATER batch re-delivering doc 1 (same id+content) and duplicating
-    // doc 2's content under a fresh id ships neither again — the stored
-    // fingerprint index catches cross-epoch dups that per-batch state
-    // cannot — while genuinely new content still lands
+    // a LATER batch re-delivering doc 1 (same id+content), re-delivering
+    // doc 2 with EDITED text (same id, new content), and duplicating
+    // doc 2's original content under a fresh id ships none of them — the
+    // stored (fp, doc_id) index catches cross-epoch dups on BOTH axes —
+    // while genuinely new content under a new id still lands
     in.addData(
       s"""{"doc_id": 1, "text": "$goodText", "ts": "2026-01-01T00:01:00"}""",
-      s"""{"doc_id": 7, "text": "$goodText now with more words", "ts": "2026-01-01T00:01:01"}""",
-      s"""{"doc_id": 8, "text": "$goodText and this copy is genuinely fresh text", "ts": "2026-01-01T00:01:02"}""")
+      s"""{"doc_id": 2, "text": "$goodText edited second version of the document", "ts": "2026-01-01T00:01:01"}""",
+      s"""{"doc_id": 7, "text": "$goodText now with more words", "ts": "2026-01-01T00:01:02"}""",
+      s"""{"doc_id": 8, "text": "$goodText and this copy is genuinely fresh text", "ts": "2026-01-01T00:01:03"}""")
     q.processAllAvailable(); q.stop()
     val kept2 = spark.read.parquet(s"$base/shards")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept2 == Seq(1L, 2L, 8L),
       s"only the fresh-content doc lands in the second epoch: $kept2")
+    // ... and doc 2 exists exactly once with its ORIGINAL text (the edit
+    // never replaced it)
+    val doc2 = spark.read.parquet(s"$base/shards")
+      .filter(col("doc_id") === 2L).select("text").as[String].collect()
+    assert(doc2.toSeq == Seq(s"$goodText now with more words"),
+      s"doc 2 ships once, original content: ${doc2.toSeq}")
   }
 
   test("a bad keepPct refuses to start instead of failing the first batch") {
