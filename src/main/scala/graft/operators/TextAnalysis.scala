@@ -313,22 +313,67 @@ object TextAnalysis {
                        minCount: Long = 1L, backoff: Double = 0.4): DataFrame = {
     val model = bigramCondLogProb(docs, textCol, minCount)
       .select("w1", "w2", "cond_lp")
-    val toks = docs.select(col(idCol).as("doc"),
+    val toks = lmToks(docs, textCol, idCol)
+    scoreAgainstLm(toks, model, lmVocab(toks), backoff)
+  }
+
+  /** Train the bigram LM ONCE and store it as a queryable artifact
+    * (`<dir>.bigrams` + `<dir>.unigrams`) — the production shape of the
+    * perplexity filter: the model trains on a REFERENCE corpus (the CCNet
+    * recipe trains on Wikipedia) and every crawl snapshot or ingest
+    * stream scores against the stored tables without re-deriving them.
+    * The LM twin of the stored dedup band index and the IVF centroid
+    * table. */
+  def buildLmTable(docs: DataFrame, textCol: String, dir: String,
+                   minCount: Long = 1L): Unit = {
+    val tks = docs.select(
         graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
       .filter(size(col("tk")) >= 2)
-    val vocab = toks.select(explode(col("tk")).as("w2"))
+    bigramCondLogProb(docs, textCol, minCount)
+      .select("w1", "w2", "cond_lp")
+      .write.mode("overwrite").parquet(dir + ".bigrams")
+    lmVocab(tks).write.mode("overwrite").parquet(dir + ".unigrams")
+  }
+
+  /** Score any corpus — batch or STREAM (the joins are stream-static
+    * broadcast joins, so the same plan runs under Structured Streaming
+    * unchanged) — against a stored LM from [[buildLmTable]]. Tokens the
+    * stored vocabulary has never seen back off at an add-one floor
+    * (count 1) instead of dropping the pair, so cross-corpus scores stay
+    * defined over every pair. */
+  def bigramDocLogProbFrom(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, textCol: String, idCol: String,
+                           dir: String, backoff: Double = 0.4): DataFrame =
+    scoreAgainstLm(lmToks(docs, textCol, idCol),
+      spark.read.parquet(dir + ".bigrams"),
+      spark.read.parquet(dir + ".unigrams"), backoff)
+
+  private def lmToks(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
+      .filter(size(col("tk")) >= 2)
+
+  private def lmVocab(toks: DataFrame): DataFrame =
+    toks.select(explode(col("tk")).as("w2"))
       .groupBy("w2").agg(count(lit(1)).as("ucnt"))
+
+  /** The shared scoring kernel: pair stream × broadcast (model, vocab,
+    * 1-row total). OOV w2 (possible only when the model trained on a
+    * DIFFERENT corpus) floors at count 1. */
+  private def scoreAgainstLm(toks: DataFrame, model: DataFrame,
+                             vocab: DataFrame, backoff: Double): DataFrame = {
     val total = vocab.select(sum("ucnt").cast("double").as("n_total"))
     val pairs = toks.select(col("doc"), explode(expr(
         "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
       .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     pairs
       .join(broadcast(model), Seq("w1", "w2"), "left")
-      .join(broadcast(vocab), Seq("w2"))  // same-corpus vocab: always hits
+      .join(broadcast(vocab), Seq("w2"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc"),
         coalesce(col("cond_lp"),
-          round(log(lit(backoff) * col("ucnt") / col("n_total")), 4) + lit(0.0))
+          round(log(lit(backoff) * coalesce(col("ucnt"), lit(1L)) / col("n_total")), 4)
+            + lit(0.0))
           .as("lp"))
       .select(col("doc"), round(col("lp") * 1e4, 0).cast("long").as("lpm"))
       .groupBy("doc")

@@ -7,6 +7,7 @@ import graft.operators.TextAnalysis
   * repetition ratio's edge cases. */
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   test("piiCounts fires on emails, urls and ipv4 and not on clean text") {
     val docs = Seq(
@@ -241,6 +242,38 @@ class TextOpsSpec extends SparkSpec {
     // a one-token document has no bigrams and drops out entirely
     val one = Seq((9L, "solo")).toDF("doc_id", "text")
     assert(TextAnalysis.bigramDocLogProb(one, "text", "doc_id").count() == 0)
+  }
+
+  test("stored LM scores match inline; OOV tokens floor instead of dropping; streams score unchanged") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString + "/lm"
+    TextAnalysis.buildLmTable(docs, "text", dir)
+    val inline = TextAnalysis.bigramDocLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val stored = TextAnalysis.bigramDocLogProbFrom(spark, docs, "text", "doc_id", dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(stored == inline, s"stored == inline: $stored vs $inline")
+
+    // cross-corpus scoring: "a z" — the model never saw bigram (a,z) and
+    // the vocab never saw z, so the pair backs off at the add-one floor
+    // over the STORED totals (a:3 b:3 c:1, N=7) instead of vanishing
+    val other = Seq((7L, "a z")).toDF("doc_id", "text")
+    val sc = TextAnalysis.bigramDocLogProbFrom(spark, other, "text", "doc_id", dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sc == Seq((7L, 1L, r4(math.log(0.4 * 1 / 7.0)))), s"OOV floor: $sc")
+
+    // the same scoring plan runs on a STREAM (stream-static broadcast
+    // joins + stateful agg), matching the batch numbers exactly
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData((1L, "a b a b"), (2L, "a b c"))
+    val q = TextAnalysis.bigramDocLogProbFrom(spark,
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", dir)
+      .writeStream.format("memory").queryName("lm_stream").outputMode("complete")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("lm_stream")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == inline, s"stream == batch: $streamed")
   }
 
   test("sourceOverlap: hand-computed shingle sets; zero-overlap pairs absent") {
