@@ -245,4 +245,35 @@ class PlanSpec extends SparkSpec {
       "the one hash exchange must key on shard_id")
     assert(p.contains("Window"), "in-shard positions come from one window over the sharded rows")
   }
+
+  test("LM scoring: the corpus-sized pair stream joins ONLY broadcast relations") {
+    // the model/vocab/total sides each aggregate (their own exchanges are
+    // Zipf-small); the PAIR stream itself must never hit a sort-merge
+    // join or re-shuffle before the final per-doc agg
+    val p = plan("q_bigram_score")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair stream must broadcast-join, never sort-merge:\n$p")
+    // ≥2: the model (outer) and vocab joins on the pair stream; the
+    // model-INTERNAL cnt⋈ctx join may legitimately broadcast too
+    val bhj = p.linesIterator.count(_.matches(""".*BroadcastHashJoin.*\(\d+\)\s*"""))
+    assert(bhj >= 2, s"model (outer) + vocab joins broadcast, got $bhj:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row total attaches as a broadcast cross join")
+  }
+
+  test("source overlap: bounded self-join on the distinct relation, sizes broadcast back") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join:\n$p")
+    // the tiny per-source size table must broadcast onto the pair rows
+    assert(p.contains("BroadcastHashJoin"), s"sizes must broadcast:\n$p")
+  }
+
+  test("gopher flags: pure projection — zero exchanges before the sort") {
+    val p = plan("q_gopher_flags")
+    // the only exchange allowed is the deterministic ORDER BY's range
+    // partition; any hash exchange means a rule computation shuffled
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"no hash exchange in a projection chain:\n$p")
+    assert(scanNodes(p) == 1, "one corpus scan")
+  }
 }
