@@ -854,6 +854,12 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    // ---- text: per-source exact-duplication panel (data card) ----
+    "q_dedup_report" -> ((s, d) => {
+      TextAnalysis.dedupReport(t(s, d, "documents"), "text", "source")
+        .orderBy("source")
+    }),
+
     // ---- text: cross-source shingle-overlap matrix (leakage audit) ----
     // One row per source pair; the self-join is on the DISTINCT
     // (source, shingle) relation, so per-key fan-out is bounded by the
@@ -1661,6 +1667,14 @@ object SparkEntry {
          |SELECT doc, CAST(count(*) AS BIGINT) AS n_pairs,
          |  round(sum(lpm) / 10000.0, 4) + 0.0 AS bigram_lp
          |FROM sc GROUP BY doc ORDER BY doc""".stripMargin,
+
+    "q_dedup_report" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT $sqlFingerprint) AS BIGINT) AS n_unique,
+         |  CAST(count(*) - count(DISTINCT $sqlFingerprint) AS BIGINT) AS n_dup_rows,
+         |  round(CAST(count(*) - count(DISTINCT $sqlFingerprint) AS DOUBLE)
+         |    / count(*), 4) + 0.0 AS dup_ratio
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // DISTINCT (source, shingle) relation self-joined on shingle —
     // mirrors TextAnalysis.sourceOverlap (same 3-gram CASE as shinglesCte)

@@ -420,6 +420,23 @@ object TextAnalysis {
           .as("lang_entropy"))
   }
 
+  /** Per-source exact-duplication panel for the corpus data card: how
+    * many rows each source contributes, how many distinct contents that
+    * is, and the duplication ratio — the number a mixture decision reads
+    * BEFORE paying for near-dup clustering (a source at 40% exact dups
+    * gets cleaned or down-weighted first). Two-level hash agg (partial
+    * distinct-sets per task, merged per source); at open-web scale swap
+    * `countDistinct` for `approx_count_distinct` exactly as documented
+    * for the percentile sites (SketchSpec bounds the error). */
+  def dedupReport(docs: DataFrame, textCol: String, srcCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"), fingerprint(col(textCol)).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup_rows"),
+        (round((col("n_docs") - col("n_unique")) / col("n_docs"), 4) + lit(0.0))
+          .as("dup_ratio"))
+
   /** Cross-source shingle-overlap matrix — the corpus-level contamination
     * audit: for every pair of sources, how much of their 3-word shingle
     * vocabulary is shared? High overlap between a training source and an

@@ -276,6 +276,18 @@ class TextOpsSpec extends SparkSpec {
     assert(streamed == inline, s"stream == batch: $streamed")
   }
 
+  test("dedupReport: per-source duplication ratios, exact zero for a clean source") {
+    val docs = Seq(
+      (1L, "same text here", "A"), (2L, "same text here", "A"),
+      (3L, "different text", "A"),
+      (4L, "unique one", "B"), (5L, "unique two", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dedupReport(docs, "text", "source")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == (("A", 3L, 2L, 1L, 0.3333)), s"A: ${out(0)}")
+    assert(out(1) == (("B", 2L, 2L, 0L, 0.0)), s"B clean: ${out(1)}")
+  }
+
   test("sourceOverlap: hand-computed shingle sets; zero-overlap pairs absent") {
     val docs = Seq(
       (1L, "x y z w", "A"),   // shingles {x y z, y z w}
