@@ -1668,13 +1668,20 @@ object SparkEntry {
          |  round(sum(lpm) / 10000.0, 4) + 0.0 AS bigram_lp
          |FROM sc GROUP BY doc ORDER BY doc""".stripMargin,
 
+    // text coalesced before the fingerprint (mirrors the engine: a null
+    // text is the empty document, not a count(DISTINCT)-invisible NULL);
+    // NULLS FIRST matches Spark's null-first ascending sort should the
+    // source column ever go null
     "q_dedup_report" ->
-      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(DISTINCT $sqlFingerprint) AS BIGINT) AS n_unique,
-         |  CAST(count(*) - count(DISTINCT $sqlFingerprint) AS BIGINT) AS n_dup_rows,
-         |  round(CAST(count(*) - count(DISTINCT $sqlFingerprint) AS DOUBLE)
+      s"""WITH f AS (SELECT source,
+         |    md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_rows,
+         |  round(CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
          |    / count(*), 4) + 0.0 AS dup_ratio
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+         |FROM f GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
 
     // DISTINCT (source, shingle) relation self-joined on shingle —
     // mirrors TextAnalysis.sourceOverlap (same 3-gram CASE as shinglesCte)

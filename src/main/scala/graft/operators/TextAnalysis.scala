@@ -269,10 +269,12 @@ object TextAnalysis {
     * (w1, w2) count agg; the context totals re-aggregate THAT Zipf-small
     * relation, not the corpus. One corpus-sized shuffle total. */
   def bigramCondLogProb(docs: DataFrame, textCol: String,
-                        minCount: Long = 1L): DataFrame = {
-    val toks = docs.select(
-        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
-      .filter(size(col("tk")) >= 2)
+                        minCount: Long = 1L): DataFrame =
+    bigramModel(lmTokens(docs, textCol), minCount)
+
+  /** The model kernel over an [[lmTokens]] stream (so [[buildLmTable]]
+    * can feed model AND vocab from one tokenization). */
+  private def bigramModel(toks: DataFrame, minCount: Long): DataFrame = {
     val bi = toks.select(explode(expr(
         "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -311,10 +313,10 @@ object TextAnalysis {
     * the per-doc pass is unchanged either way. */
   def bigramDocLogProb(docs: DataFrame, textCol: String, idCol: String,
                        minCount: Long = 1L, backoff: Double = 0.4): DataFrame = {
-    val model = bigramCondLogProb(docs, textCol, minCount)
-      .select("w1", "w2", "cond_lp")
-    val toks = lmToks(docs, textCol, idCol)
-    scoreAgainstLm(toks, model, lmVocab(toks), backoff)
+    val toks = lmTokens(docs, textCol, carry = Seq(col(idCol).as("doc")))
+    scoreAgainstLm(toks,
+      bigramModel(toks.select("tk"), minCount).select("w1", "w2", "cond_lp"),
+      lmVocab(toks), backoff)
   }
 
   /** Train the bigram LM ONCE and store it as a queryable artifact
@@ -326,13 +328,15 @@ object TextAnalysis {
     * table. */
   def buildLmTable(docs: DataFrame, textCol: String, dir: String,
                    minCount: Long = 1L): Unit = {
-    val tks = docs.select(
-        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
-      .filter(size(col("tk")) >= 2)
-    bigramCondLogProb(docs, textCol, minCount)
+    // ONE tokenization pass feeds both artifacts — training cost is one
+    // corpus scan, as "train once" promises
+    val toks = lmTokens(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bigramModel(toks, minCount)
       .select("w1", "w2", "cond_lp")
       .write.mode("overwrite").parquet(dir + ".bigrams")
-    lmVocab(tks).write.mode("overwrite").parquet(dir + ".unigrams")
+    lmVocab(toks).write.mode("overwrite").parquet(dir + ".unigrams")
+    toks.unpersist(); ()
   }
 
   /** Score any corpus — batch or STREAM (the joins are stream-static
@@ -341,16 +345,22 @@ object TextAnalysis {
     * stored vocabulary has never seen back off at an add-one floor
     * (count 1) instead of dropping the pair, so cross-corpus scores stay
     * defined over every pair. */
-  def bigramDocLogProbFrom(spark: org.apache.spark.sql.SparkSession,
-                           docs: DataFrame, textCol: String, idCol: String,
-                           dir: String, backoff: Double = 0.4): DataFrame =
-    scoreAgainstLm(lmToks(docs, textCol, idCol),
+  def bigramDocLogProbFrom(docs: DataFrame, textCol: String, idCol: String,
+                           dir: String, backoff: Double = 0.4): DataFrame = {
+    val spark = docs.sparkSession
+    scoreAgainstLm(lmTokens(docs, textCol, carry = Seq(col(idCol).as("doc"))),
       spark.read.parquet(dir + ".bigrams"),
       spark.read.parquet(dir + ".unigrams"), backoff)
+  }
 
-  private def lmToks(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc"),
-        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"))
+  /** Token stream shared by the whole LM family — the ONE home of the
+    * tokenize-and-filter idiom (documents with ≥ 2 tokens, the LM's unit
+    * of work), so the stored vocabulary can never skew against the model
+    * through a drifted copy. */
+  private def lmTokens(docs: DataFrame, textCol: String,
+                       carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    docs.select(carry :+
+        graft.expressions.Exprs.wordShingles(col(textCol), 1).as("tk"): _*)
       .filter(size(col("tk")) >= 2)
 
   private def lmVocab(toks: DataFrame): DataFrame =
@@ -429,7 +439,14 @@ object TextAnalysis {
     * `countDistinct` for `approx_count_distinct` exactly as documented
     * for the percentile sites (SketchSpec bounds the error). */
   def dedupReport(docs: DataFrame, textCol: String, srcCol: String): DataFrame =
-    docs.select(col(srcCol).as("source"), fingerprint(col(textCol)).as("fp"))
+    // null text coalesces to the empty document BEFORE fingerprinting:
+    // countDistinct drops NULL, so a raw null fingerprint would make every
+    // null-text row read as a duplicate (one null among N uniques reported
+    // dup_ratio > 0 with nothing duplicated). Coalesced, a single
+    // null/empty row is its own distinct content and N of them legitimately
+    // count as duplicated empty content.
+    docs.select(col(srcCol).as("source"),
+        fingerprint(coalesce(col(textCol), lit(""))).as("fp"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
       .select(col("source"), col("n_docs"), col("n_unique"),

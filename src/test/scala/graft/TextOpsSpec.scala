@@ -250,7 +250,7 @@ class TextOpsSpec extends SparkSpec {
     TextAnalysis.buildLmTable(docs, "text", dir)
     val inline = TextAnalysis.bigramDocLogProb(docs, "text", "doc_id")
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
-    val stored = TextAnalysis.bigramDocLogProbFrom(spark, docs, "text", "doc_id", dir)
+    val stored = TextAnalysis.bigramDocLogProbFrom(docs, "text", "doc_id", dir)
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(stored == inline, s"stored == inline: $stored vs $inline")
 
@@ -258,7 +258,7 @@ class TextOpsSpec extends SparkSpec {
     // the vocab never saw z, so the pair backs off at the add-one floor
     // over the STORED totals (a:3 b:3 c:1, N=7) instead of vanishing
     val other = Seq((7L, "a z")).toDF("doc_id", "text")
-    val sc = TextAnalysis.bigramDocLogProbFrom(spark, other, "text", "doc_id", dir)
+    val sc = TextAnalysis.bigramDocLogProbFrom(other, "text", "doc_id", dir)
       .as[(Long, Long, Double)].collect().toSeq
     assert(sc == Seq((7L, 1L, r4(math.log(0.4 * 1 / 7.0)))), s"OOV floor: $sc")
 
@@ -266,7 +266,7 @@ class TextOpsSpec extends SparkSpec {
     // joins + stateful agg), matching the batch numbers exactly
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     in.addData((1L, "a b a b"), (2L, "a b c"))
-    val q = TextAnalysis.bigramDocLogProbFrom(spark,
+    val q = TextAnalysis.bigramDocLogProbFrom(
         in.toDF().toDF("doc_id", "text"), "text", "doc_id", dir)
       .writeStream.format("memory").queryName("lm_stream").outputMode("complete")
       .start()
@@ -280,12 +280,18 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "same text here", "A"), (2L, "same text here", "A"),
       (3L, "different text", "A"),
-      (4L, "unique one", "B"), (5L, "unique two", "B")
+      (4L, "unique one", "B"), (5L, "unique two", "B"),
+      // one null text among uniques is its own (empty) content, NOT a dup;
+      // two of them ARE duplicated empty content
+      (6L, null.asInstanceOf[String], "C"), (7L, "real prose", "C"),
+      (8L, null.asInstanceOf[String], "D"), (9L, null.asInstanceOf[String], "D")
     ).toDF("doc_id", "text", "source")
     val out = TextAnalysis.dedupReport(docs, "text", "source")
       .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1)
     assert(out(0) == (("A", 3L, 2L, 1L, 0.3333)), s"A: ${out(0)}")
     assert(out(1) == (("B", 2L, 2L, 0L, 0.0)), s"B clean: ${out(1)}")
+    assert(out(2) == (("C", 2L, 2L, 0L, 0.0)), s"single null is not a dup: ${out(2)}")
+    assert(out(3) == (("D", 2L, 1L, 1L, 0.5)), s"two nulls are dup empty content: ${out(3)}")
   }
 
   test("sourceOverlap: hand-computed shingle sets; zero-overlap pairs absent") {
