@@ -472,6 +472,13 @@ object SparkEntry {
       RelationalOps.topK(counts, Seq(col("n").desc, col("user_id").asc), 10)
     }),
 
+    // ---- per-GROUP top-k via the bounded aggregate (no window sort) ----
+    "q_group_topk" -> ((s, d) => {
+      RelationalOps.topKPerGroup(t(s, d, "events"), "event_type", "event_id",
+        "value", k = 3)
+        .orderBy("event_type", "rank")
+    }),
+
     // ---- W5 running total (analytic window) ----
     "q_running_total" -> ((s, d) => {
       val ev = t(s, d, "events").withColumn("value_cents", cents(col("value")))
@@ -1375,6 +1382,17 @@ object SparkEntry {
     "q_topk_users" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    // the window formulation the bounded aggregate replaces — values come
+    // straight from storage, so both engines rank identical doubles
+    "q_group_topk" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id,
+        |  value + 0.0 AS score
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value DESC, event_id) AS rn
+        |      FROM events) t
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "q_running_total" ->
       """SELECT event_id, user_id,

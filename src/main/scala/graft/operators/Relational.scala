@@ -177,6 +177,33 @@ object RelationalOps {
   def topK(df: DataFrame, orderBy: Seq[Column], k: Int): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
 
+  /** Top-k rows PER GROUP by an arbitrary score ("best 3 documents per
+    * language", "k highest-value events per user") — the grouped sibling
+    * of [[topK]], WITHOUT the window sort the textbook
+    * `row_number() OVER (PARTITION BY ...) <= k` plan pays: the bounded
+    * `TopKHits` aggregate is map-side combinable with ≤ k elements of
+    * state per (task, group), so the shuffle carries tasks × groups × k
+    * rows regardless of input size (the same kernel the batched ANN and
+    * the fixed-size sampler ride). Ties break by the smaller id — pass a
+    * score that is exactly tied when mathematically tied (raw stored
+    * values or rounded computed ones), the same contract as the other
+    * TopKHits callers. NaN scores are dropped by the aggregate's
+    * partitioning-invariance contract. Returns (group, rank 1..k, id,
+    * score) ordered best-first within each group. */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKHits(k),
+      graft.functions.TopKHits.hitEncoder)
+    df.select(col(groupCol).as("grp"),
+        col(scoreCol).cast("double").as("__score"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy("grp")
+      .agg(topk(col("__score"), col("__id")).as("hits"))
+      .select(col("grp").as(groupCol), posexplode(col("hits")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), (col("col.score") + lit(0.0)).as("score"))
+  }
+
   /** Skew-resistant equi-join: salt the skewed (left) side's key into
     * `saltBuckets` sub-keys and replicate the right side once per salt, so
     * one hot key spreads over `saltBuckets` reducers instead of melting a

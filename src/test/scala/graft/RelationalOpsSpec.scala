@@ -184,6 +184,35 @@ class RelationalOpsSpec extends SparkSpec {
       ("b", 1L, 9.99, false)))
   }
 
+  test("topKPerGroup: per-group best-k, small groups whole, ties to smaller id, NaN dropped") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0), ("a", 4L, 9.0), // tie at 9.0
+      ("b", 5L, 1.0),                                                 // group smaller than k
+      ("c", 6L, Double.NaN), ("c", 7L, 2.0)                           // NaN never ranks
+    ).toDF("grp", "id", "score")
+    val out = RelationalOps.topKPerGroup(df, "grp", "id", "score", k = 2)
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 1L, 2L, 9.0), ("a", 2L, 4L, 9.0),  // tie broken by smaller id
+      ("b", 1L, 5L, 1.0),
+      ("c", 1L, 7L, 2.0)), s"got: $out")
+    // equals the window formulation on clean (non-NaN) input
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.filter(!isnan(col("score")))
+    val win = clean.withColumn("rank",
+        row_number().over(Window.partitionBy("grp")
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 2).select("grp", "rank", "id", "score")
+    assert(RelationalOps.topKPerGroup(clean, "grp", "id", "score", 2)
+      .exceptAll(win).isEmpty && win.exceptAll(
+        RelationalOps.topKPerGroup(clean, "grp", "id", "score", 2)).isEmpty)
+    // plan shape: bounded ObjectHashAggregate, never a Window sort
+    val plan = RelationalOps.topKPerGroup(df, "grp", "id", "score", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"bounded aggregate, no window:\n$plan")
+  }
+
   test("bucketed tables join with ZERO exchanges (write-once shuffle)") {
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
