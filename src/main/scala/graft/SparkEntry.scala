@@ -1019,6 +1019,12 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- similarity: IVF cell-size panel (index health audit) ----
+    "q_ivf_cells" -> ((s, d) => {
+      Similarity.ivfCellStats(t(s, d, "embeddings"), "embedding", "vec_id", k = 8)
+        .orderBy("centroid_id")
+    }),
+
     // ---- similarity: end-to-end IVF near-dup pairs (quantize + in-cell) ----
     "q_ivf_pairs" -> ((s, d) => {
       Similarity.ivfNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -1855,6 +1861,14 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_ivf_assign" -> ivfAssignSql,
+
+    "q_ivf_cells" ->
+      s"""WITH $ivfAssignCtes,
+         |cells AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM cells)
+         |SELECT cid AS centroid_id, CAST(n AS BIGINT) AS n_vectors,
+         |  round(n / tot.n_total, 4) + 0.0 AS share
+         |FROM cells CROSS JOIN tot ORDER BY centroid_id""".stripMargin,
 
     "q_ivf_refit" -> ivfRefitSql,
     "q_ivf_assign2" -> ivfAssign2Sql,

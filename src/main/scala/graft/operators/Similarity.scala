@@ -176,6 +176,25 @@ object Similarity {
       emb.filter(col(idCol) < k)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
 
+  /** IVF cell-size panel — the index-health audit that precedes
+    * committing an nprobe (the capacity companion of [[recallAtK]]'s
+    * quality curve): vectors per cell and each cell's corpus share. A
+    * skewed cell is both a recall hazard (probes that miss it lose its
+    * whole population) and a latency hazard (a probe that hits it scans
+    * all of it) — the rebuild trigger [[appendToIvfIndex]] documents,
+    * made measurable. One assignment pass (broadcast centroids, map-side
+    * argmax) + one k-row agg; the 1-row total attaches by broadcast, the
+    * corpus never self-shuffles. */
+  def ivfCellStats(emb: DataFrame, vecCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val cells = ivfAssign(emb, vecCol, idCol, k)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+    val total = cells.select(sum("n_vectors").cast("double").as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("centroid_id"), col("n_vectors"),
+        (round(col("n_vectors") / col("n_total"), 4) + lit(0.0)).as("share"))
+  }
+
   /** Assign every vector to its most-cosine-similar centroid from an
     * explicit centroid frame (`centroid_id`, `c_vec`) — the general form
     * `ivfAssign` seeds and `kmeansCentroids` iterates. Centroids broadcast

@@ -78,6 +78,16 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == first, "content-hash sub-cells must reproduce exactly")
   }
 
+  test("ivfCellStats: hand-computed cell sizes and shares") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),          // the two k=2 seeds
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f))   // both nearer seed 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfCellStats(emb, "embedding", "vec_id", k = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 3L, 0.75), (1L, 1L, 0.25)), s"got: $out")
+  }
+
   test("materialized IVF index: build once, probe matches the inline end-to-end form") {
     val emb = vecs(400, dim = 16)
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
