@@ -479,6 +479,12 @@ object SparkEntry {
         .orderBy("event_type", "rank")
     }),
 
+    // ---- shuffle-key skew report (pre-saltedJoin diagnostic) ----
+    "q_skew_report" -> ((s, d) => {
+      RelationalOps.keySkewReport(t(s, d, "events"), "user_id", topK = 10)
+        .orderBy(col("n_rows").desc, col("key").isNull.asc, col("key").asc)
+    }),
+
     // ---- W5 running total (analytic window) ----
     "q_running_total" -> ((s, d) => {
       val ev = t(s, d, "events").withColumn("value_cents", cents(col("value")))
@@ -908,6 +914,13 @@ object SparkEntry {
     "q_quality_cut" -> ((s, d) => {
       Curation.qualityPercentileCut(t(s, d, "documents"), "text", "doc_id",
         groupCol = "lang", pct = 0.75)
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: per-group quality decile binning (curriculum order) ----
+    "q_quality_deciles" -> ((s, d) => {
+      Curation.qualityDecileBins(t(s, d, "documents"), "text", "doc_id",
+        groupCol = "lang")
         .orderBy("doc_id")
     }),
 
@@ -1400,6 +1413,18 @@ object SparkEntry {
         |      FROM events) t
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
 
+    "q_skew_report" ->
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |               CAST(count(*) AS BIGINT) AS n_keys FROM counts)
+        |SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+        |  ((10000 * n_rows) // tot.n_total) / 10000.0 + 0.0 AS share,
+        |  ((100 * n_rows * tot.n_keys) // tot.n_total) / 100.0 + 0.0 AS skew
+        |FROM counts CROSS JOIN tot
+        |ORDER BY n_rows DESC, key IS NULL, key LIMIT 10""".stripMargin,
+
     "q_running_total" ->
       """SELECT event_id, user_id,
         | round(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1441,6 +1466,8 @@ object SparkEntry {
     "q_quality" -> qualitySql,
 
     "q_quality_cut" -> qualityCutSql,
+
+    "q_quality_deciles" -> qualityDecilesSql,
 
     "q_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($sqlTokens) AS word FROM documents),
@@ -1999,6 +2026,28 @@ object SparkEntry {
        |FROM q JOIN th USING (grp)
        |WHERE q.quality >= th.q_thresh
        |ORDER BY q.doc_id""".stripMargin
+
+  /** Decile twin of [[qualityCutSql]]: nine quantile_cont thresholds
+    * (rounded 4 dp + 0.0, the cut's parity convention) and the same
+    * ≥-compare, summed into a bin index. */
+  private def qualityDecilesSql: String = {
+    val ths = (1 to 9)
+      .map(i => s"round(quantile_cont(quality, 0.$i), 4) + 0.0 AS t$i")
+      .mkString(", ")
+    val cases = (1 to 9)
+      .map(i => s"(CASE WHEN q.quality >= th.t$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT qq.doc_id, d.lang AS grp, qq.quality
+       |  FROM (${qualitySql}) qq JOIN documents d USING (doc_id)),
+       |th AS (
+       |  SELECT grp, $ths
+       |  FROM q GROUP BY grp)
+       |SELECT q.doc_id, q.grp, q.quality,
+       |  CAST(1 + $cases AS BIGINT) AS decile
+       |FROM q JOIN th USING (grp)
+       |ORDER BY q.doc_id""".stripMargin
+  }
 
   /** Per-source data card — integer micro-unit sums and the one-pass
     * entropy form, mirroring TextAnalysis.corpusStats exactly. */

@@ -245,6 +245,37 @@ object Curation {
       .select(col(idCol), col("grp"), col("quality"), col("q_thresh"))
   }
 
+  /** Per-group decile binning of the quality score — curriculum ordering /
+    * difficulty bucketing ("train on bins 8–10 first") as a first-class
+    * op. The textbook `ntile(10) OVER (PARTITION BY grp ORDER BY quality)`
+    * pays a full window sort of the corpus; this computes the nine
+    * per-group decile THRESHOLDS in one agg, broadcasts that ≤ 9·|groups|
+    * relation back over the scan, and assigns
+    * `decile = 1 + Σ_i [quality ≥ t_i]` scan-side — same
+    * threshold-broadcast shape as [[qualityPercentileCut]], generalized
+    * from one cut to nine. Ties sit in the HIGHER bin (≥, matching the
+    * cut's keep-side convention); thresholds round to 4 dp before the
+    * compare so both engines bin from identical values.
+    *
+    * Scale: exact `percentile` holds each group's values for the sort —
+    * fine while a group fits an executor (quality is one double per doc);
+    * at 100 TB swap `approx_percentile(quality, p, err)` into the same
+    * plan shape — the broadcast-assign half is already scale-free. */
+  def qualityDecileBins(docs: DataFrame, textCol: String, idCol: String,
+                        groupCol: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs, textCol, idCol, keepCols = Seq(groupCol))
+      .select(col(idCol), col(groupCol).as("grp"), col("quality"))
+    val th = q.groupBy("grp").agg(
+      (round(expr("percentile(quality, 0.1)"), 4) + lit(0.0)).as("t1"),
+      (1 to 8).map(i => (round(expr(s"percentile(quality, 0.${i + 1})"), 4)
+        + lit(0.0)).as(s"t${i + 1}")): _*)
+    val decile = (1 to 9)
+      .map(i => when(col("quality") >= col(s"t$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    q.join(broadcast(th), "grp")
+      .select(col(idCol), col("grp"), col("quality"), decile.as("decile"))
+  }
+
   /** Adjacent-symbol pair counts over the corpus word-frequency table —
     * the counting kernel of one BPE (byte-pair-encoding) merge iteration:
     * tokenizer training IS this aggregate, repeated with the winning pair

@@ -204,6 +204,45 @@ object RelationalOps {
         col("col.id").as(idCol), (col("col.score") + lit(0.0)).as("score"))
   }
 
+  /** Key-skew report for a prospective shuffle key — the diagnostic that
+    * precedes choosing [[saltedJoin]]'s bucket count (or trusting AQE's
+    * skew split): the `topK` heaviest keys with row count, corpus share,
+    * and a skew factor (this key's count over the mean count per key; 1.0
+    * = perfectly uniform, and the factor is exactly the reducer-imbalance
+    * a plain hash partition on this key would suffer). NULL keys are
+    * reported like any other key — a null-heavy column is the classic
+    * silent skew source — and the tie-break pins them LAST in both
+    * engines ((key IS NULL, key): Spark default null-first and DuckDB
+    * null-last would otherwise diverge).
+    *
+    * Scale shape: one map-side-combinable count agg (output = #distinct
+    * keys, tiny next to the corpus), then TakeOrderedAndProject over that
+    * aggregated relation for the top-k — no window sort, no second pass
+    * over the corpus; the 1-row total attaches by broadcast. */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    // counts feeds BOTH the total/key-count agg and the top-k scan; persist
+    // so the corpus agg runs once (the file-wide two-consumer convention —
+    // lazy, materializes on first action)
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum("n_rows").as("__n_total"),
+      count(lit(1)).as("__n_keys"))
+    // share/skew via FLOORED integer division, not round(): count ratios
+    // over a power-of-10 total terminate exactly on the .5 rounding
+    // boundary, where Spark (shortest-decimal HALF_UP) and DuckDB (raw
+    // double) disagree — floor of exact integers is engine-identical, and
+    // the final /10^k of an integer yields bit-identical doubles
+    counts.crossJoin(broadcast(tot))
+      .orderBy(col("n_rows").desc, col("key").isNull.asc, col("key").asc)
+      .limit(topK)
+      .select(col("key"), col("n_rows"),
+        (expr("(10000 * n_rows) div __n_total") / lit(10000.0) + lit(0.0))
+          .as("share"),
+        (expr("(100 * n_rows * __n_keys) div __n_total") / lit(100.0) + lit(0.0))
+          .as("skew"))
+  }
+
   /** Skew-resistant equi-join: salt the skewed (left) side's key into
     * `saltBuckets` sub-keys and replicate the right side once per salt, so
     * one hot key spreads over `saltBuckets` reducers instead of melting a

@@ -14,6 +14,30 @@ class CurationOpsSpec extends SparkSpec {
   private def docsOf(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "text", "src")
 
+  test("qualityDecileBins matches an independent interpolated-percentile computation") {
+    // 25 docs of varied composition in one group; expected bins re-derived
+    // in pure Scala from the REALIZED qualities with the same definition
+    // (linear-interpolated percentile at (n-1)p, 4-dp threshold, ≥ compare)
+    val docs = (1 to 25).map { i =>
+      (i.toLong, ("the quick fox " * (i % 7 + 1)) + ("!!!" * (i % 5)) + s" word$i", "g")
+    }.toDF("doc_id", "text", "lang")
+    val out = Curation.qualityDecileBins(docs, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    val qs = out.values.map(_._1).toSeq.sorted
+    def pctl(p: Double): Double = {
+      val pos = (qs.size - 1) * p
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val v = qs(lo) + (pos - lo) * (qs(hi) - qs(lo))
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ths = (1 to 9).map(i => pctl(i / 10.0))
+    out.foreach { case (id, (q, bin)) =>
+      val expected = 1 + ths.count(q >= _)
+      assert(bin == expected, s"doc $id: quality $q → bin $bin, expected $expected")
+    }
+    assert(out.values.map(_._2).min == 1 && out.values.map(_._2).max == 10)
+  }
+
   test("chunkDocuments: exact chunk boundaries, overlap, tail chunk, and tiny-doc edge") {
     // 10 tokens, chunk 4, stride 3 → k = ceil((10-4)/3) = 2 → 3 chunks:
     // [0..3], [3..6], [6..9]; the tail chunk is full here (start 6 + 4 = 10).

@@ -20,6 +20,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("keySkewReport: hand-computed counts, shares, skew; null key reported and tie-broken last") {
+    // a×5, b×3, null×3, c×1 → total 12, 4 keys, mean 3/key. top-3 is a,
+    // then the b/null tie at 3 rows — null pins LAST, so b precedes it.
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(3)(null: String) ++ Seq("c")).toDF("k")
+    val out = RelationalOps.keySkewReport(df, "k", topK = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    // floored basis-points: share a = floor(10000·5/12)/1e4, skew a =
+    // floor(100·5·4/12)/100
+    assert(out == Seq(
+      (Some("a"), 5L, 0.4166, 1.66),
+      (Some("b"), 3L, 0.25, 1.0),
+      (None, 3L, 0.25, 1.0)), s"got: $out")
+  }
+
   test("saltedJoin salt is deterministic: identical bucket layout across executions") {
     // Content-hash salt (not monotonically_increasing_id) means the same row
     // lands in the same salt bucket on every execution — including the
