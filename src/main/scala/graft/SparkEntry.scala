@@ -1006,6 +1006,16 @@ object SparkEntry {
         .orderBy("probe_id", "rnk")
     }),
 
+    // ---- similarity: kNN auto-label (majority vote over exact top-k) ----
+    "q_knn_classify" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnClassify(emb, "embedding", "vec_id", "label",
+        emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
+        k = 5)
+        .orderBy("probe_id")
+    }),
+
     // ---- similarity: IVF-style blocked near-dup pairs ----
     "q_neardup_cosine" -> ((s, d) => {
       Similarity.blockedNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
@@ -1566,6 +1576,8 @@ object SparkEntry {
 
     "q_sim_topk_batch" -> simTopkBatchSql,
 
+    "q_knn_classify" -> knnClassifySql,
+
     "q_repetition" -> {
       val sh = sqlShingles(sqlTokens, 3)
       s"""SELECT doc_id,
@@ -2090,6 +2102,37 @@ object SparkEntry {
       |  FROM s)
       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim FROM r
       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** kNN vote twin: [[simTopkBatchSql]]'s scored-neighbor shape over the
+    * `vec_id % 10 = 0` probe set, then a majority vote with the engine's
+    * (votes DESC, label ASC) tie-break. */
+  private def knnClassifySql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |s AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
+      |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(p.q, p.q))), 4) + 0.0 AS cos_sim
+      |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+      |r AS (
+      |  SELECT probe_id, vec_id,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM s),
+      |h AS (SELECT r.probe_id, e.label FROM r JOIN embeddings e USING (vec_id)
+      |      WHERE rnk <= 5),
+      |v AS (SELECT probe_id, label, count(*) AS n_votes FROM h GROUP BY 1, 2),
+      |w AS (SELECT probe_id, CAST(label AS BIGINT) AS pred_label,
+      |        CAST(n_votes AS BIGINT) AS n_votes,
+      |        row_number() OVER (PARTITION BY probe_id
+      |          ORDER BY n_votes DESC, label) AS vr
+      |      FROM v)
+      |SELECT w.probe_id, w.pred_label, w.n_votes,
+      |  CAST(e.label AS BIGINT) AS true_label,
+      |  w.pred_label = CAST(e.label AS BIGINT) AS correct
+      |FROM w JOIN embeddings e ON e.vec_id = w.probe_id
+      |WHERE vr = 1 ORDER BY w.probe_id""".stripMargin
 
   /** Distinct (doc, shingle) rows shared by the jaccard/minhash oracles. */
   private def shinglesCte: String =

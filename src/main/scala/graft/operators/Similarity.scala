@@ -57,9 +57,17 @@ object Similarity {
     * with large probe batches, point probes go to the stored IVF index
     * (`ivfProbe`); this is the exact-scan batch form. */
   def bruteForceTopKBatch(emb: DataFrame, vecCol: String, idCol: String,
-                          probeIds: Seq[Long], k: Int): DataFrame = {
-    val probes = emb.filter(col(idCol).isin(probeIds: _*))
-      .select(col(idCol).as("probe_id"), col(vecCol).as("q_vec"))
+                          probeIds: Seq[Long], k: Int): DataFrame =
+    topKBatchFor(emb, vecCol, idCol,
+      emb.filter(col(idCol).isin(probeIds: _*))
+        .select(col(idCol).as("probe_id"), col(vecCol).as("q_vec")), k)
+
+  /** [[bruteForceTopKBatch]] over an EXPLICIT probe frame (`probe_id`,
+    * `q_vec`) — same plan: probes broadcast, one corpus scan, bounded
+    * per-probe `TopKHits` agg. A probe whose id exists in the corpus never
+    * matches itself (the id-inequality filter). */
+  def topKBatchFor(emb: DataFrame, vecCol: String, idCol: String,
+                   probes: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKHits(k), graft.functions.TopKHits.hitEncoder)
     emb.crossJoin(broadcast(probes))
       .filter(col(idCol) =!= col("probe_id"))
@@ -71,6 +79,40 @@ object Similarity {
       .select(col("probe_id"), posexplode(col("hits")))
       .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("vec_id"), col("col.score").as("cos_sim"))
+  }
+
+  /** kNN auto-labeling / embedding-quality eval: predict each probe's
+    * label by MAJORITY VOTE of its k most-cosine-similar labeled
+    * neighbors — the label-propagation stage of a curation pipeline
+    * (label NEW unlabeled vectors against a labeled corpus), and, run
+    * with the corpus as its own probe set, the standard leave-one-out
+    * probe of whether the embedding space separates the label classes at
+    * all. Vote ties break toward the SMALLER label (max(struct(votes,
+    * -label)) — the map-side-combinable argmax convention, no window).
+    * Returns one row per probe: predicted label, vote count, and (when
+    * the probe id exists in the corpus) its true label + correctness.
+    *
+    * Scale shape: the neighbor lists ride [[topKBatchFor]] (probes
+    * broadcast, one corpus scan, bounded agg); everything after operates
+    * on p·k rows — the probe-batch side, never the corpus, pays the vote.
+    * For probe sets too large to broadcast, swap the neighbor stage for
+    * `ivfProbeById` over the stored index; the vote half is unchanged. */
+  def knnClassify(emb: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, probes: DataFrame, k: Int): DataFrame = {
+    val hits = topKBatchFor(emb, vecCol, idCol, probes, k)
+    val lbl = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("__lbl"))
+    val voted = hits.join(lbl, "vec_id")
+      .groupBy("probe_id", "__lbl").agg(count(lit(1)).as("n_votes"))
+      .groupBy("probe_id")
+      .agg(max(struct(col("n_votes"), (-col("__lbl")).as("neg_lbl"))).as("best"))
+      .select(col("probe_id"), (-col("best.neg_lbl")).as("pred_label"),
+        col("best.n_votes").as("n_votes"))
+    voted.join(emb.select(col(idCol).as("probe_id"),
+        col(labelCol).cast("long").as("true_label")), Seq("probe_id"), "left")
+      .select(col("probe_id"), col("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
   }
 
   /** Bucket assignment for every vector: b-bit hyperplane sign pattern. */

@@ -88,6 +88,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 3L, 0.75), (1L, 1L, 0.25)), s"got: $out")
   }
 
+  test("knnClassify: majority vote, self-exclusion, corpus-external probe, tie toward smaller label") {
+    // axis-1 cluster labeled 1 (v1, v2); axis-2 cluster labeled 0 (v3..v5)
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 1), (2L, Seq(0.95f, 0.05f), 1),
+      (3L, Seq(0.9f, 0.1f), 0), (4L, Seq(0f, 1f), 0), (5L, Seq(0.05f, 0.95f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val probes = Seq((100L, Seq(0.97f, 0.03f))).toDF("probe_id", "q_vec")
+    def classify(k: Int) =
+      Similarity.knnClassify(emb, "embedding", "vec_id", "label", probes, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSeq
+    // k=3: neighbors v1, v2 (label 1), v3 (label 0) → majority 1; probe id
+    // absent from the corpus → null true_label/correct
+    assert(classify(3) == Seq((100L, 1L, 2L, None, None)))
+    // k=4: v5 joins → 2-2 vote tie → smaller label 0 wins
+    assert(classify(4) == Seq((100L, 0L, 2L, None, None)))
+    // corpus member as probe: self excluded; v4's neighbors at k=3 are
+    // v5, v3 (label 0) and v2 (label 1) → pred 0, true 0, correct
+    val self = Similarity.knnClassify(emb, "embedding", "vec_id", "label",
+      emb.filter(col("vec_id") === 4L)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(self == Seq((4L, 0L, 2L, 0L, true)), s"got: $self")
+  }
+
   test("materialized IVF index: build once, probe matches the inline end-to-end form") {
     val emb = vecs(400, dim = 16)
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
