@@ -1007,10 +1007,14 @@ object SparkEntry {
     }),
 
     // ---- similarity: kNN auto-label (majority vote over exact top-k) ----
+    // FIXED-SIZE probe panel (≤ 50 at any SF): a probe set growing with
+    // the corpus would make the exact scan quadratic (measured 63× for
+    // 10× data with `% 10` alone); corpus-sized probe sets belong on the
+    // stored IVF index, as the operator's scaladoc prescribes
     "q_knn_classify" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.knnClassify(emb, "embedding", "vec_id", "label",
-        emb.filter(col("vec_id") % 10 === 0)
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
           .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
         k = 5)
         .orderBy("probe_id")
@@ -2109,7 +2113,7 @@ object SparkEntry {
   private def knnClassifySql: String =
     """WITH p AS (
       |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
-      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 500),
       |s AS (
       |  SELECT p.probe_id, e.vec_id,
       |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
