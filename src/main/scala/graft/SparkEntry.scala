@@ -1124,6 +1124,20 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("nprobe")
     }),
 
+    // ---- similarity: batched IVF probe (one pruned scan, whole panel) ----
+    "q_ivf_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = s"target/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag-batch"
+      if (!Similarity.ivfIndexCommitted(s, idx))
+        Similarity.buildIvfIndex(emb, "embedding", "vec_id", kCentroids = 8, idx)
+      Similarity.ivfProbeBatch(s, idx, "embedding", "vec_id",
+        emb.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
+        k = 10, nprobe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // ---- similarity: int8 scalar quantization (vector compression) ----
     "q_quantize_int8" -> ((s, d) => {
       Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id")
@@ -1914,6 +1928,7 @@ object SparkEntry {
          |FROM cells CROSS JOIN tot ORDER BY centroid_id""".stripMargin,
 
     "q_ivf_refit" -> ivfRefitSql,
+    "q_ivf_batch" -> ivfBatchSql,
     "q_ivf_assign2" -> ivfAssign2Sql,
     "q_ivf_topk2" -> ivfTopK2Sql,
     "q_ann_recall" -> annRecallSql,
@@ -2391,6 +2406,41 @@ object SparkEntry {
        |   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
        |FROM cand, q
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Batch twin of [[ivfTopKSql]]: the same assign/probe-cell/candidate
+    * shape, per-probe windows over the {0, 7, 23} panel at nprobe = 2. */
+  private def ivfBatchSql: String =
+    s"""WITH $ivfAssignCtes,
+       |q AS (SELECT vec_id AS probe_id, vv AS qv FROM v
+       |      WHERE vec_id IN (0, 7, 23)),
+       |pc0 AS (
+       |  SELECT q.probe_id, c.cid,
+       |    round(list_dot_product(cv, qv)
+       |      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),4) AS c_sim
+       |  FROM c, q),
+       |pc AS (
+       |  SELECT probe_id, cid FROM (
+       |    SELECT probe_id, cid,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY c_sim DESC, cid) AS cr
+       |    FROM pc0) WHERE cr <= 2),
+       |cand AS (
+       |  SELECT pc.probe_id, a.vec_id, v.vv FROM assign a
+       |  JOIN pc ON a.cid = pc.cid
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  WHERE a.vec_id <> pc.probe_id),
+       |sc AS (
+       |  SELECT cand.probe_id, cand.vec_id,
+       |    round(list_dot_product(vv, qv)
+       |      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
+       |  FROM cand JOIN q ON q.probe_id = cand.probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM sc)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim FROM r
+       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
 
   /** LSH oracle: the hyperplane sign vectors come from the SAME generator
     * the engine uses (VectorFunctions.hyperplaneSigns), inlined as literal

@@ -98,22 +98,8 @@ object Similarity {
     * For probe sets too large to broadcast, swap the neighbor stage for
     * `ivfProbeById` over the stored index; the vote half is unchanged. */
   def knnClassify(emb: DataFrame, vecCol: String, idCol: String,
-                  labelCol: String, probes: DataFrame, k: Int): DataFrame = {
-    val hits = topKBatchFor(emb, vecCol, idCol, probes, k)
-    val lbl = emb.select(col(idCol).as("vec_id"),
-      col(labelCol).cast("long").as("__lbl"))
-    val voted = hits.join(lbl, "vec_id")
-      .groupBy("probe_id", "__lbl").agg(count(lit(1)).as("n_votes"))
-      .groupBy("probe_id")
-      .agg(max(struct(col("n_votes"), (-col("__lbl")).as("neg_lbl"))).as("best"))
-      .select(col("probe_id"), (-col("best.neg_lbl")).as("pred_label"),
-        col("best.n_votes").as("n_votes"))
-    voted.join(emb.select(col(idCol).as("probe_id"),
-        col(labelCol).cast("long").as("true_label")), Seq("probe_id"), "left")
-      .select(col("probe_id"), col("pred_label"), col("n_votes"),
-        col("true_label"),
-        (col("pred_label") === col("true_label")).as("correct"))
-  }
+                  labelCol: String, probes: DataFrame, k: Int): DataFrame =
+    voteOnHits(topKBatchFor(emb, vecCol, idCol, probes, k), emb, idCol, labelCol)
 
   /** Bucket assignment for every vector: b-bit hyperplane sign pattern. */
   def lshBuckets(emb: DataFrame, vecCol: String, idCol: String,
@@ -510,6 +496,92 @@ object Similarity {
     val probe = spark.read.parquet(indexDir)
       .filter(col(idCol) === queryId).select(col(vecCol).as("q_vec"))
     ivfProbe(spark, indexDir, vecCol, idCol, probe, queryId, k, nprobe)
+  }
+
+  /** BATCH probe of the stored IVF index: a whole probe panel (`probe_id`,
+    * `q_vec`) answered from ONE partition-pruned scan — the form a
+    * retrieval/eval stage with hundreds of concurrent queries needs, where
+    * per-probe [[ivfProbe]] calls would re-open the index per query.
+    * Output schema matches [[topKBatchFor]] exactly, so the two are
+    * drop-in alternatives (exact scan ↔ indexed) for everything downstream
+    * — that is what [[knnClassifyIndexed]] exploits.
+    *
+    * Plan: (1) per-probe nprobe nearest cells from the k-row centroid
+    * table via the bounded `TopKHits` agg (ties toward the smaller cell
+    * id, matching `ivfProbe`'s ordering); (2) ONE scan of the UNION of
+    * probed cells — the collected cell list is bounded by k_centroids
+    * (the same bounded-id-list collect class as `ivfProbe`), and the
+    * IN-list literal keeps parquet partition pruning; (3) candidates
+    * restrict to each probe's OWN cells by joining the broadcast
+    * (probe, cell) relation — a probe never scores a cell it didn't
+    * probe, exactly like the one-at-a-time form; (4) bounded per-probe
+    * top-k. Shuffle carries tasks × p × k rows; the corpus-sized side
+    * streams through the pruned scan once. */
+  def ivfProbeBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    vecCol: String, idCol: String, probes: DataFrame,
+                    k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(indexDir + ".centroids")
+    val topnp = udaf(new graft.functions.TopKHits(nprobe),
+      graft.functions.TopKHits.hitEncoder)
+    val probeCells = centroids.crossJoin(broadcast(probes))
+      .select(col("probe_id"),
+        r4(cosineSim(col("c_vec"), col("q_vec"))).as("c_sim"),
+        col("centroid_id").cast("long").as("cid"))
+      .groupBy("probe_id")
+      .agg(topnp(col("c_sim"), col("cid")).as("cells"))
+      .select(col("probe_id"), explode(col("cells.id")).as("cid"))
+      .select(col("probe_id"), col("cid").cast("int").as("centroid_id"))
+    val cellList = probeCells.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val topk = udaf(new graft.functions.TopKHits(k),
+      graft.functions.TopKHits.hitEncoder)
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(cellList.map(Integer.valueOf): _*))
+      .join(broadcast(probeCells), Seq("centroid_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"),
+        r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"),
+        col(idCol).as("vec_id"))
+      .groupBy("probe_id")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), col("col.score").as("cos_sim"))
+  }
+
+  /** [[knnClassify]]'s scale path: the vote over [[ivfProbeBatch]] neighbor
+    * lists instead of the exact corpus scan — same vote kernel, same
+    * output schema; labels and true labels come from the stored index
+    * (which carries every original column). At full nprobe (= the index's
+    * centroid count) the neighbor lists are exact over the whole corpus,
+    * so the two forms agree row-for-row (spec-pinned). */
+  def knnClassifyIndexed(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, vecCol: String, idCol: String,
+                         labelCol: String, probes: DataFrame,
+                         k: Int, nprobe: Int): DataFrame = {
+    val stored = spark.read.parquet(indexDir)
+    voteOnHits(ivfProbeBatch(spark, indexDir, vecCol, idCol, probes, k, nprobe),
+      stored, idCol, labelCol)
+  }
+
+  /** Majority vote + truth join shared by the exact and indexed kNN
+    * classifiers; `hits` must have the [[topKBatchFor]] schema. */
+  private def voteOnHits(hits: DataFrame, labeled: DataFrame,
+                         idCol: String, labelCol: String): DataFrame = {
+    val lbl = labeled.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("__lbl"))
+    val voted = hits.join(lbl, "vec_id")
+      .groupBy("probe_id", "__lbl").agg(count(lit(1)).as("n_votes"))
+      .groupBy("probe_id")
+      .agg(max(struct(col("n_votes"), (-col("__lbl")).as("neg_lbl"))).as("best"))
+      .select(col("probe_id"), (-col("best.neg_lbl")).as("pred_label"),
+        col("best.n_votes").as("n_votes"))
+    voted.join(labeled.select(col(idCol).as("probe_id"),
+        col(labelCol).cast("long").as("true_label")), Seq("probe_id"), "left")
+      .select(col("probe_id"), col("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
   }
 
   /** End-to-end IVF ANN: build (or rebuild) the stored index, then probe

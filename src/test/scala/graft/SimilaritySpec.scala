@@ -114,6 +114,36 @@ class SimilaritySpec extends SparkSpec {
     assert(self == Seq((4L, 0L, 2L, 0L, true)), s"got: $self")
   }
 
+  test("ivfProbeBatch: full-nprobe equals the exact batch scan; knnClassifyIndexed agrees; narrow probe stays bounded") {
+    val emb = vecs(400, dim = 16).withColumn("label", (col("id") % 5).cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfbatch").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "v", "id", kCentroids = 8, indexDir = dir)
+    val probes = emb.filter(col("id") % 40 === 0)
+      .select(col("id").as("probe_id"), col("v").as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "rnk", "vec_id", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // nprobe = kCentroids probes every cell → identical to the exact scan
+    val exact = rows(Similarity.topKBatchFor(emb, "v", "id", probes, k = 10))
+    val full = rows(Similarity.ivfProbeBatch(spark, dir, "v", "id", probes,
+      k = 10, nprobe = 8))
+    assert(full == exact, "full-nprobe batch probe must equal the exact scan")
+    // the vote halves agree end-to-end through the indexed path too
+    val cls = Similarity.knnClassify(emb, "v", "id", "label", probes, k = 10)
+      .collect().map(_.toSeq).toSet
+    val clsIdx = Similarity.knnClassifyIndexed(spark, dir, "v", "id", "label",
+      probes, k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(clsIdx == cls, "indexed classify must equal exact at full nprobe")
+    // narrow probe: ≤ k ordered hits per probe, scores non-increasing
+    val narrow = rows(Similarity.ivfProbeBatch(spark, dir, "v", "id", probes,
+      k = 10, nprobe = 1))
+    narrow.groupBy(_._1).foreach { case (p, hs) =>
+      assert(hs.size <= 10 && hs.map(_._2) == (1L to hs.size),
+        s"probe $p: bad ranks")
+      assert(hs.map(_._4) == hs.map(_._4).sorted.reverse, s"probe $p: bad order")
+    }
+  }
+
   test("materialized IVF index: build once, probe matches the inline end-to-end form") {
     val emb = vecs(400, dim = 16)
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
