@@ -113,6 +113,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "final top-k must be per-partition heaps")
   }
 
+  test("batched IVF probe: pruned index scan, probed-cell broadcast, no window sort") {
+    // One scan of the union of probed cells (PartitionFilters on
+    // centroid_id), candidates restricted by the broadcast (probe, cell)
+    // relation, per-probe top-k via the bounded aggregate — a per-probe
+    // loop or a row_number window would both be regressions.
+    val p = plan("q_ivf_batch")
+    val pruned = p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id") && !l.contains("PartitionFilters: []"))
+    assert(pruned, s"batch probe must partition-prune on centroid_id:\n$p")
+    assert(p.contains("ObjectHashAggregate"), "bounded top-k agg expected")
+    assert(!p.contains("Window"), "no window sort of the scored candidates")
+    assert(p.contains("BroadcastHashJoin"), "(probe, cell) relation must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the pruned scan must not shuffle to meet the probes")
+  }
+
   test("batched top-k: bounded aggregate with map-side combine, no window sort") {
     // The scored (probe × corpus) rows must reach the shuffle already
     // reduced to ≤ k per (task, probe) by the TopKHits partial aggregate —
