@@ -1138,6 +1138,33 @@ object SparkEntry {
         .orderBy("probe_id", "rnk")
     }),
 
+    // ---- similarity: kNN confusion matrix (eval panel over the vote) ----
+    "q_knn_confusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnClassify(emb, "embedding", "vec_id", "label",
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
+        k = 5)
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
+    // ---- similarity: embedding-health data card (pre-index audit) ----
+    // planted hazard rows (the PII-card de-vacuization convention) keep
+    // every guard branch live at every SF: zero-norm, NaN, inf + ragged
+    "q_embed_card" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (900001L, Seq(0f, 0f, 0f), 101),
+        (900002L, Seq(1f, Float.NaN, 0.5f), 102),
+        (900003L, Seq(Float.PositiveInfinity, 1f), 103)
+      ).toDF("vec_id", "embedding", "label")
+      Similarity.embeddingHealthCard(
+        t(s, d, "embeddings").unionByName(planted), "embedding", "label")
+        .orderBy("label")
+    }),
+
     // ---- similarity: int8 scalar quantization (vector compression) ----
     "q_quantize_int8" -> ((s, d) => {
       Similarity.quantizeInt8(t(s, d, "embeddings"), "embedding", "vec_id")
@@ -1595,6 +1622,29 @@ object SparkEntry {
     "q_sim_topk_batch" -> simTopkBatchSql,
 
     "q_knn_classify" -> knnClassifySql,
+
+    "q_knn_confusion" ->
+      s"""WITH base AS ($knnClassifySql)
+         |SELECT true_label, pred_label, count(*) AS n FROM base
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_embed_card" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS vv, label FROM embeddings
+        |  UNION ALL SELECT [0.0, 0.0, 0.0], 101
+        |  UNION ALL SELECT [1.0, CAST('nan' AS DOUBLE), 0.5], 102
+        |  UNION ALL SELECT [CAST('inf' AS DOUBLE), 1.0], 103),
+        |f AS (SELECT CAST(label AS BIGINT) AS label,
+        |    len(list_filter(vv, x -> NOT isfinite(x))) > 0 AS bad,
+        |    list_dot_product(vv, vv) AS sq, len(vv) AS d FROM e)
+        |SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(sum(CASE WHEN NOT bad AND sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(min(d) AS BIGINT) AS dim_min, CAST(max(d) AS BIGINT) AS dim_max,
+        |  CAST(sum(CASE WHEN NOT bad
+        |    THEN CAST(round(sqrt(sq) * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS norm_micro_sum
+        |FROM f GROUP BY label ORDER BY label""".stripMargin,
 
     "q_repetition" -> {
       val sh = sqlShingles(sqlTokens, 3)

@@ -565,6 +565,42 @@ object Similarity {
       stored, idCol, labelCol)
   }
 
+  /** Embedding-health data card, per label: the audit that runs BEFORE a
+    * corpus enters the ANN/dedup index — every hazard the similarity
+    * family defends against at query time (NaN-poisoned rows dropped by
+    * the top-k aggregates, zero-norm cosines, ragged dimensions breaking
+    * `zip_with`), counted at ingest where fixing them is cheap. Reports
+    * per label: row count, vectors with any non-finite element, zero-norm
+    * vectors (among the finite), the dimension range (min ≠ max = ragged
+    * = a data bug), and the exact norm micro-unit sum (Σ round(‖v‖·10⁶)
+    * over finite vectors — an integer, order-invariant across
+    * partitionings; divide by (n_vectors − n_nonfinite) for the mean).
+    *
+    * Scale shape: one scan, one map-side-combinable agg at label
+    * cardinality — the same all-integer card shape as
+    * `TextAnalysis.corpusStats`. */
+  def embeddingHealthCard(emb: DataFrame, vecCol: String,
+                          labelCol: String): DataFrame = {
+    val v = col(vecCol)
+    val nonFinite = exists(v, e => {
+      val d = e.cast("double")
+      isnan(d) || d === lit(Double.PositiveInfinity) ||
+        d === lit(Double.NegativeInfinity)
+    })
+    val sq = graft.functions.VectorFunctions.dot(v, v)
+    emb.select(col(labelCol).cast("long").as("label"),
+        nonFinite.as("__bad"), sq.as("__sq"), size(v).cast("long").as("__d"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(!col("__bad") && col("__sq") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"),
+        min("__d").as("dim_min"), max("__d").as("dim_max"),
+        sum(when(!col("__bad"),
+          round(sqrt(col("__sq")) * 1e6, 0).cast("long")).otherwise(0L))
+          .as("norm_micro_sum"))
+  }
+
   /** Majority vote + truth join shared by the exact and indexed kNN
     * classifiers; `hits` must have the [[topKBatchFor]] schema. */
   private def voteOnHits(hits: DataFrame, labeled: DataFrame,

@@ -144,6 +144,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingHealthCard: hand-computed counts, ragged dims, exact norm micro-sum") {
+    val emb = Seq(
+      (1L, Seq(3f, 4f), 1),                 // norm 5
+      (2L, Seq(0f, 0f), 1),                 // zero-norm
+      (3L, Seq(1f, Float.NaN), 2),          // NaN-poisoned
+      (4L, Seq(2f, 2f, 1f), 2)              // norm 3, ragged dim
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingHealthCard(emb, "embedding", "label")
+      .orderBy("label")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 0L, 1L, 2L, 2L, 5000000L),
+      (2L, 2L, 1L, 0L, 2L, 3L, 3000000L)), s"got: $out")
+  }
+
   test("materialized IVF index: build once, probe matches the inline end-to-end form") {
     val emb = vecs(400, dim = 16)
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
