@@ -1007,18 +1007,7 @@ object SparkEntry {
     }),
 
     // ---- similarity: kNN auto-label (majority vote over exact top-k) ----
-    // FIXED-SIZE probe panel (≤ 50 at any SF): a probe set growing with
-    // the corpus would make the exact scan quadratic (measured 63× for
-    // 10× data with `% 10` alone); corpus-sized probe sets belong on the
-    // stored IVF index, as the operator's scaladoc prescribes
-    "q_knn_classify" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.knnClassify(emb, "embedding", "vec_id", "label",
-        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
-        k = 5)
-        .orderBy("probe_id")
-    }),
+    "q_knn_classify" -> ((s, d) => knnPanelClassify(s, d).orderBy("probe_id")),
 
     // ---- similarity: IVF-style blocked near-dup pairs ----
     "q_neardup_cosine" -> ((s, d) => {
@@ -1140,11 +1129,7 @@ object SparkEntry {
 
     // ---- similarity: kNN confusion matrix (eval panel over the vote) ----
     "q_knn_confusion" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.knnClassify(emb, "embedding", "vec_id", "label",
-        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
-        k = 5)
+      knnPanelClassify(s, d)
         .groupBy("true_label", "pred_label")
         .agg(count(lit(1)).as("n"))
         .orderBy("true_label", "pred_label")
@@ -1476,7 +1461,8 @@ object SparkEntry {
         |               CAST(count(*) AS BIGINT) AS n_keys FROM counts)
         |SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
         |  ((10000 * n_rows) // tot.n_total) / 10000.0 + 0.0 AS share,
-        |  ((100 * n_rows * tot.n_keys) // tot.n_total) / 100.0 + 0.0 AS skew
+        |  CAST((CAST(100 AS HUGEINT) * n_rows * tot.n_keys) // tot.n_total
+        |    AS BIGINT) / 100.0 + 0.0 AS skew
         |FROM counts CROSS JOIN tot
         |ORDER BY n_rows DESC, key IS NULL, key LIMIT 10""".stripMargin,
 
@@ -1972,9 +1958,9 @@ object SparkEntry {
     "q_ivf_cells" ->
       s"""WITH $ivfAssignCtes,
          |cells AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
-         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM cells)
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
          |SELECT cid AS centroid_id, CAST(n AS BIGINT) AS n_vectors,
-         |  round(n / tot.n_total, 4) + 0.0 AS share
+         |  ((10000 * n) // tot.n_total) / 10000.0 + 0.0 AS share
          |FROM cells CROSS JOIN tot ORDER BY centroid_id""".stripMargin,
 
     "q_ivf_refit" -> ivfRefitSql,
@@ -2171,6 +2157,21 @@ object SparkEntry {
       |  FROM s)
       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim FROM r
       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** The classifier both kNN queries evaluate — ONE definition, so the
+    * confusion matrix can never drift from the classifier it grades (the
+    * SQL side shares the same way: q_knn_confusion wraps knnClassifySql).
+    * FIXED-SIZE probe panel (≤ 50 at any SF): a probe set growing with
+    * the corpus would make the exact scan quadratic (measured 63× for
+    * 10× data with `% 10` alone); corpus-sized probe sets belong on the
+    * stored IVF index, as the operator's scaladoc prescribes. */
+  private def knnPanelClassify(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnClassify(emb, "embedding", "vec_id", "label",
+      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
+      k = 5)
+  }
 
   /** kNN vote twin: [[simTopkBatchSql]]'s scored-neighbor shape over the
     * `vec_id % 10 = 0` probe set, then a majority vote with the engine's
@@ -2445,6 +2446,8 @@ object SparkEntry {
        |      round(list_dot_product(cv, qv)
        |        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),4) AS c_sim
        |    FROM c, q
+       |    WHERE NOT isnan(list_dot_product(cv, qv)
+       |      / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))))
        |    ORDER BY c_sim DESC, cid LIMIT 2)),
        |cand AS (
        |  SELECT a.vec_id, v.vv FROM assign a
@@ -2473,7 +2476,7 @@ object SparkEntry {
        |    SELECT probe_id, cid,
        |      row_number() OVER (PARTITION BY probe_id
        |        ORDER BY c_sim DESC, cid) AS cr
-       |    FROM pc0) WHERE cr <= 2),
+       |    FROM pc0 WHERE NOT isnan(c_sim)) WHERE cr <= 2),
        |cand AS (
        |  SELECT pc.probe_id, a.vec_id, v.vv FROM assign a
        |  JOIN pc ON a.cid = pc.cid

@@ -265,10 +265,14 @@ object Curation {
                         groupCol: String): DataFrame = {
     val q = TextAnalysis.qualityScore(docs, textCol, idCol, keepCols = Seq(groupCol))
       .select(col(idCol), col(groupCol).as("grp"), col("quality"))
-    val th = q.groupBy("grp").agg(
-      (round(expr("percentile(quality, 0.1)"), 4) + lit(0.0)).as("t1"),
-      (1 to 8).map(i => (round(expr(s"percentile(quality, 0.${i + 1})"), 4)
-        + lit(0.0)).as(s"t${i + 1}")): _*)
+    // ONE array-form percentile: nine scalar percentile() calls would each
+    // buffer the group's full value multiset independently — 9× the
+    // aggregation state for identical thresholds
+    val ps = (1 to 9).map(i => s"0.$i").mkString("array(", ", ", ")")
+    val th = q.groupBy("grp")
+      .agg(expr(s"percentile(quality, $ps)").as("__ts"))
+      .select(col("grp") +: (1 to 9).map(i =>
+        (round(element_at(col("__ts"), i), 4) + lit(0.0)).as(s"t$i")): _*)
     val decile = (1 to 9)
       .map(i => when(col("quality") >= col(s"t$i"), 1L).otherwise(0L))
       .reduce(_ + _) + lit(1L)

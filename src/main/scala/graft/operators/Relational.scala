@@ -239,8 +239,12 @@ object RelationalOps {
       .select(col("key"), col("n_rows"),
         (expr("(10000 * n_rows) div __n_total") / lit(10000.0) + lit(0.0))
           .as("share"),
-        (expr("(100 * n_rows * __n_keys) div __n_total") / lit(100.0) + lit(0.0))
-          .as("skew"))
+        // the skew numerator in DECIMAL(38,0): 100·n_rows·n_keys overflows
+        // BIGINT at the very scale this diagnostic targets (1e9-row hot key
+        // × 1e9 keys = 1e20) — Spark would wrap silently, DuckDB (HUGEINT
+        // on its side) would not, a wrong answer AND an engine divergence
+        (expr("(CAST(100 AS DECIMAL(38,0)) * n_rows * __n_keys) div __n_total")
+          / lit(100.0) + lit(0.0)).as("skew"))
   }
 
   /** Skew-resistant equi-join: salt the skewed (left) side's key into

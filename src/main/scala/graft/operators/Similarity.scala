@@ -211,16 +211,23 @@ object Similarity {
     * whole population) and a latency hazard (a probe that hits it scans
     * all of it) — the rebuild trigger [[appendToIvfIndex]] documents,
     * made measurable. One assignment pass (broadcast centroids, map-side
-    * argmax) + one k-row agg; the 1-row total attaches by broadcast, the
-    * corpus never self-shuffles. */
+    * argmax; the k-row cell relation persists so its two consumers — the
+    * total and the output join — don't each re-run the pass) + one k-row
+    * agg; the 1-row total attaches by broadcast, the corpus never
+    * self-shuffles. `share` uses FLOORED basis-point division, not
+    * round(): a count ratio over a power-of-10 total lands exactly on the
+    * .5 rounding boundary where Spark (shortest-decimal HALF_UP) and
+    * DuckDB (raw double) disagree — the keySkewReport convention. */
   def ivfCellStats(emb: DataFrame, vecCol: String, idCol: String,
                    k: Int): DataFrame = {
     val cells = ivfAssign(emb, vecCol, idCol, k)
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
-    val total = cells.select(sum("n_vectors").cast("double").as("n_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = cells.select(sum("n_vectors").as("__n_total"))
     cells.crossJoin(broadcast(total))
       .select(col("centroid_id"), col("n_vectors"),
-        (round(col("n_vectors") / col("n_total"), 4) + lit(0.0)).as("share"))
+        (expr("(10000 * n_vectors) div __n_total") / lit(10000.0) + lit(0.0))
+          .as("share"))
   }
 
   /** Assign every vector to its most-cosine-similar centroid from an
@@ -471,6 +478,13 @@ object Similarity {
     val cells = centroids.crossJoin(broadcast(probe))
       .select(col("centroid_id"),
         r4(cosineSim(col("c_vec"), col("q_vec"))).as("c_sim"))
+      // NaN cell sims (zero-norm probe or centroid) drop — Spark's desc
+      // sort would rank them FIRST, probing garbage cells, and the batch
+      // form's TopKHits drops them by contract; uniform NaN-drop keeps
+      // one-at-a-time and batch probes identical. A zero-norm CENTROID
+      // therefore makes its whole cell unreachable: that is a broken
+      // index, caught upstream by embeddingHealthCard before the build.
+      .filter(!isnan(col("c_sim")))
       .orderBy(col("c_sim").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select("centroid_id")
