@@ -479,6 +479,15 @@ object SparkEntry {
         .orderBy("event_type", "rank")
     }),
 
+    // ---- fixed-width value histogram (profiling primitive) ----
+    // lo/hi INSIDE the data range so the under/overflow sentinel bins are
+    // both live at every SF; w = 15.0 exactly representable
+    "q_value_hist" -> ((s, d) => {
+      RelationalOps.fixedWidthHistogram(t(s, d, "events"), "value",
+        lo = 100.0, hi = 400.0, nBins = 20)
+        .orderBy("bin")
+    }),
+
     // ---- shuffle-key skew report (pre-saltedJoin diagnostic) ----
     "q_skew_report" -> ((s, d) => {
       RelationalOps.keySkewReport(t(s, d, "events"), "user_id", topK = 10)
@@ -1452,6 +1461,17 @@ object SparkEntry {
         |          ORDER BY value DESC, event_id) AS rn
         |      FROM events) t
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q_value_hist" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN value < 100.0 THEN -1
+        |              WHEN value >= 400.0 THEN 20
+        |              ELSE CAST(floor((value - 100.0) / 15.0) AS BIGINT) END AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT bin, count(*) AS n,
+        |  CASE WHEN bin >= 0 AND bin < 20 THEN 100.0 + bin * 15.0 END AS bin_lo,
+        |  CASE WHEN bin >= 0 AND bin < 20 THEN 100.0 + (bin + 1) * 15.0 END AS bin_hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_skew_report" ->
       """WITH counts AS (

@@ -204,6 +204,36 @@ object RelationalOps {
         col("col.id").as(idCol), (col("col.score") + lit(0.0)).as("score"))
   }
 
+  /** Fixed-width histogram of a numeric column — the profiling primitive
+    * behind every "what does this column look like" question (value
+    * distributions before choosing winsorize bands, quality-score shapes
+    * before picking a cut). Rows below `lo` land in sentinel bin -1,
+    * rows at or above `hi` in bin `nBins` (both engines' NaN-greatest
+    * comparison semantics put NaN rows in the overflow bin too); interior
+    * bin = floor((x − lo)/w). Emits (bin, n, bin_lo, bin_hi) with null
+    * bounds on the sentinel bins.
+    *
+    * Cross-engine reproducibility: pass `lo`/`hi`/`nBins` whose width is
+    * exactly representable (e.g. 15.0, not 0.1·…) — the bin math is then
+    * the same IEEE ops on the same doubles on any engine. Scale shape:
+    * pure scan-side projection into a ≤ nBins+2-row map-side-combinable
+    * count agg — zero corpus shuffle. */
+  def fixedWidthHistogram(df: DataFrame, valCol: String, lo: Double,
+                          hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and nBins > 0: [$lo, $hi) × $nBins")
+    val w = (hi - lo) / nBins
+    val x = col(valCol).cast("double")
+    val bin = when(x < lo, -1L).when(x >= hi, nBins.toLong)
+      .otherwise(floor((x - lo) / w).cast("long"))
+    val interior = col("bin") >= 0 && col("bin") < nBins
+    df.filter(x.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .select(col("bin"), col("n"),
+        when(interior, lit(lo) + col("bin") * w).as("bin_lo"),
+        when(interior, lit(lo) + (col("bin") + 1) * w).as("bin_hi"))
+  }
+
   /** Key-skew report for a prospective shuffle key — the diagnostic that
     * precedes choosing [[saltedJoin]]'s bucket count (or trusting AQE's
     * skew split): the `topK` heaviest keys with row count, corpus share,

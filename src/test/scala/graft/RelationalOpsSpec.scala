@@ -20,6 +20,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("fixedWidthHistogram: hand-computed bins, sentinel under/overflow, NaN to overflow, null dropped") {
+    val df = Seq[java.lang.Double](50.0, 100.0, 114.9, 115.0, 399.99, 400.0,
+      1000.0, null, Double.NaN).toDF("v")
+    val out = RelationalOps.fixedWidthHistogram(df, "v", lo = 100.0,
+      hi = 400.0, nBins = 20)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(out == Seq(
+      (-1L, 1L, None, None),                        // 50 → underflow
+      (0L, 2L, Some(100.0), Some(115.0)),           // 100, 114.9
+      (1L, 1L, Some(115.0), Some(130.0)),           // 115 (boundary goes up)
+      (19L, 1L, Some(385.0), Some(400.0)),          // 399.99
+      (20L, 3L, None, None)), s"got: $out")         // 400, 1000, NaN overflow
+  }
+
   test("keySkewReport: hand-computed counts, shares, skew; null key reported and tie-broken last") {
     // a×5, b×3, null×3, c×1 → total 12, 4 keys, mean 3/key. top-3 is a,
     // then the b/null tie at 3 rows — null pins LAST, so b precedes it.
