@@ -479,6 +479,20 @@ object SparkEntry {
         .orderBy("event_type", "rank")
     }),
 
+    // ---- funnel analysis (ordered conversion within a span) ----
+    "q_funnel" -> ((s, d) => {
+      RelationalOps.funnelSteps(t(s, d, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), maxSpan = "7 DAY")
+        .orderBy("step")
+    }),
+
+    // ---- cohort retention (first-activity cohorts × return offsets) ----
+    "q_retention" -> ((s, d) => {
+      RelationalOps.cohortRetention(t(s, d, "events"), "user_id", "ts",
+        originDate = "2024-01-01", bucketDays = 7)
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // ---- fixed-width value histogram (profiling primitive) ----
     // lo/hi INSIDE the data range so the under/overflow sentinel bins are
     // both live at every SF; w = 15.0 exactly representable
@@ -1461,6 +1475,42 @@ object SparkEntry {
         |          ORDER BY value DESC, event_id) AS rn
         |      FROM events) t
         |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS tp, max(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS tp, max(s2.t1) AS t1
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.tp
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |n AS (
+        |  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+        |b AS (SELECT n_users AS n1 FROM n WHERE step = 1)
+        |SELECT CAST(n.step AS BIGINT) AS step, n.event_type,
+        |  CAST(n.n_users AS BIGINT) AS n_users,
+        |  ((10000 * n.n_users) // nullif(b.n1, 0)) / 10000.0 + 0.0 AS conv
+        |FROM n CROSS JOIN b ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |c AS (SELECT u, min(wk) AS cohort_wk FROM act GROUP BY 1)
+        |SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk,
+        |  CAST(act.wk - c.cohort_wk AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN c USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_value_hist" ->
       """WITH b AS (

@@ -204,6 +204,79 @@ object RelationalOps {
         col("col.id").as(idCol), (col("col.score") + lit(0.0)).as("score"))
   }
 
+  /** Funnel analysis: how many users performed `steps` IN ORDER, each
+    * event strictly after the previous step's matched event and within
+    * `maxSpan` of the user's ANCHOR (their earliest step-1 event) — the
+    * conversion query of event analytics ("view → click → purchase within
+    * 7 days"). Matching is greedy-earliest per step from the fixed anchor:
+    * deterministic, engine-expressible, and the standard product-analytics
+    * semantics. Returns one row per step: (step, event_type, n_users,
+    * conv) with conv = floored-basis-point share of step-1 users (the
+    * keySkewReport parity convention; 1.0 for the anchor row itself).
+    *
+    * Scale shape: each step is a scan-side type filter (pushed to parquet)
+    * into a user-keyed min-agg joined to the previous step's USER-SIZED
+    * relation — every join and agg keys on the user column, so the
+    * per-step exchanges hash-partition identically and AQE/reuse keeps the
+    * user relation co-located; nothing ever shuffles on more than
+    * (user, ts) pairs of one step's type. Step count is the plan's depth,
+    * not a data-dependent loop. */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  maxSpan: String): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val anchor = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t_prev"))
+      .withColumn("t1", col("t_prev"))
+    val stepRels = steps.tail.scanLeft(anchor) { (prev, stepType) =>
+      events.filter(col(typeCol) === stepType)
+        .select(col(userCol).as("user"), col(tsCol).as("__ts"))
+        .join(prev, "user")
+        .filter(col("__ts") > col("t_prev") &&
+          col("__ts") <= col("t1") + expr(s"INTERVAL $maxSpan"))
+        .groupBy("user")
+        .agg(min(col("__ts")).as("t_prev"), max(col("t1")).as("t1"))
+    }
+    val counts = stepRels.zip(steps).zipWithIndex.map { case ((rel, st), i) =>
+      rel.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.filter(col("step") === 1L)
+      .select(col("n_users").as("__n1"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("n_users"),
+        (expr("(10000 * n_users) div nullif(__n1, 0)") / lit(10000.0)
+          + lit(0.0)).as("conv"))
+  }
+
+  /** Cohort retention: bucket every user into the cohort of their FIRST
+    * active period, then count how many of each cohort are active again k
+    * periods later — [[funnelSteps]]' companion ("of the week-0 signups,
+    * how many were back in week 3"). Periods are integer day-bucket
+    * indices from a fixed `originDate` ((date − origin) div bucketDays) —
+    * pure integer arithmetic, identical on any engine, with none of the
+    * locale/week-start ambiguity of date_trunc('week').
+    *
+    * Scale shape: activity first dedups to (user, period) — corpus-sized
+    * input, activity-sized output, map-side combinable; the cohort min-agg
+    * and the re-join all key on the user, reusing one hash partitioning;
+    * the final (cohort, offset) agg is periods²-sized. Each (user, period)
+    * row is unique, so the plain count IS the distinct-user count. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      originDate: String, bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, s"bucketDays must be positive: $bucketDays")
+    val act = events.select(col(userCol).as("user"),
+        expr(s"datediff(CAST(`$tsCol` AS DATE), DATE'$originDate')" +
+          s" div $bucketDays").as("wk"))
+      .distinct()
+    val cohort = act.groupBy("user").agg(min("wk").as("cohort_wk"))
+    act.join(cohort, "user")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Fixed-width histogram of a numeric column — the profiling primitive
     * behind every "what does this column look like" question (value
     * distributions before choosing winsorize bands, quality-score shapes

@@ -36,6 +36,62 @@ class RelationalOpsSpec extends SparkSpec {
       (20L, 3L, None, None)), s"got: $out")         // 400, 1000, NaN overflow
   }
 
+  test("funnelSteps: ordered matching, span cut, strict-after ties, missing middle step") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full funnel within span
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2: click outside the 7-day span from the anchor
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-09 10:00:00")),
+      // u3: click BEFORE the anchor view never matches
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 11:00:00")),
+      (3L, "purchase", ts("2024-01-01 10:30:00")),
+      // u4: no click at all — purchase can't skip the middle step
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-01 11:00:00")),
+      // u5: never anchors (no view)
+      (5L, "click", ts("2024-01-01 10:00:00")),
+      (5L, "purchase", ts("2024-01-01 11:00:00")),
+      // u6: same-ts click is NOT strictly after the view; the later one is;
+      //     purchase before the MATCHED click fails
+      (6L, "view", ts("2024-01-01 10:00:00")),
+      (6L, "click", ts("2024-01-01 10:00:00")),
+      (6L, "click", ts("2024-01-01 10:00:01")),
+      (6L, "purchase", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = RelationalOps.funnelSteps(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), "7 DAY")
+      .orderBy("step")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "view", 5L, 1.0),
+      (2L, "click", 2L, 0.4),      // u1, u6
+      (3L, "purchase", 1L, 0.2)),  // u1
+      s"got: $out")
+  }
+
+  test("cohortRetention: first-activity cohorts, offsets, within-period dedup") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")),  // u1 wk0
+      (1L, ts("2024-01-09 10:00:00")),  // u1 wk1
+      (1L, ts("2024-01-23 10:00:00")),  // u1 wk3
+      (2L, ts("2024-01-10 10:00:00")),  // u2 wk1 only
+      (3L, ts("2024-01-03 10:00:00")),  // u3 wk0 ...
+      (3L, ts("2024-01-05 10:00:00"))   // ... twice in wk0 → counts once
+    ).toDF("user_id", "ts")
+    val out = RelationalOps.cohortRetention(ev, "user_id", "ts",
+      "2024-01-01", bucketDays = 7)
+      .orderBy("cohort_wk", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L)), s"got: $out")
+  }
+
   test("keySkewReport: hand-computed counts, shares, skew; null key reported and tie-broken last") {
     // a×5, b×3, null×3, c×1 → total 12, 4 keys, mean 3/key. top-3 is a,
     // then the b/null tie at 3 rows — null pins LAST, so b precedes it.
