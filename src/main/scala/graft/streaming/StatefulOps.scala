@@ -46,6 +46,58 @@ object StatefulOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming funnel tracker — `RelationalOps.funnelSteps` as a per-user
+    * state machine (the keyed-state-plus-changelog pattern that IS the
+    * reference's programming model): each user's state holds (steps
+    * reached, anchor time, last-matched time); an event advances the
+    * machine when it is the next step's type, strictly after the previous
+    * match, and within `maxSpanMicros` of the anchor. Emits one
+    * `FunnelAdvance` per advancement — the streaming changelog whose final
+    * max-step-per-user counts equal the batch operator's on the same
+    * events (spec-pinned equivalence).
+    *
+    * Ordering contract: within a micro-batch, events sort by event time;
+    * ACROSS batches, per-user in-order delivery is the transport's job —
+    * exactly the partition-by-key ordering Kafka gives and the reference
+    * assumes. A late event older than the user's last match cannot rewind
+    * the machine (greedy matching is prefix-stable: matched prefixes never
+    * un-match). State is one fixed-size record per user that reached
+    * step ≥ 1 — at 100 TB this is users-sized, the same bound as any keyed
+    * session state, and a TTL timeout can expire closed funnels. */
+  final case class FunnelEvent(userId: Long, eventType: String, tsMicros: Long)
+  final case class FunnelState(reached: Int, anchorMicros: Long, prevMicros: Long)
+  final case class FunnelAdvance(userId: Long, step: Int, eventType: String,
+                                 tsMicros: Long)
+
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                   maxSpanMicros: Long)(
+      implicit spark: SparkSession): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "need at least one funnel step")
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val out = Seq.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+            if (st.reached < steps.size && e.eventType == steps(st.reached)) {
+              val ok = st.reached == 0 ||
+                (e.tsMicros > st.prevMicros &&
+                  e.tsMicros <= st.anchorMicros + maxSpanMicros)
+              if (ok) {
+                st = FunnelState(st.reached + 1,
+                  if (st.reached == 0) e.tsMicros else st.anchorMicros,
+                  e.tsMicros)
+                out += FunnelAdvance(user, st.reached, e.eventType, e.tsMicros)
+              }
+            }
+          }
+          if (st.reached > 0) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** W6 exact variant: sessionization via flatMapGroupsWithState with an
     * event-time timeout — the fallback SURVEY.md §7.4(4) names for when
     * session_window's append-mode emission doesn't fit (e.g. emitting

@@ -10,6 +10,58 @@ class StatefulSessionSpec extends SparkSpec {
   implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   implicit def sp: org.apache.spark.sql.SparkSession = spark
 
+  test("funnelStream equals the batch funnel on the same events, across micro-batches") {
+    import StatefulOps.{FunnelEvent, FunnelAdvance}
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    // the batch spec's fixture: u1 full funnel, u2 span miss, u3 order
+    // miss, u4 missing middle, u5 no anchor, u6 same-ts tie
+    val fixture = Seq(
+      FunnelEvent(1L, "view", us("2024-01-01 10:00:00")),
+      FunnelEvent(1L, "click", us("2024-01-01 11:00:00")),
+      FunnelEvent(1L, "purchase", us("2024-01-01 12:00:00")),
+      FunnelEvent(2L, "view", us("2024-01-01 10:00:00")),
+      FunnelEvent(2L, "click", us("2024-01-09 10:00:00")),
+      FunnelEvent(3L, "click", us("2024-01-01 10:00:00")),
+      FunnelEvent(3L, "view", us("2024-01-01 11:00:00")),
+      FunnelEvent(3L, "purchase", us("2024-01-01 10:30:00")),
+      FunnelEvent(4L, "view", us("2024-01-01 10:00:00")),
+      FunnelEvent(4L, "purchase", us("2024-01-01 11:00:00")),
+      FunnelEvent(5L, "click", us("2024-01-01 10:00:00")),
+      FunnelEvent(5L, "purchase", us("2024-01-01 11:00:00")),
+      FunnelEvent(6L, "view", us("2024-01-01 10:00:00")),
+      FunnelEvent(6L, "click", us("2024-01-01 10:00:00")),
+      FunnelEvent(6L, "click", us("2024-01-01 10:00:01")),
+      FunnelEvent(6L, "purchase", us("2024-01-01 10:00:00"))
+    )
+    val steps = Seq("view", "click", "purchase")
+    val in = MemoryStream[FunnelEvent]
+    val q = StatefulOps.funnelStream(in.toDS(), steps,
+        maxSpanMicros = 7L * 24 * 3600 * 1000000L)
+      .writeStream.format("memory").queryName("t_funnel").outputMode("append").start()
+    // per-user event-time order across batches (the transport contract);
+    // the batch boundary cuts every user's sequence mid-funnel
+    val (b1, b2) = fixture.sortBy(e => (e.userId, e.tsMicros))
+      .partition(e => e.tsMicros <= us("2024-01-01 10:30:00"))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val advances = spark.table("t_funnel").as[FunnelAdvance].collect()
+    val maxStep = advances.groupBy(_.userId).map { case (_, as) => as.map(_.step).max }
+    val streamCounts = (1 to steps.size).map { s =>
+      s.toLong -> maxStep.count(_ >= s).toLong
+    }.toMap
+    val batch = graft.operators.RelationalOps.funnelSteps(
+      fixture.map(e => (e.userId, e.eventType,
+        new java.sql.Timestamp(e.tsMicros / 1000L)))
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps, "7 DAY")
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(streamCounts == batch,
+      s"stream $streamCounts must equal batch $batch")
+    // each advancement is emitted exactly once despite the mid-funnel cut
+    assert(advances.groupBy(a => (a.userId, a.step)).values.forall(_.length == 1))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on event-time timeout") {
     val in = MemoryStream[PageView]
     val q = StatefulOps.sessionizeExact(in.toDS(), gapMs = 10000)
