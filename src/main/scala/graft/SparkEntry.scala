@@ -486,6 +486,24 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // ---- SCD2 history intervals from a keyed update stream ----
+    "q_scd2" -> ((s, d) => {
+      RelationalOps.scd2Intervals(t(s, d, "events"), "user_id",
+        orderCols = Seq("ts", "event_id"), payloadCols = Seq("event_type"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // ---- join-cardinality profile (pre-join diagnostic) ----
+    // planted null keys keep the dropped-rows columns live at every SF
+    "q_join_profile" -> ((s, d) => {
+      import s.implicits._
+      val l = t(s, d, "orders").select(col("o_orderkey").as("k"))
+        .unionByName(Seq[Option[Long]](None).toDF("k"))
+      val r = t(s, d, "lineitem").select(col("l_orderkey").as("k"))
+        .unionByName(Seq[Option[Long]](None, None).toDF("k"))
+      RelationalOps.joinProfile(l, "k", r, "k")
+    }),
+
     // ---- cohort retention (first-activity cohorts × return offsets) ----
     "q_retention" -> ((s, d) => {
       RelationalOps.cohortRetention(t(s, d, "events"), "user_id", "ts",
@@ -1499,6 +1517,40 @@ object SparkEntry {
         |  CAST(n.n_users AS BIGINT) AS n_users,
         |  ((10000 * n.n_users) // nullif(b.n1, 0)) / 10000.0 + 0.0 AS conv
         |FROM n CROSS JOIN b ORDER BY step""".stripMargin,
+
+    "q_scd2" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM s
+        |  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_join_profile" ->
+      """WITH l AS (
+        |  SELECT o_orderkey AS k FROM orders UNION ALL SELECT NULL),
+        |r AS (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  UNION ALL SELECT NULL UNION ALL SELECT NULL),
+        |lc AS (SELECT k, count(*) AS c_l FROM l WHERE k IS NOT NULL GROUP BY k),
+        |rc AS (SELECT k, count(*) AS c_r FROM r WHERE k IS NOT NULL GROUP BY k),
+        |ls AS (SELECT CAST(coalesce(sum(c_l), 0) AS BIGINT) AS n_left,
+        |              count(*) AS n_left_keys FROM lc),
+        |ln AS (SELECT count(*) AS n_left_null FROM l WHERE k IS NULL),
+        |rs AS (SELECT CAST(coalesce(sum(c_r), 0) AS BIGINT) AS n_right,
+        |              count(*) AS n_right_keys FROM rc),
+        |rn AS (SELECT count(*) AS n_right_null FROM r WHERE k IS NULL),
+        |cm AS (SELECT count(*) AS n_common_keys,
+        |         CAST(coalesce(sum(c_l * c_r), 0) AS BIGINT) AS est_out_rows
+        |       FROM lc JOIN rc USING (k))
+        |SELECT n_left, n_left_keys, n_left_null, n_right, n_right_keys,
+        |  n_right_null, n_common_keys, est_out_rows
+        |FROM ls, ln, rs, rn, cm""".stripMargin,
 
     "q_retention" ->
       """WITH act AS (

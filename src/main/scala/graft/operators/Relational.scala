@@ -204,6 +204,78 @@ object RelationalOps {
         col("col.id").as(idCol), (col("col.score") + lit(0.0)).as("score"))
   }
 
+  /** SCD2 interval builder: turn a keyed update stream/table into
+    * slowly-changing-dimension HISTORY rows — (key, payload, valid_from,
+    * valid_to) with `valid_to` null on each key's current row — the
+    * standard lakehouse shape for "what was this entity's state at time
+    * t" joins (the historical twin of the upsert table's latest-wins
+    * snapshot). Consecutive updates with an UNCHANGED payload compress
+    * away (null-safe struct compare, so a null payload field never fakes
+    * a change), then each surviving change's interval closes at the next
+    * change's time.
+    *
+    * `orderCols` (version time first, then a unique tie-breaker) must
+    * totally order each key's updates — same contract as the oracle's
+    * window ORDER BY. Scale shape: both windows (the change filter's lag
+    * and the interval's lead) partition on the key, so the corpus pays
+    * ONE exchange and sorts within partitions; output ≤ input rows. */
+  def scd2Intervals(updates: DataFrame, keyCol: String,
+                    orderCols: Seq[String],
+                    payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty && payloadCols.nonEmpty,
+      "need ordering and payload columns")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    val payload = struct(payloadCols.map(col): _*)
+    val changed = updates
+      .withColumn("__prev", lag(payload, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> payload))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .select((col(keyCol) +: payloadCols.map(col)) :+
+        col("valid_from") :+ col("valid_to"): _*)
+  }
+
+  /** Join-cardinality profile: the one-row diagnostic to run BEFORE a big
+    * equi-join — row and distinct-key counts per side, null-key counts
+    * (rows an inner join silently drops — the classic surprise), common
+    * keys, and the EXACT output cardinality Σ c_left(k)·c_right(k) over
+    * common keys (what the join will actually produce; a huge value here
+    * means fan-out, time for [[keySkewReport]] on both sides). All from
+    * the two keys-sized count relations — the corpora scan once each and
+    * never join. `est_out_rows` is exact in BIGINT up to ~9.2e18 output
+    * rows, beyond any join worth running.
+    *
+    * NULL keys are excluded from the key/common counts (they can never
+    * match) and surfaced in their own columns instead. */
+  def joinProfile(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String): DataFrame = {
+    def side(df: DataFrame, key: String, tag: String) = {
+      val counts = df.select(col(key).as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as(s"c_$tag"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nulls = df.filter(col(key).isNull)
+        .agg(count(lit(1)).as(s"n_${tag}_null"))
+      (counts, nulls)
+    }
+    val (lc, lnull) = side(left, leftKey, "l")
+    val (rc, rnull) = side(right, rightKey, "r")
+    val lsum = lc.agg(coalesce(sum("c_l"), lit(0L)).as("n_left"),
+      count(lit(1)).as("n_left_keys"))
+    val rsum = rc.agg(coalesce(sum("c_r"), lit(0L)).as("n_right"),
+      count(lit(1)).as("n_right_keys"))
+    val common = lc.join(rc, "k")
+      .agg(count(lit(1)).as("n_common_keys"),
+        coalesce(sum(col("c_l") * col("c_r")), lit(0L)).as("est_out_rows"))
+    lsum.crossJoin(lnull).crossJoin(rsum).crossJoin(rnull).crossJoin(common)
+      .select(col("n_left"), col("n_left_keys"), col("n_l_null").as("n_left_null"),
+        col("n_right"), col("n_right_keys"), col("n_r_null").as("n_right_null"),
+        col("n_common_keys"), col("est_out_rows"))
+  }
+
   /** Funnel analysis: how many users performed `steps` IN ORDER, each
     * event strictly after the previous step's matched event and within
     * `maxSpan` of the user's ANCHOR (their earliest step-1 event) — the

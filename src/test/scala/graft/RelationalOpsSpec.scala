@@ -92,6 +92,42 @@ class RelationalOpsSpec extends SparkSpec {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L)), s"got: $out")
   }
 
+  test("scd2Intervals: change compression, interval chaining, null-payload change, open current row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "A", ts("2024-01-01 11:00:00"), 2L),   // unchanged → compressed
+      (1L, "B", ts("2024-01-01 12:00:00"), 3L),
+      (1L, "A", ts("2024-01-01 13:00:00"), 4L),   // back to A = a new interval
+      (2L, "A", ts("2024-01-01 10:00:00"), 5L),
+      (3L, null, ts("2024-01-01 10:00:00"), 6L),  // null payload is a real state
+      (3L, null, ts("2024-01-01 11:00:00"), 7L),  // ... unchanged (null-safe)
+      (3L, "A", ts("2024-01-01 12:00:00"), 8L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = RelationalOps.scd2Intervals(ev, "user_id",
+      Seq("ts", "event_id"), Seq("event_type"))
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+    assert(out == Seq(
+      (1L, Some("A"), ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00"))),
+      (1L, Some("B"), ts("2024-01-01 12:00:00"), Some(ts("2024-01-01 13:00:00"))),
+      (1L, Some("A"), ts("2024-01-01 13:00:00"), None),
+      (2L, Some("A"), ts("2024-01-01 10:00:00"), None),
+      (3L, None, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00"))),
+      (3L, Some("A"), ts("2024-01-01 12:00:00"), None)), s"got: $out")
+  }
+
+  test("joinProfile: hand-computed sides, null-key exclusion, exact output cardinality") {
+    val l = Seq[Option[Long]](Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val r = Seq[Option[Long]](Some(1L), Some(3L), Some(3L), None, None).toDF("k")
+    val out = RelationalOps.joinProfile(l, "k", r, "k")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // est: key 1 → 2 left × 1 right = 2 output rows (== actual inner join)
+    assert(out == Seq((3L, 2L, 1L, 3L, 2L, 2L, 1L, 2L)), s"got: $out")
+    assert(l.join(r, "k").count() == 2L)
+  }
+
   test("keySkewReport: hand-computed counts, shares, skew; null key reported and tie-broken last") {
     // a×5, b×3, null×3, c×1 → total 12, 4 keys, mean 3/key. top-3 is a,
     // then the b/null tie at 3 rows — null pins LAST, so b precedes it.
