@@ -47,7 +47,9 @@ object PlanDoc {
     "q_ivf_topk2" -> "probe of the refined-centroid index: partition-pruned cell scan + 1-row probe broadcast + TakeOrderedAndProject",
     "q_bigram_score" -> "LM scoring pass: pair stream joins ONLY broadcast relations (trimmed model, unigram vocab, 1-row total) then one per-doc agg",
     "q_source_overlap" -> "DISTINCT (source, shingle) self-join — per-key fan-out bounded by source count, no df-cut needed",
-    "q_gopher_flags" -> "per-rule quality gates: one codegen projection chain, zero shuffle")
+    "q_gopher_flags" -> "per-rule quality gates: one codegen projection chain, zero shuffle",
+    "q_scd2" -> "SCD2 intervals: lag-compress + lead-close share ONE key exchange; output ≤ input rows",
+    "q_join_profile" -> "join profile: per-side keys-sized count relations join each other — the corpora scan once and never join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
