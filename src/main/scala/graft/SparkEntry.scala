@@ -526,6 +526,35 @@ object SparkEntry {
         .orderBy(col("n_rows").desc, col("key").isNull.asc, col("key").asc)
     }),
 
+    // ---- KMV distinct-count sketch (per-source distinct tokens) ----
+    // md5 lane so the oracle reproduces the sketch bit-for-bit; k=64
+    // (~13% rse) — small enough that sf0.01's sources overflow the sketch
+    // and the ESTIMATOR branch is the one under test, not the exact path
+    "q_kmv_distinct" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      Sketches.kmvDistinct(toks, "tok", "source", k = 64, useMd5 = true)
+        .orderBy("source")
+    }),
+
+    // ---- weighted sampling w/o replacement (Sequential Poisson) ----
+    // weight = whitespace token count: a token-budget-proportional draw;
+    // length-0 docs carry weight 0 and are excluded by contract
+    "q_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
+      Curation.weightedSample(docs, "doc_id", "n_tokens", n = 200)
+        .withColumnRenamed("weight", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ---- robust outliers (median/MAD modified z per event_type) ----
+    "q_mad_outliers" -> ((s, d) => {
+      RelationalOps.robustOutliers(t(s, d, "events"), "value", "event_type",
+        idCols = Seq("event_id"), cutoff = 3.5)
+        .orderBy("event_id")
+    }),
+
     // ---- W5 running total (analytic window) ----
     "q_running_total" -> ((s, d) => {
       val ev = t(s, d, "events").withColumn("value_cents", cents(col("value")))
@@ -1587,6 +1616,61 @@ object SparkEntry {
         |    AS BIGINT) / 100.0 + 0.0 AS skew
         |FROM counts CROSS JOIN tot
         |ORDER BY n_rows DESC, key IS NULL, key LIMIT 10""".stripMargin,
+
+    // the oracle REBUILDS the sketch: k smallest distinct 32-bit md5-lane
+    // hashes per source (row_number over the distinct hash set), then the
+    // same integer estimator — the estimate is a pure function of the
+    // sketch, so engine parity IS sketch parity
+    "q_kmv_distinct" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($sqlTokens) AS tok FROM documents),
+         |hs AS (SELECT DISTINCT source, ${Sketches.kmvHash32Sql("tok")} AS h FROM tk),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |         count(*) OVER (PARTITION BY source) AS nd
+         |       FROM hs),
+         |ag AS (SELECT source, max(nd) AS nd, max(CASE WHEN rn = 64 THEN h END) AS kth
+         |       FROM rk GROUP BY source)
+         |SELECT source,
+         |  CAST(CASE WHEN nd < 64 THEN nd
+         |       ELSE CAST(63 AS BIGINT) * 4294967296 // kth END AS BIGINT) AS est_distinct
+         |FROM ag ORDER BY source""".stripMargin,
+
+    // u and the weight are integers, so u/w is ONE correctly-rounded IEEE
+    // division — bit-identical across engines, no rounding needed on the key
+    "q_weighted_sample" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+         |k AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(((doc_id % 1000003) * 2654435761) % 1000000007 + 1 AS DOUBLE)
+         |      / n_tokens AS sel_key
+         |  FROM tc WHERE n_tokens > 0),
+         |s AS (SELECT * FROM k ORDER BY sel_key, doc_id LIMIT 200)
+         |SELECT doc_id, n_tokens, sel_key FROM s ORDER BY doc_id""".stripMargin,
+
+    // medians interpolate INTEGER cents — exact doubles on both engines
+    // regardless of interpolation association; MAD=0 groups yield NULLs
+    "q_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value*100) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med_c
+        |      FROM c GROUP BY event_type),
+        |d AS (SELECT c.*, m.med_c, abs(c.vc - m.med_c) AS dev_c
+        |      FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev_c, 0.5) AS mad_c
+        |       FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  d.med_c / 100.0 AS med,
+        |  md.mad_c / 100.0 AS mad,
+        |  CASE WHEN md.mad_c <> 0
+        |       THEN round(0.6745 * ((d.vc - d.med_c) / md.mad_c), 4) + 0.0 END AS rz,
+        |  CASE WHEN md.mad_c <> 0
+        |       THEN abs(round(0.6745 * ((d.vc - d.med_c) / md.mad_c), 4) + 0.0) > 3.5 END AS is_outlier
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_running_total" ->
       """SELECT event_id, user_id,

@@ -188,6 +188,46 @@ object Curation {
       .select(col("grp"), explode(col("hits.id")).as(idCol))
   }
 
+  /** Weighted sampling without replacement via SEQUENTIAL POISSON SAMPLING
+    * (Ohlsson 1998, the order-sampling scheme statistics agencies use for
+    * approximate probability-proportional-to-size draws): each row gets
+    * priority key u/w — u a deterministic uniform from the shared Knuth id
+    * hash, w its weight — and the sample is the `n` smallest keys. A
+    * heavier row divides its uniform by more, so it floats toward the
+    * front with probability ≈ proportional to its weight; weight 0 means
+    * "never sampled" and such rows are excluded by contract (a length-0
+    * document has no tokens to contribute to a token-budget draw).
+    *
+    * Determinism across engines, runs, and partitionings: u and w are
+    * integers and the key is ONE double division — IEEE 754 requires
+    * correctly-rounded division, so both engines produce the identical
+    * bit pattern (no ln/pow, whose last-ulp freedom could flip an
+    * ordering; this is why Sequential Poisson over the classic
+    * Efraimidis–Spirakis u^(1/w) key). Key ties break by the smaller id
+    * on both sides.
+    *
+    * Scale shape: the key is a scan-side codegen projection; selection is
+    * the bounded `TopKHits` aggregate (≤ n elements of map-side state,
+    * shuffle carries tasks × n rows), then one broadcast self-join of the
+    * n-row winner list back to the input re-attaches the weight column.
+    * No window sort, no full-corpus shuffle. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val topn = udaf(new graft.functions.TopKHits(n), graft.functions.TopKHits.hitEncoder)
+    val u = (knuthHash(col(idCol), 1000000007L) + 1).cast("double")
+    val scored = docs
+      .filter(col(idCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"),
+        (u / col(weightCol)).as("sel_key"))
+    val winners = scored
+      .agg(topn(-col("sel_key"), col("__id")).as("hits"))
+      .select(explode(col("hits.id")).as("__id"))
+    scored.join(broadcast(winners), "__id")
+      .select(col("__id").as(idCol), col("__w").as("weight"), col("sel_key"))
+  }
+
   /** Fixed-size token chunking with overlap: each document splits into
     * windows of `chunkTokens` tokens whose starts advance by `stride`
     * (stride < chunkTokens ⇒ overlapping context windows, the standard

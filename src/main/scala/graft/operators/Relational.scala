@@ -379,6 +379,47 @@ object RelationalOps {
         when(interior, lit(lo) + (col("bin") + 1) * w).as("bin_hi"))
   }
 
+  /** Robust per-group outlier flags via the MEDIAN / MAD modified z-score
+    * (Iglewicz–Hoaglin: M = 0.6745·(x − median) / MAD, flag |M| > cutoff,
+    * conventional cutoff 3.5) — the outlier screen that, unlike the
+    * mean/stddev z of `q_feature_norm`, a few extreme rows cannot drag
+    * toward themselves (median and MAD have 50% breakdown; one bad sensor
+    * can't mask itself by inflating σ).
+    *
+    * Cross-engine exactness: the value moves through integer CENTS, so
+    * every order statistic the two medians interpolate is an integer and
+    * the midpoints are exact doubles — Spark's `percentile` and DuckDB's
+    * `quantile_cont` agree BITWISE no matter how each engine associates
+    * its interpolation arithmetic (a+b)/2 vs a+(b−a)·0.5: with integer
+    * operands both trees are exact. The z itself is one correctly-rounded
+    * divide and multiply from those exact inputs. A group with MAD = 0
+    * (over half its values identical) has no defined spread: rz and the
+    * flag are NULL for its rows rather than an engine-dependent ±Inf/NaN.
+    *
+    * Scale shape: two group-by passes over the corpus (medians of values,
+    * then of deviations), each joining its groups-sized result back by
+    * broadcast. Exact `percentile` holds a per-group multiset — at 100 TB
+    * swap `approx_percentile` (same plan, bounded sketch state; the
+    * accuracy trade `SketchSpec` measures); the flag math is unchanged. */
+  def robustOutliers(df: DataFrame, valCol: String, groupCol: String,
+                     idCols: Seq[String], cutoff: Double = 3.5): DataFrame = {
+    val c = round(col(valCol) * 100, 0).cast("long")
+    val base = df.select((groupCol +: idCols).map(col) :+ col(valCol) :+ c.as("__c"): _*)
+    val meds = base.groupBy(groupCol)
+      .agg(expr("percentile(__c, 0.5)").as("__med_c"))
+    val dev = base.join(broadcast(meds), groupCol)
+      .withColumn("__dev_c", abs(col("__c") - col("__med_c")))
+    val mads = dev.groupBy(groupCol)
+      .agg(expr("percentile(__dev_c, 0.5)").as("__mad_c"))
+    val rz = round(lit(0.6745) * ((col("__c") - col("__med_c")) / col("__mad_c")), 4) + lit(0.0)
+    dev.join(broadcast(mads), groupCol)
+      .select(idCols.map(col) ++ Seq(col(groupCol), col(valCol),
+        (col("__med_c") / 100.0).as("med"),
+        (col("__mad_c") / 100.0).as("mad"),
+        when(col("__mad_c") =!= 0, rz).as("rz"),
+        when(col("__mad_c") =!= 0, abs(rz) > cutoff).as("is_outlier")): _*)
+  }
+
   /** Key-skew report for a prospective shuffle key — the diagnostic that
     * precedes choosing [[saltedJoin]]'s bucket count (or trusting AQE's
     * skew split): the `topK` heaviest keys with row count, corpus share,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches for corpus profiling — "how many distinct
+  * tokens / users / shingles per partition of the corpus" is the first
+  * question every data card answers, and at 100 TB the exact answer
+  * (a `count(distinct …)` that shuffles every distinct value) is exactly
+  * what a profiling pass must NOT pay. (Reference scope: the per-window
+  * distinct-count fold of samza-hello-samza's TumblingPageViewCounter,
+  * generalized to the bounded-sketch form a batch profiler needs.)
+  *
+  * Two hash lanes, same convention as the minhash family
+  * ([[Dedup]]): md5-derived 32-bit hashes anchor the DuckDB oracle
+  * (both engines compute the identical digest, so the sketch — and hence
+  * the ESTIMATE, a pure function of the sketch — hash-matches); xxhash64
+  * is the scale default (one codegen'd 64-bit hash vs a digest + hex
+  * parse, and a 2^64 space pushes the collision floor far below any real
+  * corpus). */
+object Sketches {
+
+  /** Portable 32-bit hash: the first 8 hex digits of md5, as a long in
+    * [0, 2^32). Digit parse via ascii arithmetic ('0'-'9' are 48-57,
+    * 'a'-'f' are 97-102, md5 is lowercase) — pure int ops inside
+    * whole-stage codegen; codegen's subexpression elimination computes
+    * the digest once per row. The DuckDB twin is the strpos-over-hex
+    * polynomial (`kmvHash32Sql`). */
+  private[graft] def md5Hash32(c: Column): Column =
+    (0 until 8).map { i =>
+      val a = ascii(substring(md5(c), i + 1, 1))
+      val d = when(a >= 97, a - 87).otherwise(a - 48)
+      d.cast("long") * (1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+
+  /** xxhash64 shifted into unsigned order: flipping the sign bit maps
+    * signed [-2^63, 2^63) onto unsigned [0, 2^64) order-preservingly, so
+    * "k smallest" means k smallest in the uniform hash space. */
+  private def xx64Unsigned(c: Column): Column =
+    xxhash64(c).bitwiseXOR(Long.MinValue)
+
+  /** Distinct-count estimate per group via a KMV sketch of the hashed
+    * value column: one scan, bounded per-group state (k longs), estimate
+    * `(k-1)·SPACE / h(k)` once the sketch is full, exact `|sketch|` while
+    * it isn't (fewer than k distinct values seen ⇔ the sketch IS the
+    * distinct set). Integer arithmetic end to end in md5 mode —
+    * `(k-1)·2^32` stays far under 2^63 for any sane k, and `div` is exact
+    * on both engines (no float rounding to disagree about).
+    *
+    * Standard error is ~1/√(k-2) (k=64 ≈ 13%, k=256 ≈ 6%) — the caller
+    * picks k per column; the sketch is DETERMINISTIC for a given hash
+    * lane, so reruns and engines agree on the exact estimate, error and
+    * all ([[graft.functions.KmvSketch]] for why HLL can't make that
+    * promise).
+    *
+    * Scale shape: hash is a scan-side codegen projection; the only
+    * shuffle is the group-by whose partials are ≤ k longs each; output is
+    * groups-sized. In xxhash64 mode the 2^64 space exceeds a long, so the
+    * estimate divides in DOUBLE — fine for a profiling estimate, but the
+    * md5 lane is the one the oracle checks. */
+  def kmvDistinct(df: DataFrame, valueCol: String, groupCol: String, k: Int,
+                  useMd5: Boolean = false): DataFrame = {
+    require(k > 1, s"k must be >1 for the (k-1)/U(k) estimator: $k")
+    val h = if (useMd5) md5Hash32(col(valueCol)) else xx64Unsigned(col(valueCol))
+    val sketch = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val est =
+      if (useMd5)
+        s"CAST(${(k - 1).toLong * 4294967296L} AS BIGINT) div element_at(kmv, $k)"
+      else
+        // 2^64 / h(k) in double; h(k) back in unsigned magnitude
+        s"CAST(round(${(k - 1).toDouble} * 1.8446744073709552E19 / " +
+          s"(CAST(element_at(kmv, $k) AS DOUBLE) + 9.223372036854776E18), 0) AS BIGINT)"
+    df.select(col(groupCol), h.as("h"))
+      .groupBy(groupCol)
+      .agg(sketch(col("h")).as("kmv"))
+      .selectExpr(groupCol,
+        s"CASE WHEN size(kmv) < $k THEN CAST(size(kmv) AS BIGINT) ELSE $est END AS est_distinct")
+  }
+
+  /** The DuckDB-side twin of [[md5Hash32]], over SQL expression `e`. */
+  private[graft] def kmvHash32Sql(e: String): String =
+    (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+}

@@ -313,4 +313,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(seg("ab") == Seq("ab") && seg("abc") == Seq("abc") && seg("aaa") == Seq("aaa"))
     assert(seg("abba") == Seq("ab", "b", "a"), s"${seg("abba")}")
   }
+
+  // ---- Sequential Poisson weighted sampling ----
+
+  /** The shared Knuth uniform, reimplemented in plain Scala. */
+  private def spKey(id: Long, w: Long): Double = {
+    val u = ((id % 1000003L) * 2654435761L) % 1000000007L + 1L
+    u.toDouble / w
+  }
+
+  test("weightedSample matches an independent key computation exactly") {
+    val rows = (1L to 100L).map(id => (id, (id % 7) + 1))
+    val df = rows.toDF("doc_id", "w")
+    val got = Curation.weightedSample(df, "doc_id", "w", n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = rows.map { case (id, w) => (id, w, spKey(id, w)) }
+      .sortBy { case (id, _, k) => (k, id) }.take(10)
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq,
+      s"got ${got.toSeq.sortBy(_._1)}")
+  }
+
+  test("weightedSample excludes weight-0 rows and favors heavy rows ~proportionally") {
+    // ids 1..2000: even ids weight 20, odd ids weight 1, id 2001 weight 0
+    val df = ((1L to 2000L).map(id => (id, if (id % 2 == 0) 20L else 1L)) :+ (2001L, 0L))
+      .toDF("doc_id", "w")
+    val got = Curation.weightedSample(df, "doc_id", "w", n = 200).collect()
+    assert(!got.exists(_.getLong(0) == 2001L), "weight-0 row sampled")
+    // 20:1 odds per row → expected heavy share ≈ n·(20/21) ≈ 190 of 200;
+    // 150 is a generous deterministic bound for this fixture
+    val heavy = got.count(_.getLong(1) == 20L)
+    assert(heavy > 150, s"heavy-weight rows sampled: $heavy of ${got.length}")
+    // and the selection is the exact expected set, not merely biased
+    val expectIds = (1L to 2000L).map(id => (id, if (id % 2 == 0) 20L else 1L))
+      .map { case (id, w) => (id, spKey(id, w)) }
+      .sortBy { case (id, k) => (k, id) }.take(200).map(_._1).toSet
+    assert(got.map(_.getLong(0)).toSet == expectIds)
+  }
+
+  test("weightedSample is invariant to input partitioning") {
+    val df = (1L to 500L).map(id => (id, id % 11 + 1)).toDF("doc_id", "w")
+    val a = Curation.weightedSample(df.repartition(1), "doc_id", "w", 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val b = Curation.weightedSample(df.repartition(17), "doc_id", "w", 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

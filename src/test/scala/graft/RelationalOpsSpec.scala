@@ -356,4 +356,51 @@ class RelationalOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_other")
     }
   }
+
+  // ---- robust outliers (median / MAD modified z) ----
+
+  test("robustOutliers: hand-computed median, MAD, z, and flags") {
+    // cents: 1000 1050 1100 1150 1200 10000 → median (1100+1150)/2 = 1125;
+    // devs 125 75 25 25 75 8875 → MAD (75+75)/2 = 75.
+    // z(100.00) = 0.6745·8875/75 = 79.8158(3) → 79.8158; max normal |z| =
+    // 0.6745·125/75 = 1.1242 — only the planted row flags at cutoff 3.5.
+    val df = Seq((1L, "a", 10.00), (2L, "a", 10.50), (3L, "a", 11.00),
+      (4L, "a", 11.50), (5L, "a", 12.00), (6L, "a", 100.00))
+      .toDF("event_id", "event_type", "value")
+    val out = RelationalOps.robustOutliers(df, "value", "event_type", Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out(6L) == ((11.25, 0.75, 79.8158, true)), s"${out(6L)}")
+    assert(out(1L) == ((11.25, 0.75, -1.1242, false)))
+    assert(out(3L)._3 == -0.2248 && !out(3L)._4)
+    assert(out.values.count(_._4) == 1)
+  }
+
+  test("robustOutliers: a MAD-0 group yields NULL z and flag, not Inf/NaN") {
+    val df = Seq((1L, "b", 5.00), (2L, "b", 5.00), (3L, "b", 5.00),
+      (4L, "b", 5.00), (5L, "b", 9.00))
+      .toDF("event_id", "event_type", "value")
+    val out = RelationalOps.robustOutliers(df, "value", "event_type", Seq("event_id"))
+      .collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.isNullAt(5) && r.isNullAt(6), s"expected NULL z/flag: $r")
+      assert(r.getDouble(4) == 0.0) // the MAD itself is reported
+    }
+  }
+
+  test("robustOutliers: the outlier cannot mask itself (50% breakdown)") {
+    // same fixture but the outlier is 1000× farther — median/MAD unchanged,
+    // so every other row's flag is identical (a mean/stddev z would have
+    // inflated sigma and unflagged the outlier's neighbors' scores)
+    def flags(extreme: Double) = RelationalOps.robustOutliers(
+      Seq((1L, "a", 10.00), (2L, "a", 10.50), (3L, "a", 11.00),
+        (4L, "a", 11.50), (5L, "a", 12.00), (6L, "a", extreme))
+        .toDF("event_id", "event_type", "value"),
+      "value", "event_type", Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4), r.getBoolean(6))).toMap
+    val (near, far) = (flags(100.0), flags(100000.0))
+    assert(near.view.filterKeys(_ != 6L).toMap == far.view.filterKeys(_ != 6L).toMap)
+    assert(far(6L)._3 && far(6L)._1 == 11.25 && far(6L)._2 == 0.75)
+  }
 }

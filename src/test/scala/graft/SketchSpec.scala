@@ -36,4 +36,64 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.15,
       s"HLL estimate $approx vs exact $exact exceeds 3x rsd")
   }
+
+  // ---- KMV: the deterministic sketch that CAN face the oracle ----
+
+  import spark.implicits._
+  import graft.operators.Sketches
+
+  /** Independent reimplementation of the md5 lane: first 8 hex chars of
+    * the digest via MessageDigest — no Spark expressions involved. */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16)
+  }
+  private def kmvExpect(values: Seq[String], k: Int): Long = {
+    val hs = values.map(h32).distinct.sorted
+    if (hs.size < k) hs.size.toLong else (k - 1).toLong * 4294967296L / hs(k - 1)
+  }
+
+  test("kmvDistinct md5 lane reproduces an independent MessageDigest estimate") {
+    val values = (1 to 500).map(i => s"tok$i")
+    val df = values.toDF("v").withColumn("g", lit("all"))
+    // estimator branch: 500 distinct ≫ k=64
+    val est = Sketches.kmvDistinct(df, "v", "g", k = 64, useMd5 = true)
+      .collect()(0).getLong(1)
+    assert(est == kmvExpect(values, 64), s"estimator branch: $est")
+    // exact branch: sketch never fills, estimate IS the distinct count
+    val exact = Sketches.kmvDistinct(df, "v", "g", k = 1000, useMd5 = true)
+      .collect()(0).getLong(1)
+    assert(exact == 500L, s"exact branch: $exact")
+  }
+
+  test("kmvDistinct is invariant to partitioning and to duplicate rows") {
+    val values = (1 to 300).map(i => s"w${i % 120}") // 120 distinct, many dups
+    val df = values.toDF("v").withColumn("g", lit("all"))
+    val a = Sketches.kmvDistinct(df.repartition(1), "v", "g", 32, useMd5 = true)
+      .collect()(0).getLong(1)
+    val b = Sketches.kmvDistinct(df.repartition(13), "v", "g", 32, useMd5 = true)
+      .collect()(0).getLong(1)
+    val c = Sketches.kmvDistinct(df.union(df), "v", "g", 32, useMd5 = true)
+      .collect()(0).getLong(1)
+    assert(a == b && b == c, s"partitioning/dup variance: $a $b $c")
+    assert(a == kmvExpect(values, 32))
+  }
+
+  test("kmvDistinct tracks exact distinct counts on real data, both hash lanes") {
+    val docs = Tables.load(spark, d, "documents")
+    val toks = docs.selectExpr("source", "explode(filter(split(text, ' '), x -> x != '')) AS tok")
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tok")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (md5Lane <- Seq(true, false)) {
+      val est = Sketches.kmvDistinct(toks, "tok", "source", k = 64, useMd5 = md5Lane)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.keySet == exact.keySet)
+      est.foreach { case (src, e) =>
+        val x = exact(src).toDouble
+        // k=64 → rse ≈ 1/√62 ≈ 12.7%; 40% is a ≳3σ band
+        assert(math.abs(e - x) / x < 0.40, s"md5=$md5Lane $src: est $e vs exact $x")
+      }
+    }
+  }
 }
