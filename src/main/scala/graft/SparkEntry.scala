@@ -555,6 +555,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- semantic-diversity sampling over quantizer cells ----
+    // composition of two oracle-proven stages: ivfAssign cells feed the
+    // temperature sampler keyed on the cell id (panel mirrors q_temp_sample)
+    "q_cluster_sample" -> ((s, d) => {
+      Similarity.clusterSample(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = 8, alpha = 0.5, targetTotal = 150L)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_kept"), max("keep_pct").as("keep_pct"))
+        .orderBy("centroid_id")
+    }),
+
+    // ---- DSIR importance selection toward a target source ----
+    "q_dsir" -> ((s, d) => {
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "text", "doc_id",
+        isTarget = col("source") === "src0")
+        .orderBy(col("avg_logratio").desc, col("doc").asc)
+        .limit(200)
+        .orderBy("doc")
+    }),
+
     // ---- W5 running total (analytic window) ----
     "q_running_total" -> ((s, d) => {
       val ev = t(s, d, "events").withColumn("value_cents", cents(col("value")))
@@ -1671,6 +1691,42 @@ object SparkEntry {
         |       THEN abs(round(0.6745 * ((d.vc - d.med_c) / md.mad_c), 4) + 0.0) > 3.5 END AS is_outlier
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // cells from the shared assignment CTEs, then the q_temp_sample
+    // pattern keyed on the cell id (alpha 0.5, target 150)
+    "q_cluster_sample" ->
+      s"""WITH $ivfAssignCtes,
+         |cnt AS (SELECT cid, CAST(count(*) AS DOUBLE) AS n FROM assign GROUP BY cid),
+         |w AS (SELECT cid, n, CAST(round(pow(n, 0.5) * 1000000) AS BIGINT) AS w FROM cnt),
+         |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+         |p AS (SELECT cid, least(CAST(100 AS BIGINT),
+         |        CAST(round(100.0 * 150 * (w / z.z) / n) AS BIGINT)) AS keep_pct
+         |      FROM w, z)
+         |SELECT a.cid AS centroid_id, count(*) AS n_kept,
+         |  CAST(max(p.keep_pct) AS BIGINT) AS keep_pct
+         |FROM assign a JOIN p USING (cid)
+         |WHERE ((a.vec_id % 1000003) * 2654435761) % 100 < p.keep_pct
+         |GROUP BY a.cid ORDER BY centroid_id""".stripMargin,
+
+    // both unigram models in ONE vocab pass (target ⊆ corpus shares V);
+    // per-token log-ratios in integer micro-units — order-invariant
+    "q_dsir" ->
+      s"""WITH w AS (
+         |  SELECT doc_id AS doc, source = 'src0' AS t, unnest($sqlTokens) AS word
+         |  FROM documents),
+         |v AS (SELECT word, count(*) AS cr,
+         |        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |      FROM w GROUP BY word),
+         |st AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt,
+         |              CAST(count(*) AS DOUBLE) AS v FROM v),
+         |sc AS (
+         |  SELECT doc, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(sum(CAST(round((ln((ct + 1) / (nt + v)) - ln((cr + 1) / (nr + v))) * 1e6, 0) AS BIGINT))
+         |      / 1e6 / count(*), 4) + 0.0 AS avg_logratio
+         |  FROM w JOIN v USING (word) CROSS JOIN st
+         |  GROUP BY doc),
+         |top AS (SELECT * FROM sc ORDER BY avg_logratio DESC, doc LIMIT 200)
+         |SELECT doc, n_tokens, avg_logratio FROM top ORDER BY doc""".stripMargin,
 
     "q_running_total" ->
       """SELECT event_id, user_id,

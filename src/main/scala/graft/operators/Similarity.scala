@@ -204,6 +204,28 @@ object Similarity {
       emb.filter(col(idCol) < k)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
 
+  /** Semantic-diversity sampling: temperature-flatten the corpus across
+    * quantizer cells (DataComp/SemDeDup-style cluster balancing) — a
+    * uniform random sample of a web corpus reproduces its mode collapse
+    * (half of everything is the same boilerplate neighborhood); sampling
+    * per-CELL with sizes flattened by `alpha` < 1 keeps the sparse
+    * neighborhoods a flat draw would starve. Composition of two proven
+    * stages, each already under its own oracle: [[ivfAssign]] (broadcast
+    * centroids, map-side argmax — the corpus never self-shuffles) feeds
+    * `Curation.temperatureSample` keyed on the cell id (cells-sized
+    * count agg → per-cell keep percentage → scan-side deterministic
+    * id-hash filter). Zero corpus shuffles end to end; the sample is a
+    * pure function of (vector ids, centroids, alpha, target), so reruns
+    * and engines agree row-for-row.
+    *
+    * Returns the KEPT (id, centroid_id, keep_pct) rows — callers
+    * semi-join the id list back against their payload table. */
+  def clusterSample(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+                    alpha: Double, targetTotal: Long): DataFrame =
+    Curation.temperatureSample(
+      ivfAssign(emb, vecCol, idCol, k).select(col(idCol), col("centroid_id")),
+      idCol, "centroid_id", alpha, targetTotal)
+
   /** IVF cell-size panel — the index-health audit that precedes
     * committing an nprobe (the capacity companion of [[recallAtK]]'s
     * quality curve): vectors per cell and each cell's corpus share. A

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis for corpus curation: token budgeting,
@@ -214,6 +214,54 @@ object TextAnalysis {
         count(lit(1)).as("n_occ"),
         min(col("doc")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    * Importance Resampling): score every document by how much more likely
+    * its tokens are under a TARGET distribution (a small trusted corpus —
+    * here the rows `isTarget` selects) than under the raw-corpus
+    * distribution: avg over tokens of ln p_t(w) − ln p_r(w), add-one
+    * smoothed over the shared vocabulary so tokens the target never saw
+    * penalize smoothly instead of −∞. Selecting the top-weight documents
+    * steers a 100 TB crawl toward the target domain with two unigram
+    * models — no trained classifier, no per-document inference.
+    *
+    * Exactness under distribution: each token's log-ratio rounds to
+    * integer MICRO-units before the per-doc sum ([[unigramLogProb]]'s
+    * order-invariant idiom), so partitioning never changes a weight and
+    * the DuckDB twin is exact. Length-normalized (avg, not sum) so the
+    * ranking measures domain affinity, not document length.
+    *
+    * Scale shape: ONE token-stream pass builds both models — the vocab agg
+    * counts (raw, target) per word in the same map-side-combinable pass
+    * (the target is a subset of the corpus, so its vocabulary embeds in
+    * the raw vocabulary and add-one smoothing shares one V); the
+    * Zipf-small vocab and its 1-row totals broadcast back over the token
+    * stream into one per-doc agg. Same plan shape as [[unigramLogProb]] —
+    * two corpus-sized passes total (vocab, scoring), everything between
+    * them vocabulary-sized. */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column): DataFrame = {
+    val words = docs.select(col(idCol).as("doc"), isTarget.as("__t"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = words.groupBy("word").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"))
+    val stats = vocab.select(
+      sum(col("cr")).cast("double").as("nr"),
+      sum(col("ct")).cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    words.join(broadcast(vocab), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc"),
+        round((log((col("ct") + 1) / (col("nt") + col("v"))) -
+          log((col("cr") + 1) / (col("nr") + col("v")))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr_micro").as("s"))
+      .select(col("doc"), col("n_tokens"),
+        (round(col("s") / 1e6 / col("n_tokens"), 4) + lit(0.0)).as("avg_logratio"))
   }
 
   /** Unigram log-probability per document — the cheap perplexity proxy used

@@ -346,4 +346,41 @@ class SimilaritySpec extends SparkSpec {
       (0L, 0, 2.0, 2L), (0L, 1, 0.0, 2L),
       (1L, 0, 0.0, 2L), (1L, 1, 3.0, 2L)))
   }
+
+  // ---- cluster-diversity sampling ----
+
+  test("clusterSample: exact keep percentages and membership on planted skewed cells") {
+    // two orthogonal-axis cells: ids 0/1 are the centroids ([1,0,..],
+    // [0,1,..]); 40 members hug axis 0, 8 hug axis 1 → cells of 41 and 9.
+    // alpha=0.5 flattens: w = round(√n·1e6); expected keep_pct and the
+    // exact kept-id set re-derived in plain Scala below.
+    def axisVec(axis: Int, noise: Int): Array[Float] =
+      Array.tabulate(4)(j => if (j == axis) 1.0f else noise / 1000f)
+    val members =
+      (2L to 41L).map(i => (i, axisVec(0, (i % 5).toInt))) ++
+        (42L to 49L).map(i => (i, axisVec(1, (i % 5).toInt)))
+    val emb = ((0L, axisVec(0, 0)) +: (1L, axisVec(1, 0)) +: members)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterSample(emb, "embedding", "vec_id",
+      k = 2, alpha = 0.5, targetTotal = 24L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val cellOf = (0L to 49L).map(id => id -> (if (id == 1L || id >= 42L) 1L else 0L)).toMap
+    val sizes = cellOf.values.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val w = sizes.view.mapValues(n => math.round(math.sqrt(n) * 1e6)).toMap
+    val z = w.values.sum.toDouble
+    val pct = sizes.map { case (c, n) =>
+      c -> math.min(100L, math.round(100.0 * 24L * (w(c) / z) / n))
+    }
+    val expectKept = cellOf.filter { case (id, c) =>
+      ((id % 1000003L) * 2654435761L) % 100L < pct(c)
+    }
+    assert(out.keySet == expectKept.keySet, s"kept ids: ${out.keySet} vs $expectKept")
+    out.foreach { case (id, (cell, kp)) =>
+      assert(cell == cellOf(id), s"vec $id assigned to $cell")
+      assert(kp == pct(cell), s"cell $cell keep_pct $kp vs ${pct(cell)}")
+    }
+    // the sparse cell keeps a higher share than the dense one (diversity)
+    assert(pct(1L) > pct(0L))
+  }
 }

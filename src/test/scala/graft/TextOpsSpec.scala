@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 /** Positive-example coverage for the curation signals whose oracle rows
   * are all-zero on the synthetic corpus (it plants no PII) and for the
@@ -345,5 +346,46 @@ class TextOpsSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("doc_id") >= 4L)
       .select("mean_word_len", "alpha_frac").collect()
     assert(nulls.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  // ---- DSIR importance weights ----
+
+  test("dsirWeights matches an independent add-one-smoothed computation") {
+    // corpus: target doc "alpha beta", raw docs "alpha gamma gamma" and
+    // "delta delta delta" — reimplement the formula in plain Scala with
+    // the same micro-unit rounding and compare exactly
+    val rows = Seq((1L, "alpha beta", true), (2L, "alpha gamma gamma", false),
+      (3L, "delta delta delta", false))
+    val docs = rows.toDF("doc_id", "text", "is_t")
+    val toks = rows.flatMap { case (id, t, tg) => t.split(" ").map(w => (id, w, tg)) }
+    val cr = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._3).groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap.withDefaultValue(0L)
+    val (nr, nt, v) = (toks.size.toDouble, toks.count(_._3).toDouble, cr.size.toDouble)
+    def lrMicro(w: String): Long =
+      BigDecimal((math.log((ct(w) + 1) / (nt + v)) - math.log((cr(w) + 1) / (nr + v))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def expect(id: Long): Double = {
+      val ws = toks.filter(_._1 == id).map(_._2)
+      BigDecimal(ws.map(lrMicro).sum.toDouble / 1e6 / ws.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.dsirWeights(docs, "text", "doc_id", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { case (id, t, _) =>
+      assert(got(id) == ((t.split(" ").length.toLong, expect(id))),
+        s"doc $id: ${got(id)} vs expected ${expect(id)}")
+    }
+    // the target-vocabulary doc must outrank the target-disjoint doc
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
+  test("dsirWeights is invariant to partitioning") {
+    val docs = (1L to 60L)
+      .map(i => (i, s"w${i % 9} w${i % 4} w${i % 4} shared", i % 10 == 0))
+      .toDF("doc_id", "text", "is_t")
+    def run(p: Int) = TextAnalysis.dsirWeights(docs.repartition(p), "text", "doc_id", col("is_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
   }
 }
