@@ -49,7 +49,12 @@ object PlanDoc {
     "q_source_overlap" -> "DISTINCT (source, shingle) self-join — per-key fan-out bounded by source count, no df-cut needed",
     "q_gopher_flags" -> "per-rule quality gates: one codegen projection chain, zero shuffle",
     "q_scd2" -> "SCD2 intervals: lag-compress + lead-close share ONE key exchange; output ≤ input rows",
-    "q_join_profile" -> "join profile: per-side keys-sized count relations join each other — the corpora scan once and never join")
+    "q_join_profile" -> "join profile: per-side keys-sized count relations join each other — the corpora scan once and never join",
+    "q_kmv_distinct" -> "KMV cardinality sketch: ≤ k-long partial states combine map-side — the sketch shuffles, never the distinct value set",
+    "q_weighted_sample" -> "Sequential Poisson sample: scan-side key projection → bounded TopKHits agg → broadcast winner join-back, no window sort",
+    "q_cluster_sample" -> "cluster-diversity sample: broadcast centroids → map-side argmax cells → cells-sized pct table broadcast back — zero corpus shuffles",
+    "q_dsir" -> "DSIR weights: one vocab agg builds BOTH models; vocab + totals broadcast back over the token stream into one per-doc agg",
+    "q_mad_outliers" -> "median/MAD outliers: two exact-percentile group passes, groups-sized medians broadcast back over the scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

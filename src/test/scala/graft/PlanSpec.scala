@@ -291,4 +291,40 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange in a projection chain:\n$p")
     assert(scanNodes(p) == 1, "one corpus scan")
   }
+
+  test("KMV sketch: bounded partial aggregate — the sketch, not the distinct set, shuffles") {
+    // The whole point of the sketch: no exact-distinct exchange of every
+    // (group, value) pair; the ≤ k-long partial states combine map-side.
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate"), "typed sketch agg must object-hash-aggregate")
+    assert(p.toLowerCase.contains("partial_kmvsketch"),
+      "partial (map-side) sketch state expected before the shuffle")
+    assert(!p.contains("Window"), "no window, no distinct materialization")
+    assert(scanNodes(p) == 1, "exactly one corpus scan")
+  }
+
+  test("weighted sample: bounded selection agg plus broadcast winner join-back, no window sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.toLowerCase.contains("partial_topkhits"),
+      "selection must be the bounded TopKHits aggregate")
+    assert(!p.contains("Window"), "no window sort of the corpus")
+    assert(p.contains("BroadcastHashJoin"), "n-row winner list re-attaches by broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must never shuffle for the join-back")
+  }
+
+  test("cluster sample: corpus never self-shuffles — centroids and keep-pcts broadcast") {
+    val p = plan("q_cluster_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid scoring and pct attach must ride broadcasts")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join anywhere in the sampler")
+    assert(!p.contains("Window"), "argmax must be the max(struct) agg, not a window")
+  }
+
+  test("DSIR: vocabulary and totals broadcast back over the token stream") {
+    // Same contract as unigram logprob: the Zipf-small vocab relation
+    // broadcasts; the corpus-sized token stream never sort-merge joins.
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
+    assert(!p.contains("SortMergeJoin"), "token stream must not shuffle for the model join")
+  }
 }
