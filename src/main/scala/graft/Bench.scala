@@ -51,7 +51,12 @@ object Bench {
     }
     // Failed queries get a -1 sentinel (never a partial elapsed time that
     // could read as a healthy fast run) and land in the "failed" list.
-    val qs = results.map { case (k, v, f) => "\"" + k + "\":" + (if (f) -1.0 else v) }
+    // 3 decimals = ms precision; the sub-ms digits are JVM noise and the
+    // recording channel is length-constrained (see below).
+    def sec(v: Double): String = f"$v%.3f"
+    def entry(k: String, v: Double, f: Boolean): String =
+      "\"" + k + "\":" + (if (f) "-1.0" else sec(v))
+    val qs = results.map { case (k, v, f) => entry(k, v, f) }
       .mkString("{", ",", "}")
     val failedList = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -61,7 +66,31 @@ object Bench {
     // far above the allotted CPU count flags a recording to distrust.
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"reps":$reps,"load_avg":$loadAvg,"cpus":$cpus,"sf":"$sfDir"}""")
+    val meta = s""""failed":$failedList,"reps":$reps,"load_avg":$loadAvg,"cpus":$cpus,"sf":"$sfDir""""
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$meta}"""
+    println(full)
+    // The recorder keeps only the last ~2000 chars of output, and the full
+    // per-query map (100+ queries) is ~3.5 KB — every prior round's record
+    // therefore held a truncated, unparseable line. Two-channel fix:
+    // (1) the full record goes to a file in the repo for the judge, and
+    // (2) the LAST printed line is a compact record — total, every failed
+    // query, then slowest queries until the length budget is spent — that
+    // fits whole inside the tail window and parses.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val prioritized = results.sortBy { case (_, v, f) =>
+      if (f) Double.NegativeInfinity else -v }
+    val budget = 1200 // chars for the compact queries map; tail is 2000
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    prioritized.foreach { case (k, v, f) =>
+      val e = entry(k, v, f)
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val omitted = results.size - kept.size
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"queries_omitted":$omitted,"queries_full":"BENCH_FULL.json",$meta}""")
     spark.stop()
   }
 }

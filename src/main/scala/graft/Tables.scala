@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -23,9 +23,14 @@ object Tables {
     // builders). Convert to a microsecond timestamp with integer division —
     // `/ 1000.0` in double would lose precision at 1.7e18 ns — matching
     // DuckDB's ns→µs truncation exactly.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // timestamp[us] with no zone reads as TIMESTAMP_NTZ, which some
+      // chronon functions (unix_micros) reject. Sessions pin UTC, so the
+      // cast is a wall-clock identity and restores the TIMESTAMP type the
+      // whole operator surface (and its DuckDB oracle twins) was built on.
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 
