@@ -1283,8 +1283,97 @@ object SparkEntry {
       Multimodal.decodeMeta(media)
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
         .orderBy("doc_id")
+    }),
+
+    // ---- range join via the bucketed theta→equi rewrite ----
+    // Overlapping value bands (an interval table an engine can't equi-join
+    // naively); the operator buckets the bands, equi-joins, re-filters.
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = rangeBands.toDF("band", "lo", "hi")
+      RelationalOps.rangeBucketJoin(t(s, d, "events"), "value",
+          bands, "lo", "hi", bucketWidth = 40.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .orderBy("band")
+    }),
+
+    // ---- analytic window-function suite (rank/distribution family) ----
+    // percent_rank and cume_dist are single divisions of exact integers —
+    // engine-identical without rounding; rounded anyway per convention.
+    "q_window_funcs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        (round(percent_rank().over(w), 6) + lit(0.0)).as("pct_rank"),
+        (round(cume_dist().over(w), 6) + lit(0.0)).as("cume"),
+        first(col("event_type")).over(w).as("first_type"))
+        .orderBy("event_id")
+    }),
+
+    // ---- GROUPING SETS with grouping_id (rollup/cube's general form) ----
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("__gs_orders")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |  coalesce(o_orderpriority, 'ALL') AS priority,
+              |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              |  count(*) AS n
+              |FROM __gs_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+              |  (o_orderstatus, o_orderpriority))
+              |ORDER BY gid, status, priority""".stripMargin)
+    }),
+
+    // ---- sequence: first-order Markov transition matrix ----
+    "q_markov_chain" -> ((s, d) => {
+      Sequences.markovTransitions(t(s, d, "events"), "user_id", "event_type",
+          Seq("ts", "event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ---- sequence: top-k ordered event-type paths ----
+    "q_top_paths" -> ((s, d) => {
+      Sequences.topPaths(t(s, d, "events"), "user_id", "event_type",
+        Seq("ts", "event_id"), len = 3, k = 15)
+    }),
+
+    // ---- text: out-of-vocabulary rate per document ----
+    "q_oov_rate" -> ((s, d) => {
+      TextAnalysis.oovRate(t(s, d, "documents"), "text", "doc_id",
+          vocabSize = 20)
+        .orderBy("doc")
+    }),
+
+    // ---- text: Zipf rank-frequency panel ----
+    "q_zipf_panel" -> ((s, d) => {
+      TextAnalysis.zipfPanel(t(s, d, "documents"), "text",
+          ranks = Seq(1, 2, 4, 8, 16))
+        .orderBy("rank_lo")
+    }),
+
+    // ---- embeddings: centroid silhouette per label ----
+    "q_silhouette" -> ((s, d) => {
+      Similarity.silhouetteByLabel(t(s, d, "embeddings"), "embedding",
+          "vec_id", "label")
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          col("mean_sil"))
+        .orderBy("label")
+    }),
+
+    // ---- embeddings: per-dimension moments panel ----
+    "q_dim_variance" -> ((s, d) => {
+      Similarity.dimStats(t(s, d, "embeddings"), "embedding")
+        .orderBy("pos")
     })
   )
+
+  /** Overlapping value bands for q_range_join — shared with the oracle
+    * twin builder so the two sides can't drift. (band, lo, hi): width 60,
+    * stride 40, covering events.value's [0, 500) span with overlaps. */
+  private val rangeBands: Seq[(String, Double, Double)] =
+    (0 until 12).map(i => (f"band_$i%02d", i * 40.0, i * 40.0 + 60.0))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -2267,8 +2356,134 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         | 1 + octet_length(encode(text)) % 640 AS width,
         | 1 + (octet_length(encode(text)) * 7) % 480 AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Plain BETWEEN-style range join — the semantics the bucketed rewrite
+    // must reproduce exactly. Bands VALUES are generated from the same
+    // `rangeBands` the engine side uses.
+    "q_range_join" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES $rangeBandsSql)
+         |SELECT band, count(*) AS n,
+         |  round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+         |FROM events JOIN bands ON value >= lo AND value < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+        |  round(cume_dist() OVER w, 6) + 0.0 AS cume,
+        |  first_value(event_type) OVER w AS first_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // grouping_id via GROUPING(a)*2 + GROUPING(b) — the standard bitmask
+    // Spark's grouping_id(a, b) produces, spelled portably.
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q_markov_chain" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |f AS (SELECT from_type, sum(n) AS nf FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  ((10000 * c.n) // f.nf) / 10000.0 + 0.0 AS prob
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH p AS (
+        |  SELECT concat_ws(' > ', event_type,
+        |      lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+        |    lead(event_type, 2) OVER w IS NOT NULL AS complete
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*) AS n FROM p WHERE complete
+        |GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH words AS (SELECT doc_id AS doc, unnest($sqlTokens) AS word FROM documents),
+         |vocab AS (SELECT word FROM (
+         |  SELECT word, count(*) AS n FROM words GROUP BY word
+         |  ORDER BY n DESC, word LIMIT 20)),
+         |agg AS (SELECT doc, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM words w LEFT JOIN vocab v ON w.word = v.word GROUP BY doc)
+         |SELECT doc, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+         |  ((10000 * n_oov) // n_tokens) / 10000.0 + 0.0 AS oov_rate
+         |FROM agg ORDER BY doc""".stripMargin,
+
+    "q_zipf_panel" ->
+      s"""WITH w AS (SELECT unnest($sqlTokens) AS word FROM documents),
+         |f AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM f),
+         |k AS (SELECT rank, n FROM r WHERE rank IN (1, 2, 4, 8, 16)),
+         |pairs(rank_lo, rank_hi) AS (VALUES (1, 2), (2, 4), (4, 8), (8, 16))
+         |SELECT CAST(rank_lo AS BIGINT) AS rank_lo, CAST(rank_hi AS BIGINT) AS rank_hi,
+         |  lo.n AS freq_lo, hi.n AS freq_hi,
+         |  round(ln(CAST(lo.n AS DOUBLE) / hi.n)
+         |    / ln(CAST(rank_hi AS DOUBLE) / rank_lo), 4) + 0.0 AS slope
+         |FROM pairs JOIN k lo ON lo.rank = rank_lo JOIN k hi ON hi.rank = rank_hi
+         |ORDER BY rank_lo""".stripMargin,
+
+    // Label centroids pass through FLOAT exactly as labelCentroids narrows
+    // them (the ivfRefined2Ctes convention), so both engines compute the
+    // cosine panel on bit-identical centroid vectors.
+    "q_silhouette" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(vv)) FROM v))) AS i),
+        |cent AS (SELECT label AS clabel, d.i - 1 AS pos,
+        |    CAST(round(avg(vv[d.i]), 4) + 0.0 AS FLOAT) AS m
+        |  FROM v CROSS JOIN dims d WHERE d.i <= len(vv) GROUP BY clabel, pos),
+        |cv AS (SELECT clabel, CAST(list(m ORDER BY pos) AS DOUBLE[]) AS cvec
+        |  FROM cent GROUP BY clabel),
+        |sims AS (SELECT v.vec_id, v.label, c.clabel,
+        |    round(list_dot_product(v.vv, c.cvec)
+        |      / (sqrt(list_dot_product(v.vv, v.vv)) * sqrt(list_dot_product(c.cvec, c.cvec))), 4)
+        |      + 0.0 AS cs
+        |  FROM v CROSS JOIN cv c),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN cs END) AS own_cs,
+        |    max(CASE WHEN clabel <> label THEN cs END) AS other_cs
+        |  FROM sims GROUP BY vec_id, label),
+        |s AS (SELECT label,
+        |    CASE WHEN greatest(1 - own_cs, 1 - other_cs) = 0 THEN 0.0
+        |         ELSE round(((1 - other_cs) - (1 - own_cs))
+        |                / greatest(1 - own_cs, 1 - other_cs), 4) END AS sil
+        |  FROM ab)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  round(sum(CAST(round(sil * 10000) AS BIGINT)) / (10000.0 * count(*)), 4) + 0.0 AS mean_sil
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_dim_variance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(vv)) FROM v))) AS i),
+        |ex AS (SELECT d.i - 1 AS pos, CAST(round(vv[d.i] * 10000) AS BIGINT) AS q
+        |  FROM v CROSS JOIN dims d WHERE d.i <= len(vv) AND isfinite(vv[d.i])),
+        |m AS (SELECT pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS s1,
+        |    sum(q * q) AS s2
+        |  FROM ex GROUP BY pos)
+        |SELECT pos, n,
+        |  round(s1 / (10000.0 * n), 4) + 0.0 AS mean_val,
+        |  round(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n) / 1e8, 6) + 0.0 AS var_val
+        |FROM m ORDER BY pos""".stripMargin
   )
+
+  /** DuckDB VALUES list for q_range_join's bands — generated from
+    * `rangeBands` so engine and oracle share one definition. */
+  private def rangeBandsSql: String =
+    rangeBands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
 
   // ---------------------------------------------- shared SQL fragments
 

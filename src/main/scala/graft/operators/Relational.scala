@@ -463,6 +463,47 @@ object RelationalOps {
           / lit(100.0) + lit(0.0)).as("skew"))
   }
 
+  /** Range join (fact value ∈ dimension [lo, hi) interval) as a BUCKETED
+    * EQUI-join — the theta→equi transformation Spark lacks natively. The
+    * naive formulation `fact JOIN dims ON v >= lo AND v < hi` has no equi
+    * key, so Spark plans BroadcastNestedLoopJoin: every fact row probes
+    * every interval — O(|fact|·|dims|), a scale killer the moment the
+    * dimension side outgrows a demo. Here each interval explodes into the
+    * integer buckets of width `bucketWidth` it overlaps
+    * (floor(lo/w) … floor(hi/w), interval-sized work on the SMALL side
+    * only), the fact side computes its single bucket scan-side, and the
+    * join is a plain hash equi-join on the bucket with the exact range
+    * predicate re-checked as a post-filter. Shuffle carries fact rows
+    * once; overlapping intervals are fine (a fact row matches each
+    * interval covering it).
+    *
+    * Pick `bucketWidth` near the median interval width: the dim-side blowup
+    * is ≈ (avg interval width / w) rows per interval, while a too-small w
+    * inflates that replication and a too-huge w degenerates toward one
+    * bucket (all facts colliding in one reducer = the nested loop again,
+    * now with a shuffle). Intervals are [lo, hi): zero-width intervals
+    * match nothing, matching the SQL `v >= lo AND v < hi` oracle.
+    *
+    * 100 TB posture: fact side never replicates and shuffles exactly once
+    * on the bucket; dims replicate by interval-width/w (bounded, small
+    * side); a hot bucket (many facts + many intervals in one value range)
+    * is visible to AQE's skew split because it IS a plain shuffled hash
+    * join after this rewrite. */
+  def rangeBucketJoin(fact: DataFrame, factVal: String,
+                      dims: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val w = lit(bucketWidth)
+    val dimB = dims.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / w).cast("long"),
+        floor(col(hiCol) / w).cast("long"))))
+    val factB = fact.withColumn("__bucket",
+      floor(col(factVal) / w).cast("long"))
+    factB.join(dimB, Seq("__bucket"))
+      .filter(col(factVal) >= col(loCol) && col(factVal) < col(hiCol))
+      .drop("__bucket")
+  }
+
   /** Skew-resistant equi-join: salt the skewed (left) side's key into
     * `saltBuckets` sub-keys and replicate the right side once per salt, so
     * one hot key spreads over `saltBuckets` reducers instead of melting a

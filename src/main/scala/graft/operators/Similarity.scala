@@ -730,6 +730,91 @@ object Similarity {
         r4(col("n_hit") / col("k")).as("recall"))
   }
 
+  /** Per-label centroids in the (centroid_id, c_vec) shape
+    * `assignToCentroids` consumes — the label-supervised sibling of
+    * `centroidsFromRefit` (same r4(avg) per-dimension kernel, same
+    * fold-back). One n·d-row map-side-combinable agg, k·d→k fold. */
+  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol).cast("int").as("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos")
+      .agg(r4(avg(col("x"))).as("mean_val"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_val")))).as("pm"))
+      .select(col("centroid_id"),
+        expr("transform(pm, e -> cast(e.mean_val as float))").as("c_vec"))
+
+  /** Simplified (centroid-based) silhouette per label — the clustering
+    * quality panel over a labeled embedding space: for every vector,
+    * a = cosine distance to its OWN label centroid, b = distance to the
+    * NEAREST other centroid, s = (b−a)/max(a,b) ∈ [−1,1]; the per-label
+    * mean separates well-formed clusters (s→1) from overlapping ones
+    * (s≤0). Centroid-based (a.k.a. "simplified silhouette") rather than
+    * all-pairs: the classic definition is O(n²) in the corpus — this is
+    * the form that exists at scale. Returns (label, n_vecs, mean_sil).
+    *
+    * Determinism: centroid coordinates and per-vector cosines go through
+    * the file-wide r4 contract; the mean accumulates ROUNDED silhouettes
+    * as exact 1e-4-unit integers (order-invariant long sum) and divides
+    * once at the end. A degenerate vector with a=b=0 contributes s=0.
+    *
+    * Scale shape: one n·d agg for centroids (labels·d rows out), one
+    * broadcast of the k centroids, one scan-side cosine panel folded by a
+    * map-side-combinable (id)-keyed max-pair agg, then a labels-sized
+    * final agg — the corpus shuffles once, on its own id. */
+  def silhouetteByLabel(emb: DataFrame, vecCol: String, idCol: String,
+                        labelCol: String): DataFrame = {
+    val cents = labelCentroids(emb, vecCol, labelCol)
+    val sims = emb.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col(labelCol),
+        col("centroid_id"),
+        r4(cosineSim(col(vecCol), col("c_vec"))).as("cs"))
+    val ab = sims.groupBy(col(idCol), col(labelCol))
+      .agg(max(when(col("centroid_id") === col(labelCol).cast("int"), col("cs"))).as("own_cs"),
+        max(when(col("centroid_id") =!= col(labelCol).cast("int"), col("cs"))).as("other_cs"))
+    val a = lit(1.0) - col("own_cs")
+    val b = lit(1.0) - col("other_cs")
+    val sil = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise(round((b - a) / greatest(a, b), 4))
+    ab.select(col(labelCol),
+        round(sil * 10000, 0).cast("long").as("__su"))
+      .groupBy(labelCol)
+      .agg(count(lit(1)).as("n_vecs"), sum("__su").as("__s"))
+      .select(col(labelCol), col("n_vecs"),
+        (round(col("__s") / (lit(10000.0) * col("n_vecs")), 4) + lit(0.0)).as("mean_sil"))
+  }
+
+  /** Per-dimension mean/variance panel — the PCA-lite screening that finds
+    * dead dimensions (var ≈ 0: wasted index bits, a quantizer hazard) and
+    * runaway ones (dominating every distance) before an index build
+    * commits to this embedding space. Values quantize to an exact 1e-4
+    * grid first, so s1/s2 are exact integer sums (order-invariant,
+    * engine-identical) and the moments come out bit-for-bit; s2 rides
+    * decimal(38,0) like the centsMoments kernel (a long sum of q² wraps
+    * near 1e9 rows·dim at typical magnitudes — inside target scale).
+    * Non-finite entries drop per (id, pos) with the quantizeInt8 rationale.
+    * Returns (pos, n, mean_val, var_val) — population variance.
+    *
+    * Scale shape: posexplode → ONE map-side-combinable agg keyed on pos
+    * (d rows out); zero joins, the corpus never shuffles row data. */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val ex = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"), col("x").cast("double").as("x"))
+      .filter(!isnan(col("x")) &&
+        col("x") > Double.NegativeInfinity && col("x") < Double.PositiveInfinity)
+      .select(col("pos"), round(col("x") * 10000, 0).cast("long").as("q"))
+    ex.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("s2"))
+      .select(col("pos"), col("n"),
+        (round(col("s1") / (lit(10000.0) * col("n")), 4) + lit(0.0)).as("mean_val"),
+        (round((col("n").cast("decimal(38,0)") * col("s2")
+            - col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")) / 1e8, 6) + lit(0.0))
+          .as("var_val"))
+  }
+
   /** Exact all-pairs cosine above a threshold — the baseline LSH
     * approximates. Quadratic; for oracle checks and small corpora. */
   def exactNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,

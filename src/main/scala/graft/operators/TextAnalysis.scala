@@ -612,4 +612,77 @@ object TextAnalysis {
     docs.select(explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` unigram vocabulary — the tokenizer-fit panel: a
+    * corpus whose documents are full of tokens a vocab this size won't
+    * cover fragments badly under any fixed-vocab tokenizer trained on it.
+    * Vocabulary cut is deterministic (count desc, word asc). oov_rate is
+    * floored basis points (the repo-wide count-ratio convention).
+    * Documents with zero tokens have no rows in the token relation and
+    * are absent from the output (same contract as the other unnest-side
+    * panels).
+    *
+    * Scale shape: the token relation aggregates once to build the vocab
+    * (vocab-sized result, TakeOrdered cut — no window sort), which joins
+    * back by BROADCAST; the per-doc agg is map-side combinable. The
+    * corpus shuffles once, on the doc id. */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    // two consumers (vocab build + per-doc join) — persist per the
+    // file-wide two-consumer convention, lazily
+    val words = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
+      .filter(col("word") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"), lit(1).as("__in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc"), col("n_tokens"), col("n_oov"),
+        (expr("(10000 * n_oov) div n_tokens") / lit(10000.0) + lit(0.0))
+          .as("oov_rate"))
+  }
+
+  /** Zipf panel: frequency at chosen vocabulary ranks plus the local
+    * Zipf exponent between adjacent rank pairs — s = ln(f_lo/f_hi) /
+    * ln(r_hi/r_lo), the log-log slope magnitude a natural-language corpus
+    * keeps near 1 and templated/synthetic text visibly does not (the
+    * corpus-level sibling of the per-doc repetition score). Slopes come
+    * from exactly two frequency values each — no regression over
+    * float sums, so the only inexactness is the final ln/divide on exact
+    * integers, closed by the r4 contract. Ranks beyond the vocabulary are
+    * absent from the output. Returns (rank_lo, rank_hi, freq_lo, freq_hi,
+    * slope) ordered by rank_lo.
+    *
+    * Scale shape: one corpus token agg (vocab-sized result), then a
+    * row_number over the FULL vocab ordering — a single-partition sort of
+    * the vocabulary relation only (millions of rows at web scale, fine;
+    * the corpus itself never enters a window). The rank filter keeps just
+    * |ranks| rows, self-joined once at |ranks| size. */
+  def zipfPanel(docs: DataFrame, textCol: String,
+                ranks: Seq[Int]): DataFrame = {
+    require(ranks.size >= 2 && ranks == ranks.sorted && ranks.distinct == ranks,
+      s"ranks must be >= 2 strictly increasing values: $ranks")
+    import org.apache.spark.sql.expressions.Window
+    val freq = wordCounts(docs, textCol)
+    val w = Window.orderBy(col("n").desc, col("word").asc)
+    val ranked = freq.withColumn("rank", row_number().over(w))
+      .filter(col("rank").isin(ranks.map(Integer.valueOf): _*))
+      .select(col("rank").cast("long").as("rank"), col("n"))
+    val lo = ranked.select(col("rank").as("rank_lo"), col("n").as("freq_lo"))
+    val hi = ranked.select(col("rank").as("rank_hi"), col("n").as("freq_hi"))
+    val pairs = docs.sparkSession.createDataFrame(
+      ranks.sliding(2).map(p => (p(0).toLong, p(1).toLong)).toSeq)
+      .toDF("rank_lo", "rank_hi")
+    pairs.join(lo, "rank_lo").join(hi, "rank_hi")
+      .select(col("rank_lo"), col("rank_hi"), col("freq_lo"), col("freq_hi"),
+        (round(log(col("freq_lo").cast("double") / col("freq_hi")) /
+          log(col("rank_hi").cast("double") / col("rank_lo")), 4) + lit(0.0))
+          .as("slope"))
+  }
 }

@@ -20,6 +20,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("rangeBucketJoin equals the naive BETWEEN join on overlapping intervals") {
+    val fact = spark.range(0, 200)
+      .select(col("id"), (col("id") * 7 % 100).cast("double").as("v"))
+    // overlapping bands incl. one spanning many buckets and a zero-width one
+    val dims = Seq(
+      ("wide", 0.0, 90.0), ("mid", 20.0, 50.0), ("hi", 45.0, 100.0),
+      ("empty", 30.0, 30.0)).toDF("band", "lo", "hi")
+    val naive = fact.join(dims, col("v") >= col("lo") && col("v") < col("hi"))
+    val bucketed = RelationalOps.rangeBucketJoin(fact, "v", dims, "lo", "hi",
+      bucketWidth = 15.0)
+    val a = naive.select("id", "band").as[(Long, String)].collect().sorted.toSeq
+    val b = bucketed.select("id", "band").as[(Long, String)].collect().sorted.toSeq
+    assert(a == b)
+    assert(!b.exists(_._2 == "empty")) // [30, 30) matches nothing
+    // the rewrite must plan an EQUI hash join, not a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop survived:\n$plan")
+  }
+
+  test("rangeBucketJoin: a fact row matching one interval via several dim buckets appears once") {
+    val fact = Seq(42.0).toDF("v")
+    val dims = Seq(("all", 0.0, 1000.0)).toDF("band", "lo", "hi") // 100 buckets wide
+    val out = RelationalOps.rangeBucketJoin(fact, "v", dims, "lo", "hi", 10.0)
+    assert(out.count() == 1)
+  }
+
   test("fixedWidthHistogram: hand-computed bins, sentinel under/overflow, NaN to overflow, null dropped") {
     val df = Seq[java.lang.Double](50.0, 100.0, 114.9, 115.0, 399.99, 400.0,
       1000.0, null, Double.NaN).toDF("v")

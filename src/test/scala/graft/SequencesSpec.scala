@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Sequences
+
+/** Hand-computed fixtures for the sequence-analytics ops (the oracle pins
+  * them on real data; these pin the edge semantics). */
+class SequencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, t, ty) => (u, t, ty) }.toDF("user_id", "ord", "event_type")
+
+  test("markovTransitions: adjacent pairs only, per-from normalization, floored bp") {
+    val df = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "z")) // single-event key contributes no transition
+    val out = Sequences.markovTransitions(df, "user_id", "event_type", Seq("ord"))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // from a: a→b ×2, a→c ×1 (3 total): 2/3 → 0.6666 floored, 1/3 → 0.3333
+    // from b: b→a ×1 (u1 only; u2's b is last)
+    assert(out == Seq(
+      ("a", "b", 2L, 0.6666),
+      ("a", "c", 1L, 0.3333),
+      ("b", "a", 1L, 1.0)), s"got: $out")
+  }
+
+  test("markovTransitions: cross-user adjacency never pairs") {
+    val df = ev((1L, 1L, "a"), (2L, 1L, "b"))
+    assert(Sequences.markovTransitions(df, "user_id", "event_type", Seq("ord"))
+      .count() == 0)
+  }
+
+  test("topPaths: windows of len-3, incomplete tails dropped, count-desc path-asc ties") {
+    val df = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y")) // too short for any path
+    val out = Sequences.topPaths(df, "user_id", "event_type", Seq("ord"),
+      len = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a > b > c", 2L),   // u1 and u2
+      ("b > c > d", 1L)), s"got: $out")
+  }
+
+  test("topPaths: k truncates after the deterministic ordering") {
+    val df = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"))
+    val out = Sequences.topPaths(df, "user_id", "event_type", Seq("ord"),
+      len = 3, k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a > b > c", 1L)), s"got: $out") // tie broken by path asc
+  }
+}

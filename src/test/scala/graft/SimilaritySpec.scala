@@ -383,4 +383,38 @@ class SimilaritySpec extends SparkSpec {
     // the sparse cell keeps a higher share than the dense one (diversity)
     assert(pct(1L) > pct(0L))
   }
+
+  test("silhouetteByLabel: separated clusters score near 1, merged labels score ~0") {
+    // two orthogonal directions; labels 0/1 match them exactly, label 2
+    // straddles both (its centroid sits between → poor silhouette)
+    def v(x: Float, y: Float) = Array(x, y, 0.01f, 0.01f)
+    val emb = Seq(
+      (0L, 0, v(1f, 0f)), (1L, 0, v(0.9f, 0.1f)),
+      (2L, 1, v(0f, 1f)), (3L, 1, v(0.1f, 0.9f)),
+      (4L, 2, v(1f, 0.05f)), (5L, 2, v(0.05f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.silhouetteByLabel(emb, "embedding", "vec_id", "label")
+      .orderBy("label")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2))
+    assert(out.forall(_._2 == 2L))
+    val byLabel = out.map(t => t._1 -> t._3).toMap
+    assert(byLabel(0) > 0.5 && byLabel(1) > 0.5, s"tight clusters: $out")
+    assert(byLabel(2) < byLabel(0) && byLabel(2) < 0.2, s"straddler: $out")
+  }
+
+  test("dimStats: exact moments on the 1e-4 grid, non-finite rows dropped") {
+    val emb = Seq(
+      (0L, Array(0.1f, 1.0f, Float.NaN)),
+      (1L, Array(0.3f, 1.0f, 2.0f)),
+      (2L, Array(0.2f, 1.0f, Float.PositiveInfinity))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(emb, "embedding")
+      .orderBy("pos")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // dim0: mean 0.2, population var = ((0.1-0.2)²+(0.3-0.2)²+0)/3 = 0.02/3
+    assert(out(0) == (0L, 3L, 0.2, 0.006667), s"got: ${out(0)}")
+    assert(out(1) == (1L, 3L, 1.0, 0.0), s"got: ${out(1)}")
+    assert(out(2) == (2L, 1L, 2.0, 0.0), s"got: ${out(2)}") // finite row only
+  }
 }

@@ -388,4 +388,41 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(run(1) == run(13))
   }
+
+  test("oovRate: deterministic vocab cut, floored bp rate, empty doc absent") {
+    // corpus counts: the ×3, cat ×2, dog ×2, zzz ×1 — vocabSize=3 keeps
+    // {the, cat, dog} (count desc, word asc breaks the cat/dog tie
+    // deterministically INSIDE the kept set; zzz at count 1 is cut)
+    val docs = Seq(
+      (1L, "the cat the dog"),
+      (2L, "the cat dog zzz"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "text", "doc_id", vocabSize = 3)
+      .orderBy("doc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 4L, 1L, 0.25)), s"got: $out") // doc 3 has no tokens → absent
+  }
+
+  test("zipfPanel: slope from exact rank frequencies") {
+    // freqs: a×16, b×8, c×4, d×2 → perfect Zipf with slope 1 between
+    // adjacent power-of-two ranks
+    val text = Seq.fill(16)("a") ++ Seq.fill(8)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(2)("d")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfPanel(docs, "text", ranks = Seq(1, 2, 4))
+      .orderBy("rank_lo")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 16L, 8L, 1.0),
+      (2L, 4L, 8L, 2L, 2.0)), s"got: $out") // ln(8/2)/ln(4/2) = 2
+  }
+
+  test("zipfPanel: ranks beyond the vocabulary drop their pairs") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text") // vocab size 2
+    val out = TextAnalysis.zipfPanel(docs, "text", ranks = Seq(1, 2, 4))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L)), s"got: $out")
+  }
 }
