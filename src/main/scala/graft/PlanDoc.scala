@@ -54,7 +54,13 @@ object PlanDoc {
     "q_weighted_sample" -> "Sequential Poisson sample: scan-side key projection → bounded TopKHits agg → broadcast winner join-back, no window sort",
     "q_cluster_sample" -> "cluster-diversity sample: broadcast centroids → map-side argmax cells → cells-sized pct table broadcast back — zero corpus shuffles",
     "q_dsir" -> "DSIR weights: one vocab agg builds BOTH models; vocab + totals broadcast back over the token stream into one per-doc agg",
-    "q_mad_outliers" -> "median/MAD outliers: two exact-percentile group passes, groups-sized medians broadcast back over the scan")
+    "q_mad_outliers" -> "median/MAD outliers: two exact-percentile group passes, groups-sized medians broadcast back over the scan",
+    "q_range_join" -> "range join as bucketed equi-join: interval table exploded into buckets, fact side computes its bucket scan-side — hash join, NOT BroadcastNestedLoop",
+    "q_markov_chain" -> "Markov transitions: one key exchange + lead scan, transition-grain agg, from-totals broadcast back",
+    "q_top_paths" -> "top paths: per-key lead scan → paths-sized count agg → TakeOrderedAndProject",
+    "q_oov_rate" -> "OOV rate: vocab via TakeOrdered over the token agg, broadcast back over the token stream, per-doc agg",
+    "q_silhouette" -> "silhouette: n·d centroid agg → k-row broadcast → scan-side cosine panel → labels-sized final agg",
+    "q_dim_variance" -> "per-dimension moments: posexplode into ONE map-side-combinable pos-keyed agg — zero joins, zero corpus shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
