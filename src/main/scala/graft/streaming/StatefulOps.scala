@@ -98,6 +98,40 @@ object StatefulOps {
       }
   }
 
+  /** Streaming Markov transition extractor — `Sequences.markovTransitions`
+    * as a per-key state machine: state = the key's LAST event type/time;
+    * each arriving event emits one (from_type, to_type) transition record
+    * and advances the state. Aggregating the emitted changelog by
+    * (from, to) equals the batch matrix's counts on the same events
+    * (spec-pinned equivalence, including transitions that SPAN micro-batch
+    * boundaries — the state is exactly what carries them). Ordering
+    * contract and state bound are funnelStream's: per-key in-order
+    * delivery across batches is the transport's job, in-batch events sort
+    * by (time, type); state is one fixed-size record per key. */
+  final case class SeqEvent(userId: Long, eventType: String, tsMicros: Long)
+  final case class LastEvent(eventType: String, tsMicros: Long)
+  final case class Transition(userId: Long, fromType: String, toType: String,
+                              tsMicros: Long)
+
+  def transitionStream(events: Dataset[SeqEvent])(
+      implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          rows.toSeq.sortBy(e => (e.tsMicros, e.eventType)).foreach { e =>
+            last.foreach(l =>
+              out += Transition(user, l.eventType, e.eventType, e.tsMicros))
+            last = Some(LastEvent(e.eventType, e.tsMicros))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** W6 exact variant: sessionization via flatMapGroupsWithState with an
     * event-time timeout — the fallback SURVEY.md §7.4(4) names for when
     * session_window's append-mode emission doesn't fit (e.g. emitting

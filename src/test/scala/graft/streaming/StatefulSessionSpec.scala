@@ -99,4 +99,33 @@ class StatefulSessionSpec extends SparkSpec {
     val out = spark.table("t_dedup").select("pageId").as[String].collect().sorted
     assert(out.toSeq == Seq("p1", "p2"), s"saw ${out.toSeq}")
   }
+
+  test("transitionStream counts equal the batch Markov matrix, across micro-batches") {
+    import graft.streaming.StatefulOps.{SeqEvent, Transition}
+    val fixture = Seq(
+      SeqEvent(1L, "a", 1000L), SeqEvent(1L, "b", 2000L),
+      SeqEvent(1L, "a", 3000L), SeqEvent(1L, "c", 4000L),
+      SeqEvent(2L, "a", 1000L), SeqEvent(2L, "b", 2000L),
+      SeqEvent(3L, "z", 1000L)) // single event: no transition
+    val in = MemoryStream[SeqEvent]
+    val q = StatefulOps.transitionStream(in.toDS())
+      .writeStream.format("memory").queryName("t_trans").outputMode("append").start()
+    // batch boundary cuts u1 and u2 mid-sequence: the b→a (u1) and a→b
+    // (u2) transitions only exist if state carries the last event across
+    val (b1, b2) = fixture.partition(_.tsMicros <= 2000L)
+    in.addData(b1.filter(_.tsMicros <= 1000L): _*); q.processAllAvailable()
+    in.addData(b1.filter(_.tsMicros > 1000L): _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_trans").as[Transition].collect()
+      .groupBy(t => (t.fromType, t.toType)).map { case (k, v) => k -> v.length.toLong }
+    val batch = graft.operators.Sequences.markovTransitions(
+        fixture.toDF("user_id", "event_type", "ts_us"),
+        "user_id", "event_type", Seq("ts_us"))
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => (f, t) -> n }.toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed(("a", "b")) == 2L) // spans the batch cut for u2
+  }
 }
