@@ -60,7 +60,8 @@ object PlanDoc {
     "q_top_paths" -> "top paths: per-key lead scan → paths-sized count agg → TakeOrderedAndProject",
     "q_oov_rate" -> "OOV rate: vocab via TakeOrdered over the token agg, broadcast back over the token stream, per-doc agg",
     "q_silhouette" -> "silhouette: n·d centroid agg → k-row broadcast → scan-side cosine panel → labels-sized final agg",
-    "q_dim_variance" -> "per-dimension moments: posexplode into ONE map-side-combinable pos-keyed agg — zero joins, zero corpus shuffle")
+    "q_dim_variance" -> "per-dimension moments: posexplode into ONE map-side-combinable pos-keyed agg — zero joins, zero corpus shuffle",
+    "q_sem_decontam" -> "semantic decontamination: bench panel broadcast over one corpus scan, left-anti on the hits-sized id set — corpus never shuffles for the membership test")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1366,6 +1366,30 @@ object SparkEntry {
     "q_dim_variance" -> ((s, d) => {
       Similarity.dimStats(t(s, d, "embeddings"), "embedding")
         .orderBy("pos")
+    }),
+
+    // ---- graph: weighted PageRank over the event-type transition graph ----
+    // Edges = the Markov matrix's transition counts; 3 exact-integer
+    // damped iterations. The graph op is generic over any edge relation.
+    "q_pagerank" -> ((s, d) => {
+      val edges = Sequences.markovTransitions(t(s, d, "events"), "user_id",
+        "event_type", Seq("ts", "event_id"))
+      Graphs.pageRank(edges, "from_type", "to_type", "n", iters = 3)
+        .select(col("node"), (round(col("rank"), 6) + lit(0.0)).as("rank"))
+        .orderBy("node")
+    }),
+
+    // ---- embeddings: semantic decontamination (paraphrase leakage) ----
+    // Same synthetic split as q_decontaminate (vec_id % 20 == 0 is the
+    // bench set); the kept-id contract matches the n-gram op's.
+    "q_sem_decontam" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(pmod(col("vec_id"), lit(20L)) === 0)
+      val train = emb.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
+      Similarity.semanticDecontaminate(train, bench, "embedding", "vec_id",
+          threshold = 0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
     })
   )
 
@@ -2465,6 +2489,18 @@ object SparkEntry {
         |  round(sum(CAST(round(sil * 10000) AS BIGINT)) / (10000.0 * count(*)), 4) + 0.0 AS mean_sil
         |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
+    "q_pagerank" -> pageRankSql,
+
+    "q_sem_decontam" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |b AS (SELECT vv AS bv FROM v WHERE vec_id % 20 = 0),
+        |tr AS (SELECT vec_id, vv FROM v WHERE vec_id % 20 <> 0),
+        |hit AS (SELECT DISTINCT t.vec_id FROM tr t CROSS JOIN b
+        |  WHERE round(list_dot_product(t.vv, b.bv)
+        |    / (sqrt(list_dot_product(t.vv, t.vv)) * sqrt(list_dot_product(b.bv, b.bv))), 4) >= 0.35)
+        |SELECT t.vec_id FROM tr t LEFT JOIN hit h ON t.vec_id = h.vec_id
+        |WHERE h.vec_id IS NULL ORDER BY t.vec_id""".stripMargin,
+
     "q_dim_variance" ->
       """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
         |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(vv)) FROM v))) AS i),
@@ -2484,6 +2520,35 @@ object SparkEntry {
     * `rangeBands` so engine and oracle share one definition. */
   private def rangeBandsSql: String =
     rangeBands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+
+  /** PageRank oracle: the Markov edge counts, then 3 UNROLLED damped
+    * iterations in the same exact integer micro-rank arithmetic as
+    * `Graphs.pageRank` (floored shares, floored damping mix; 150000 =
+    * 1e6·(100−85)/100 — keep in sync with the query's dampingPct). The
+    * iteration CTEs are generated, not hand-copied, so iter count changes
+    * in one place. */
+  private def pageRankSql: String = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.t AS node, sum((r.r * e.w) // o.wout) AS c
+         |  FROM e JOIN r${i - 1} r ON r.node = e.s JOIN outw o ON o.s = e.s
+         |  GROUP BY e.t),
+         |r$i AS (SELECT n.node, 150000 + (85 * COALESCE(c.c, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |e AS (SELECT from_type AS s, to_type AS t, count(*) AS w FROM p
+       |      WHERE to_type IS NOT NULL GROUP BY s, t),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT s AS node FROM e UNION ALL SELECT t AS node FROM e)),
+       |outw AS (SELECT s, sum(w) AS wout FROM e GROUP BY s),
+       |r0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, round(r / 1e6, 6) + 0.0 AS rank FROM r3
+       |ORDER BY node""".stripMargin
+  }
 
   // ---------------------------------------------- shared SQL fragments
 

@@ -730,6 +730,31 @@ object Similarity {
         r4(col("n_hit") / col("k")).as("recall"))
   }
 
+  /** Semantic decontamination: drop every TRAIN vector whose cosine to ANY
+    * bench/eval vector reaches `threshold` — the embedding-space sibling of
+    * the n-gram `Dedup.decontaminate` (which catches verbatim/near-verbatim
+    * leakage; this catches paraphrased leakage n-grams miss). Returns the
+    * KEPT train rows (idCol), same contract as the n-gram op.
+    *
+    * Scale shape mirrors decontaminate's: the BENCH side broadcasts (eval
+    * sets are fixed-size — thousands of rows — however big the corpus
+    * gets), the train corpus streams once through the codegen'd cosine
+    * panel, and the contaminated-id set is train-hits-sized for the final
+    * left-anti. The corpus never shuffles for the membership test. NaN
+    * cosines (zero-norm rows) never reach the threshold — a poisoned
+    * vector cannot mark the whole corpus contaminated. */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    val b = bench.select(col(vecCol).as("__b_vec"))
+    val hits = train.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(b))
+      .select(col(idCol), r4(cosineSim(col(vecCol), col("__b_vec"))).as("cs"))
+      .filter(!isnan(col("cs")) && col("cs") >= threshold)
+      .select(col(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Per-label centroids in the (centroid_id, c_vec) shape
     * `assignToCentroids` consumes — the label-supervised sibling of
     * `centroidsFromRefit` (same r4(avg) per-dimension kernel, same

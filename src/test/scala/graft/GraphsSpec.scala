@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Graphs
+
+/** Hand-computed PageRank fixtures (the oracle pins the real-data run;
+  * these pin the arithmetic and the invariants). */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pr(edges: Seq[(String, String, Long)], iters: Int) =
+    Graphs.pageRank(edges.toDF("s", "t", "w"), "s", "t", "w", iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("cycle is the fixpoint: uniform rank 1.0 survives any iteration count") {
+    val cycle = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+    assert(pr(cycle, 1) == Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    assert(pr(cycle, 5) == Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+  }
+
+  test("single edge: source decays to the base, sink stabilizes, dangling mass leaks") {
+    // a→b: r1(b) = 0.15 + 0.85·1.0 = 1.0; from iter 2 on b only receives
+    // a's base 0.15 → 0.15 + 0.85·0.15 = 0.2775
+    val out = pr(Seq(("a", "b", 1L)), 3)
+    assert(out == Map("a" -> 0.15, "b" -> 0.2775), s"got: $out")
+  }
+
+  test("weighted fan-out splits contributions by floored integer shares") {
+    // a→b w=3, a→c w=1: b gets (1e6·3) div 4 = 750000, c gets 250000
+    // r1(b) = 150000 + 85·750000 div 100 = 787500; r1(c) = 362500
+    val out = pr(Seq(("a", "b", 3L), ("a", "c", 1L)), 1)
+    assert(out == Map("a" -> 0.15, "b" -> 0.7875, "c" -> 0.3625), s"got: $out")
+  }
+
+  test("rank is partitioning-invariant (exact integer arithmetic)") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 20}", s"n${(i * 7 + 3) % 20}", (i % 5 + 1).toLong))
+    def run(parts: Int) = Graphs.pageRank(
+      edges.toDF("s", "t", "w").repartition(parts), "s", "t", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run(1) == run(13))
+  }
+}

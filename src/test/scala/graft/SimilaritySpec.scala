@@ -384,6 +384,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pct(1L) > pct(0L))
   }
 
+  test("semanticDecontaminate: near-bench vectors drop, orthogonal and zero-norm rows survive") {
+    val bench = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.99f, 0.1f, 0f, 0f)),  // near the bench vector → dropped
+      (2L, Array(0f, 1f, 0f, 0f)),       // orthogonal → kept
+      (3L, Array(0f, 0f, 0f, 0f))        // zero norm → NaN cosine → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(train, bench, "embedding",
+      "vec_id", threshold = 0.35)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"got: $kept")
+  }
+
   test("silhouetteByLabel: separated clusters score near 1, merged labels score ~0") {
     // two orthogonal directions; labels 0/1 match them exactly, label 2
     // straddles both (its centroid sits between → poor silhouette)
