@@ -61,7 +61,8 @@ object PlanDoc {
     "q_oov_rate" -> "OOV rate: vocab via TakeOrdered over the token agg, broadcast back over the token stream, per-doc agg",
     "q_silhouette" -> "silhouette: n·d centroid agg → k-row broadcast → scan-side cosine panel → labels-sized final agg",
     "q_dim_variance" -> "per-dimension moments: posexplode into ONE map-side-combinable pos-keyed agg — zero joins, zero corpus shuffle",
-    "q_sem_decontam" -> "semantic decontamination: bench panel broadcast over one corpus scan, left-anti on the hits-sized id set — corpus never shuffles for the membership test")
+    "q_sem_decontam" -> "semantic decontamination: bench panel broadcast over one corpus scan, left-anti on the hits-sized id set — corpus never shuffles for the membership test",
+    "q_pagerank" -> "PageRank: per-iteration = src-keyed join + dst-keyed agg over the EDGE relation only — the event corpus is scanned once to build edges, never per iteration")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
