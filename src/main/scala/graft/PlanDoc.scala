@@ -62,7 +62,11 @@ object PlanDoc {
     "q_silhouette" -> "silhouette: n·d centroid agg → k-row broadcast → scan-side cosine panel → labels-sized final agg",
     "q_dim_variance" -> "per-dimension moments: posexplode into ONE map-side-combinable pos-keyed agg — zero joins, zero corpus shuffle",
     "q_sem_decontam" -> "semantic decontamination: bench panel broadcast over one corpus scan, left-anti on the hits-sized id set — corpus never shuffles for the membership test",
-    "q_pagerank" -> "PageRank: per-iteration = src-keyed join + dst-keyed agg over the EDGE relation only — the event corpus is scanned once to build edges, never per iteration")
+    "q_pagerank" -> "PageRank: per-iteration = src-keyed join + dst-keyed agg over the EDGE relation only — the event corpus is scanned once to build edges, never per iteration",
+    "q_triangles" -> "triangles: the 4-way fact join derives the bounded edge relation; degree-ordered orientation caps wedge fan-out at O(√m) per node",
+    "q_ewma" -> "EWMA: ONE key exchange + window pass shared by ALL lag terms — an integer dot product, no recursive state",
+    "q_regression" -> "OLS trend: one map-side-combinable 5-sum decimal agg at group grain — the corpus scans once, nothing downstream exceeds group cardinality",
+    "q_corpus_diff" -> "snapshot diff: scan-side md5 fingerprints, one full-outer key join carrying (key, fp) only")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

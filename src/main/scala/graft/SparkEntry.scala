@@ -1390,6 +1390,68 @@ object SparkEntry {
           threshold = 0.35)
         .select("vec_id")
         .orderBy("vec_id")
+    }),
+
+    // ---- graph: triangles + clustering on the nation trade graph ----
+    // Edges = (customer nation, supplier nation) co-occurrences on a
+    // lineitem; the relative weight cut (w·n_pairs >= Σw, exact integer
+    // cross-multiply) keeps the graph non-degenerate at every SF. The
+    // heavy linear work is the edge DERIVATION (4-way join over the fact
+    // tables); the triangle kernel then runs on the bounded edge relation.
+    "q_triangles" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey").as("ok"), col("o_custkey")), "ok")
+        .join(broadcast(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      val wts = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val tot = wts.agg(count(lit(1)).as("np"), sum("w").as("tw"))
+      val kept = wts.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") >= col("tw"))
+      Graphs.triangleStats(kept, "u", "v").orderBy("node")
+    }),
+
+    // ---- time series: bounded-lookback EWMA (exact integer weights) ----
+    // ewma is in CENTS (the caller-quantized unit) — the 1e6/2^i weight
+    // ladder makes it bit-identical on any engine/partitioning.
+    "q_ewma" -> ((s, d) => {
+      Timeseries.ewmaSmooth(
+        t(s, d, "events").withColumn("__cents", cents(col("value"))),
+        "user_id", Seq("ts", "event_id"), "__cents",
+        idCols = Seq("event_id", "user_id"), lookback = 8)
+        .orderBy("event_id")
+    }),
+
+    // ---- time series: per-group OLS trend (exact integer micro-slope) ----
+    // x = hour bucket since epoch, y = cents; slope is cents/hour.
+    "q_regression" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("x"),
+        cents(col("value")).as("y"))
+      Timeseries.olsTrend(ev, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
+
+    // ---- corpus maintenance: snapshot diff (two crawl versions) ----
+    // Synthetic versions: old is missing doc_id%7==3 (→ added later), new
+    // is missing doc_id%11==5 (→ removed), and every doc_id%5==0 got a
+    // new revision (→ changed). All four statuses live at every SF.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 5)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      RelationalOps.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
     })
   )
 
@@ -2513,13 +2575,119 @@ object SparkEntry {
         |  round(s1 / (10000.0 * n), 4) + 0.0 AS mean_val,
         |  round(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * n) / 1e8, 6) + 0.0 AS var_val
-        |FROM m ORDER BY pos""".stripMargin
+        |FROM m ORDER BY pos""".stripMargin,
+
+    // Same degree-ordered orientation as Graphs.triangleStats: row-value
+    // (deg, node) comparisons are the tuple twin of Spark's struct
+    // ordering; `//` on BIGINT matches `div` (both truncate — all values
+    // here are non-negative anyway).
+    "q_triangles" ->
+      """WITH pr AS (
+        |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+        |         greatest(c.c_nationkey, s.s_nationkey) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |wts AS (SELECT u, v, count(*) AS w FROM pr GROUP BY u, v),
+        |tot AS (SELECT count(*) AS np, CAST(sum(w) AS BIGINT) AS tw FROM wts),
+        |kept AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v
+        |  FROM wts, tot WHERE w * np >= tw),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM kept UNION ALL SELECT v FROM kept)
+        |  GROUP BY node),
+        |o AS (SELECT
+        |    CASE WHEN (du.deg, k.u) < (dv.deg, k.v) THEN k.u ELSE k.v END AS a,
+        |    CASE WHEN (du.deg, k.u) < (dv.deg, k.v) THEN k.v ELSE k.u END AS b,
+        |    CASE WHEN (du.deg, k.u) < (dv.deg, k.v) THEN dv.deg ELSE du.deg END AS bd
+        |  FROM kept k
+        |  JOIN deg du ON du.node = k.u JOIN deg dv ON dv.node = k.v),
+        |wg AS (SELECT e1.a, e1.b AS wb, e2.b AS wc FROM o e1 JOIN o e2
+        |  ON e1.a = e2.a AND (e1.bd, e1.b) < (e2.bd, e2.b)),
+        |tri AS (SELECT wg.a, wg.wb, wg.wc FROM wg
+        |  JOIN o ON o.a = wg.wb AND o.b = wg.wc),
+        |pn AS (SELECT node, count(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT wb FROM tri
+        |    UNION ALL SELECT wc FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.deg AS degree, COALESCE(p.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN (10000 * 2 * COALESCE(p.n_tri, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END / 10000.0 + 0.0 AS clustering
+        |FROM deg d LEFT JOIN pn p ON p.node = d.node
+        |ORDER BY d.node""".stripMargin,
+
+    "q_ewma" -> ewmaSql,
+
+    // The decimal-sum normal equations in HUGEINT; `//` ≡ Spark `div`
+    // (both truncate toward zero — verified for negative numerators).
+    "q_regression" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS x,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM e GROUP BY event_type),
+        |b AS (SELECT event_type, n, sx, sy,
+        |    CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        |      THEN (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |    END AS sm
+        |  FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(sm AS BIGINT) / 1e6 AS slope,
+        |  CAST(CASE WHEN sm IS NOT NULL
+        |    THEN (1000000 * sy - sm * sx) // n END AS BIGINT) / 1e6 AS intercept
+        |FROM b ORDER BY event_type""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH oldm AS (SELECT doc_id, md5(concat_ws(chr(1), text)) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |newm AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END)) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 5),
+        |diff AS (SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN nn.doc_id IS NULL THEN 'removed'
+        |         WHEN o.fp <> nn.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM oldm o FULL OUTER JOIN newm nn ON o.doc_id = nn.doc_id)
+        |SELECT d.source, f.status, count(*) AS n
+        |FROM diff f JOIN documents d ON d.doc_id = f.doc_id
+        |GROUP BY d.source, f.status
+        |ORDER BY d.source, f.status""".stripMargin
   )
 
   /** DuckDB VALUES list for q_range_join's bands — generated from
     * `rangeBands` so engine and oracle share one definition. */
   private def rangeBandsSql: String =
     rangeBands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+
+  /** EWMA oracle: the SAME truncated 1e6/2^i weight ladder as
+    * `Timeseries.ewmaWeights` (shared definition — the literals are
+    * generated, not copied), unrolled as lag terms over one window. */
+  private def ewmaSql: String = {
+    val ws = Timeseries.ewmaWeights(8)
+    val lags = ws.indices.drop(1)
+      .map(i => s"lag(c, $i) OVER w AS c$i").mkString(", ")
+    def term(i: Int): String = if (i == 0) "c" else s"c$i"
+    val num = ws.zipWithIndex
+      .map { case (wt, i) => s"$wt * COALESCE(${term(i)}, 0)" }
+      .mkString(" + ")
+    val den = ws.zipWithIndex
+      .map { case (wt, i) =>
+        s"CASE WHEN ${term(i)} IS NOT NULL THEN $wt ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, ts,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+       |l AS (SELECT event_id, user_id, c, $lags
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_id, user_id,
+       |  round(($num) / ($den), 4) + 0.0 AS ewma
+       |FROM l ORDER BY event_id""".stripMargin
+  }
 
   /** PageRank oracle: the Markov edge counts, then 3 UNROLLED damped
     * iterations in the same exact integer micro-rank arithmetic as

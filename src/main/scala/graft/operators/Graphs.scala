@@ -65,4 +65,72 @@ object Graphs {
     }
     r.select(col("node"), (col("r") / 1e6).as("rank"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * UNDIRECTED simple graph (direction, multiplicity and self-loops in
+    * the input edge relation are erased first). Uses the degree-ordered
+    * orientation: every edge points from its (degree, node)-smaller
+    * endpoint to the larger, so each triangle is enumerated EXACTLY once
+    * as a wedge at its smallest-rank apex closed by one oriented edge —
+    * and, the scale property this formulation exists for, oriented
+    * out-degree is O(√m) on ANY graph, which bounds the wedge relation at
+    * O(m^1.5) where the naive neighbor self-join explodes quadratically on
+    * hub nodes (the standard external-memory triangle bound). The
+    * clustering coefficient is floored basis points
+    * `(10000·2·T) div (d·(d−1))` — the repo-wide integer-ratio convention.
+    *
+    * Scale shape: dedup agg on the canonical edge, a nodes-sized degree
+    * agg (broadcast back over the edge relation — nodes ≪ edges on any
+    * real graph), the wedge self-join keyed on the apex, and one
+    * hash-join of wedges against oriented edges keyed on (b, c). No
+    * driver-side data; every relation is edges- or wedges-bounded.
+    * Returns (node, degree, n_tri, clustering) for every node of the
+    * graph, isolated endpoints included (n_tri = 0, clustering = 0). */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    // The canonical edge set is the kernel's WHOLE input — localCheckpoint
+    // it (and the oriented copy, scanned three times: two wedge sides +
+    // the closing join) so the upstream derivation (often a multi-way
+    // fact join far bigger than the edge relation) runs exactly once
+    // instead of once per reuse, and downstream plans stay edge-sized —
+    // the same lineage-truncation discipline as the CC/PageRank loops.
+    val raw = edges.select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint()
+    val deg = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient by (deg, node) rank; carry the dst endpoint's rank so the
+    // wedge join can keep each out-neighbor PAIR once without re-joining
+    // degrees. broadcast(): the degree relation is nodes-sized.
+    val o = raw
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .select(
+        struct(col("du").as("d"), col("u").as("n")).as("uk"),
+        struct(col("dv").as("d"), col("v").as("n")).as("vk"))
+      .select(
+        when(col("uk") < col("vk"), col("uk.n")).otherwise(col("vk.n")).as("a"),
+        when(col("uk") < col("vk"), col("vk")).otherwise(col("uk")).as("bk"))
+      .select(col("a"), col("bk.n").as("b"), col("bk").as("bk"))
+      .localCheckpoint()
+    val wedges = o.select(col("a"), col("b").as("wb"), col("bk").as("wbk"))
+      .join(o.select(col("a"), col("b").as("wc"), col("bk").as("wck")), "a")
+      .filter(col("wbk") < col("wck"))
+      .select(col("a"), col("wb"), col("wc"))
+    val tris = wedges.join(
+      o.select(col("a").as("wb"), col("b").as("wc")), Seq("wb", "wc"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("wb"), col("wc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (when(col("deg") >= 2,
+          expr("(10000 * 2 * coalesce(n_tri, CAST(0 AS BIGINT))) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)) / lit(10000.0) + lit(0.0)).as("clustering"))
+  }
 }

@@ -539,4 +539,34 @@ object RelationalOps {
     val replicated = right.withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Snapshot diff between two versions of a keyed table (two crawl
+    * snapshots, two corpus releases): classifies every key as `added`
+    * (new only), `removed` (old only), `changed` (both, payload
+    * fingerprint differs) or `unchanged`. The payload comparison is an
+    * md5 over the delimiter-joined `fpCols` — constant-width however wide
+    * the payload, engine-portable (md5 and the \\u0001-delimited join behave
+    * identically in DuckDB), and computed SCAN-SIDE so the join carries
+    * (key, 32-char fp) instead of full rows. concat_ws skips NULLs (both
+    * engines), so a NULL payload cell equals an absent one — acceptable
+    * for change DETECTION; add an explicit null-marker column if that
+    * distinction matters.
+    *
+    * Scale shape: one full-outer equi-join on the key — both sides are
+    * corpus-sized, which is the op's irreducible cost. At 100 TB, bucket
+    * both snapshots on the key at write time and the join runs
+    * zero-exchange (the [[graft.operators.Outputs]] bucketing path); the
+    * diff output itself is usually tiny (churn, not corpus). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   fpCols: Seq[String]): DataFrame = {
+    require(fpCols.nonEmpty, "snapshotDiff: need at least one payload column")
+    def fp(df: DataFrame, as: String) = df.select(col(keyCol),
+      md5(concat_ws("\u0001", fpCols.map(col): _*)).as(as))
+    fp(oldSnap, "__fp_old").join(fp(newSnap, "__fp_new"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -39,4 +39,47 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(run(1) == run(13))
   }
+
+  // ---- triangleStats ----
+
+  private def tri(edges: Seq[(String, String)]) =
+    Graphs.triangleStats(edges.toDF("s", "t"), "s", "t")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangleStats: triangle plus pendant, with direction/multiplicity/self-loops erased") {
+    // Triangle a-b-c plus pendant edge c-d; duplicates, a reversed copy
+    // and a self-loop must all collapse into the simple undirected graph.
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("c", "d"), ("d", "d"))
+    val out = tri(edges)
+    // deg: a=2 b=2 c=3 d=1; one triangle touches a, b, c.
+    // clustering: a,b = (10000·2·1) div (2·1) = 10000 → 1.0;
+    // c = 20000 div 6 = 3333 → 0.3333; d: degree < 2 → 0.
+    assert(out == Map(
+      "a" -> ((2L, 1L, 1.0)), "b" -> ((2L, 1L, 1.0)),
+      "c" -> ((3L, 1L, 0.3333)), "d" -> ((1L, 0L, 0.0))), s"got: $out")
+  }
+
+  test("triangleStats: a 4-cycle has no triangles") {
+    val out = tri(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    assert(out.values.forall { case (d, t, cc) => d == 2 && t == 0 && cc == 0.0 })
+  }
+
+  test("triangleStats: K4 — every node in 3 triangles, clustering 1.0") {
+    val nodes = Seq("a", "b", "c", "d")
+    val edges = for { x <- nodes; y <- nodes if x < y } yield (x, y)
+    val out = tri(edges)
+    assert(out == nodes.map(_ -> ((3L, 3L, 1.0))).toMap, s"got: $out")
+  }
+
+  test("triangleStats is partitioning-invariant") {
+    val edges = (0 until 300).map(i => (s"n${i % 25}", s"n${(i * 11 + 2) % 25}"))
+    def run(parts: Int) = Graphs.triangleStats(
+      edges.toDF("s", "t").repartition(parts), "s", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(run(1) == run(13))
+  }
 }

@@ -429,4 +429,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(near.view.filterKeys(_ != 6L).toMap == far.view.filterKeys(_ != 6L).toMap)
     assert(far(6L)._3 && far(6L)._1 == 11.25 && far(6L)._2 == 0.75)
   }
+
+  test("snapshotDiff: all four statuses, multi-column fingerprint") {
+    val oldSnap = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "p1", "p2")
+    val newSnap = Seq((1L, "a", "x"), (2L, "b", "CHANGED"), (4L, "d", "w"))
+      .toDF("id", "p1", "p2")
+    val out = RelationalOps.snapshotDiff(oldSnap, newSnap, "id", Seq("p1", "p2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got: $out")
+  }
+
+  test("snapshotDiff: the delimiter prevents concat collisions across columns") {
+    // ("ab","c") vs ("a","bc") concatenate to the same string — the
+    //  delimiter must keep them distinct
+    val oldSnap = Seq((1L, "ab", "c")).toDF("id", "p1", "p2")
+    val newSnap = Seq((1L, "a", "bc")).toDF("id", "p1", "p2")
+    val out = RelationalOps.snapshotDiff(oldSnap, newSnap, "id", Seq("p1", "p2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed"), s"got: $out")
+  }
 }
