@@ -1452,6 +1452,37 @@ object SparkEntry {
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source", "status").agg(count(lit(1)).as("n"))
         .orderBy("source", "status")
+    }),
+
+    // ---- text: inverted index (posting lists) over 2-gram terms ----
+    // 2-grams because the synthetic vocabulary is ~31 words — every
+    // unigram's df is near the corpus size, which is exactly the Zipf
+    // head the df band exists to cut.
+    "q_posting_lists" -> ((s, d) => {
+      TextAnalysis.postingLists(t(s, d, "documents"), "text", "doc_id",
+          minDf = 5, maxDf = 200, termNgram = 2)
+        .orderBy("term")
+    }),
+
+    // ---- text: shingle novelty by ingest order ----
+    "q_novelty" -> ((s, d) => {
+      TextAnalysis.noveltyScore(t(s, d, "documents"), "text", "doc_id",
+          shingleSize = 3)
+        .orderBy("doc")
+    }),
+
+    // ---- relational: column-level data profile ----
+    // The sparse derived column keeps the null branch live (the raw
+    // tables are fully dense at every SF); cents casting keeps min/max
+    // strings engine-portable (raw DOUBLE renderings differ).
+    "q_table_profile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      RelationalOps.profileColumns(ev, Seq(
+        "event_id" -> col("event_id"),
+        "event_type" -> col("event_type"),
+        "user_id" -> col("user_id"),
+        "big_cents" -> when(col("value") > 400, cents(col("value")))))
+        .orderBy("column")
     })
   )
 
@@ -2657,7 +2688,54 @@ object SparkEntry {
         |SELECT d.source, f.status, count(*) AS n
         |FROM diff f JOIN documents d ON d.doc_id = f.doc_id
         |GROUP BY d.source, f.status
-        |ORDER BY d.source, f.status""".stripMargin
+        |ORDER BY d.source, f.status""".stripMargin,
+
+    // Numeric sort before the string join — the engine's
+    // array_sort(collect_set(bigint)) twin; list_distinct dedups within a
+    // doc exactly as wordShinglesDistinct's in-kernel set does.
+    "q_posting_lists" -> {
+      val sh = sqlShingles(sqlTokens, 2)
+      s"""WITH r AS (SELECT DISTINCT doc_id AS doc, unnest($sh) AS term
+         |  FROM documents),
+         |f AS (SELECT term, count(*) AS df,
+         |    string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+         |  FROM r WHERE term <> '' GROUP BY term)
+         |SELECT term, df, postings FROM f
+         |WHERE df BETWEEN 5 AND 200 ORDER BY term""".stripMargin
+    },
+
+    "q_novelty" -> {
+      val sh = sqlShingles(sqlTokens, 3)
+      s"""WITH r AS (SELECT DISTINCT doc_id AS doc, unnest($sh) AS shingle
+         |  FROM documents),
+         |fs AS (SELECT shingle, min(doc) AS first_doc FROM r GROUP BY shingle),
+         |a AS (SELECT r.doc, count(*) AS n_shingles,
+         |    sum(CASE WHEN r.doc = fs.first_doc THEN 1 ELSE 0 END) AS n_novel
+         |  FROM r JOIN fs ON r.shingle = fs.shingle GROUP BY r.doc)
+         |SELECT doc, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+         |  ((10000 * n_novel) // n_shingles) / 10000.0 + 0.0 AS novelty_rate
+         |FROM a ORDER BY doc""".stripMargin
+    },
+
+    // One UNION ALL arm per profiled column — DuckDB has no single-pass
+    // multi-column unpivot-with-aggs; the ENGINE side is the one-pass
+    // plan, the oracle only needs to agree on values.
+    "q_table_profile" -> {
+      def arm(name: String, ex: String): String =
+        s"""SELECT '$name' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $ex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $ex) AS n_distinct,
+           |  CAST(min($ex) AS VARCHAR) AS min_val,
+           |  CAST(max($ex) AS VARCHAR) AS max_val
+           |FROM events""".stripMargin
+      Seq(
+        arm("event_id", "event_id"),
+        arm("event_type", "event_type"),
+        arm("user_id", "user_id"),
+        arm("big_cents",
+          "CASE WHEN value > 400 THEN CAST(round(value * 100, 0) AS BIGINT) END"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    }
   )
 
   /** DuckDB VALUES list for q_range_join's bands — generated from

@@ -569,4 +569,39 @@ object RelationalOps {
           .when(col("__fp_old") =!= col("__fp_new"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Column-level data profile — the schema-on-read audit that precedes
+    * any ingest decision: per column, row count, null count, EXACT
+    * distinct count, and min/max. Callers pass (name, canonicalized
+    * expression) pairs — min/max compare and emit on whatever type the
+    * expression produces, rendered via CAST AS STRING, so the caller owns
+    * the canonical form (integers/strings are engine-portable as-is;
+    * floats and timestamps should be quantized/formatted by the caller —
+    * engine-native string renderings of those types differ).
+    *
+    * Scale shape: ONE wide aggregate computes every per-column stat in a
+    * single corpus pass, then a |cols|-row explode reshapes the 1-row
+    * result — the corpus is scanned once, never per column. The exact
+    * distinct counts make Spark plan an Expand (one duplicated stream per
+    * distinct column) — the documented exact-mode cost, linear in the
+    * column count; the 100 TB path swaps `countDistinct` for
+    * `approx_count_distinct` (HLL — one stream, no Expand) exactly as the
+    * dedupReport does, once profile consumers accept ±2%. */
+  def profileColumns(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    val aggs = cols.flatMap { case (name, c) => Seq(
+      count(lit(1)).as(s"__n_$name"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),
+      countDistinct(c).as(s"__nd_$name"),
+      min(c).cast("string").as(s"__mn_$name"),
+      max(c).cast("string").as(s"__mx_$name"))
+    }
+    val profiled = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (name, _) =>
+      struct(lit(name).as("column"), col(s"__n_$name").as("n_rows"),
+        col(s"__nn_$name").as("n_null"), col(s"__nd_$name").as("n_distinct"),
+        col(s"__mn_$name").as("min_val"), col(s"__mx_$name").as("max_val"))
+    }
+    profiled.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -685,4 +685,69 @@ object TextAnalysis {
           log(col("rank_hi").cast("double") / col("rank_lo")), 4) + lit(0.0))
           .as("slope"))
   }
+
+  /** Inverted index (posting lists): for each term in the df band
+    * [minDf, maxDf], the count of documents containing it and the sorted
+    * doc-id posting list — the search-index build every retrieval-
+    * augmented pipeline materializes over its corpus. Postings are emitted
+    * as a comma-joined string of numerically-sorted ids: a canonical,
+    * engine-portable encoding (array-typed results hash differently per
+    * engine; a delimited string doesn't).
+    *
+    * Scale shape: per-doc term UNIQUENESS comes out of the shingle kernel
+    * (set semantics inside the projection), so the (term, doc) relation
+    * needs no corpus-wide distinct; then ONE hash aggregate keyed on the
+    * term builds count + collect_set together. The maxDf cut is the skew
+    * guard AND the memory guard in one: the Zipf head ("the", "a" — df ≈
+    * corpus size) would otherwise materialize a posting string as large as
+    * the corpus inside a single aggregation buffer; a df band caps every
+    * buffer at maxDf ids. Head terms belong in a stopword list, not an
+    * index — the same reasoning as [[stripRepeatedSpans]]'s maxDf cut.
+    * The band filter applies AFTER the agg (df isn't known until counted)
+    * but the collect buffer is still bounded: size_limit-style banding at
+    * build time would need a two-pass df pre-count, the documented trade
+    * for a guaranteed cap (do that at 100 TB: df agg → band filter →
+    * semi-join terms → collect). */
+  def postingLists(docs: DataFrame, textCol: String, idCol: String,
+                   minDf: Long, maxDf: Long, termNgram: Int = 1): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df band [$minDf, $maxDf]")
+    require(termNgram >= 1, s"termNgram must be positive: $termNgram")
+    docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), termNgram)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_set(col("doc"))),
+          d => d.cast("string")), ",").as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+  }
+
+  /** Shingle novelty: the fraction of each document's distinct shingles
+    * whose FIRST occurrence (by ascending doc id — ingest order) is this
+    * document. A near-duplicate of anything earlier scores ~0; fresh
+    * content scores ~1 — the cheap streaming-order complement of the
+    * pairwise dedup kernels (no candidate generation at all), used to
+    * triage which slices of a crawl are worth the full near-dup pass.
+    * novelty_rate is floored basis points (the repo-wide count-ratio
+    * convention).
+    *
+    * Scale shape: the distinct (doc, shingle) relation aggregates once
+    * keyed on the shingle (min doc — map-side combinable), joins back to
+    * itself keyed on the shingle, and re-aggregates per doc. Two shuffles
+    * of the shingle relation, both with partial aggregation; no self-join
+    * blowup because the min-doc side is one row per distinct shingle. */
+  def noveltyScore(docs: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val rows = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = rows.groupBy("shingle").agg(min(col("doc")).as("__first_doc"))
+    rows.join(firstSeen, "shingle")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc") === col("__first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc"), col("n_shingles"), col("n_novel"),
+        (expr("(10000 * n_novel) div n_shingles") / lit(10000.0) + lit(0.0))
+          .as("novelty_rate"))
+  }
 }

@@ -450,4 +450,31 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "changed"), s"got: $out")
   }
+
+  test("profileColumns: nulls, exact distincts, and min/max per column") {
+    val df = Seq(
+      (1L, Some("a"), 10L),
+      (2L, None, 10L),
+      (3L, Some("b"), 30L),
+      (4L, Some("a"), 30L)
+    ).toDF("id", "tag", "v")
+    val out = RelationalOps.profileColumns(df, Seq(
+        "id" -> col("id"), "tag" -> col("tag"), "v" -> col("v")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")), s"got: $out")
+    // null is not a distinct value; min/max skip it
+    assert(out("tag") == ((4L, 1L, 2L, "a", "b")), s"got: $out")
+    assert(out("v") == ((4L, 0L, 2L, "10", "30")), s"got: $out")
+  }
+
+  test("profileColumns: an all-null column profiles without error") {
+    val df = Seq(1L, 2L).toDF("id")
+      .withColumn("empty", lit(null).cast("string"))
+    val out = RelationalOps.profileColumns(df, Seq("empty" -> col("empty")))
+      .collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L && out.getLong(3) == 0L)
+    assert(out.isNullAt(4) && out.isNullAt(5))
+  }
 }

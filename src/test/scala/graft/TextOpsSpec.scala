@@ -425,4 +425,51 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L)), s"got: $out")
   }
+
+  // ---- inverted index (posting lists) ----
+
+  test("postingLists: df band cuts head and tail, postings sorted numerically") {
+    val docs = Seq(
+      (10L, "common rare alpha"),
+      (2L, "common alpha"),
+      (1L, "common alpha"),
+      (30L, "common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.postingLists(docs, "text", "doc_id",
+        minDf = 2, maxDf = 3)
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    // "common" (df 4) cut as head, "rare" (df 1) cut as tail
+    assert(out == Seq(("alpha", 3L, "1,2,10")), s"got: $out")
+  }
+
+  test("postingLists: in-doc repeats count once toward df") {
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.postingLists(docs, "text", "doc_id", 1, 10)
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("x", 2L, "1,2"), ("y", 1L, "2")), s"got: $out")
+  }
+
+  // ---- shingle novelty ----
+
+  test("noveltyScore: exact copy of an earlier doc scores 0, fresh doc 1") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // first: all novel
+      (2L, "a b c d e f"),   // exact copy: nothing novel
+      (3L, "p q r s t u")    // disjoint: all novel
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 4L, 4L, 1.0), (2L, 4L, 0L, 0.0),
+      (3L, 4L, 4L, 1.0)), s"got: $out")
+  }
+
+  test("noveltyScore: partial overlap scores the unseen fraction only") {
+    val docs = Seq(
+      (1L, "a b c d"),       // shingles: abc, bcd
+      (2L, "a b c x")        // shingles: abc (seen), bcx (novel) → 1/2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "text", "doc_id", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out(1) == ((2L, 2L, 1L, 0.5)), s"got: $out")
+  }
 }
