@@ -66,7 +66,12 @@ object PlanDoc {
     "q_triangles" -> "triangles: the 4-way fact join derives the bounded edge relation; degree-ordered orientation caps wedge fan-out at O(√m) per node",
     "q_ewma" -> "EWMA: ONE key exchange + window pass shared by ALL lag terms — an integer dot product, no recursive state",
     "q_regression" -> "OLS trend: one map-side-combinable 5-sum decimal agg at group grain — the corpus scans once, nothing downstream exceeds group cardinality",
-    "q_corpus_diff" -> "snapshot diff: scan-side md5 fingerprints, one full-outer key join carrying (key, fp) only")
+    "q_corpus_diff" -> "snapshot diff: scan-side md5 fingerprints, one full-outer key join carrying (key, fp) only",
+    "q_posting_lists" -> "inverted index: ONE term-keyed agg builds df + postings together; df band cuts the Zipf head",
+    "q_novelty" -> "novelty: shingle-keyed min agg + join-back — two partial-agg shuffles, no self-join blowup",
+    "q_table_profile" -> "column profile: ONE corpus pass for every per-column stat (Expand for exact distincts), |cols|-row reshape",
+    "q_knn_graph" -> "kNN graph: broadcast-centroid cells → in-cell pair join → bounded per-source TopKHits agg, no window sort",
+    "q_hits" -> "HITS: per-half-step = edge-keyed join + agg + 1-row broadcast normalize — edges scanned, never self-joined")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1483,6 +1483,29 @@ object SparkEntry {
         "user_id" -> col("user_id"),
         "big_cents" -> when(col("value") > 400, cents(col("value")))))
         .orderBy("column")
+    }),
+
+    // ---- embeddings: kNN graph within IVF cells ----
+    // Every vector's top-3 cellmates — the adjacency relation SemDeDup /
+    // label-propagation stages consume. Bounded TopKHits agg, no window.
+    "q_knn_graph" -> ((s, d) => {
+      Similarity.knnGraph(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 8, kNeighbors = 3)
+        .orderBy("src", "rnk")
+    }),
+
+    // ---- graph: weighted HITS over the event-type transition graph ----
+    // Same edge relation as q_pagerank; 2 exact-integer mean-normalized
+    // half-step pairs. Hubs ≠ authorities on a directed flow graph —
+    // both columns carry signal.
+    "q_hits" -> ((s, d) => {
+      val edges = Sequences.markovTransitions(t(s, d, "events"), "user_id",
+        "event_type", Seq("ts", "event_id"))
+      Graphs.hits(edges, "from_type", "to_type", "n", iters = 2)
+        .select(col("node"),
+          (round(col("auth"), 6) + lit(0.0)).as("auth"),
+          (round(col("hub"), 6) + lit(0.0)).as("hub"))
+        .orderBy("node")
     })
   )
 
@@ -2735,7 +2758,24 @@ object SparkEntry {
         arm("big_cents",
           "CASE WHEN value > 400 THEN CAST(round(value * 100, 0) AS BIGINT) END"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    }
+    },
+
+    // Window row_number is the oracle's ranking twin of the engine's
+    // bounded TopKHits agg: (cs DESC, dst ASC) == (score DESC, id ASC).
+    "q_knn_graph" ->
+      s"""WITH $ivfAssignCtes,
+         |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+         |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+         |p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+         |    round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cs
+         |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+         |r AS (SELECT src, dst, cs,
+         |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+         |  FROM p)
+         |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
+         |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    "q_hits" -> hitsSql
   )
 
   /** DuckDB VALUES list for q_range_join's bands — generated from
@@ -2765,6 +2805,42 @@ object SparkEntry {
        |SELECT event_id, user_id,
        |  round(($num) / ($den), 4) + 0.0 AS ewma
        |FROM l ORDER BY event_id""".stripMargin
+  }
+
+  /** HITS oracle: the Markov edge counts, then 2 UNROLLED authority/hub
+    * half-step pairs in the same exact integer mean-normalized arithmetic
+    * as `Graphs.hits` — `(raw · |V| · 1e6) // Σraw`, all HUGEINT. CTEs
+    * are generated so the iteration count changes in one place. */
+  private def hitsSql: String = {
+    val iterCtes = (1 to 2).map { i =>
+      s"""ar$i AS (SELECT e.t AS node, sum(CAST(h.h AS HUGEINT) * e.w) AS raw
+         |  FROM e JOIN h${i - 1} h ON h.node = e.s GROUP BY e.t),
+         |a$i AS (SELECT n.node,
+         |    COALESCE((ar.raw * (SELECT count(*) FROM nodes) * 1000000)
+         |      // (SELECT sum(raw) FROM ar$i), 0) AS a
+         |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+         |hr$i AS (SELECT e.s AS node, sum(CAST(a.a AS HUGEINT) * e.w) AS raw
+         |  FROM e JOIN a$i a ON a.node = e.t GROUP BY e.s),
+         |h$i AS (SELECT n.node,
+         |    COALESCE((hr.raw * (SELECT count(*) FROM nodes) * 1000000)
+         |      // (SELECT sum(raw) FROM hr$i), 0) AS h
+         |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |e AS (SELECT from_type AS s, to_type AS t, count(*) AS w FROM p
+       |      WHERE to_type IS NOT NULL GROUP BY s, t),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT s AS node FROM e UNION ALL SELECT t AS node FROM e)),
+       |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes),
+       |$iterCtes
+       |SELECT n.node,
+       |  round(CAST(a.a AS DOUBLE) / 1000000.0, 6) + 0.0 AS auth,
+       |  round(CAST(h.h AS DOUBLE) / 1000000.0, 6) + 0.0 AS hub
+       |FROM nodes n JOIN a2 a ON a.node = n.node JOIN h2 h ON h.node = n.node
+       |ORDER BY n.node""".stripMargin
   }
 
   /** PageRank oracle: the Markov edge counts, then 3 UNROLLED damped

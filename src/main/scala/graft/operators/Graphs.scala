@@ -66,6 +66,67 @@ object Graphs {
     r.select(col("node"), (col("r") / 1e6).as("rank"))
   }
 
+  /** Weighted HITS (hubs & authorities) with fixed iteration count, in
+    * EXACT integer micro-units: authority(v) = Σ hub(u)·w over in-edges,
+    * hub(u) = Σ authority(v)·w over out-edges, each half-step
+    * mean-normalized back to 1e6 by the floored integer division
+    * `(raw · |V| · 1e6) div Σraw` — so, like [[pageRank]], every engine
+    * and every partitioning produces bit-identical scores (floating-point
+    * HITS normalizes by an L2 norm whose square root no two engines round
+    * identically; mean normalization is division-exact and serves the
+    * same purpose of stopping the power iteration from overflowing).
+    * Products ride DECIMAL(38,0): micro-units (~1e6·|V| after a skewed
+    * normalize) times web-scale edge weights overflow a LONG exactly on
+    * the hub edges that matter.
+    *
+    * Scale shape per iteration: one shuffle keyed on the edge source (hub
+    * mass out), one on the destination (authority agg), each followed by
+    * a 1-row total that attaches by broadcast and a nodes-sized left join
+    * — the edge relation is scanned twice, never self-joined. Per-round
+    * localCheckpoint bounds plan depth, the loop discipline shared with
+    * pageRank/CC. Returns (node, auth, hub) for every node; 1.0 = the
+    * uniform mean mass. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           weightCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("string").as("s"),
+        col(dstCol).cast("string").as("t"),
+        col(weightCol).cast("long").as("w"))
+      .persist(lvl) // scanned twice per iteration
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("t").as("node"))).distinct().persist(lvl)
+    // Mean-normalize a raw mass relation back to the 1e6 grid: absent
+    // nodes (no in-/out-edges on this side) carry 0, and the total is a
+    // 1-row broadcast. Exact: one integer multiply + one floored div.
+    def norm(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum("raw").as("__tot"))
+      val cnt = nodes.agg(count(lit(1)).as("__nv"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(cnt))
+        .select(col("node"),
+          coalesce(
+            expr("CAST(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * __nv * 1000000 AS DECIMAL(38,0)) div __tot"),
+            lit(0L)).as(outCol))
+    }
+    var h = nodes.select(col("node"), lit(1000000L).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 0 until iters) {
+      val rawA = e.join(h.select(col("node").as("s"), col("h")), "s")
+        .select(col("t").as("node"),
+          expr("CAST(h AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      a = norm(rawA, "a").localCheckpoint()
+      val rawH = e.join(a.select(col("node").as("t"), col("a")), "t")
+        .select(col("s").as("node"),
+          expr("CAST(a AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      h = norm(rawH, "h").localCheckpoint()
+    }
+    a.join(h, "node")
+      .select(col("node"), (col("a") / 1e6).as("auth"), (col("h") / 1e6).as("hub"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * UNDIRECTED simple graph (direction, multiplicity and self-loops in
     * the input edge relation are erased first). Uses the degree-ordered

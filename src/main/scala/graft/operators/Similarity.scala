@@ -204,6 +204,47 @@ object Similarity {
       emb.filter(col(idCol) < k)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
 
+  /** k-nearest-neighbor GRAPH within IVF cells — the adjacency structure
+    * SemDeDup-style pipelines, label propagation, and graph-based outlier
+    * scoring all consume: for every vector, its `kNeighbors` most-similar
+    * cellmates with ranks. The all-pairs form of [[topKBatchFor]]: instead
+    * of a broadcast probe panel, EVERY vector is a probe, so candidate
+    * generation must be blocked — pairs exist only within a quantizer
+    * cell (the [[ivfNearDupPairs]] kernel), and the per-source ranking is
+    * the bounded `TopKHits` aggregate, not a window sort: the shuffle
+    * after the pair join carries (map tasks × sources × k) rows, and no
+    * task ever holds more than k candidates per source.
+    *
+    * Recall trade (the IVF contract): neighbors in OTHER cells are
+    * invisible, and cells above `maxCell` sub-split (see `withSubCell`),
+    * which also hides cross-sub-cell neighbors; a vector with fewer than
+    * `kNeighbors` cellmates emits fewer rows. Raise `k` (more, smaller
+    * cells) for speed; lower it for recall. */
+  def knnGraph(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+               kNeighbors: Int, maxCell: Int = 8192): DataFrame = {
+    val assigned = ivfAssign(emb, vecCol, idCol, k)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    val rows = withSubCell(
+      emb.select(col(idCol), col(vecCol)).join(assigned, idCol),
+      "cell", idCol, maxCell)
+    val a = rows.select(col("cell"), col("__sub"), col(idCol).as("src"),
+      col(vecCol).as("v_a"))
+    val b = rows.select(col("cell"), col("__sub"), col(idCol).as("dst"),
+      col(vecCol).as("v_b"))
+    val topk = udaf(new graft.functions.TopKHits(kNeighbors),
+      graft.functions.TopKHits.hitEncoder)
+    a.join(b, Seq("cell", "__sub"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"),
+        r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"),
+        col("dst"))
+      .groupBy("src")
+      .agg(topk(col("cos_sim"), col("dst")).as("hits"))
+      .select(col("src"), posexplode(col("hits")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("dst"), col("col.score").as("cos_sim"))
+  }
+
   /** Semantic-diversity sampling: temperature-flatten the corpus across
     * quantizer cells (DataComp/SemDeDup-style cluster balancing) — a
     * uniform random sample of a web corpus reproduces its mode collapse

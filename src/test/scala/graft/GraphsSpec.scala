@@ -82,4 +82,37 @@ class GraphsSpec extends SparkSpec {
       .toSet
     assert(run(1) == run(13))
   }
+
+  // ---- HITS ----
+
+  private def runHits(edges: Seq[(String, String, Long)], iters: Int) =
+    Graphs.hits(edges.toDF("s", "t", "w"), "s", "t", "w", iters)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+
+  test("hits: a pure hub and a pure authority separate after one iteration") {
+    // h -> a1, h -> a2: h is the only hub, a1/a2 the only authorities.
+    val out = runHits(Seq(("h", "a1", 1L), ("h", "a2", 1L)), iters = 1)
+    // auth raw: a1 = a2 = 1e6; norm over |V|=3 → (1e6·3·1e6)//2e6 = 1.5e6.
+    // hub raw: h = 1.5e6 + 1.5e6 = 3e6, only mass → (3e6·3·1e6)//3e6 = 3e6.
+    assert(out("h") == ((0.0, 3.0)), s"got: $out")
+    assert(out("a1") == ((1.5, 0.0)) && out("a2") == ((1.5, 0.0)), s"got: $out")
+  }
+
+  test("hits: edge weight shifts authority mass proportionally") {
+    // one hub, two authorities, 3:1 weights → auth split 3:1 after norm
+    val out = runHits(Seq(("h", "x", 3L), ("h", "y", 1L)), iters = 1)
+    // raw: x = 3e6, y = 1e6, Σ = 4e6, |V| = 3:
+    // x = (3e6·3e6·1e6... ) → (3e6·3·1e6)//4e6 = 2.25e6; y = 0.75e6
+    assert(out("x")._1 == 2.25 && out("y")._1 == 0.75, s"got: $out")
+  }
+
+  test("hits is partitioning-invariant (exact integer arithmetic)") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 13}", s"n${(i * 7 + 3) % 13}", (i % 5 + 1).toLong))
+    def run(parts: Int) = Graphs.hits(
+      edges.toDF("s", "t", "w").repartition(parts), "s", "t", "w", iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(run(1) == run(11))
+  }
 }

@@ -430,4 +430,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == (1L, 3L, 1.0, 0.0), s"got: ${out(1)}")
     assert(out(2) == (2L, 1L, 2.0, 0.0), s"got: ${out(2)}") // finite row only
   }
+
+  test("knnGraph: neighbors stay in-cell, ranks follow cosine, k bounds the fan-out") {
+    // Two orthogonal families → two quantizer cells (seeds id 0 and 1).
+    // x-family: ids 0,2,3 along +x (varying magnitude); y-family: 1,4.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.1f, 0.0f)),
+      (3L, Array(3.0f, 0.0f, 0.1f)),
+      (4L, Array(0.0f, 5.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(emb, "embedding", "vec_id", k = 2,
+        kNeighbors = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bySrc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // cells: {0,2,3} on x, {1,4} on y — no cross-cell edges
+    assert(bySrc(0L).toSet.subsetOf(Set(2L, 3L)), s"got: $bySrc")
+    assert(bySrc(1L) == Seq(4L) && bySrc(4L) == Seq(1L), s"got: $bySrc")
+    assert(out.forall(_._2 <= 2), "fan-out must be bounded by kNeighbors")
+    // rank 1 for id 0 is the most-cosine-similar cellmate (id 2 carries a
+    // small +y component; id 3's +z tilt is smaller → cos(0,3) > cos(0,2))
+    assert(bySrc(0L).head == 3L, s"got: $bySrc")
+  }
 }
