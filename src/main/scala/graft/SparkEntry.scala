@@ -1506,6 +1506,19 @@ object SparkEntry {
           (round(col("auth"), 6) + lit(0.0)).as("auth"),
           (round(col("hub"), 6) + lit(0.0)).as("hub"))
         .orderBy("node")
+    }),
+
+    // ---- embeddings: product-quantization codes (4 subspaces × 16) ----
+    "q_pq_codes" -> ((s, d) => {
+      Similarity.pqCodes(t(s, d, "embeddings"), "embedding", "vec_id",
+          m = 4, k = 16, dim = 64)
+        .orderBy("vec_id", "sub")
+    }),
+
+    // ---- embeddings: asymmetric-distance top-k over the PQ codes ----
+    "q_pq_adc" -> ((s, d) => {
+      Similarity.pqTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, m = 4, k = 16, dim = 64, topK = 10)
     })
   )
 
@@ -2775,8 +2788,52 @@ object SparkEntry {
          |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
          |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
 
-    "q_hits" -> hitsSql
+    "q_hits" -> hitsSql,
+
+    "q_pq_codes" ->
+      s"""WITH $pqCodesCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+         |  d2 + 0.0 AS dist2
+         |FROM codes ORDER BY vec_id, sub""".stripMargin,
+
+    // LUT entries quantized to integer ten-thousandths BEFORE the
+    // per-vector sum — bigint addition is order-invariant, matching the
+    // engine's partial-agg-safe convention.
+    "q_pq_adc" ->
+      s"""WITH $pqCodesCtes,
+         |q AS (SELECT s.sub, vv[s.sub*16+1 : s.sub*16+16] AS qs
+         |      FROM v, subs s WHERE vec_id = 0),
+         |lut AS (SELECT cb.sub, cb.code,
+         |    CAST(round((list_dot_product(cs,cs) - 2*list_dot_product(cs,qs)
+         |      + list_dot_product(qs,qs)) * 10000, 0) AS BIGINT) AS d2_q4
+         |  FROM cb JOIN q ON cb.sub = q.sub),
+         |adc AS (SELECT c.vec_id, sum(l.d2_q4) AS adc_q4
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+         |SELECT vec_id, CAST(adc_q4 AS BIGINT) / 10000.0 AS adc_dist2
+         |FROM adc ORDER BY adc_q4, vec_id LIMIT 10""".stripMargin
   )
+
+  /** Shared PQ CTEs: 4 subspaces × 16-dim slices, codebook = the 16
+    * lowest-id vectors' subvectors, assignment by the dot-product-identity
+    * distance (every term rides list_dot_product — the bit-exact twin of
+    * VectorFunctions.dot), argmin ties to the smaller code. */
+  private def pqCodesCtes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+      |subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      |cb AS (SELECT s.sub, CAST(vec_id AS INT) AS code,
+      |    vv[s.sub*16+1 : s.sub*16+16] AS cs
+      |  FROM v, subs s WHERE vec_id < 16),
+      |sv AS (SELECT vec_id, s.sub, vv[s.sub*16+1 : s.sub*16+16] AS xs
+      |  FROM v, subs s),
+      |sc AS (SELECT sv.vec_id, sv.sub, cb.code,
+      |    round(list_dot_product(xs,xs) - 2*list_dot_product(xs,cs)
+      |      + list_dot_product(cs,cs), 4) AS d2
+      |  FROM sv JOIN cb ON sv.sub = cb.sub),
+      |codes AS (SELECT vec_id, sub, code, d2 FROM (
+      |    SELECT vec_id, sub, code, d2,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |    FROM sc) WHERE rn = 1)""".stripMargin
 
   /** DuckDB VALUES list for q_range_join's bands — generated from
     * `rangeBands` so engine and oracle share one definition. */

@@ -245,6 +245,94 @@ object Similarity {
         col("col.id").as("dst"), col("col.score").as("cos_sim"))
   }
 
+  /** Product-quantization codebook: `m` subspaces × `k` codes, each code
+    * the subvector of one of the k lowest-id vectors (the deterministic
+    * seeding convention of [[ivfAssign]]; production refines per-subspace
+    * with Lloyd rounds — each of which is [[pqCodes]]' own assign plan
+    * plus a per-(sub, code, pos) mean, the `ivfRefit` shape). m·k rows. */
+  def pqCodebook(emb: DataFrame, vecCol: String, idCol: String,
+                 m: Int, k: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val w = dim / m
+    val seeds = emb.filter(col(idCol) < k)
+    (0 until m).map { j =>
+      seeds.select(lit(j).as("sub"), col(idCol).cast("int").as("code"),
+        slice(col(vecCol), j * w + 1, w).as("c_sub"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Product-quantization encoding: every vector compressed to `m` code
+    * ids — 4·dim bytes down to m·ceil(log2 k)/8 (64 floats → 4 bytes at
+    * m=4, k=16), THE memory lever that lets a 100 TB embedding corpus'
+    * index fit in cluster RAM for ADC scans ([[pqTopK]]). Output is the
+    * exploded scalar form (id, sub, code, dist2) — engine-portable, and
+    * dist2 (the subspace quantization error, rounded) doubles as the
+    * reconstruction-quality audit column.
+    *
+    * Distances use the dot-product identity ‖x−c‖² = x·x − 2x·c + c·c over
+    * subvector slices so every term rides the [[VectorFunctions.dot]]
+    * left-to-right kernel both engines evaluate bit-identically; argmin is
+    * the map-side-combinable min(struct) with ties to the smaller code.
+    *
+    * Scale shape: the m·k codebook broadcasts; the corpus explodes to n·m
+    * subvector rows INSIDE the scan projection (no shuffle), scores k
+    * codes per row in one codegen'd projection, and reduces by ONE
+    * hash aggregate keyed (id, sub) — the corpus never self-shuffles. */
+  def pqCodes(emb: DataFrame, vecCol: String, idCol: String,
+              m: Int, k: Int, dim: Int): DataFrame = {
+    val w = dim / m
+    val cb = pqCodebook(emb, vecCol, idCol, m, k, dim)
+    val sub = emb.select(col(idCol), posexplode(
+        array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
+      .as(Seq("sub", "x_sub")))
+    val d2 = r4(dot(col("x_sub"), col("x_sub"))
+      - lit(2.0) * dot(col("x_sub"), col("c_sub"))
+      + dot(col("c_sub"), col("c_sub")))
+    sub.join(broadcast(cb), "sub")
+      .select(col(idCol), col("sub"), col("code"), d2.as("dist2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist2"), col("code"))).as("best"))
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("best.code").cast("long").as("code"), col("best.dist2").as("dist2"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * full-precision, the corpus is its codes — approx ‖x−q‖² =
+    * Σ_j ‖c_{j,code_j} − q_j‖², each term a lookup in the m·k-entry
+    * per-query table. Entries are quantized to integer ten-thousandths
+    * BEFORE the per-vector sum so the sum is order-invariant (bigint
+    * addition commutes; summing rounded doubles would expose partial-agg
+    * order), the repo-wide integer micro-unit convention.
+    *
+    * Scale shape: this is the scan the compression buys — the LUT (m·k
+    * rows) broadcasts onto the CODES relation (n·m rows of 3 small ints,
+    * not n·dim floats), one (id)-keyed integer sum, and a
+    * TakeOrderedAndProject cut. The full-precision corpus is touched only
+    * to build codes (once) and for optional re-ranking of the k winners. */
+  def pqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
+             m: Int, k: Int, dim: Int, topK: Int): DataFrame = {
+    val w = dim / m
+    val q = emb.filter(col(idCol) === queryId)
+      .select(posexplode(
+        array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
+        .as(Seq("sub", "q_sub")))
+    val lut = pqCodebook(emb, vecCol, idCol, m, k, dim)
+      .join(broadcast(q), "sub")
+      .select(col("sub"), col("code"),
+        round((dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot(col("c_sub"), col("q_sub"))
+          + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
+          .as("d2_q4"))
+    pqCodes(emb, vecCol, idCol, m, k, dim)
+      .filter(col(idCol) =!= queryId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum("d2_q4").as("adc_q4"))
+      .orderBy(col("adc_q4").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+  }
+
   /** Semantic-diversity sampling: temperature-flatten the corpus across
     * quantizer cells (DataComp/SemDeDup-style cluster balancing) — a
     * uniform random sample of a web corpus reproduces its mode collapse

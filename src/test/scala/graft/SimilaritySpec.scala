@@ -453,4 +453,38 @@ class SimilaritySpec extends SparkSpec {
     // small +y component; id 3's +z tilt is smaller → cos(0,3) > cos(0,2))
     assert(bySrc(0L).head == 3L, s"got: $bySrc")
   }
+
+  test("pqCodes: seed vectors encode to themselves with zero error") {
+    val emb = vecs(20, dim = 8)
+    val out = Similarity.pqCodes(emb, "v", "id", m = 2, k = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 40, "one code per (vector, subspace)")
+    for (id <- 0L until 4L; sub <- 0L until 2L)
+      assert(out((id, sub)) == ((id, 0.0)),
+        s"seed $id sub $sub must self-encode: ${out((id, sub))}")
+    // every non-seed row picked SOME code with finite non-negative error
+    assert(out.values.forall { case (c, d) => c >= 0 && c < 4 && d >= 0.0 })
+  }
+
+  test("pqTopK: an exact duplicate of the query scores ADC distance 0") {
+    // id 100 duplicates id 0 (the query) exactly, so its codes coincide
+    // with the query's own cells and its ADC distance is exactly 0. Other
+    // vectors quantized into the same (sub, code) cells are
+    // indistinguishable at ADC resolution — scoring 0 too is the PQ
+    // contract (re-rank the winners full-precision to separate them), so
+    // the assertion is membership-with-zero, not strict rank 1.
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val dup = (100L, base.head._2)
+    val emb = (base :+ dup).toDF("id", "v")
+    val out = Similarity.pqTopK(emb, "v", "id", queryId = 0L,
+        m = 2, k = 4, dim = 8, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.size == 5)
+    assert(out.contains((100L, 0.0)), s"exact dup must score 0: $out")
+    assert(out.map(_._2) == out.map(_._2).sorted, "ascending ADC order")
+    assert(!out.map(_._1).contains(0L), "the query never matches itself")
+  }
 }
