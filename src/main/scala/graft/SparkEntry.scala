@@ -1519,6 +1519,27 @@ object SparkEntry {
     "q_pq_adc" -> ((s, d) => {
       Similarity.pqTopK(t(s, d, "embeddings"), "embedding", "vec_id",
         queryId = 0L, m = 4, k = 16, dim = 64, topK = 10)
+    }),
+
+    // ---- time series: rolling z-score anomaly flags (exact integers) ----
+    "q_anomaly_z" -> ((s, d) => {
+      Timeseries.rollingAnomalies(
+        t(s, d, "events").withColumn("__cents", cents(col("value"))),
+        "user_id", Seq("ts", "event_id"), "__cents",
+        idCols = Seq("event_id", "user_id"), lookback = 8, kSigma = 3)
+        .orderBy("event_id")
+    }),
+
+    // ---- time series: CUSUM change-point alarms (prefix-sum form) ----
+    // slack/threshold in cents; tuned so alarms exist at every oracle SF
+    // (10 of 10k rows at sf0.01, 265 of 100k at sf0.1).
+    "q_cusum" -> ((s, d) => {
+      Timeseries.cusumAlarms(
+        t(s, d, "events").withColumn("__cents", cents(col("value"))),
+        "user_id", Seq("ts", "event_id"), "__cents",
+        idCols = Seq("event_id", "user_id"),
+        slack = 1000L, threshold = 50000L)
+        .orderBy("event_id")
     })
   )
 
@@ -2811,7 +2832,50 @@ object SparkEntry {
          |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
          |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
          |SELECT vec_id, CAST(adc_q4 AS BIGINT) / 10000.0 AS adc_dist2
-         |FROM adc ORDER BY adc_q4, vec_id LIMIT 10""".stripMargin
+         |FROM adc ORDER BY adc_q4, vec_id LIMIT 10""".stripMargin,
+
+    // z² = (n·x − s1)²/(n·s2 − s1²): the k-sigma test is the exact integer
+    // cross-multiplication; z2_floor NULL on zero-variance frames/warm-up.
+    "q_anomaly_z" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value*100, 0) AS BIGINT) AS c FROM events),
+        |w AS (SELECT event_id, user_id, c,
+        |    count(c) OVER win AS n,
+        |    COALESCE(sum(CAST(c AS HUGEINT)) OVER win, 0) AS s1,
+        |    COALESCE(sum(CAST(c AS HUGEINT)*c) OVER win, 0) AS s2
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prior,
+        |  CASE WHEN n >= 4
+        |    THEN (n*c - s1)*(n*c - s1) > 9*(n*s2 - s1*s1)
+        |    ELSE false END AS is_anomaly,
+        |  CASE WHEN n >= 4 AND (n*s2 - s1*s1) > 0
+        |    THEN CAST(((n*c - s1)*(n*c - s1)) // (n*s2 - s1*s1) AS BIGINT)
+        |    END AS z2_floor
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    // S_i = P_i − min(0, P_1..P_i): the max(0, ·) recursion in closed
+    // prefix form — same two running aggregates as the engine.
+    "q_cusum" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value*100, 0) AS BIGINT) AS c FROM events),
+        |m AS (SELECT user_id,
+        |    (1000000 * CAST(sum(c) AS HUGEINT)) // count(*) AS mu
+        |  FROM e GROUP BY user_id),
+        |p AS (SELECT e.event_id, e.user_id, e.ts,
+        |    sum(CAST(1000000 AS HUGEINT)*c - mu
+        |      - CAST(1000000 AS HUGEINT)*1000) OVER win AS pp
+        |  FROM e JOIN m USING (user_id)
+        |  WINDOW win AS (PARTITION BY e.user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT event_id, user_id,
+        |    pp - least(min(pp) OVER win2, 0) AS ss
+        |  FROM p WINDOW win2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id,
+        |  CAST(ss AS BIGINT) / 1000000.0 AS cusum,
+        |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
+        |FROM s ORDER BY event_id""".stripMargin
   )
 
   /** Shared PQ CTEs: 4 subspaces × 16-dim slices, codebook = the 16

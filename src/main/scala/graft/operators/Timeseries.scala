@@ -98,4 +98,89 @@ object Timeseries {
         (when(col("__slope_micro").isNotNull, interMicro)
           .cast("long") / 1e6).as("intercept"))
   }
+
+  /** Rolling z-score anomaly flags over a trailing window of `lookback`
+    * PRIOR points (the current row never sees itself — a spike must not
+    * mask its own detection). Entirely in exact integer arithmetic: with
+    * trailing sums s1 = Σx, s2 = Σx² over n prior rows,
+    * `z² = (n·x − s1)² / (n·s2 − s1²)`, so the k-sigma test is the exact
+    * integer cross-multiplication `(n·x − s1)² > k²·(n·s2 − s1²)` — no
+    * sqrt, no division, no float accumulation, bit-identical on any
+    * engine/partitioning. `z2_floor` (the floored integer quotient) is
+    * emitted as the explainable magnitude; it is NULL for a zero-variance
+    * frame (where the boolean is still exact: any deviation from a
+    * constant history is anomalous) and for warm-up rows (n < minPrior,
+    * always non-anomalous — no evidence, no alarm).
+    *
+    * Squared terms ride DECIMAL(38,0): (n·x)² at web-scale money values
+    * overflows a LONG exactly on the outliers being tested.
+    *
+    * Scale shape: ONE exchange on the key + per-partition sort; count,
+    * both sums, and every derived column share that single window pass,
+    * O(lookback) frame state per row — the ewmaSmooth shape with a second
+    * moment. */
+  def rollingAnomalies(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                       valueCol: String, idCols: Seq[String],
+                       lookback: Int, kSigma: Int,
+                       minPrior: Int = 4): DataFrame = {
+    require(lookback >= 2 && kSigma >= 1 && minPrior >= 2,
+      s"bad params: lookback=$lookback kSigma=$kSigma minPrior=$minPrior")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val d38 = "decimal(38,0)"
+    val out = df
+      .withColumn("__n", count(col(valueCol)).over(w).cast(d38))
+      .withColumn("__s1", coalesce(sum(col(valueCol).cast(d38)).over(w),
+        lit(0).cast(d38)))
+      .withColumn("__s2", coalesce(
+        sum((col(valueCol).cast(d38) * col(valueCol)).cast(d38)).over(w),
+        lit(0).cast(d38)))
+      .withColumn("__dev", expr(s"CAST(__n * $valueCol AS $d38) - __s1"))
+      .withColumn("__var", expr("__n * __s2 - __s1 * __s1"))
+    out.select(idCols.map(col) :+
+      col("__n").cast("long").as("n_prior") :+
+      when(col("__n") >= minPrior,
+        expr(s"__dev * __dev > ${kSigma.toLong * kSigma} * __var"))
+        .otherwise(lit(false)).as("is_anomaly") :+
+      when(col("__n") >= minPrior && col("__var") > 0,
+        expr("(__dev * __dev) div __var")).cast("long").as("z2_floor"): _*)
+  }
+
+  /** CUSUM change-point detection per key, DISTRIBUTED: the textbook
+    * recursion `S_i = max(0, S_{i−1} + (x_i − μ − slack))` looks
+    * inherently sequential, but with P_i = the prefix sum of the drift
+    * terms, `S_i = P_i − min(P_0..P_i)` exactly — so the whole detector is
+    * one running sum plus one running min over the SAME ordered window
+    * pass, both exact integer aggregates. μ is each key's own mean in
+    * integer micro-units (floored `1e6·Σx div n` — two-pass CUSUM: the
+    * reference level from a first aggregation, broadcast back), `slack`
+    * and the alarm threshold `h` are caller units scaled by 1e6
+    * internally. Emits the CUSUM statistic (micro-units / 1e6) and the
+    * alarm flag `S > h` — a persistent upward mean-shift accumulates
+    * drift faster than the slack drains it and trips the alarm; i.i.d.
+    * noise keeps resetting to 0.
+    *
+    * Scale shape: one keys-sized mean agg broadcast back over the scan,
+    * then ONE exchange on the key with running sum + running min sharing
+    * a single window pass — no recursion in the plan, no driver loop,
+    * O(1) state per row. */
+  def cusumAlarms(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                  valueCol: String, idCols: Seq[String],
+                  slack: Long, threshold: Long): DataFrame = {
+    require(slack >= 0 && threshold > 0, s"slack=$slack threshold=$threshold")
+    val means = df.groupBy(col(keyCol))
+      .agg(expr(s"(1000000 * CAST(sum($valueCol) AS DECIMAL(38,0))) div count(1)")
+        .as("__mu_micro"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val drift = expr(s"CAST(1000000 * $valueCol AS DECIMAL(38,0))") -
+      col("__mu_micro") - lit(1000000L * slack)
+    val out = df.join(broadcast(means), keyCol)
+      .withColumn("__p", sum(drift.cast("decimal(38,0)")).over(wRun))
+      .withColumn("__s",
+        col("__p") - least(min(col("__p")).over(wRun), lit(0).cast("decimal(38,0)")))
+    out.select(idCols.map(col) :+
+      (col("__s").cast("long") / 1e6).as("cusum") :+
+      (col("__s") > lit(threshold).cast("decimal(38,0)") * 1000000L).as("alarm"): _*)
+  }
 }

@@ -73,4 +73,84 @@ class TimeseriesSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(run(1) == run(17))
   }
+
+  // ---- rolling z-score anomalies ----
+
+  test("rollingAnomalies: a spike against a flat history trips; warm-up never does") {
+    // constant 100s, then a spike; zero-variance frame → boolean still
+    // exact (any deviation anomalous), z2_floor NULL
+    val rows = (1L to 6L).map(i => ("k", i, 100L)) :+ (("k", 7L, 500L))
+    val df = rows.toDF("k", "seq", "v")
+    val out = Timeseries.rollingAnomalies(df, "k", Seq("seq"), "v",
+        idCols = Seq("seq"), lookback = 8, kSigma = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    // rows 1-4: n_prior < 4 → warm-up, never anomalous
+    assert((1L to 4L).forall(i => !out(i)._2), s"warm-up must not alarm: $out")
+    // row 5/6: 4-5 prior constant rows, value equals history → quiet
+    assert(out(5L) == ((4L, false, -1L)) && out(6L) == ((5L, false, -1L)))
+    // row 7: spike vs zero-variance history → anomaly, z2_floor NULL
+    assert(out(7L) == ((6L, true, -1L)), s"got: ${out(7L)}")
+  }
+
+  test("rollingAnomalies: z² quotient is the exact floored integer ratio") {
+    // history 90,110,90,110 (n=4, s1=400, s2=40400): next x=150:
+    // dev = 4·150−400 = 200 → dev² = 40000; var = 4·40400−160000 = 1600
+    // z2 = 25 exactly ≥ 9 → anomaly; x=110 → dev=40, 1600/1600 = 1 → quiet
+    val rows = Seq(("k", 1L, 90L), ("k", 2L, 110L), ("k", 3L, 90L),
+      ("k", 4L, 110L), ("k", 5L, 150L))
+    val out = Timeseries.rollingAnomalies(rows.toDF("k", "seq", "v"),
+        "k", Seq("seq"), "v", idCols = Seq("seq"), lookback = 8, kSigma = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(5L) == ((true, 25L)), s"got: ${out(5L)}")
+  }
+
+  // ---- CUSUM ----
+
+  /** The textbook sequential recursion, for equivalence checks. */
+  private def cusumRef(xs: Seq[Long], muMicro: Long, slackMicro: Long): Seq[Long] =
+    xs.scanLeft(0L) { (s, x) =>
+      math.max(0L, s + (1000000L * x - muMicro - slackMicro))
+    }.tail
+
+  test("cusumAlarms equals the sequential max(0, ·) recursion") {
+    val xs = Seq(5L, 1L, 9L, 9L, 9L, 2L, 1L, 1L, 8L, 9L, 9L, 9L, 9L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "seq", "v")
+    val out = Timeseries.cusumAlarms(df, "k", Seq("seq"), "v",
+        idCols = Seq("seq"), slack = 1L, threshold = 5L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = xs.size
+    val mu = xs.sum * 1000000L / n // floored: matches the engine's div
+    val ref = cusumRef(xs, mu, 1000000L)
+    for (i <- xs.indices)
+      assert(out(i.toLong) == ref(i) / 1e6,
+        s"at $i: engine ${out(i.toLong)} vs recursion ${ref(i) / 1e6}")
+  }
+
+  test("cusumAlarms: a planted mean shift trips the alarm, noise resets to 0") {
+    // 20 quiet points around 10, then 10 points at 50: the shift must
+    // accumulate past threshold=100 while the quiet prefix stays silent
+    val xs = Seq.fill(20)(Seq(8L, 12L)).flatten.take(20) ++ Seq.fill(10)(50L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "seq", "v")
+    val out = Timeseries.cusumAlarms(df, "k", Seq("seq"), "v",
+        idCols = Seq("seq"), slack = 5L, threshold = 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert((0L until 20L).forall(i => !out(i)), "quiet prefix must not alarm")
+    assert(out(29L), "sustained shift must trip the alarm")
+  }
+
+  test("cusumAlarms is partitioning-invariant") {
+    val df = (0 until 500).map(i =>
+      (s"k${i % 7}", i.toLong, (i * 13 % 97).toLong)).toDF("k", "seq", "v")
+    def run(parts: Int) = Timeseries.cusumAlarms(
+      df.repartition(parts), "k", Seq("seq"), "v",
+      idCols = Seq("k", "seq"), slack = 10L, threshold = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(run(1) == run(19))
+  }
 }
