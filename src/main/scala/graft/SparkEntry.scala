@@ -1540,6 +1540,13 @@ object SparkEntry {
         idCols = Seq("event_id", "user_id"),
         slack = 1000L, threshold = 50000L)
         .orderBy("event_id")
+    }),
+
+    // ---- curation: deterministic global shuffle (epoch permutation) ----
+    "q_global_shuffle" -> ((s, d) => {
+      Curation.globalShuffleOrder(t(s, d, "documents"), "doc_id",
+          buckets = 64)
+        .orderBy("doc_id")
     })
   )
 
@@ -2875,7 +2882,18 @@ object SparkEntry {
         |SELECT event_id, user_id,
         |  CAST(ss AS BIGINT) / 1000000.0 AS cusum,
         |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
-        |FROM s ORDER BY event_id""".stripMargin
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    // The oracle CAN afford the global sort the engine refuses: one
+    // window over the whole (tiny at sf0.01) corpus, ordered by the
+    // shared sampler hash with id tie-break — bucket-major == global
+    // order because the engine's bucket id is monotone in the hash.
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY
+        |    ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared PQ CTEs: 4 subspaces × 16-dim slices, codebook = the 16

@@ -469,4 +469,43 @@ object Curation {
       .withColumn("was_clamped", col("clamped") =!= col(valCol))
       .drop(groupCols.map(c => s"__k_$c") ++ Seq("__lo", "__hi"): _*)
   }
+
+  /** Deterministic GLOBAL shuffle order: every row gets a unique 0-based
+    * position in a reproducible pseudo-random permutation of the corpus —
+    * the epoch-shuffle every training run needs, as a pure function of the
+    * id ([[knuthHash]], the sampler family's hash): re-runs, engines, and
+    * restarts agree on the exact order, and a resumed job can slice
+    * positions [a, b) without replaying the permutation.
+    *
+    * The naive form — `row_number() OVER (ORDER BY hash)` — is THE
+    * classic scale trap: a global window means ONE task sorts the corpus.
+    * This is the two-phase form: the hash space splits into `buckets`
+    * contiguous spans (bucket = hash div span, MONOTONE in the hash, so
+    * bucket-major order IS global order); per-bucket counts (a
+    * buckets-sized agg) prefix-sum into start offsets over a
+    * buckets-sized window (tiny), broadcast back, and each row's position
+    * is its bucket offset plus its rank WITHIN the bucket — a partitioned
+    * window, one exchange on the bucket id, per-bucket sorts of n/buckets
+    * rows each. Set `buckets` ≈ corpus partitions at scale: the plan is
+    * then exactly one shuffle plus parallel sorted scans.
+    *
+    * Ties: hash collisions order by id — total order, no nondeterminism. */
+  def globalShuffleOrder(df: DataFrame, idCol: String,
+                         buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20), s"buckets: $buckets")
+    val P = 1000000007L
+    val span = (P + buckets - 1) / buckets
+    val keyed = df.select(col(idCol), knuthHash(col(idCol), P).as("__h"))
+      .withColumn("__b", expr(s"__h div $span"))
+    val offs = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(org.apache.spark.sql.expressions.Window
+          .orderBy("__b").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__h"), col(idCol))
+    keyed.join(broadcast(offs), "__b")
+      .select(col(idCol),
+        (col("__off") + row_number().over(w) - 1).cast("long").as("pos"))
+  }
 }

@@ -132,6 +132,52 @@ object StatefulOps {
       }
   }
 
+  /** Streaming rolling z-score anomaly detector —
+    * `Timeseries.rollingAnomalies` as a per-key state machine: state = the
+    * key's last `lookback` quantized values (one bounded deque per key —
+    * O(lookback) state, the streaming twin of the batch window frame);
+    * each arriving point is tested against the PRIOR history with the
+    * identical exact-integer cross-multiplication
+    * `(n·x − s1)² > k²·(n·s2 − s1²)` (BigInt — the DECIMAL(38,0) twin, no
+    * silent wrap at money scale), then appended. Batch equivalence is
+    * spec-pinned, micro-batch boundaries included — the carried deque is
+    * exactly what makes a spike right after a boundary still see its
+    * history. Ordering contract is funnelStream's: in-batch points sort
+    * by `idx`, per-key in-order delivery across batches is the
+    * transport's job. */
+  final case class SeriesPoint(key: Long, idx: Long, value: Long)
+  final case class AnomalyHist(values: Seq[Long])
+  final case class AnomalyFlag(key: Long, idx: Long, nPrior: Long,
+                               isAnomaly: Boolean)
+
+  def anomalyStream(points: Dataset[SeriesPoint], lookback: Int, kSigma: Int,
+                    minPrior: Int = 4)(
+      implicit spark: SparkSession): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    require(lookback >= 2 && kSigma >= 1 && minPrior >= 2,
+      s"bad params: lookback=$lookback kSigma=$kSigma minPrior=$minPrior")
+    val k2 = BigInt(kSigma.toLong * kSigma)
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyHist, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[AnomalyHist]) =>
+          var hist = state.getOption.map(_.values.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[AnomalyFlag]
+          rows.toSeq.sortBy(_.idx).foreach { p =>
+            val n = BigInt(hist.size)
+            val s1 = hist.foldLeft(BigInt(0))(_ + _)
+            val s2 = hist.foldLeft(BigInt(0))((a, v) => a + BigInt(v) * v)
+            val dev = n * p.value - s1
+            val anom = hist.size >= minPrior && dev * dev > k2 * (n * s2 - s1 * s1)
+            out += AnomalyFlag(key, p.idx, hist.size.toLong, anom)
+            hist = (hist :+ p.value).takeRight(lookback)
+          }
+          state.update(AnomalyHist(hist))
+          out.result().iterator
+      }
+  }
+
   /** W6 exact variant: sessionization via flatMapGroupsWithState with an
     * event-time timeout — the fallback SURVEY.md §7.4(4) names for when
     * session_window's append-mode emission doesn't fit (e.g. emitting

@@ -358,4 +358,26 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("globalShuffleOrder: a contiguous 0-based permutation matching the hash sort") {
+    val ids = (1L to 997L).toDF("doc_id")
+    val out = Curation.globalShuffleOrder(ids, "doc_id", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 997 && out.values.toSet == (0L until 997L).toSet,
+      "positions must be a contiguous 0-based permutation")
+    // positions agree with the local sort by (knuth hash, id)
+    def h(id: Long) = (id % 1000003L) * 2654435761L % 1000000007L
+    val expected = (1L to 997L).sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(out == expected)
+  }
+
+  test("globalShuffleOrder is bucket-count- and partitioning-invariant") {
+    val ids = (1L to 500L).toDF("doc_id")
+    def run(buckets: Int, parts: Int) =
+      Curation.globalShuffleOrder(ids.repartition(parts), "doc_id", buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1, 1) == run(64, 13),
+      "the permutation is a pure function of the ids — never of bucketing or partitioning")
+  }
 }

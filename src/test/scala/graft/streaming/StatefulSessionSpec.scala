@@ -128,4 +128,33 @@ class StatefulSessionSpec extends SparkSpec {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     assert(streamed(("a", "b")) == 2L) // spans the batch cut for u2
   }
+
+  test("anomalyStream flags equal the batch rollingAnomalies, across micro-batches") {
+    import graft.streaming.StatefulOps.{AnomalyFlag, SeriesPoint}
+    // two keys, values with a planted spike per key; the spike for key 1
+    // arrives in a LATER micro-batch than its history — only carried
+    // deque state can flag it
+    val fixture = (1L to 10L).map(i => SeriesPoint(1L, i, 100L)) ++
+      Seq(SeriesPoint(1L, 11L, 900L)) ++
+      (1L to 6L).map(i => SeriesPoint(2L, i, (if (i % 2 == 0) 110L else 90L))) ++
+      Seq(SeriesPoint(2L, 7L, 104L))
+    val in = MemoryStream[SeriesPoint]
+    val q = StatefulOps.anomalyStream(in.toDS(), lookback = 8, kSigma = 3)
+      .writeStream.format("memory").queryName("t_anom").outputMode("append").start()
+    val (b1, b2) = fixture.partition(_.idx <= 6L)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_anom").as[AnomalyFlag].collect()
+      .map(f => (f.key, f.idx) -> ((f.nPrior, f.isAnomaly))).toMap
+    val batch = graft.operators.Timeseries.rollingAnomalies(
+        fixture.toDF("key", "idx", "v"), "key", Seq("idx"), "v",
+        idCols = Seq("key", "idx"), lookback = 8, kSigma = 3)
+      .select("key", "idx", "n_prior", "is_anomaly")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (k, i, n, a) => (k, i) -> ((n, a)) }.toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed((1L, 11L))._2, "cross-batch spike must flag")
+    assert(!streamed((2L, 7L))._2, "in-band point must stay quiet")
+  }
 }
