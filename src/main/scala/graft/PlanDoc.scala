@@ -75,7 +75,9 @@ object PlanDoc {
     "q_pq_adc" -> "PQ ADC top-k: m·k LUT broadcast onto the CODES relation (3 small ints/row, not dim floats), integer sum, TakeOrderedAndProject",
     "q_anomaly_z" -> "rolling z²: ONE key exchange; count/s1/s2 and the cross-multiplied k-sigma test share a single window pass",
     "q_cusum" -> "CUSUM via prefix form: keys-sized mean agg broadcast back, then running sum + running min in one ordered pass — no recursion in the plan",
-    "q_global_shuffle" -> "global shuffle order WITHOUT a global sort: bucket counts prefix-summed over a buckets-sized window, broadcast back, rank within bucket")
+    "q_global_shuffle" -> "global shuffle order WITHOUT a global sort: bucket counts prefix-summed over a buckets-sized window, broadcast back, rank within bucket",
+    "q_pmi" -> "PMI pairs: doc-keyed self-join (per-doc bounded fan-out), vocab²-bounded pair agg, unigram counts + N broadcast",
+    "q_triplets" -> "contrastive triplets: one cell exchange (rank + lead share it), k-row sizes broadcast, (cell, rank) equi-join — no pair explosion")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

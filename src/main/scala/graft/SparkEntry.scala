@@ -1547,6 +1547,20 @@ object SparkEntry {
       Curation.globalShuffleOrder(t(s, d, "documents"), "doc_id",
           buckets = 64)
         .orderBy("doc_id")
+    }),
+
+    // ---- text: PMI word-association pairs ----
+    "q_pmi" -> ((s, d) => {
+      TextAnalysis.pmiPairs(t(s, d, "documents"), "text", "doc_id",
+          minPairCount = 5)
+        .orderBy("x", "y")
+    }),
+
+    // ---- embeddings: contrastive triplet mining over quantizer cells ----
+    "q_triplets" -> ((s, d) => {
+      Similarity.contrastiveTriplets(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = 8)
+        .orderBy("anchor_id")
     })
   )
 
@@ -2893,7 +2907,39 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY
         |    ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) - 1
         |    AS BIGINT) AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Doc-grain counts are exact integers; the single ln runs on the
+    // identical double ratio in both engines (zipfPanel's convention).
+    "q_pmi" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id AS doc, unnest($sqlTokens) AS word
+         |  FROM documents),
+         |u AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+         |p AS (SELECT a.word AS x, b.word AS y, count(*) AS c_xy
+         |  FROM w a JOIN w b ON a.doc = b.doc AND a.word < b.word
+         |  GROUP BY x, y HAVING count(*) >= 5),
+         |n AS (SELECT count(*) AS nd FROM documents)
+         |SELECT x, y, c_xy,
+         |  round(ln((CAST(nd AS DOUBLE) * c_xy)
+         |    / (CAST(ux.c AS DOUBLE) * uy.c)), 4) + 0.0 AS pmi
+         |FROM p JOIN u ux ON ux.word = p.x JOIN u uy ON uy.word = p.y
+         |CROSS JOIN n ORDER BY x, y""".stripMargin,
+
+    // positive = next cellmate (lead), negative = same rank in the next
+    // cell, rank wrapped modulo the target cell's size.
+    "q_triplets" ->
+      s"""WITH $ivfAssignCtes,
+         |rk AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS r,
+         |    lead(vec_id) OVER (PARTITION BY cid ORDER BY vec_id) AS pos_id
+         |  FROM assign),
+         |sz AS (SELECT cid, count(*) AS s FROM assign GROUP BY cid)
+         |SELECT rk.vec_id AS anchor_id, rk.pos_id, n.vec_id AS neg_id
+         |FROM rk
+         |JOIN sz ON sz.cid = (rk.cid + 1) % 8
+         |JOIN rk n ON n.cid = (rk.cid + 1) % 8 AND n.r = (rk.r - 1) % sz.s + 1
+         |WHERE rk.pos_id IS NOT NULL
+         |ORDER BY anchor_id""".stripMargin
   )
 
   /** Shared PQ CTEs: 4 subspaces × 16-dim slices, codebook = the 16

@@ -333,6 +333,43 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** Contrastive training triplets (anchor, positive, negative) mined
+    * deterministically from the quantizer geometry: the positive is the
+    * anchor's NEXT cellmate (same coarse cell — semantically close), the
+    * negative is the same-rank member of the NEXT cell (different
+    * neighborhood — semantically far), with rank wrapped modulo the
+    * target cell's size so every anchor gets exactly one negative. The
+    * standard mining stage before contrastive embedding finetuning
+    * (SimCSE/SBERT-style), as a pure function of (ids, centroids) — no
+    * RNG state, so re-runs, engines, and resumed jobs emit identical
+    * triplets. The last member of each cell has no next-cellmate positive
+    * and emits nothing; an empty successor cell (impossible under a
+    * refit that keeps k cells populated) would likewise drop its anchors
+    * rather than fabricate a pair.
+    *
+    * Scale shape: ONE exchange on the cell id (the ranking window + the
+    * lead share it); cell sizes broadcast (k rows); the negative lookup
+    * is an equi-join on (cell, rank) over narrow int rows. No pair
+    * explosion anywhere — output is ≤ n rows. */
+  def contrastiveTriplets(emb: DataFrame, vecCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    val cells = ivfAssign(emb, vecCol, idCol, k)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    val w = Window.partitionBy("cell").orderBy(col(idCol))
+    val ranked = cells
+      .withColumn("__r", row_number().over(w))
+      .withColumn("pos_id", lead(col(idCol), 1).over(w))
+    val sizes = ranked.groupBy("cell").agg(count(lit(1)).as("__sz"))
+    val negKeyed = ranked.select(col("cell").as("__nc"), col("__r").as("__nr"),
+      col(idCol).as("neg_id"))
+    ranked.filter(col("pos_id").isNotNull)
+      .withColumn("__nc", pmod(col("cell") + 1, lit(k.toLong)))
+      .join(broadcast(sizes.select(col("cell").as("__nc"), col("__sz"))), "__nc")
+      .withColumn("__nr", pmod(col("__r") - 1, col("__sz")) + 1)
+      .join(negKeyed, Seq("__nc", "__nr"))
+      .select(col(idCol).as("anchor_id"), col("pos_id"), col("neg_id"))
+  }
+
   /** Semantic-diversity sampling: temperature-flatten the corpus across
     * quantizer cells (DataComp/SemDeDup-style cluster balancing) — a
     * uniform random sample of a web corpus reproduces its mode collapse

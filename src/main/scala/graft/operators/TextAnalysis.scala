@@ -722,6 +722,47 @@ object TextAnalysis {
       .filter(col("df").between(minDf, maxDf))
   }
 
+  /** PMI word-association pairs: pointwise mutual information of word
+    * co-occurrence at DOCUMENT grain — `pmi(x,y) = ln(N·c_xy / (c_x·c_y))`
+    * with doc-level counts (each word counted once per doc). The classic
+    * collocation/association miner (and the objective SGNS embeddings
+    * implicitly factorize), here as a corpus panel. All counts are exact
+    * integers; the single `ln` runs on the identical double ratio in any
+    * engine and is rounded (the zipfPanel convention).
+    *
+    * Scale shape: the distinct (doc, word) relation self-joins ON THE DOC
+    * id — per-doc fan-out is (tokens/doc)², bounded by document length
+    * exactly like the shingle kernels, never corpus-quadratic. The pair
+    * agg is map-side combinable into a ≤vocab²-sized relation; unigram
+    * counts and the 1-row N attach by broadcast. `maxDf` (optional)
+    * drops stopword-class words BEFORE pairing — the standard PMI
+    * practice, and the Zipf-head guard: "the" pairs with everything,
+    * contributing the most pairs and the least information. */
+  def pmiPairs(docs: DataFrame, textCol: String, idCol: String,
+               minPairCount: Long, maxDf: Long = Long.MaxValue): DataFrame = {
+    val w0 = docs.select(col(idCol).as("doc"),
+        explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1)).as("word"))
+      .filter(col("word") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = w0.groupBy("word").agg(count(lit(1)).as("c"))
+    val kept = if (maxDf == Long.MaxValue) w0
+      else w0.join(broadcast(uni.filter(col("c") > maxDf).select("word")),
+        Seq("word"), "left_anti")
+    val pairs = kept.select(col("doc"), col("word").as("x"))
+      .join(kept.select(col("doc"), col("word").as("y")), "doc")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairCount)
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    pairs
+      .join(broadcast(uni.select(col("word").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("word").as("y"), col("c").as("c_y"))), "y")
+      .crossJoin(broadcast(nDocs))
+      .select(col("x"), col("y"), col("c_xy"),
+        (round(log((col("nd").cast("double") * col("c_xy"))
+          / (col("c_x").cast("double") * col("c_y"))), 4) + lit(0.0)).as("pmi"))
+  }
+
   /** Shingle novelty: the fraction of each document's distinct shingles
     * whose FIRST occurrence (by ascending doc id — ingest order) is this
     * document. A near-duplicate of anything earlier scores ~0; fresh

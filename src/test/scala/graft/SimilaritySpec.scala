@@ -454,6 +454,30 @@ class SimilaritySpec extends SparkSpec {
     assert(bySrc(0L).head == 3L, s"got: $bySrc")
   }
 
+  test("contrastiveTriplets: positive shares the cell, negative never does, tail drops") {
+    // Two orthogonal families → two cells (seeds 0, 1): x-cell {0,2,3,4},
+    // y-cell {1,5}. Sizes differ → the negative rank wraps modulo 2.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(3.0f, 0.0f)),
+      (4L, Array(4.0f, 0.0f)), (5L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.contrastiveTriplets(emb, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    val xCell = Set(0L, 2L, 3L, 4L); val yCell = Set(1L, 5L)
+    // anchors: every cell member except the last of each cell (4 and 5)
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L), s"got: $out")
+    out.foreach { case (a, p, n) =>
+      val cell = if (xCell(a)) xCell else yCell
+      assert(cell(p), s"positive must share the anchor's cell: ($a,$p,$n)")
+      assert(!cell(n), s"negative must come from the other cell: ($a,$p,$n)")
+    }
+    // rank wrap: x-cell anchors at ranks 1..3 map to y-cell ranks 1,2,1
+    val negs = out.filter(t => xCell(t._1)).map(_._3)
+    assert(negs == Seq(1L, 5L, 1L), s"got: $negs")
+  }
+
   test("pqCodes: seed vectors encode to themselves with zero error") {
     val emb = vecs(20, dim = 8)
     val out = Similarity.pqCodes(emb, "v", "id", m = 2, k = 4, dim = 8)

@@ -463,6 +463,22 @@ class TextOpsSpec extends SparkSpec {
       (3L, 4L, 4L, 1.0)), s"got: $out")
   }
 
+  test("pmiPairs: perfect collocation scores ln(N/c), stopword-class words cut by maxDf") {
+    // "alpha beta" always co-occur (4 docs of N=8): pmi = ln(8·4/(4·4)) = ln 2.
+    // "the" appears in every doc: with maxDf=6 its pairs vanish.
+    val docs = (1L to 4L).map(i => (i, "alpha beta the")) ++
+      (5L to 8L).map(i => (i, "gamma the"))
+    val out = TextAnalysis.pmiPairs(docs.toDF("doc_id", "text"), "text",
+        "doc_id", minPairCount = 2, maxDf = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("alpha", "beta")), s"got: $out")
+    val ln2r4 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("alpha", "beta")) == ((4L, ln2r4)),
+      s"got: ${out(("alpha", "beta"))}, want (4, $ln2r4)")
+  }
+
   test("noveltyScore: partial overlap scores the unseen fraction only") {
     val docs = Seq(
       (1L, "a b c d"),       // shingles: abc, bcd
