@@ -77,7 +77,9 @@ object PlanDoc {
     "q_cusum" -> "CUSUM via prefix form: keys-sized mean agg broadcast back, then running sum + running min in one ordered pass — no recursion in the plan",
     "q_global_shuffle" -> "global shuffle order WITHOUT a global sort: bucket counts prefix-summed over a buckets-sized window, broadcast back, rank within bucket",
     "q_pmi" -> "PMI pairs: doc-keyed self-join (per-doc bounded fan-out), vocab²-bounded pair agg, unigram counts + N broadcast",
-    "q_triplets" -> "contrastive triplets: one cell exchange (rank + lead share it), k-row sizes broadcast, (cell, rank) equi-join — no pair explosion")
+    "q_triplets" -> "contrastive triplets: one cell exchange (rank + lead share it), k-row sizes broadcast, (cell, rank) equi-join — no pair explosion",
+    "q_expectations" -> "expectation suite: every rule folds into ONE wide aggregate — one scan however many rules, |rules|-row reshape",
+    "q_psi" -> "PSI drift: two scan-side bucket counts (map-side combinable), fixed-B grid merge, 1-row totals broadcast — nothing corpus-sized after the scans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1561,6 +1561,29 @@ object SparkEntry {
       Similarity.contrastiveTriplets(t(s, d, "embeddings"), "embedding",
           "vec_id", k = 8)
         .orderBy("anchor_id")
+    }),
+
+    // ---- relational: data-quality expectation suite ----
+    // The value-mass rule FAILS by design (≈13% of events sit ≥ 100
+    // against a 10% budget at every SF) — both verdict branches live.
+    "q_expectations" -> ((s, d) => {
+      RelationalOps.expectations(t(s, d, "events"), Seq(
+        ("event_id_not_null", col("event_id").isNull, 0),
+        ("value_in_range", col("value") < 0 || col("value") > 1000, 0),
+        ("type_known", !col("event_type").isin("click", "view", "purchase",
+          "signup", "error"), 0),
+        ("value_mass_below_100", col("value") >= 100, 1000)))
+        .orderBy("rule")
+    }),
+
+    // ---- relational: PSI drift panel between two event samples ----
+    "q_psi" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("__cents", cents(col("value")))
+      RelationalOps.populationStability(
+        ev.filter(pmod(col("event_id"), lit(2L)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2L)) === 1),
+        "__cents", lo = 0L, width = 2500L, nBuckets = 10)
+        .orderBy("bucket")
     })
   )
 
@@ -2939,7 +2962,49 @@ object SparkEntry {
          |JOIN sz ON sz.cid = (rk.cid + 1) % 8
          |JOIN rk n ON n.cid = (rk.cid + 1) % 8 AND n.r = (rk.r - 1) % sz.s + 1
          |WHERE rk.pos_id IS NOT NULL
-         |ORDER BY anchor_id""".stripMargin
+         |ORDER BY anchor_id""".stripMargin,
+
+    // One scan arm per rule in the oracle (the engine does ONE pass);
+    // verdicts via exact integer cross-multiplication, no rate division.
+    "q_expectations" -> {
+      def arm(name: String, viol: String, maxBp: Int): String =
+        s"""SELECT '$name' AS rule, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           |  (10000 * sum(CASE WHEN $viol THEN 1 ELSE 0 END))
+           |    // greatest(count(*), 1) AS viol_bp,
+           |  10000 * sum(CASE WHEN $viol THEN 1 ELSE 0 END)
+           |    <= $maxBp * count(*) AS passed
+           |FROM events""".stripMargin
+      Seq(
+        arm("event_id_not_null", "event_id IS NULL", 0),
+        arm("value_in_range", "value < 0 OR value > 1000", 0),
+        arm("type_known",
+          "event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')", 0),
+        arm("value_mass_below_100", "value >= 100", 1000))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+    },
+
+    // Add-one-smoothed PSI terms in integer micro-units; counts are
+    // exact, the single ln runs on the identical double ratio.
+    "q_psi" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(round(value*100, 0) AS BIGINT) AS c FROM events),
+        |r AS (SELECT least(greatest(c - 0, 0) // 2500, 9) AS bucket,
+        |    count(*) AS n FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        |u AS (SELECT least(greatest(c - 0, 0) // 2500, 9) AS bucket,
+        |    count(*) AS n FROM e WHERE event_id % 2 = 1 GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        |t AS (SELECT (SELECT sum(n) FROM r) AS tr, (SELECT sum(n) FROM u) AS tc)
+        |SELECT CAST(g.bucket AS BIGINT) AS bucket,
+        |  COALESCE(r.n, 0) AS n_ref, COALESCE(u.n, 0) AS n_cur,
+        |  CAST(round(((COALESCE(r.n, 0) + 1) / CAST(tr + 10 AS DOUBLE)
+        |      - (COALESCE(u.n, 0) + 1) / CAST(tc + 10 AS DOUBLE))
+        |    * ln(((COALESCE(r.n, 0) + 1) * CAST(tc + 10 AS DOUBLE))
+        |      / ((COALESCE(u.n, 0) + 1) * CAST(tr + 10 AS DOUBLE)))
+        |    * 1000000, 0) AS BIGINT) AS term_micro
+        |FROM g LEFT JOIN r ON r.bucket = g.bucket
+        |LEFT JOIN u ON u.bucket = g.bucket, t
+        |ORDER BY g.bucket""".stripMargin
   )
 
   /** Shared PQ CTEs: 4 subspaces × 16-dim slices, codebook = the 16

@@ -570,6 +570,81 @@ object RelationalOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Data-quality expectation suite — declarative validation gates (the
+    * Great-Expectations pattern) evaluated in ONE corpus pass: each rule
+    * is (name, violation predicate, allowed violation basis points); the
+    * report carries exact violation counts, the floored-bp violation
+    * rate, and the pass verdict. A pipeline stage asserts
+    * `report.filter(!passed).isEmpty` before publishing — cheap enough
+    * (one scan, no shuffle before the 1-row agg) to run on every ingest
+    * batch.
+    *
+    * Scale shape: every rule folds into the SAME wide aggregate — one
+    * scan however many rules, then a |rules|-row explode reshape (the
+    * profileColumns shape, without the distinct-count Expand). */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, Column, Int)]): DataFrame = {
+    require(rules.nonEmpty, "expectations: need at least one rule")
+    require(rules.forall(_._3 >= 0), "allowed violation bp must be >= 0")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, viol, _) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (name, _, maxBp) =>
+      val v = col(s"__v_$name")
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        v.as("n_violations"),
+        expr(s"(10000 * __v_$name) div greatest(__n, CAST(1 AS BIGINT))")
+          .as("viol_bp"),
+        (expr(s"10000 * __v_$name") <= lit(maxBp.toLong) * col("__n"))
+          .as("passed"))
+    }
+    agged.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Population Stability Index between a reference and a current sample
+    * of the same integer-quantized value — THE standard drift gate in
+    * front of a model/data refresh: PSI = Σ_b (p_b − q_b)·ln(p_b / q_b)
+    * over fixed-width value buckets, with add-one (Laplace) smoothing so
+    * empty buckets stay defined (the conventional ε-floor, made exact and
+    * engine-portable). Returns one row per bucket with both counts and
+    * the term in integer MICRO-UNITS — per-bucket terms are identical
+    * doubles in any engine (exact integer count ratios through one ln),
+    * and the micro-quantization makes the caller's Σ order-invariant
+    * (`sum(term_micro)` is bigint addition; summing raw doubles would
+    * expose partial-agg order). PSI < 0.1 conventionally reads "no
+    * shift", > 0.25 "act".
+    *
+    * Scale shape: each side is one scan into a map-side-combinable
+    * (bucket)-keyed count; the bucket panel (fixed B rows) full-outer
+    * merges and broadcasts nothing corpus-sized anywhere. */
+  def populationStability(ref: DataFrame, cur: DataFrame, valCol: String,
+                          lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets >= 2, s"width=$width nBuckets=$nBuckets")
+    def buckets(df: DataFrame) = df.select(
+        expr(s"least(greatest(CAST($valCol AS BIGINT) - $lo, CAST(0 AS BIGINT))" +
+          s" div $width, CAST(${nBuckets - 1} AS BIGINT))").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val r = buckets(ref).select(col("bucket"), col("n").as("n_ref"))
+    val c = buckets(cur).select(col("bucket"), col("n").as("n_cur"))
+    val grid = ref.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val tot = r.agg(sum("n_ref").as("__tr"))
+      .crossJoin(c.agg(sum("n_cur").as("__tc")))
+    grid.join(r, Seq("bucket"), "left").join(c, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(((col("n_ref") + 1).cast("double")
+            / (col("__tr") + nBuckets).cast("double")
+          - (col("n_cur") + 1).cast("double")
+            / (col("__tc") + nBuckets).cast("double"))
+          * log(((col("n_ref") + 1).cast("double") * (col("__tc") + nBuckets))
+            / ((col("n_cur") + 1).cast("double") * (col("__tr") + nBuckets)))
+          * 1000000, 0).cast("long").as("term_micro"))
+  }
+
   /** Column-level data profile — the schema-on-read audit that precedes
     * any ingest decision: per column, row count, null count, EXACT
     * distinct count, and min/max. Callers pass (name, canonicalized

@@ -469,6 +469,35 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("v") == ((4L, 0L, 2L, "10", "30")), s"got: $out")
   }
 
+  test("expectations: exact counts, budget edge inclusive, one pass for all rules") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, -5.0), (4L, 30.0)).toDF("id", "v")
+    val out = RelationalOps.expectations(df, Seq(
+        ("no_negatives", col("v") < 0, 0),          // 1/4 viol → fail
+        ("quarter_budget", col("v") < 0, 2500),     // exactly at budget → pass
+        ("under_budget", col("v") < 0, 2501)))      // just above → pass
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("no_negatives") == ((1L, 2500L, false)), s"got: $out")
+    assert(out("quarter_budget") == ((1L, 2500L, true)),
+      "a violation rate exactly at budget passes (<=)")
+    assert(out("under_budget")._3)
+  }
+
+  test("populationStability: identical samples ≈ 0, a planted shift is positive") {
+    val ref = (1L to 400L).map(i => i % 100).toDF("v")
+    val same = (1L to 400L).map(i => i % 100).toDF("v")
+    val shifted = (1L to 400L).map(i => i % 100 + 150).toDF("v")
+    def psi(cur: org.apache.spark.sql.DataFrame) =
+      RelationalOps.populationStability(ref, cur, "v", lo = 0, width = 50,
+        nBuckets = 6).agg(sum("term_micro")).collect().head.getLong(0) / 1e6
+    assert(math.abs(psi(same)) < 1e-4, s"identical → ~0, got ${psi(same)}")
+    assert(psi(shifted) > 0.25, s"a hard shift must cross the act line, got ${psi(shifted)}")
+    // panel covers every bucket, including ones empty on both sides
+    val panel = RelationalOps.populationStability(ref, shifted, "v", 0, 50, 6)
+      .collect()
+    assert(panel.length == 6)
+  }
+
   test("profileColumns: an all-null column profiles without error") {
     val df = Seq(1L, 2L).toDF("id")
       .withColumn("empty", lit(null).cast("string"))
