@@ -79,7 +79,9 @@ object PlanDoc {
     "q_pmi" -> "PMI pairs: doc-keyed self-join (per-doc bounded fan-out), vocab²-bounded pair agg, unigram counts + N broadcast",
     "q_triplets" -> "contrastive triplets: one cell exchange (rank + lead share it), k-row sizes broadcast, (cell, rank) equi-join — no pair explosion",
     "q_expectations" -> "expectation suite: every rule folds into ONE wide aggregate — one scan however many rules, |rules|-row reshape",
-    "q_psi" -> "PSI drift: two scan-side bucket counts (map-side combinable), fixed-B grid merge, 1-row totals broadcast — nothing corpus-sized after the scans")
+    "q_psi" -> "PSI drift: two scan-side bucket counts (map-side combinable), fixed-B grid merge, 1-row totals broadcast — nothing corpus-sized after the scans",
+    "q_link_tables" -> "record linkage: per-side band kernels, (band, band_key) cross-table join — candidates, never the cross product, reach the thresholded Levenshtein",
+    "q_user_sequences" -> "user sequences: rank-truncate BEFORE collect (bounded buffers); groupBy reuses the window's key partitioning")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

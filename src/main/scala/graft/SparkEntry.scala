@@ -1584,6 +1584,30 @@ object SparkEntry {
         ev.filter(pmod(col("event_id"), lit(2L)) === 1),
         "__cents", lo = 0L, width = 2500L, nBuckets = 10)
         .orderBy("bucket")
+    }),
+
+    // ---- dedup: fuzzy record linkage across two tables ----
+    // Right side = a second "system of record": ids shifted, a third of
+    // the records gain a token (small edit), a third are byte-identical,
+    // a third are absent — matches at dist 0 AND dist > 0, plus
+    // unmatched lefts, all live at every SF.
+    "q_link_tables" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rightT = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(col("text"), lit(" xlinked")))
+            .otherwise(col("text")).as("text"))
+      Dedup.linkTables(docs, "text", "doc_id", rightT, "text", "doc_id",
+          maxDist = 10)
+        .orderBy("id_l", "id_r")
+    }),
+
+    // ---- sequences: per-user truncated event-type training rows ----
+    "q_user_sequences" -> ((s, d) => {
+      Sequences.userSequences(t(s, d, "events"), "user_id", "event_type",
+          Seq("ts", "event_id"), maxLen = 20)
+        .orderBy("user_id")
     })
   )
 
@@ -3004,8 +3028,64 @@ object SparkEntry {
         |    * 1000000, 0) AS BIGINT) AS term_micro
         |FROM g LEFT JOIN r ON r.bucket = g.bucket
         |LEFT JOIN u ON u.bucket = g.bucket, t
-        |ORDER BY g.bucket""".stripMargin
+        |ORDER BY g.bucket""".stripMargin,
+
+    "q_link_tables" -> {
+      val leftSrc = "SELECT doc_id, text FROM documents"
+      val rightSrc = """SELECT doc_id + 1000000 AS doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' xlinked' ELSE text END AS text
+        |FROM documents WHERE doc_id % 3 <> 2""".stripMargin
+      s"""WITH ${linkBandCtes(leftSrc, "l")},
+         |${linkBandCtes(rightSrc, "r")},
+         |cand AS (
+         |  SELECT DISTINCT l.doc AS id_l, r.doc AS id_r
+         |  FROM lbands l JOIN rbands r
+         |    ON l.band = r.band AND l.band_key = r.band_key)
+         |SELECT c.id_l, c.id_r,
+         |  CAST(levenshtein(dl.text, dr.text) AS BIGINT) AS edit_dist
+         |FROM cand c
+         |JOIN ($leftSrc) dl ON dl.doc_id = c.id_l
+         |JOIN ($rightSrc) dr ON dr.doc_id = c.id_r
+         |WHERE levenshtein(dl.text, dr.text) <= 10
+         |ORDER BY id_l, id_r""".stripMargin
+    },
+
+    // rank computed in the window CTE orders string_agg — the oracle twin
+    // of the engine's rank-keyed struct sort inside collect_list.
+    "q_user_sequences" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER w AS r,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  string_agg(event_type, ' > ' ORDER BY r) AS seq
+        |FROM r WHERE r <= 20 GROUP BY user_id ORDER BY user_id""".stripMargin
   )
+
+  /** Per-side MinHash band CTEs for the cross-table linkage oracle — the
+    * minhashCandCtes kernel parametrized by a (doc_id, text) source and a
+    * CTE name prefix, so both tables band with the IDENTICAL hash family
+    * (equal text must collide across tables). */
+  private def linkBandCtes(src: String, pfx: String): String = {
+    val minCols = (0 until 16)
+      .map(j => s"min(substr(md5('${j / 4}:' || shingle), ${1 + 8 * (j % 4)}, 8)) AS mh$j")
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc, $b AS band, md5($parts) AS band_key FROM ${pfx}mh"
+    }.mkString("\n|  UNION ALL ")
+    s"""${pfx}toks AS (SELECT doc_id, $sqlTokens AS tk FROM ($src)),
+       |${pfx}sh AS (SELECT DISTINCT doc_id AS doc, unnest(
+       |  CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+       |       ELSE list_transform(generate_series(1, len(tk) - 2),
+       |              i -> array_to_string(tk[i:i+2], ' ')) END) AS shingle
+       |  FROM ${pfx}toks),
+       |${pfx}mh AS (
+       |  SELECT doc, $minCols
+       |  FROM ${pfx}sh GROUP BY doc),
+       |${pfx}bands AS (
+       |  $bandSelects)""".stripMargin
+  }
 
   /** Shared PQ CTEs: 4 subspaces × 16-dim slices, codebook = the 16
     * lowest-id vectors' subvectors, assignment by the dot-product-identity

@@ -283,6 +283,41 @@ object Dedup {
       .filter(col("edit_dist") >= 0)
   }
 
+  /** Fuzzy record linkage ACROSS two tables — the two-system entity-
+    * resolution form of [[editDistancePairs]]: each side shingles and
+    * bands independently (the SAME kernel, so equal text always collides),
+    * candidates arise only where a band bucket spans the tables, and the
+    * thresholded Levenshtein verifies. Returns (id_l, id_r, edit_dist) —
+    * a left record may match several right records; pick winners with the
+    * usual min(struct) argmax downstream.
+    *
+    * Scale shape: per-side cost is the dedup index build (4 small rows
+    * per record); the cross-table join is keyed on (band, band_key) —
+    * candidates, not the cross product, flow to the verify; the verify is
+    * the band-pruned O(maxDist·len) Levenshtein. The classic blocking +
+    * comparison architecture of record linkage, with MinHash as the
+    * blocking key so it tolerates token reordering and edits that
+    * break exact/phonetic blocking. */
+  def linkTables(left: DataFrame, leftText: String, leftId: String,
+                 right: DataFrame, rightText: String, rightId: String,
+                 maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,
+                 shingleSize: Int = 3, useMd5: Boolean = true): DataFrame = {
+    val lb = minhashBands(left, leftText, leftId, numHashes, rowsPerBand,
+      shingleSize, useMd5)
+    val rb = minhashBands(right, rightText, rightId, numHashes, rowsPerBand,
+      shingleSize, useMd5)
+    val cand = lb.select(col("band"), col("band_key"), col("doc").as("id_l"))
+      .join(rb.select(col("band"), col("band_key"), col("doc").as("id_r")),
+        Seq("band", "band_key"))
+      .select("id_l", "id_r").distinct()
+    cand
+      .join(left.select(col(leftId).as("id_l"), col(leftText).as("__tl")), Seq("id_l"))
+      .join(right.select(col(rightId).as("id_r"), col(rightText).as("__tr")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("__tl"), col("__tr"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** Bloom-filter decontamination — `decontaminate` for when the benchmark
     * side is too big to broadcast raw (a full eval-suite union: hundreds of
     * millions of shingles, GBs of strings). The bench shingle set collapses

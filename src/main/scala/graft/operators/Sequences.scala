@@ -64,4 +64,36 @@ object Sequences {
       .orderBy(col("n").desc, col("path").asc)
       .limit(k)
   }
+
+  /** Per-key ordered event-type SEQUENCES, truncated to `maxLen` steps —
+    * events rendered as behavioral-LM training rows ("click > view >
+    * purchase"), the flattening stage between raw telemetry and a
+    * sequence model. `n_events` carries the key's FULL event count so
+    * truncation is visible downstream.
+    *
+    * Scale shape: the truncation happens BEFORE the collect — a per-key
+    * rank (shared window pass with the full count) filters to maxLen rows
+    * per key, so no aggregation buffer ever holds an unbounded timeline
+    * (the bot-user with 10⁸ events costs maxLen rows here, not an OOM —
+    * the exact trap a bare collect_list sets). One exchange on the key;
+    * the groupBy after the window reuses its partitioning. The collected
+    * structs sort by the already-computed rank — deterministic however
+    * partial aggregation interleaves. */
+  def userSequences(events: DataFrame, keyCol: String, typeCol: String,
+                    orderCols: Seq[String], maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive: $maxLen")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(keyCol))
+    events
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__r") <= maxLen)
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__r").as("r"),
+              col(typeCol).as("t")))),
+            x => x.getField("t")), " > ").as("seq"))
+  }
 }

@@ -359,6 +359,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("linkTables: identical and small-edit records link, unrelated never candidates") {
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally different words entirely here now")
+    ).toDF("id", "name")
+    val right = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"),        // identical to 1
+      (12L, "one two three four five six sevenX"),          // 1 edit from 2
+      (13L, "unrelated vocabulary nothing shared at all")   // matches nobody
+    ).toDF("rid", "rname")
+    val out = Dedup.linkTables(left, "name", "id", right, "rname", "rid",
+        maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 11L) -> 0L, (2L, 12L) -> 1L), s"got: $out")
+  }
+
+  test("linkTables: the xxhash64 scale mode finds the same planted links") {
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("id", "name")
+    val right = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "one two three four five six sevenX")).toDF("rid", "rname")
+    val out = Dedup.linkTables(left, "name", "id", right, "rname", "rid",
+        maxDist = 5, useMd5 = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 11L) -> 0L, (2L, 12L) -> 1L), s"got: $out")
+  }
+
+  test("linkTables: maxDist cuts a banded candidate that fails the verify") {
+    // Same shingle-heavy prefix (band collision likely) but a long tail
+    // of edits: candidate generated, verify must kill it at maxDist=2
+    val left = Seq((1L, "aa bb cc dd ee ff gg hh ii jj")).toDF("id", "t")
+    val right = Seq((9L, "aa bb cc dd ee ff gg hh XX YY ZZ WW")).toDF("rid", "rt")
+    val out = Dedup.linkTables(left, "t", "id", right, "rt", "rid", maxDist = 2)
+      .collect()
+    assert(out.isEmpty, s"verify must cut the banded candidate: ${out.toSeq}")
+  }
+
   test("globalShuffleOrder: a contiguous 0-based permutation matching the hash sort") {
     val ids = (1L to 997L).toDF("doc_id")
     val out = Curation.globalShuffleOrder(ids, "doc_id", buckets = 16)

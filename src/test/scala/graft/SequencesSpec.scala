@@ -53,4 +53,25 @@ class SequencesSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("a > b > c", 1L)), s"got: $out") // tie broken by path asc
   }
+
+  test("userSequences: ordered, truncated at maxLen, full count reported") {
+    val df = ev((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"), (1L, 4L, "d"),
+      (2L, 1L, "z"))
+    val out = Sequences.userSequences(df, "user_id", "event_type",
+        Seq("ord"), maxLen = 3)
+      .orderBy("user_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // user 1 has 4 events; the sequence carries only the first 3, in
+    // event order regardless of arrival order
+    assert(out == Seq((1L, 4L, "a > b > c"), (2L, 1L, "z")), s"got: $out")
+  }
+
+  test("userSequences is partitioning-invariant") {
+    val df = (0 until 300).map(i =>
+      ((i % 7).toLong, i.toLong, s"t${i % 5}")).toDF("user_id", "ord", "event_type")
+    def run(parts: Int) = Sequences.userSequences(df.repartition(parts),
+        "user_id", "event_type", Seq("ord"), maxLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(run(1) == run(13))
+  }
 }
