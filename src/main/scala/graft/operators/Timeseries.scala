@@ -173,7 +173,10 @@ object Timeseries {
         .as("__mu_micro"))
     val wRun = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val drift = expr(s"CAST(1000000 * $valueCol AS DECIMAL(38,0))") -
+    // decimal-first multiply: `1000000 * value` in LONG would silently
+    // wrap at |value| > ~9.2e12 — exactly the repo-wide hazard class the
+    // decimal accumulators exist for
+    val drift = expr(s"CAST($valueCol AS DECIMAL(38,0)) * 1000000") -
       col("__mu_micro") - lit(1000000L * slack)
     val out = df.join(broadcast(means), keyCol)
       .withColumn("__p", sum(drift.cast("decimal(38,0)")).over(wRun))
