@@ -81,7 +81,8 @@ object PlanDoc {
     "q_expectations" -> "expectation suite: every rule folds into ONE wide aggregate — one scan however many rules, |rules|-row reshape",
     "q_psi" -> "PSI drift: two scan-side bucket counts (map-side combinable), fixed-B grid merge, 1-row totals broadcast — nothing corpus-sized after the scans",
     "q_link_tables" -> "record linkage: per-side band kernels, (band, band_key) cross-table join — candidates, never the cross product, reach the thresholded Levenshtein",
-    "q_user_sequences" -> "user sequences: rank-truncate BEFORE collect (bounded buffers); groupBy reuses the window's key partitioning")
+    "q_user_sequences" -> "user sequences: rank-truncate BEFORE collect (bounded buffers); groupBy reuses the window's key partitioning",
+    "q_cuped" -> "CUPED: one 5-sum global agg (1 row, broadcast) + one variant-grain agg — the unit frame scans twice, nothing exceeds variant cardinality")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

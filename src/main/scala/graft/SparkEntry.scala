@@ -1608,6 +1608,19 @@ object SparkEntry {
       Sequences.userSequences(t(s, d, "events"), "user_id", "event_type",
           Seq("ts", "event_id"), maxLen = 20)
         .orderBy("user_id")
+    }),
+
+    // ---- relational: CUPED-adjusted experiment readout ----
+    // Unit frame = per-user (pre-period covariate, post-period metric)
+    // in cents; variant = deterministic user-id parity.
+    "q_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val per = t(s, d, "events").groupBy("user_id").agg(
+        sum(when(col("ts") < cut, cents(col("value"))).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, cents(col("value"))).otherwise(0L)).as("y"))
+        .withColumn("variant",
+          concat(lit("v"), pmod(col("user_id"), lit(2L)).cast("string")))
+      RelationalOps.cupedMeans(per, "variant", "y", "x").orderBy("variant")
     })
   )
 
@@ -3059,7 +3072,32 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
         |  string_agg(event_type, ' > ' ORDER BY r) AS seq
-        |FROM r WHERE r <= 20 GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM r WHERE r <= 20 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // θ and every mean are floored micro-unit divisions of exact sums;
+    // `//` ≡ Spark `div` (truncation verified incl. negatives).
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value*100, 0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value*100, 0) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y,
+        |    'v' || CAST(user_id % 2 AS VARCHAR) AS variant
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS gn, sum(x) AS gsx,
+        |    sum(y) AS gsy, sum(x*x) AS gsxx, sum(x*y) AS gsxy FROM per),
+        |gg AS (SELECT CASE WHEN gn*gsxx - gsx*gsx <> 0
+        |    THEN (1000000 * (gn*gsxy - gsx*gsy)) // (gn*gsxx - gsx*gsx)
+        |    ELSE 0 END AS theta_micro,
+        |    (1000000 * gsx) // gn AS gmx_micro FROM g),
+        |v AS (SELECT variant, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(y) AS sy, sum(x) AS sx FROM per GROUP BY variant)
+        |SELECT variant, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * sy) // n AS BIGINT) / 1000000.0 AS mean_metric,
+        |  CAST((1000000 * sy) // n
+        |    - (theta_micro * ((1000000 * sx) // n - gmx_micro)) // 1000000
+        |    AS BIGINT) / 1000000.0 AS mean_adjusted
+        |FROM v, gg ORDER BY variant""".stripMargin
   )
 
   /** Per-side MinHash band CTEs for the cross-table linkage oracle — the

@@ -570,6 +570,48 @@ object RelationalOps {
           .otherwise("unchanged").as("status"))
   }
 
+  /** CUPED-adjusted experiment readout: per-variant means of an integer
+    * metric, variance-reduced by a pre-experiment covariate —
+    * `adj(v) = mean_y(v) − θ·(mean_x(v) − mean_x)` with the pooled
+    * `θ = cov(x,y)/var(x)`, the standard trick that removes the part of
+    * the outcome variance the pre-period already predicted. Entirely in
+    * exact integer arithmetic: θ and every mean are floored micro-unit
+    * divisions of DECIMAL(38,0) sums (the olsTrend normal-equation
+    * conventions — order-invariant under any partitioning, identical on
+    * both engines including negative adjustments). Zero covariate
+    * variance → θ = 0, i.e. no adjustment rather than a divide-by-zero.
+    *
+    * Scale shape: ONE map-side-combinable 5-sum global aggregate (1 row,
+    * broadcast) + one variant-grain aggregate — the unit frame scans
+    * twice and nothing downstream exceeds variant cardinality. The input
+    * is the per-UNIT frame (one row per user with quantized metric +
+    * covariate), which the caller builds with one groupBy. */
+  def cupedMeans(df: DataFrame, variantCol: String, metricCol: String,
+                 covariateCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val glob = df.agg(
+        count(lit(1)).cast(d38).as("gn"),
+        sum(col(covariateCol).cast(d38)).as("gsx"),
+        sum(col(metricCol).cast(d38)).as("gsy"),
+        sum((col(covariateCol).cast(d38) * col(covariateCol)).cast(d38)).as("gsxx"),
+        sum((col(covariateCol).cast(d38) * col(metricCol)).cast(d38)).as("gsxy"))
+      .withColumn("theta_micro",
+        when(expr("gn * gsxx - gsx * gsx") =!= 0,
+          expr("(1000000 * (gn * gsxy - gsx * gsy)) div (gn * gsxx - gsx * gsx)"))
+          .otherwise(lit(0L)))
+      .withColumn("gmx_micro", expr("(1000000 * gsx) div gn"))
+    val perV = df.groupBy(col(variantCol))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col(metricCol).cast(d38)).as("sy"),
+        sum(col(covariateCol).cast(d38)).as("sx"))
+    perV.crossJoin(broadcast(glob.select("theta_micro", "gmx_micro")))
+      .select(col(variantCol), col("n").cast("long").as("n"),
+        (expr("(1000000 * sy) div n").cast("long") / 1e6).as("mean_metric"),
+        (expr("(1000000 * sy) div n" +
+          " - (theta_micro * ((1000000 * sx) div n - gmx_micro)) div 1000000")
+          .cast("long") / 1e6).as("mean_adjusted"))
+  }
+
   /** Data-quality expectation suite — declarative validation gates (the
     * Great-Expectations pattern) evaluated in ONE corpus pass: each rule
     * is (name, violation predicate, allowed violation basis points); the

@@ -90,6 +90,68 @@ object UpsertParquet {
     } finally batch.unpersist()
   }
 
+  /** Right-to-be-forgotten deletion: remove every row whose key appears
+    * in `keys` from the materialized table, rewriting ONLY the buckets
+    * those keys hash into — a 100-user GDPR request against a 10 B-row
+    * table moves ~100 buckets' worth of data, not the table (the same
+    * pruning contract as [[upsertBatch]], applied to deletion). Returns
+    * the number of rows removed.
+    *
+    * A bucket whose EVERY row is forgotten produces no replacement
+    * directory — the live bucket is deleted outright (the opposite of
+    * upsert's keep-on-missing rule, which is why the two swap loops
+    * differ: here an absent replacement IS the correct final state).
+    * Idempotent: re-running the same request removes 0 rows and rewrites
+    * nothing (no touched buckets have matches). Crash model identical to
+    * upsertBatch: per-bucket swap, replay-safe. */
+  def forgetKeys(keys: DataFrame, dir: String, keyCols: Seq[String],
+                 nBuckets: Int): Long = {
+    val spark = keys.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return 0L
+    val k = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn("__bucket", bucketCol(keyCols, nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = k.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // ids only — bounded by nBuckets
+      if (touched.isEmpty) return 0L
+      val cur = spark.read.parquet(dir)
+        .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // narrow once more to buckets that actually HOLD matches — a key
+        // in the request but absent from the table must cost nothing
+        // (also what makes the whole op idempotent: a replayed request
+        // finds no matches and rewrites no bucket)
+        val doomed = cur.join(k.drop("__bucket"), keyCols, "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val removed = doomed.count()
+          if (removed == 0L) return 0L
+          val hit = doomed.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).sorted
+          val kept = cur
+            .filter(col("__bucket").isin(hit.map(Integer.valueOf): _*))
+            .join(k.drop("__bucket"), keyCols, "left_anti")
+          val tmp = new Path(dir + ".tmp-forget")
+          fs.delete(tmp, true)
+          kept.repartition(col("__bucket"))
+            .write.mode("overwrite").partitionBy("__bucket").parquet(tmp.toString)
+          hit.foreach { bId =>
+            val src = new Path(tmp, s"__bucket=$bId")
+            val dst = new Path(dir, s"__bucket=$bId")
+            fs.delete(dst, true)
+            if (fs.exists(src) && !fs.rename(src, dst))
+              throw new java.io.IOException(s"bucket swap failed: $src -> $dst")
+          }
+          fs.delete(tmp, true)
+          removed
+        } finally doomed.unpersist()
+      } finally cur.unpersist()
+    } finally k.unpersist()
+  }
+
   /** Streaming form: each micro-batch upserts into the table. */
   def sink[T](ds: Dataset[T], dir: String, checkpoint: String,
               keyCols: Seq[String], seqCol: String,

@@ -498,6 +498,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(panel.length == 6)
   }
 
+  test("cupedMeans: hand-computed pooled theta adjusts variant means exactly") {
+    // pooled: n=4 Σx=70 Σy=104 Σxx=1500 Σxy=2260 → θ = 1760/1100 = 1.6,
+    // grand mean_x = 17.5. A: mean_y 35, mean_x 20 → adj 35 − 1.6·2.5 = 31.
+    // B: mean_y 17, mean_x 15 → adj 17 + 1.6·2.5 = 21 (negative branch).
+    val per = Seq(("A", 10L, 20L), ("A", 30L, 50L),
+      ("B", 10L, 12L), ("B", 20L, 22L)).toDF("variant", "x", "y")
+    val out = RelationalOps.cupedMeans(per, "variant", "y", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((2L, 35.0, 31.0)), s"got: $out")
+    assert(out("B") == ((2L, 17.0, 21.0)), s"got: $out")
+  }
+
+  test("cupedMeans: zero covariate variance means zero adjustment") {
+    val per = Seq(("A", 5L, 10L), ("A", 5L, 30L), ("B", 5L, 6L))
+      .toDF("variant", "x", "y")
+    val out = RelationalOps.cupedMeans(per, "variant", "y", "x")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((20.0, 20.0)) && out("B") == ((6.0, 6.0)),
+      s"θ must fall back to 0, got: $out")
+  }
+
   test("profileColumns: an all-null column profiles without error") {
     val df = Seq(1L, 2L).toDF("id")
       .withColumn("empty", lit(null).cast("string"))

@@ -81,4 +81,50 @@ class UpsertParquetSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("forgetKeys: targeted rows vanish, unmatched buckets keep their files, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("forget_tbl").toFile
+    java.nio.file.Files.delete(dir.toPath)
+    val rows = (1 to 200).map(i => (s"u$i", s"c${i % 9}", i.toLong))
+    UpsertParquet.upsertBatch(rows.toDF("userId", "company", "version"),
+      dir.getAbsolutePath, Seq("userId"), "version", nBuckets = 8)
+    val before = bucketFiles(dir)
+    val removed = UpsertParquet.forgetKeys(
+      Seq("u7", "u42", "u150", "u_not_there").toDF("userId"),
+      dir.getAbsolutePath, Seq("userId"), nBuckets = 8)
+    assert(removed == 3L, s"exactly the existing keys are removed, got $removed")
+    val table = UpsertParquet.read(spark, dir.getAbsolutePath)
+      .select("userId").as[String].collect().toSet
+    assert(!table.exists(Set("u7", "u42", "u150")), "forgotten keys must be gone")
+    assert(table.size == 197 && table("u1") && table("u200"),
+      "every other key survives")
+    // buckets none of the forgotten keys hash into keep their exact files
+    val hitBuckets = Seq("u7", "u42", "u150")
+      .map(k => spark.range(1).select(
+        pmod(hash(lit(k)), lit(8)).cast("int")).collect()(0).getInt(0))
+      .map(b => s"__bucket=$b").toSet
+    before.filterNot { case (p, _) => hitBuckets.exists(p.startsWith) }
+      .foreach { case (path, mtime) =>
+        assert(bucketFiles(dir).get(path).contains(mtime),
+          s"bucket without matches was rewritten: $path")
+      }
+    // replaying the same request finds nothing and rewrites nothing
+    val again = bucketFiles(dir)
+    assert(UpsertParquet.forgetKeys(Seq("u7").toDF("userId"),
+      dir.getAbsolutePath, Seq("userId"), nBuckets = 8) == 0L)
+    assert(bucketFiles(dir) == again, "an idempotent replay must not rewrite")
+  }
+
+  test("forgetKeys: a fully-forgotten bucket's directory is deleted outright") {
+    val dir = java.nio.file.Files.createTempDirectory("forget_all").toFile
+    java.nio.file.Files.delete(dir.toPath)
+    val rows = (1 to 40).map(i => (s"u$i", "x", i.toLong))
+    UpsertParquet.upsertBatch(rows.toDF("userId", "company", "version"),
+      dir.getAbsolutePath, Seq("userId"), "version", nBuckets = 4)
+    val removed = UpsertParquet.forgetKeys((1 to 40).map(i => s"u$i").toDF("userId"),
+      dir.getAbsolutePath, Seq("userId"), nBuckets = 4)
+    assert(removed == 40L)
+    assert(!dir.listFiles().exists(_.getName.startsWith("__bucket=")),
+      "all buckets emptied -> all bucket dirs gone")
+  }
 }
