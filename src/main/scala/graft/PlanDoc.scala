@@ -82,7 +82,8 @@ object PlanDoc {
     "q_psi" -> "PSI drift: two scan-side bucket counts (map-side combinable), fixed-B grid merge, 1-row totals broadcast — nothing corpus-sized after the scans",
     "q_link_tables" -> "record linkage: per-side band kernels, (band, band_key) cross-table join — candidates, never the cross product, reach the thresholded Levenshtein",
     "q_user_sequences" -> "user sequences: rank-truncate BEFORE collect (bounded buffers); groupBy reuses the window's key partitioning",
-    "q_cuped" -> "CUPED: one 5-sum global agg (1 row, broadcast) + one variant-grain agg — the unit frame scans twice, nothing exceeds variant cardinality")
+    "q_cuped" -> "CUPED: one 5-sum global agg (1 row, broadcast) + one variant-grain agg — the unit frame scans twice, nothing exceeds variant cardinality",
+    "q_kcore" -> "k-core: per round ONE nodes-sized degree agg + two semi-joins; edges shrink monotonically, never self-join; localCheckpoint per round")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

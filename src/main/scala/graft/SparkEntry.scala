@@ -1399,21 +1399,15 @@ object SparkEntry {
     // heavy linear work is the edge DERIVATION (4-way join over the fact
     // tables); the triangle kernel then runs on the bounded edge relation.
     "q_triangles" -> ((s, d) => {
-      val pairs = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey"))
-        .join(t(s, d, "orders").select(col("o_orderkey").as("ok"), col("o_custkey")), "ok")
-        .join(broadcast(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .filter(col("c_nationkey") =!= col("s_nationkey"))
-        .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
-          greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
-      val wts = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
-      val tot = wts.agg(count(lit(1)).as("np"), sum("w").as("tw"))
-      val kept = wts.crossJoin(broadcast(tot))
-        .filter(col("w") * col("np") >= col("tw"))
-      Graphs.triangleStats(kept, "u", "v").orderBy("node")
+      Graphs.triangleStats(nationTradeEdges(s, d), "u", "v").orderBy("node")
+    }),
+
+    // ---- graph: k-core membership on the nation trade graph ----
+    // 4 peel rounds — measured convergence is 2 at every SF, so the
+    // survivors ARE the 3-core (the fixed-round contract).
+    "q_kcore" -> ((s, d) => {
+      Graphs.kCore(nationTradeEdges(s, d), "u", "v", k = 3, rounds = 4)
+        .orderBy("node")
     }),
 
     // ---- time series: bounded-lookback EWMA (exact integer weights) ----
@@ -1623,6 +1617,28 @@ object SparkEntry {
       RelationalOps.cupedMeans(per, "variant", "y", "x").orderBy("variant")
     })
   )
+
+  /** The nation trade graph (customer-nation, supplier-nation
+    * co-occurrence on a lineitem, relative-weight cut) — the shared edge
+    * derivation of the graph-suite queries. The heavy linear work is this
+    * 4-way fact join; the graph kernels then run on the bounded edge
+    * relation. */
+  private def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey").as("ok"), col("o_custkey")), "ok")
+      .join(broadcast(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+    val wts = pairs.groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val tot = wts.agg(count(lit(1)).as("np"), sum("w").as("tw"))
+    wts.crossJoin(broadcast(tot))
+      .filter(col("w") * col("np") >= col("tw"))
+  }
 
   /** Overlapping value bands for q_range_join — shared with the oracle
     * twin builder so the two sides can't drift. (band, lo, hi): width 60,
@@ -2751,18 +2767,7 @@ object SparkEntry {
     // ordering; `//` on BIGINT matches `div` (both truncate — all values
     // here are non-negative anyway).
     "q_triangles" ->
-      """WITH pr AS (
-        |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
-        |         greatest(c.c_nationkey, s.s_nationkey) AS v
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  WHERE c.c_nationkey <> s.s_nationkey),
-        |wts AS (SELECT u, v, count(*) AS w FROM pr GROUP BY u, v),
-        |tot AS (SELECT count(*) AS np, CAST(sum(w) AS BIGINT) AS tw FROM wts),
-        |kept AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v
-        |  FROM wts, tot WHERE w * np >= tw),
+      s"""WITH $nationTradeEdgesCtes,
         |deg AS (SELECT node, count(*) AS deg FROM (
         |    SELECT u AS node FROM kept UNION ALL SELECT v FROM kept)
         |  GROUP BY node),
@@ -2891,6 +2896,8 @@ object SparkEntry {
          |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
 
     "q_hits" -> hitsSql,
+
+    "q_kcore" -> kCoreSql,
 
     "q_pq_codes" ->
       s"""WITH $pqCodesCtes
@@ -3173,6 +3180,48 @@ object SparkEntry {
        |SELECT event_id, user_id,
        |  round(($num) / ($den), 4) + 0.0 AS ewma
        |FROM l ORDER BY event_id""".stripMargin
+  }
+
+  /** The nation trade graph's oracle CTEs, ending in `kept(u, v)` —
+    * shared by the triangle and k-core twins (mirrors
+    * `nationTradeEdges`). */
+  private def nationTradeEdgesCtes: String =
+    """pr AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS v
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey),
+      |wts AS (SELECT u, v, count(*) AS w FROM pr GROUP BY u, v),
+      |tot AS (SELECT count(*) AS np, CAST(sum(w) AS BIGINT) AS tw FROM wts),
+      |kept AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v
+      |  FROM wts, tot WHERE w * np >= tw)""".stripMargin
+
+  /** k-core oracle: 4 UNROLLED parallel-peel rounds (generated CTEs) over
+    * the nation trade graph — identical fixed-round semantics to
+    * `Graphs.kCore(k = 3, rounds = 4)`. Every round CTE is MATERIALIZED:
+    * DuckDB inlines CTEs by default, and each e_i is consumed three
+    * times, so the inlined chain re-evaluates the 4-way fact join
+    * O(3^rounds) times — enough to spill the disk dry at sf0.01.
+    * Materialization makes the oracle evaluate each round once, exactly
+    * like the engine's localCheckpoint. */
+  private def kCoreSql: String = {
+    val peels = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN a$i x ON e.u = x.node JOIN a$i y ON e.v = y.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nationTradeEdgesCtes,
+       |e0 AS MATERIALIZED (SELECT u, v FROM kept),
+       |$peels
+       |SELECT node, count(*) AS degree FROM (
+       |  SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+       |GROUP BY node ORDER BY node""".stripMargin
   }
 
   /** HITS oracle: the Markov edge counts, then 2 UNROLLED authority/hub

@@ -127,6 +127,47 @@ object Graphs {
       .select(col("node"), (col("a") / 1e6).as("auth"), (col("h") / 1e6).as("hub"))
   }
 
+  /** k-core membership by FIXED-ROUND peeling: each round removes every
+    * node whose degree in the SURVIVING subgraph is < k, simultaneously
+    * (the parallel peel — order-free, hence engine- and partitioning-
+    * deterministic, unlike the sequential min-degree peel). With `rounds`
+    * chosen past convergence the survivors are exactly the k-core (peel
+    * count needed is the graph's degeneracy depth — small for real
+    * graphs; the caller can verify convergence by comparing `rounds` and
+    * `rounds+1` outputs, the fixed-iteration contract PageRank/HITS also
+    * use). Returns (node, degree) for surviving nodes with their
+    * final in-core degree.
+    *
+    * Scale shape per round: one degree aggregate (nodes-sized) + two
+    * semi-joins of the edge relation against the alive set — the edge
+    * relation shrinks monotonically and is never self-joined;
+    * localCheckpoint truncates per-round lineage (the CC/PageRank loop
+    * discipline). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50,
+      s"bad params: k=$k rounds=$rounds")
+    var e = edges.select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val alive = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      e = e.join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * UNDIRECTED simple graph (direction, multiplicity and self-loops in
     * the input edge relation are erased first). Uses the degree-ordered

@@ -83,6 +83,31 @@ class GraphsSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  // ---- k-core ----
+
+  private def core(edges: Seq[(String, String)], k: Int, rounds: Int) =
+    Graphs.kCore(edges.toDF("s", "t"), "s", "t", k, rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendant peels off a triangle, the chain it exposes peels next round") {
+    // triangle a-b-c, path c-d-e: round 1 drops e (deg 1); round 2 drops
+    // d (its degree FELL to 1 when e left — the cascade fixed rounds
+    // must capture); the triangle survives with in-core degree 2
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+    assert(core(edges, k = 2, rounds = 3) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // one round is NOT enough: d still present (fixed-round semantics)
+    assert(core(edges, k = 2, rounds = 1).contains("d"))
+  }
+
+  test("kCore: a cycle has no 3-core; K4 is its own 3-core") {
+    assert(core(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")),
+      k = 3, rounds = 3).isEmpty)
+    val nodes = Seq("a", "b", "c", "d")
+    val k4 = for { x <- nodes; y <- nodes if x < y } yield (x, y)
+    assert(core(k4, k = 3, rounds = 3) == nodes.map(_ -> 3L).toMap)
+  }
+
   // ---- HITS ----
 
   private def runHits(edges: Seq[(String, String, Long)], iters: Int) =
