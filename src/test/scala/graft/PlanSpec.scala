@@ -327,4 +327,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "vocab must broadcast")
     assert(!p.contains("SortMergeJoin"), "token stream must not shuffle for the model join")
   }
+
+  test("PQ ADC: LUT broadcasts onto the codes relation; the cut is TakeOrdered") {
+    val p = plan("q_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), "the m·k LUT must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be per-partition heaps, not a global sort")
+  }
+
+  test("kNN graph: per-source ranking is the bounded TopKHits agg, not a window") {
+    val p = plan("q_knn_graph")
+    assert(p.toLowerCase.contains("partial_topkhits"),
+      "ranking must be the map-side-combinable bounded aggregate")
+    assert(!p.contains("Window"), "no window sort of the pair relation")
+  }
+
+  test("global shuffle: the corpus-sized window is PARTITIONED; only the buckets-sized offsets window is global") {
+    val p = plan("q_global_shuffle")
+    // the per-bucket rank must partition by the bucket id…
+    assert(p.contains("windowspecdefinition(__b#") ||
+      p.contains("windowspecdefinition(__b,"),
+      s"per-row rank must be keyed on the bucket: missing partitioned spec")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets attach by broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle-join for offsets")
+  }
+
+  test("expectations: one scan, one aggregate, however many rules") {
+    val p = plan("q_expectations")
+    assert(scanNodes(p) == 1, "every rule folds into a single corpus pass")
+    assert(!p.contains("Join"), "no joins anywhere in the validation pass")
+  }
 }
