@@ -83,7 +83,8 @@ object PlanDoc {
     "q_link_tables" -> "record linkage: per-side band kernels, (band, band_key) cross-table join — candidates, never the cross product, reach the thresholded Levenshtein",
     "q_user_sequences" -> "user sequences: rank-truncate BEFORE collect (bounded buffers); groupBy reuses the window's key partitioning",
     "q_cuped" -> "CUPED: one 5-sum global agg (1 row, broadcast) + one variant-grain agg — the unit frame scans twice, nothing exceeds variant cardinality",
-    "q_kcore" -> "k-core: per round ONE nodes-sized degree agg + two semi-joins; edges shrink monotonically, never self-join; localCheckpoint per round")
+    "q_kcore" -> "k-core: per round ONE nodes-sized degree agg + two semi-joins; edges shrink monotonically, never self-join; localCheckpoint per round",
+    "q_kmv_overlap" -> "KMV set algebra: ONE corpus scan into bounded sketches; all pair estimates run on the groups²×k sketch relation — the corpus is never rescanned per pair")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

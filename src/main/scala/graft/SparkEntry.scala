@@ -537,6 +537,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- KMV set algebra: per-source-pair union/intersection estimates ----
+    // The sketch-only sibling of q_source_overlap: the corpus is scanned
+    // ONCE into 20 sketches; all 190 pair estimates come off the sketch
+    // relation.
+    "q_kmv_overlap" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      Sketches.kmvPairOverlap(toks, "tok", "source", k = 64, useMd5 = true)
+        .orderBy("ga", "gb")
+    }),
+
     // ---- weighted sampling w/o replacement (Sequential Poisson) ----
     // weight = whitespace token count: a token-budget-proportional draw;
     // length-0 docs carry weight 0 and are excluded by contract
@@ -2015,6 +2026,44 @@ object SparkEntry {
          |  CAST(CASE WHEN nd < 64 THEN nd
          |       ELSE CAST(63 AS BIGINT) * 4294967296 // kth END AS BIGINT) AS est_distinct
          |FROM ag ORDER BY source""".stripMargin,
+
+    // bottom-k of the merged sketches IS the union's sketch; membership
+    // flags against both input sketches estimate the intersection — all
+    // divisions integer, mirrored exactly.
+    "q_kmv_overlap" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($sqlTokens) AS tok FROM documents),
+         |hs AS (SELECT DISTINCT source AS g, ${Sketches.kmvHash32Sql("tok")} AS h FROM tk),
+         |sk AS (SELECT g, h FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         |    FROM hs) WHERE rn <= 64),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |uh AS (SELECT DISTINCT ga, gb, h FROM (
+         |    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+         |    UNION ALL
+         |    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb)),
+         |m AS (SELECT ga, gb, h, rn FROM (
+         |    SELECT ga, gb, h,
+         |      row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |    FROM uh) WHERE rn <= 64),
+         |fl AS (SELECT m.ga, m.gb, m.rn, m.h,
+         |    CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+         |    CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+         |  FROM m LEFT JOIN sk sa ON sa.g = m.ga AND sa.h = m.h
+         |         LEFT JOIN sk sb ON sb.g = m.gb AND sb.h = m.h),
+         |ag AS (SELECT ga, gb, count(*) AS ku,
+         |    max(CASE WHEN rn = 64 THEN h END) AS kth,
+         |    CAST(sum(ina * inb) AS BIGINT) AS n_both
+         |  FROM fl GROUP BY ga, gb)
+         |SELECT ga, gb,
+         |  CAST(CASE WHEN ku < 64 THEN ku
+         |       ELSE ${63L * 4294967296L} // kth END AS BIGINT) AS est_union,
+         |  n_both,
+         |  CAST((n_both * (CASE WHEN ku < 64 THEN ku
+         |       ELSE ${63L * 4294967296L} // kth END)) // ku AS BIGINT)
+         |    AS est_intersection
+         |FROM ag ORDER BY ga, gb""".stripMargin,
 
     // u and the weight are integers, so u/w is ONE correctly-rounded IEEE
     // division — bit-identical across engines, no rounding needed on the key

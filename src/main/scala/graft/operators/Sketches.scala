@@ -83,4 +83,65 @@ object Sketches {
     (0 until 8).map { i =>
       s"(strpos('0123456789abcdef', substr(md5($e), ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString(" + ")
+
+  /** KMV SET ALGEBRA: union and intersection estimates for every ordered
+    * pair of groups, computed entirely on the SKETCHES — the mergeable-
+    * sketch property that makes distributed distinct-counting compose:
+    * bottom-k(S_a ∪ S_b) IS the union's KMV sketch, and the fraction of
+    * its members present in both input sketches estimates the Jaccard
+    * (Beyer et al. 2007), so `|A∩B| ≈ ρ·|A∪B|`. Every estimator division
+    * is integer (`div` — exact on both engines); exact-mode branch when
+    * the merged sketch isn't full (it IS the union's distinct hash set).
+    *
+    * This is the scalable sibling of [[TextAnalysis.sourceOverlap]]: the
+    * exact op re-shuffles the corpus's (source, shingle) relation per
+    * audit; this one reads ONLY the groups×k sketch relation — the corpus
+    * is never rescanned for any pair, which is the whole point of keeping
+    * sketches as a maintained table (append of new data = sketch merge,
+    * never a recount).
+    *
+    * Scale shape: one corpus scan into the bounded sketch agg; the pair
+    * algebra (cross of group ids, union-explode, per-pair bottom-k rank,
+    * membership flags) runs on groups²×k rows — for thousands of groups
+    * that is millions of tiny rows, nothing corpus-scaled. */
+  def kmvPairOverlap(df: DataFrame, valueCol: String, groupCol: String,
+                     k: Int, useMd5: Boolean = false): DataFrame = {
+    require(k > 1, s"k must be >1: $k")
+    require(useMd5, "pair overlap is defined on the md5 (32-bit) lane — " +
+      "the xxhash64 estimate divides in double and is not pair-exact")
+    val h = md5Hash32(col(valueCol))
+    val sketch = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = df.select(col(groupCol).cast("string").as("g"), h.as("h"))
+      .groupBy("g").agg(sketch(col("h")).as("kmv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sk.select(col("g"), explode(col("kmv")).as("h"))
+    val groups = sk.select(col("g"))
+    val pairs = groups.select(col("g").as("ga"))
+      .crossJoin(groups.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val uh = pairs.join(ex.select(col("g").as("ga"), col("h")), Seq("ga"))
+      .select("ga", "gb", "h")
+      .union(pairs.join(ex.select(col("g").as("gb"), col("h")), Seq("gb"))
+        .select("ga", "gb", "h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("h")
+    val m = uh.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .join(ex.select(col("g").as("ga"), col("h"), lit(1).as("__ina")),
+        Seq("ga", "h"), "left")
+      .join(ex.select(col("g").as("gb"), col("h"), lit(1).as("__inb")),
+        Seq("gb", "h"), "left")
+    val unionEst = s"CASE WHEN ku < $k THEN ku " +
+      s"ELSE CAST(${(k - 1).toLong * 4294967296L} AS BIGINT) div kth END"
+    m.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("ku"),
+        max(when(col("rn") === k, col("h"))).as("kth"),
+        sum(coalesce(col("__ina"), lit(0)) * coalesce(col("__inb"), lit(0)))
+          .as("n_both"))
+      .selectExpr("ga", "gb",
+        s"CAST($unionEst AS BIGINT) AS est_union",
+        "CAST(n_both AS BIGINT) AS n_both",
+        s"CAST((n_both * ($unionEst)) div ku AS BIGINT) AS est_intersection")
+  }
 }

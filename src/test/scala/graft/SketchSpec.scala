@@ -96,4 +96,35 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("kmvPairOverlap: disjoint groups → 0 intersection; identical → union; exact under k") {
+    import spark.implicits._
+    // three small groups (< k distinct values → exact branch throughout):
+    // a = {v0..v29}, b = identical to a, c = disjoint {w0..w19}
+    val rows = (0 until 30).flatMap(i => Seq(("a", s"v$i"), ("b", s"v$i"))) ++
+      (0 until 20).map(i => ("c", s"w$i"))
+    val out = graft.operators.Sketches.kmvPairOverlap(
+        rows.toDF("g", "v"), "v", "g", k = 64, useMd5 = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "b")) == ((30L, 30L, 30L)),
+      s"identical sets: union = intersection = 30, got ${out(("a", "b"))}")
+    assert(out(("a", "c")) == ((50L, 0L, 0L)),
+      s"disjoint sets: union 50, intersection 0, got ${out(("a", "c"))}")
+    assert(out(("b", "c")) == ((50L, 0L, 0L)))
+  }
+
+  test("kmvPairOverlap: estimates track exact overlap on full sketches") {
+    import spark.implicits._
+    // two 1000-value sets sharing 500 values → jaccard 1/3
+    val rows = (0 until 1000).map(i => ("x", s"s$i")) ++
+      (500 until 1500).map(i => ("y", s"s$i"))
+    val out = graft.operators.Sketches.kmvPairOverlap(
+        rows.toDF("g", "v"), "v", "g", k = 64, useMd5 = true)
+      .collect().map(r => (r.getLong(2), r.getLong(4))).head
+    assert(math.abs(out._1 - 1500.0) / 1500.0 < 0.40,
+      s"union est must track 1500: $out")
+    assert(out._2 > 100 && out._2 < 1000,
+      s"intersection est must track 500 within the sketch's band: $out")
+  }
 }
