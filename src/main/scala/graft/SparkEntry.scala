@@ -548,6 +548,27 @@ object SparkEntry {
         .orderBy("ga", "gb")
     }),
 
+    // ---- embeddings: per-label centroid drift between snapshots ----
+    // Even/odd split as (ref, cur); label 3's current vectors are negated
+    // and label 7 is absent from cur (the vanished-class NULL branch).
+    // NOTE the synthetic labels are NOT cosine-clustered (per-label means
+    // sit near the origin), so baseline centroid_cos here is noise-level
+    // — the oracle checks the ARITHMETIC; the panel's detection contract
+    // (stable ≈ 1, drifted ≪ 1, one-sided → NULL) is spec-pinned on
+    // planted clusters where it is meaningful (`SimilaritySpec`).
+    "q_embed_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ref = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      val cur = emb.filter(pmod(col("vec_id"), lit(2L)) === 1 &&
+          col("label") =!= 7)
+        .withColumn("embedding",
+          when(col("label") === 3,
+            expr("transform(embedding, x -> -x)"))
+            .otherwise(col("embedding")))
+      Similarity.embeddingDrift(ref, cur, "embedding", "label")
+        .orderBy("label")
+    }),
+
     // ---- weighted sampling w/o replacement (Sequential Poisson) ----
     // weight = whitespace token count: a token-budget-proportional draw;
     // length-0 docs carry weight 0 and are excluded by contract
@@ -2026,6 +2047,37 @@ object SparkEntry {
          |  CAST(CASE WHEN nd < 64 THEN nd
          |       ELSE CAST(63 AS BIGINT) * 4294967296 // kth END AS BIGINT) AS est_distinct
          |FROM ag ORDER BY source""".stripMargin,
+
+    // Both centroids ride the r4-then-FLOAT narrowing (the silhouette
+    // convention) so the engines compare bit-identical vectors; a
+    // one-sided label keeps its row with NULL cosine.
+    "q_embed_drift" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(vv)) FROM v))) AS i),
+        |r AS (SELECT label, vv FROM v WHERE vec_id % 2 = 0),
+        |c AS (SELECT label,
+        |    CASE WHEN label = 3 THEN list_transform(vv, x -> -x) ELSE vv END AS vv
+        |  FROM v WHERE vec_id % 2 = 1 AND label <> 7),
+        |cr AS (SELECT label, d.i - 1 AS pos,
+        |    CAST(CAST(round(avg(vv[d.i]), 4) + 0.0 AS FLOAT) AS DOUBLE) AS m
+        |  FROM r CROSS JOIN dims d WHERE d.i <= len(vv) GROUP BY label, pos),
+        |crv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cr GROUP BY label),
+        |nr AS (SELECT label, count(*) AS n_ref FROM r GROUP BY label),
+        |cc AS (SELECT label, d.i - 1 AS pos,
+        |    CAST(CAST(round(avg(vv[d.i]), 4) + 0.0 AS FLOAT) AS DOUBLE) AS m
+        |  FROM c CROSS JOIN dims d WHERE d.i <= len(vv) GROUP BY label, pos),
+        |ccv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cc GROUP BY label),
+        |nc AS (SELECT label, count(*) AS n_cur FROM c GROUP BY label),
+        |a AS (SELECT crv.label, crv.cv, nr.n_ref FROM crv JOIN nr ON crv.label = nr.label),
+        |b AS (SELECT ccv.label, ccv.cv, nc.n_cur FROM ccv JOIN nc ON ccv.label = nc.label)
+        |SELECT CAST(COALESCE(a.label, b.label) AS BIGINT) AS label,
+        |  COALESCE(a.n_ref, 0) AS n_ref, COALESCE(b.n_cur, 0) AS n_cur,
+        |  round(list_dot_product(a.cv, b.cv)
+        |    / (sqrt(list_dot_product(a.cv, a.cv))
+        |       * sqrt(list_dot_product(b.cv, b.cv))), 4) + 0.0 AS centroid_cos
+        |FROM a FULL OUTER JOIN b ON a.label = b.label
+        |ORDER BY label""".stripMargin,
 
     // bottom-k of the merged sketches IS the union's sketch; membership
     // flags against both input sketches estimate the intersection — all

@@ -935,6 +935,41 @@ object Similarity {
       .select(col("centroid_id"),
         expr("transform(pm, e -> cast(e.mean_val as float))").as("c_vec"))
 
+  /** Embedding drift between two corpus snapshots, per label: cosine
+    * similarity of each label's centroid across (reference, current) —
+    * the SEMANTIC sibling of the scalar PSI gate
+    * (`RelationalOps.populationStability`): a retrained/upgraded encoder,
+    * a scraper feeding different content into a class, or a label-mix
+    * shift all move centroids long before downstream metrics notice.
+    * Returns (label, n_ref, n_cur, centroid_cos) — centroid_cos near 1.0
+    * is stable, a drop flags the drifted class; a label present on only
+    * one side carries NULL cosine and the other side's count 0 (appeared/
+    * vanished classes are exactly what the panel must surface, not drop).
+    *
+    * Determinism: both centroids pass through the r4-then-FLOAT narrowing
+    * contract ([[labelCentroids]], the ivfRefined2 convention), so both
+    * engines compare bit-identical vectors; the cosine is rounded.
+    *
+    * Scale shape: one n·d aggregate per side (labels·d rows out), a
+    * labels-sized full-outer join, and a labels-sized cosine projection —
+    * nothing after the two scans exceeds label cardinality. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame = {
+    def side(df: DataFrame, cPfx: String, nPfx: String) = {
+      val cents = labelCentroids(df, vecCol, labelCol)
+        .select(col("centroid_id").as("label"), col("c_vec").as(cPfx))
+      val counts = df.groupBy(col(labelCol).cast("int").as("label"))
+        .agg(count(lit(1)).as(nPfx))
+      cents.join(counts, "label")
+    }
+    side(ref, "__cr", "n_ref")
+      .join(side(cur, "__cc", "n_cur"), Seq("label"), "full_outer")
+      .select(col("label").cast("long").as("label"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        r4(cosineSim(col("__cr"), col("__cc"))).as("centroid_cos"))
+  }
+
   /** Simplified (centroid-based) silhouette per label — the clustering
     * quality panel over a labeled embedding space: for every vector,
     * a = cosine distance to its OWN label centroid, b = distance to the

@@ -478,6 +478,27 @@ class SimilaritySpec extends SparkSpec {
     assert(negs == Seq(1L, 5L, 1L), s"got: $negs")
   }
 
+  test("embeddingDrift: stable cluster ≈ 1, rotated cluster drops, one-sided label is NULL") {
+    def cluster(label: Int, ids: Range, dir: Array[Float]) =
+      ids.map(i => (i.toLong, label,
+        dir.map(x => x + (i % 3) * 0.01f)))
+    val xDir = Array(1.0f, 0.0f, 0.0f); val yDir = Array(0.0f, 1.0f, 0.0f)
+    val ref = (cluster(0, 0 until 10, xDir) ++ cluster(1, 10 until 20, yDir) ++
+      cluster(2, 20 until 25, xDir)).toDF("vec_id", "label", "embedding")
+    // cur: label 0 stays on +x (stable), label 1 rotates to +x (drifted),
+    // label 2 vanishes
+    val cur = (cluster(0, 100 until 110, xDir) ++
+      cluster(1, 110 until 120, xDir)).toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingDrift(ref, cur, "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out(0L)._3 > 0.999, s"stable cluster must score ~1: ${out(0L)}")
+    assert(out(1L)._3 < 0.1, s"rotated cluster must drop: ${out(1L)}")
+    assert(out(2L)._1 == 5L && out(2L)._2 == 0L && out(2L)._3.isNaN,
+      s"vanished label keeps its row with NULL cosine: ${out(2L)}")
+  }
+
   test("pqCodes: seed vectors encode to themselves with zero error") {
     val emb = vecs(20, dim = 8)
     val out = Similarity.pqCodes(emb, "v", "id", m = 2, k = 4, dim = 8)
