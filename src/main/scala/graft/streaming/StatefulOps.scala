@@ -178,6 +178,50 @@ object StatefulOps {
       }
   }
 
+  /** Streaming distinct-count maintenance per key via KMV sketch state —
+    * the batch [[graft.operators.Sketches.kmvDistinct]] (md5 lane) kept
+    * incrementally: state per key is the k smallest distinct 32-bit
+    * hashes ever seen (bounded — the whole point: a distinct COUNT over a
+    * stream needs either this or an unbounded value set), updated through
+    * the SAME [[graft.functions.KmvSketch]] reduce logic the batch
+    * aggregate runs, with the SAME hash (first 4 md5 bytes — verified
+    * byte-equal to the Column-side `md5Hash32`), so after any prefix of
+    * the stream the estimate EQUALS the batch operator's on the same
+    * rows — not approximately, exactly (spec-pinned across micro-batch
+    * boundaries, duplicates spanning batches included: a re-seen value
+    * re-hashes into the state's distinct set and changes nothing).
+    * Emits one (key, est_distinct, sketch_full) row per key per batch. */
+  final case class KeyedValue(key: String, value: String)
+  final case class DistinctEstimate(key: String, estDistinct: Long,
+                                    sketchFull: Boolean)
+
+  /** JVM twin of `Sketches.md5Hash32`: first 8 hex digits of md5 as a
+    * long in [0, 2^32). */
+  private[streaming] def md5Hash32Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def kmvDistinctStream(rows: Dataset[KeyedValue], k: Int)(
+      implicit spark: SparkSession): Dataset[DistinctEstimate] = {
+    import spark.implicits._
+    require(k > 1, s"k must be >1: $k")
+    val kernel = new graft.functions.KmvSketch(k)
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[Seq[Long], DistinctEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[Seq[Long]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty[Long])
+          it.foreach(r => buf = kernel.reduce(buf, md5Hash32Jvm(r.value)))
+          state.update(buf)
+          val est = if (buf.size < k) buf.size.toLong
+            else (k - 1).toLong * 4294967296L / buf.last
+          DistinctEstimate(key, est, buf.size >= k)
+      }
+  }
+
   /** W6 exact variant: sessionization via flatMapGroupsWithState with an
     * event-time timeout — the fallback SURVEY.md §7.4(4) names for when
     * session_window's append-mode emission doesn't fit (e.g. emitting

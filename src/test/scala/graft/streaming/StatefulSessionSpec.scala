@@ -157,4 +157,44 @@ class StatefulSessionSpec extends SparkSpec {
     assert(streamed((1L, 11L))._2, "cross-batch spike must flag")
     assert(!streamed((2L, 7L))._2, "in-band point must stay quiet")
   }
+
+  test("kmvDistinctStream: JVM hash is byte-equal to the Column-side md5Hash32") {
+    val vals = Seq("", "a", "hello world", "tok_42", "ünïcode ✓")
+    val colSide = vals.toDF("v")
+      .select(graft.operators.Sketches.md5Hash32(col("v")))
+      .collect().map(_.getLong(0)).toSeq
+    val jvmSide = vals.map(StatefulOps.md5Hash32Jvm)
+    assert(colSide == jvmSide, s"col $colSide vs jvm $jvmSide")
+  }
+
+  test("kmvDistinctStream equals the batch kmvDistinct after every prefix") {
+    import graft.streaming.StatefulOps.{DistinctEstimate, KeyedValue}
+    // two keys; duplicates SPAN the batch cut (v3/v4 re-sent in batch 2);
+    // k=8 so key a overflows the sketch (estimator branch) and key b
+    // stays exact
+    val b1 = (0 until 12).map(i => KeyedValue("a", s"v$i")) ++
+      (0 until 3).map(i => KeyedValue("b", s"w$i"))
+    val b2 = Seq(KeyedValue("a", "v3"), KeyedValue("a", "v4")) ++
+      (12 until 20).map(i => KeyedValue("a", s"v$i")) ++
+      Seq(KeyedValue("b", "w0"), KeyedValue("b", "w3"))
+    val in = MemoryStream[KeyedValue]
+    val q = StatefulOps.kmvDistinctStream(in.toDS(), k = 8)
+      .writeStream.format("memory").queryName("t_kmv").outputMode("update").start()
+    def batchEst(rows: Seq[KeyedValue]) =
+      graft.operators.Sketches.kmvDistinct(
+        rows.toDF("key", "value"), "value", "key", k = 8, useMd5 = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("t_kmv").as[DistinctEstimate].collect()
+        .map(e => e.key -> e.estDistinct).toMap
+      assert(afterB1 == batchEst(b1), s"prefix 1: $afterB1 vs ${batchEst(b1)}")
+      in.addData(b2: _*); q.processAllAvailable()
+      val all = spark.table("t_kmv").as[DistinctEstimate].collect()
+      // batch-2 emissions are the rows beyond batch 1's two
+      val afterB2 = all.drop(2).map(e => e.key -> e.estDistinct).toMap
+      assert(afterB2 == batchEst(b1 ++ b2),
+        s"prefix 2: $afterB2 vs ${batchEst(b1 ++ b2)}")
+    } finally q.stop()
+  }
 }
