@@ -548,6 +548,21 @@ object SparkEntry {
         .orderBy("ga", "gb")
     }),
 
+    // ---- curation: eval-split leakage over near-dup clusters ----
+    // Same cluster kernel + split hash as q_dedup_clusters/q_eval_split;
+    // 5 leaking clusters exist at sf0.01 — the audit has real rows.
+    "q_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
+      val labels = Dedup.nearDupClusters(pairs)
+      val sp = Curation.splitAssignments(docs, "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .withColumnRenamed("doc_id", "id")
+      Curation.splitLeakage(labels, "id", "cluster_id", sp)
+        .orderBy("cluster_id")
+    }),
+
     // ---- embeddings: per-label centroid drift between snapshots ----
     // Even/odd split as (ref, cur); label 3's current vectors are negated
     // and label 7 is absent from cur (the vanished-class NULL branch).
@@ -2047,6 +2062,21 @@ object SparkEntry {
          |  CAST(CASE WHEN nd < 64 THEN nd
          |       ELSE CAST(63 AS BIGINT) * 4294967296 // kth END AS BIGINT) AS est_distinct
          |FROM ag ORDER BY source""".stripMargin,
+
+    // The recursive-CTE cluster closure + the shared split hash; leaking
+    // = members in >1 split.
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $clusterLabelCtes,
+         |sp AS (SELECT l.id, l.cluster_id,
+         |    CASE WHEN ((l.id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
+         |         WHEN ((l.id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM labels l)
+         |SELECT cluster_id, count(*) AS n_docs,
+         |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+         |FROM sp GROUP BY cluster_id HAVING count(DISTINCT split) > 1
+         |ORDER BY cluster_id""".stripMargin,
 
     // Both centroids ride the r4-then-FLOAT narrowing (the silhouette
     // convention) so the engines compare bit-identical vectors; a

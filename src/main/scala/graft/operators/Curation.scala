@@ -470,6 +470,29 @@ object Curation {
       .drop(groupCols.map(c => s"__k_$c") ++ Seq("__lo", "__hi"): _*)
   }
 
+  /** Eval-split LEAKAGE audit: near-dup clusters whose members landed in
+    * more than one holdout split — the contamination mode that survives a
+    * perfect document-level split (the test copy of a near-duplicated
+    * training document is still a leak), and the measured argument for
+    * running dedup BEFORE splitting. Consumes any (id, cluster) label
+    * relation (inline kernel or the stored cluster table) and any
+    * (id, split) assignment ([[splitAssignments]]); emits only the
+    * leaking clusters with their size, split count, and the sorted split
+    * list (engine-portable string, the postingLists convention).
+    *
+    * Scale shape: one equi-join keyed on the id + one cluster-keyed agg
+    * with map-side partials; the split list per cluster is bounded by the
+    * number of SPLITS (3-5), never by cluster size. Output is leaking-
+    * clusters-sized — usually tiny, and every row is actionable. */
+  def splitLeakage(labels: DataFrame, idCol: String, clusterCol: String,
+                   splits: DataFrame): DataFrame =
+    labels.join(splits, idCol)
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+
   /** Deterministic GLOBAL shuffle order: every row gets a unique 0-based
     * position in a reproducible pseudo-random permutation of the corpus —
     * the epoch-shuffle every training run needs, as a pure function of the

@@ -399,6 +399,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.isEmpty, s"verify must cut the banded candidate: ${out.toSeq}")
   }
 
+  test("splitLeakage: only clusters spanning splits surface, with sorted split lists") {
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 30L))
+      .toDF("id", "cluster_id")
+    val splits = Seq((1L, "train"), (2L, "train"),   // cluster 10: clean
+      (3L, "test"), (4L, "train"),                   // cluster 20: leaks
+      (5L, "val")                                    // singleton: clean
+    ).toDF("id", "split")
+    val out = Curation.splitLeakage(labels, "id", "cluster_id", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(out == Seq((20L, 2L, 2L, "test,train")), s"got: $out")
+  }
+
   test("globalShuffleOrder: a contiguous 0-based permutation matching the hash sort") {
     val ids = (1L to 997L).toDF("doc_id")
     val out = Curation.globalShuffleOrder(ids, "doc_id", buckets = 16)
