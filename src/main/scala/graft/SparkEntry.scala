@@ -563,6 +563,25 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // ---- curation: the SAME leakage audit over the STORED cluster table ----
+    // Production shape (the q_curation_indexed convention): the cluster
+    // kernel ran once at build; the audit is labels-sized work. Same
+    // oracle SQL as q_split_leakage by design.
+    "q_leakage_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = s"target/graft-clusters/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val p = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
+      if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+        Dedup.buildClusterTable(docs, "text", "doc_id", dir)
+      val sp = Curation.splitAssignments(docs, "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .withColumnRenamed("doc_id", "id")
+      Curation.splitLeakage(Dedup.readClusterTable(s, dir), "id",
+          "cluster_id", sp)
+        .orderBy("cluster_id")
+    }),
+
     // ---- embeddings: per-label centroid drift between snapshots ----
     // Even/odd split as (ref, cur); label 3's current vectors are negated
     // and label 7 is absent from cur (the vanished-class NULL branch).
@@ -2065,18 +2084,10 @@ object SparkEntry {
 
     // The recursive-CTE cluster closure + the shared split hash; leaking
     // = members in >1 split.
-    "q_split_leakage" ->
-      s"""WITH RECURSIVE $clusterLabelCtes,
-         |sp AS (SELECT l.id, l.cluster_id,
-         |    CASE WHEN ((l.id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
-         |         WHEN ((l.id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM labels l)
-         |SELECT cluster_id, count(*) AS n_docs,
-         |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
-         |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
-         |FROM sp GROUP BY cluster_id HAVING count(DISTINCT split) > 1
-         |ORDER BY cluster_id""".stripMargin,
+    "q_split_leakage" -> splitLeakageSql,
+    // identical SQL by design: the stored cluster table holds exactly the
+    // labels the inline kernel derives (the q_dedup_indexed convention)
+    "q_leakage_indexed" -> splitLeakageSql,
 
     // Both centroids ride the r4-then-FLOAT narrowing (the silhouette
     // convention) so the engines compare bit-identical vectors; a
@@ -3312,6 +3323,21 @@ object SparkEntry {
        |  round(($num) / ($den), 4) + 0.0 AS ewma
        |FROM l ORDER BY event_id""".stripMargin
   }
+
+  /** Split-leakage oracle: the recursive-CTE cluster closure joined with
+    * the shared split hash; leaking = members in more than one split. */
+  private def splitLeakageSql: String =
+    s"""WITH RECURSIVE $clusterLabelCtes,
+       |sp AS (SELECT l.id, l.cluster_id,
+       |    CASE WHEN ((l.id % 1000003) * 2654435761) % 100 < 90 THEN 'train'
+       |         WHEN ((l.id % 1000003) * 2654435761) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM labels l)
+       |SELECT cluster_id, count(*) AS n_docs,
+       |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+       |  string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+       |FROM sp GROUP BY cluster_id HAVING count(DISTINCT split) > 1
+       |ORDER BY cluster_id""".stripMargin
 
   /** The nation trade graph's oracle CTEs, ending in `kept(u, v)` —
     * shared by the triangle and k-core twins (mirrors
