@@ -537,6 +537,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- count-min heavy hitters over the corpus word stream ----
+    // Width 64 vs a 31-word vocab: collisions are plausible and the
+    // estimate is the sketch's (over-)count, identical cell-for-cell in
+    // both engines. minCount=500 keeps the head and drops the rare tail
+    // at the gate SF (both filter branches live).
+    "q_heavy_hitters" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(graft.expressions.Exprs.wordShingles(col("text"), 1))
+          .as("word"))
+        .filter(col("word") =!= "")
+      Sketches.cmsHeavyHitters(words, words.distinct(), "word",
+          minCount = 500L, depth = 3, width = 64)
+        .orderBy("word")
+    }),
+
     // ---- KMV set algebra: per-source-pair union/intersection estimates ----
     // The sketch-only sibling of q_source_overlap: the corpus is scanned
     // ONCE into 20 sketches; all 190 pair estimates come off the sketch
@@ -1602,6 +1617,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- time series: per-type ACF at lags 1..4 (exact integer bp) ----
+    "q_autocorr" -> ((s, d) => {
+      Timeseries.autocorr(
+        t(s, d, "events").withColumn("__cents", cents(col("value"))),
+        "event_type", Seq("ts", "event_id"), "__cents", maxLag = 4)
+        .orderBy("event_type", "lag")
+    }),
+
+    // ---- time series: hour-of-day seasonal index per event type ----
+    "q_seasonal" -> ((s, d) => {
+      Timeseries.seasonalProfile(
+        t(s, d, "events").withColumn("__cents", cents(col("value"))),
+        "event_type", "ts", "__cents", season = "hour")
+        .orderBy("event_type", "bucket")
+    }),
+
     // ---- curation: deterministic global shuffle (epoch permutation) ----
     "q_global_shuffle" -> ((s, d) => {
       Curation.globalShuffleOrder(t(s, d, "documents"), "doc_id",
@@ -2081,6 +2112,11 @@ object SparkEntry {
          |  CAST(CASE WHEN nd < 64 THEN nd
          |       ELSE CAST(63 AS BIGINT) * 4294967296 // kth END AS BIGINT) AS est_distinct
          |FROM ag ORDER BY source""".stripMargin,
+
+    // Cell-for-cell count-min twin: arms generated from the same
+    // (depth, width, salt) literals as the engine's sketch.
+    "q_heavy_hitters" -> cmsHeavyHittersSql(depth = 3, width = 64,
+      minCount = 500L),
 
     // The recursive-CTE cluster closure + the shared split hash; leaking
     // = members in >1 split.
@@ -3107,6 +3143,24 @@ object SparkEntry {
         |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
         |FROM s ORDER BY event_id""".stripMargin,
 
+    // Per-lag arms generated from the same literals as the engine's stack
+    // (never hand-copied); HUGEINT sums = the decimal(38,0) twin.
+    "q_autocorr" -> autocorrSql(4),
+
+    "q_seasonal" ->
+      """WITH e AS (SELECT event_type, hour(ts) AS bucket,
+        |    CAST(round(value*100, 0) AS BIGINT) AS x FROM events),
+        |b AS (SELECT event_type, bucket, CAST(count(*) AS HUGEINT) AS nb,
+        |    CAST(sum(x) AS HUGEINT) AS sb FROM e GROUP BY event_type, bucket),
+        |t AS (SELECT event_type, sum(nb) AS n, sum(sb) AS s
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, CAST(b.bucket AS BIGINT) AS bucket,
+        |  CAST(nb AS BIGINT) AS n,
+        |  CASE WHEN nb * s <> 0
+        |    THEN CAST((10000 * sb * n) // (nb * s) AS BIGINT) END AS index_bp
+        |FROM b JOIN t USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
+
     // The oracle CAN afford the global sort the engine refuses: one
     // window over the whole (tiny at sf0.01) corpus, ordered by the
     // shared sampler hash with id tie-break — bucket-major == global
@@ -4035,6 +4089,64 @@ object SparkEntry {
 
   /** Survivor per cluster: row_number argmax here vs max(struct) in the
     * engine — identical deterministic ordering (n_chars desc, id asc). */
+  /** DuckDB twin of [[Sketches.cmsHeavyHitters]] over the corpus word
+    * stream: per-hash-row arms generated from the same (depth, width,
+    * salt) literals; the md5 polynomial is [[Sketches.kmvHash32Sql]] —
+    * the identical 32-bit lane the engine's cells use. */
+  private def cmsHeavyHittersSql(depth: Int, width: Int,
+                                 minCount: Long): String = {
+    def h(j: Int) = Sketches.cmsBucketSql(j, depth, width, "word")
+    val streamArms = (0 until depth)
+      .map(j => s"SELECT $j AS row, ${h(j)} AS bucket FROM w")
+      .mkString("\n  UNION ALL ")
+    val probeArms = (0 until depth)
+      .map(j => s"SELECT word, $j AS row, ${h(j)} AS bucket FROM cand")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT unnest($sqlTokens) AS word FROM documents),
+       |cells AS (SELECT row, bucket, count(*) AS cnt FROM (
+       |  $streamArms) GROUP BY row, bucket),
+       |cand AS (SELECT DISTINCT word FROM w),
+       |probe AS (
+       |  $probeArms),
+       |est AS (SELECT word, min(coalesce(cnt, 0)) AS est_count
+       |  FROM probe LEFT JOIN cells USING (row, bucket) GROUP BY word)
+       |SELECT word, CAST(est_count AS BIGINT) AS est_count
+       |FROM est WHERE est_count >= $minCount ORDER BY word""".stripMargin
+  }
+
+  /** DuckDB twin of [[Timeseries.autocorr]] over events(event_type):
+    * per-lag SELECT arms generated from the same lag range the engine
+    * stacks, HUGEINT sums as the decimal(38,0) twin, `//` as the
+    * truncated-division twin of `div`. */
+  private def autocorrSql(maxLag: Int): String = {
+    val leads = (1 to maxLag)
+      .map(h => s"lead(x, $h) OVER w AS l$h").mkString(",\n    ")
+    val sums = (1 to maxLag).map(h =>
+      s"CAST(sum(x * l$h) AS HUGEINT) AS sxy$h,\n    " +
+        s"CAST(sum(CASE WHEN l$h IS NOT NULL THEN x END) AS HUGEINT) AS a$h,\n    " +
+        s"CAST(sum(l$h) AS HUGEINT) AS b$h").mkString(",\n    ")
+    val den = "(n * n * sxx - n * s * s)"
+    val arms = (1 to maxLag).map { h =>
+      val num = s"(n * n * sxy$h - n * s * (a$h + b$h) + (n - $h) * s * s)"
+      s"SELECT event_type, CAST($h AS BIGINT) AS lag,\n" +
+        s"    CASE WHEN n > $h AND $den <> 0\n" +
+        s"      THEN CAST((10000 * $num) // $den AS BIGINT) END AS acf_bp\n" +
+        "  FROM a"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT event_type, ts, event_id,
+       |    CAST(round(value*100, 0) AS BIGINT) AS x FROM events),
+       |o AS (SELECT event_type, x,
+       |    $leads
+       |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+       |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS s,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    $sums
+       |  FROM o GROUP BY event_type)
+       |$arms
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
   private def clusterBestSql: String =
     s"""WITH RECURSIVE $clusterLabelCtes,
        |ranked AS (

@@ -186,4 +186,99 @@ object Timeseries {
       (col("__s").cast("long") / 1e6).as("cusum") :+
       (col("__s") > lit(threshold).cast("decimal(38,0)") * 1000000L).as("alarm"): _*)
   }
+
+  /** Per-key autocorrelation function at lags 1..maxLag — the seasonality /
+    * burstiness probe of a behavioral time series (a near-1 ACF at lag k
+    * means the series repeats with period k; white noise sits near 0).
+    * Entirely engine-exact: with S = Σx, the lag-h autocovariance scaled
+    * by n² is the INTEGER
+    * `num_h = n²·Σ(x_i·x_{i+h}) − n·S·(A_h + B_h) + (n−h)·S²`
+    * (A_h / B_h = the head / tail partial sums over the n−h overlapping
+    * pairs), and `acf_bp = (10000·num_h) div num_0` — one truncated
+    * division of two exact DECIMAL(38,0) integers (Spark `div` ≡ DuckDB
+    * `//`, truncation toward zero verified for negatives in the olsTrend
+    * spec). No float accumulation anywhere, so the output is bit-identical
+    * under any partitioning. Lags with no pairs (n ≤ h) or a constant
+    * series (num_0 = 0) emit NULL acf_bp rather than a fake 0.
+    *
+    * Reach: n²·Σx² with 5-digit-cents values holds to ~1e12 rows per key
+    * in DECIMAL(38,0) — the per-key series length, not corpus size, is the
+    * bound.
+    *
+    * Scale shape: ONE exchange on the key + per-partition sort; all
+    * maxLag leads share that single window pass; then one
+    * map-side-combinable agg at key grain and a maxLag-way stack of the
+    * (tiny) per-key row. The corpus never self-joins. */
+  def autocorr(df: DataFrame, keyCol: String, orderCols: Seq[String],
+               valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32, s"maxLag: $maxLag")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val withLeads = (1 to maxLag).foldLeft(
+      df.select(col(keyCol) +: col(valueCol).as("__x") +: orderCols.map(col): _*)) {
+      case (acc, h) => acc.withColumn(s"__l$h", lead(col("__x"), h).over(w))
+    }
+    val lagAggs = (1 to maxLag).flatMap { h =>
+      Seq(
+        sum((col("__x").cast(d38) * col(s"__l$h")).cast(d38)).as(s"__sxy$h"),
+        sum(when(col(s"__l$h").isNotNull, col("__x")).cast(d38)).as(s"__a$h"),
+        sum(col(s"__l$h").cast(d38)).as(s"__b$h"))
+    }
+    val baseAggs = Seq(
+      count(lit(1)).cast(d38).as("__n"),
+      sum(col("__x").cast(d38)).as("__s"),
+      sum((col("__x").cast(d38) * col("__x")).cast(d38)).as("__sxx"))
+    val allAggs = baseAggs ++ lagAggs
+    val agg = withLeads.groupBy(col(keyCol)).agg(allAggs.head, allAggs.tail: _*)
+    val den = "(__n * __n * __sxx - __n * __s * __s)"
+    val perLag = (1 to maxLag).map { h =>
+      val num = s"(__n * __n * __sxy$h - __n * __s * (__a$h + __b$h)" +
+        s" + (__n - $h) * __s * __s)"
+      s"$h" + "L, CASE WHEN __n > " + h + s" AND $den <> 0" +
+        s" THEN CAST((10000 * $num) div $den AS BIGINT) END"
+    }.mkString(", ")
+    agg.selectExpr(keyCol,
+      s"stack($maxLag, $perLag) AS (lag, acf_bp)")
+  }
+
+  /** Seasonal profile: per (group, season-bucket) activity index against
+    * the group's overall mean — `index_bp = (10000·Σ_b·n) div (n_b·Σ)`,
+    * i.e. bucket-mean / group-mean in floored basis points (10000 = flat;
+    * an hour at 2× its group's average reads 20000). The mean RATIO form
+    * cancels the units, and the cross-multiplied integer form never
+    * divides until the end — engine/partitioning-exact with
+    * caller-quantized integer values. Season buckets are portable by
+    * construction: `hour` = hour-of-day 0–23, `isodow` = ISO day-of-week
+    * 1–7 Monday-first (Spark's Sunday-first `dayofweek` and DuckDB's
+    * 0-based `dow` disagree; ISO numbering is the one both engines can
+    * express). Groups with Σ = 0 emit NULL index (a flat-zero series has
+    * no meaningful profile). Buckets with no rows simply don't appear —
+    * callers gap-fill with the grid join of [[RelationalOps]] if they
+    * need dense panels.
+    *
+    * Scale shape: one map-side-combinable agg at (group, bucket) grain —
+    * at most 24·|groups| rows — then a groups-sized total re-agg joined
+    * back broadcast. The corpus scans exactly once. */
+  def seasonalProfile(df: DataFrame, groupCol: String, tsCol: String,
+                      valueCol: String, season: String = "hour"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val bucket = season match {
+      case "hour" => hour(col(tsCol)).cast("long")
+      case "isodow" => (weekday(col(tsCol)) + 1).cast("long")
+      case other => throw new IllegalArgumentException(s"season: $other")
+    }
+    val byBucket = df
+      .select(col(groupCol), bucket.as("bucket"), col(valueCol).as("__x"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).cast(d38).as("__nb"),
+        sum(col("__x").cast(d38)).as("__sb"))
+    val totals = byBucket.groupBy(col(groupCol))
+      .agg(sum(col("__nb")).as("__n"), sum(col("__sb")).as("__s"))
+    byBucket.join(broadcast(totals), groupCol)
+      .select(col(groupCol), col("bucket"),
+        col("__nb").cast("long").as("n"),
+        when(expr("__nb * __s") =!= 0,
+          expr("(10000 * __sb * __n) div (__nb * __s)"))
+          .cast("long").as("index_bp"))
+  }
 }

@@ -127,4 +127,64 @@ class SketchSpec extends SparkSpec {
     assert(out._2 > 100 && out._2 < 1000,
       s"intersection est must track 500 within the sketch's band: $out")
   }
+
+  test("cms: estimates never underestimate; exact when the grid is wide") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val exact = Map("a" -> 40, "b" -> 25, "c" -> 10, "d" -> 3, "e" -> 1)
+    val stream = exact.toSeq.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .toDF("item")
+    val cand = exact.keys.toSeq.toDF("item")
+    // width 4 < 5 items: at least one pair collides in some row → the
+    // overestimate property is the invariant, exactness is not
+    val tight = Sketches.cmsEstimate(cand, "item",
+        Sketches.cmsBuild(stream, "item", depth = 2, width = 4),
+        depth = 2, width = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, n) =>
+      assert(tight(w) >= n, s"$w: est ${tight(w)} < exact $n") }
+    // width 4096 over 5 items: collisions are (deterministically) absent
+    // and every estimate is the exact count
+    val wide = Sketches.cmsEstimate(cand, "item",
+        Sketches.cmsBuild(stream, "item", depth = 3, width = 4096),
+        depth = 3, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact.map { case (k, v) => k -> v.toLong },
+      s"wide grid must be exact: $wide")
+  }
+
+  test("cms: shard sketches merge cell-wise into the whole-corpus sketch") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val all = (0 until 300).map(i => s"w${i % 17}").toDF("item")
+    val h1 = (0 until 150).map(i => s"w${i % 17}").toDF("item")
+    val h2 = (150 until 300).map(i => s"w${i % 17}").toDF("item")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsBuild(df, "item", depth = 3, width = 8)
+    val merged = cells(h1).unionByName(cells(h2))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "cell-wise sum of shard sketches must equal the corpus sketch")
+  }
+
+  test("cms: unseen items estimate 0 and true heavy hitters are never missed") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val stream = (Seq.fill(50)("hot") ++ Seq.fill(2)("cold")).toDF("item")
+    val cand = Seq("hot", "cold", "never-seen").toDF("item")
+    val est = Sketches.cmsEstimate(cand, "item",
+        Sketches.cmsBuild(stream, "item", depth = 3, width = 64),
+        depth = 3, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("never-seen") == 0L, s"unseen must be 0: $est")
+    val hh = Sketches.cmsHeavyHitters(stream, cand, "item", minCount = 40L,
+        depth = 3, width = 64)
+      .collect().map(_.getString(0)).toSet
+    assert(hh.contains("hot"), "the one-sided guarantee: a true heavy hitter always clears")
+    assert(!hh.contains("cold") && !hh.contains("never-seen"),
+      s"collision-free grid must not promote light items: $hh")
+  }
 }

@@ -153,4 +153,75 @@ class TimeseriesSpec extends SparkSpec {
         r.getBoolean(3))).toSet
     assert(run(1) == run(19))
   }
+
+  test("autocorr: alternating series hand-computed at every lag") {
+    // x = 1,-1,1,-1: S=0, num_h = n²·Σx·lead, num_0 = 16·4 = 64
+    val df = Seq(1L, -1L, 1L, -1L).zipWithIndex
+      .map { case (x, i) => ("k", i.toLong, x) }.toDF("k", "seq", "v")
+    val out = Timeseries.autocorr(df, "k", Seq("seq"), "v", maxLag = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // lag1: Σ=-3 → (10000·16·-3) div 64 = -7500; lag2: Σ=2 → 5000;
+    // lag3: Σ=-1 → -2500
+    assert(out == Map(1L -> -7500L, 2L -> 5000L, 3L -> -2500L), s"got: $out")
+  }
+
+  test("autocorr: constant series and missing lags emit NULL, keys independent") {
+    val const = (0 until 6).map(i => ("const", i.toLong, 42L))
+    val short = (0 until 3).map(i => ("short", i.toLong, (i * i).toLong))
+    val df = (const ++ short).toDF("k", "seq", "v")
+    val rows = Timeseries.autocorr(df, "k", Seq("seq"), "v", maxLag = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.isNullAt(2)).toMap
+    // constant → zero variance → every lag NULL
+    (1L to 4L).foreach(h => assert(rows(("const", h)), s"const lag $h"))
+    // n=3: lags 1,2 have pairs, lags 3,4 have none
+    assert(!rows(("short", 1L)) && !rows(("short", 2L)))
+    assert(rows(("short", 3L)) && rows(("short", 4L)))
+  }
+
+  test("autocorr matches a sequential BigInt reference and is partitioning-invariant") {
+    val xs = (0 until 200).map(i => ((i * 37 + 11) % 101).toLong - 50)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "seq", "v")
+    def ref(h: Int): Long = {
+      val n = BigInt(xs.length); val s = BigInt(xs.sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val sxy = xs.dropRight(h).zip(xs.drop(h)).map { case (a, b) => BigInt(a) * b }.sum
+      val aH = BigInt(xs.dropRight(h).sum); val bH = BigInt(xs.drop(h).sum)
+      val num = n * n * sxy - n * s * (aH + bH) + (n - h) * s * s
+      val den = n * n * sxx - n * s * s
+      ((BigInt(10000) * num) / den).toLong // both positive here: / == div
+    }
+    def run(parts: Int) = Timeseries.autocorr(
+      df.repartition(parts), "k", Seq("seq"), "v", maxLag = 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val one = run(1)
+    (1 to 5).foreach(h => assert(one(h.toLong) == ref(h), s"lag $h: ${one(h.toLong)} vs ${ref(h)}"))
+    assert(one == run(17))
+  }
+
+  test("seasonalProfile: hand-computed hour indexes and zero-total NULL") {
+    val df = Seq(
+      ("a", ts(0), 100L), ("a", ts(60), 300L),     // hour 0: mean 200
+      ("a", ts(3600), 400L),                        // hour 1: mean 400
+      ("z", ts(0), 5L), ("z", ts(3600), -5L))       // Σ = 0 → NULL index
+      .toDF("g", "t", "v")
+    val out = Timeseries.seasonalProfile(df, "g", "t", "v", "hour")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // overall mean 800/3: hour0 = (10000·400·3) div (2·800) = 7500
+    assert(out(("a", 0L)) == ((2L, Some(7500L))), s"got ${out(("a", 0L))}")
+    assert(out(("a", 1L)) == ((1L, Some(15000L))))
+    assert(out(("z", 0L))._2.isEmpty && out(("z", 1L))._2.isEmpty)
+  }
+
+  test("seasonalProfile: isodow buckets are ISO Monday-first") {
+    // 2024-01-01 (epoch day 19723) was a Monday; +86400·5 lands Saturday
+    val mon = ts(1704067200L); val sat = ts(1704067200L + 5 * 86400)
+    val df = Seq(("g", mon, 10L), ("g", sat, 30L)).toDF("g", "t", "v")
+    val out = Timeseries.seasonalProfile(df, "g", "t", "v", "isodow")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // buckets 1 (Mon) and 6 (Sat); indexes: (10000·10·2) div (1·40)=5000,
+    // (10000·30·2) div 40 = 15000
+    assert(out == Map(1L -> 5000L, 6L -> 15000L), s"got: $out")
+  }
 }
