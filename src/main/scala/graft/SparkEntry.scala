@@ -1491,6 +1491,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- graph: label-propagation communities on the trade graph ----
+    "q_label_prop" -> ((s, d) => {
+      Graphs.labelPropagation(nationTradeEdges(s, d), "u", "v", "w",
+          rounds = 3)
+        .orderBy("node")
+    }),
+
+    // ---- graph: item co-occurrence with lift (market-basket pairs) ----
+    // Baskets = orders, items = parts; cap 10 drops the >10-item tail
+    // (live at sf0.01: max basket is 13) and minCount 2 cuts the
+    // single-occurrence noise floor — both guard branches exercised.
+    "q_covisit" -> ((s, d) => {
+      Graphs.coOccurrence(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", maxBasketSize = 10, minCount = 2)
+        .orderBy("item_a", "item_b")
+    }),
+
     // ---- time series: bounded-lookback EWMA (exact integer weights) ----
     // ewma is in CENTS (the caller-quantized unit) — the 1e6/2^i weight
     // ladder makes it bit-identical on any engine/partitioning.
@@ -3077,6 +3095,28 @@ object SparkEntry {
 
     "q_kcore" -> kCoreSql,
 
+    "q_label_prop" -> labelPropSql,
+
+    "q_covisit" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |sized AS (SELECT bk FROM (
+        |  SELECT bk, count(*) AS sz FROM bi GROUP BY bk) WHERE sz <= 10),
+        |kept AS (SELECT bi.bk, bi.it FROM bi JOIN sized USING (bk)),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM kept),
+        |sup AS (SELECT it, count(*) AS s FROM kept GROUP BY it),
+        |p AS (
+        |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_both
+        |  FROM kept a JOIN kept b USING (bk) WHERE a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST((10000 * n_both * nb.n) // (sa.s * sb.s) AS BIGINT) AS lift_bp
+        |FROM p
+        |JOIN sup sa ON p.item_a = sa.it
+        |JOIN sup sb ON p.item_b = sb.it
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
     "q_pq_codes" ->
       s"""WITH $pqCodesCtes
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
@@ -3433,6 +3473,38 @@ object SparkEntry {
        |SELECT node, count(*) AS degree FROM (
        |  SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
        |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** Label-propagation oracle: 3 UNROLLED synchronous rounds (generated
+    * MATERIALIZED CTEs — the kCore inlining lesson) over the weighted
+    * nation trade graph, identical vote/tie semantics to
+    * `Graphs.labelPropagation(rounds = 3)`: max weight-sum, ties to the
+    * smallest label, isolated nodes coalesce to themselves. */
+  private def labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT s.t AS node, l.label, sum(s.w) AS v
+         |  FROM sym s JOIN l${i - 1} l ON s.s = l.node
+         |  GROUP BY s.t, l.label),
+         |b$i AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |                       ORDER BY v DESC, label) AS rn
+         |  FROM v$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(b.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN b$i b USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nationTradeEdgesCtes,
+       |keptw AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v,
+       |    CAST(w AS BIGINT) AS w
+       |  FROM wts, tot WHERE w * np >= tw),
+       |sym AS (SELECT u AS s, v AS t, w FROM keptw
+       |  UNION ALL SELECT v AS s, u AS t, w FROM keptw),
+       |nodes AS (SELECT DISTINCT s AS node FROM sym),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |$rounds
+       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
   }
 
   /** HITS oracle: the Markov edge counts, then 2 UNROLLED authority/hub

@@ -235,4 +235,107 @@ object Graphs {
           expr("(10000 * 2 * coalesce(n_tri, CAST(0 AS BIGINT))) div (deg * (deg - 1))"))
           .otherwise(lit(0L)) / lit(10000.0) + lit(0.0)).as("clustering"))
   }
+
+  /** Synchronous weighted label propagation with a FIXED round count —
+    * community detection without an objective function: every node starts
+    * as its own community, and each round every node adopts the label
+    * with the largest neighbor weight-sum, ties toward the SMALLEST
+    * label. Synchronous update + deterministic tie-break makes the whole
+    * trajectory a pure function of the edge relation — the same
+    * engine/partitioning determinism contract as [[pageRank]]/[[kCore]]
+    * (asynchronous LP, the textbook default, is order-dependent and
+    * unreproducible by design — useless under a hash gate). Fixed rounds
+    * are the semantics, not an approximation: like kCore, callers pick
+    * rounds ≥ observed convergence; on bipartite-ish regions synchronous
+    * LP can 2-cycle, which a fixed round count surfaces reproducibly
+    * instead of hanging a convergence loop.
+    *
+    * Nodes with no neighbors (possible only if present as an endpoint of
+    * a filtered-out edge relation the caller unioned in) keep their own
+    * label via the coalesce.
+    *
+    * Scale shape per round: one shuffle keyed on the vote destination
+    * (edges-grain), one (node, label)-grain count agg, one per-node
+    * window cut whose partitions are ≤ distinct-neighbor-label sized,
+    * and a nodes-sized left join; the edge relation is scanned once per
+    * round and never self-joined. localCheckpoint per round truncates
+    * lineage — the shared loop discipline. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col(srcCol).cast("string").as("s"),
+        col(dstCol).cast("string").as("t"),
+        col(weightCol).cast("long").as("w"))
+      .unionByName(edges.select(col(dstCol).cast("string").as("s"),
+        col(srcCol).cast("string").as("t"),
+        col(weightCol).cast("long").as("w")))
+      .persist(lvl)
+    val nodes = sym.select(col("s").as("node")).distinct().persist(lvl)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+      .orderBy(col("v").desc, col("label").asc)
+    for (_ <- 0 until rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("s"), col("label")), "s")
+        .groupBy(col("t").as("node"), col("label"))
+        .agg(sum("w").as("v"))
+      val best = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("node"), col("label"))
+      labels = nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Item co-occurrence with lift — the bipartite (basket, item) relation
+    * projected onto an item-item association graph: for every unordered
+    * item pair sharing a basket, the basket count `n_both` and the lift
+    * `(10000·n_both·N) div (n_a·n_b)` in floored basis points (>10000 =
+    * the pair co-occurs more than independent popularity predicts — the
+    * association-rule signal; exact integer cross-multiplication, never a
+    * float probability). Pairs below `minCount` baskets are cut AFTER
+    * counting (anti-noise), baskets holding more than `maxBasketSize`
+    * distinct items are DROPPED BEFORE pairing — the hot-basket guard:
+    * pair fan-out is quadratic in basket size, and one crawler "basket"
+    * with 1e5 items would emit 5e9 pairs from a single task. The drop
+    * (not truncate) keeps semantics engine-portable — a deterministic
+    * size predicate, not an order-dependent prefix. N = baskets surviving
+    * the cap, the universe the lift is defined over.
+    *
+    * Scale shape: distinct (basket, item) + per-basket size = two
+    * basket-keyed aggs; the pairing is a basket-keyed self-join whose
+    * per-basket fan-out is capped at maxBasketSize²/2; item supports are
+    * an items-sized agg that attaches by broadcast; the 1-row N attaches
+    * by broadcast. Nothing after the pairing exceeds the pair relation. */
+  def coOccurrence(baskets: DataFrame, basketCol: String, itemCol: String,
+                   maxBasketSize: Int = 100, minCount: Long = 2): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize: $maxBasketSize")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val sized = bi.groupBy("bk").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+    val kept = bi.join(sized.select("bk"), "bk").persist(lvl)
+    val nB = kept.select(countDistinct(col("bk")).as("__nb"))
+    val support = kept.groupBy(col("it")).agg(count(lit(1)).as("__sup"))
+    val pairs = kept.select(col("bk"), col("it").as("item_a"))
+      .join(kept.select(col("bk"), col("it").as("item_b")), "bk")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    pairs
+      .join(broadcast(support.select(col("it").as("item_a"),
+        col("__sup").as("__sa"))), "item_a")
+      .join(broadcast(support.select(col("it").as("item_b"),
+        col("__sup").as("__sb"))), "item_b")
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        // decimal-first: 1e4·n_both·N at web scale (~1e10 baskets)
+        // overflows a LONG product exactly on the popular pairs
+        expr("(10000 * CAST(n_both AS DECIMAL(38,0)) * __nb)" +
+          " div (CAST(__sa AS DECIMAL(38,0)) * __sb)")
+          .cast("long").as("lift_bp"))
+  }
 }

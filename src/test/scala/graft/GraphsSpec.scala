@@ -140,4 +140,77 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(run(1) == run(11))
   }
+
+  /** Sequential twin of labelPropagation: synchronous rounds, max
+    * weight-sum, ties to the smallest label, no-vote nodes fall back to
+    * their own id — the operator's exact contract. */
+  private def refLp(edges: Seq[(String, String, Long)],
+                    rounds: Int): Map[String, String] = {
+    val sym = edges.flatMap { case (s, t, w) => Seq((s, t, w), (t, s, w)) }
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 0 until rounds) {
+      lab = nodes.map { n =>
+        val votes = sym.filter(_._2 == n)
+          .groupBy(e => lab(e._1)).view.mapValues(_.map(_._3).sum).toMap
+        if (votes.isEmpty) n -> n
+        else { val mx = votes.values.max
+          n -> votes.collect { case (l, v) if v == mx => l }.min }
+      }.toMap
+    }
+    lab
+  }
+
+  private def lp(edges: Seq[(String, String, Long)], rounds: Int) =
+    Graphs.labelPropagation(edges.toDF("s", "t", "w"), "s", "t", "w", rounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: two cliques with a weak bridge settle into two communities") {
+    val tri = (p: String) => Seq((s"${p}1", s"${p}2", 10L),
+      (s"${p}2", s"${p}3", 10L), (s"${p}1", s"${p}3", 10L))
+    val edges = tri("a") ++ tri("b") :+ (("a3", "b1", 1L))
+    val out = lp(edges, rounds = 5)
+    assert(Set("a1", "a2", "a3").map(out) == Set("a1"),
+      s"clique A must agree on a1: $out")
+    assert(Set("b1", "b2", "b3").map(out) == Set("b1"),
+      s"clique B must agree on b1: $out")
+    assert(out == refLp(edges, 5), "must equal the sequential twin")
+  }
+
+  test("labelPropagation equals the sequential twin and is partitioning-invariant") {
+    val edges = (0 until 120).map(i =>
+      (s"n${i % 17}", s"n${(i * 5 + 2) % 17}", (i % 4 + 1).toLong))
+      .filter { case (s, t, _) => s != t }.distinct
+    val one = lp(edges, rounds = 4)
+    assert(one == refLp(edges, 4), "engine must equal the sequential reference")
+    val many = Graphs.labelPropagation(
+      edges.toDF("s", "t", "w").repartition(13), "s", "t", "w", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one == many, "labels must not depend on partitioning")
+  }
+
+  test("coOccurrence: hand-computed lift, minCount cut, hot-basket drop") {
+    // kept baskets: b1{p,q}, b2{p,q}, b3{x,y}; b4 has 5 items > cap 4
+    val rows = Seq(("b1", "p"), ("b1", "q"), ("b1", "p"), // dup deduped
+      ("b2", "p"), ("b2", "q"), ("b3", "x"), ("b3", "y")) ++
+      (1 to 5).map(i => ("b4", s"cap$i"))
+    val out = Graphs.coOccurrence(rows.toDF("bk", "it"), "bk", "it",
+        maxBasketSize = 4, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (p,q): n_both=2, N=3, sup p=q=2 → lift = (10000·2·3) div 4 = 15000
+    assert(out == Map(("p", "q") -> ((2L, 15000L))), s"got: $out")
+  }
+
+  test("coOccurrence: independent pairs read 10000 bp, pairs below minCount vanish") {
+    // b1{p,q,r}, b2{p,q}, b3{p,q}: (p,q) n=3, sup 3·3, N=3 → exactly 10000
+    val rows = Seq(("b1", "p"), ("b1", "q"), ("b1", "r"),
+      ("b2", "p"), ("b2", "q"), ("b3", "p"), ("b3", "q"))
+    val out = Graphs.coOccurrence(rows.toDF("bk", "it"), "bk", "it",
+        maxBasketSize = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(("p", "q") -> ((3L, 10000L))),
+      s"(p,r)/(q,r) are single-basket and must be cut: $out")
+  }
 }
