@@ -118,6 +118,42 @@ object SparkEntry {
       |        ELSE 'offline' END) AS text
       |FROM customer""".stripMargin
 
+  /** documents ∪ deterministic multi-script nation "briefs" — the corpus
+    * for the script-mix census. The raw documents are pure ASCII at every
+    * SF, which would leave every non-Latin branch a vacuous zero; the
+    * briefs derive Cyrillic/CJK/Arabic spans from real nation rows with an
+    * engine-identical construction (codepoint-for-codepoint: Scala \\u
+    * literals here, chr() codepoints in the twin). Ids offset by 2e6. */
+  private def scriptCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val briefs = t(s, d, "nation").select(
+      (col("n_nationkey") + lit(2000000L)).as("doc_id"),
+      concat(
+        col("n_name"), lit(" "),
+        expr("repeat('Жи', CAST(n_nationkey % 4 AS INT) + 1)"),
+        lit(" "),
+        expr("repeat('中文', CAST(n_nationkey % 3 AS INT) + 1)"),
+        lit(" 42 "),
+        when(col("n_nationkey") % 2 === 0,
+          lit("سلام")).otherwise(lit("peace")))
+        .as("text"))
+    docs.unionByName(briefs)
+  }
+
+  /** DuckDB twin of [[scriptCorpus]] — kept adjacent for side-by-side
+    * review; chr() codepoints mirror the Scala \\u literals. */
+  private val scriptCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT n_nationkey + 2000000 AS doc_id,
+      | concat(n_name, ' ',
+      |   repeat(chr(1046)||chr(1080), n_nationkey % 4 + 1), ' ',
+      |   repeat(chr(20013)||chr(25991), n_nationkey % 3 + 1), ' 42 ',
+      |   CASE WHEN n_nationkey % 2 = 0
+      |        THEN chr(1587)||chr(1604)||chr(1575)||chr(1605)
+      |        ELSE 'peace' END) AS text
+      |FROM nation""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -708,6 +744,12 @@ object SparkEntry {
     // ---- text analysis: language ID heuristic ----
     "q_langid" -> ((s, d) => {
       TextAnalysis.languageId(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: Unicode script mix over the multi-script corpus ----
+    "q_script_mix" -> ((s, d) => {
+      TextAnalysis.scriptMix(scriptCorpus(s, d), "text", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -1651,6 +1693,15 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // ---- streaming twin: per-day trending top-k event types ----
+    // The batch form of streaming.Trending — identical window bucketing,
+    // ranking, and tie-break (spec-pinned equal to the live stream).
+    "q_trending" -> ((s, d) => {
+      graft.streaming.Trending.topKPerWindowBatch(
+          t(s, d, "events"), "ts", "event_type", "1 day", k = 3)
+        .orderBy("window_start", "rnk")
+    }),
+
     // ---- curation: deterministic global shuffle (epoch permutation) ----
     "q_global_shuffle" -> ((s, d) => {
       Curation.globalShuffleOrder(t(s, d, "documents"), "doc_id",
@@ -2321,6 +2372,26 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_langid" -> langIdSql,
+
+    // regexp classes shared codepoint-for-codepoint with the engine's
+    // BMP ranges; len(regexp_extract_all) is DuckDB's regexp_count.
+    "q_script_mix" ->
+      s"""WITH c AS ($scriptCorpusSql),
+         |m AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         |  CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+         |  CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_cjk,
+         |  CAST(len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS n_arabic,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+         | FROM c)
+         |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic,
+         |  n_nonspace,
+         |  n_nonspace - (n_latin + n_digit + n_cyrillic + n_cjk + n_arabic)
+         |    AS n_other,
+         |  CASE WHEN n_nonspace > 0
+         |    THEN CAST((10000 * n_latin) // n_nonspace AS BIGINT) END AS latin_bp
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_quality" -> qualitySql,
 
@@ -3182,6 +3253,20 @@ object SparkEntry {
         |  CAST(ss AS BIGINT) / 1000000.0 AS cusum,
         |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
         |FROM s ORDER BY event_id""".stripMargin,
+
+    "q_trending" ->
+      """WITH c AS (
+        |  SELECT date_trunc('day', ts) AS window_start, event_type AS item,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, item, n,
+        |    row_number() OVER (PARTITION BY window_start
+        |                       ORDER BY n DESC, item) AS rnk
+        |  FROM c)
+        |SELECT window_start, CAST(rnk AS BIGINT) AS rnk, item,
+        |  CAST(n AS BIGINT) AS n
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start, rnk""".stripMargin,
 
     // Per-lag arms generated from the same literals as the engine's stack
     // (never hand-copied); HUGEINT sums = the decimal(38,0) twin.

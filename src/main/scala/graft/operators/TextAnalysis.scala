@@ -791,4 +791,38 @@ object TextAnalysis {
         (expr("(10000 * n_novel) div n_shingles") / lit(10000.0) + lit(0.0))
           .as("novelty_rate"))
   }
+
+  /** Unicode script mix per document — the writing-system census that
+    * complements [[languageId]] (marker words can't see that a "mostly
+    * English" page is half CJK boilerplate, and encoding mojibake shows
+    * up as an `other` spike before any language model notices). Counts
+    * per script class (Latin letters, ASCII digits, Cyrillic, CJK
+    * unified, Arabic) as codepoint-range regexp counts — BMP ranges via
+    * `\x{...}` escapes, the syntax Java regex and RE2 share — plus the
+    * residual `n_other` (non-whitespace chars in none of the classes)
+    * and the Latin share of non-space text in floored basis points.
+    * Zero-text documents emit NULL latin_bp, never a divide-by-zero.
+    *
+    * Pure codegen projection: one scan, zero shuffle — the 100 TB plan is
+    * scan → project → write, the [[qualityScore]] shape. */
+  def scriptMix(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String) = regexp_count(t, lit(pattern)).cast("long")
+    val classes = Seq(
+      "n_latin" -> "[A-Za-z]",
+      "n_digit" -> "[0-9]",
+      "n_cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "n_cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "n_arabic" -> "[\\x{0600}-\\x{06FF}]")
+    val nonSpace = length(regexp_replace(t, "\\s", "")).cast("long")
+    val counted = classes.map { case (_, p) => cnt(p) }.reduce(_ + _)
+    docs.select(
+      col(idCol) +:
+        classes.map { case (n, p) => cnt(p).as(n) } :+
+        nonSpace.as("n_nonspace") :+
+        (nonSpace - counted).as("n_other"): _*)
+      .withColumn("latin_bp",
+        when(col("n_nonspace") > 0,
+          expr("(10000 * n_latin) div n_nonspace")).cast("long"))
+  }
 }

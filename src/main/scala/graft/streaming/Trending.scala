@@ -22,6 +22,28 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * append-mode replay relies on. */
 object Trending {
 
+  /** The BATCH twin of [[topKPerWindow]]: identical windowing (the same
+    * `window()` bucketing), identical ranking and tie-break, over a bounded
+    * table — the backfill/replay formulation whose output a resumed stream
+    * must extend, row for row (spec-pinned equivalence). The per-window
+    * rank is a window sort over (window, item) COUNT rows — right when the
+    * item vocabulary is bounded (event types, domains); for an unbounded
+    * item space swap in a `TopKHits`-style bounded aggregate keyed on the
+    * window, the [[graft.operators.Curation.fixedSizeSample]] shape. */
+  def topKPerWindowBatch(events: DataFrame, tsCol: String, itemCol: String,
+                         windowDur: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val counts = events
+      .groupBy(window(col(tsCol), windowDur), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("item"), col("n"))
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("item").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("window_start", "rnk", "item", "n")
+  }
+
   def topKPerWindow(events: DataFrame, tsCol: String, itemCol: String,
                     windowDur: String, watermarkDelay: String, k: Int,
                     outDir: String, checkpoint: String): DataStreamWriter[Row] = {

@@ -488,4 +488,22 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(out(1) == ((2L, 2L, 1L, 0.5)), s"got: $out")
   }
+
+  test("scriptMix: hand-counted classes, residual other, zero-text NULL share") {
+    val docs = Seq(
+      (1L, "ab1 Жи 中文中 س é"), // 2 latin, 1 digit, 2 cyr, 3 cjk, 1 arabic,
+                                   // é = other; nonspace = 10
+      (2L, ""),                    // empty → all zero, latin_bp NULL
+      (3L, "abcd")                 // pure latin → 10000 bp
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.scriptMix(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) None else Some(r.getLong(8))))).toMap
+    assert(rows(1L) == ((2L, 1L, 2L, 3L, 1L, 10L, 1L, Some(2000L))),
+      s"got: ${rows(1L)}")
+    assert(rows(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, None)))
+    assert(rows(3L) == ((4L, 0L, 0L, 0L, 0L, 4L, 0L, Some(10000L))))
+  }
 }

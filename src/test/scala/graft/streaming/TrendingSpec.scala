@@ -57,4 +57,32 @@ class TrendingSpec extends SparkSpec {
       .orderBy("rnk").collect().map(_.getString(2)).toSeq
     assert(out == Seq("x", "y"), s"all-tied counts cut alphabetically: $out")
   }
+
+  test("the live stream's closed-window panel equals the batch twin row for row") {
+    val outDir = java.nio.file.Files.createTempDirectory("trend_eq").toFile
+    java.nio.file.Files.delete(outDir.toPath)
+    val ckpt = java.nio.file.Files.createTempDirectory("trend_eq_ckpt").toFile
+    val rows = (0 until 60).map(i =>
+      (ts(1000L + i), s"it${(i * 7 + i / 10) % 5}"))
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Trending.topKPerWindow(in.toDS().toDF("ts", "item"),
+        "ts", "item", "10 seconds", "5 seconds", k = 2,
+        outDir.getAbsolutePath, ckpt.getAbsolutePath)
+      .start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((ts(2000), "flush")) // closes every data window
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir.getAbsolutePath)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val batch = Trending.topKPerWindowBatch(
+        rows.toDF("ts", "item"), "ts", "item", "10 seconds", k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"closed-window stream output must equal the batch twin:\n$streamed\nvs\n$batch")
+  }
 }
