@@ -1702,6 +1702,31 @@ object SparkEntry {
         .orderBy("window_start", "rnk")
     }),
 
+    // ---- curation: per-source quantile calibration of quality ----
+    "q_calibrate" -> ((s, d) => {
+      val scored = TextAnalysis.qualityScore(t(s, d, "documents"), "text",
+        "doc_id", keepCols = Seq("source"))
+      Curation.calibrateScores(scored, "source", "quality", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: token-budget water-filling across sources ----
+    // Budget 21732 = ~80% of the sf0.01 corpus's ws tokens — chosen so
+    // the cap cascade spans all 3 rounds at the gate SF (7, 2, then 2
+    // sources cap; simulated). Weights derive from the source suffix on
+    // both sides.
+    "q_token_budget" -> ((s, d) => {
+      val avail = t(s, d, "documents").groupBy("source")
+        .agg(sum(size(TextFunctions.tokens(col("text")))).cast("long")
+          .as("avail"))
+      val wts = avail.select(col("source"),
+        ((expr("CAST(substring(source, 4) AS INT)") % 5 + 1) * 1000)
+          .cast("long").as("w"))
+      Curation.tokenBudget(avail, "source", "avail", wts, "source", "w",
+          budget = 21732L, rounds = 3)
+        .orderBy("source")
+    }),
+
     // ---- curation: deterministic global shuffle (epoch permutation) ----
     "q_global_shuffle" -> ((s, d) => {
       Curation.globalShuffleOrder(t(s, d, "documents"), "doc_id",
@@ -3254,6 +3279,23 @@ object SparkEntry {
         |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
         |FROM s ORDER BY event_id""".stripMargin,
 
+    // Tie-aware rank() (equal qualities calibrate equal) — the engine's
+    // contract; single-member groups pin to 0.
+    "q_calibrate" ->
+      s"""WITH q AS (SELECT doc_id, quality FROM ($qualitySql)),
+         |j AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |r AS (SELECT doc_id, source,
+         |    rank() OVER (PARTITION BY source ORDER BY quality) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM j)
+         |SELECT doc_id, source,
+         |  CAST(CASE WHEN n > 1 THEN (10000 * (rk - 1)) // (n - 1)
+         |       ELSE 0 END AS BIGINT) AS calib_bp
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" -> tokenBudgetSql(budget = 21732L, rounds = 3),
+
     "q_trending" ->
       """WITH c AS (
         |  SELECT date_trunc('day', ts) AS window_start, event_type AS item,
@@ -4269,6 +4311,45 @@ object SparkEntry {
        |  FROM probe LEFT JOIN cells USING (row, bucket) GROUP BY word)
        |SELECT word, CAST(est_count AS BIGINT) AS est_count
        |FROM est WHERE est_count >= $minCount ORDER BY word""".stripMargin
+  }
+
+  /** DuckDB twin of [[Curation.tokenBudget]] over per-source ws-token
+    * counts: `rounds` unrolled MATERIALIZED water-filling rounds with the
+    * identical floored-share arithmetic; weights derive from the source
+    * suffix on both sides. */
+  private def tokenBudgetSql(budget: Long, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""t$i AS MATERIALIZED (
+         |  SELECT sum(CASE WHEN capped THEN coalesce(alloc, 0) ELSE 0 END) AS spent,
+         |    sum(CASE WHEN NOT capped THEN w ELSE 0 END) AS wun
+         |  FROM s${i - 1}),
+         |s$i AS MATERIALIZED (
+         |  SELECT source, avail, w,
+         |    (capped OR dem >= avail) AS capped,
+         |    CASE WHEN capped THEN alloc
+         |         WHEN dem >= avail THEN avail ELSE dem END AS alloc
+         |  FROM (SELECT s.*,
+         |      CASE WHEN NOT s.capped AND t.wun > 0
+         |        THEN (($budget - coalesce(t.spent, 0)) * s.w) // t.wun
+         |      END AS dem
+         |    FROM s${i - 1} s, t$i t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH av AS (
+       |  SELECT source, CAST(sum(len($sqlTokens)) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |wt AS (SELECT source,
+       |    (CAST(substr(source, 4) AS INT) % 5 + 1) * 1000 AS w FROM av),
+       |s0 AS (
+       |  SELECT a.source, a.avail, wt.w,
+       |    (wt.w <= 0 OR a.avail <= 0) AS capped,
+       |    CASE WHEN wt.w <= 0 OR a.avail <= 0 THEN 0 END AS alloc
+       |  FROM av a JOIN wt USING (source)),
+       |$roundCtes
+       |SELECT source, avail AS avail_tokens, CAST(w AS BIGINT) AS weight_bp,
+       |  CAST(coalesce(alloc, 0) AS BIGINT) AS alloc_tokens, capped,
+       |  CAST(CASE WHEN avail > 0 THEN (10000 * coalesce(alloc, 0)) // avail
+       |       ELSE 0 END AS BIGINT) AS rate_bp
+       |FROM s$rounds ORDER BY source""".stripMargin
   }
 
   /** DuckDB twin of [[Timeseries.autocorr]] over events(event_type):

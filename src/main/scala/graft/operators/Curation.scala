@@ -531,4 +531,104 @@ object Curation {
       .select(col(idCol),
         (col("__off") + row_number().over(w) - 1).cast("long").as("pos"))
   }
+
+  /** Per-group quantile calibration: each row's score becomes its
+    * within-group percentile rank in floored basis points —
+    * `(10000·(rank−1)) div (n−1)` with tie-aware `rank()` (equal scores
+    * calibrate equal, the property that makes the output a SCORE, not a
+    * permutation). The cross-source comparability fix: a "0.7 quality"
+    * from a lenient scorer and a strict one mean different things; their
+    * 70th percentiles mean the same. Single-member groups calibrate to 0
+    * (no distribution to place them in — pinned, not NULL, so downstream
+    * threshold filters keep them). Exact integers end to end.
+    *
+    * Scale shape: ONE exchange on the group + per-partition sort shared
+    * by rank() and count(); nothing leaves row grain. The per-group sort
+    * is the cost — for a 100 TB calibration pass swap the exact rank for
+    * the broadcast percentile-grid interpolation of
+    * [[qualityPercentileCut]] (same trade as documented there; the exact
+    * form is the oracle anchor). */
+  def calibrateScores(df: DataFrame, groupCol: String, scoreCol: String,
+                      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol),
+        rank().over(w).as("__rk"),
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).as("__n"))
+      .select(col(idCol), col(groupCol),
+        when(col("__n") > 1,
+          expr("(10000 * (__rk - 1)) div (__n - 1)"))
+          .otherwise(lit(0L)).cast("long").as("calib_bp"))
+  }
+
+  /** Token-budget allocation across sources with WATER-FILLING: the
+    * training-mix allocator. Each source wants the budget share of its
+    * mixture weight; a source whose share exceeds its available tokens is
+    * CAPPED at availability and its unused demand redistributes to the
+    * uncapped sources in proportion to their weights — `rounds` fixed
+    * synchronous redistribution rounds (the fixed-round determinism
+    * contract of [[Graphs.pageRank]]: the trajectory is a pure function
+    * of the inputs; callers pick rounds ≥ the cap-cascade depth, ≤
+    * |sources| always suffices). Zero- or negative-weight and
+    * zero-availability sources allocate 0. All arithmetic is exact
+    * integers — shares are floored `(remaining·w) div W_uncapped` with
+    * DECIMAL(38,0) products (budget×weight at web scale wraps a LONG) —
+    * so any engine and any partitioning produces the identical
+    * allocation. The floored shares under-spend by < |sources| tokens per
+    * round; that dust stays unspent by contract (deterministic) rather
+    * than being heuristically topped up.
+    *
+    * Returns (source, avail_tokens, weight_bp, alloc_tokens, capped,
+    * rate_bp) where rate_bp = the sampling rate `(10000·alloc) div
+    * avail` a downstream sampler applies per source.
+    *
+    * Scale shape: the relation is sources-sized (domains at web scale —
+    * millions of rows, still tiny); each round is one 1-row aggregate
+    * broadcast back over it plus a projection, localCheckpoint per round.
+    * The corpus itself is never touched — pair this with per-source
+    * counts from [[TextAnalysis.corpusStats]]. */
+  def tokenBudget(avail: DataFrame, sourceCol: String, availCol: String,
+                  weights: DataFrame, weightSourceCol: String,
+                  weightCol: String, budget: Long,
+                  rounds: Int = 3): DataFrame = {
+    require(budget >= 0, s"budget: $budget")
+    require(rounds >= 1 && rounds <= 64, s"rounds: $rounds")
+    val d38 = "decimal(38,0)"
+    var st = avail
+      .select(col(sourceCol).as("source"),
+        col(availCol).cast("long").as("avail_tokens"))
+      .join(weights.select(col(weightSourceCol).as("source"),
+        col(weightCol).cast("long").as("weight_bp")), Seq("source"), "left")
+      .select(col("source"), col("avail_tokens"),
+        coalesce(col("weight_bp"), lit(0L)).as("weight_bp"))
+      .withColumn("capped",
+        col("weight_bp") <= 0 || col("avail_tokens") <= 0)
+      .withColumn("alloc_tokens",
+        when(col("weight_bp") <= 0 || col("avail_tokens") <= 0, lit(0L)))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val tot = st.agg(
+        sum(when(col("capped"), coalesce(col("alloc_tokens"), lit(0L)))
+          .otherwise(lit(0L))).as("__spent"),
+        sum(when(!col("capped"), col("weight_bp")).otherwise(lit(0L)))
+          .as("__wun"))
+      st = st.crossJoin(broadcast(tot))
+        .withColumn("__demand",
+          when(!col("capped") && col("__wun") > 0,
+            expr(s"(CAST($budget - coalesce(__spent, 0) AS $d38) * weight_bp)" +
+              " div CAST(__wun AS DECIMAL(38,0))").cast("long")))
+        .select(col("source"), col("avail_tokens"), col("weight_bp"),
+          when(col("capped"), col("alloc_tokens"))
+            .when(col("__demand") >= col("avail_tokens"), col("avail_tokens"))
+            .otherwise(col("__demand")).as("alloc_tokens"),
+          (col("capped") || col("__demand") >= col("avail_tokens"))
+            .as("capped"))
+        .localCheckpoint()
+    }
+    st.select(col("source"), col("avail_tokens"), col("weight_bp"),
+      coalesce(col("alloc_tokens"), lit(0L)).as("alloc_tokens"),
+      col("capped"),
+      when(col("avail_tokens") > 0,
+        expr("(10000 * coalesce(alloc_tokens, CAST(0 AS BIGINT)))" +
+          " div avail_tokens")).otherwise(lit(0L)).cast("long").as("rate_bp"))
+  }
 }

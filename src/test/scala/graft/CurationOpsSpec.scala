@@ -433,4 +433,72 @@ class CurationOpsSpec extends SparkSpec {
     assert(run(1, 1) == run(64, 13),
       "the permutation is a pure function of the ids — never of bucketing or partitioning")
   }
+
+  test("calibrateScores: tie-aware percentile bp, single-member group pins to 0") {
+    val df = Seq(
+      (1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 20.0), (4L, "g", 30.0),
+      (5L, "solo", 99.0))
+      .toDF("doc_id", "source", "quality")
+    val out = Curation.calibrateScores(df, "source", "quality", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // ranks 1,2,2,4 of n=4 → 0, 3333, 3333, 10000
+    assert(out == Map(1L -> 0L, 2L -> 3333L, 3L -> 3333L, 4L -> 10000L,
+      5L -> 0L), s"got: $out")
+  }
+
+  test("tokenBudget: cap + redistribution hand fixture") {
+    val avail = Seq(("a", 10L), ("b", 1000L)).toDF("source", "avail")
+    val wts = Seq(("a", 5000L), ("b", 5000L)).toDF("source", "w")
+    val out = Curation.tokenBudget(avail, "source", "avail",
+        wts, "source", "w", budget = 100L, rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    // r1: each demands 50; a caps at 10. r2: b demands the remaining 90.
+    assert(out("a") == ((10L, true, 10000L)), s"got ${out("a")}")
+    assert(out("b") == ((90L, false, 900L)), s"got ${out("b")}")
+  }
+
+  test("tokenBudget: zero/missing weight and zero availability allocate 0; oversupply caps all") {
+    val avail = Seq(("z", 50L), ("m", 50L), ("e", 0L), ("x", 30L))
+      .toDF("source", "avail")
+    val wts = Seq(("z", 0L), ("e", 4000L), ("x", 6000L)).toDF("source", "w")
+    // budget 1000 ≫ total usable avail → every weighted source caps
+    val out = Curation.tokenBudget(avail, "source", "avail",
+        wts, "source", "w", budget = 1000L, rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("z") == ((50L, 0L, 0L, true)), s"zero weight: ${out("z")}")
+    assert(out("m") == ((50L, 0L, 0L, true)), s"missing weight: ${out("m")}")
+    assert(out("e") == ((0L, 4000L, 0L, true)), s"zero avail: ${out("e")}")
+    assert(out("x") == ((30L, 6000L, 30L, true)), s"oversupply: ${out("x")}")
+  }
+
+  test("tokenBudget equals a sequential water-filling reference and is partitioning-invariant") {
+    val srcs = (0 until 23).map(i => (s"s$i", (i * 37 % 90 + 10).toLong,
+      ((i % 5) + 1) * 1000L))
+    val budget = 700L
+    // sequential twin of the fixed-round schedule
+    var capped = srcs.map(s => s._1 -> (s._2 <= 0 || s._3 <= 0)).toMap
+    var alloc = srcs.map(s => s._1 -> 0L).toMap
+    for (_ <- 0 until 3) {
+      val spent = srcs.filter(s => capped(s._1)).map(s => alloc(s._1)).sum
+      val wun = srcs.filterNot(s => capped(s._1)).map(_._3).sum
+      val newly = scala.collection.mutable.ArrayBuffer.empty[String]
+      srcs.filterNot(s => capped(s._1)).foreach { s =>
+        val dem = (BigInt(budget - spent) * s._3 / wun).toLong
+        alloc += s._1 -> (if (dem >= s._2) s._2 else dem)
+        if (dem >= s._2) newly += s._1
+      }
+      newly.foreach(n => capped += n -> true)
+    }
+    def run(parts: Int) = Curation.tokenBudget(
+      srcs.map(s => (s._1, s._2)).toDF("source", "avail").repartition(parts),
+      "source", "avail",
+      srcs.map(s => (s._1, s._3)).toDF("source", "w"), "source", "w",
+      budget, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val one = run(1)
+    assert(one == alloc, s"engine vs sequential:\n$one\nvs\n$alloc")
+    assert(one == run(11), "allocation must not depend on partitioning")
+  }
 }
