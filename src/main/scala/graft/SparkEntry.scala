@@ -1502,6 +1502,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- embeddings: JL random projection to the integer grid ----
+    "q_rand_proj" -> ((s, d) => {
+      Similarity.randomProjection(t(s, d, "embeddings"), "embedding",
+          "vec_id", outDims = 8, dim = 64)
+        .orderBy("vec_id", "out_dim")
+    }),
+
+    // ---- layout: Z-order key over (part, supplier) ----
+    "q_zorder" -> ((s, d) => {
+      Outputs.zOrderKey(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey"), bits = 16)
+        .select("l_orderkey", "l_linenumber", "zval")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- embeddings: semantic decontamination (paraphrase leakage) ----
     // Same synthetic split as q_decontaminate (vec_id % 20 == 0 is the
     // bench set); the kept-id contract matches the n-gram op's.
@@ -3296,6 +3313,10 @@ object SparkEntry {
 
     "q_token_budget" -> tokenBudgetSql(budget = 21732L, rounds = 3),
 
+    "q_rand_proj" -> randProjSql(outDims = 8, dim = 64),
+
+    "q_zorder" -> zorderSql(bits = 16),
+
     "q_trending" ->
       """WITH c AS (
         |  SELECT date_trunc('day', ts) AS window_start, event_type AS item,
@@ -4311,6 +4332,50 @@ object SparkEntry {
        |  FROM probe LEFT JOIN cells USING (row, bucket) GROUP BY word)
        |SELECT word, CAST(est_count AS BIGINT) AS est_count
        |FROM est WHERE est_count >= $minCount ORDER BY word""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.randomProjection]]: per-output-dim arms
+    * whose ±q terms embed the IDENTICAL `jlSign` literals. */
+  private def randProjSql(outDims: Int, dim: Int): String = {
+    val qs = (0 until dim).map(dd =>
+      s"CAST(round(CAST(embedding[${dd + 1}] AS DOUBLE) * 10000, 0) AS BIGINT) AS q$dd")
+      .mkString(",\n    ")
+    val arms = (0 until outDims).map { k =>
+      val terms = (0 until dim).map(dd =>
+        (if (Similarity.jlSign(k, dd) > 0) "+" else "-") + s" q$dd")
+        .mkString(" ")
+      s"SELECT vec_id, CAST($k AS BIGINT) AS out_dim, 0 $terms AS proj_q FROM q"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH f AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE len(embedding) = $dim
+       |    AND len(list_filter(embedding,
+       |          x -> isnan(x) OR NOT isfinite(x))) = 0),
+       |q AS (SELECT vec_id,
+       |    $qs
+       |  FROM f)
+       |$arms
+       |ORDER BY vec_id, out_dim""".stripMargin
+  }
+
+  /** DuckDB twin of [[Outputs.zOrderKey]] on lineitem(part, supp): the
+    * same floored min/max scaling and the same generated
+    * shift-and-mask interleave terms. */
+  private def zorderSql(bits: Int): String = {
+    val top = (1L << bits) - 1
+    val terms = (0 until bits).flatMap { b =>
+      Seq(s"(((s0 >> $b) & 1) << ${b * 2})",
+        s"(((s1 >> $b) & 1) << ${b * 2 + 1})")
+    }.mkString(" + ")
+    s"""WITH mm AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+       |    min(l_suppkey) AS mn1, max(l_suppkey) AS mx1 FROM lineitem),
+       |sc AS (SELECT l_orderkey, l_linenumber,
+       |    CASE WHEN mx0 > mn0
+       |      THEN ((l_partkey - mn0) * $top) // (mx0 - mn0) ELSE 0 END AS s0,
+       |    CASE WHEN mx1 > mn1
+       |      THEN ((l_suppkey - mn1) * $top) // (mx1 - mn1) ELSE 0 END AS s1
+       |  FROM lineitem, mm)
+       |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval
+       |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
   /** DuckDB twin of [[Curation.tokenBudget]] over per-source ws-token

@@ -124,4 +124,63 @@ object Outputs {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-ORDER layout key: min/max-scale each dimension to `bits` bits and
+    * interleave them into one long — points close in EVERY dimension get
+    * close keys, so range-partitioning and sorting by `zval` co-locates
+    * multidimensional neighborhoods in the same files and parquet's
+    * min/max footer stats prune selective predicates on ANY of the
+    * interleaved columns (a single-column sort layout prunes only its
+    * leading column — the reason lakehouse writers Z-order multi-filter
+    * tables). Exact integer arithmetic end to end: scaling is the floored
+    * `((x−min)·(2^bits−1)) div (max−min)` with DECIMAL(38,0) products
+    * (web-scale key spans times 2^16 overflow a LONG), the interleave is
+    * `bits × |cols|` shift-and-mask terms generated at plan build — one
+    * codegen projection, engine-identical. Degenerate dimensions
+    * (min = max) scale to 0 and drop out of the ordering. `bits·|cols|`
+    * must fit a long's 63 value bits.
+    *
+    * Scale shape: one 1-row min/max agg broadcast back over the scan,
+    * then a pure projection; [[zOrderedWrite]] adds the single
+    * range-exchange + in-partition sort that materializes the layout. */
+  def zOrderKey(df: DataFrame, cols: Seq[String],
+                bits: Int = 16): DataFrame = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
+      s"bits=$bits cols=${cols.size}")
+    import org.apache.spark.sql.functions._
+    val d38 = "decimal(38,0)"
+    val mm = df.agg(
+      min(col(cols.head)).cast("long").as(s"__mn0"),
+      (max(col(cols.head)).cast("long").as(s"__mx0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).cast("long").as(s"__mn${i + 1}"),
+            max(col(c)).cast("long").as(s"__mx${i + 1}"))
+        }): _*)
+    val top = (1L << bits) - 1
+    val scaled = df.crossJoin(broadcast(mm))
+      .select(col("*") +: cols.zipWithIndex.map { case (c, i) =>
+        when(col(s"__mx$i") > col(s"__mn$i"),
+          expr(s"(CAST($c - __mn$i AS $d38) * $top)" +
+            s" div CAST(__mx$i - __mn$i AS $d38)").cast("long"))
+          .otherwise(lit(0L)).as(s"__s$i")
+      }: _*)
+    val z = (0 until bits).flatMap { b =>
+      cols.indices.map { i =>
+        shiftleft(shiftright(col(s"__s$i"), b).bitwiseAND(1L),
+          b * cols.size + i)
+      }
+    }.reduce(_ + _)
+    scaled.withColumn("zval", z.cast("long"))
+      .drop(cols.indices.flatMap(i => Seq(s"__mn$i", s"__mx$i", s"__s$i")): _*)
+  }
+
+  /** Materialize the Z-ordered layout: one range exchange on `zval` into
+    * `numFiles` contiguous key ranges + in-partition sort → parquet whose
+    * per-file min/max stats are tight on every interleaved column. */
+  def zOrderedWrite(df: DataFrame, cols: Seq[String], dir: String,
+                    numFiles: Int, bits: Int = 16): Unit =
+    zOrderKey(df, cols, bits)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(dir)
 }

@@ -1052,4 +1052,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), r4(cosineSim(col("vec_a"), col("vec_b"))).as("cos_sim"))
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
+
+  /** Deterministic ±1 sign for output dim k × input dim d of the random
+    * projection — a pure Scala function of the literals, so the SQL twin
+    * embeds the IDENTICAL signs and the plan contains no hash at all. */
+  private[graft] def jlSign(k: Int, d: Int): Int = {
+    val h = ((k.toLong * 1009L + d.toLong) * 2654435761L) % 1000000007L
+    if (h % 2 == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION with a deterministic ±1 sign
+    * matrix (Achlioptas 2003: Rademacher entries preserve pairwise
+    * distances/angles like Gaussian ones): each of `outDims` outputs is a
+    * signed sum of the vector's 1e-4-grid integer components — EXACT
+    * integer arithmetic, so any engine produces bit-identical sketches
+    * (the float-free sibling of the quantizer contract; cosine on the
+    * projected ints approximates cosine on the originals, spec-bounded).
+    * The dimensionality lever in front of ANN: 64 floats → 8 longs is an
+    * 8× shrink of every downstream shuffle/index, with the sign matrix
+    * generated AT PLAN BUILD ([[jlSign]]) — the projection is one codegen
+    * projection, no hash evaluation, no matrix relation, no explosion.
+    * Rows with any non-finite component are EXCLUDED (one NaN would
+    * poison every output dim — the [[dimStats]] exclusion, row-grain).
+    *
+    * Emits (id, out_dim, proj_q) rows on the integer grid; proj_q ≈
+    * 1e4·(v · s_k). Scale shape: scan → filter → project → stack; ZERO
+    * shuffle. */
+  def randomProjection(emb: DataFrame, vecCol: String, idCol: String,
+                       outDims: Int, dim: Int): DataFrame = {
+    require(outDims >= 1 && outDims <= 64 && dim >= 1,
+      s"outDims=$outDims dim=$dim")
+    val finite = emb
+      .filter(size(col(vecCol)) === dim)
+      .filter(!exists(col(vecCol), x =>
+        isnan(x) || x <= Double.NegativeInfinity || x >= Double.PositiveInfinity))
+      .select(col(idCol) +: (0 until dim).map { d =>
+        // double BEFORE the scale — float32×int arithmetic rounds
+        // differently across engines (the dimStats convention)
+        round(element_at(col(vecCol), d + 1).cast("double") * 10000, 0)
+          .cast("long").as(s"__q$d")
+      }: _*)
+    val outs = (0 until outDims).map { k =>
+      (0 until dim).map { d =>
+        val t = col(s"__q$d")
+        if (jlSign(k, d) > 0) t else -t
+      }.reduce(_ + _).as(s"__p$k")
+    }
+    val arms = (0 until outDims)
+      .map(k => s"${k}L, __p$k").mkString(", ")
+    finite.select(col(idCol) +: outs: _*)
+      .selectExpr(idCol, s"stack($outDims, $arms) AS (out_dim, proj_q)")
+  }
 }

@@ -532,4 +532,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2) == out.map(_._2).sorted, "ascending ADC order")
     assert(!out.map(_._1).contains(0L), "the query never matches itself")
   }
+
+  test("randomProjection equals a sequential signed-sum reference; scaling flips exactly") {
+    val dim = 16; val k = 4
+    val v = Array.tabulate(dim)(j => ((j * 13 % 21) - 10) / 10.0f)
+    val neg = v.map(-_)
+    val emb = Seq((1L, v), (2L, v), (3L, neg)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(emb, "embedding", "vec_id",
+        outDims = k, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def ref(x: Array[Float], kk: Int): Long = (0 until dim).map { d =>
+      val q = math.round(x(d).toDouble * 10000)
+      if (Similarity.jlSign(kk, d) > 0) q else -q
+    }.sum
+    (0 until k).foreach { kk =>
+      assert(out((1L, kk.toLong)) == ref(v, kk), s"dim $kk vs reference")
+      assert(out((1L, kk.toLong)) == out((2L, kk.toLong)),
+        "identical vectors project identically")
+      assert(out((3L, kk.toLong)) == -out((1L, kk.toLong)),
+        "negation flips every output exactly")
+    }
+  }
+
+  test("randomProjection: non-finite and wrong-dim rows are excluded; angles survive") {
+    val dim = 32
+    val a = Array.tabulate(dim)(j => math.sin(j * 1.7).toFloat)
+    val near = a.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.05f else 0f) }
+    val ortho = Array.tabulate(dim)(j => math.cos(j * 2.3).toFloat)
+    val bad = a.updated(3, Float.NaN)
+    val short = Array(1.0f, 2.0f)
+    val emb = Seq((1L, a), (2L, near), (3L, ortho), (9L, bad), (10L, short))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.randomProjection(emb, "embedding", "vec_id",
+        outDims = 16, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!rows.keys.exists(_._1 == 9L), "NaN row must be excluded")
+    assert(!rows.keys.exists(_._1 == 10L), "wrong-dim row must be excluded")
+    def cos(x: Seq[Long], y: Seq[Long]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot / (math.sqrt(x.map(p => p.toDouble * p).sum) *
+        math.sqrt(y.map(q => q.toDouble * q).sum))
+    }
+    def proj(id: Long) = (0 until 16).map(kk => rows((id, kk.toLong)))
+    val cNear = cos(proj(1L), proj(2L)); val cOrtho = cos(proj(1L), proj(3L))
+    assert(cNear > 0.8, s"near-duplicate pair must stay close after JL: $cNear")
+    assert(cNear > cOrtho + 0.2,
+      s"angular order must survive the projection: near=$cNear ortho=$cOrtho")
+  }
 }
