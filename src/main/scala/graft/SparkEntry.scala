@@ -1719,6 +1719,24 @@ object SparkEntry {
         .orderBy("window_start", "rnk")
     }),
 
+    // ---- governance: k-anonymity audit over quasi-identifiers ----
+    // k=8 against a min class size of 5 at sf0.01 — both flag branches
+    // live at the gate SF.
+    "q_kanon" -> ((s, d) => {
+      RelationalOps.kAnonymity(t(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 8)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // ---- quality: zlib compression ratio ----
+    // Deterministic but not SQL-expressible (no zlib in the oracle) —
+    // deliberately has NO oracleSql entry: the driver records the weaker
+    // rows-only check, and the spec pins the orderings and bounds.
+    "q_compress_ratio" -> ((s, d) => {
+      TextAnalysis.compressionRatio(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: per-source quantile calibration of quality ----
     "q_calibrate" -> ((s, d) => {
       val scored = TextAnalysis.qualityScore(t(s, d, "documents"), "text",
@@ -3295,6 +3313,12 @@ object SparkEntry {
         |  CAST(ss AS BIGINT) / 1000000.0 AS cusum,
         |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
         |FROM s ORDER BY event_id""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) < 8 AS violates
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // Tie-aware rank() (equal qualities calibrate equal) — the engine's
     // contract; single-member groups pin to 0.

@@ -560,6 +560,30 @@ object Curation {
           .otherwise(lit(0L)).cast("long").as("calib_bp"))
   }
 
+  /** The 100 TB form of [[calibrateScores]]: per-group percentile GRID
+    * (approx_percentile, groups-sized) broadcast back over the scan, each
+    * row calibrated to the floored grid cell its score falls in —
+    * `(10000·cells_below) div gridSize`. No per-group sort of the corpus:
+    * one grid agg + one broadcast join + a projection. Within ±(10000/
+    * gridSize) bp of the exact rank wherever the sketch is exact, and the
+    * sketch error band otherwise (spec-bounded against the exact op); the
+    * exact form stays the oracle anchor — this is the documented swap
+    * made real. */
+  def calibrateScoresApprox(df: DataFrame, groupCol: String,
+                            scoreCol: String, idCol: String,
+                            gridSize: Int = 100): DataFrame = {
+    require(gridSize >= 2 && gridSize <= 10000, s"gridSize: $gridSize")
+    val probs = typedLit((0 to gridSize).map(_.toDouble / gridSize))
+    val grid = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), probs, lit(10000)).as("__grid"))
+    df.join(broadcast(grid), groupCol)
+      .withColumn("__below", aggregate(col("__grid"), lit(0),
+        (acc, g) => acc + when(g < col(scoreCol), 1).otherwise(0)))
+      .select(col(idCol), col(groupCol),
+        expr(s"(10000 * least(__below, $gridSize)) div $gridSize")
+          .cast("long").as("calib_bp"))
+  }
+
   /** Token-budget allocation across sources with WATER-FILLING: the
     * training-mix allocator. Each source wants the budget share of its
     * mixture weight; a source whose share exceeds its available tokens is

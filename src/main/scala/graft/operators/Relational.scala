@@ -721,4 +721,32 @@ object RelationalOps {
     }
     profiled.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination: every
+    * equivalence class (distinct quasi-column tuple) with its size and a
+    * `violates` flag for classes smaller than `k` — the re-identification
+    * gate a dataset must pass before release (a class of 3 people sharing
+    * (nation, segment) is 3 candidate identities, not anonymity). The
+    * audit is the measurement; [[kAnonymitySuppress]] is the enforcement.
+    *
+    * Scale shape: ONE map-side-combinable count agg at class grain —
+    * the corpus scans once, output is classes-sized. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"quasiCols=$quasiCols k=$k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("violates", col("n") < k)
+  }
+
+  /** Enforcement: drop every row whose quasi-identifier class is smaller
+    * than `k` (suppression — the conservative fix; generalization ladders
+    * are a policy layer above this primitive). The violating-class
+    * relation is classes-sized and attaches as a broadcast LEFT ANTI —
+    * the corpus never shuffles. */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String],
+                         k: Long): DataFrame = {
+    val bad = kAnonymity(df, quasiCols, k).filter(col("violates"))
+      .select(quasiCols.map(col): _*)
+    df.join(broadcast(bad), quasiCols, "left_anti")
+  }
 }

@@ -446,6 +446,20 @@ class CurationOpsSpec extends SparkSpec {
       5L -> 0L), s"got: $out")
   }
 
+  test("calibrateScoresApprox tracks the exact calibration within the grid band") {
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, s"g${i % 3}", ((i * 7919) % 1000).toDouble))
+    val df = rows.toDF("doc_id", "source", "score")
+    val exact = Curation.calibrateScores(df, "source", "score", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = Curation.calibrateScoresApprox(df, "source", "score",
+        "doc_id", gridSize = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val worst = exact.keys.map(id => math.abs(exact(id) - approx(id))).max
+    assert(worst <= 300,
+      s"grid calibration must stay within ~3 cells of exact, worst=$worst")
+  }
+
   test("tokenBudget: cap + redistribution hand fixture") {
     val avail = Seq(("a", 10L), ("b", 1000L)).toDF("source", "avail")
     val wts = Seq(("a", 5000L), ("b", 5000L)).toDF("source", "w")

@@ -528,4 +528,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.getLong(1) == 2L && out.getLong(2) == 2L && out.getLong(3) == 0L)
     assert(out.isNullAt(4) && out.isNullAt(5))
   }
+
+  test("kAnonymity flags small classes; suppression drops exactly their rows") {
+    val df = (Seq.fill(5)(("US", "auto")) ++ Seq.fill(2)(("US", "bike")) ++
+      Seq.fill(3)(("DE", "auto"))).zipWithIndex
+      .map { case ((n, s), i) => (i.toLong, n, s) }
+      .toDF("id", "nation", "segment")
+    val audit = RelationalOps.kAnonymity(df, Seq("nation", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(audit == Map(("US", "auto") -> ((5L, false)),
+      ("US", "bike") -> ((2L, true)), ("DE", "auto") -> ((3L, false))),
+      s"got: $audit")
+    // USING-column joins list the join keys first: (nation, segment, id)
+    val kept = RelationalOps.kAnonymitySuppress(df, Seq("nation", "segment"),
+        k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("US", "auto"), ("DE", "auto")),
+      s"only the violating class vanishes: $kept")
+  }
 }

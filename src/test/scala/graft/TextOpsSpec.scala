@@ -489,6 +489,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 1L, 0.5)), s"got: $out")
   }
 
+  test("compressionRatio: redundancy orders ratios; empty text emits NULL") {
+    val repetitive = Array.fill(200)("the same phrase again").mkString(" ")
+    // java.util.Random's LCG is specified by the JLS — deterministic
+    // across JVMs; printable-range noise is near-incompressible
+    val rnd = new scala.util.Random(42)
+    val noisy = (0 until 800).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    val docs = Seq((1L, repetitive), (2L, noisy), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val (nb1, nc1, Some(r1)) = out(1L)
+    val (nb2, _, Some(r2)) = out(2L)
+    assert(nb1 == repetitive.getBytes("UTF-8").length.toLong)
+    assert(nc1 < nb1 / 10, s"repetition must compress hard: $nc1 of $nb1")
+    assert(r1 < r2 - 2000,
+      s"repetitive must sit far below noisy: $r1 vs $r2")
+    assert(r2 > 5000, s"near-random text barely compresses: $r2")
+    assert(nb2 == 800L)
+    // the empty stream still costs the zlib header/trailer — reported
+    // honestly; only the RATIO is pinned NULL
+    assert(out(3L)._1 == 0L && out(3L)._3.isEmpty, s"empty doc: ${out(3L)}")
+  }
+
   test("scriptMix: hand-counted classes, residual other, zero-text NULL share") {
     val docs = Seq(
       (1L, "ab1 Жи 中文中 س é"), // 2 latin, 1 digit, 2 cyr, 3 cjk, 1 arabic,
