@@ -84,7 +84,15 @@ object PlanDoc {
     "q_user_sequences" -> "user sequences: rank-truncate BEFORE collect (bounded buffers); groupBy reuses the window's key partitioning",
     "q_cuped" -> "CUPED: one 5-sum global agg (1 row, broadcast) + one variant-grain agg — the unit frame scans twice, nothing exceeds variant cardinality",
     "q_kcore" -> "k-core: per round ONE nodes-sized degree agg + two semi-joins; edges shrink monotonically, never self-join; localCheckpoint per round",
-    "q_kmv_overlap" -> "KMV set algebra: ONE corpus scan into bounded sketches; all pair estimates run on the groups²×k sketch relation — the corpus is never rescanned per pair")
+    "q_kmv_overlap" -> "KMV set algebra: ONE corpus scan into bounded sketches; all pair estimates run on the groups²×k sketch relation — the corpus is never rescanned per pair",
+    "q_heavy_hitters" -> "count-min: ONE base digest per item behind a projection boundary, affine row buckets, grid-bounded count agg; the ≤ depth·width-cell sketch broadcasts to the probe",
+    "q_autocorr" -> "ACF: ONE key exchange + window pass shared by every lag's lead, then one map-side-combinable decimal agg at key grain",
+    "q_covisit" -> "co-occurrence: basket-keyed self-join with capped per-basket fan-out; supports and the 1-row N attach by broadcast",
+    "q_label_prop" -> "label propagation: per round one edges-grain vote shuffle + (node,label) agg + per-node window cut over neighbor-label rows only",
+    "q_rand_proj" -> "JL projection: sign literals baked at plan build — scan → filter → one codegen projection → stack, ZERO shuffle, no hash evaluation",
+    "q_zorder" -> "Z-order key: 1-row min/max agg broadcast back, then one shift-and-mask interleave projection — the layout writer adds a single range exchange",
+    "q_token_budget" -> "token budget: sources-sized relation; per round ONE 1-row aggregate broadcast back — the corpus is never touched",
+    "q_calibrate" -> "quantile calibration: ONE group exchange; rank() and count() share the window pass — the approx grid variant replaces the sort with a broadcast")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

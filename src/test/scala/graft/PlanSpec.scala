@@ -357,4 +357,38 @@ class PlanSpec extends SparkSpec {
     assert(scanNodes(p) == 1, "every rule folds into a single corpus pass")
     assert(!p.contains("Join"), "no joins anywhere in the validation pass")
   }
+
+  test("count-min: the grid broadcasts to the probe; the stream never shuffle-joins") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤ depth·width-cell sketch must attach by broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join of probe×grid would defeat the sketch's point")
+  }
+
+  test("random projection: no hash exchange, no join — sign matrix is plan literals") {
+    val p = plan("q_rand_proj")
+    assert(!p.linesIterator.exists(_.contains("Arguments: hashpartitioning")),
+      s"the projection must not shuffle (ORDER BY range aside):\n$p")
+    assert(!p.contains("Join"), "no joins — the sign matrix is plan literals")
+  }
+
+  test("z-order key: min/max attach as a 1-row broadcast; no corpus hash exchange") {
+    val p = plan("q_zorder")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row min/max relation must broadcast")
+    assert(!p.linesIterator.exists(l => l.contains("Arguments: hashpartitioning")),
+      s"no hash exchange anywhere — keying happens scan-side:\n$p")
+  }
+
+  test("approx calibration replaces the per-group sort with a broadcast grid") {
+    val df = graft.operators.Curation.calibrateScoresApprox(
+      graft.operators.TextAnalysis.qualityScore(
+        Tables.load(spark, d, "documents"), "text", "doc_id",
+        keepCols = Seq("source")),
+      "source", "quality", "doc_id")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), "grid must broadcast")
+    assert(!p.contains("Window"), s"no rank window over the corpus:\n$p")
+  }
 }
