@@ -747,6 +747,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis: gazetteer tagging over the corpus vocabulary ----
+    // Fixed literal gazetteer on both sides; 'JOIN' exercises the
+    // lowercase contract and 'quantum' the no-match branch.
+    "q_dict_tag" -> ((s, d) => {
+      val dict = s.createDataFrame(Seq(
+        ("JOIN", "sql_kw"), ("hash", "sql_kw"), ("spark", "engine"),
+        ("quantum", "absent")))
+        .toDF("term", "tag")
+      TextAnalysis.dictionaryTag(t(s, d, "documents"), "text", "doc_id",
+          dict, "term", "tag")
+        .orderBy("doc", "pos", "term")
+    }),
+
     // ---- text analysis: Unicode script mix over the multi-script corpus ----
     "q_script_mix" -> ((s, d) => {
       TextAnalysis.scriptMix(scriptCorpus(s, d), "text", "doc_id")
@@ -1500,6 +1513,18 @@ object SparkEntry {
       Graphs.pageRank(edges, "from_type", "to_type", "n", iters = 3)
         .select(col("node"), (round(col("rank"), 6) + lit(0.0)).as("rank"))
         .orderBy("node")
+    }),
+
+    // ---- embeddings: bitext mining by ratio margin ----
+    // Sides = vec_id parity (the synthetic two-language split); forward
+    // mining, best margin per A vector above the threshold.
+    "q_margin_mine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMining(
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2L)) =!= 0),
+          "embedding", "vec_id", cells = 8, kNN = 4, thresholdBp = 10200L)
+        .orderBy("id_a")
     }),
 
     // ---- embeddings: JL random projection to the integer grid ----
@@ -2433,6 +2458,18 @@ object SparkEntry {
 
     "q_langid" -> langIdSql,
 
+    "q_dict_tag" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, unnest($sqlTokens) AS token,
+         |    generate_subscripts($sqlTokens, 1) - 1 AS pos
+         |  FROM documents),
+         |dict(term, tag) AS (VALUES ('JOIN', 'sql_kw'), ('hash', 'sql_kw'),
+         |  ('spark', 'engine'), ('quantum', 'absent'))
+         |SELECT doc, CAST(pos AS BIGINT) AS pos, lower(tok.token) AS term,
+         |  d.tag
+         |FROM tok JOIN dict d ON lower(tok.token) = lower(d.term)
+         |ORDER BY doc, pos, term""".stripMargin,
+
     // regexp classes shared codepoint-for-codepoint with the engine's
     // BMP ranges; len(regexp_extract_all) is DuckDB's regexp_count.
     "q_script_mix" ->
@@ -3338,6 +3375,43 @@ object SparkEntry {
     "q_token_budget" -> tokenBudgetSql(budget = 21732L, rounds = 3),
 
     "q_rand_proj" -> randProjSql(outDims = 8, dim = 64),
+
+    // Ratio-margin bitext mining: same assign CTEs as the IVF family,
+    // integer-quantized cosines, the identical floored cross-multiplied
+    // margin, and the same (margin DESC, id) forward-mining cut.
+    "q_margin_mine" ->
+      s"""WITH $ivfAssignCtes,
+         |p AS (
+         |  SELECT aa.vec_id AS ida, ab.vec_id AS idb,
+         |    round(list_dot_product(va.vv, vb.vv)
+         |      / (sqrt(list_dot_product(va.vv, va.vv))
+         |         * sqrt(list_dot_product(vb.vv, vb.vv))), 4) AS cs
+         |  FROM assign aa JOIN assign ab ON aa.cid = ab.cid
+         |  JOIN v va ON va.vec_id = aa.vec_id
+         |  JOIN v vb ON vb.vec_id = ab.vec_id
+         |  WHERE aa.vec_id % 2 = 0 AND ab.vec_id % 2 = 1),
+         |pq AS (SELECT ida, idb, cs,
+         |    CAST(round(cs * 10000, 0) AS BIGINT) AS cq FROM p),
+         |ta AS (SELECT ida, sum(cq) AS sa, count(*) AS ca FROM (
+         |    SELECT ida, cq,
+         |      row_number() OVER (PARTITION BY ida ORDER BY cq DESC, idb) AS rn
+         |    FROM pq) WHERE rn <= 4 GROUP BY ida),
+         |tb AS (SELECT idb, sum(cq) AS sb, count(*) AS cb FROM (
+         |    SELECT idb, cq,
+         |      row_number() OVER (PARTITION BY idb ORDER BY cq DESC, ida) AS rn
+         |    FROM pq) WHERE rn <= 4 GROUP BY idb),
+         |m AS (SELECT pq.ida, pq.idb, pq.cs,
+         |    CASE WHEN (sa * cb + sb * ca) > 0
+         |      THEN (10000 * 2 * ca * cb * cq) // (sa * cb + sb * ca)
+         |    END AS margin_bp
+         |  FROM pq JOIN ta USING (ida) JOIN tb USING (idb)),
+         |r AS (SELECT ida, idb, cs, margin_bp,
+         |    row_number() OVER (PARTITION BY ida
+         |                       ORDER BY margin_bp DESC, idb) AS rn
+         |  FROM m WHERE margin_bp >= 10200)
+         |SELECT ida AS id_a, idb AS id_b, cs + 0.0 AS cos_sim,
+         |  CAST(margin_bp AS BIGINT) AS margin_bp
+         |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin,
 
     "q_zorder" -> zorderSql(bits = 16),
 

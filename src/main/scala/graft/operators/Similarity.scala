@@ -1053,6 +1053,80 @@ object Similarity {
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 
+  /** BITEXT MINING by ratio-margin scoring (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix criterion): a candidate pair's cosine is divided by
+    * the mean of each side's k-NN cosines, so "x is close to y" only
+    * counts when y stands out from x's general neighborhood — raw cosine
+    * thresholds over-fire in dense hubs and under-fire in sparse regions;
+    * the margin normalizes both away. The parallel-corpus miner of a
+    * multilingual training pipeline: side A = source-language embeddings,
+    * side B = target-language, ids globally unique across sides (caller
+    * contract). Returns each A vector's best-margin B candidate above
+    * `thresholdBp` (forward mining; run with sides swapped and intersect
+    * for the stricter bidirectional variant).
+    *
+    * Engine-exact: cosines quantize to 1e-4-unit integers, k-NN sums
+    * stay integer, and the margin is ONE truncated cross-multiplied
+    * division `(10000·2·cA·cB·cq) div (sA·cB + sB·cA)` — bp, floored,
+    * bit-identical on any engine/partitioning. A pair's own cosine
+    * participates in its sides' k-NN sums when it ranks — the standard
+    * formulation. Non-positive denominators (hostile negative-cosine
+    * neighborhoods) emit no pair.
+    *
+    * Scale shape: candidates exist only within a shared quantizer cell
+    * (the [[knnGraph]] blocking, sub-split guard included) — never a
+    * cross join of the sides; per-side k-NN state is the bounded
+    * `TopKHits` aggregate (tasks × side × k shuffle rows, no window sort
+    * over candidates); the final margin join is id-keyed at side
+    * cardinality. The pair relation persists once and feeds all three
+    * consumers. */
+  def marginMining(embA: DataFrame, embB: DataFrame, vecCol: String,
+                   idCol: String, cells: Int, kNN: Int, thresholdBp: Long,
+                   maxCell: Int = 8192): DataFrame = {
+    require(cells >= 1 && kNN >= 1 && thresholdBp >= 0,
+      s"cells=$cells kNN=$kNN thresholdBp=$thresholdBp")
+    val u = embA.select(col(idCol), col(vecCol), lit(0).as("__side"))
+      .unionByName(embB.select(col(idCol), col(vecCol), lit(1).as("__side")))
+    val assigned = ivfAssign(u, vecCol, idCol, cells)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    val rows = withSubCell(u.join(assigned, idCol), "cell", idCol, maxCell)
+    val a = rows.filter(col("__side") === 0)
+      .select(col("cell"), col("__sub"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"))
+    val b = rows.filter(col("__side") === 1)
+      .select(col("cell"), col("__sub"), col(idCol).as("id_b"),
+        col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("cell", "__sub"))
+      .select(col("id_a"), col("id_b"),
+        r4(cosineSim(col("__va"), col("__vb"))).as("cos_sim"))
+      .withColumn("__cq", round(col("cos_sim") * 10000, 0).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val topk = udaf(new graft.functions.TopKHits(kNN),
+      graft.functions.TopKHits.hitEncoder)
+    def sideSums(keyCol: String, otherCol: String) = pairs
+      .groupBy(col(keyCol))
+      .agg(topk(col("cos_sim"), col(otherCol)).as("__hits"))
+      .select(col(keyCol),
+        aggregate(col("__hits"), lit(0L), (acc, h) =>
+          acc + round(h.getField("score") * 10000, 0).cast("long"))
+          .as(s"__s_$keyCol"),
+        size(col("__hits")).cast("long").as(s"__c_$keyCol"))
+    val m = pairs
+      .join(sideSums("id_a", "id_b"), "id_a")
+      .join(sideSums("id_b", "id_a"), "id_b")
+      .withColumn("__den",
+        col("__s_id_a") * col("__c_id_b") + col("__s_id_b") * col("__c_id_a"))
+      .withColumn("margin_bp",
+        when(col("__den") > 0,
+          expr("(10000 * 2 * __c_id_a * __c_id_b * __cq) div __den"))
+          .cast("long"))
+      .filter(col("margin_bp") >= thresholdBp)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(col("margin_bp").desc, col("id_b").asc)
+    m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("margin_bp"))
+  }
+
   /** Deterministic ±1 sign for output dim k × input dim d of the random
     * projection — a pure Scala function of the literals, so the SQL twin
     * embeds the IDENTICAL signs and the plan contains no hash at all. */

@@ -792,6 +792,31 @@ object TextAnalysis {
           .as("novelty_rate"))
   }
 
+  /** Gazetteer tagging: every token occurrence that matches a dictionary
+    * term, with its position — the cheap entity-annotation pass (domain
+    * terms, product names, blocklist vocabulary) that runs before any
+    * model-based tagger. Matching is lowercased single-token equality by
+    * contract (multi-word gazetteers explode into their tokens upstream
+    * or use [[repeatedSpans]]-style shingles). Emits (doc, pos, term,
+    * tag) per occurrence.
+    *
+    * Scale shape: the dictionary (gazetteer-sized — thousands) attaches
+    * BROADCAST onto the scan-side token stream; the corpus never
+    * shuffles. Output is occurrences-sized — for Zipf-hot terms apply
+    * the [[postingLists]] df band first. */
+  def dictionaryTag(docs: DataFrame, textCol: String, idCol: String,
+                    dictionary: DataFrame, termCol: String,
+                    tagCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        posexplode(graft.expressions.Exprs.wordShingles(col(textCol), 1))
+          .as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .select(col("doc"), col("pos"), lower(col("token")).as("token"))
+      .join(broadcast(dictionary.select(
+        lower(col(termCol)).as("token"), col(tagCol).as("tag"))), "token")
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        col("token").as("term"), col("tag"))
+
   /** Per-document zlib compression ratio — the Gopher-class quality
     * signal marker words and shingle ratios can't fake: templated or
     * machine-generated text compresses far below prose, and binary

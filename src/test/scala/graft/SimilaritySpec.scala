@@ -533,6 +533,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._1).contains(0L), "the query never matches itself")
   }
 
+  test("marginMining: hand-computed ratio margins, one best pair per A, threshold cut") {
+    // orthogonal axes → clean cosines: a1≡b1 (axis x), a2≡b3 (axis y),
+    // b5/b7 pure distractors. cq(a1,b1)=10000, everything else 0.
+    def axis(i: Int) = Array.tabulate(4)(j => if (j == i) 1.0f else 0.0f)
+    val aSide = Seq((0L, axis(0)), (2L, axis(1))).toDF("vec_id", "embedding")
+    val bSide = Seq((1L, axis(0)), (3L, axis(1)), (5L, axis(2)),
+      (7L, axis(3))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(aSide, bSide, "embedding", "vec_id",
+        cells = 1, kNN = 4, thresholdBp = 20000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // sa=10000/ca=4 per A; sb=10000/cb=2 per matched B →
+    // margin = (1e4·2·4·2·1e4) div (1e4·2 + 1e4·4) = 26666
+    assert(out == Map(0L -> ((1L, 1.0, 26666L)), 2L -> ((3L, 1.0, 26666L))),
+      s"got: $out")
+    val none = Similarity.marginMining(aSide, bSide, "embedding", "vec_id",
+        cells = 1, kNN = 4, thresholdBp = 30000L).count()
+    assert(none == 0L, "a threshold above every margin must mine nothing")
+  }
+
+  test("marginMining is partitioning-invariant") {
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat)))
+    val aS = vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val bS = vecs.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+    def run(parts: Int) = Similarity.marginMining(
+      aS.repartition(parts), bS.repartition(parts), "embedding", "vec_id",
+      cells = 4, kNN = 3, thresholdBp = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val one = run(1)
+    assert(one.nonEmpty, "the fixture must mine at least one pair")
+    assert(one == run(7))
+  }
+
   test("randomProjection equals a sequential signed-sum reference; scaling flips exactly") {
     val dim = 16; val k = 4
     val v = Array.tabulate(dim)(j => ((j * 13 % 21) - 10) / 10.0f)

@@ -489,6 +489,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 2L, 1L, 0.5)), s"got: $out")
   }
 
+  test("dictionaryTag: case-folded matches with positions; non-terms silent") {
+    val docs = Seq((1L, "Spark JOIN is a join"), (2L, "nothing here"))
+      .toDF("doc_id", "text")
+    val dict = Seq(("join", "kw"), ("SPARK", "engine"), ("ghost", "x"))
+      .toDF("term", "tag")
+    val out = TextAnalysis.dictionaryTag(docs, "text", "doc_id",
+        dict, "term", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(out == Set((1L, 0L, "spark", "engine"), (1L, 1L, "join", "kw"),
+      (1L, 4L, "join", "kw")), s"got: $out")
+  }
+
   test("compressionRatio: redundancy orders ratios; empty text emits NULL") {
     val repetitive = Array.fill(200)("the same phrase again").mkString(" ")
     // java.util.Random's LCG is specified by the JLS — deterministic
