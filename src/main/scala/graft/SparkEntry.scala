@@ -1744,6 +1744,38 @@ object SparkEntry {
         .orderBy("window_start", "rnk")
     }),
 
+    // ---- observability: gate-attrition report over the Gopher rules ----
+    "q_gate_attrition" -> ((s, d) => {
+      RelationalOps.gateAttrition(
+          TextAnalysis.gopherQualityFlags(t(s, d, "documents"), "text",
+            "doc_id"),
+          Seq("r_words", "r_mean_len", "r_alpha", "r_stop"))
+        .orderBy("ord")
+    }),
+
+    // ---- QA: id-sequence gap detection (planted every-97th hole) ----
+    "q_id_gaps" -> ((s, d) => {
+      RelationalOps.idGaps(
+          t(s, d, "documents").filter(pmod(col("doc_id"), lit(97L)) =!= 13),
+          "doc_id")
+        .orderBy("gap_start")
+    }),
+
+    // ---- QA: Benford first-digit panel over event cents ----
+    "q_benford" -> ((s, d) => {
+      RelationalOps.benfordPanel(
+          t(s, d, "events").select(cents(col("value")).as("v")), "v")
+        .orderBy("digit")
+    }),
+
+    // ---- robust aggregation: weighted median value per event type ----
+    "q_weighted_median" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        cents(col("value")).as("v"), (pmod(col("user_id"), lit(5L)) + 1).as("w"))
+      RelationalOps.weightedMedian(ev, "event_type", "v", "w")
+        .orderBy("event_type")
+    }),
+
     // ---- governance: k-anonymity audit over quasi-identifiers ----
     // k=8 against a min class size of 5 at sf0.01 — both flag branches
     // live at the gate SF.
@@ -2812,36 +2844,7 @@ object SparkEntry {
 
     // per-rule Gopher gates over the lowercased token list; ratio columns
     // null (not NaN) for the empty document, rules then coalesce to false
-    "q_gopher_flags" ->
-      """WITH t0 AS (SELECT doc_id,
-        |    list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS tk
-        |  FROM documents),
-        |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT)
-        |      AS n_chars_tok,
-        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-        |      AS n_alpha,
-        |    CAST(len(list_intersect(list_distinct(tk),
-        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
-        |  FROM t0),
-        |r AS (SELECT doc_id, n_words,
-        |    CASE WHEN n_words > 0
-        |      THEN round(n_chars_tok / CAST(n_words AS DOUBLE), 4) + 0.0 END
-        |      AS mean_word_len,
-        |    CASE WHEN n_words > 0
-        |      THEN round(n_alpha / CAST(n_words AS DOUBLE), 4) + 0.0 END AS alpha_frac,
-        |    n_stop
-        |  FROM m)
-        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
-        |  (n_words >= 50 AND n_words <= 100000) AS r_words,
-        |  coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_mean_len,
-        |  coalesce(alpha_frac >= 0.8, FALSE) AS r_alpha,
-        |  (n_stop >= 2) AS r_stop,
-        |  ((n_words >= 50 AND n_words <= 100000)
-        |    AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
-        |    AND coalesce(alpha_frac >= 0.8, FALSE)
-        |    AND (n_stop >= 2)) AS pass_all
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_gopher_flags" -> gopherFlagsSql,
 
     // the scramble reduces mod the big prime BEFORE the shard mod: the
     // Knuth multiplier is ≡ 1 mod 8, so a direct mod-8 would be id % 8
@@ -3350,6 +3353,35 @@ object SparkEntry {
         |  CAST(ss AS BIGINT) / 1000000.0 AS cusum,
         |  ss > CAST(50000 AS HUGEINT)*1000000 AS alarm
         |FROM s ORDER BY event_id""".stripMargin,
+
+    // Arms generated from the same gate list the engine folds; first-
+    // failure attribution in declared order.
+    "q_gate_attrition" -> gateAttritionSql(
+      Seq("r_words", "r_mean_len", "r_alpha", "r_stop")),
+
+    "q_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents
+        |  WHERE doc_id % 97 <> 13),
+        |l AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+        |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - id - 1 AS gap_len
+        |FROM l WHERE nxt > id + 1 ORDER BY gap_start""".stripMargin,
+
+    "q_benford" -> benfordSql,
+
+    "q_weighted_median" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v,
+        |    user_id % 5 + 1 AS w FROM events),
+        |c AS (SELECT event_type, v,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY v
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM e WHERE w > 0)
+        |SELECT event_type, CAST(min(v) AS BIGINT) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_kanon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
@@ -4519,6 +4551,84 @@ object SparkEntry {
     * per-lag SELECT arms generated from the same lag range the engine
     * stacks, HUGEINT sums as the decimal(38,0) twin, `//` as the
     * truncated-division twin of `div`. */
+  /** Shared by the q_gopher_flags oracle and the gate-attrition
+    * twin (which consumes the flag columns as a subquery). */
+  private def gopherFlagsSql: String =
+    """WITH t0 AS (SELECT doc_id,
+        |    list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT)
+        |      AS n_chars_tok,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(tk),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+        |  FROM t0),
+        |r AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN round(n_chars_tok / CAST(n_words AS DOUBLE), 4) + 0.0 END
+        |      AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN round(n_alpha / CAST(n_words AS DOUBLE), 4) + 0.0 END AS alpha_frac,
+        |    n_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+        |  coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE) AS r_mean_len,
+        |  coalesce(alpha_frac >= 0.8, FALSE) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        |    AND coalesce(alpha_frac >= 0.8, FALSE)
+        |    AND (n_stop >= 2)) AS pass_all
+        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[RelationalOps.gateAttrition]] over the Gopher
+    * flags — sums and arms generated from the same gate list. */
+  private def gateAttritionSql(gates: Seq[String]): String = {
+    val sums = gates.zipWithIndex.map { case (g, i) =>
+      val before = (gates.take(i) :+ g).dropRight(1) match {
+        case Nil => "TRUE"
+        case bs => bs.mkString(" AND ")
+      }
+      s"""sum(CASE WHEN NOT $g THEN 1 ELSE 0 END) AS m$i,
+         |  sum(CASE WHEN ($before) AND NOT $g THEN 1 ELSE 0 END) AS k$i,
+         |  sum(CASE WHEN ($before) AND $g THEN 1 ELSE 0 END) AS s$i""".stripMargin
+    }.mkString(",\n  ")
+    val arms = gates.zipWithIndex.map { case (g, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS ord, '$g' AS gate," +
+        s" CAST(n_in AS BIGINT) AS n_in," +
+        s" CAST(m$i AS BIGINT) AS n_fail_marginal," +
+        s" CAST(k$i AS BIGINT) AS n_killed_here," +
+        s" CAST(s$i AS BIGINT) AS n_survive_after FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH f AS ($gopherFlagsSql),
+       |a AS (SELECT count(*) AS n_in,
+       |  $sums
+       |  FROM f)
+       |$arms
+       |ORDER BY ord""".stripMargin
+  }
+
+  /** DuckDB twin of [[RelationalOps.benfordPanel]] over event cents —
+    * expected shares are the SAME Scala-computed floored-bp literals. */
+  private def benfordSql: String = {
+    val arm = (1 to 9).map(dd =>
+      s"WHEN $dd THEN ${RelationalOps.benfordExpectedBp(dd)}").mkString(" ")
+    s"""WITH v AS (SELECT CAST(round(value*100, 0) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE value IS NOT NULL AND CAST(round(value*100, 0) AS BIGINT) > 0),
+       |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    count(*) AS n
+       |  FROM v GROUP BY 1),
+       |t AS (SELECT sum(n) AS tot FROM d)
+       |SELECT digit, CAST(n AS BIGINT) AS n,
+       |  CAST((10000 * n) // tot AS BIGINT) AS obs_bp,
+       |  CAST(CASE digit $arm END AS BIGINT) AS exp_bp
+       |FROM d, t ORDER BY digit""".stripMargin
+  }
+
   private def autocorrSql(maxLag: Int): String = {
     val leads = (1 to maxLag)
       .map(h => s"lead(x, $h) OVER w AS l$h").mkString(",\n    ")

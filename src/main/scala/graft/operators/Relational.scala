@@ -738,6 +738,126 @@ object RelationalOps {
       .withColumn("violates", col("n") < k)
   }
 
+  /** Gate-attrition report over boolean rule columns, in DECLARED gate
+    * order — the pipeline-observability panel behind every curation
+    * decision ("which gate is doing the killing, and does gate 4 still
+    * matter after gates 1–3?"): per gate its marginal kill count (rows
+    * failing it regardless of the others), its attributed kill count
+    * (rows that PASSED every earlier gate and die here — first-failure
+    * attribution, so attributed counts sum to total kills), and the
+    * survivor count after it. All counts fold into ONE wide aggregate —
+    * one corpus pass however many gates, the expectations-suite shape —
+    * then a |gates|-row reshape.  */
+  def gateAttrition(flags: DataFrame, gateCols: Seq[String]): DataFrame = {
+    require(gateCols.nonEmpty, "at least one gate")
+    val aggs =
+      count(lit(1)).as("__n_in") +:
+        gateCols.zipWithIndex.flatMap { case (g, i) =>
+          val before = gateCols.take(i).map(col).foldLeft(lit(true))(_ && _)
+          Seq(
+            sum(when(!col(g), 1L).otherwise(0L)).as(s"__marg_$i"),
+            sum(when(before && !col(g), 1L).otherwise(0L)).as(s"__kill_$i"),
+            sum(when(before && col(g), 1L).otherwise(0L)).as(s"__surv_$i"))
+        }
+    val wide = flags.agg(aggs.head, aggs.tail: _*)
+    val arms = gateCols.zipWithIndex.map { case (g, i) =>
+      s"${i + 1}L, '$g', __marg_$i, __kill_$i, __surv_$i"
+    }.mkString(", ")
+    wide.selectExpr("__n_in AS n_in",
+      s"stack(${gateCols.size}, $arms)" +
+        " AS (ord, gate, n_fail_marginal, n_killed_here, n_survive_after)")
+      .select(col("ord"), col("gate"), col("n_in"),
+        col("n_fail_marginal"), col("n_killed_here"), col("n_survive_after"))
+  }
+
+  /** Gap detection over an id sequence WITHOUT a global sort: a gap
+    * start is `id+1` where that id is absent (and id isn't the max), a
+    * gap end is `id−1` where absent likewise — two id-keyed LEFT ANTI
+    * self-joins, each a plain shuffle join of the corpus against itself.
+    * Only the boundary relation (gaps-sized — tiny for mostly-contiguous
+    * ingest ids, which is who runs this audit) passes through the
+    * pairing window that zips the i-th start with the i-th end. Returns
+    * (gap_start, gap_end, gap_len). Duplicate ids are collapsed first
+    * (a gap audit is about coverage, not multiplicity). */
+  def idGaps(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = ids.agg(min("id").as("__mn"), max("id").as("__mx"))
+    val present = ids.select(col("id").as("pid"))
+    val starts = ids.crossJoin(broadcast(bounds))
+      .filter(col("id") < col("__mx"))
+      .select((col("id") + 1).as("cand"))
+      .join(present, col("cand") === col("pid"), "left_anti")
+      .select(col("cand").as("pos"), lit(0).as("side")) // 0 = start
+    val ends = ids.crossJoin(broadcast(bounds))
+      .filter(col("id") > col("__mn"))
+      .select((col("id") - 1).as("cand"))
+      .join(present, col("cand") === col("pid"), "left_anti")
+      .select(col("cand").as("pos"), lit(1).as("side")) // 1 = end
+    val w = Window.partitionBy("side").orderBy("pos")
+    starts.unionByName(ends)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("__rn")
+      .agg(min(when(col("side") === 0, col("pos"))).as("gap_start"),
+        min(when(col("side") === 1, col("pos"))).as("gap_end"))
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+  }
+
+  /** Benford first-digit panel over a positive integer measure: observed
+    * leading-digit counts and shares vs the Benford expectation
+    * `log10(1 + 1/d)` — the classic fabricated-/degenerate-data smell
+    * test for value columns (organic multi-scale measures follow it;
+    * uniform or hand-typed ones don't). Expected shares are FLOORED-bp
+    * literals computed once in Scala and embedded in both engines — no
+    * cross-engine log10 to disagree. The leading digit comes from the
+    * long's decimal string head — identical formatting on both engines
+    * for positive longs. One tiny 9-row agg; zero joins.  */
+  /** Floored-bp Benford shares, the single source of truth both the
+    * engine and the oracle twin embed as literals. */
+  private[graft] val benfordExpectedBp: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(10000 * math.log10(1.0 + 1.0 / d)).toLong).toMap
+
+  def benfordPanel(df: DataFrame, valueCol: String): DataFrame = {
+    val expBp = benfordExpectedBp
+    val expArm = (1 to 9).map { d =>
+      s"WHEN $d THEN ${expBp(d)}L"
+    }.mkString(" ")
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("__tot"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(10000 * n) div __tot").as("obs_bp"),
+        expr(s"CASE digit $expArm END").as("exp_bp"))
+  }
+
+  /** Per-group weighted median of an integer value column: the smallest
+    * value whose running weight reaches half the group's total
+    * (`2·cumw ≥ totw` — the lower weighted median, deterministic under
+    * ties by the value ordering itself). The robust-aggregation
+    * primitive a mean can't provide when weights are token counts and a
+    * few giant documents would otherwise drag the center. One key
+    * exchange; the cumulative sum and total share the single window
+    * pass.  */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weightCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol), col(weightCol))
+      .filter(col(weightCol) > 0)
+      .withColumn("__cum", sum(col(weightCol)).over(wOrd))
+      .withColumn("__tot", sum(col(weightCol)).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valCol)).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** Enforcement: drop every row whose quasi-identifier class is smaller
     * than `k` (suppression — the conservative fix; generalization ladders
     * are a policy layer above this primitive). The violating-class

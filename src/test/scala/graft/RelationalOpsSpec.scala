@@ -529,6 +529,44 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.isNullAt(4) && out.isNullAt(5))
   }
 
+  test("gateAttrition: first-failure attribution sums to total kills") {
+    val df = Seq((true, true), (false, true), (true, false), (false, false))
+      .toDF("g1", "g2")
+    val out = RelationalOps.gateAttrition(df, Seq("g1", "g2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out(1L) == (("g1", 4L, 2L, 2L, 2L)), s"got: ${out(1L)}")
+    // g2's attributed kills exclude the rows g1 already killed
+    assert(out(2L) == (("g2", 4L, 2L, 1L, 1L)), s"got: ${out(2L)}")
+  }
+
+  test("idGaps: planted holes, duplicates collapsed, contiguous data silent") {
+    val ids = Seq(1L, 2L, 3L, 3L, 7L, 10L).toDF("id")
+    val out = RelationalOps.idGaps(ids, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((4L, 6L, 3L), (8L, 9L, 2L)), s"got: $out")
+    assert(RelationalOps.idGaps(Seq(5L, 6L, 7L).toDF("id"), "id").count() == 0)
+  }
+
+  test("benfordPanel: hand-counted digits vs the floored-bp expectation literals") {
+    val df = Seq(1L, 19L, 25L, 29L, 999L, 0L, -5L).toDF("v")
+    val out = RelationalOps.benfordPanel(df, "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(1L -> ((2L, 4000L, 3010L)), 2L -> ((2L, 4000L, 1760L)),
+      9L -> ((1L, 2000L, 457L))), s"zero/negative excluded: $out")
+  }
+
+  test("weightedMedian: weight mass decides, not row counts; nonpositive weights drop") {
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
+      ("b", 5L, 3L), ("b", 7L, 1L), ("b", 9L, 0L))
+      .toDF("g", "v", "w")
+    val out = RelationalOps.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("a" -> ((3L, 12L)), "b" -> ((5L, 4L))), s"got: $out")
+  }
+
   test("kAnonymity flags small classes; suppression drops exactly their rows") {
     val df = (Seq.fill(5)(("US", "auto")) ++ Seq.fill(2)(("US", "bike")) ++
       Seq.fill(3)(("DE", "auto"))).zipWithIndex
