@@ -178,6 +178,58 @@ object StatefulOps {
       }
   }
 
+  final case class SeqId(key: String, seq: Long)
+  final case class SeqMonState(frontier: Long, pending: Seq[Long])
+  final case class SeqStatus(key: String, frontier: Long, nPending: Long,
+                             firstMissing: Long, overflow: Boolean)
+
+  /** Streaming sequence-completeness monitor — "have we seen every offset
+    * up to the frontier?" for a per-key monotone id space (Kafka
+    * offsets, CDC log positions, shard sequence numbers): state per key
+    * is the CONTIGUOUS frontier (every id ≤ frontier seen) plus the
+    * bounded set of ids arrived ahead of it; each batch advances the
+    * frontier through any holes that filled and reports the first still-
+    * missing id. Out-of-order arrival within the reorder window is the
+    * normal case this exists for; a hole that never fills parks the
+    * frontier and `firstMissing` names the loss. `maxPending` bounds
+    * state (the deque discipline of [[anomalyStream]]): beyond it the
+    * monitor sets `overflow` and JUMPS the frontier to the smallest
+    * pending id (explicitly surrendering completeness for boundedness —
+    * flagged, never silent). Ids at or below the frontier (replays,
+    * duplicates) change nothing. Emits one status row per key per
+    * batch. */
+  def sequenceMonitor(rows: Dataset[SeqId], startAt: Long = 0L,
+                      maxPending: Int = 10000)(
+      implicit spark: SparkSession): Dataset[SeqStatus] = {
+    import spark.implicits._
+    require(maxPending >= 1, s"maxPending: $maxPending")
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[SeqMonState, SeqStatus](GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[SeqMonState]) =>
+          var frontier = state.getOption.map(_.frontier).getOrElse(startAt - 1)
+          var pending = state.getOption.map(_.pending.to(scala.collection.immutable.SortedSet))
+            .getOrElse(scala.collection.immutable.SortedSet.empty[Long])
+          it.foreach { r =>
+            if (r.seq > frontier) pending += r.seq
+          }
+          var overflow = false
+          def drain(): Unit =
+            while (pending.nonEmpty && pending.head == frontier + 1) {
+              frontier += 1; pending -= pending.head
+            }
+          drain()
+          if (pending.size > maxPending) {
+            overflow = true
+            frontier = pending.head // surrender the hole, flagged
+            pending -= frontier
+            drain()
+          }
+          state.update(SeqMonState(frontier, pending.toSeq))
+          SeqStatus(key, frontier, pending.size.toLong,
+            if (pending.isEmpty) -1L else frontier + 1, overflow)
+      }
+  }
+
   /** Streaming distinct-count maintenance per key via KMV sketch state —
     * the batch [[graft.operators.Sketches.kmvDistinct]] (md5 lane) kept
     * incrementally: state per key is the k smallest distinct 32-bit

@@ -197,4 +197,40 @@ class StatefulSessionSpec extends SparkSpec {
         s"prefix 2: $afterB2 vs ${batchEst(b1 ++ b2)}")
     } finally q.stop()
   }
+
+  test("sequenceMonitor: frontier tracks holes, fills advance it, overflow flags the jump") {
+    import graft.streaming.StatefulOps.{SeqId, SeqStatus}
+    val in = MemoryStream[SeqId]
+    val q = StatefulOps.sequenceMonitor(in.toDS(), startAt = 0L,
+        maxPending = 3)
+      .writeStream.format("memory").queryName("t_seqmon")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Long, Long, Boolean)] =
+      spark.table("t_seqmon").as[SeqStatus].collect()
+        .zipWithIndex.groupBy(_._1.key)
+        .map { case (k, rs) => // last emission per key wins
+          val s = rs.maxBy(_._2)._1
+          k -> ((s.frontier, s.nPending, s.firstMissing, s.overflow))
+        }
+    try {
+      // key a: 0,1,2 contiguous + 5 ahead (3,4 missing); key b: replay-safe
+      in.addData(SeqId("a", 0), SeqId("a", 1), SeqId("a", 2), SeqId("a", 5),
+        SeqId("b", 0), SeqId("b", 0))
+      q.processAllAvailable()
+      assert(latest()("a") == ((2L, 1L, 3L, false)), s"got ${latest()("a")}")
+      assert(latest()("b") == ((0L, 0L, -1L, false)))
+      // the hole fills out of order → frontier sweeps through 5
+      in.addData(SeqId("a", 4), SeqId("a", 3), SeqId("a", 2))
+      q.processAllAvailable()
+      assert(latest()("a") == ((5L, 0L, -1L, false)), s"got ${latest()("a")}")
+      // a permanent hole + pending beyond maxPending → flagged jump
+      in.addData(SeqId("a", 100), SeqId("a", 101), SeqId("a", 102),
+        SeqId("a", 103))
+      q.processAllAvailable()
+      val (f, nPend, _, ovf) = latest()("a")
+      assert(ovf, "overflow must be flagged, never silent")
+      assert(f == 103L && nPend == 0L,
+        s"the jump lands on the smallest pending id and drains: ${latest()("a")}")
+    } finally q.stop()
+  }
 }
