@@ -300,6 +300,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- point-in-time feature join: SCD2 history ∘ as-of ----
+    // The feature-store temporal-correctness pattern (a view enriched
+    // with the tier KNOWN AT VIEW TIME, never a later one — the leakage
+    // a plain latest-value join commits): purchases compress to an SCD2
+    // tier history, views as-of join the change rows.
+    "q_pit_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(expr("max(CAST(round(value*100, 0) AS BIGINT)) div 2000")
+          .as("tier"))
+      val hist = RelationalOps.scd2Intervals(purch, "user_id", Seq("ts"),
+        Seq("tier"))
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      RelationalOps.asofJoin(views,
+          hist.select(col("user_id"), col("valid_from").as("ts"), col("tier")),
+          "user_id", "ts", "ts", Seq("tier"))
+        .select(col("event_id"), col("user_id"), col("tier"))
+        .orderBy("event_id")
+    }),
+
     // ---- K2 materialized upsert table: multi-batch last-write-wins ----
     "q_upsert_table" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("event_id"))
@@ -2025,6 +2047,23 @@ object SparkEntry {
         |  SELECT user_id, ts, max(CAST(round(value*100) AS BIGINT)) AS p_cents
         |  FROM events WHERE event_type='purchase' GROUP BY 1, 2) p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+    // SCD2 compression (lag-change filter) then DuckDB's native ASOF —
+    // identical inclusive p.ts <= v.ts contract as q_asof_join.
+    "q_pit_join" ->
+      """WITH p AS (SELECT user_id, ts,
+        |    max(CAST(round(value*100, 0) AS BIGINT)) // 2000 AS tier
+        |  FROM events WHERE event_type='purchase' GROUP BY 1, 2),
+        |ch AS (SELECT user_id, ts, tier FROM (
+        |  SELECT user_id, ts, tier,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS pt FROM p)
+        |  WHERE pt IS NULL OR pt <> tier),
+        |v AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type='view')
+        |SELECT v.event_id, v.user_id, ch.tier
+        |FROM v ASOF LEFT JOIN ch
+        |  ON v.user_id = ch.user_id AND ch.ts <= v.ts
         |ORDER BY event_id""".stripMargin,
 
     "q_tumbling_window" ->

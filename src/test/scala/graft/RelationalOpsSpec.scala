@@ -529,6 +529,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out.isNullAt(4) && out.isNullAt(5))
   }
 
+  test("point-in-time composition (scd2 ∘ asof) never leaks a future version") {
+    val changes = Seq((7L, 10L, 1L), (7L, 10L, 1L), (7L, 20L, 2L))
+      .toDF("k", "t", "tier") // duplicate payload compresses away
+    val hist = RelationalOps.scd2Intervals(changes, "k", Seq("t"), Seq("tier"))
+    val facts = Seq((100L, 7L, 5L), (101L, 7L, 10L), (102L, 7L, 15L),
+      (103L, 7L, 25L)).toDF("fid", "k", "t")
+    val out = RelationalOps.asofJoin(facts,
+        hist.select(col("k"), col("valid_from").as("t"), col("tier")),
+        "k", "t", "t", Seq("tier"))
+      .select("fid", "tier")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(100L -> None, 101L -> Some(1L), 102L -> Some(1L),
+      103L -> Some(2L)),
+      s"pre-history NULL, in-interval version, never a future one: $out")
+  }
+
   test("gateAttrition: first-failure attribution sums to total kills") {
     val df = Seq((true, true), (false, true), (true, false), (false, false))
       .toDF("g1", "g2")
