@@ -1841,6 +1841,24 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- curation: mixture plan EXECUTED — water-fill ∘ rate sample ----
+    // One lazy DAG: avail counts → tokenBudget → per-source bp filter.
+    "q_mix_execute" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val avail = docs.groupBy("source")
+        .agg(sum(size(TextFunctions.tokens(col("text")))).cast("long")
+          .as("avail"))
+      val wts = avail.select(col("source"),
+        ((expr("CAST(substring(source, 4) AS INT)") % 5 + 1) * 1000)
+          .cast("long").as("w"))
+      val plan = Curation.tokenBudget(avail, "source", "avail", wts,
+        "source", "w", budget = 21732L, rounds = 3)
+      Curation.allocationSample(docs, "doc_id", "source", plan, "source",
+          "rate_bp")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: deterministic global shuffle (epoch permutation) ----
     "q_global_shuffle" -> ((s, d) => {
       Curation.globalShuffleOrder(t(s, d, "documents"), "doc_id",
@@ -3444,6 +3462,15 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" -> tokenBudgetSql(budget = 21732L, rounds = 3),
+
+    // The tokenBudget twin as a subquery, then the SAME Knuth hash keep
+    // rule at bp grain — plan and execution both replayed in SQL.
+    "q_mix_execute" ->
+      s"""WITH plan AS (${tokenBudgetSql(budget = 21732L, rounds = 3)})
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN plan p ON d.source = p.source
+         |WHERE ((d.doc_id % 1000003) * 2654435761) % 10000 < p.rate_bp
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_rand_proj" -> randProjSql(outDims = 8, dim = 64),
 

@@ -66,6 +66,35 @@ object Curation {
                                 pct: org.apache.spark.sql.Column) =
     knuthHash(id, 100L) < pct
 
+  /** Basis-point-grain keep rule — the executor of [[tokenBudget]]'s
+    * `rate_bp` allocations (percentage grain would quantize a 10000-way
+    * plan down to 100 steps). Same hash, same comparison shape. */
+  private[graft] def keepsAtBp(id: org.apache.spark.sql.Column,
+                               bp: org.apache.spark.sql.Column) =
+    knuthHash(id, 10000L) < bp
+
+  /** Execute a mixture plan: keep each document with its source's
+    * `rate_bp` from an allocation relation (the [[tokenBudget]] output —
+    * plan and execution compose into ONE lazy DAG: corpus → avail counts
+    * → water-fill → rate filter, a single job end to end). Sources
+    * absent from the plan drop (rate 0 — an unplanned source has no
+    * budget). The keep decision is the shared deterministic id hash at
+    * bp grain: reruns, engines, and partitionings agree row for row,
+    * and the realized token count lands within hash noise of
+    * `alloc_tokens` (the plan's rate is exact; the sample is the same
+    * Bernoulli-by-hash every sampler here uses).
+    *
+    * Scale shape: the allocation relation is sources-sized and attaches
+    * BROADCAST; the corpus scans once through a codegen filter. */
+  def allocationSample(docs: DataFrame, idCol: String, domainCol: String,
+                       alloc: DataFrame, allocSourceCol: String,
+                       rateBpCol: String): DataFrame =
+    docs.join(broadcast(alloc.select(col(allocSourceCol).as("__src"),
+        col(rateBpCol).cast("long").as("__bp"))),
+        docs(domainCol) === col("__src"), "inner")
+      .filter(keepsAtBp(col(idCol), col("__bp")))
+      .drop("__src", "__bp")
+
   /** Concat-then-chunk sequence packing: documents are laid end-to-end in
     * deterministic (shard, id) order and cut into fixed `budgetTokens`
     * context windows. Each document reports the pack it STARTS in and its

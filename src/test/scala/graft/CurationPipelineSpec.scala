@@ -43,4 +43,33 @@ class CurationPipelineSpec extends SparkSpec {
     val fp = curated.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
     assert(fp.count() == fp.distinct().count(), "curated corpus still contains exact dups")
   }
+
+  test("MixturePlanApp: plan executes, shards land, realized tokens track allocations") {
+    val out = java.nio.file.Files.createTempDirectory("mixplan").toFile
+    graft.apps.MixturePlanApp.run(spark, "/root/testdata/sf0.001",
+      out.getAbsolutePath, budget = 15000L,
+      weightSpec = "src0=4000,src1=2000,src2=1000", numShards = 2)
+    val report = spark.read.parquet(s"${out.getAbsolutePath}/report")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(6)))).toMap
+    // unplanned sources carry weight 0, alloc 0, and shipped nothing
+    report.filterNot(kv => Set("src0", "src1", "src2")(kv._1)).foreach {
+      case (s, (w, alloc, realized, docs)) =>
+        assert(w == 0L && alloc == 0L && realized == 0L && docs == 0L,
+          s"unplanned $s must ship nothing: ${report(s)}")
+    }
+    // planned sources shipped, and realized tokens track the allocation
+    // within Bernoulli-by-hash noise (generous band: tiny corpus)
+    Seq("src0", "src1", "src2").foreach { s =>
+      val (_, alloc, realized, _) = report(s)
+      assert(alloc > 0, s"$s got no budget")
+      assert(realized > 0, s"$s shipped nothing")
+      assert(math.abs(realized - alloc) <= math.max(600L, alloc / 2),
+        s"$s realized $realized vs planned $alloc")
+    }
+    val shards = spark.read.parquet(s"${out.getAbsolutePath}/shards")
+    assert(shards.select("shard_id").distinct().count() == 2)
+    assert(shards.count() ==
+      report.values.map(_._4).sum, "every sampled doc lands in a shard")
+  }
 }
