@@ -92,7 +92,10 @@ object PlanDoc {
     "q_rand_proj" -> "JL projection: sign literals baked at plan build — scan → filter → one codegen projection → stack, ZERO shuffle, no hash evaluation",
     "q_zorder" -> "Z-order key: 1-row min/max agg broadcast back, then one shift-and-mask interleave projection — the layout writer adds a single range exchange",
     "q_token_budget" -> "token budget: sources-sized relation; per round ONE 1-row aggregate broadcast back — the corpus is never touched",
-    "q_calibrate" -> "quantile calibration: ONE group exchange; rank() and count() share the window pass — the approx grid variant replaces the sort with a broadcast")
+    "q_calibrate" -> "quantile calibration: ONE group exchange; rank() and count() share the window pass — the approx grid variant replaces the sort with a broadcast",
+    "q_mix_execute" -> "mixture execution: avail agg → water-fill rounds on the sources-sized relation → plan BROADCAST back over one corpus scan — plan and execution are one lazy DAG",
+    "q_pit_join" -> "point-in-time join: SCD2 lag-compress + as-of union/last_value — ZERO join operators between facts and history",
+    "q_margin_mine" -> "margin mining: in-cell A×B candidates (never a side cross join), bounded per-side top-k aggs, id-keyed margin joins")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -381,6 +381,21 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange anywhere — keying happens scan-side:\n$p")
   }
 
+  test("mix execution: the plan relation broadcasts; the corpus never shuffle-joins it") {
+    val p = plan("q_mix_execute")
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized allocation must attach by broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for its own sampling plan:\n$p")
+  }
+
+  test("point-in-time join keeps the as-of zero-join shape (union + window, no range join)") {
+    val p = plan("q_pit_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"as-of must stay union + running last_value — no theta join:\n$p")
+    assert(p.contains("Window"), "the running last_value window must exist")
+  }
+
   test("approx calibration replaces the per-group sort with a broadcast grid") {
     val df = graft.operators.Curation.calibrateScoresApprox(
       graft.operators.TextAnalysis.qualityScore(
