@@ -1720,6 +1720,12 @@ object SparkEntry {
         queryId = 0L, m = 4, k = 16, dim = 64, topK = 10)
     }),
 
+    // ---- embeddings: two-stage retrieval (ADC shortlist → exact rerank) ----
+    "q_pq_rerank" -> ((s, d) => {
+      Similarity.pqRerank(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, m = 4, k = 16, dim = 64, shortlist = 40, topK = 10)
+    }),
+
     // ---- time series: rolling z-score anomaly flags (exact integers) ----
     "q_anomaly_z" -> ((s, d) => {
       Timeseries.rollingAnomalies(
@@ -3367,6 +3373,29 @@ object SparkEntry {
          |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
          |SELECT vec_id, CAST(adc_q4 AS BIGINT) / 10000.0 AS adc_dist2
          |FROM adc ORDER BY adc_q4, vec_id LIMIT 10""".stripMargin,
+
+    // Stage 1 = the ADC CTE chain cut at the shortlist, stage 2 = exact
+    // r4 cosines over ONLY those ids, final (cos DESC, id) cut.
+    "q_pq_rerank" ->
+      s"""WITH $pqCodesCtes,
+         |q AS (SELECT s.sub, vv[s.sub*16+1 : s.sub*16+16] AS qs
+         |      FROM v, subs s WHERE vec_id = 0),
+         |lut AS (SELECT cb.sub, cb.code,
+         |    CAST(round((list_dot_product(cs,cs) - 2*list_dot_product(cs,qs)
+         |      + list_dot_product(qs,qs)) * 10000, 0) AS BIGINT) AS d2_q4
+         |  FROM cb JOIN q ON cb.sub = q.sub),
+         |shortl AS (SELECT c.vec_id FROM codes c
+         |  JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE c.vec_id <> 0 GROUP BY c.vec_id
+         |  ORDER BY sum(l.d2_q4), c.vec_id LIMIT 40),
+         |qv AS (SELECT vv AS qvv FROM v WHERE vec_id = 0),
+         |rer AS (SELECT s.vec_id,
+         |    round(list_dot_product(v.vv, qvv)
+         |      / (sqrt(list_dot_product(v.vv, v.vv))
+         |         * sqrt(list_dot_product(qvv, qvv))), 4) + 0.0 AS cos_sim
+         |  FROM shortl s JOIN v ON v.vec_id = s.vec_id, qv)
+         |SELECT vec_id, cos_sim FROM rer
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // z² = (n·x − s1)²/(n·s2 − s1²): the k-sigma test is the exact integer
     // cross-multiplication; z2_floor NULL on zero-variance frames/warm-up.

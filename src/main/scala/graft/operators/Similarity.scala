@@ -333,6 +333,36 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** Two-stage retrieval: a PQ/ADC shortlist re-ranked FULL-PRECISION —
+    * the production pattern the [[pqTopK]] docstring promises ("re-rank
+    * the winners to separate them"): ADC distances live at cell
+    * resolution, so the quantizer orders the shortlist only roughly; the
+    * final order must come from true cosines. The shortlist
+    * (`shortlist` ≥ the final `topK`, typically 3–10×) comes from the
+    * compressed codes — RAM-resident at 100 TB — and ONLY those ids
+    * fetch their full vectors for the exact pass, so the expensive
+    * full-precision work is shortlist-sized, never corpus-sized.
+    *
+    * Scale shape: stage 1 is [[pqTopK]]'s bounded scan; stage 2 joins
+    * the shortlist-sized id set back to the vector table (id-keyed — at
+    * scale a bucketed store makes this exchange-free), broadcasts the
+    * 1-row query, and TakeOrderedAndProject cuts the final k. */
+  def pqRerank(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
+               m: Int, k: Int, dim: Int, shortlist: Int,
+               topK: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist $shortlist < topK $topK")
+    val short = pqTopK(emb, vecCol, idCol, queryId, m, k, dim, shortlist)
+      .select(col(idCol))
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"))
+    emb.join(short, idCol :: Nil)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol),
+        r4(cosineSim(col(vecCol), col("__qv"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Contrastive training triplets (anchor, positive, negative) mined
     * deterministically from the quantizer geometry: the positive is the
     * anchor's NEXT cellmate (same coarse cell — semantically close), the

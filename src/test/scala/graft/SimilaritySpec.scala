@@ -533,6 +533,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._1).contains(0L), "the query never matches itself")
   }
 
+  test("pqRerank: the exact dup ADC leaves ambiguous lands at rank 1 with cosine 1") {
+    // same fixture as the ADC test: id 100 duplicates the query exactly;
+    // ADC scores it 0 but can't separate cellmates — the rerank must.
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val emb = (base :+ ((100L, base.head._2))).toDF("id", "v")
+    val out = Similarity.pqRerank(emb, "v", "id", queryId = 0L,
+        m = 2, k = 4, dim = 8, shortlist = 12, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.head == ((100L, 1.0)),
+      s"full-precision rerank must put the exact dup first: $out")
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse, "descending cosine")
+    assert(!out.map(_._1).contains(0L), "the query never matches itself")
+  }
+
   test("marginMining: hand-computed ratio margins, one best pair per A, threshold cut") {
     // orthogonal axes → clean cosines: a1≡b1 (axis x), a2≡b3 (axis y),
     // b5/b7 pure distractors. cq(a1,b1)=10000, everything else 0.
