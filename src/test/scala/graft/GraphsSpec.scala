@@ -189,6 +189,21 @@ class GraphsSpec extends SparkSpec {
     assert(one == many, "labels must not depend on partitioning")
   }
 
+  test("labelPropagation: the documented bipartite 2-cycle is reproducible, not a hang") {
+    // K2,2 with self-labels: synchronous LP oscillates — every node swaps
+    // sides each round. Fixed rounds make the oscillation a DETERMINISTIC
+    // function of the round count (the docstring's contract), where a
+    // convergence loop would spin forever.
+    val edges = Seq(("l1", "r1", 1L), ("l1", "r2", 1L),
+      ("l2", "r1", 1L), ("l2", "r2", 1L))
+    val even = lp(edges, rounds = 4)
+    val odd = lp(edges, rounds = 5)
+    assert(even == refLp(edges, 4) && odd == refLp(edges, 5),
+      "both parities must equal the sequential twin")
+    assert(even != odd, "the 2-cycle must be visible across parities")
+    assert(lp(edges, rounds = 4) == even, "and exactly reproducible")
+  }
+
   test("coOccurrence: hand-computed lift, minCount cut, hot-basket drop") {
     // kept baskets: b1{p,q}, b2{p,q}, b3{x,y}; b4 has 5 items > cap 4
     val rows = Seq(("b1", "p"), ("b1", "q"), ("b1", "p"), // dup deduped

@@ -170,6 +170,32 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole, "cell-wise sum of shard sketches must equal the corpus sketch")
   }
 
+  test("cms: a collision provably promotes a light item — the documented one-sided error") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // find (deterministically) a light item that collides with "hot" in
+    // EVERY row of a depth-1 width-2 grid, then show its estimate absorbs
+    // the hot count — the false-positive branch by construction, not by
+    // hash luck. Collision search runs through the engine's own buckets.
+    def estimateOf(light: String): Long = {
+      val stream = (Seq.fill(30)("hot") :+ light).toDF("item")
+      Sketches.cmsEstimate(Seq(light).toDF("item"), "item",
+          Sketches.cmsBuild(stream, "item", depth = 1, width = 2), 1, 2)
+        .collect().head.getLong(1)
+    }
+    val light = (0 until 20).map(i => s"light$i")
+      .find(c => estimateOf(c) == 31L)
+      .getOrElse(fail("no colliding candidate in 20 tries — astronomically unlikely"))
+    val stream = (Seq.fill(30)("hot") :+ light).toDF("item")
+    val hh = Sketches.cmsHeavyHitters(stream,
+        Seq("hot", light).toDF("item"), "item", minCount = 20L,
+        depth = 1, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh("hot") >= 30L)
+    assert(hh(light) == 31L,
+      s"the colliding light item is promoted with the inflated estimate: $hh")
+  }
+
   test("cms: unseen items estimate 0 and true heavy hitters are never missed") {
     import spark.implicits._
     import graft.operators.Sketches
