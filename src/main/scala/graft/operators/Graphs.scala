@@ -315,9 +315,15 @@ object Graphs {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
-    val sized = bi.groupBy("bk").agg(count(lit(1)).as("__sz"))
+    // size gate as an unordered window over the basket key — one exchange
+    // that the pairing self-join then REUSES, instead of a separate
+    // size agg + join-back (which cost an extra shuffle of the relation)
+    val kept = bi
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bk")))
       .filter(col("__sz") <= maxBasketSize)
-    val kept = bi.join(sized.select("bk"), "bk").persist(lvl)
+      .drop("__sz")
+      .persist(lvl)
     val nB = kept.select(countDistinct(col("bk")).as("__nb"))
     val support = kept.groupBy(col("it")).agg(count(lit(1)).as("__sup"))
     val pairs = kept.select(col("bk"), col("it").as("item_a"))
