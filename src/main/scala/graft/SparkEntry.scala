@@ -1579,6 +1579,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- embeddings: semantic decontamination, FIXED-size bench ----
+    // bench = vec_id < 100 — absolute, so it does NOT scale with the
+    // corpus: the measured linear counterpart of q_sem_decontam's
+    // bench-grows-too scale artifact (BASELINE sf1 table).
+    "q_sem_decontam_fixed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 100),
+          emb.filter(col("vec_id") < 100), "embedding", "vec_id",
+          threshold = 0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // ---- graph: triangles + clustering on the nation trade graph ----
     // Edges = (customer nation, supplier nation) co-occurrences on a
     // lineitem; the relative weight cut (w·n_pairs >= Σw, exact integer
@@ -3172,6 +3186,16 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
         |b AS (SELECT vv AS bv FROM v WHERE vec_id % 20 = 0),
         |tr AS (SELECT vec_id, vv FROM v WHERE vec_id % 20 <> 0),
+        |hit AS (SELECT DISTINCT t.vec_id FROM tr t CROSS JOIN b
+        |  WHERE round(list_dot_product(t.vv, b.bv)
+        |    / (sqrt(list_dot_product(t.vv, t.vv)) * sqrt(list_dot_product(b.bv, b.bv))), 4) >= 0.35)
+        |SELECT t.vec_id FROM tr t LEFT JOIN hit h ON t.vec_id = h.vec_id
+        |WHERE h.vec_id IS NULL ORDER BY t.vec_id""".stripMargin,
+
+    "q_sem_decontam_fixed" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |b AS (SELECT vv AS bv FROM v WHERE vec_id < 100),
+        |tr AS (SELECT vec_id, vv FROM v WHERE vec_id >= 100),
         |hit AS (SELECT DISTINCT t.vec_id FROM tr t CROSS JOIN b
         |  WHERE round(list_dot_product(t.vv, b.bv)
         |    / (sqrt(list_dot_product(t.vv, t.vv)) * sqrt(list_dot_product(b.bv, b.bv))), 4) >= 0.35)
