@@ -3542,7 +3542,8 @@ object SparkEntry {
          |  JOIN v vb ON vb.vec_id = ab.vec_id
          |  WHERE aa.vec_id % 2 = 0 AND ab.vec_id % 2 = 1),
          |pq AS (SELECT ida, idb, cs,
-         |    CAST(round(cs * 10000, 0) AS BIGINT) AS cq FROM p),
+         |    CAST(round(cs * 10000, 0) AS BIGINT) AS cq FROM p
+         |  WHERE NOT isnan(cs)),
          |ta AS (SELECT ida, sum(cq) AS sa, count(*) AS ca FROM (
          |    SELECT ida, cq,
          |      row_number() OVER (PARTITION BY ida ORDER BY cq DESC, idb) AS rn

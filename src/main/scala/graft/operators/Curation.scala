@@ -75,8 +75,11 @@ object Curation {
 
   /** Execute a mixture plan: keep each document with its source's
     * `rate_bp` from an allocation relation (the [[tokenBudget]] output —
-    * plan and execution compose into ONE lazy DAG: corpus → avail counts
-    * → water-fill → rate filter, a single job end to end). Sources
+    * plan and execution compose LAZILY: corpus → avail counts →
+    * water-fill → rate filter, with nothing running until the caller's
+    * first action — the water-fill rounds chain through lazy
+    * localCheckpoints that truncate lineage when that action
+    * materializes them). Sources
     * absent from the plan drop (rate 0 — an unplanned source has no
     * budget). The keep decision is the shared deterministic id hash at
     * bp grain: reruns, engines, and partitionings agree row for row,
@@ -657,7 +660,7 @@ object Curation {
         col("weight_bp") <= 0 || col("avail_tokens") <= 0)
       .withColumn("alloc_tokens",
         when(col("weight_bp") <= 0 || col("avail_tokens") <= 0, lit(0L)))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 0 until rounds) {
       val tot = st.agg(
         sum(when(col("capped"), coalesce(col("alloc_tokens"), lit(0L)))
@@ -675,7 +678,10 @@ object Curation {
             .otherwise(col("__demand")).as("alloc_tokens"),
           (col("capped") || col("__demand") >= col("avail_tokens"))
             .as("capped"))
-        .localCheckpoint()
+        // lazy: nothing runs until the caller's first action; the
+        // checkpoint still truncates lineage at materialization (the
+        // Dedup CC-loop convention)
+        .localCheckpoint(eager = false)
     }
     st.select(col("source"), col("avail_tokens"), col("weight_bp"),
       coalesce(col("alloc_tokens"), lit(0L)).as("alloc_tokens"),

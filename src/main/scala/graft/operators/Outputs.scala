@@ -161,11 +161,17 @@ object Outputs {
     // ~2^63/top) — primitive codegen division, measured ~8× cheaper per
     // row than the decimal path, which stays as the guard for
     // astronomical key spans; both paths compute the identical integer.
+    // The span test itself runs in DOUBLE with a 2× margin: a LONG
+    // `mx − mn` wraps negative exactly on the full-64-bit ranges the
+    // guard exists for (and a wrapped span would pass a long `<`),
+    // while double subtraction can't wrap and its ≤1024-ulp error is
+    // nine orders below the halved cap.
     val spanCap = Long.MaxValue / (top + 1)
     val scaled = df.crossJoin(broadcast(mm))
       .select(col("*") +: cols.zipWithIndex.map { case (c, i) =>
         when(col(s"__mx$i") > col(s"__mn$i"),
-          when(col(s"__mx$i") - col(s"__mn$i") < spanCap,
+          when(col(s"__mx$i").cast("double") - col(s"__mn$i").cast("double")
+              < (spanCap / 2).toDouble,
             expr(s"(($c - __mn$i) * $top) div (__mx$i - __mn$i)"))
             .otherwise(expr(s"(CAST($c - __mn$i AS $d38) * $top)" +
               s" div CAST(__mx$i - __mn$i AS $d38)").cast("long")))

@@ -1129,6 +1129,10 @@ object Similarity {
     val pairs = a.join(b, Seq("cell", "__sub"))
       .select(col("id_a"), col("id_b"),
         r4(cosineSim(col("__va"), col("__vb"))).as("cos_sim"))
+      // zero-vector cosines are NaN: Spark's NaN→0 long cast would
+      // silently score them while the oracle's cast does not — drop the
+      // pair outright (the semanticDecontaminate/knnGraph convention)
+      .filter(!isnan(col("cos_sim")))
       .withColumn("__cq", round(col("cos_sim") * 10000, 0).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topk = udaf(new graft.functions.TopKHits(kNN),

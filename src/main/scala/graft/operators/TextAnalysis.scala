@@ -840,6 +840,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, false)
+        // release the NATIVE zlib buffers at task end — without end(),
+        // disposal waits on GC of the wrapper, and a long-lived executor
+        // accumulates native memory the heap can't see
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val bytes = (if (text == null) "" else text).getBytes("UTF-8")

@@ -218,7 +218,10 @@ object StatefulOps {
               frontier += 1; pending -= pending.head
             }
           drain()
-          if (pending.size > maxPending) {
+          // ENFORCE the bound, however scattered the backlog: one jump
+          // per remaining excess, not one per batch — a single batch of
+          // widely-spread ids must not park an over-bound state forever
+          while (pending.size > maxPending) {
             overflow = true
             frontier = pending.head // surrender the hole, flagged
             pending -= frontier

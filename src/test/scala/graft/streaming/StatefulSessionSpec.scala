@@ -231,6 +231,14 @@ class StatefulSessionSpec extends SparkSpec {
       assert(ovf, "overflow must be flagged, never silent")
       assert(f == 103L && nPend == 0L,
         s"the jump lands on the smallest pending id and drains: ${latest()("a")}")
+      // WIDELY SCATTERED backlog in one batch: the bound must hold after
+      // a single batch even when no two pending ids are contiguous (one
+      // jump per excess, not one per batch)
+      in.addData((0 until 9).map(i => SeqId("a", 1000L + i * 50)): _*)
+      q.processAllAvailable()
+      val (_, nPend2, _, ovf2) = latest()("a")
+      assert(ovf2 && nPend2 <= 3L,
+        s"maxPending must bound state for scattered ids too: ${latest()("a")}")
     } finally q.stop()
   }
 }
