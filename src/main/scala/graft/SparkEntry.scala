@@ -1618,6 +1618,21 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- graph: modularity of REGIONS as trade communities ----
+    // "Does world trade cluster along geographic regions?" — communities
+    // = each nation's region key, a 5-community panel with intra- and
+    // cross-region mass both live. (LP-label modularity is spec-pinned
+    // on planted cliques; on the dense trade graph LP collapses to one
+    // community, whose 0-contribution degenerate the spec also pins.)
+    "q_modularity" -> ((s, d) => {
+      val labels = t(s, d, "nation")
+        .select(col("n_nationkey").cast("string").as("node"),
+          col("n_regionkey").cast("string").as("community"))
+      Graphs.modularity(nationTradeEdges(s, d), "u", "v", "w",
+          labels, "node", "community")
+        .orderBy("community")
+    }),
+
     // ---- graph: item co-occurrence with lift (market-basket pairs) ----
     // Baskets = orders, items = parts; cap 10 drops the >10-item tail
     // (live at sf0.01: max basket is 13) and minCount 2 cuts the
@@ -3355,6 +3370,36 @@ object SparkEntry {
 
     "q_label_prop" -> labelPropSql,
 
+    // Region labels over the kept trade edges, then the exact-integer
+    // Newman panel: contribution = (10000·(4m·w_in − deg_sum²)) div (4m²).
+    "q_modularity" ->
+      s"""WITH $nationTradeEdgesCtes,
+         |keptw AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v,
+         |    CAST(w AS BIGINT) AS w
+         |  FROM wts, tot WHERE w * np >= tw),
+         |lab AS (SELECT CAST(n_nationkey AS VARCHAR) AS node,
+         |    CAST(n_regionkey AS VARCHAR) AS community FROM nation),
+         |le AS (SELECT k.u, k.v, k.w, lu.community AS cu, lv.community AS cv
+         |  FROM keptw k JOIN lab lu ON k.u = lu.node
+         |  JOIN lab lv ON k.v = lv.node),
+         |mt AS (SELECT CAST(sum(w) AS HUGEINT) AS m FROM le),
+         |wi AS (SELECT cu AS community, CAST(sum(w) AS HUGEINT) AS w_in
+         |  FROM le WHERE cu = cv GROUP BY cu),
+         |dg AS (SELECT community, CAST(sum(w) AS HUGEINT) AS deg_sum FROM (
+         |  SELECT cu AS community, w FROM le
+         |  UNION ALL SELECT cv AS community, w FROM le) GROUP BY community),
+         |mm AS (SELECT community, count(*) AS n_members
+         |  FROM lab GROUP BY community)
+         |SELECT mm.community, CAST(mm.n_members AS BIGINT) AS n_members,
+         |  CAST(coalesce(wi.w_in, 0) AS BIGINT) AS w_in,
+         |  CAST(coalesce(dg.deg_sum, 0) AS BIGINT) AS deg_sum,
+         |  CAST((10000 * (4 * mt.m * coalesce(wi.w_in, 0)
+         |    - coalesce(dg.deg_sum, 0) * coalesce(dg.deg_sum, 0)))
+         |    // (4 * mt.m * mt.m) AS BIGINT) AS contrib_bp
+         |FROM mm LEFT JOIN dg USING (community)
+         |LEFT JOIN wi USING (community), mt
+         |ORDER BY community""".stripMargin,
+
     "q_covisit" ->
       """WITH bi AS (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
@@ -3878,7 +3923,13 @@ object SparkEntry {
     * nation trade graph, identical vote/tie semantics to
     * `Graphs.labelPropagation(rounds = 3)`: max weight-sum, ties to the
     * smallest label, isolated nodes coalesce to themselves. */
-  private def labelPropSql: String = {
+  private def labelPropSql: String =
+    s"""WITH $labelPropCtes
+       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+
+  /** The LP round chain (shared by the label-prop and modularity twins),
+    * ending in `keptw` (weighted edges) and `l3` (final labels). */
+  private def labelPropCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""v$i AS MATERIALIZED (
          |  SELECT s.t AS node, l.label, sum(s.w) AS v
@@ -3893,7 +3944,7 @@ object SparkEntry {
          |  SELECT n.node, coalesce(b.label, n.node) AS label
          |  FROM nodes n LEFT JOIN b$i b USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $nationTradeEdgesCtes,
+    s"""$nationTradeEdgesCtes,
        |keptw AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v,
        |    CAST(w AS BIGINT) AS w
        |  FROM wts, tot WHERE w * np >= tw),
@@ -3901,8 +3952,7 @@ object SparkEntry {
        |  UNION ALL SELECT v AS s, u AS t, w FROM keptw),
        |nodes AS (SELECT DISTINCT s AS node FROM sym),
        |l0 AS (SELECT node, node AS label FROM nodes),
-       |$rounds
-       |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** HITS oracle: the Markov edge counts, then 2 UNROLLED authority/hub

@@ -289,6 +289,59 @@ object Graphs {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Newman MODULARITY panel for a community assignment — the "did the
+    * clustering find real structure?" score (Q ≈ 0: no better than
+    * random wiring given the degrees; Q ≳ 0.3: genuine communities);
+    * the quality gate to run over [[labelPropagation]]'s output before
+    * anyone ships its communities. Per community: member count,
+    * intra-community edge weight `w_in`, member degree mass `deg_sum`,
+    * and the floored-bp contribution
+    * `(10000·(4m·w_in − deg_sum²)) div (4m²)` — the exact-integer form
+    * of `w_in/m − (deg_sum/2m)²` with ONE truncated division
+    * (DECIMAL(38,0) products: deg_sum² at web scale wraps a LONG on the
+    * giant community that matters). `w_in`/`deg_sum` ship exact so a
+    * caller wanting the total Q sums THEM and divides once, instead of
+    * accumulating per-community floor error.
+    *
+    * Scale shape: one edges-grain join attaching each endpoint's label
+    * (labels relation is nodes-sized), one community-grain agg for each
+    * of w_in / deg_sum / membership, a 1-row total broadcast. The edge
+    * relation never self-joins. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 weightCol: String, labels: DataFrame, nodeCol: String,
+                 communityCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = edges.select(col(srcCol).cast("string").as("u"),
+      col(dstCol).cast("string").as("v"),
+      col(weightCol).cast("long").as("w"))
+    val lab = labels.select(col(nodeCol).cast("string").as("node"),
+      col(communityCol).cast("string").as("community"))
+    val labeled = e
+      .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = labeled.agg(sum("w").as("__m"))
+    val wIn = labeled.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(sum("w").as("w_in"))
+    val deg = labeled.select(col("cu").as("community"), col("w"))
+      .unionByName(labeled.select(col("cv").as("community"), col("w")))
+      .groupBy("community").agg(sum("w").as("deg_sum"))
+    val members = lab.groupBy("community")
+      .agg(count(lit(1)).as("n_members"))
+    members
+      .join(deg, Seq("community"), "left")
+      .join(wIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_members"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        expr(s"CAST((10000 * (4 * CAST(__m AS $d38) * coalesce(w_in, 0)" +
+          s" - CAST(coalesce(deg_sum, 0) AS $d38)" +
+          s" * coalesce(deg_sum, 0)))" +
+          s" div (4 * CAST(__m AS $d38) * __m) AS BIGINT)").as("contrib_bp"))
+  }
+
   /** Item co-occurrence with lift — the bipartite (basket, item) relation
     * projected onto an item-item association graph: for every unordered
     * item pair sharing a basket, the basket count `n_both` and the lift

@@ -204,6 +204,29 @@ class GraphsSpec extends SparkSpec {
     assert(lp(edges, rounds = 4) == even, "and exactly reproducible")
   }
 
+  test("modularity: hand-computed Newman Q on two cliques; one-community scores 0") {
+    val edges = Seq(("a1", "a2", 1L), ("a2", "a3", 1L), ("a1", "a3", 1L),
+      ("b1", "b2", 1L), ("b2", "b3", 1L), ("b1", "b3", 1L),
+      ("a3", "b1", 1L)).toDF("u", "v", "w")
+    val goodLabels = Seq("a1", "a2", "a3").map(_ -> "A") ++
+      Seq("b1", "b2", "b3").map(_ -> "B")
+    val good = Graphs.modularity(edges, "u", "v", "w",
+        goodLabels.toDF("node", "community"), "node", "community")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // m=7; per clique: w_in=3, deg_sum=7 → (1e4·(4·7·3 − 49)) div 196 = 1785
+    assert(good == Map("A" -> ((3L, 3L, 7L, 1785L)),
+      "B" -> ((3L, 3L, 7L, 1785L))), s"got: $good")
+    // exact total from the exact columns: Q = (4m·Σw_in − Σdeg²)/(4m²)
+    val q = (4 * 7 * 6 - (49 + 49)) * 10000 / (4 * 49)
+    assert(q == 3571, s"sanity: true Q is 0.3571, got $q")
+    val one = Graphs.modularity(edges, "u", "v", "w",
+        goodLabels.map { case (n, _) => (n, "all") }.toDF("node", "community"),
+        "node", "community")
+      .collect().map(r => r.getLong(4)).head
+    assert(one == 0L, "the everything-in-one-community degenerate scores exactly 0")
+  }
+
   test("coOccurrence: hand-computed lift, minCount cut, hot-basket drop") {
     // kept baskets: b1{p,q}, b2{p,q}, b3{x,y}; b4 has 5 items > cap 4
     val rows = Seq(("b1", "p"), ("b1", "q"), ("b1", "p"), // dup deduped
