@@ -53,6 +53,23 @@ object CurationStream {
       .select(col(idCol), col(tsCol), col("quality"), col("lang_pred"), col("fp"))
   }
 
+  /** Mixture-budget ingest gate: the STREAMING executor of a stored
+    * [[graft.operators.Curation.tokenBudget]] plan — each arriving
+    * document passes with its source's `rate_bp` via the SAME bp-grain
+    * hash rule the batch [[graft.operators.Curation.allocationSample]]
+    * applies, so the stream admits EXACTLY the rows the batch run would
+    * have (spec-pinned row equality — replay, backfill, and live ingest
+    * agree by construction). The plan attaches as a stream-static
+    * broadcast join; unplanned sources drop (no budget). Re-planning =
+    * writing a new plan table and restarting the query — the plan is
+    * deliberately a table, not stream state, so mixture owners audit it
+    * at rest. */
+  def mixtureGate(docs: DataFrame, idCol: String, domainCol: String,
+                  plan: DataFrame, planSourceCol: String,
+                  rateBpCol: String): DataFrame =
+    graft.operators.Curation.allocationSample(docs, idCol, domainCol,
+      plan, planSourceCol, rateBpCol)
+
   /** Read a stored index directory, treating ABSENT or uncommitted-empty
     * (a first write attempt that died leaves the path existing with only
     * `_temporary` — no committed parquet) as an empty frame shaped like

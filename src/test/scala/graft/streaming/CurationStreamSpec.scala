@@ -137,4 +137,30 @@ class CurationStreamSpec extends SparkSpec {
     assert(kept == expected, "stream and batch must sample identical id sets")
     assert(kept.nonEmpty && kept.size < ids.size, "the 30% cut must be a real subset")
   }
+
+  test("mixtureGate admits exactly the rows the batch allocationSample would") {
+    val plan = Seq(("web", 7000L), ("books", 2500L)).toDF("source", "rate_bp")
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Seq("web", "books", "forums")(i % 3)))
+    val in = MemoryStream[(Long, String)]
+    val q = CurationStream.mixtureGate(in.toDS().toDF("doc_id", "source"),
+        "doc_id", "source", plan, "source", "rate_bp")
+      .writeStream.format("memory").queryName("t_mixgate")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(150)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_mixgate")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.operators.Curation.allocationSample(
+        rows.toDF("doc_id", "source"), "doc_id", "source",
+        plan, "source", "rate_bp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      "live ingest, replay, and batch backfill must admit identical rows")
+    assert(batch.nonEmpty && !batch.exists(_._2 == "forums"),
+      s"unplanned sources must ship nothing: ${batch.filter(_._2 == "forums")}")
+  }
 }
