@@ -333,6 +333,56 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** Materialize the PQ index: the codes relation (id, sub, code — 3
+    * small ints per row, the RAM-resident form 100 TB ANN actually
+    * serves from) and the m·k codebook as parquet tables. Write order is
+    * an invariant: codes FIRST, codebook LAST — a build that dies
+    * between them leaves no committed codebook, so probes (which read
+    * the codebook first) fail loudly instead of scoring against a
+    * half-written index (the [[buildIvfIndexWith]] commit-marker
+    * discipline). */
+  def buildPqIndex(emb: DataFrame, vecCol: String, idCol: String,
+                   m: Int, k: Int, dim: Int, indexDir: String): Unit = {
+    pqCodes(emb, vecCol, idCol, m, k, dim)
+      .write.mode("overwrite").parquet(indexDir)
+    pqCodebook(emb, vecCol, idCol, m, k, dim)
+      .coalesce(1).write.mode("overwrite").parquet(indexDir + ".codebook")
+  }
+
+  /** ADC top-k over the STORED codes — the production form of
+    * [[pqTopK]], which recomputes codebook and codes per query: here the
+    * query builds only its m·k LUT against the stored codebook
+    * (broadcast both ways), streams the codes table through the
+    * integer-unit per-id sum, and never touches a raw vector. `probe` is
+    * a 1-row (q_vec) frame, the [[ivfProbe]] convention; identical
+    * arithmetic to the inline op (spec-pinned equal). Chain
+    * [[pqRerank]]-style exact re-ranking over the returned ids when
+    * final order matters. */
+  def pqProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, idCol: String, probe: DataFrame,
+                     excludeId: Long, m: Int, dim: Int,
+                     topK: Int): DataFrame = {
+    val w = dim / m
+    val qsubs = probe.select(posexplode(
+      array((0 until m).map(j => slice(col("q_vec"), j * w + 1, w)): _*))
+      .as(Seq("sub", "q_sub")))
+    val lut = spark.read.parquet(indexDir + ".codebook")
+      .join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("code"),
+        round((dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot(col("c_sub"), col("q_sub"))
+          + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
+          .as("d2_q4"))
+    spark.read.parquet(indexDir)
+      .filter(col(idCol) =!= excludeId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum("d2_q4").as("adc_q4"))
+      .orderBy(col("adc_q4").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+  }
+
   /** Two-stage retrieval: a PQ/ADC shortlist re-ranked FULL-PRECISION —
     * the production pattern the [[pqTopK]] docstring promises ("re-rank
     * the winners to separate them"): ADC distances live at cell

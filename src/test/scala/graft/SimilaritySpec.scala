@@ -533,6 +533,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._1).contains(0L), "the query never matches itself")
   }
 
+  test("pqProbeIndexed over the stored index equals the inline pqTopK") {
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val emb = base.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toFile
+      .getAbsolutePath + "/codes"
+    Similarity.buildPqIndex(emb, "v", "id", m = 2, k = 4, dim = 8, dir)
+    val probe = Seq(Tuple1(base.head._2)).toDF("q_vec")
+    val stored = Similarity.pqProbeIndexed(spark, dir, "id", probe,
+        excludeId = 0L, m = 2, dim = 8, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.pqTopK(emb, "v", "id", queryId = 0L,
+        m = 2, k = 4, dim = 8, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == inline,
+      s"stored-index probe must equal the inline op:\n$stored\nvs\n$inline")
+  }
+
   test("pqRerank: the exact dup ADC leaves ambiguous lands at rank 1 with cosine 1") {
     // same fixture as the ADC test: id 100 duplicates the query exactly;
     // ADC scores it 0 but can't separate cellmates — the rerank must.
