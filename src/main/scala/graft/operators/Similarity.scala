@@ -383,6 +383,76 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** IVF-PQ index — the FAISS-class production ANN architecture at
+    * 100 TB, composed from the two stores this file already maintains:
+    * coarse quantizer cells give PARTITION PRUNING (a probe reads nprobe
+    * cell directories, not the corpus) and PQ codes give VECTOR-FREE
+    * scoring inside them (3 small ints per row instead of dim floats).
+    * The codes table is written `partitionBy(centroid_id)`; centroids
+    * and codebook are the tiny side tables. Write order: codes first,
+    * then codebook, centroids LAST — the commit marker
+    * ([[ivfIndexCommitted]]'s discipline: probes read centroids first
+    * and fail loudly on a half-build). This variant stores GLOBAL
+    * (non-residual) codes — cells prune, codes score; residual encoding
+    * is the recall refinement on top, not a different plan shape. */
+  def buildIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
+                      kCentroids: Int, m: Int, kCodes: Int, dim: Int,
+                      indexDir: String): Unit = {
+    val assigned = ivfAssign(emb, vecCol, idCol, kCentroids)
+      .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
+    pqCodes(emb, vecCol, idCol, m, kCodes, dim)
+      .join(assigned, idCol :: Nil)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(indexDir)
+    pqCodebook(emb, vecCol, idCol, m, kCodes, dim)
+      .coalesce(1).write.mode("overwrite").parquet(indexDir + ".codebook")
+    emb.filter(col(idCol) < kCentroids)
+      .select(col(idCol).cast("int").as("centroid_id"),
+        col(vecCol).as("c_vec"))
+      .coalesce(1).write.mode("overwrite").parquet(indexDir + ".centroids")
+  }
+
+  /** Probe the IVF-PQ index: rank cells against the stored centroids,
+    * scan ONLY the nprobe cell partitions (PartitionFilters — the
+    * [[ivfProbe]] pruning, now over code rows), LUT-score the codes, cut
+    * top-k. The driver-side collect is the nprobe-sized cell id list —
+    * the bounded-collect class the plan audits allow. Recall loses both
+    * ways (out-of-cell neighbors invisible; in-cell order is ADC-coarse)
+    * — chain the exact [[pqRerank]] pass over the returned ids, and
+    * measure with [[recallAtK]] before shipping parameters. */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 idCol: String, probe: DataFrame, excludeId: Long,
+                 m: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
+    val w = dim / m
+    val cells = spark.read.parquet(indexDir + ".centroids")
+      .crossJoin(broadcast(probe))
+      .select(col("centroid_id"),
+        r4(cosineSim(col("c_vec"), col("q_vec"))).as("c_sim"))
+      .filter(!isnan(col("c_sim"))) // the ivfProbe NaN-cell contract
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select("centroid_id")
+      .collect().map(_.getInt(0))
+    val qsubs = probe.select(posexplode(
+      array((0 until m).map(j => slice(col("q_vec"), j * w + 1, w)): _*))
+      .as(Seq("sub", "q_sub")))
+    val lut = spark.read.parquet(indexDir + ".codebook")
+      .join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("code"),
+        round((dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot(col("c_sub"), col("q_sub"))
+          + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
+          .as("d2_q4"))
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= excludeId)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum("d2_q4").as("adc_q4"))
+      .orderBy(col("adc_q4").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+  }
+
   /** Two-stage retrieval: a PQ/ADC shortlist re-ranked FULL-PRECISION —
     * the production pattern the [[pqTopK]] docstring promises ("re-rank
     * the winners to separate them"): ADC distances live at cell

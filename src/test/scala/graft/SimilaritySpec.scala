@@ -533,6 +533,44 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.map(_._1).contains(0L), "the query never matches itself")
   }
 
+  test("ivfPqProbe: pruned-cell ADC equals inline PQ restricted to the probed cells") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val emb = base.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toFile
+      .getAbsolutePath + "/idx"
+    Similarity.buildIvfPqIndex(emb, "v", "id", kCentroids = 4,
+      m = 2, kCodes = 4, dim = 8, dir)
+    val probe = Seq(Tuple1(base.head._2)).toDF("q_vec")
+    val got = Similarity.ivfPqProbe(spark, dir, "id", probe,
+        excludeId = 0L, m = 2, dim = 8, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // sequential reference for the probed cells: rank the 4 seed
+    // centroids by cosine to the query, take the best 2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def r4d(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val probedCells = (0 until 4)
+      .map(c => c.toLong -> r4d(cos(base.head._2, base(c)._2)))
+      .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+    val assigned = Similarity.ivfAssign(emb, "v", "id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference result: inline ADC over the whole corpus, restricted to
+    // members of the probed cells, cut to 5
+    val inline = Similarity.pqTopK(emb, "v", "id", queryId = 0L,
+        m = 2, k = 4, dim = 8, topK = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (id, _) => probedCells(assigned(id)) }
+      .take(5).toSeq
+    assert(got == inline,
+      s"pruned probe must equal inline ADC over the probed cells:\n$got\nvs\n$inline")
+  }
+
   test("pqProbeIndexed over the stored index equals the inline pqTopK") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
