@@ -1335,6 +1335,23 @@ object SparkEntry {
         queryId = 0L, k = 10, nprobe = 2)
     }),
 
+    // ---- similarity: IVF-PQ build + pruned vector-free probe ----
+    // The flagship serve architecture under the oracle gate: codes
+    // partitioned by coarse cell, probe = nprobe pruned directories,
+    // ADC scoring off the stored codebook. Same scratch-dir discipline
+    // as q_ivf_topk.
+    "q_ivfpq_topk" -> ((s, d) => {
+      val idx = s"target/graft-ivfpq/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val emb = t(s, d, "embeddings")
+      Similarity.buildIvfPqIndex(emb, "embedding", "vec_id",
+        kCentroids = 8, m = 4, kCodes = 16, dim = 64, indexDir = idx)
+      val probe = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_vec"))
+      Similarity.ivfPqProbe(s, idx, "vec_id", probe, excludeId = 0L,
+        m = 4, dim = 64, nprobe = 2, topK = 10)
+    }),
+
     // ---- similarity: ANN recall@k curve of the IVF probe vs exact ----
     // The index-quality gate: how much of the true top-10 does a probe
     // of the 8-cell index recover per nprobe? At sf0.01 the curve is
@@ -3439,6 +3456,45 @@ object SparkEntry {
          |  FROM cb JOIN q ON cb.sub = q.sub),
          |adc AS (SELECT c.vec_id, sum(l.d2_q4) AS adc_q4
          |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+         |SELECT vec_id, CAST(adc_q4 AS BIGINT) / 10000.0 AS adc_dist2
+         |FROM adc ORDER BY adc_q4, vec_id LIMIT 10""".stripMargin,
+
+    // IVF-PQ: the shared PQ code CTEs + an 8-cell assignment over the
+    // same `v`, cells ranked for the query and the ADC sum restricted to
+    // the probed cells' members — the oracle of the pruned-directory scan.
+    "q_ivfpq_topk" ->
+      s"""WITH $pqCodesCtes,
+         |c8 AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < 8),
+         |scored8 AS (SELECT v.vec_id, cid,
+         |    round(list_dot_product(vv, cv)
+         |      / (sqrt(list_dot_product(vv, vv))
+         |         * sqrt(list_dot_product(cv, cv))), 4) AS csim
+         |  FROM v, c8),
+         |assign8 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY csim DESC, cid) AS rn
+         |    FROM scored8) WHERE rn = 1),
+         |qv AS (SELECT vv AS qvv FROM v WHERE vec_id = 0),
+         |pc AS (SELECT cid FROM (
+         |    SELECT c8.cid,
+         |      round(list_dot_product(c8.cv, qvv)
+         |        / (sqrt(list_dot_product(c8.cv, c8.cv))
+         |           * sqrt(list_dot_product(qvv, qvv))), 4) AS csim
+         |    FROM c8, qv) WHERE NOT isnan(csim)
+         |  ORDER BY csim DESC, cid LIMIT 2),
+         |q AS (SELECT s.sub, qvv[s.sub*16+1 : s.sub*16+16] AS qs
+         |  FROM qv, subs s),
+         |lut AS (SELECT cb.sub, cb.code,
+         |    CAST(round((list_dot_product(cs,cs) - 2*list_dot_product(cs,qs)
+         |      + list_dot_product(qs,qs)) * 10000, 0) AS BIGINT) AS d2_q4
+         |  FROM cb JOIN q ON cb.sub = q.sub),
+         |adc AS (SELECT c.vec_id, sum(l.d2_q4) AS adc_q4
+         |  FROM codes c
+         |  JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  JOIN assign8 a ON a.vec_id = c.vec_id
+         |  JOIN pc ON a.cid = pc.cid
          |  WHERE c.vec_id <> 0 GROUP BY c.vec_id)
          |SELECT vec_id, CAST(adc_q4 AS BIGINT) / 10000.0 AS adc_dist2
          |FROM adc ORDER BY adc_q4, vec_id LIMIT 10""".stripMargin,

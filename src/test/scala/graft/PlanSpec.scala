@@ -381,6 +381,19 @@ class PlanSpec extends SparkSpec {
       s"no hash exchange anywhere — keying happens scan-side:\n$p")
   }
 
+  test("IVF-PQ probe: pruned code partitions, broadcast LUT, no raw vectors read") {
+    val p = plan("q_ivfpq_topk")
+    val pruned = p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id") &&
+        !l.contains("PartitionFilters: []"))
+    assert(pruned, s"probe must partition-prune the codes scan on centroid_id:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the m·k LUT must broadcast")
+    // the codes scan reads (id, sub, code) — never the embedding column
+    val codesScan = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(codesScan.exists(l => l.contains("code") && !l.contains("embedding")),
+      s"the pruned scan must be vector-free:\n${codesScan.mkString("\n")}")
+  }
+
   test("mix execution: the plan relation broadcasts; the corpus never shuffle-joins it") {
     val p = plan("q_mix_execute")
     assert(p.contains("BroadcastHashJoin"),
