@@ -453,6 +453,91 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** RESIDUAL IVF-PQ — the FAISS-faithful refinement of
+    * [[buildIvfPqIndex]]: codes quantize `x − centroid(cell(x))` instead
+    * of `x`. Residuals concentrate near the origin, so the same m·k code
+    * budget spends its resolution where the cell's vectors actually
+    * differ — the recall lever that costs no extra bytes per row. The
+    * price is probe-side: the LUT becomes PER-CELL (the query's residual
+    * differs in every probed cell), nprobe·m·k rows — still tiny, still
+    * broadcast. All subtraction runs in DOUBLE (float-lane subtraction
+    * would round differently across engines; double ops on float-exact
+    * inputs are identical everywhere).
+    *
+    * Residual codebook seeds: the residuals of the kCodes lowest ids
+    * (the [[pqCodebook]] deterministic-seed convention, post-residual).
+    * Write order: codes, codebook, centroids LAST (commit marker). */
+  def buildIvfPqResidualIndex(emb: DataFrame, vecCol: String, idCol: String,
+                              kCentroids: Int, m: Int, kCodes: Int,
+                              dim: Int, indexDir: String): Unit = {
+    // centroids stay in the embedding's own type for assignment/cosine
+    // (the IVF-index convention); the DOUBLE cast happens only at the
+    // subtraction, where float-lane rounding would diverge
+    val cents = emb.filter(col(idCol) < kCentroids)
+      .select(col(idCol).cast("int").as("centroid_id"),
+        col(vecCol).as("c_vec"))
+    val assigned = assignToCentroids(emb, vecCol, idCol, cents)
+      .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
+    val residuals = emb.join(assigned, idCol :: Nil)
+      .join(broadcast(cents), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col(vecCol).cast("array<double>"),
+          col("c_vec").cast("array<double>"),
+          (a, b) => a - b).as("__res"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqCodes(residuals, "__res", idCol, m, kCodes, dim)
+      .join(residuals.select(col(idCol), col("centroid_id")), idCol :: Nil)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(indexDir)
+    pqCodebook(residuals, "__res", idCol, m, kCodes, dim)
+      .coalesce(1).write.mode("overwrite").parquet(indexDir + ".codebook")
+    cents.coalesce(1)
+      .write.mode("overwrite").parquet(indexDir + ".centroids")
+    residuals.unpersist()
+  }
+
+  /** Probe the residual index: rank cells, build ONE LUT PER PROBED CELL
+    * from the query's per-cell residual, score the pruned code
+    * partitions cell-matched. Same bounded driver collect, same
+    * vector-free scan, same chain-the-rerank advice as [[ivfPqProbe]]. */
+  def ivfPqResidualProbe(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, idCol: String, probe: DataFrame,
+                         excludeId: Long, m: Int, dim: Int, nprobe: Int,
+                         topK: Int): DataFrame = {
+    val w = dim / m
+    val cents = spark.read.parquet(indexDir + ".centroids")
+    val ranked = cents.crossJoin(broadcast(probe))
+      .select(col("centroid_id"), col("c_vec"),
+        r4(cosineSim(col("c_vec"), col("q_vec"))).as("c_sim"))
+      .filter(!isnan(col("c_sim")))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+    val qres = ranked.crossJoin(broadcast(probe))
+      .select(col("centroid_id"),
+        zip_with(col("q_vec").cast("array<double>"),
+          col("c_vec").cast("array<double>"),
+          (a, b) => a - b).as("__qr"))
+      .select(col("centroid_id"), posexplode(
+        array((0 until m).map(j => slice(col("__qr"), j * w + 1, w)): _*))
+        .as(Seq("sub", "q_sub")))
+    val lut = spark.read.parquet(indexDir + ".codebook")
+      .join(broadcast(qres), "sub")
+      .select(col("centroid_id"), col("sub"), col("code"),
+        round((dot(col("c_sub"), col("c_sub"))
+          - lit(2.0) * dot(col("c_sub"), col("q_sub"))
+          + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
+          .as("d2_q4"))
+    val cellIds = ranked.select("centroid_id").collect().map(_.getInt(0))
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(cellIds.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= excludeId)
+      .join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum("d2_q4").as("adc_q4"))
+      .orderBy(col("adc_q4").asc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+  }
+
   /** Two-stage retrieval: a PQ/ADC shortlist re-ranked FULL-PRECISION —
     * the production pattern the [[pqTopK]] docstring promises ("re-rank
     * the winners to separate them"): ADC distances live at cell

@@ -571,6 +571,35 @@ class SimilaritySpec extends SparkSpec {
       s"pruned probe must equal inline ADC over the probed cells:\n$got\nvs\n$inline")
   }
 
+  test("residual IVF-PQ: the exact dup of a seed encodes to residual distance 0") {
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val emb = (base :+ ((100L, base.head._2))).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr").toFile
+      .getAbsolutePath + "/idx"
+    Similarity.buildIvfPqResidualIndex(emb, "v", "id", kCentroids = 4,
+      m = 2, kCodes = 4, dim = 8, dir)
+    val probe = Seq(Tuple1(base.head._2)).toDF("q_vec")
+    val out = Similarity.ivfPqResidualProbe(spark, dir, "id", probe,
+        excludeId = 0L, m = 2, dim = 8, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // id 100 shares id 0's cell AND residual; id 0's residual is a
+    // codebook seed (id < kCodes), so the dup reproduces its codes and
+    // the query-residual LUT scores it exactly 0
+    assert(out.contains((100L, 0.0)),
+      s"the residual-seed duplicate must score 0: $out")
+    assert(out.map(_._2) == out.map(_._2).sorted, "ascending ADC order")
+    assert(!out.map(_._1).contains(0L), "the query never matches itself")
+    // deterministic: a rebuilt index probes identically
+    Similarity.buildIvfPqResidualIndex(emb, "v", "id", kCentroids = 4,
+      m = 2, kCodes = 4, dim = 8, dir)
+    val again = Similarity.ivfPqResidualProbe(spark, dir, "id", probe,
+        excludeId = 0L, m = 2, dim = 8, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == out, "rebuild + reprobe must be bit-identical")
+  }
+
   test("pqProbeIndexed over the stored index equals the inline pqTopK") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
