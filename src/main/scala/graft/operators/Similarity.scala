@@ -538,6 +538,57 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** Right-to-be-forgotten over a cell-partitioned index (the IVF index,
+    * the IVF-PQ codes, or any `centroid_id`-partitioned table keyed by
+    * `idCol`): rewrite ONLY the cell directories that actually hold the
+    * doomed ids — the [[graft.sources.UpsertParquet.forgetKeys]]
+    * discipline applied to the cell layout (targeted deletion must not
+    * cost a corpus rewrite, or nobody runs it). Per-cell tmp-write +
+    * directory swap, idempotent (a replayed request finds no matches and
+    * rewrites nothing), and a cell whose every row is forgotten is
+    * deleted outright. Driver-side collects are cell-id lists (bounded).
+    * Side tables (centroids, codebook) are untouched — an emptied cell
+    * is a valid, merely unreachable, index state. Returns rows
+    * removed. */
+  def forgetFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, idCol: String,
+                      ids: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexDir))) return 0L
+    val doomedIds = ids.select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cur = spark.read.parquet(indexDir)
+      val doomed = cur.join(doomedIds, idCol :: Nil, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val removed = doomed.count()
+        if (removed == 0L) return 0L
+        val hit = doomed.select("centroid_id").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val kept = cur
+          .filter(col("centroid_id").isin(hit.map(Integer.valueOf): _*))
+          .join(doomedIds, idCol :: Nil, "left_anti")
+        val tmp = new Path(indexDir + ".tmp-forget")
+        fs.delete(tmp, true)
+        kept.repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(tmp.toString)
+        hit.foreach { cId =>
+          val src = new Path(tmp, s"centroid_id=$cId")
+          val dst = new Path(indexDir, s"centroid_id=$cId")
+          fs.delete(dst, true)
+          if (fs.exists(src) && !fs.rename(src, dst))
+            throw new java.io.IOException(s"cell swap failed: $src -> $dst")
+        }
+        fs.delete(tmp, true)
+        removed
+      } finally doomed.unpersist()
+    } finally doomedIds.unpersist()
+  }
+
   /** Two-stage retrieval: a PQ/ADC shortlist re-ranked FULL-PRECISION —
     * the production pattern the [[pqTopK]] docstring promises ("re-rank
     * the winners to separate them"): ADC distances live at cell

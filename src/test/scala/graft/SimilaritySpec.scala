@@ -571,6 +571,44 @@ class SimilaritySpec extends SparkSpec {
       s"pruned probe must equal inline ADC over the probed cells:\n$got\nvs\n$inline")
   }
 
+  test("forgetFromIndex: only hit cells rewrite, forgotten ids vanish from probes, idempotent") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val emb = base.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("forgetidx").toFile
+      .getAbsolutePath + "/idx"
+    Similarity.buildIvfIndex(emb, "v", "id", kCentroids = 4, indexDir = dir)
+    val before = spark.read.parquet(dir).count()
+    // remember the bytes of an untouched cell to prove it never rewrites
+    val assigned = Similarity.ivfAssign(emb, "v", "id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val victim = 25L
+    val untouchedCell = assigned.values.toSet.find(_ != assigned(victim)).get
+    def cellFiles(c: Long) = new java.io.File(s"$dir/centroid_id=$c")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val untouchedBefore = cellFiles(untouchedCell)
+    val removed = Similarity.forgetFromIndex(spark, dir, "id",
+      Seq(victim).toDF("id"))
+    assert(removed == 1L)
+    assert(spark.read.parquet(dir).count() == before - 1)
+    assert(!spark.read.parquet(dir).filter(col("id") === victim).columns.isEmpty &&
+      spark.read.parquet(dir).filter(col("id") === victim).count() == 0,
+      "the forgotten id must be gone")
+    assert(cellFiles(untouchedCell) == untouchedBefore,
+      "cells without matches must not rewrite (byte-identical files)")
+    // probes no longer see the victim
+    val probe = Seq(Tuple1(base(victim.toInt)._2)).toDF("q_vec")
+    val hits = Similarity.ivfProbe(spark, dir, "v", "id", probe,
+        excludeId = -1L, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(victim), s"probe must not resurface the forgotten id: $hits")
+    // idempotent replay
+    assert(Similarity.forgetFromIndex(spark, dir, "id",
+      Seq(victim).toDF("id")) == 0L)
+  }
+
   test("residual IVF-PQ: the exact dup of a seed encodes to residual distance 0") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
