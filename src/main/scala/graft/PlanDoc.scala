@@ -95,7 +95,8 @@ object PlanDoc {
     "q_calibrate" -> "quantile calibration: ONE group exchange; rank() and count() share the window pass — the approx grid variant replaces the sort with a broadcast",
     "q_mix_execute" -> "mixture execution: avail agg → water-fill rounds on the sources-sized relation → plan BROADCAST back over one corpus scan — plan and execution are one lazy DAG",
     "q_pit_join" -> "point-in-time join: SCD2 lag-compress + as-of union/last_value — ZERO join operators between facts and history",
-    "q_margin_mine" -> "margin mining: in-cell A×B candidates (never a side cross join), bounded per-side top-k aggs, id-keyed margin joins")
+    "q_margin_mine" -> "margin mining: in-cell A×B candidates (never a side cross join), bounded per-side top-k aggs, id-keyed margin joins",
+    "q_ivfpq_topk" -> "IVF-PQ probe: PartitionFilters-pruned code partitions, broadcast m·k LUT, vector-free (id, sub, code) scan, TakeOrdered cut")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

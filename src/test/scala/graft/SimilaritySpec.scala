@@ -571,6 +571,29 @@ class SimilaritySpec extends SparkSpec {
       s"pruned probe must equal inline ADC over the probed cells:\n$got\nvs\n$inline")
   }
 
+  test("IVF-PQ recall is measurable with recallAtK and nprobe=all covers ADC's shortlist") {
+    // the parameter-gate workflow the probe docstring prescribes: measure
+    // recall@k against brute-force before committing nprobe to a corpus
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
+    }
+    val emb = base.toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrec").toFile
+      .getAbsolutePath + "/idx"
+    Similarity.buildIvfPqIndex(emb, "v", "id", kCentroids = 4,
+      m = 2, kCodes = 4, dim = 8, dir)
+    val probe = Seq(Tuple1(base.head._2)).toDF("q_vec")
+    val exact = Similarity.bruteForceTopK(emb, "v", "id", queryId = 0L, k = 10)
+    def recall(nprobe: Int): Double = Similarity.recallAtK(exact,
+        Similarity.ivfPqProbe(spark, dir, "id", probe, excludeId = 0L,
+          m = 2, dim = 8, nprobe = nprobe, topK = 10), "id")
+      .collect().head.getDouble(2)
+    val r1 = recall(1); val r4n = recall(4)
+    assert(r4n >= r1, s"recall must be monotone in nprobe: $r1 vs $r4n")
+    assert(r4n >= 0.4 && r4n <= 1.0,
+      s"all-cells ADC recall is bounded by code resolution, not pruning: $r4n")
+  }
+
   test("forgetFromIndex: only hit cells rewrite, forgotten ids vanish from probes, idempotent") {
     val base = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
