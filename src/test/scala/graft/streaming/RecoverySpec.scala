@@ -65,4 +65,37 @@ class RecoverySpec extends SparkSpec {
       EnrichedPageView("user1", "MSFT", "a.com"),
       EnrichedPageView("user2", "GOOG", "b.com")))
   }
+
+  test("sequenceMonitor resumes its frontier and pending holes from the checkpoint") {
+    import StatefulOps.{SeqId, SeqStatus}
+    val cp = Files.createTempDirectory("cp_seqmon").toString
+    val in = MemoryStream[SeqId]
+    val statuses = scala.collection.mutable.ArrayBuffer[SeqStatus]()
+    def start() = StatefulOps.sequenceMonitor(in.toDS(), startAt = 0L,
+        maxPending = 100)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SeqStatus], _: Long) =>
+        val rows = batch.collect()
+        statuses.synchronized { statuses ++= rows }
+        ()
+      }
+      .option("checkpointLocation", cp).outputMode("update").start()
+
+    // incarnation 1: contiguous 0..2 plus a hole before 5
+    val q1 = start()
+    in.addData(SeqId("k", 0), SeqId("k", 1), SeqId("k", 2), SeqId("k", 5))
+    q1.processAllAvailable(); q1.stop()
+    // incarnation 2, same checkpoint: filling 3 and 4 must sweep the
+    // RESTORED frontier through 5 — which only works if both the
+    // frontier and the pending {5} survived the restart
+    val q2 = start()
+    in.addData(SeqId("k", 4), SeqId("k", 3))
+    q2.processAllAvailable(); q2.stop()
+
+    val seen = statuses.toSeq.map(s => (s.frontier, s.nPending, s.firstMissing))
+    assert(seen.contains((2L, 1L, 3L)),
+      s"incarnation 1 must park at frontier 2 with 5 pending: $seen")
+    assert(seen.last == ((5L, 0L, -1L)),
+      s"the restart must resume the hole and sweep to 5: $seen")
+  }
 }
