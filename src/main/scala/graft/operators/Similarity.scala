@@ -453,6 +453,51 @@ object Similarity {
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
   }
 
+  /** Incremental maintenance of the IVF-PQ index: encode a DELTA of new
+    * vectors against the STORED codebook and centroids and append the
+    * codes to their cell partitions — the ingest path that keeps the
+    * serve index fresh without a rebuild. The codebook is deliberately
+    * FROZEN: codes are only comparable under the codebook that produced
+    * them, so drift is handled by scheduled rebuilds, never by silently
+    * re-seeding on append (the production convention; [[ivfCellStats]] /
+    * the embedding drift panel tell you when a rebuild is due). Replay-
+    * idempotent via the [[appendToIvfIndex]] anti-join: a retried
+    * micro-batch finds its ids already in the touched cells and appends
+    * nothing. */
+  def appendToPqIndex(delta: DataFrame, vecCol: String, idCol: String,
+                      m: Int, dim: Int, indexDir: String): Unit = {
+    val spark = delta.sparkSession
+    val w = dim / m
+    val centroids = spark.read.parquet(indexDir + ".centroids")
+    val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
+      .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
+    val cb = spark.read.parquet(indexDir + ".codebook")
+    // encode against the stored codebook (argmin d², ties to the lower
+    // code — the pqCodes contract, replayed here over the frozen store)
+    val sub = delta.select(col(idCol), posexplode(
+      array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
+      .as(Seq("sub", "x_sub")))
+    val d2 = r4(dot(col("x_sub"), col("x_sub"))
+      - lit(2.0) * dot(col("x_sub"), col("c_sub"))
+      + dot(col("c_sub"), col("c_sub")))
+    // IDENTICAL output shape to pqCodes (long sub/code + dist2) so the
+    // appended rows are schema-equal to the stored ones
+    val codes = sub.join(broadcast(cb), "sub")
+      .select(col(idCol), col("sub"), col("code"), d2.as("dist2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist2"), col("code"))).as("best"))
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("best.code").cast("long").as("code"), col("best.dist2").as("dist2"))
+    val rows = codes.join(assigned, idCol :: Nil).localCheckpoint()
+    val cells = rows.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val existingIds = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol)).distinct()
+    rows.join(existingIds, Seq(idCol), "left_anti")
+      .write.partitionBy("centroid_id").mode("append").parquet(indexDir)
+  }
+
   /** RESIDUAL IVF-PQ — the FAISS-faithful refinement of
     * [[buildIvfPqIndex]]: codes quantize `x − centroid(cell(x))` instead
     * of `x`. Residuals concentrate near the origin, so the same m·k code

@@ -68,4 +68,37 @@ class AnnIngestSpec extends SparkSpec {
     assert(Similarity.ivfIndexCommitted(spark, idx))
     assert(spark.read.parquet(idx).count() == 2)
   }
+
+  test("appendToPqIndex: delta encoding equals a full rebuild; replay appends nothing") {
+    import spark.implicits._
+    def vec(i: Int) = Array.tabulate(8)(j =>
+      (((i * 31 + j * 17) % 100) + 1) / 100.0f)
+    val base = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val delta = (100 until 110).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("pqappend").toFile
+      .getAbsolutePath
+    // incremental: build on base, append the delta against the FROZEN
+    // codebook/centroids
+    Similarity.buildIvfPqIndex(base, "embedding", "vec_id",
+      kCentroids = 4, m = 2, kCodes = 4, dim = 8, s"$root/inc")
+    Similarity.appendToPqIndex(delta, "embedding", "vec_id",
+      m = 2, dim = 8, s"$root/inc")
+    // rebuild on the union: delta ids (100+) are above every seed id, so
+    // centroids and codebook are identical and the two paths must agree
+    // row for row
+    Similarity.buildIvfPqIndex(base.unionByName(delta), "embedding",
+      "vec_id", kCentroids = 4, m = 2, kCodes = 4, dim = 8, s"$root/full")
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("vec_id", "sub", "code", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(rows(s"$root/inc") == rows(s"$root/full"),
+      "append against the frozen store must equal the rebuild")
+    // replay idempotency: the retried delta finds its ids and appends 0
+    val before = spark.read.parquet(s"$root/inc").count()
+    Similarity.appendToPqIndex(delta, "embedding", "vec_id",
+      m = 2, dim = 8, s"$root/inc")
+    assert(spark.read.parquet(s"$root/inc").count() == before,
+      "a replayed delta must append nothing")
+  }
 }
