@@ -3390,10 +3390,7 @@ object SparkEntry {
     // Region labels over the kept trade edges, then the exact-integer
     // Newman panel: contribution = (10000·(4m·w_in − deg_sum²)) div (4m²).
     "q_modularity" ->
-      s"""WITH $nationTradeEdgesCtes,
-         |keptw AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v,
-         |    CAST(w AS BIGINT) AS w
-         |  FROM wts, tot WHERE w * np >= tw),
+      s"""WITH $tradeKeptwCtes,
          |lab AS (SELECT CAST(n_nationkey AS VARCHAR) AS node,
          |    CAST(n_regionkey AS VARCHAR) AS community FROM nation),
          |le AS (SELECT k.u, k.v, k.w, lu.community AS cu, lv.community AS cv
@@ -3983,8 +3980,16 @@ object SparkEntry {
     s"""WITH $labelPropCtes
        |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
 
-  /** The LP round chain (shared by the label-prop and modularity twins),
-    * ending in `keptw` (weighted edges) and `l3` (final labels). */
+  /** The weighted kept-edge CTEs of the trade graph — THE shared
+    * fragment of the label-prop and modularity twins (one definition of
+    * the w·np ≥ tw cut; an edit here reaches both). */
+  private def tradeKeptwCtes: String =
+    s"""$nationTradeEdgesCtes,
+       |keptw AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v,
+       |    CAST(w AS BIGINT) AS w
+       |  FROM wts, tot WHERE w * np >= tw)""".stripMargin
+
+  /** The LP round chain, ending in `l3` (final labels). */
   private def labelPropCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""v$i AS MATERIALIZED (
@@ -4000,10 +4005,7 @@ object SparkEntry {
          |  SELECT n.node, coalesce(b.label, n.node) AS label
          |  FROM nodes n LEFT JOIN b$i b USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""$nationTradeEdgesCtes,
-       |keptw AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v,
-       |    CAST(w AS BIGINT) AS w
-       |  FROM wts, tot WHERE w * np >= tw),
+    s"""$tradeKeptwCtes,
        |sym AS (SELECT u AS s, v AS t, w FROM keptw
        |  UNION ALL SELECT v AS s, u AS t, w FROM keptw),
        |nodes AS (SELECT DISTINCT s AS node FROM sym),

@@ -279,22 +279,9 @@ object Similarity {
     * codes per row in one codegen'd projection, and reduces by ONE
     * hash aggregate keyed (id, sub) — the corpus never self-shuffles. */
   def pqCodes(emb: DataFrame, vecCol: String, idCol: String,
-              m: Int, k: Int, dim: Int): DataFrame = {
-    val w = dim / m
-    val cb = pqCodebook(emb, vecCol, idCol, m, k, dim)
-    val sub = emb.select(col(idCol), posexplode(
-        array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
-      .as(Seq("sub", "x_sub")))
-    val d2 = r4(dot(col("x_sub"), col("x_sub"))
-      - lit(2.0) * dot(col("x_sub"), col("c_sub"))
-      + dot(col("c_sub"), col("c_sub")))
-    sub.join(broadcast(cb), "sub")
-      .select(col(idCol), col("sub"), col("code"), d2.as("dist2"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist2"), col("code"))).as("best"))
-      .select(col(idCol), col("sub").cast("long").as("sub"),
-        col("best.code").cast("long").as("code"), col("best.dist2").as("dist2"))
-  }
+              m: Int, k: Int, dim: Int): DataFrame =
+    encodeAgainstCodebook(emb, vecCol, idCol,
+      pqCodebook(emb, vecCol, idCol, m, k, dim), m, dim)
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * full-precision, the corpus is its codes — approx ‖x−q‖² =
@@ -309,40 +296,77 @@ object Similarity {
     * not n·dim floats), one (id)-keyed integer sum, and a
     * TakeOrderedAndProject cut. The full-precision corpus is touched only
     * to build codes (once) and for optional re-ranking of the k winners. */
-  def pqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
-             m: Int, k: Int, dim: Int, topK: Int): DataFrame = {
+  // ---- shared PQ/ADC kernels: ONE definition of the quantized distance,
+  // the LUT, the per-id sum/cut, and codebook encoding — the exact
+  // arithmetic the oracle gate pins lives here and nowhere else ----
+
+  /** The m subvector slices of `vecCol` as (keepCols…, sub, q_sub). */
+  private def subSlices(src: DataFrame, vecCol: String, m: Int, dim: Int,
+                        keepCols: Seq[String] = Nil): DataFrame = {
     val w = dim / m
-    val q = emb.filter(col(idCol) === queryId)
-      .select(posexplode(
-        array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
-        .as(Seq("sub", "q_sub")))
-    val lut = pqCodebook(emb, vecCol, idCol, m, k, dim)
-      .join(broadcast(q), "sub")
-      .select(col("sub"), col("code"),
+    src.select(keepCols.map(col) :+ posexplode(
+      array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
+      .as(Seq("sub", "q_sub")): _*)
+  }
+
+  /** Quantized ‖c − q‖² in 1e-4 units per (extraCols…, sub, code). */
+  private def adcLut(cb: DataFrame, qsubs: DataFrame,
+                     extraCols: Seq[String] = Nil): DataFrame =
+    cb.join(broadcast(qsubs), "sub")
+      .select(extraCols.map(col) :+ col("sub") :+ col("code") :+
         round((dot(col("c_sub"), col("c_sub"))
           - lit(2.0) * dot(col("c_sub"), col("q_sub"))
           + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
-          .as("d2_q4"))
-    pqCodes(emb, vecCol, idCol, m, k, dim)
-      .filter(col(idCol) =!= queryId)
-      .join(broadcast(lut), Seq("sub", "code"))
+          .as("d2_q4"): _*)
+
+  /** Per-id integer ADC sum, (adc asc, id asc) cut to topK. */
+  private def adcCut(codes: DataFrame, lut: DataFrame, lutKeys: Seq[String],
+                     idCol: String, topK: Int): DataFrame =
+    codes.join(broadcast(lut), lutKeys)
       .groupBy(col(idCol))
       .agg(sum("d2_q4").as("adc_q4"))
       .orderBy(col("adc_q4").asc, col(idCol).asc)
       .limit(topK)
       .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+
+  /** Encode vectors against an EXPLICIT codebook (argmin d², ties to the
+    * lower code — the pqCodes contract): (id, sub L, code L, dist2). */
+  private[graft] def encodeAgainstCodebook(src: DataFrame, vecCol: String,
+                                           idCol: String, cb: DataFrame,
+                                           m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = subSlices(src, vecCol, m, dim, keepCols = Seq(idCol))
+      .withColumnRenamed("q_sub", "x_sub")
+    val d2 = r4(dot(col("x_sub"), col("x_sub"))
+      - lit(2.0) * dot(col("x_sub"), col("c_sub"))
+      + dot(col("c_sub"), col("c_sub")))
+    sub.join(broadcast(cb), "sub")
+      .select(col(idCol), col("sub"), col("code"), d2.as("dist2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist2"), col("code"))).as("best"))
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("best.code").cast("long").as("code"), col("best.dist2").as("dist2"))
+  }
+
+  def pqTopK(emb: DataFrame, vecCol: String, idCol: String, queryId: Long,
+             m: Int, k: Int, dim: Int, topK: Int): DataFrame = {
+    val q = subSlices(emb.filter(col(idCol) === queryId), vecCol, m, dim)
+    val lut = adcLut(pqCodebook(emb, vecCol, idCol, m, k, dim), q)
+    adcCut(pqCodes(emb, vecCol, idCol, m, k, dim)
+        .filter(col(idCol) =!= queryId),
+      lut, Seq("sub", "code"), idCol, topK)
   }
 
   /** Materialize the PQ index: the codes relation (id, sub, code — 3
     * small ints per row, the RAM-resident form 100 TB ANN actually
     * serves from) and the m·k codebook as parquet tables. Write order is
-    * an invariant: codes FIRST, codebook LAST — a build that dies
-    * between them leaves no committed codebook, so probes (which read
-    * the codebook first) fail loudly instead of scoring against a
-    * half-written index (the [[buildIvfIndexWith]] commit-marker
-    * discipline). */
+    * an invariant: side tables CLEARED first ([[clearIndexSideTables]]
+    * — a REBUILD dying mid-way must not leave new codes next to a
+    * stale-but-present codebook), then codes, codebook LAST — any death
+    * leaves no committed codebook and probes fail loudly. */
   def buildPqIndex(emb: DataFrame, vecCol: String, idCol: String,
                    m: Int, k: Int, dim: Int, indexDir: String): Unit = {
+    clearIndexSideTables(emb.sparkSession, indexDir)
     pqCodes(emb, vecCol, idCol, m, k, dim)
       .write.mode("overwrite").parquet(indexDir)
     pqCodebook(emb, vecCol, idCol, m, k, dim)
@@ -362,25 +386,10 @@ object Similarity {
                      indexDir: String, idCol: String, probe: DataFrame,
                      excludeId: Long, m: Int, dim: Int,
                      topK: Int): DataFrame = {
-    val w = dim / m
-    val qsubs = probe.select(posexplode(
-      array((0 until m).map(j => slice(col("q_vec"), j * w + 1, w)): _*))
-      .as(Seq("sub", "q_sub")))
-    val lut = spark.read.parquet(indexDir + ".codebook")
-      .join(broadcast(qsubs), "sub")
-      .select(col("sub"), col("code"),
-        round((dot(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot(col("c_sub"), col("q_sub"))
-          + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
-          .as("d2_q4"))
-    spark.read.parquet(indexDir)
-      .filter(col(idCol) =!= excludeId)
-      .join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col(idCol))
-      .agg(sum("d2_q4").as("adc_q4"))
-      .orderBy(col("adc_q4").asc, col(idCol).asc)
-      .limit(topK)
-      .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+    val lut = adcLut(spark.read.parquet(indexDir + ".codebook"),
+      subSlices(probe, "q_vec", m, dim))
+    adcCut(spark.read.parquet(indexDir).filter(col(idCol) =!= excludeId),
+      lut, Seq("sub", "code"), idCol, topK)
   }
 
   /** IVF-PQ index — the FAISS-class production ANN architecture at
@@ -389,15 +398,17 @@ object Similarity {
     * cell directories, not the corpus) and PQ codes give VECTOR-FREE
     * scoring inside them (3 small ints per row instead of dim floats).
     * The codes table is written `partitionBy(centroid_id)`; centroids
-    * and codebook are the tiny side tables. Write order: codes first,
-    * then codebook, centroids LAST — the commit marker
-    * ([[ivfIndexCommitted]]'s discipline: probes read centroids first
-    * and fail loudly on a half-build). This variant stores GLOBAL
+    * and codebook are the tiny side tables. Write order: side tables
+    * cleared FIRST (a rebuild dying mid-way must not leave new codes
+    * next to stale side tables), then codes, codebook, centroids LAST —
+    * the commit marker: probes read centroids first and fail loudly on
+    * any half-build or half-rebuild. This variant stores GLOBAL
     * (non-residual) codes — cells prune, codes score; residual encoding
     * is the recall refinement on top, not a different plan shape. */
   def buildIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
                       kCentroids: Int, m: Int, kCodes: Int, dim: Int,
                       indexDir: String): Unit = {
+    clearIndexSideTables(emb.sparkSession, indexDir)
     val assigned = ivfAssign(emb, vecCol, idCol, kCentroids)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
     pqCodes(emb, vecCol, idCol, m, kCodes, dim)
@@ -422,7 +433,6 @@ object Similarity {
   def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                  idCol: String, probe: DataFrame, excludeId: Long,
                  m: Int, dim: Int, nprobe: Int, topK: Int): DataFrame = {
-    val w = dim / m
     val cells = spark.read.parquet(indexDir + ".centroids")
       .crossJoin(broadcast(probe))
       .select(col("centroid_id"),
@@ -432,25 +442,12 @@ object Similarity {
       .limit(nprobe)
       .select("centroid_id")
       .collect().map(_.getInt(0))
-    val qsubs = probe.select(posexplode(
-      array((0 until m).map(j => slice(col("q_vec"), j * w + 1, w)): _*))
-      .as(Seq("sub", "q_sub")))
-    val lut = spark.read.parquet(indexDir + ".codebook")
-      .join(broadcast(qsubs), "sub")
-      .select(col("sub"), col("code"),
-        round((dot(col("c_sub"), col("c_sub"))
-          - lit(2.0) * dot(col("c_sub"), col("q_sub"))
-          + dot(col("q_sub"), col("q_sub"))) * 10000, 0).cast("long")
-          .as("d2_q4"))
-    spark.read.parquet(indexDir)
-      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
-      .filter(col(idCol) =!= excludeId)
-      .join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col(idCol))
-      .agg(sum("d2_q4").as("adc_q4"))
-      .orderBy(col("adc_q4").asc, col(idCol).asc)
-      .limit(topK)
-      .select(col(idCol), (col("adc_q4") / 10000.0).as("adc_dist2"))
+    val lut = adcLut(spark.read.parquet(indexDir + ".codebook"),
+      subSlices(probe, "q_vec", m, dim))
+    adcCut(spark.read.parquet(indexDir)
+        .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+        .filter(col(idCol) =!= excludeId),
+      lut, Seq("sub", "code"), idCol, topK)
   }
 
   /** Incremental maintenance of the IVF-PQ index: encode a DELTA of new
@@ -463,31 +460,21 @@ object Similarity {
     * the embedding drift panel tell you when a rebuild is due). Replay-
     * idempotent via the [[appendToIvfIndex]] anti-join: a retried
     * micro-batch finds its ids already in the touched cells and appends
-    * nothing. */
-  def appendToPqIndex(delta: DataFrame, vecCol: String, idCol: String,
-                      m: Int, dim: Int, indexDir: String): Unit = {
+    * nothing. (Named for [[buildIvfPqIndex]], whose cell-partitioned
+    * layout it appends to; the flat [[buildPqIndex]] store has no cells
+    * to place a delta in — rebuild that one.) */
+  def appendToIvfPqIndex(delta: DataFrame, vecCol: String, idCol: String,
+                         m: Int, dim: Int, indexDir: String): Unit = {
     val spark = delta.sparkSession
-    val w = dim / m
     val centroids = spark.read.parquet(indexDir + ".centroids")
     val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
-    val cb = spark.read.parquet(indexDir + ".codebook")
     // encode against the stored codebook (argmin d², ties to the lower
-    // code — the pqCodes contract, replayed here over the frozen store)
-    val sub = delta.select(col(idCol), posexplode(
-      array((0 until m).map(j => slice(col(vecCol), j * w + 1, w)): _*))
-      .as(Seq("sub", "x_sub")))
-    val d2 = r4(dot(col("x_sub"), col("x_sub"))
-      - lit(2.0) * dot(col("x_sub"), col("c_sub"))
-      + dot(col("c_sub"), col("c_sub")))
-    // IDENTICAL output shape to pqCodes (long sub/code + dist2) so the
-    // appended rows are schema-equal to the stored ones
-    val codes = sub.join(broadcast(cb), "sub")
-      .select(col(idCol), col("sub"), col("code"), d2.as("dist2"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("dist2"), col("code"))).as("best"))
-      .select(col(idCol), col("sub").cast("long").as("sub"),
-        col("best.code").cast("long").as("code"), col("best.dist2").as("dist2"))
+    // code — the ONE shared [[encodeAgainstCodebook]] kernel, so append
+    // and rebuild cannot drift); output shape is schema-equal to the
+    // stored pqCodes rows
+    val codes = encodeAgainstCodebook(delta, vecCol, idCol,
+      spark.read.parquet(indexDir + ".codebook"), m, dim)
     val rows = codes.join(assigned, idCol :: Nil).localCheckpoint()
     val cells = rows.select("centroid_id").distinct()
       .collect().map(_.getInt(0))
@@ -509,12 +496,20 @@ object Similarity {
     * would round differently across engines; double ops on float-exact
     * inputs are identical everywhere).
     *
-    * Residual codebook seeds: the residuals of the kCodes lowest ids
-    * (the [[pqCodebook]] deterministic-seed convention, post-residual).
-    * Write order: codes, codebook, centroids LAST (commit marker). */
+    * Residual codebook seeds: the residuals of ids in
+    * `[kCentroids, kCentroids + kCodes)` — NOT the lowest ids, whose
+    * vectors ARE the centroids and whose residuals are therefore exactly
+    * zero (seeding from them would collapse the codebook into zero
+    * vectors and erase all in-cell resolution; spec-pinned
+    * non-degenerate). Write order: side tables cleared FIRST, then
+    * codes, codebook, centroids LAST — a rebuild that dies mid-way
+    * leaves no committed centroids, so probes fail loudly instead of
+    * scoring new codes against a stale codebook. */
   def buildIvfPqResidualIndex(emb: DataFrame, vecCol: String, idCol: String,
                               kCentroids: Int, m: Int, kCodes: Int,
                               dim: Int, indexDir: String): Unit = {
+    val w = dim / m
+    clearIndexSideTables(emb.sparkSession, indexDir)
     // centroids stay in the embedding's own type for assignment/cosine
     // (the IVF-index convention); the DOUBLE cast happens only at the
     // subtraction, where float-lane rounding would diverge
@@ -530,14 +525,36 @@ object Similarity {
           col("c_vec").cast("array<double>"),
           (a, b) => a - b).as("__res"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pqCodes(residuals, "__res", idCol, m, kCodes, dim)
+    val seedRes = residuals
+      .filter(col(idCol) >= kCentroids && col(idCol) < kCentroids + kCodes)
+    val cb = (0 until m).map { j =>
+      seedRes.select(lit(j).as("sub"),
+        (col(idCol) - kCentroids).cast("int").as("code"),
+        slice(col("__res"), j * w + 1, w).as("c_sub"))
+    }.reduce(_ unionByName _)
+    encodeAgainstCodebook(residuals, "__res", idCol, cb, m, dim)
       .join(residuals.select(col(idCol), col("centroid_id")), idCol :: Nil)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(indexDir)
-    pqCodebook(residuals, "__res", idCol, m, kCodes, dim)
-      .coalesce(1).write.mode("overwrite").parquet(indexDir + ".codebook")
+    cb.coalesce(1).write.mode("overwrite").parquet(indexDir + ".codebook")
     cents.coalesce(1)
       .write.mode("overwrite").parquet(indexDir + ".centroids")
     residuals.unpersist()
+  }
+
+  /** Clear an index's side tables before a rebuild overwrites the codes:
+    * without this, a rebuild dying between the codes overwrite and the
+    * codebook/centroids writes leaves NEW codes committed next to the
+    * STALE-but-present old side tables — probes would score against the
+    * wrong codebook and return silently wrong distances. Cleared-first,
+    * any mid-rebuild death leaves the side tables absent and every probe
+    * fails loudly. */
+  private def clearIndexSideTables(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(indexDir + ".codebook"), true)
+    fs.delete(new Path(indexDir + ".centroids"), true)
   }
 
   /** Probe the residual index: rank cells, build ONE LUT PER PROBED CELL
@@ -550,12 +567,16 @@ object Similarity {
                          topK: Int): DataFrame = {
     val w = dim / m
     val cents = spark.read.parquet(indexDir + ".centroids")
+    // localCheckpoint: `ranked` feeds BOTH the cell-id collect and the
+    // per-cell LUT lineage — without it the centroid ranking would
+    // evaluate twice per probe
     val ranked = cents.crossJoin(broadcast(probe))
       .select(col("centroid_id"), col("c_vec"),
         r4(cosineSim(col("c_vec"), col("q_vec"))).as("c_sim"))
       .filter(!isnan(col("c_sim")))
       .orderBy(col("c_sim").desc, col("centroid_id").asc)
       .limit(nprobe)
+      .localCheckpoint()
     val qres = ranked.crossJoin(broadcast(probe))
       .select(col("centroid_id"),
         zip_with(col("q_vec").cast("array<double>"),
@@ -602,6 +623,22 @@ object Similarity {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexDir))) return 0L
+    // HEAL any prior crash before reading the index: the swap below
+    // renames a live cell ASIDE (never deletes the only copy) before
+    // renaming its replacement in, so a death in the window leaves the
+    // original at `<cell>.old-forget` with the live dir missing —
+    // restored here; a leftover copy NEXT TO a live dir is garbage from
+    // a completed swap and is dropped. Replays are therefore
+    // self-healing instead of silently lossy.
+    val leftovers = fs.globStatus(new Path(indexDir, "centroid_id=*.old-forget"))
+    if (leftovers != null) leftovers.foreach { st =>
+      val old = st.getPath
+      val live = new Path(indexDir, old.getName.stripSuffix(".old-forget"))
+      if (!fs.exists(live)) {
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"heal failed: $old -> $live")
+      } else fs.delete(old, true)
+    }
     val doomedIds = ids.select(col(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -624,9 +661,15 @@ object Similarity {
         hit.foreach { cId =>
           val src = new Path(tmp, s"centroid_id=$cId")
           val dst = new Path(indexDir, s"centroid_id=$cId")
-          fs.delete(dst, true)
+          val old = new Path(indexDir, s"centroid_id=$cId.old-forget")
+          fs.delete(old, true) // stale garbage only — the heal pass ran
+          // move the live dir ASIDE, never delete the only copy: a crash
+          // between these renames leaves `old` intact for the heal pass
+          if (fs.exists(dst) && !fs.rename(dst, old))
+            throw new java.io.IOException(s"cell set-aside failed: $dst -> $old")
           if (fs.exists(src) && !fs.rename(src, dst))
             throw new java.io.IOException(s"cell swap failed: $src -> $dst")
+          fs.delete(old, true)
         }
         fs.delete(tmp, true)
         removed

@@ -388,10 +388,15 @@ class PlanSpec extends SparkSpec {
         !l.contains("PartitionFilters: []"))
     assert(pruned, s"probe must partition-prune the codes scan on centroid_id:\n$p")
     assert(p.contains("BroadcastHashJoin"), "the m·k LUT must broadcast")
-    // the codes scan reads (id, sub, code) — never the embedding column
-    val codesScan = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(codesScan.exists(l => l.contains("code") && !l.contains("embedding")),
-      s"the pruned scan must be vector-free:\n${codesScan.mkString("\n")}")
+    // the CODES relation must stay vector-free: a scan whose schema holds
+    // both `code` and `embedding` means the codes table regressed to
+    // carrying raw vectors. (The 1-row query-vector fetch legitimately
+    // reads the embeddings table — it carries no `code`.)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(l => l.contains("code") && !l.contains("embedding")),
+      "the vector-free codes scan must exist")
+    assert(!schemas.exists(l => l.contains("code") && l.contains("embedding")),
+      s"the codes relation must never carry raw vectors:\n${schemas.mkString("\n")}")
   }
 
   test("mix execution: the plan relation broadcasts; the corpus never shuffle-joins it") {

@@ -636,27 +636,35 @@ class SimilaritySpec extends SparkSpec {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => (((i * 31 + j * 17) % 100) + 1) / 100.0f))
     }
-    val emb = (base :+ ((100L, base.head._2))).toDF("id", "v")
+    val emb = (base :+ ((100L, base(5)._2))).toDF("id", "v")
     val dir = java.nio.file.Files.createTempDirectory("ivfpqr").toFile
       .getAbsolutePath + "/idx"
     Similarity.buildIvfPqResidualIndex(emb, "v", "id", kCentroids = 4,
       m = 2, kCodes = 4, dim = 8, dir)
-    val probe = Seq(Tuple1(base.head._2)).toDF("q_vec")
+    // the stored residual codebook must NOT be degenerate: seeds come
+    // from ids ≥ kCentroids, whose residuals are nonzero (seeding from
+    // the centroids' own zero residuals would erase in-cell resolution)
+    val cbSubs = spark.read.parquet(dir + ".codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](2).toVector))
+    assert(cbSubs.groupBy(_._1).forall(_._2.map(_._2).distinct.size > 1),
+      s"each subspace needs >1 distinct code vector: ${cbSubs.toSeq}")
+    assert(cbSubs.exists(_._2.exists(_ != 0.0)), "codes must be nonzero")
+    // id 100 duplicates id 5 — a residual-codebook SEED DONOR (id in
+    // [kCentroids, kCentroids+kCodes)) — so its residual reproduces its
+    // own seed codes and the query-residual LUT scores it exactly 0
+    val probe = Seq(Tuple1(base(5)._2)).toDF("q_vec")
     val out = Similarity.ivfPqResidualProbe(spark, dir, "id", probe,
-        excludeId = 0L, m = 2, dim = 8, nprobe = 2, topK = 5)
+        excludeId = 5L, m = 2, dim = 8, nprobe = 2, topK = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // id 100 shares id 0's cell AND residual; id 0's residual is a
-    // codebook seed (id < kCodes), so the dup reproduces its codes and
-    // the query-residual LUT scores it exactly 0
     assert(out.contains((100L, 0.0)),
       s"the residual-seed duplicate must score 0: $out")
     assert(out.map(_._2) == out.map(_._2).sorted, "ascending ADC order")
-    assert(!out.map(_._1).contains(0L), "the query never matches itself")
+    assert(!out.map(_._1).contains(5L), "the query never matches itself")
     // deterministic: a rebuilt index probes identically
     Similarity.buildIvfPqResidualIndex(emb, "v", "id", kCentroids = 4,
       m = 2, kCodes = 4, dim = 8, dir)
     val again = Similarity.ivfPqResidualProbe(spark, dir, "id", probe,
-        excludeId = 0L, m = 2, dim = 8, nprobe = 2, topK = 5)
+        excludeId = 5L, m = 2, dim = 8, nprobe = 2, topK = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(again == out, "rebuild + reprobe must be bit-identical")
   }

@@ -69,7 +69,7 @@ class AnnIngestSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 2)
   }
 
-  test("appendToPqIndex: delta encoding equals a full rebuild; replay appends nothing") {
+  test("appendToIvfPqIndex: delta encoding equals a full rebuild; replay appends nothing") {
     import spark.implicits._
     def vec(i: Int) = Array.tabulate(8)(j =>
       (((i * 31 + j * 17) % 100) + 1) / 100.0f)
@@ -81,7 +81,7 @@ class AnnIngestSpec extends SparkSpec {
     // codebook/centroids
     Similarity.buildIvfPqIndex(base, "embedding", "vec_id",
       kCentroids = 4, m = 2, kCodes = 4, dim = 8, s"$root/inc")
-    Similarity.appendToPqIndex(delta, "embedding", "vec_id",
+    Similarity.appendToIvfPqIndex(delta, "embedding", "vec_id",
       m = 2, dim = 8, s"$root/inc")
     // rebuild on the union: delta ids (100+) are above every seed id, so
     // centroids and codebook are identical and the two paths must agree
@@ -96,7 +96,7 @@ class AnnIngestSpec extends SparkSpec {
       "append against the frozen store must equal the rebuild")
     // replay idempotency: the retried delta finds its ids and appends 0
     val before = spark.read.parquet(s"$root/inc").count()
-    Similarity.appendToPqIndex(delta, "embedding", "vec_id",
+    Similarity.appendToIvfPqIndex(delta, "embedding", "vec_id",
       m = 2, dim = 8, s"$root/inc")
     assert(spark.read.parquet(s"$root/inc").count() == before,
       "a replayed delta must append nothing")
