@@ -1835,6 +1835,15 @@ object SparkEntry {
         .orderBy("gap_start")
     }),
 
+    // ---- QA: decade histogram of event cents per type ----
+    "q_decade_hist" -> ((s, d) => {
+      RelationalOps.decadeHistogram(
+          t(s, d, "events").select(col("event_type"),
+            cents(col("value")).as("v")),
+          "event_type", "v")
+        .orderBy("event_type", "decade")
+    }),
+
     // ---- QA: Benford first-digit panel over event cents ----
     "q_benford" -> ((s, d) => {
       RelationalOps.benfordPanel(
@@ -3576,6 +3585,17 @@ object SparkEntry {
         |FROM l WHERE nxt > id + 1 ORDER BY gap_start""".stripMargin,
 
     "q_benford" -> benfordSql,
+
+    "q_decade_hist" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(value*100, 0) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND CAST(round(value*100, 0) AS BIGINT) > 0)
+        |SELECT event_type,
+        |  CAST(length(CAST(v AS VARCHAR)) - 1 AS BIGINT) AS decade,
+        |  count(*) AS n, CAST(min(v) AS BIGINT) AS min_val,
+        |  CAST(max(v) AS BIGINT) AS max_val
+        |FROM v GROUP BY event_type, decade
+        |ORDER BY event_type, decade""".stripMargin,
 
     "q_weighted_median" ->
       """WITH e AS (SELECT event_type,

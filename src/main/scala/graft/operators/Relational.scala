@@ -835,6 +835,26 @@ object RelationalOps {
         expr(s"CASE digit $expArm END").as("exp_bp"))
   }
 
+  /** Decade (log₁₀-scale) histogram of a positive integer measure — the
+    * latency/size panel where fixed-width bins are useless because the
+    * data spans orders of magnitude. The decade of a positive long is
+    * its DIGIT COUNT minus one (the [[benfordPanel]] string-head trick)
+    * — exact and engine-identical, no float log to round differently.
+    * Emits per (group, decade): count, min, max — the span columns show
+    * where inside the decade the mass sits. Zero/negative/null values
+    * are excluded by contract (they have no decade). One class-grain
+    * count agg; output ≤ groups×19 rows. */
+  def decadeHistogram(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol),
+        (length(col(valueCol).cast("long").cast("string")) - 1)
+          .cast("long").as("decade"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("decade"))
+      .agg(count(lit(1)).as("n"), min("__v").as("min_val"),
+        max("__v").as("max_val"))
+
   /** Per-group weighted median of an integer value column: the smallest
     * value whose running weight reaches half the group's total
     * (`2·cumw ≥ totw` — the lower weighted median, deterministic under

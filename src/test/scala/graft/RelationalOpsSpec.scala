@@ -575,6 +575,19 @@ class RelationalOpsSpec extends SparkSpec {
       9L -> ((1L, 2000L, 457L))), s"zero/negative excluded: $out")
   }
 
+  test("decadeHistogram: digit-count decades, spans, zero/negative excluded") {
+    val df = Seq(("a", 5L), ("a", 9L), ("a", 42L), ("a", 999L), ("a", 1000L),
+      ("a", 0L), ("a", -7L), ("b", 123456L))
+      .toDF("g", "v")
+    val out = RelationalOps.decadeHistogram(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("a", 0L) -> ((2L, 5L, 9L)), ("a", 1L) -> ((1L, 42L, 42L)),
+      ("a", 2L) -> ((1L, 999L, 999L)), ("a", 3L) -> ((1L, 1000L, 1000L)),
+      ("b", 5L) -> ((1L, 123456L, 123456L))), s"got: $out")
+  }
+
   test("weightedMedian: weight mass decides, not row counts; nonpositive weights drop") {
     val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
       ("b", 5L, 3L), ("b", 7L, 1L), ("b", 9L, 0L))
