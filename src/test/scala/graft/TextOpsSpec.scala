@@ -527,6 +527,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._1 == 0L && out(3L)._3.isEmpty, s"empty doc: ${out(3L)}")
   }
 
+  test("scriptMix: astral-plane codepoints count once and land in other") {
+    // emoji are outside every BMP class; both engines count CODEPOINTS
+    // (not UTF-16 units), so one emoji = one n_other, never two
+    val docs = Seq((1L, "ab 😀😀")).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptMix(docs, "text", "doc_id").collect().head
+    assert(r.getLong(1) == 2L, "latin")
+    assert(r.getLong(6) == 4L, s"nonspace must count codepoints: ${r.getLong(6)}")
+    assert(r.getLong(7) == 2L, s"two emoji → two other: ${r.getLong(7)}")
+  }
+
   test("scriptMix: hand-counted classes, residual other, zero-text NULL share") {
     val docs = Seq(
       (1L, "ab1 Жи 中文中 س é"), // 2 latin, 1 digit, 2 cyr, 3 cjk, 1 arabic,

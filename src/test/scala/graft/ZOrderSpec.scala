@@ -26,6 +26,17 @@ class ZOrderSpec extends SparkSpec {
       "the 4×4 grid maps bijectively onto 0..15")
   }
 
+  test("zOrderKey: the Morton fast path is bijective on a 32×32 grid (5 bits)") {
+    // pins the magic-mask spread against the generic loop's semantics:
+    // 1024 grid points must map onto exactly the 1024 interleaved keys
+    val df = (for { a <- 0L until 32L; b <- 0L until 32L } yield (a, b))
+      .toDF("a", "b")
+    val z = Outputs.zOrderKey(df, Seq("a", "b"), bits = 5)
+      .collect().map(_.getLong(2))
+    assert(z.distinct.length == 1024, "bijective")
+    assert(z.min == 0L && z.max == 1023L, s"range [0,1023]: ${z.min}..${z.max}")
+  }
+
   test("zOrderKey: degenerate dimension scales to 0 and drops out") {
     val df = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("a", "b")
     val out = Outputs.zOrderKey(df, Seq("a", "b"), bits = 4)
