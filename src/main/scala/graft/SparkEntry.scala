@@ -3766,8 +3766,8 @@ object SparkEntry {
       def arm(name: String, viol: String, maxBp: Int): String =
         s"""SELECT '$name' AS rule, count(*) AS n_rows,
            |  CAST(sum(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-           |  (10000 * sum(CASE WHEN $viol THEN 1 ELSE 0 END))
-           |    // greatest(count(*), 1) AS viol_bp,
+           |  CAST((10000 * sum(CASE WHEN $viol THEN 1 ELSE 0 END))
+           |    // greatest(count(*), 1) AS BIGINT) AS viol_bp,
            |  10000 * sum(CASE WHEN $viol THEN 1 ELSE 0 END)
            |    <= $maxBp * count(*) AS passed
            |FROM events""".stripMargin

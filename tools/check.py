@@ -44,7 +44,16 @@ for name, sql in sorted(oracle.items()):
         diff_cols = []
         for c in sc:
             av, bv = a[c], b[c]
-            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+            # Driver-compare strictness: the official gate hashes typed
+            # values, so an int64 on one side vs float64 on the other
+            # (e.g. DuckDB HUGEINT surfacing as float64 against Spark's
+            # BIGINT) hash-fails even when numerically equal. A tolerant
+            # numeric compare here let exactly that slip in round 5
+            # (q_expectations) — flag the kind mismatch instead.
+            ak, bk = av.dtype.kind, bv.dtype.kind
+            if (ak == 'f') != (bk == 'f') and {ak, bk} <= {'f', 'i', 'u'}:
+                diff_cols.append(c)
+            elif av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 # Null masks must agree FIRST: a null/NaN on one side where
                 # the other has a real value is a diff (the old fillna(0)
                 # compare silently passed exactly that case).
