@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object SqlSurface {
 
-  /** Both functions register as NATIVE expression builders, not UDFs:
+  /** All functions register as NATIVE expression builders, not UDFs:
     *  - `standardize(s)` compiles to `lower(trim(s))` — whole-stage
     *    codegen, no boxing, and Catalyst can constant-fold / push it;
     *  - `get_sql_field(json, 'a.b')` compiles to
@@ -34,6 +34,22 @@ object SqlSurface {
     *    path compiled once) replaces the old per-row Jackson tree
     *    materialization. Same null semantics: null input, null/missing
     *    path, or malformed JSON all yield null.
+    *  - `get_sql_field(header)` (1-arg) and `get_page_key(header)` both
+    *    compile to `get_json_object(header, '$.pageKey')` — the
+    *    samza-sql-groupby statement's convention, where the doc comment
+    *    reads "Using GetSqlField UDF to extract page key from the
+    *    requestHeader" and the two calls produce the `__key__` and
+    *    `pageKey` columns of the same value
+    *    (samza-sql-groupby/src/main/sql/samza.sql:6-10). Compiling both
+    *    to the IDENTICAL expression is also what lets that statement run
+    *    verbatim: its SELECT names `GetPageKey(pv.requestHeader)` while
+    *    grouping only by `GetSqlField(pv.requestHeader)`, which Catalyst
+    *    accepts because the select expression is semantically equal to
+    *    the grouping expression.
+    *
+    * Each function registers under both its reference spelling (Spark's
+    * registry lowercases lookups, so `GetSqlField` resolves via
+    * "getsqlfield") and the snake_case alias used by the batch queries.
     */
   def registerUdfs(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Expression, GetJsonObject, Literal, Lower, StringTrim, Concat}
@@ -42,10 +58,23 @@ object SqlSurface {
       require(args.length == 1, "standardize(str)")
       Lower(StringTrim(args.head))
     })
-    ColumnBridge.registerNativeFunction(spark, "get_sql_field", (args: Seq[Expression]) => {
-      require(args.length == 2, "get_sql_field(json, dotted_path)")
-      GetJsonObject(args.head, Concat(Seq(Literal("$."), args(1))))
-    })
+    val pageKey = (args: Seq[Expression]) => {
+      require(args.length == 1, "get_page_key(header)")
+      GetJsonObject(args.head, Literal("$.pageKey"))
+    }
+    val sqlField = (args: Seq[Expression]) => args match {
+      case Seq(json, path) => GetJsonObject(json, Concat(Seq(Literal("$."), path)))
+      case Seq(_)          => pageKey(args)
+      case _ => throw new IllegalArgumentException(
+        "get_sql_field(json, dotted_path) or get_sql_field(header)")
+    }
+    // Camel-case spellings included: they collapse to the same key when
+    // the registry normalizes (case-insensitive default) and cover the
+    // exact-match path if a session runs case-sensitive.
+    Seq("get_sql_field", "getsqlfield", "GetSqlField").foreach(
+      ColumnBridge.registerNativeFunction(spark, _, sqlField))
+    Seq("get_page_key", "getpagekey", "GetPageKey").foreach(
+      ColumnBridge.registerNativeFunction(spark, _, pageKey))
   }
 
   /** Register every testdata table as a temp view. */
@@ -90,8 +119,18 @@ object SqlSurface {
   private val sysQualifier =
     """(?i)\b(from|join)(\s+)`?(kafka|eventhubs|kinesis)`?\s*\.\s*""".r
 
+  /** Samza SQL's `` stream.`$table` `` suffix names the TABLE view of a
+    * changelog stream (samza-sql-stream-table-join/src/main/sql/samza.sql:8);
+    * here it resolves to the `<stream>_table` temp view — the caller
+    * registers the materialized latest-wins snapshot (e.g.
+    * `StatefulOps.latestSnapshot` output or a static frame) under that
+    * name, which is exactly the stream-table-join contract of J2. */
+  private val tableSuffix = """(\w+)\s*\.\s*`\$table`""".r
+
   def stripSystemQualifiers(select: String): String =
-    sysQualifier.replaceAllIn(select, m => m.group(1) + m.group(2))
+    tableSuffix.replaceAllIn(
+      sysQualifier.replaceAllIn(select, m => m.group(1) + m.group(2)),
+      m => m.group(1) + "_table")
 
   /** Run a reference-shaped `INSERT INTO <system>.<topic> SELECT ...`
     * end-to-end: plan the SELECT with Catalyst over the registered views
