@@ -23,4 +23,8 @@ object Exprs {
   /** Shingles deduped at the source — for set-semantics consumers. */
   def wordShinglesDistinct(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct = true))
+
+  def bloomMightContain(s: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bloom))
 }

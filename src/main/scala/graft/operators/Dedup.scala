@@ -329,10 +329,10 @@ object Dedup {
     * output is bit-identical to `decontaminate` (pinned in spec), so the
     * Bloom stage is pure shuffle-volume reduction.
     *
-    * The probe is a closure over `util.sketch.BloomFilter` (a deliberate
-    * non-codegen island: Spark's native BloomFilterMightContain is not
-    * public API) — acceptable because it replaces a shuffle of the whole
-    * corpus-shingle relation, not a codegen'd projection. */
+    * The probe is the native [[graft.expressions.BloomMightContain]]
+    * expression: the filter travels by torrent broadcast (not as a plan
+    * literal, which is what Spark's own BloomFilterMightContain would
+    * force) and the probe itself stays inside whole-stage codegen. */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, textCol: String,
                          idCol: String, shingleSize: Int = 3,
                          expectedItems: Long = -1L,
@@ -357,7 +357,8 @@ object Dedup {
       else math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("shingle", items, fpp)
     val bfB = train.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    def mightContain(c: org.apache.spark.sql.Column) =
+      graft.expressions.Exprs.bloomMightContain(c, bfB)
     // single kernel evaluation per row — same reference-explode shape as
     // `decontaminate`
     val trainSh = train

@@ -747,17 +747,22 @@ object RelationalOps {
     * attribution, so attributed counts sum to total kills), and the
     * survivor count after it. All counts fold into ONE wide aggregate —
     * one corpus pass however many gates, the expectations-suite shape —
-    * then a |gates|-row reshape.  */
+    * then a |gates|-row reshape. A NULL gate flag counts as FAIL
+    * (coalesced to false): under raw three-valued logic a NULL would be
+    * neither killed nor surviving, silently breaking the
+    * attributed-counts-sum-to-total-kills invariant on nullable flag
+    * columns. */
   def gateAttrition(flags: DataFrame, gateCols: Seq[String]): DataFrame = {
     require(gateCols.nonEmpty, "at least one gate")
+    def gate(g: String) = coalesce(col(g), lit(false))
     val aggs =
       count(lit(1)).as("__n_in") +:
         gateCols.zipWithIndex.flatMap { case (g, i) =>
-          val before = gateCols.take(i).map(col).foldLeft(lit(true))(_ && _)
+          val before = gateCols.take(i).map(gate).foldLeft(lit(true))(_ && _)
           Seq(
-            sum(when(!col(g), 1L).otherwise(0L)).as(s"__marg_$i"),
-            sum(when(before && !col(g), 1L).otherwise(0L)).as(s"__kill_$i"),
-            sum(when(before && col(g), 1L).otherwise(0L)).as(s"__surv_$i"))
+            sum(when(!gate(g), 1L).otherwise(0L)).as(s"__marg_$i"),
+            sum(when(before && !gate(g), 1L).otherwise(0L)).as(s"__kill_$i"),
+            sum(when(before && gate(g), 1L).otherwise(0L)).as(s"__surv_$i"))
         }
     val wide = flags.agg(aggs.head, aggs.tail: _*)
     val arms = gateCols.zipWithIndex.map { case (g, i) =>

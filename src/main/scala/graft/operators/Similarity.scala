@@ -459,8 +459,10 @@ object Similarity {
     * re-seeding on append (the production convention; [[ivfCellStats]] /
     * the embedding drift panel tell you when a rebuild is due). Replay-
     * idempotent via the [[appendToIvfIndex]] anti-join: a retried
-    * micro-batch finds its ids already in the touched cells and appends
-    * nothing. (Named for [[buildIvfPqIndex]], whose cell-partitioned
+    * micro-batch finds its ids already somewhere in the index and
+    * appends nothing — checked against the WHOLE index's id column, so a
+    * re-ingest that would land in a different cell is also refused
+    * rather than silently double-stored. (Named for [[buildIvfPqIndex]], whose cell-partitioned
     * layout it appends to; the flat [[buildPqIndex]] store has no cells
     * to place a delta in — rebuild that one.) */
   def appendToIvfPqIndex(delta: DataFrame, vecCol: String, idCol: String,
@@ -476,10 +478,12 @@ object Similarity {
     val codes = encodeAgainstCodebook(delta, vecCol, idCol,
       spark.read.parquet(indexDir + ".codebook"), m, dim)
     val rows = codes.join(assigned, idCol :: Nil).localCheckpoint()
-    val cells = rows.select("centroid_id").distinct()
-      .collect().map(_.getInt(0))
+    // Whole-index id anti-join, not touched-cells-only: a re-ingested id
+    // whose new embedding assigns to a different cell would otherwise
+    // append while its stale codes remain in the old cell — and adcCut
+    // sums d2_q4 per id, so a probe covering both cells would return a
+    // silently doubled distance. Id-column-only scan keeps this cheap.
     val existingIds = spark.read.parquet(indexDir)
-      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
       .select(col(idCol)).distinct()
     rows.join(existingIds, Seq(idCol), "left_anti")
       .write.partitionBy("centroid_id").mode("append").parquet(indexDir)
@@ -1013,11 +1017,14 @@ object Similarity {
     val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
     val rows = delta.join(assigned, idCol).localCheckpoint()
-    val cells = rows.select("centroid_id").distinct()
-      .collect().map(_.getInt(0))
+    // Dedup against ids ANYWHERE in the index, not just the delta's
+    // touched cells: an id re-ingested with a changed embedding can
+    // assign to a DIFFERENT cell, and a cells-only check would append it
+    // while its old row survives — two rows for one id, silently. The
+    // whole-index read stays cheap because only the id column is scanned
+    // (column-pruned, dictionary-encoded).
     val existingIds = spark.read.parquet(indexDir)
-      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
-      .select(col(idCol))
+      .select(col(idCol)).distinct()
     rows.join(existingIds, Seq(idCol), "left_anti")
       .write.partitionBy("centroid_id").mode("append").parquet(indexDir)
   }

@@ -77,4 +77,24 @@ class ExpressionPropertiesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("isTalk") == r.getAs[String]("title").startsWith("Talk:"))
     }
   }
+
+  test("BloomMightContain agrees with the filter's own probe; nulls pass through") {
+    import spark.implicits._
+    val members = (0 until 500).map(i => s"shingle $i")
+    val bf = members.toDF("s").stat.bloomFilter("s", 500, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val probes = (members ++ (1000 until 1500).map(i => s"other $i"))
+      .map(Option(_)) :+ Option.empty[String]
+    val got = probes.toDF("s")
+      .select(col("s"), Exprs.bloomMightContain(col("s"), bfB).as("hit"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    probes.foreach { p =>
+      val expect = p.map(bf.mightContainString) // None for the null probe
+      assert(got(p) == expect, s"probe=$p")
+    }
+    // every member must hit (Bloom has no false negatives)
+    members.foreach(m => assert(got(Some(m)) == Some(true), m))
+  }
 }

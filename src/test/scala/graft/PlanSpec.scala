@@ -228,15 +228,19 @@ class PlanSpec extends SparkSpec {
     val joinLine = tree.lastIndexWhere(_.contains("Join"))
     assert(joinLine >= 0, s"expected a join in:\n$p")
     // detail headers read "(n) Filter"; the node's condition follows within
-    // a few lines — a UDF there marks the bloom-probe filter
-    val udfFilterIds = """\((\d+)\) Filter""".r.findAllMatchIn(p).map(_.group(1))
+    // a few lines — the native bloom_might_contain probe marks the
+    // bloom-probe filter (previously a UDF; now codegen'd, so the plan
+    // must show the named expression instead of a UDF wall)
+    val bloomFilterIds = """\((\d+)\) Filter""".r.findAllMatchIn(p).map(_.group(1))
       .toSeq.distinct.filter { id =>
         p.split(java.util.regex.Pattern.quote(s"($id) Filter")).lift(1)
-          .exists(_.linesIterator.take(4).mkString("\n").contains("UDF"))
+          .exists(_.linesIterator.take(4).mkString("\n").contains("bloom_might_contain"))
       }
-    assert(udfFilterIds.nonEmpty, s"expected a UDF-bearing Filter node in:\n$p")
-    val udfLines = udfFilterIds.map(id => tree.indexWhere(_.matches(s".*\\bFilter \\($id\\)\\s*")))
-    assert(udfLines.exists(_ > joinLine),
+    assert(bloomFilterIds.nonEmpty,
+      s"expected a bloom_might_contain Filter node in:\n$p")
+    assert(!p.contains("UDF"), s"no UDF wall may remain in the bloom plan:\n$p")
+    val bloomLines = bloomFilterIds.map(id => tree.indexWhere(_.matches(s".*\\bFilter \\($id\\)\\s*")))
+    assert(bloomLines.exists(_ > joinLine),
       s"the bloom-probe Filter must sit BELOW the verify join (pre-shuffle):\n$p")
   }
 

@@ -558,6 +558,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out(2L) == (("g2", 4L, 2L, 1L, 1L)), s"got: ${out(2L)}")
   }
 
+  test("gateAttrition: NULL gate flags count as kills, invariant holds") {
+    // nullable flags: NULL is neither true nor false under three-valued
+    // logic, which used to leave those rows out of BOTH the killed and
+    // surviving counts — the operator coalesces NULL to fail
+    val df = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, null), (null, true), (true, true), (false, null))
+      .toDF("g1", "g2")
+    val out = RelationalOps.gateAttrition(df, Seq("g1", "g2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // g1 kills rows 2 and 4 (null + false); rows 1 and 3 survive it
+    assert(out(1L) == (("g1", 4L, 2L, 2L, 2L)), s"got: ${out(1L)}")
+    // of the 2 g1-survivors, g2 kills row 1 (null), row 3 survives —
+    // attributed kills (2 + 1) + final survivors (1) = total rows
+    assert(out(2L) == (("g2", 4L, 2L, 1L, 1L)), s"got: ${out(2L)}")
+  }
+
   test("idGaps: planted holes, duplicates collapsed, contiguous data silent") {
     val ids = Seq(1L, 2L, 3L, 3L, 7L, 10L).toDF("id")
     val out = RelationalOps.idGaps(ids, "id")

@@ -100,5 +100,21 @@ class AnnIngestSpec extends SparkSpec {
       m = 2, dim = 8, s"$root/inc")
     assert(spark.read.parquet(s"$root/inc").count() == before,
       "a replayed delta must append nothing")
+    // changed-cell re-ingest: id 100 re-arrives with a DIFFERENT
+    // embedding (vec(7), which may assign to another cell). The append
+    // dedups against ids anywhere in the index — not just the delta's
+    // touched cells — so the stale-codes-in-old-cell + fresh-codes-in-
+    // new-cell double store (which would double adcCut's summed
+    // distance) cannot happen: count unchanged, and every id still
+    // lives in exactly one cell.
+    Similarity.appendToIvfPqIndex(
+      Seq((100L, vec(7))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", m = 2, dim = 8, s"$root/inc")
+    val idx = spark.read.parquet(s"$root/inc")
+    assert(idx.count() == before,
+      "a re-ingested id with a changed embedding must be refused")
+    val spanning = idx.select("vec_id", "centroid_id").distinct()
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(spanning == 0, "no id may hold codes in two cells")
   }
 }
