@@ -1739,6 +1739,18 @@ object SparkEntry {
         .orderBy("src", "rnk")
     }),
 
+    // The SAME graph under the production default k = ⌊√n⌋ clamped to
+    // [8, 65536] (Similarity.AutoCells → defaultCells): cells stay
+    // ~√n-sized as the corpus grows, so in-cell pair work is n^1.5, not
+    // the n²/k of a fixed k — the measured fix for the one 100 TB
+    // scale-killer of the IVF family. The k=8 variant above stays as the
+    // oracle-pinned small-k shape.
+    "q_knn_graph_scaled" -> ((s, d) => {
+      Similarity.knnGraph(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = Similarity.AutoCells, kNeighbors = 3)
+        .orderBy("src", "rnk")
+    }),
+
     // ---- graph: weighted HITS over the event-type transition graph ----
     // Same edge relation as q_pagerank; 2 exact-integer mean-normalized
     // half-step pairs. Hubs ≠ authorities on a directed flow graph —
@@ -3377,18 +3389,12 @@ object SparkEntry {
 
     // Window row_number is the oracle's ranking twin of the engine's
     // bounded TopKHits agg: (cs DESC, dst ASC) == (score DESC, id ASC).
-    "q_knn_graph" ->
-      s"""WITH $ivfAssignCtes,
-         |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
-         |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
-         |p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
-         |    round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cs
-         |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
-         |r AS (SELECT src, dst, cs,
-         |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
-         |  FROM p)
-         |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
-         |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+    "q_knn_graph" -> knnGraphSql("8"),
+
+    // Same graph under the PRODUCTION cell count k = ⌊√n⌋
+    // (Similarity.defaultCells) — the scale-correct default the fixed-k=8
+    // variant above deliberately does not use.
+    "q_knn_graph_scaled" -> knnGraphSql(scaledCellsExpr),
 
     "q_hits" -> hitsSql,
 
@@ -4349,9 +4355,19 @@ object SparkEntry {
     * deterministic seeding the engine uses); argmax by rounded cosine with
     * ties to the smaller centroid id — row_number here, max(struct) in the
     * engine, equivalent orderings. */
-  private def ivfAssignCtes: String =
-    """c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      |       FROM embeddings WHERE vec_id < 8),
+  private def ivfAssignCtes: String = ivfAssignCtesK("8")
+
+  /** The scaled-k twin: k = ⌊√n⌋ clamped to [8, 65536] — the SQL form of
+    * `Similarity.defaultCells` (both engines floor the same IEEE-754
+    * sqrt of the same exact count, so k is identical). */
+  private def scaledCellsExpr: String =
+    """(SELECT greatest(8, least(65536,
+      |   CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"""
+      .stripMargin
+
+  private def ivfAssignCtesK(kExpr: String): String =
+    s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings WHERE vec_id < $kExpr),
       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
       |scored AS (
       |  SELECT v.vec_id, cid,
@@ -4368,6 +4384,22 @@ object SparkEntry {
     s"""WITH $ivfAssignCtes
        |SELECT vec_id, cid AS centroid_id, cs + 0.0 AS cos_sim FROM assign
        |ORDER BY vec_id""".stripMargin
+
+  /** kNN-graph oracle, parameterized on the quantizer cell count
+    * expression (a literal for the pinned k=8 variant, the
+    * [[scaledCellsExpr]] subquery for the production ⌊√n⌋ one). */
+  private def knnGraphSql(kExpr: String): String =
+    s"""WITH ${ivfAssignCtesK(kExpr)},
+       |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+       |    round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cs
+       |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+       |r AS (SELECT src, dst, cs,
+       |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
 
   /** 2-iteration Lloyd refinement — the oracle twin of
     * `Similarity.kmeansCentroids(k = 8, iters = 2)`. Each round: argmax

@@ -189,6 +189,27 @@ object Similarity {
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
   }
 
+  /** Sentinel cell count: resolve k from the corpus size via
+    * [[defaultCells]] at call time. Accepted by every coarse-quantizer
+    * entry point (ivfAssign / knnGraph / semDedup / kmeansCentroids and
+    * the index builders). */
+  val AutoCells: Int = -1
+
+  /** Default coarse-quantizer cell count: ⌊√n⌋ clamped to [8, 65536].
+    * A FIXED k is the measured 100 TB scale-killer of the IVF family
+    * (BASELINE.md round-3: q_knn_graph 12.7× for 10× data at k=8; k∝n
+    * restored 2.7×): cells hold n/k vectors, so in-cell pair work grows
+    * (n/k)² per cell. √n keeps cell population ≈ √n — in-cell work per
+    * vector stays √n, total pair work n^1.5 instead of n²/k — while the
+    * upper clamp bounds the broadcast centroid table (65536 × 64 floats
+    * ≈ 16 MB). The formula is engine-portable exactly: floor over the
+    * IEEE-754 sqrt of the exact count, `floor(sqrt(count(*)))` in SQL. */
+  def defaultCells(n: Long): Int =
+    math.max(8L, math.min(65536L, math.sqrt(n.toDouble).toLong)).toInt
+
+  private def resolveCells(emb: DataFrame, k: Int): Int =
+    if (k == AutoCells) defaultCells(emb.count()) else k
+
   /** IVF coarse quantizer: assign every vector to its most-cosine-similar
     * centroid. Centroids here are the k lowest-id vectors — a deterministic
     * seeding that both engines can express exactly; a production run would
@@ -198,11 +219,14 @@ object Similarity {
     * one codegen'd projection scoring k cosines per row, and the argmax is
     * a map-side-combinable max(struct) aggregate — no window sort, no
     * corpus self-shuffle. Ties break to the smallest centroid id via the
-    * negated-id struct field. */
-  def ivfAssign(emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame =
+    * negated-id struct field. `k = AutoCells` resolves to
+    * [[defaultCells]] of the corpus count. */
+  def ivfAssign(emb: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    val kk = resolveCells(emb, k)
     assignToCentroids(emb, vecCol, idCol,
-      emb.filter(col(idCol) < k)
+      emb.filter(col(idCol) < kk)
         .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec")))
+  }
 
   /** k-nearest-neighbor GRAPH within IVF cells — the adjacency structure
     * SemDeDup-style pipelines, label propagation, and graph-based outlier
@@ -408,15 +432,16 @@ object Similarity {
   def buildIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
                       kCentroids: Int, m: Int, kCodes: Int, dim: Int,
                       indexDir: String): Unit = {
+    val kc = resolveCells(emb, kCentroids) // AutoCells → ⌊√n⌋
     clearIndexSideTables(emb.sparkSession, indexDir)
-    val assigned = ivfAssign(emb, vecCol, idCol, kCentroids)
+    val assigned = ivfAssign(emb, vecCol, idCol, kc)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
     pqCodes(emb, vecCol, idCol, m, kCodes, dim)
       .join(assigned, idCol :: Nil)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(indexDir)
     pqCodebook(emb, vecCol, idCol, m, kCodes, dim)
       .coalesce(1).write.mode("overwrite").parquet(indexDir + ".codebook")
-    emb.filter(col(idCol) < kCentroids)
+    emb.filter(col(idCol) < kc)
       .select(col(idCol).cast("int").as("centroid_id"),
         col(vecCol).as("c_vec"))
       .coalesce(1).write.mode("overwrite").parquet(indexDir + ".centroids")
@@ -513,11 +538,12 @@ object Similarity {
                               kCentroids: Int, m: Int, kCodes: Int,
                               dim: Int, indexDir: String): Unit = {
     val w = dim / m
+    val kc = resolveCells(emb, kCentroids) // AutoCells → ⌊√n⌋
     clearIndexSideTables(emb.sparkSession, indexDir)
     // centroids stay in the embedding's own type for assignment/cosine
     // (the IVF-index convention); the DOUBLE cast happens only at the
     // subtraction, where float-lane rounding would diverge
-    val cents = emb.filter(col(idCol) < kCentroids)
+    val cents = emb.filter(col(idCol) < kc)
       .select(col(idCol).cast("int").as("centroid_id"),
         col(vecCol).as("c_vec"))
     val assigned = assignToCentroids(emb, vecCol, idCol, cents)
@@ -530,10 +556,10 @@ object Similarity {
           (a, b) => a - b).as("__res"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedRes = residuals
-      .filter(col(idCol) >= kCentroids && col(idCol) < kCentroids + kCodes)
+      .filter(col(idCol) >= kc && col(idCol) < kc + kCodes)
     val cb = (0 until m).map { j =>
       seedRes.select(lit(j).as("sub"),
-        (col(idCol) - kCentroids).cast("int").as("code"),
+        (col(idCol) - kc).cast("int").as("code"),
         slice(col("__res"), j * w + 1, w).as("c_sub"))
     }.reduce(_ unionByName _)
     encodeAgainstCodebook(residuals, "__res", idCol, cb, m, dim)
@@ -846,7 +872,8 @@ object Similarity {
     * consumers. */
   def kmeansCentroids(emb: DataFrame, vecCol: String, idCol: String,
                       k: Int, iters: Int): DataFrame = {
-    var centroids = emb.filter(col(idCol) < k)
+    val kk = resolveCells(emb, k) // AutoCells → ⌊√n⌋
+    var centroids = emb.filter(col(idCol) < kk)
       .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("c_vec"))
     for (round <- 0 until iters) {
       val assigned = assignToCentroids(emb, vecCol, idCol, centroids)
@@ -867,7 +894,7 @@ object Similarity {
       val nDropped = dropped.count()
       if (nDropped > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"kmeansCentroids: $nDropped of $k cells empty in round $round; " +
+          s"kmeansCentroids: $nDropped of $kk cells empty in round $round; " +
             "carrying previous centroids forward")
       centroids = refitted.unionByName(dropped).localCheckpoint()
     }
@@ -953,11 +980,13 @@ object Similarity {
     * IN-list and pruning kicks in. At 100 TB the same layout holds — cells
     * are directories, a probe is an nprobe-directory scan. */
   def buildIvfIndex(emb: DataFrame, vecCol: String, idCol: String,
-                    kCentroids: Int, indexDir: String): Unit =
+                    kCentroids: Int, indexDir: String): Unit = {
+    val kk = resolveCells(emb, kCentroids) // AutoCells → ⌊√n⌋
     buildIvfIndexWith(emb, vecCol, idCol,
-      emb.filter(col(idCol) < kCentroids)
+      emb.filter(col(idCol) < kk)
         .select(col(idCol).cast("int").as("centroid_id"), col(vecCol).as("c_vec")),
       indexDir)
+  }
 
   /** `buildIvfIndex` over an EXPLICIT centroid frame (`centroid_id`,
     * `c_vec`) — the form the k-means loop feeds: refine with
@@ -1005,11 +1034,12 @@ object Similarity {
     * `nearDupStep`): a foreachBatch retry re-runs this append with the same
     * delta, and a plain append would land every vector twice — probes would
     * then return the same id twice. The delta is anti-joined against the
-    * ids ALREADY PRESENT in the cells it targets before writing, so a
-    * replay appends nothing. The existence probe is cheap and scale-safe:
-    * the touched-cell list is bounded by k (collected like `ivfProbe`'s
-    * nprobe list), so the read is partition-pruned to those directories
-    * and column-pruned to the id — never a full-index scan. */
+    * ids ALREADY PRESENT anywhere in the index before writing, so a
+    * replay appends nothing — and a re-ingested id whose new embedding
+    * assigns to a DIFFERENT cell is refused too, instead of being
+    * double-stored across two cells. The existence probe reads only the
+    * id column of the index (column-pruned, dictionary-encoded) — cheap
+    * relative to the write it guards. */
   def appendToIvfIndex(delta: DataFrame, vecCol: String, idCol: String,
                        indexDir: String): Unit = {
     val spark = delta.sparkSession

@@ -454,6 +454,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bySrc(0L).head == 3L, s"got: $bySrc")
   }
 
+  test("defaultCells: floor-sqrt with [8, 65536] clamps; AutoCells wires through") {
+    // the pure formula: ⌊√n⌋ clamped — engine-portable as
+    // greatest(8, least(65536, floor(sqrt(n))))
+    assert(Similarity.defaultCells(0) == 8)
+    assert(Similarity.defaultCells(63) == 8)      // √63 ≈ 7.94 → clamp up
+    assert(Similarity.defaultCells(64) == 8)
+    assert(Similarity.defaultCells(500) == 22)    // √500 ≈ 22.36
+    assert(Similarity.defaultCells(50000) == 223) // √50000 ≈ 223.6
+    assert(Similarity.defaultCells(Long.MaxValue) == 65536) // clamp down
+    // AutoCells resolves to defaultCells(count) inside the entry points:
+    // identical output to the explicit k on the same corpus
+    val emb = vecs(100).toDF("vec_id", "embedding")
+    val auto = Similarity.ivfAssign(emb, "embedding", "vec_id",
+        Similarity.AutoCells)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val explicit = Similarity.ivfAssign(emb, "embedding", "vec_id",
+        Similarity.defaultCells(100))
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(auto == explicit)
+    assert(auto.map(_._2).size > 8, "k=10 at n=100 — more than 8 cells must exist")
+  }
+
   test("contrastiveTriplets: positive shares the cell, negative never does, tail drops") {
     // Two orthogonal families → two cells (seeds 0, 1): x-cell {0,2,3,4},
     // y-cell {1,5}. Sizes differ → the negative rank wraps modulo 2.
