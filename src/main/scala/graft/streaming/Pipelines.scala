@@ -95,9 +95,20 @@ object Pipelines {
     * semantics — the reference's `v==null?0:v+1` undercount
     * (WikipediaApplication.java:192) is deliberately not replicated. */
   def wikipediaStats(feed: DataFrame, windowLen: String = "10 seconds",
-                     watermark: String = "10 seconds"): DataFrame = {
+                     watermark: String = "10 seconds"): DataFrame =
+    wikipediaStatsOverParsed(WikipediaParse.parse(feed), windowLen, watermark)
+
+  /** The stats stage alone, over ALREADY-PARSED edit events — the third
+    * job of the reference's staged topology
+    * (WikipediaStatsStreamTask consumes the wikipedia-edits topic,
+    * wikipedia-stats.properties:29); see
+    * [[graft.apps.WikipediaStagedTopology]] for the stage-materialized
+    * form whose boundary re-sources feed this. */
+  def wikipediaStatsOverParsed(parsed: DataFrame,
+                               windowLen: String = "10 seconds",
+                               watermark: String = "10 seconds"): DataFrame = {
     def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(c + "Count")
-    WikipediaParse.parse(feed)
+    parsed
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen))
       .agg(
