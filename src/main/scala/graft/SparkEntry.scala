@@ -1296,6 +1296,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // The production-default twin: k = ⌊√n⌋ cells (AutoCells), closing
+    // the measured fixed-k superlinearity of this query family at scale.
+    "q_ivf_pairs_scaled" -> ((s, d) => {
+      Similarity.ivfNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = Similarity.AutoCells, threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity: hybrid search (cosine relevance × quality prior) ----
     // The retrieval stage's production ranking: ANN relevance combined
     // with a scan-side document prior. Composes the broadcast-probe cosine
@@ -1313,6 +1321,14 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) => {
       Similarity.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
         k = 8, threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup under the production k = ⌊√n⌋ (AutoCells) — same kept-set
+    // semantics, cells sized to survive corpus growth.
+    "q_semdedup_scaled" -> ((s, d) => {
+      Similarity.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = Similarity.AutoCells, threshold = 0.35)
         .orderBy("vec_id")
     }),
 
@@ -1563,6 +1579,20 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
           emb.filter(pmod(col("vec_id"), lit(2L)) =!= 0),
           "embedding", "vec_id", cells = 8, kNN = 4, thresholdBp = 10200L)
+        .orderBy("id_a")
+    }),
+
+    // Margin mining under the production k = ⌊√n⌋ of the UNION corpus
+    // (AutoCells resolves on the two sides' union inside marginMining —
+    // the parity split partitions the embeddings table, so n is the full
+    // table count, matching the oracle's subquery).
+    "q_margin_mine_scaled" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMining(
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2L)) =!= 0),
+          "embedding", "vec_id", cells = Similarity.AutoCells, kNN = 4,
+          thresholdBp = 10200L)
         .orderBy("id_a")
     }),
 
@@ -3089,7 +3119,9 @@ object SparkEntry {
     "q_ann_recall" -> annRecallSql,
 
     "q_ivf_pairs" -> ivfPairsSql,
+    "q_ivf_pairs_scaled" -> ivfPairsSqlK(scaledCellsExpr),
     "q_semdedup" -> semDedupSql,
+    "q_semdedup_scaled" -> semDedupSqlK(scaledCellsExpr),
     "q_hybrid_search" ->
       s"""WITH q AS ($qualitySql),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3654,41 +3686,11 @@ object SparkEntry {
     // Ratio-margin bitext mining: same assign CTEs as the IVF family,
     // integer-quantized cosines, the identical floored cross-multiplied
     // margin, and the same (margin DESC, id) forward-mining cut.
-    "q_margin_mine" ->
-      s"""WITH $ivfAssignCtes,
-         |p AS (
-         |  SELECT aa.vec_id AS ida, ab.vec_id AS idb,
-         |    round(list_dot_product(va.vv, vb.vv)
-         |      / (sqrt(list_dot_product(va.vv, va.vv))
-         |         * sqrt(list_dot_product(vb.vv, vb.vv))), 4) AS cs
-         |  FROM assign aa JOIN assign ab ON aa.cid = ab.cid
-         |  JOIN v va ON va.vec_id = aa.vec_id
-         |  JOIN v vb ON vb.vec_id = ab.vec_id
-         |  WHERE aa.vec_id % 2 = 0 AND ab.vec_id % 2 = 1),
-         |pq AS (SELECT ida, idb, cs,
-         |    CAST(round(cs * 10000, 0) AS BIGINT) AS cq FROM p
-         |  WHERE NOT isnan(cs)),
-         |ta AS (SELECT ida, sum(cq) AS sa, count(*) AS ca FROM (
-         |    SELECT ida, cq,
-         |      row_number() OVER (PARTITION BY ida ORDER BY cq DESC, idb) AS rn
-         |    FROM pq) WHERE rn <= 4 GROUP BY ida),
-         |tb AS (SELECT idb, sum(cq) AS sb, count(*) AS cb FROM (
-         |    SELECT idb, cq,
-         |      row_number() OVER (PARTITION BY idb ORDER BY cq DESC, ida) AS rn
-         |    FROM pq) WHERE rn <= 4 GROUP BY idb),
-         |m AS (SELECT pq.ida, pq.idb, pq.cs,
-         |    CASE WHEN (sa * cb + sb * ca) > 0
-         |      THEN (10000 * 2 * ca * cb * cq) // (sa * cb + sb * ca)
-         |    END AS margin_bp
-         |  FROM pq JOIN ta USING (ida) JOIN tb USING (idb)),
-         |r AS (SELECT ida, idb, cs, margin_bp,
-         |    row_number() OVER (PARTITION BY ida
-         |                       ORDER BY margin_bp DESC, idb) AS rn
-         |  FROM m WHERE margin_bp >= 10200)
-         |SELECT ida AS id_a, idb AS id_b, cs + 0.0 AS cos_sim,
-         |  CAST(margin_bp AS BIGINT) AS margin_bp
-         |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin,
+    "q_margin_mine" -> marginMineSqlK("8"),
 
+    // The production-default twin: shared cells from k = ⌊√n⌋ of the
+    // UNION corpus (both language sides), matching AutoCells resolution.
+    "q_margin_mine_scaled" -> marginMineSqlK(scaledCellsExpr),
     "q_zorder" -> zorderSql(bits = 16),
 
     "q_trending" ->
@@ -4530,8 +4532,10 @@ object SparkEntry {
        |FROM member GROUP BY centroid_id, pos
        |ORDER BY centroid_id, pos""".stripMargin
 
-  private def ivfPairsSql: String =
-    s"""WITH $ivfAssignCtes,
+  private def ivfPairsSql: String = ivfPairsSqlK("8")
+
+  private def ivfPairsSqlK(kExpr: String): String =
+    s"""WITH ${ivfAssignCtesK(kExpr)},
        |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
        |      FROM assign a JOIN v ON a.vec_id = v.vec_id)
        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -4543,8 +4547,10 @@ object SparkEntry {
   /** SemDeDup oracle: drop every vector with a smaller-id in-cell
     * neighbor at cosine ≥ 0.35 (same cells + pair kernel as
     * `ivfPairsSql`); what's left is the kept set. */
-  private def semDedupSql: String =
-    s"""WITH $ivfAssignCtes,
+  private def semDedupSql: String = semDedupSqlK("8")
+
+  private def semDedupSqlK(kExpr: String): String =
+    s"""WITH ${ivfAssignCtesK(kExpr)},
        |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
        |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
        |dup AS (
@@ -4554,6 +4560,43 @@ object SparkEntry {
        |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
        |WHERE d.vec_id IS NULL
        |ORDER BY v.vec_id""".stripMargin
+
+  /** Ratio-margin bitext mining oracle, parameterized on the quantizer
+    * cell-count expression like the rest of the IVF family. */
+  private def marginMineSqlK(kExpr: String): String =
+    s"""WITH ${ivfAssignCtesK(kExpr)},
+       |p AS (
+       |  SELECT aa.vec_id AS ida, ab.vec_id AS idb,
+       |    round(list_dot_product(va.vv, vb.vv)
+       |      / (sqrt(list_dot_product(va.vv, va.vv))
+       |         * sqrt(list_dot_product(vb.vv, vb.vv))), 4) AS cs
+       |  FROM assign aa JOIN assign ab ON aa.cid = ab.cid
+       |  JOIN v va ON va.vec_id = aa.vec_id
+       |  JOIN v vb ON vb.vec_id = ab.vec_id
+       |  WHERE aa.vec_id % 2 = 0 AND ab.vec_id % 2 = 1),
+       |pq AS (SELECT ida, idb, cs,
+       |    CAST(round(cs * 10000, 0) AS BIGINT) AS cq FROM p
+       |  WHERE NOT isnan(cs)),
+       |ta AS (SELECT ida, sum(cq) AS sa, count(*) AS ca FROM (
+       |    SELECT ida, cq,
+       |      row_number() OVER (PARTITION BY ida ORDER BY cq DESC, idb) AS rn
+       |    FROM pq) WHERE rn <= 4 GROUP BY ida),
+       |tb AS (SELECT idb, sum(cq) AS sb, count(*) AS cb FROM (
+       |    SELECT idb, cq,
+       |      row_number() OVER (PARTITION BY idb ORDER BY cq DESC, ida) AS rn
+       |    FROM pq) WHERE rn <= 4 GROUP BY idb),
+       |m AS (SELECT pq.ida, pq.idb, pq.cs,
+       |    CASE WHEN (sa * cb + sb * ca) > 0
+       |      THEN (10000 * 2 * ca * cb * cq) // (sa * cb + sb * ca)
+       |    END AS margin_bp
+       |  FROM pq JOIN ta USING (ida) JOIN tb USING (idb)),
+       |r AS (SELECT ida, idb, cs, margin_bp,
+       |    row_number() OVER (PARTITION BY ida
+       |                       ORDER BY margin_bp DESC, idb) AS rn
+       |  FROM m WHERE margin_bp >= 10200)
+       |SELECT ida AS id_a, idb AS id_b, cs + 0.0 AS cos_sim,
+       |  CAST(margin_bp AS BIGINT) AS margin_bp
+       |FROM r WHERE rn = 1 ORDER BY id_a""".stripMargin
 
   /** nprobe ANN oracle: probe cells = the 2 centroids most similar to the
     * query vector (rounded cosine, ties to smaller id — same ordering as

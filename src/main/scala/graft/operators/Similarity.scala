@@ -1494,7 +1494,7 @@ object Similarity {
   def marginMining(embA: DataFrame, embB: DataFrame, vecCol: String,
                    idCol: String, cells: Int, kNN: Int, thresholdBp: Long,
                    maxCell: Int = 8192): DataFrame = {
-    require(cells >= 1 && kNN >= 1 && thresholdBp >= 0,
+    require((cells >= 1 || cells == AutoCells) && kNN >= 1 && thresholdBp >= 0,
       s"cells=$cells kNN=$kNN thresholdBp=$thresholdBp")
     val u = embA.select(col(idCol), col(vecCol), lit(0).as("__side"))
       .unionByName(embB.select(col(idCol), col(vecCol), lit(1).as("__side")))
