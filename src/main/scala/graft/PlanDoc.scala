@@ -71,6 +71,7 @@ object PlanDoc {
     "q_novelty" -> "novelty: shingle-keyed min agg + join-back — two partial-agg shuffles, no self-join blowup",
     "q_table_profile" -> "column profile: ONE corpus pass for every per-column stat (Expand for exact distincts), |cols|-row reshape",
     "q_knn_graph" -> "kNN graph: broadcast-centroid cells → in-cell pair join → bounded per-source TopKHits agg, no window sort",
+    "q_knn_graph_scaled" -> "same graph at the production k = ⌊√n⌋ (AutoCells) — identical plan shape, cells sized to survive corpus growth",
     "q_hits" -> "HITS: per-half-step = edge-keyed join + agg + 1-row broadcast normalize — edges scanned, never self-joined",
     "q_pq_adc" -> "PQ ADC top-k: m·k LUT broadcast onto the CODES relation (3 small ints/row, not dim floats), integer sum, TakeOrderedAndProject",
     "q_anomaly_z" -> "rolling z²: ONE key exchange; count/s1/s2 and the cross-multiplied k-sigma test share a single window pass",
