@@ -1201,8 +1201,12 @@ object Similarity {
         d === lit(Double.NegativeInfinity)
     })
     val sq = graft.functions.VectorFunctions.dot(v, v)
+    // a NULL vector is "bad" (coalesce): under raw three-valued logic it
+    // would count in n_vectors but in NEITHER n_nonfinite nor n_zero nor
+    // the norm sum — the gateAttrition NULL-flag hole, closed here too
     emb.select(col(labelCol).cast("long").as("label"),
-        nonFinite.as("__bad"), sq.as("__sq"), size(v).cast("long").as("__d"))
+        coalesce(nonFinite, lit(true)).as("__bad"), sq.as("__sq"),
+        size(v).cast("long").as("__d"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("__bad"), 1L).otherwise(0L)).as("n_nonfinite"),

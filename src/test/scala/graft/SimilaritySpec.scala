@@ -149,14 +149,18 @@ class SimilaritySpec extends SparkSpec {
       (1L, Seq(3f, 4f), 1),                 // norm 5
       (2L, Seq(0f, 0f), 1),                 // zero-norm
       (3L, Seq(1f, Float.NaN), 2),          // NaN-poisoned
-      (4L, Seq(2f, 2f, 1f), 2)              // norm 3, ragged dim
+      (4L, Seq(2f, 2f, 1f), 2),             // norm 3, ragged dim
+      (5L, null: Seq[Float], 2)             // NULL vector — counts as BAD
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.embeddingHealthCard(emb, "embedding", "label")
       .orderBy("label")
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // label 2: the null vector joins n_vectors AND n_nonfinite — under raw
+    // three-valued logic it would vanish from every bucket (the
+    // gateAttrition NULL-flag hole)
     assert(out == Seq(
       (1L, 2L, 0L, 1L, 2L, 2L, 5000000L),
-      (2L, 2L, 1L, 0L, 2L, 3L, 3000000L)), s"got: $out")
+      (2L, 3L, 2L, 0L, 2L, 3L, 3000000L)), s"got: $out")
   }
 
   test("materialized IVF index: build once, probe matches the inline end-to-end form") {
