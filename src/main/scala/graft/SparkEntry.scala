@@ -1198,6 +1198,17 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // ---- curation: content-defined chunking (Rabin rolling-hash CDC) ----
+    // Boundary where the 4-token rolling md5 combo ≡ 0 mod 32 — the
+    // insert-robust complement of fixed-size chunking: an edit re-frames
+    // only the chunks it touches, so chunk signatures dedup across crawl
+    // snapshots.
+    "q_cdc_chunks" -> ((s, d) => {
+      Curation.cdcChunks(t(s, d, "documents"), "text", "doc_id",
+        window = 4, avgTokens = 32)
+        .orderBy("doc", "chunk_id")
+    }),
+
     // ---- text analysis: token-length histogram ----
     "q_token_hist" -> ((s, d) => {
       TextAnalysis.tokenHistogram(t(s, d, "documents"), "text", binWidth = 50)
@@ -2555,24 +2566,31 @@ object SparkEntry {
 
     // medians interpolate INTEGER cents — exact doubles on both engines
     // regardless of interpolation association; MAD=0 groups yield NULLs
+    // Integer end to end like the engine: med2/mad4 restore exact BIGINTs
+    // from the interpolated medians, rz = floored basis points (// ≡ div,
+    // both toward zero) — the double-rounding tie class (1.23975 etc.)
+    // that diverged at sf0.1 cannot occur.
     "q_mad_outliers" ->
       """WITH c AS (
         |  SELECT event_id, event_type, value,
         |    CAST(round(value*100) AS BIGINT) AS vc
         |  FROM events),
-        |m AS (SELECT event_type, quantile_cont(vc, 0.5) AS med_c
+        |m AS (SELECT event_type,
+        |    CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS med2
         |      FROM c GROUP BY event_type),
-        |d AS (SELECT c.*, m.med_c, abs(c.vc - m.med_c) AS dev_c
+        |d AS (SELECT c.*, m.med2, abs(c.vc * 2 - m.med2) AS dev2
         |      FROM c JOIN m USING (event_type)),
-        |md AS (SELECT event_type, quantile_cont(dev_c, 0.5) AS mad_c
+        |md AS (SELECT event_type,
+        |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
         |       FROM d GROUP BY event_type)
         |SELECT d.event_id, d.event_type, d.value,
-        |  d.med_c / 100.0 AS med,
-        |  md.mad_c / 100.0 AS mad,
-        |  CASE WHEN md.mad_c <> 0
-        |       THEN round(0.6745 * ((d.vc - d.med_c) / md.mad_c), 4) + 0.0 END AS rz,
-        |  CASE WHEN md.mad_c <> 0
-        |       THEN abs(round(0.6745 * ((d.vc - d.med_c) / md.mad_c), 4) + 0.0) > 3.5 END AS is_outlier
+        |  CAST(d.med2 AS DOUBLE) / 200.0 AS med,
+        |  CAST(md.mad4 AS DOUBLE) / 400.0 AS mad,
+        |  CASE WHEN md.mad4 <> 0
+        |       THEN CAST((13490 * (d.vc * 2 - d.med2)) // md.mad4 AS DOUBLE)
+        |            / 10000.0 + 0.0 END AS rz,
+        |  CASE WHEN md.mad4 <> 0
+        |       THEN abs((13490 * (d.vc * 2 - d.med2)) // md.mad4) > 35000 END AS is_outlier
         |FROM d JOIN md USING (event_type)
         |ORDER BY event_id""".stripMargin,
 
@@ -2773,6 +2791,30 @@ object SparkEntry {
          |  CAST(len(tk[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tok,
          |  array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // CDC twin: identical md5-lane token hashes, identical 31^j rolling
+    // combo in exact BIGINT, windowed sums cast back from HUGEINT.
+    "q_cdc_chunks" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc,
+         |    unnest($sqlTokens) AS t,
+         |    generate_subscripts($sqlTokens, 1) - 1 AS pos
+         |  FROM documents),
+         |h AS (SELECT doc, pos, ${Sketches.kmvHash32Sql("t")} AS th FROM tok),
+         |r AS (SELECT doc, pos, th,
+         |    th + coalesce(lag(th, 1) OVER w, 0) * 31
+         |       + coalesce(lag(th, 2) OVER w, 0) * 961
+         |       + coalesce(lag(th, 3) OVER w, 0) * 29791 AS combo
+         |  FROM h WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+         |c AS (SELECT doc, pos, th,
+         |    sum(CASE WHEN pos > 0 AND combo % 32 = 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc ORDER BY pos) AS chunk_id
+         |  FROM r)
+         |SELECT doc, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(min(pos) AS BIGINT) AS start_pos,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(th) AS BIGINT) AS tok_hash_sum
+         |FROM c GROUP BY doc, chunk_id ORDER BY doc, chunk_id""".stripMargin,
 
     "q_fixed_sample" ->
       """WITH r AS (
@@ -3969,10 +4011,16 @@ object SparkEntry {
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey),
-      |wts AS (SELECT u, v, count(*) AS w FROM pr GROUP BY u, v),
+      |wts AS MATERIALIZED (SELECT u, v, count(*) AS w FROM pr GROUP BY u, v),
       |tot AS (SELECT count(*) AS np, CAST(sum(w) AS BIGINT) AS tw FROM wts),
-      |kept AS (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v
+      |kept AS MATERIALIZED (SELECT CAST(u AS VARCHAR) AS u, CAST(v AS VARCHAR) AS v
       |  FROM wts, tot WHERE w * np >= tw)""".stripMargin
+  // wts/kept MATERIALIZED (the kCoreSql lesson, applied to the shared
+  // edge CTEs): DuckDB inlines CTEs by default, and q_triangles references
+  // the kept-edge relation through deg/o/wg/tri enough times that the
+  // inlined 4-way fact join re-evaluated ~dozens of times — measured OOM
+  // at sf0.1 (>22 GiB) for a 300-edge graph. Materialized, each consumer
+  // reads the 300 rows.
 
   /** k-core oracle: 4 UNROLLED parallel-peel rounds (generated CTEs) over
     * the nation trade graph — identical fixed-round semantics to

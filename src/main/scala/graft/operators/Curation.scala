@@ -291,6 +291,52 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking (Rabin/CDC shape): a chunk boundary falls
+    * wherever a rolling hash of the last `window` tokens lands on
+    * 0 mod `avgTokens`, so an edit re-frames only the chunks it touches —
+    * fixed-size chunking ([[chunkDocuments]]) shifts EVERY later window
+    * after an insertion, which defeats chunk-level dedup between crawl
+    * snapshots of the same page. Expected chunk length ≈ avgTokens; the
+    * boundary decision is purely local (the canonical stateless Rabin
+    * form — production min/max clamps are a sequential refinement layered
+    * on top when needed).
+    *
+    * Exact cross-engine arithmetic: token hash = the md5 32-bit lane
+    * ([[Sketches.md5Hash32]] / `kmvHash32Sql`), rolling combo =
+    * Σ_{j<window} th(pos−j)·31^j with missing lags as 0 (≤ 2^32·31^3 —
+    * exact BIGINT), boundary at pos > 0 where combo % avgTokens = 0.
+    * Output per (doc, chunk): start_pos, n_tokens and tok_hash_sum — an
+    * order-free exact content signature, so identical chunk content ⇒
+    * identical signature on any engine (the chunk-store dedup key).
+    *
+    * Scale shape: tokenize + hash are scan-side codegen projections; ONE
+    * exchange on doc id feeds both window passes (the lag combo and the
+    * running boundary sum share the same (doc, pos) sort); the final agg
+    * is map-side combinable. Per-doc state is the document's own tokens —
+    * the per-doc window convention of the text suite. */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                window: Int = 4, avgTokens: Int = 32): DataFrame = {
+    require(window >= 1 && window <= 12 && avgTokens >= 2,
+      s"need 1 <= window <= 12 (31^w must fit a long) and avgTokens >= 2: " +
+        s"window=$window avgTokens=$avgTokens")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val combo = (0 until window).map(j =>
+      coalesce(lag(col("__th"), j).over(w), lit(0L)) *
+        lit(BigInt(31).pow(j).toLong)).reduce(_ + _)
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "__t")))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        Sketches.md5Hash32(col("__t")).as("__th"))
+      .withColumn("__b",
+        when(col("pos") > 0 && (combo % avgTokens) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("__b")).over(w))
+      .groupBy(col("doc"), col("chunk_id"))
+      .agg(min("pos").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__th")).as("tok_hash_sum"))
+  }
+
   /** Per-group quality-percentile cut: keep each group's documents at or
     * above its own `pct` quality percentile — "top 25% per language"-style
     * curation where a single global threshold would drown low-resource

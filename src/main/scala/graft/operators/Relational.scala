@@ -386,13 +386,19 @@ object RelationalOps {
     * toward themselves (median and MAD have 50% breakdown; one bad sensor
     * can't mask itself by inflating σ).
     *
-    * Cross-engine exactness: the value moves through integer CENTS, so
-    * every order statistic the two medians interpolate is an integer and
-    * the midpoints are exact doubles — Spark's `percentile` and DuckDB's
-    * `quantile_cont` agree BITWISE no matter how each engine associates
-    * its interpolation arithmetic (a+b)/2 vs a+(b−a)·0.5: with integer
-    * operands both trees are exact. The z itself is one correctly-rounded
-    * divide and multiply from those exact inputs. A group with MAD = 0
+    * Cross-engine exactness: the value moves through integer CENTS, and
+    * every later quantity stays integer — the value median doubled
+    * (`med2`, exact: an odd-count median is an integer, an even-count one
+    * a half-integer), deviations in those half-cent units, the deviation
+    * median doubled again (`mad4`), and finally the z-score itself as
+    * FLOORED-toward-zero basis points
+    * `rz_bp = (13490·(2·cents − med2)) div mad4` (0.6745·10⁴·2 = 13490;
+    * `div` ≡ DuckDB `//`, both truncate toward zero). The previous form
+    * rounded a double `0.6745·Δ/MAD` to 4 decimals, and at sf0.1 the
+    * corpus hit 42 exact decimal-tie values (e.g. 1.23975) that Spark's
+    * BigDecimal HALF_UP rounds UP while DuckDB's binary-value rounding
+    * rounds DOWN — integer bp with one deterministic truncation is the
+    * repo's standard cure for that whole class. A group with MAD = 0
     * (over half its values identical) has no defined spread: rz and the
     * flag are NULL for its rows rather than an engine-dependent ±Inf/NaN.
     *
@@ -405,19 +411,23 @@ object RelationalOps {
                      idCols: Seq[String], cutoff: Double = 3.5): DataFrame = {
     val c = round(col(valCol) * 100, 0).cast("long")
     val base = df.select((groupCol +: idCols).map(col) :+ col(valCol) :+ c.as("__c"): _*)
+    // percentile of longs is k or k.5 — doubling restores an exact long
     val meds = base.groupBy(groupCol)
-      .agg(expr("percentile(__c, 0.5)").as("__med_c"))
+      .agg((expr("percentile(__c, 0.5)") * 2).cast("long").as("__med2"))
     val dev = base.join(broadcast(meds), groupCol)
-      .withColumn("__dev_c", abs(col("__c") - col("__med_c")))
+      .withColumn("__dev2", abs(col("__c") * 2 - col("__med2")))
     val mads = dev.groupBy(groupCol)
-      .agg(expr("percentile(__dev_c, 0.5)").as("__mad_c"))
-    val rz = round(lit(0.6745) * ((col("__c") - col("__med_c")) / col("__mad_c")), 4) + lit(0.0)
+      .agg((expr("percentile(__dev2, 0.5)") * 2).cast("long").as("__mad4"))
+    // rz = 0.6745·(c − med)/mad = 2·(2c − med2)/mad4 · 0.6745; in bp:
+    val rzBp = expr("(13490 * (__c * 2 - __med2)) div __mad4")
+    val rz = rzBp.cast("double") / 10000.0 + lit(0.0)
+    val cutBp = math.round(cutoff * 10000)
     dev.join(broadcast(mads), groupCol)
       .select(idCols.map(col) ++ Seq(col(groupCol), col(valCol),
-        (col("__med_c") / 100.0).as("med"),
-        (col("__mad_c") / 100.0).as("mad"),
-        when(col("__mad_c") =!= 0, rz).as("rz"),
-        when(col("__mad_c") =!= 0, abs(rz) > cutoff).as("is_outlier")): _*)
+        (col("__med2").cast("double") / 200.0).as("med"),
+        (col("__mad4").cast("double") / 400.0).as("mad"),
+        when(col("__mad4") =!= 0, rz).as("rz"),
+        when(col("__mad4") =!= 0, abs(rzBp) > cutBp).as("is_outlier")): _*)
   }
 
   /** Key-skew report for a prospective shuffle key — the diagnostic that

@@ -388,8 +388,10 @@ class RelationalOpsSpec extends SparkSpec {
   test("robustOutliers: hand-computed median, MAD, z, and flags") {
     // cents: 1000 1050 1100 1150 1200 10000 → median (1100+1150)/2 = 1125;
     // devs 125 75 25 25 75 8875 → MAD (75+75)/2 = 75.
+    // z in FLOORED-toward-zero basis points (the exact-integer lane):
     // z(100.00) = 0.6745·8875/75 = 79.8158(3) → 79.8158; max normal |z| =
-    // 0.6745·125/75 = 1.1242 — only the planted row flags at cutoff 3.5.
+    // 0.6745·125/75 = 1.12416̄ → truncates to 1.1241 — only the planted
+    // row flags at cutoff 3.5.
     val df = Seq((1L, "a", 10.00), (2L, "a", 10.50), (3L, "a", 11.00),
       (4L, "a", 11.50), (5L, "a", 12.00), (6L, "a", 100.00))
       .toDF("event_id", "event_type", "value")
@@ -397,7 +399,7 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
     assert(out(6L) == ((11.25, 0.75, 79.8158, true)), s"${out(6L)}")
-    assert(out(1L) == ((11.25, 0.75, -1.1242, false)))
+    assert(out(1L) == ((11.25, 0.75, -1.1241, false)))
     assert(out(3L)._3 == -0.2248 && !out(3L)._4)
     assert(out.values.count(_._4) == 1)
   }
