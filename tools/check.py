@@ -13,7 +13,11 @@ out_dir = argv[2] if len(argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    # driver-generated SF dirs hold single parquet FILES; ScaleUp output
+    # holds Spark-written DIRECTORIES of part files — accept both
+    p = f"{sf_dir}/{t}.parquet"
+    pat = p if os.path.isfile(p) else f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS FROM '{pat}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok, bad = [], []
