@@ -1281,6 +1281,51 @@ object SparkEntry {
         .orderBy("doc", "rank")
     }),
 
+    // ---- retrieval: Okapi BM25 ranked top-k for a query panel ----
+    // The lexical ranking stage of a retrieval/eval pipeline: postings-
+    // restricted tf shuffle, broadcast df/panel/stats, bounded TopKHits
+    // per-query top-k, exact integer-micro scores.
+    "q_bm25_topk" -> ((s, d) => {
+      TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+        retrievalPanel, k = 5).orderBy("query_id", "rank")
+    }),
+
+    // ---- retrieval: Dirichlet query-likelihood top-k (LM ranker) ----
+    // Candidates = postings union; each candidate scored on the FULL
+    // query (missing terms contribute background mass μ·cf/T).
+    "q_ql_topk" -> ((s, d) => {
+      TextAnalysis.queryLikelihoodTopK(t(s, d, "documents"), "text", "doc_id",
+        retrievalPanel, k = 5).orderBy("query_id", "rank")
+    }),
+
+    // ---- retrieval: reciprocal-rank fusion (lexical × semantic) ----
+    // Hybrid search, fused on RANKS not scores: BM25 top-20 for panel
+    // query 0 merged with the cosine top-20 from probe vector 0 via
+    // 1/(60+rank) in exact parts-per-billion integer units. Both legs are
+    // top-k-bounded before the fuse — the join touches ≤ 40 rows.
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+          retrievalPanel.take(1), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+          queryId = 0L, k = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id").asc))
+            .cast("long"))
+        .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      RelationalOps.rrfFuse(lex, sem, "query_id", "doc_id", kConst = 60, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis: character-level Shannon entropy ----
+    // The oracle-expressible twin of the zlib compression-ratio signal:
+    // 26-letter alphabet entropy per document, pure scan-side projection.
+    "q_char_entropy" -> ((s, d) => {
+      TextAnalysis.charEntropy(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: 1→N frame sampling over binary payloads ----
     "q_multimodal_frames" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -3137,6 +3182,58 @@ object SparkEntry {
          |SELECT doc, word, tfidf, rank FROM ranked WHERE rank <= 3
          |ORDER BY doc, rank""".stripMargin,
 
+    "q_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT query_id, rank, doc AS doc_id, score_micro
+         |FROM branked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ql_topk" ->
+      s"""WITH qt(query_id, term) AS (VALUES $retrievalPanelValues),
+         |qbase AS (SELECT doc_id AS doc, len($sqlTokens) AS len, $sqlTokens AS toks FROM documents),
+         |qstats AS (SELECT sum(len) AS tot FROM qbase),
+         |qwords AS (SELECT doc, len, unnest(toks) AS term FROM qbase),
+         |qfw AS (SELECT doc, len, term FROM qwords WHERE term IN (SELECT term FROM qt)),
+         |qtf AS (SELECT doc, len, term, count(*) AS tf FROM qfw GROUP BY doc, len, term),
+         |qcf AS (SELECT term, count(*) AS cf FROM qfw GROUP BY term),
+         |qq AS (SELECT qt.query_id, qt.term, qcf.cf FROM qt JOIN qcf ON qt.term = qcf.term),
+         |qcand AS (SELECT DISTINCT qt.query_id, qtf.doc, qtf.len
+         |  FROM qtf JOIN qt ON qtf.term = qt.term),
+         |qscored AS (SELECT qcand.query_id, qcand.doc,
+         |    CAST(round(ln((coalesce(qtf.tf, 0) + 1000.0 * qq.cf / CAST(tot AS DOUBLE))
+         |      / (qcand.len + 1000.0)) * 1000000) AS BIGINT) AS c_micro
+         |  FROM qcand JOIN qq ON qcand.query_id = qq.query_id
+         |  LEFT JOIN qtf ON qtf.doc = qcand.doc AND qtf.term = qq.term
+         |  CROSS JOIN qstats),
+         |qagg AS (SELECT query_id, doc, CAST(sum(c_micro) AS BIGINT) AS score_micro
+         |  FROM qscored GROUP BY query_id, doc),
+         |qranked AS (SELECT query_id, doc, score_micro,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
+         |  FROM qagg)
+         |SELECT query_id, rank, doc AS doc_id, score_micro
+         |FROM qranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (SELECT doc AS doc_id, rank FROM branked WHERE query_id = 0 AND rank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |c AS (SELECT vec_id,
+         |  round(list_dot_product(v, qv)
+         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
+         |  FROM e, p WHERE vec_id <> 0),
+         |ctop AS (SELECT vec_id, cos_sim FROM c ORDER BY cos_sim DESC, vec_id LIMIT 20),
+         |sem AS (SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank FROM ctop),
+         |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    coalesce(1000000000 // (60 + lex.rank), 0)
+         |      + coalesce(1000000000 // (60 + sem.rank), 0) AS rrf_ppb
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT CAST(0 AS BIGINT) AS query_id,
+         |  row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS rank, doc_id, rrf_ppb
+         |FROM fused ORDER BY rank LIMIT 10""".stripMargin,
+
+    "q_char_entropy" -> charEntropySql,
+
     "q_multimodal_frames" ->
       """SELECT doc_id,
         | unnest(generate_series(0, octet_length(encode(text)) % 4)) AS frame_idx,
@@ -4159,6 +4256,60 @@ object SparkEntry {
   /** Whitespace tokens with empties dropped (DuckDB side of
     * TextFunctions.tokens). */
   private val sqlTokens = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Retrieval query panel shared by the BM25 / query-likelihood / RRF
+    * queries AND their oracles — one definition embedded in both engines
+    * (the shared-literal convention). */
+  private val retrievalPanel: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join", "vector"),
+    1L -> Seq("window", "stream", "batch"),
+    2L -> Seq("customer", "slow", "scan"))
+
+  private val retrievalPanelValues: String = retrievalPanel
+    .flatMap { case (q, ts) => ts.map(tm => s"(CAST($q AS BIGINT), '$tm')") }
+    .mkString(", ")
+
+  /** DuckDB twin of `TextAnalysis.bm25TopK` up to the ranked CTE —
+    * shared by q_bm25_topk and the RRF fusion oracle. The k1+1 constant
+    * interpolates from the SAME Scala double the Spark side folds, so
+    * both engines multiply by the identical IEEE value. */
+  private val bm25Ctes: String =
+    s"""qt(query_id, term) AS (VALUES $retrievalPanelValues),
+       |bbase AS (SELECT doc_id AS doc, len($sqlTokens) AS len, $sqlTokens AS toks FROM documents),
+       |bstats AS (SELECT count(*) AS n, sum(len) AS tot FROM bbase),
+       |bwords AS (SELECT doc, len, unnest(toks) AS term FROM bbase),
+       |btf AS (SELECT doc, len, term, count(*) AS tf FROM bwords
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY doc, len, term),
+       |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+       |bscored AS (SELECT qt.query_id, btf.doc,
+       |    CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5))
+       |      * (tf * ${1.2 + 1.0}) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / (CAST(tot AS DOUBLE) / n)))
+       |      * 1000000) AS BIGINT) AS c_micro
+       |  FROM btf JOIN qt ON btf.term = qt.term JOIN bdf ON btf.term = bdf.term CROSS JOIN bstats),
+       |bagg AS (SELECT query_id, doc, CAST(sum(c_micro) AS BIGINT) AS score_micro
+       |  FROM bscored GROUP BY query_id, doc),
+       |branked AS (SELECT query_id, doc, score_micro,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
+       |  FROM bagg)""".stripMargin
+
+  /** DuckDB twin of `TextAnalysis.charEntropy` — the 26 letter counts,
+    * the fixed a–z fold order, and the algebraic entropy form are all
+    * generated from the same Scala sequence the Spark side folds. */
+  private val charEntropySql: String = {
+    def cnt(ch: Char) = s"(length(t) - length(replace(t, '$ch', '')))"
+    val letters = ('a' to 'z').toSeq
+    val n = letters.map(cnt).mkString(" + ")
+    val s = letters.map(ch =>
+      s"CASE WHEN ${cnt(ch)} > 0 THEN CAST(${cnt(ch)} AS DOUBLE) * ln(CAST(${cnt(ch)} AS DOUBLE)) ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |c AS (SELECT doc_id, CAST($n AS BIGINT) AS n_letters, ($s) AS s FROM lt)
+       |SELECT doc_id, n_letters,
+       |  CASE WHEN n_letters > 0
+       |    THEN round(ln(CAST(n_letters AS DOUBLE)) - s / CAST(n_letters AS DOUBLE), 4) + 0.0
+       |    ELSE NULL END AS char_entropy
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB twin of `centsMoments` — exact integer-cents (n, s1, s2) per
     * event_type, s2 in HUGEINT (DuckDB's sum(BIGINT) default) matching the

@@ -204,6 +204,38 @@ object RelationalOps {
         col("col.id").as(idCol), (col("col.score") + lit(0.0)).as("score"))
   }
 
+  /** Reciprocal-rank fusion of two per-group rankings — the standard
+    * hybrid-retrieval combiner (fuse the BM25 lexical list with the ANN
+    * cosine list without comparable score scales; Cormack et al., SIGIR
+    * 2009). Inputs carry (`groupCol`, `idCol`, `rank` 1-based); an id
+    * contributes `1/(kConst + rank)` from each list it appears in,
+    * computed in exact parts-per-billion integer units
+    * (`1e9 div (kConst + rank)`) so the fused score is a BIGINT — no
+    * float summation, bit-identical in the SQL twin. Ids missing from
+    * one list contribute only the other's term (full-outer merge). Ties
+    * break by the smaller id.
+    *
+    * Scale shape: both inputs are already top-k-bounded ranker outputs
+    * (groups × k rows), so the full-outer join and the per-group
+    * row_number run over a candidate set of at most 2k per group —
+    * nothing here ever touches the corpus. */
+  def rrfFuse(a: DataFrame, b: DataFrame, groupCol: String, idCol: String,
+              kConst: Int = 60, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ppb(df: DataFrame, out: String) = df.select(
+      col(groupCol), col(idCol).cast("long").as(idCol),
+      expr(s"1000000000 div ($kConst + rank)").cast("long").as(out))
+    val joined = ppb(a, "__ppb_a").join(ppb(b, "__ppb_b"),
+        Seq(groupCol, idCol), "full_outer")
+      .select(col(groupCol), col(idCol),
+        (coalesce(col("__ppb_a"), lit(0L)) + coalesce(col("__ppb_b"), lit(0L)))
+          .as("rrf_ppb"))
+    val w = Window.partitionBy(groupCol).orderBy(col("rrf_ppb").desc, col(idCol).asc)
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(idCol), col("rrf_ppb"))
+  }
+
   /** SCD2 interval builder: turn a keyed update stream/table into
     * slowly-changing-dimension HISTORY rows — (key, payload, valid_from,
     * valid_to) with `valid_to` null on each key's current row — the

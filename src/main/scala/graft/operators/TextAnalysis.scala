@@ -896,4 +896,138 @@ object TextAnalysis {
         when(col("n_nonspace") > 0,
           expr("(10000 * n_latin) div n_nonspace")).cast("long"))
   }
+
+  /** Okapi BM25 ranked retrieval over the corpus for a PANEL of term
+    * queries — the lexical ranking stage of a retrieval/eval pipeline
+    * (and the lexical leg [[graft.operators.RelationalOps.rrfFuse]]
+    * fuses with the ANN leg). Lucene's idf form:
+    * `ln(1 + (N − df + ½)/(df + ½))`, per-term weight
+    * `idf · tf·(k1+1)/(tf + k1·(1 − b + b·len/avgdl))`.
+    *
+    * Exactness under distribution: each (query, doc, term) contribution
+    * rounds to integer MICRO-units before the per-(query, doc) sum, so
+    * the score is a BIGINT — invariant to partitioning/summation order
+    * and identical in the DuckDB twin (the corpusStats idiom). Ranking
+    * ties break by the smaller doc id (the TopKHits contract).
+    *
+    * Scale shape: doc length is a scan-side array length; the explode is
+    * narrow and the very next filter keeps ONLY panel terms, so the one
+    * real shuffle — the (doc, term) tf agg — carries the postings of the
+    * query terms, not the corpus vocabulary. df and the query panel
+    * broadcast; corpus stats ride a 1-row broadcast; the per-query top-k
+    * is the bounded TopKHits aggregate (tasks × queries × k shuffle
+    * rows), never a corpus-wide window sort. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val panel = queries.flatMap { case (q, ts) => ts.map(tm => (q, tm)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs.select(col(idCol).cast("long").as("doc"),
+        size(tokens(col(textCol))).cast("long").as("len"),
+        tokens(col(textCol)).as("toks"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n"),
+      sum("len").as("tot"))
+    val tf = base.select(col("doc"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("doc", "len", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val avgdl = col("tot").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / avgdl))
+    val scored = tf.join(broadcast(panel), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc"),
+        round(contrib * 1e6, 0).cast("long").as("c_micro"))
+    val agg = scored.groupBy("query_id", "doc").agg(sum("c_micro").as("score_micro"))
+    RelationalOps.topKPerGroup(agg, "query_id", "doc", "score_micro", k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        col("score").cast("long").as("score_micro"))
+  }
+
+  /** Dirichlet-smoothed query-likelihood retrieval — the language-model
+    * ranker next to [[bm25TopK]] in a retrieval eval panel. Score of doc d
+    * for query q: `Σ_t ln((tf + μ·cf_t/T) / (len + μ))` over the query's
+    * terms, where `cf_t` is the term's collection frequency and `T` the
+    * corpus token count. Candidates are docs matching ≥1 query term (the
+    * postings union — the WAND-style candidate set); each candidate is
+    * then scored on the FULL query, missing terms contributing their
+    * background mass. Query terms absent from the corpus entirely
+    * (cf = 0) are dropped — they would send every score to −∞ without
+    * discriminating anything. Same micro-unit exactness and bounded
+    * top-k shapes as [[bm25TopK]].
+    *
+    * Scale shape: one postings-restricted tf shuffle + a candidate ×
+    * query-terms expansion bounded by |postings| · |query| — never
+    * corpus × vocabulary. */
+  def queryLikelihoodTopK(docs: DataFrame, textCol: String, idCol: String,
+                          queries: Seq[(Long, Seq[String])], k: Int,
+                          mu: Double = 1000.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val panel = queries.flatMap { case (q, ts) => ts.map(tm => (q, tm)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs.select(col(idCol).cast("long").as("doc"),
+        size(tokens(col(textCol))).cast("long").as("len"),
+        tokens(col(textCol)).as("toks"))
+    val stats = base.agg(sum("len").as("tot"))
+    val words = base.select(col("doc"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = words.groupBy("doc", "len", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val cf = words.groupBy("term").agg(count(lit(1)).cast("long").as("cf"))
+    // query terms present in the corpus, with their collection frequency
+    val qterms = panel.join(broadcast(cf), "term")
+    val candidates = tf.join(broadcast(panel), "term")
+      .select(col("query_id"), col("doc"), col("len")).distinct()
+    val contrib = log(
+      (coalesce(col("tf"), lit(0L)) + lit(mu) * col("cf") / col("tot").cast("double")) /
+        (col("len") + lit(mu)))
+    val scored = candidates.join(broadcast(qterms), Seq("query_id"))
+      .join(tf.select(col("doc"), col("term"), col("tf")), Seq("doc", "term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc"),
+        round(contrib * 1e6, 0).cast("long").as("c_micro"))
+    val agg = scored.groupBy("query_id", "doc").agg(sum("c_micro").as("score_micro"))
+    RelationalOps.topKPerGroup(agg, "query_id", "doc", "score_micro", k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        col("score").cast("long").as("score_micro"))
+  }
+
+  /** Per-document character-level Shannon entropy over the 26-letter
+    * Latin alphabet of the lowercased text — the oracle-expressible twin
+    * of the zlib compression-ratio signal (gibberish, keyboard-mash and
+    * single-char flooding score far below prose's ≈2.6–3.0 nats; the
+    * signal a curation gate can threshold). Algebraic one-pass form
+    * `H = ln(n) − Σ c·ln(c) / n`; letter counts come from the
+    * length-after-removal identity `c = len(t) − len(replace(t, ch, ''))`
+    * which both engines evaluate identically, and the 26-term sum is a
+    * FIXED-order fold (a–z) in both — no cross-row float summation at
+    * all. Documents with zero Latin letters emit NULL entropy, never a
+    * log-of-zero.
+    *
+    * Pure codegen projection: one scan, zero shuffle (the qualityScore
+    * shape) — 26 `replace` passes per row, all inside one projection. */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    def cnt(ch: Char): Column =
+      (length(t) - length(replace(t, lit(ch.toString), lit("")))).cast("long")
+    val letters = ('a' to 'z').toSeq
+    val n = letters.map(cnt).reduceLeft(_ + _)
+    val sumClnC = letters.map { ch =>
+      val c = cnt(ch).cast("double")
+      when(c > 0.0, c * log(c)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    docs.select(
+      col(idCol),
+      n.as("n_letters"),
+      when(n > 0,
+        round(log(n.cast("double")) - sumClnC / n.cast("double"), 4) + lit(0.0))
+        .as("char_entropy"))
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{RelationalOps, TextAnalysis}
+import org.apache.spark.sql.Row
+
+/** Retrieval-stack specs: BM25, Dirichlet query-likelihood, reciprocal-rank
+  * fusion, and the character-entropy signal — expectations hand-computed
+  * from the published formulas with independent arithmetic. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micro(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private val corpus = Seq(
+    (1L, "x x x y"), // len 4, tf(x)=3
+    (2L, "x y"),     // len 2, tf(x)=1
+    (3L, "y y"),     // no x, no z
+    (4L, "x z"))     // len 2, tf(x)=1, tf(z)=1
+
+  private def docs = corpus.toDF("doc_id", "text")
+
+  // shared corpus stats: N = 4 docs, 10 tokens, avgdl = 2.5
+  private val avgdl = 2.5
+
+  private def bm25Contrib(tf: Long, len: Long, n: Long, df: Long): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+  }
+
+  test("bm25TopK ranks by tf with length normalization, ties break by id") {
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq(0L -> Seq("x")), k = 5)
+      .orderBy("rank").collect()
+    val m1 = micro(bm25Contrib(tf = 3, len = 4, n = 4, df = 3))
+    val m2 = micro(bm25Contrib(tf = 1, len = 2, n = 4, df = 3))
+    // doc 1 (tf 3) outranks the tf-1 docs; docs 2 and 4 tie exactly and
+    // break by the smaller id; doc 3 (no match) never appears
+    assert(out.toSeq === Seq(
+      Row(0L, 1L, 1L, m1), Row(0L, 2L, 2L, m2), Row(0L, 3L, 4L, m2)))
+  }
+
+  test("bm25TopK scores each panel query independently") {
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq(0L -> Seq("x"), 1L -> Seq("z")), k = 2)
+      .orderBy("query_id", "rank").collect()
+    // query 1 ("z", df 1) matches only doc 4
+    val mz = micro(bm25Contrib(tf = 1, len = 2, n = 4, df = 1))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 1L, 4L)))
+    assert(out.last.getLong(3) === mz)
+  }
+
+  test("queryLikelihoodTopK scores full query over the postings union") {
+    // query ("x","z"): cf(x) = 5, cf(z) = 1, T = 10, mu = 1000
+    val mu = 1000.0
+    def ql(tf: Long, cf: Long, len: Long): Double =
+      math.log((tf + mu * cf / 10.0) / (len + mu))
+    val out = TextAnalysis.queryLikelihoodTopK(docs, "text", "doc_id",
+        Seq(0L -> Seq("x", "z")), k = 5, mu = mu)
+      .orderBy("rank").collect()
+    // candidates: docs 1, 2, 4 (doc 3 matches neither term)
+    val s1 = micro(ql(3, 5, 4)) + micro(ql(0, 1, 4))
+    val s2 = micro(ql(1, 5, 2)) + micro(ql(0, 1, 2))
+    val s4 = micro(ql(1, 5, 2)) + micro(ql(1, 1, 2))
+    val expect = Seq((1L, s1), (2L, s2), (4L, s4))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => Row(0L, i + 1L, id, s) }
+    assert(out.toSeq === expect)
+    // doc 4 carries both terms' foreground mass — it must rank first
+    assert(out.head.getLong(2) === 4L)
+  }
+
+  test("queryLikelihoodTopK drops query terms absent from the corpus") {
+    val out = TextAnalysis.queryLikelihoodTopK(docs, "text", "doc_id",
+        Seq(0L -> Seq("x", "nosuchterm")), k = 5)
+      .collect()
+    // scores = the x-only query's scores (no -inf poisoning, no crash)
+    assert(out.length === 3)
+    assert(out.forall(_.getLong(3) < 0L))
+  }
+
+  test("rrfFuse merges two rank lists in exact ppb units") {
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("g", "id", "rank")
+    val b = Seq((0L, 2L, 1L), (0L, 3L, 2L)).toDF("g", "id", "rank")
+    val out = RelationalOps.rrfFuse(a, b, "g", "id", kConst = 60, k = 10)
+      .orderBy("rank").collect()
+    val r61 = 1000000000L / 61 // 16393442
+    val r62 = 1000000000L / 62 // 16129032
+    assert(out.toSeq === Seq(
+      Row(0L, 1L, 2L, r61 + r62), // in both lists
+      Row(0L, 2L, 1L, r61),       // list-a only, rank 1
+      Row(0L, 3L, 3L, r62)))      // list-b only, rank 2
+  }
+
+  test("rrfFuse fuses per group and honors k") {
+    val a = Seq((0L, 1L, 1L), (1L, 7L, 1L), (1L, 8L, 2L)).toDF("g", "id", "rank")
+    val b = Seq((1L, 8L, 1L)).toDF("g", "id", "rank")
+    val out = RelationalOps.rrfFuse(a, b, "g", "id", kConst = 60, k = 1)
+      .orderBy("g").collect()
+    // k=1 keeps only each group's best: g0 → id 1, g1 → id 8 (two lists)
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((0L, 1L), (1L, 8L)))
+  }
+
+  test("charEntropy: uniform, skewed, single-letter and empty docs") {
+    val out = TextAnalysis.charEntropy(
+        Seq((1L, "abcd"), (2L, "aabb"), (3L, "aaaa"), (4L, "??!!"),
+          (5L, "A1a B2b")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def ent(r: Row): Option[Double] = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 4L, 4L, 0L, 4L))
+    assert(ent(out(0)) === Some(BigDecimal(math.log(4.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(ent(out(1)) === Some(0.6931)) // ln 2
+    assert(ent(out(2)) === Some(0.0))
+    assert(ent(out(3)) === None)         // no letters -> NULL, not -inf
+    assert(ent(out(4)) === Some(0.6931)) // case-folded, digits ignored
+  }
+}
