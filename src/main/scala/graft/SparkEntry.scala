@@ -4296,13 +4296,14 @@ object SparkEntry {
     * the fixed a–z fold order, and the algebraic entropy form are all
     * generated from the same Scala sequence the Spark side folds. */
   private val charEntropySql: String = {
-    def cnt(ch: Char) = s"(length(t) - length(replace(t, '$ch', '')))"
+    def cnt(ch: Char) =
+      s"(length(t) - length(replace(replace(t, '$ch', ''), '${ch.toUpper}', '')))"
     val letters = ('a' to 'z').toSeq
     val n = letters.map(cnt).mkString(" + ")
     val s = letters.map(ch =>
       s"CASE WHEN ${cnt(ch)} > 0 THEN CAST(${cnt(ch)} AS DOUBLE) * ln(CAST(${cnt(ch)} AS DOUBLE)) ELSE 0.0 END")
       .mkString(" + ")
-    s"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+    s"""WITH lt AS (SELECT doc_id, text AS t FROM documents),
        |c AS (SELECT doc_id, CAST($n AS BIGINT) AS n_letters, ($s) AS s FROM lt)
        |SELECT doc_id, n_letters,
        |  CASE WHEN n_letters > 0

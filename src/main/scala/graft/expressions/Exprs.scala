@@ -24,6 +24,10 @@ object Exprs {
   def wordShinglesDistinct(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct = true))
 
+  /** Case-folded a–z counts in one byte pass (26-element long array). */
+  def letterCounts(text: Column): Column =
+    ColumnBridge.column(LetterCounts(ColumnBridge.expression(text)))
+
   def bloomMightContain(s: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bloom))

@@ -1000,34 +1000,36 @@ object TextAnalysis {
   }
 
   /** Per-document character-level Shannon entropy over the 26-letter
-    * Latin alphabet of the lowercased text — the oracle-expressible twin
-    * of the zlib compression-ratio signal (gibberish, keyboard-mash and
+    * Latin alphabet (case-folded) — the oracle-expressible twin of the
+    * zlib compression-ratio signal (gibberish, keyboard-mash and
     * single-char flooding score far below prose's ≈2.6–3.0 nats; the
     * signal a curation gate can threshold). Algebraic one-pass form
-    * `H = ln(n) − Σ c·ln(c) / n`; letter counts come from the
-    * length-after-removal identity `c = len(t) − len(replace(t, ch, ''))`
-    * which both engines evaluate identically, and the 26-term sum is a
-    * FIXED-order fold (a–z) in both — no cross-row float summation at
-    * all. Documents with zero Latin letters emit NULL entropy, never a
-    * log-of-zero.
+    * `H = ln(n) − Σ c·ln(c) / n`; the 26 counts come from the native
+    * single-byte-pass `letter_counts` kernel (the DuckDB twin uses the
+    * length-after-removal identity `len(t) − len(replace(replace(t, ch,
+    * ''), CH, ''))`, which produces the identical integers), and the
+    * 26-term entropy sum is a FIXED-order fold (a–z) in both engines —
+    * no cross-row float summation at all. Documents with zero Latin
+    * letters emit NULL entropy, never a log-of-zero.
     *
     * Pure codegen projection: one scan, zero shuffle (the qualityScore
-    * shape) — 26 `replace` passes per row, all inside one projection. */
+    * shape) — ONE byte pass per row (the 26-×-replace column form would
+    * traverse and copy the string 26 times). */
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = lower(col(textCol))
-    def cnt(ch: Char): Column =
-      (length(t) - length(replace(t, lit(ch.toString), lit("")))).cast("long")
     val letters = ('a' to 'z').toSeq
+    def cnt(ch: Char): Column = element_at(col("__lc"), ch - 'a' + 1)
     val n = letters.map(cnt).reduceLeft(_ + _)
     val sumClnC = letters.map { ch =>
       val c = cnt(ch).cast("double")
       when(c > 0.0, c * log(c)).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
-    docs.select(
-      col(idCol),
-      n.as("n_letters"),
-      when(n > 0,
-        round(log(n.cast("double")) - sumClnC / n.cast("double"), 4) + lit(0.0))
-        .as("char_entropy"))
+    docs.select(col(idCol),
+        graft.expressions.Exprs.letterCounts(col(textCol)).as("__lc"))
+      .select(
+        col(idCol),
+        n.as("n_letters"),
+        when(n > 0,
+          round(log(n.cast("double")) - sumClnC / n.cast("double"), 4) + lit(0.0))
+          .as("char_entropy"))
   }
 }

@@ -97,4 +97,25 @@ class ExpressionPropertiesSpec extends SparkSpec {
     // every member must hit (Bloom has no false negatives)
     members.foreach(m => assert(got(Some(m)) == Some(true), m))
   }
+
+  test("LetterCounts equals the 26-x-replace column twin on arbitrary text") {
+    import spark.implicits._
+    val mixed = for {
+      t <- spacedText
+      caps <- Gen.listOf(Gen.alphaUpperChar).map(_.mkString)
+      junk <- Gen.listOf(Gen.oneOf('0', '9', '!', 'ü', 'И', '漢', ' ')).map(_.mkString)
+    } yield t + caps + junk
+    val rows = samples(mixed, 200).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "t")
+    def twin(ch: Char) =
+      (length(col("t")) - length(replace(replace(col("t"),
+        lit(ch.toString), lit("")), lit(ch.toUpper.toString), lit("")))).cast("long")
+    val got = df.select(col("id"),
+        graft.expressions.Exprs.letterCounts(col("t")).as("lc"),
+        array(('a' to 'z').map(twin): _*).as("tw"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
 }
