@@ -1318,6 +1318,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- retrieval: ranking-quality eval panel (recall/MRR/nDCG) ----
+    // The measure-before-ship gate for the ranker family: score the LM
+    // ranker's top-5 against BM25's top-5 as the reference set, per panel
+    // query, all metrics in exact integer units.
+    "q_rank_metrics" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sys = TextAnalysis.queryLikelihoodTopK(docs, "text", "doc_id",
+        retrievalPanel, k = 5)
+      val gold = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        retrievalPanel, k = 5)
+      RelationalOps.rankingMetrics(sys, gold, "query_id", "doc_id", k = 5)
+        .orderBy("query_id")
+    }),
+
     // ---- text analysis: character-level Shannon entropy ----
     // The oracle-expressible twin of the zlib compression-ratio signal:
     // 26-letter alphabet entropy per document, pure scan-side projection.
@@ -3189,28 +3203,33 @@ object SparkEntry {
 
     "q_ql_topk" ->
       s"""WITH qt(query_id, term) AS (VALUES $retrievalPanelValues),
-         |qbase AS (SELECT doc_id AS doc, len($sqlTokens) AS len, $sqlTokens AS toks FROM documents),
-         |qstats AS (SELECT sum(len) AS tot FROM qbase),
-         |qwords AS (SELECT doc, len, unnest(toks) AS term FROM qbase),
-         |qfw AS (SELECT doc, len, term FROM qwords WHERE term IN (SELECT term FROM qt)),
-         |qtf AS (SELECT doc, len, term, count(*) AS tf FROM qfw GROUP BY doc, len, term),
-         |qcf AS (SELECT term, count(*) AS cf FROM qfw GROUP BY term),
-         |qq AS (SELECT qt.query_id, qt.term, qcf.cf FROM qt JOIN qcf ON qt.term = qcf.term),
-         |qcand AS (SELECT DISTINCT qt.query_id, qtf.doc, qtf.len
-         |  FROM qtf JOIN qt ON qtf.term = qt.term),
-         |qscored AS (SELECT qcand.query_id, qcand.doc,
-         |    CAST(round(ln((coalesce(qtf.tf, 0) + 1000.0 * qq.cf / CAST(tot AS DOUBLE))
-         |      / (qcand.len + 1000.0)) * 1000000) AS BIGINT) AS c_micro
-         |  FROM qcand JOIN qq ON qcand.query_id = qq.query_id
-         |  LEFT JOIN qtf ON qtf.doc = qcand.doc AND qtf.term = qq.term
-         |  CROSS JOIN qstats),
-         |qagg AS (SELECT query_id, doc, CAST(sum(c_micro) AS BIGINT) AS score_micro
-         |  FROM qscored GROUP BY query_id, doc),
-         |qranked AS (SELECT query_id, doc, score_micro,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
-         |  FROM qagg)
+         |$qlCtes
          |SELECT query_id, rank, doc AS doc_id, score_micro
          |FROM qranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_rank_metrics" ->
+      s"""WITH $bm25Ctes,
+         |$qlCtes,
+         |sysr AS (SELECT query_id, doc, rank FROM qranked WHERE rank <= 5),
+         |goldr AS (SELECT query_id, doc FROM branked WHERE rank <= 5),
+         |ng AS (SELECT query_id, count(*) AS n_gold FROM goldr GROUP BY query_id),
+         |hits AS (SELECT s.query_id,
+         |    1000000 // s.rank AS rr_micro,
+         |    CAST(round(1000000 / log2(s.rank + 1)) AS BIGINT) AS dcg_term
+         |  FROM sysr s JOIN goldr g ON s.query_id = g.query_id AND s.doc = g.doc),
+         |ha AS (SELECT query_id, count(*) AS hits, CAST(max(rr_micro) AS BIGINT) AS rr,
+         |    CAST(sum(dcg_term) AS BIGINT) AS dcg FROM hits GROUP BY query_id),
+         |m AS (SELECT ng.query_id, n_gold,
+         |    coalesce(hits, 0) AS n_hits, coalesce(rr, 0) AS mrr_micro,
+         |    coalesce(dcg, 0) AS dcg,
+         |    CAST(list_sum(list_transform(generate_series(1, least(n_gold, 5)),
+         |      i -> CAST(round(1000000 / log2(i + 1)) AS BIGINT))) AS BIGINT) AS idcg
+         |  FROM ng LEFT JOIN ha ON ng.query_id = ha.query_id)
+         |SELECT query_id, n_gold, n_hits,
+         |  (10000 * n_hits) // n_gold AS recall_bp,
+         |  mrr_micro,
+         |  (10000 * dcg) // idcg AS ndcg_bp
+         |FROM m ORDER BY query_id""".stripMargin,
 
     "q_rrf_fusion" ->
       s"""WITH $bm25Ctes,
@@ -4291,6 +4310,31 @@ object SparkEntry {
        |branked AS (SELECT query_id, doc, score_micro,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
        |  FROM bagg)""".stripMargin
+
+  /** DuckDB twin of `TextAnalysis.queryLikelihoodTopK` up to the ranked
+    * CTE — expects the shared `qt` panel CTE in scope; shared by
+    * q_ql_topk and the ranking-metrics oracle. */
+  private val qlCtes: String =
+    s"""qbase AS (SELECT doc_id AS doc, len($sqlTokens) AS len, $sqlTokens AS toks FROM documents),
+       |qstats AS (SELECT sum(len) AS tot FROM qbase),
+       |qwords AS (SELECT doc, len, unnest(toks) AS term FROM qbase),
+       |qfw AS (SELECT doc, len, term FROM qwords WHERE term IN (SELECT term FROM qt)),
+       |qtf AS (SELECT doc, len, term, count(*) AS tf FROM qfw GROUP BY doc, len, term),
+       |qcf AS (SELECT term, count(*) AS cf FROM qfw GROUP BY term),
+       |qq AS (SELECT qt.query_id, qt.term, qcf.cf FROM qt JOIN qcf ON qt.term = qcf.term),
+       |qcand AS (SELECT DISTINCT qt.query_id, qtf.doc, qtf.len
+       |  FROM qtf JOIN qt ON qtf.term = qt.term),
+       |qscored AS (SELECT qcand.query_id, qcand.doc,
+       |    CAST(round(ln((coalesce(qtf.tf, 0) + 1000.0 * qq.cf / CAST(tot AS DOUBLE))
+       |      / (qcand.len + 1000.0)) * 1000000) AS BIGINT) AS c_micro
+       |  FROM qcand JOIN qq ON qcand.query_id = qq.query_id
+       |  LEFT JOIN qtf ON qtf.doc = qcand.doc AND qtf.term = qq.term
+       |  CROSS JOIN qstats),
+       |qagg AS (SELECT query_id, doc, CAST(sum(c_micro) AS BIGINT) AS score_micro
+       |  FROM qscored GROUP BY query_id, doc),
+       |qranked AS (SELECT query_id, doc, score_micro,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
+       |  FROM qagg)""".stripMargin
 
   /** DuckDB twin of `TextAnalysis.charEntropy` — the 26 letter counts,
     * the fixed a–z fold order, and the algebraic entropy form are all

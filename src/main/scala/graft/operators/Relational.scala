@@ -236,6 +236,54 @@ object RelationalOps {
       .select(col(groupCol), col("rank"), col(idCol), col("rrf_ppb"))
   }
 
+  /** Ranking-quality eval panel — recall@k, MRR and binary nDCG@k of a
+    * `system` ranking against a `gold` relevant set, per group: the
+    * measure-before-ship gate of a retrieval stack (compare BM25 vs the
+    * LM ranker vs the fused list on the same queries). Inputs: `system`
+    * carries (`groupCol`, `idCol`, `rank` 1-based), `gold` carries
+    * (`groupCol`, `idCol`); one output row per gold group (a group the
+    * system never answered scores 0 across the board).
+    *
+    * Exact integer units throughout — recall in floored basis points,
+    * MRR as `1e6 div first_relevant_rank`, and DCG/IDCG as sums of
+    * per-rank `round(1e6/log2(rank+1))` micro-terms, so every metric is
+    * a BIGINT: invariant to summation order and bit-identical in the SQL
+    * twin (nDCG = `(10000·dcg) div idcg` floored basis points).
+    *
+    * Scale shape: both inputs are top-k-bounded ranker outputs (groups ×
+    * k rows); the join, the per-group aggs and the IDCG fold (a ≤ k
+    * element higher-order aggregate, no explode) are all groups-sized —
+    * the corpus is never touched. */
+  def rankingMetrics(system: DataFrame, gold: DataFrame, groupCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    val sys = system.filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("rank").cast("long").as("rank"))
+    val g = gold.select(col(groupCol), col(idCol))
+    val ngold = g.groupBy(groupCol).agg(count(lit(1)).as("n_gold"))
+    val perHit = sys.join(g, Seq(groupCol, idCol))
+      .select(col(groupCol),
+        expr("1000000 div rank").as("rr_micro"),
+        round(lit(1e6) / log2(col("rank") + 1), 0).cast("long").as("dcg_term"))
+    val hitAgg = perHit.groupBy(groupCol).agg(
+      count(lit(1)).as("hits"),
+      max(col("rr_micro")).as("rr"), // 1e6 div rank is monotone: max == first hit
+      sum(col("dcg_term")).as("dcg"))
+    ngold.join(hitAgg, Seq(groupCol), "left")
+      .select(col(groupCol),
+        col("n_gold"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        coalesce(col("rr"), lit(0L)).as("mrr_micro"),
+        coalesce(col("dcg"), lit(0L)).as("__dcg"),
+        aggregate(
+          sequence(lit(1L), least(col("n_gold"), lit(k.toLong))), lit(0L),
+          (acc, i) => acc + round(lit(1e6) / log2(i + 1), 0).cast("long"))
+          .as("__idcg"))
+      .select(col(groupCol), col("n_gold"), col("n_hits"),
+        expr("(10000 * n_hits) div n_gold").as("recall_bp"),
+        col("mrr_micro"),
+        expr("(10000 * __dcg) div __idcg").as("ndcg_bp"))
+  }
+
   /** SCD2 interval builder: turn a keyed update stream/table into
     * slowly-changing-dimension HISTORY rows — (key, payload, valid_from,
     * valid_to) with `valid_to` null on each key's current row — the

@@ -103,6 +103,26 @@ class RetrievalSpec extends SparkSpec {
       Seq((0L, 1L), (1L, 8L)))
   }
 
+  test("rankingMetrics: recall/MRR/nDCG in exact integer units") {
+    def m(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val system = Seq(
+      (0L, 5L, 1L), (0L, 2L, 2L), (0L, 9L, 3L), (0L, 3L, 4L),
+      (1L, 8L, 1L)).toDF("g", "id", "rank")
+    val gold = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (2L, 4L))
+      .toDF("g", "id")
+    val out = RelationalOps.rankingMetrics(system, gold, "g", "id", k = 5)
+      .orderBy("g").collect()
+    // g0: hits at ranks 2 and 4 of gold size 3
+    val dcg = m(1e6 / log2(3)) + m(1e6 / log2(5))
+    val idcg = m(1e6 / log2(2)) + m(1e6 / log2(3)) + m(1e6 / log2(4))
+    assert(out(0) === Row(0L, 3L, 2L, 20000L / 3, 500000L, 10000L * dcg / idcg))
+    // g1: system answered but missed; g2: system never answered
+    assert(out(1) === Row(1L, 1L, 0L, 0L, 0L, 0L))
+    assert(out(2) === Row(2L, 1L, 0L, 0L, 0L, 0L))
+  }
+
   test("charEntropy: uniform, skewed, single-letter and empty docs") {
     val out = TextAnalysis.charEntropy(
         Seq((1L, "abcd"), (2L, "aabb"), (3L, "aaaa"), (4L, "??!!"),
