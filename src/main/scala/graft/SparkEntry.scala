@@ -1318,6 +1318,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- retrieval: stored-stats BM25 scoring (percolator shape) ----
+    // Train the ranker stats once, score against the stored artifact:
+    // the oracle pins the round-trip — stored-stats scores must equal the
+    // inline kernel's scores exactly (same integer micro-units). The
+    // scoring pass itself is a stateless projection (per-row tf from the
+    // token array, driver-side idf constants), the plan a stream runs.
+    "q_bm25_stored" -> ((s, d) => {
+      val dir = s"target/graft-bm25/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val docs = t(s, d, "documents")
+      TextAnalysis.buildBm25Stats(docs, "text", dir)
+      val stats = TextAnalysis.loadBm25Stats(s, dir, retrievalPanel.flatMap(_._2))
+      TextAnalysis.bm25ScoreFrom(docs, "text", "doc_id", retrievalPanel, stats)
+        .orderBy("query_id", "doc_id")
+    }),
+
     // ---- retrieval: ranking-quality eval panel (recall/MRR/nDCG) ----
     // The measure-before-ship gate for the ranker family: score the LM
     // ranker's top-5 against BM25's top-5 as the reference set, per panel
@@ -3200,6 +3216,11 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT query_id, rank, doc AS doc_id, score_micro
          |FROM branked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_bm25_stored" ->
+      s"""WITH $bm25Ctes
+         |SELECT query_id, doc AS doc_id, score_micro
+         |FROM bagg ORDER BY query_id, doc_id""".stripMargin,
 
     "q_ql_topk" ->
       s"""WITH qt(query_id, term) AS (VALUES $retrievalPanelValues),

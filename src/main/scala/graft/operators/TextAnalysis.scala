@@ -999,6 +999,78 @@ object TextAnalysis {
         col("score").cast("long").as("score_micro"))
   }
 
+  /** Corpus-level BM25 statistics as a stored queryable artifact
+    * (`<dir>.terms` = per-term document frequencies, `<dir>.stats` =
+    * the 1-row (n_docs, total_tokens)) — the retrieval twin of the
+    * stored LM table and the IVF centroid table: train the ranker's
+    * statistics ONCE on the reference corpus, then score any batch or
+    * stream against them without re-deriving (the percolator/alerting
+    * shape). One persisted tokenization pass feeds both artifacts; df
+    * comes from source-deduped shingles, so no corpus-wide distinct. */
+  def buildBm25Stats(docs: DataFrame, textCol: String, dir: String): Unit = {
+    val base = docs.select(
+        size(tokens(col(textCol))).cast("long").as("len"),
+        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1).as("toksD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.select(explode(col("toksD")).as("term")).filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(dir + ".terms")
+    base.select(count(lit(1)).cast("long").as("n"), sum("len").as("tot"))
+      .write.mode("overwrite").parquet(dir + ".stats")
+    base.unpersist(); ()
+  }
+
+  /** The driver-side handle of a stored [[buildBm25Stats]] artifact:
+    * corpus constants plus the df of ONLY the panel's terms (the read is
+    * panel-bounded, never vocabulary-sized). */
+  case class Bm25Stats(nDocs: Long, totTokens: Long, df: Map[String, Long])
+
+  def loadBm25Stats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    terms: Seq[String]): Bm25Stats = {
+    val st = spark.read.parquet(dir + ".stats").collect()(0)
+    val dfm = spark.read.parquet(dir + ".terms")
+      .filter(col("term").isin(terms.distinct: _*)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Stats(st.getLong(0), st.getLong(1), dfm)
+  }
+
+  /** BM25-score ANY corpus — batch or STREAM — against stored corpus
+    * statistics: per-row tf comes from the token array (no shuffle), the
+    * per-query score is a fixed-order fold over driver-side idf
+    * constants in the same integer micro-units as [[bm25TopK]], and the
+    * panel explodes to (doc_id, query_id, score_micro) rows with
+    * zero-score pairs dropped. Scored over the training corpus itself
+    * this reproduces [[bm25TopK]]'s scores exactly (the artifact
+    * round-trip the oracle pins); scored over a stream it is the
+    * percolator/alerting stage — a pure stateless projection, so the
+    * identical plan runs under Structured Streaming with no watermark,
+    * no state store, nothing to rescale at 100 TB/day.
+    * Query terms missing from the stored vocabulary are dropped, the
+    * [[queryLikelihoodTopK]] convention. */
+  def bm25ScoreFrom(docs: DataFrame, textCol: String, idCol: String,
+                    queries: Seq[(Long, Seq[String])], stats: Bm25Stats,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val avgdl = stats.totTokens.toDouble / stats.nDocs
+    val toks = tokens(col(textCol))
+    val len = size(toks).cast("long")
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * len / lit(avgdl))
+    def contrib(term: String): Column = stats.df.get(term) match {
+      case None => lit(0L)
+      case Some(dfv) =>
+        val idf = math.log(1.0 + (stats.nDocs - dfv + 0.5) / (dfv + 0.5))
+        val tf = size(filter(toks, x => x === lit(term))).cast("long")
+        round(lit(idf) * (tf * lit(k1 + 1.0)) / (tf + norm) * 1e6, 0).cast("long")
+    }
+    val perQuery = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        ts.map(contrib).reduceLeft(_ + _).as("score_micro"))
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(perQuery: _*)).as("q"))
+      .select(col("doc_id"), col("q.query_id"), col("q.score_micro"))
+      .filter(col("score_micro") > 0)
+  }
+
   /** Per-document character-level Shannon entropy over the 26-letter
     * Latin alphabet (case-folded) — the oracle-expressible twin of the
     * zlib compression-ratio signal (gibberish, keyboard-mash and

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{RelationalOps, TextAnalysis}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** Retrieval-stack specs: BM25, Dirichlet query-likelihood, reciprocal-rank
   * fusion, and the character-entropy signal — expectations hand-computed
@@ -121,6 +122,54 @@ class RetrievalSpec extends SparkSpec {
     // g1: system answered but missed; g2: system never answered
     assert(out(1) === Row(1L, 1L, 0L, 0L, 0L, 0L))
     assert(out(2) === Row(2L, 1L, 0L, 0L, 0L, 0L))
+  }
+
+  test("bm25ScoreFrom: stored-stats scores equal the inline kernel's") {
+    val dir = s"target/graft-test-bm25/${java.util.UUID.randomUUID().toString.take(8)}"
+    TextAnalysis.buildBm25Stats(docs, "text", dir)
+    val stats = TextAnalysis.loadBm25Stats(spark, dir, Seq("x", "z", "nosuchterm"))
+    assert(stats === TextAnalysis.Bm25Stats(4L, 10L, Map("x" -> 3L, "z" -> 1L)))
+    val panel = Seq(0L -> Seq("x"), 1L -> Seq("z", "nosuchterm"))
+    val stored = TextAnalysis.bm25ScoreFrom(docs, "text", "doc_id", panel, stats)
+      .orderBy("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val inline = TextAnalysis.bm25TopK(docs, "text", "doc_id", panel, k = 100)
+      .select(col("doc_id"), col("query_id"), col("score_micro"))
+      .orderBy("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stored.nonEmpty)
+    assert(stored.toSeq === inline.toSeq)
+  }
+
+  test("bm25ScoreFrom percolates a stream: per-batch output == batch scoring") {
+    implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = s"target/graft-test-bm25/${java.util.UUID.randomUUID().toString.take(8)}"
+    TextAnalysis.buildBm25Stats(docs, "text", dir) // train on the reference corpus
+    val stats = TextAnalysis.loadBm25Stats(spark, dir, Seq("x", "z"))
+    val panel = Seq(0L -> Seq("x", "z"))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = TextAnalysis.bm25ScoreFrom(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id", panel, stats)
+    val q = out.writeStream.format("memory").queryName("t_percolate")
+      .outputMode("append").start()
+    try {
+      // two micro-batches of NEW documents (ids unseen in training)
+      in.addData((100L, "x x z"), (101L, "y y y y"))
+      q.processAllAvailable()
+      in.addData((102L, "z"))
+      q.processAllAvailable()
+      val got = spark.table("t_percolate")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val batch = TextAnalysis.bm25ScoreFrom(
+          Seq((100L, "x x z"), (101L, "y y y y"), (102L, "z")).toDF("doc_id", "text"),
+          "text", "doc_id", panel, stats)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === batch.toSeq)
+      // the no-match doc (101) is routed away, the matches alert
+      assert(got.map(_._1).toSeq === Seq(100L, 102L))
+    } finally q.stop()
   }
 
   test("charEntropy: uniform, skewed, single-letter and empty docs") {
