@@ -97,7 +97,12 @@ object PlanDoc {
     "q_mix_execute" -> "mixture execution: avail agg → water-fill rounds on the sources-sized relation → plan BROADCAST back over one corpus scan — plan and execution are one lazy DAG",
     "q_pit_join" -> "point-in-time join: SCD2 lag-compress + as-of union/last_value — ZERO join operators between facts and history",
     "q_margin_mine" -> "margin mining: in-cell A×B candidates (never a side cross join), bounded per-side top-k aggs, id-keyed margin joins",
-    "q_ivfpq_topk" -> "IVF-PQ probe: PartitionFilters-pruned code partitions, broadcast m·k LUT, vector-free (id, sub, code) scan, TakeOrdered cut")
+    "q_ivfpq_topk" -> "IVF-PQ probe: PartitionFilters-pruned code partitions, broadcast m·k LUT, vector-free (id, sub, code) scan, TakeOrdered cut",
+    "q_bm25_topk" -> "BM25: panel filter BEFORE the tf agg (the one shuffle carries query-term postings, not the vocabulary), df/panel/stats broadcast, bounded per-query TopKHits agg",
+    "q_bm25_stored" -> "stored-stats BM25 scoring: driver-side idf constants + per-row tf from the token array — pure projection + explode, ZERO shuffle (the plan a percolating stream runs)",
+    "q_rrf_fusion" -> "RRF: both ranker legs are top-k-bounded before the fuse — the full-outer join + rank window touch ≤ 2k rows",
+    "q_rank_metrics" -> "ranking eval: system/gold are bounded ranker outputs; hit join, per-group aggs and the ≤k-element IDCG fold are all groups-sized",
+    "q_char_entropy" -> "char entropy: ONE native byte-pass kernel per row, fixed-order 26-term fold — scan → project, zero shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -428,4 +428,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "grid must broadcast")
     assert(!p.contains("Window"), s"no rank window over the corpus:\n$p")
   }
+
+  test("BM25: panel/df broadcast, bounded top-k agg, no corpus rank window") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), "panel and df must broadcast")
+    assert(p.contains("ObjectHashAggregate"), "per-query top-k must be the bounded agg")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join anywhere in BM25:\n$p")
+    assert(!p.contains("Window"), s"no rank window over scored docs:\n$p")
+  }
+
+  test("stored-stats BM25 scoring is a pure scan-side projection (the percolator plan)") {
+    val p = plan("q_bm25_stored")
+    // scan → explode → filter → project; the ONLY exchange is the final orderBy
+    assert(!p.contains("Join"), s"no join in the scoring pass:\n$p")
+    assert(!p.contains("Aggregate"), s"no aggregate in the scoring pass:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("char entropy never shuffles — scan, project, output sort only") {
+    val p = plan("q_char_entropy")
+    assert(!p.contains("Join") && !p.contains("Aggregate"), s"pure projection:\n$p")
+  }
 }
