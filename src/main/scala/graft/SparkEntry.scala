@@ -1348,6 +1348,13 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- retrieval: keyword-in-context snippets (display/triage) ----
+    "q_snippets" -> ((s, d) => {
+      TextAnalysis.snippets(t(s, d, "documents"), "text", "doc_id",
+        retrievalPanel.flatMap(_._2), window = 30)
+        .orderBy("doc_id", "term")
+    }),
+
     // ---- text analysis: character-level Shannon entropy ----
     // The oracle-expressible twin of the zlib compression-ratio signal:
     // 26-letter alphabet entropy per document, pure scan-side projection.
@@ -3273,6 +3280,18 @@ object SparkEntry {
          |FROM fused ORDER BY rank LIMIT 10""".stripMargin,
 
     "q_char_entropy" -> charEntropySql,
+
+    "q_snippets" -> {
+      val termValues = retrievalPanel.flatMap(_._2).distinct
+        .map(t => s"('$t')").mkString(", ")
+      s"""WITH terms(term) AS (VALUES $termValues),
+         |s AS (SELECT doc_id, text AS t, term, instr(text, term) AS pos
+         |  FROM documents CROSS JOIN terms)
+         |SELECT doc_id, term, pos,
+         |  substr(t, greatest(pos - 30, 1),
+         |    pos - greatest(pos - 30, 1) + length(term) + 30) AS snippet
+         |FROM s WHERE pos > 0 ORDER BY doc_id, term""".stripMargin
+    },
 
     "q_multimodal_frames" ->
       """SELECT doc_id,

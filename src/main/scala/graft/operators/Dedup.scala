@@ -739,4 +739,58 @@ object Dedup {
     }
     src.groupBy("doc").agg(sums.head, sums.tail: _*)
   }
+
+  /** A chosen LSH banding and its predicted behavior (see [[lshBandPlan]]):
+    * `threshold50` is the Jaccard similarity at which a pair has a 50%
+    * candidate probability (≈ (1/b)^(1/r)); `fpArea`/`fnArea` integrate
+    * the S-curve's false-positive mass below the target threshold and
+    * false-negative mass above it. */
+  case class BandPlan(bands: Int, rowsPerBand: Int, threshold50: Double,
+                      fpArea: Double, fnArea: Double)
+
+  /** Plan the MinHash banding (b bands × r rows, b·r = `numHashes`) for a
+    * target Jaccard `threshold` — the sizing lever every LSH caller here
+    * (`minhashNearDups`, `buildBandIndex`, `linkTables`) exposes as raw
+    * (numHashes, rowsPerBand) knobs. The candidate probability of a pair
+    * at similarity s is the S-curve `1 − (1 − s^r)^b`; the plan picked
+    * minimizes the integrated error — candidate mass below the threshold
+    * (false-positive work: every candidate pays a verify) plus missed
+    * mass above it (false negatives: near-dups that never become
+    * candidates) — over all divisor pairs of `numHashes`, by midpoint
+    * quadrature. `fnWeight` skews the objective when misses cost more
+    * than wasted verifies (the usual dedup posture).
+    *
+    * Driver-side arithmetic only — nothing here touches data; the cost
+    * of a bad plan at 100 TB (verify floods or silent dup survival) is
+    * why the planner exists. */
+  def lshBandPlan(threshold: Double, numHashes: Int,
+                  fnWeight: Double = 1.0): BandPlan = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    require(numHashes >= 2, "need at least 2 hashes")
+    val grid = 1000
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fp + fnWeight * fn) / grid
+    }
+    val plans = for {
+      r <- 1 to numHashes
+      if numHashes % r == 0
+      b = numHashes / r
+    } yield (b, r, err(b, r))
+    val (b, r, _) = plans.minBy(_._3)
+    var fp = 0.0; var fn = 0.0
+    (0 until grid).foreach { i =>
+      val s = (i + 0.5) / grid
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      if (s < threshold) fp += p / grid else fn += (1.0 - p) / grid
+    }
+    BandPlan(b, r, math.pow(1.0 / b, 1.0 / r), fp, fn)
+  }
 }

@@ -1020,6 +1020,47 @@ object TextAnalysis {
     base.unpersist(); ()
   }
 
+  /** Ingest-path maintenance of a stored [[buildBm25Stats]] artifact:
+    * fold a DELTA of new documents into the stored statistics WITHOUT
+    * rescanning the reference corpus — BM25's statistics are additive
+    * counts, so the merge is `stored ∪ delta → sum` at VOCABULARY grain
+    * (the corpus never re-tokenizes; only the delta does). Each artifact
+    * lands via the write-tmp-then-swap discipline (the UpsertParquet
+    * pattern), so a reader never observes a half-written table and the
+    * lazy self-read never races its own overwrite. Append-only ingest
+    * discipline: re-ingesting the same documents double-counts (the
+    * [[graft.operators.Similarity]] index append's id rule — dedup
+    * upstream). */
+  def appendBm25Stats(delta: DataFrame, textCol: String, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = delta.sparkSession
+    val base = delta.select(
+        size(tokens(col(textCol))).cast("long").as("len"),
+        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1).as("toksD"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(df: DataFrame, table: String): Unit = {
+      val tmp = new Path(dir + table + ".tmp-append")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val dst = new Path(dir + table)
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(s"swap failed for $dst")
+    }
+    swapIn(spark.read.parquet(dir + ".terms")
+      .unionByName(base.select(explode(col("toksD")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df")), ".terms")
+    swapIn(spark.read.parquet(dir + ".stats")
+      .unionByName(base.select(count(lit(1)).cast("long").as("n"),
+        sum("len").as("tot")))
+      .select(sum("n").cast("long").as("n"), sum("tot").cast("long").as("tot")),
+      ".stats")
+    base.unpersist(); ()
+  }
+
   /** The driver-side handle of a stored [[buildBm25Stats]] artifact:
     * corpus constants plus the df of ONLY the panel's terms (the read is
     * panel-bounded, never vocabulary-sized). */
@@ -1070,6 +1111,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("q.query_id"), col("q.score_micro"))
       .filter(col("score_micro") > 0)
   }
+
+  /** Keyword-in-context snippets: for each document and each panel term
+    * it contains, the ±`window`-character excerpt around the FIRST
+    * occurrence — the display/triage stage after retrieval (show WHY a
+    * document matched) and the context-inspection tool of a
+    * decontamination audit. 1-based `pos` is the match offset (`instr`
+    * semantics, identical in the DuckDB twin); the excerpt is clamped at
+    * the document start, never a negative-offset substring.
+    *
+    * Pure scan-side projection + a |terms|-wide literal explode — zero
+    * shuffle, zero joins; the qualityScore shape. */
+  def snippets(docs: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], window: Int = 30): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"),
+        explode(array(terms.distinct.map(lit): _*)).as("term"))
+      .withColumn("pos", expr("instr(__t, term)").cast("long"))
+      .filter(col("pos") > 0)
+      .withColumn("__start", greatest(col("pos") - window, lit(1L)))
+      .select(col("doc_id"), col("term"), col("pos"),
+        expr(s"substring(__t, __start, pos - __start + length(term) + $window)")
+          .as("snippet"))
 
   /** Per-document character-level Shannon entropy over the 26-letter
     * Latin alphabet (case-folded) — the oracle-expressible twin of the

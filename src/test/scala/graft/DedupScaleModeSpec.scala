@@ -72,4 +72,38 @@ class DedupScaleModeSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(banded == brute, s"banding lost pairs: ${brute -- banded}, invented: ${banded -- brute}")
   }
+
+  test("lshBandPlan picks the integrated-error argmin and tracks the threshold") {
+    // independent recheck: Simpson-free trapezoid integral over a finer grid
+    def scurve(s: Double, b: Int, r: Int) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def indepErr(t: Double, n: Int, b: Int, r: Int): Double = {
+      val g = 4000
+      (0 until g).map { i =>
+        val s = (i + 0.5) / g
+        if (s < t) scurve(s, b, r) else 1.0 - scurve(s, b, r)
+      }.sum / g
+    }
+    for (t <- Seq(0.3, 0.5, 0.8); n <- Seq(16, 64, 128)) {
+      val p = Dedup.lshBandPlan(t, n)
+      assert(p.bands * p.rowsPerBand === n)
+      val best = (1 to n).filter(n % _ == 0)
+        .map(r => (n / r, r)).minBy { case (b, r) => indepErr(t, n, b, r) }
+      assert((p.bands, p.rowsPerBand) === best, s"t=$t n=$n")
+      // the chosen S-curve's transition must straddle the target: a pair
+      // AT the threshold is neither a sure candidate nor a sure miss
+      assert(scurve(t, p.bands, p.rowsPerBand) > 0.02 &&
+        scurve(t, p.bands, p.rowsPerBand) < 0.98, s"t=$t n=$n")
+      assert(p.fpArea >= 0 && p.fnArea >= 0 && p.fpArea + p.fnArea < 0.25)
+    }
+    // a higher threshold demands MORE rows per band (sharper curve, shifted right)
+    assert(Dedup.lshBandPlan(0.9, 128).rowsPerBand >
+      Dedup.lshBandPlan(0.4, 128).rowsPerBand)
+    // weighting misses harder shifts the curve left (recall posture):
+    // never fewer bands than the balanced plan
+    assert(Dedup.lshBandPlan(0.7, 64, fnWeight = 4.0).bands >=
+      Dedup.lshBandPlan(0.7, 64).bands)
+    // the repo default (16 hashes, r=4) is exactly the balanced plan at 0.5
+    val d = Dedup.lshBandPlan(0.5, 16)
+    assert((d.bands, d.rowsPerBand) === ((4, 4)))
+  }
 }

@@ -141,6 +141,27 @@ class RetrievalSpec extends SparkSpec {
     assert(stored.toSeq === inline.toSeq)
   }
 
+  test("appendBm25Stats: additive delta merge equals a full retrain") {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dirInc = s"target/graft-test-bm25/inc-$tag"
+    val dirFull = s"target/graft-test-bm25/full-$tag"
+    TextAnalysis.buildBm25Stats(corpus.take(2).toDF("doc_id", "text"), "text", dirInc)
+    TextAnalysis.appendBm25Stats(corpus.drop(2).toDF("doc_id", "text"), "text", dirInc)
+    TextAnalysis.buildBm25Stats(docs, "text", dirFull)
+    val terms = Seq("x", "y", "z")
+    val inc = TextAnalysis.loadBm25Stats(spark, dirInc, terms)
+    assert(inc === TextAnalysis.loadBm25Stats(spark, dirFull, terms))
+    assert(inc === TextAnalysis.Bm25Stats(4L, 10L, Map("x" -> 3L, "y" -> 3L, "z" -> 1L)))
+    // scoring against the appended artifact == scoring against the retrain
+    val panel = Seq(0L -> Seq("x", "z"))
+    val a = TextAnalysis.bm25ScoreFrom(docs, "text", "doc_id", panel, inc)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bm25ScoreFrom(docs, "text", "doc_id", panel,
+        TextAnalysis.loadBm25Stats(spark, dirFull, terms))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("bm25ScoreFrom percolates a stream: per-batch output == batch scoring") {
     implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = s"target/graft-test-bm25/${java.util.UUID.randomUUID().toString.take(8)}"
@@ -170,6 +191,16 @@ class RetrievalSpec extends SparkSpec {
       // the no-match doc (101) is routed away, the matches alert
       assert(got.map(_._1).toSeq === Seq(100L, 102L))
     } finally q.stop()
+  }
+
+  test("snippets: first-occurrence KWIC with start clamping") {
+    val d = Seq((1L, "abc hash def"), (2L, "hash at start"), (3L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.snippets(d, "text", "doc_id", Seq("hash"), window = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq === Seq(
+      (1L, 5L, "c hash d"),   // ±2 chars around the match
+      (2L, 1L, "hash a")))    // clamped at the document start
   }
 
   test("charEntropy: uniform, skewed, single-letter and empty docs") {
