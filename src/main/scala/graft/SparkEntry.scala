@@ -1348,6 +1348,15 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- similarity: MMR diversified rerank of the cosine top-20 ----
+    // The retrieval-head diversification: exact-integer greedy (1e4-unit
+    // cosines, λ = 0.7 as the 7/3 integer pair), ties to the smaller id;
+    // the oracle replays the same greedy as 5 unrolled SQL steps.
+    "q_mmr_rerank" -> ((s, d) => {
+      Similarity.mmrRerank(t(s, d, "embeddings"), "embedding", "vec_id",
+        queryId = 0L, kCandidates = 20, k = 5).orderBy("rank")
+    }),
+
     // ---- retrieval: keyword-in-context snippets (display/triage) ----
     "q_snippets" -> ((s, d) => {
       TextAnalysis.snippets(t(s, d, "documents"), "text", "doc_id",
@@ -3281,6 +3290,8 @@ object SparkEntry {
 
     "q_char_entropy" -> charEntropySql,
 
+    "q_mmr_rerank" -> mmrSql(k0 = 20, k = 5, lambdaNum = 7),
+
     "q_snippets" -> {
       val termValues = retrievalPanel.flatMap(_._2).distinct
         .map(t => s"('$t')").mkString(", ")
@@ -4375,6 +4386,45 @@ object SparkEntry {
        |qranked AS (SELECT query_id, doc, score_micro,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
        |  FROM qagg)""".stripMargin
+
+  /** DuckDB twin of `Similarity.mmrRerank` — the same exact-integer
+    * greedy REPLAYED as k unrolled SQL steps (each step: score the
+    * remaining candidates against the selected set via a correlated max
+    * over the pairwise-sim CTE, take the argmax with ties to the smaller
+    * id, append to the selection). Generated from the same (k0, k, λ)
+    * literals the Spark query passes. */
+  private def mmrSql(k0: Int, k: Int, lambdaNum: Int): String = {
+    val mu = 10 - lambdaNum
+    val steps = (1 to k).map { t =>
+      val red = if (t == 1) "0"
+        else s"(SELECT max(sim_u) FROM pair WHERE a_id = c.vec_id AND b_id IN (SELECT vec_id FROM sel${t - 1}))"
+      val notIn = if (t == 1) ""
+        else s"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1}) "
+      val s =
+        s"""s$t AS (SELECT c.vec_id, $lambdaNum * c.rel_u - $mu * $red AS mmr_u,
+           |  CAST($t AS BIGINT) AS rank FROM cand c ${notIn}ORDER BY mmr_u DESC, c.vec_id LIMIT 1)""".stripMargin
+      val sel = if (t == 1) "sel1 AS (SELECT vec_id FROM s1)"
+        else s"sel$t AS (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM s$t)"
+      s"$s,\n$sel"
+    }.mkString(",\n")
+    val unions = (1 to k)
+      .map(t => s"SELECT rank, vec_id, mmr_u FROM s$t").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |c0 AS (SELECT vec_id, v,
+       |  round(list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),4) + 0.0 AS cos_sim
+       |  FROM e, p WHERE vec_id <> 0),
+       |cand0 AS (SELECT vec_id, v, cos_sim FROM c0 ORDER BY cos_sim DESC, vec_id LIMIT $k0),
+       |cand AS (SELECT vec_id, CAST(round(cos_sim * 10000) AS BIGINT) AS rel_u FROM cand0),
+       |pair AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  CAST(round((round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),4) + 0.0)
+       |    * 10000) AS BIGINT) AS sim_u
+       |  FROM cand0 a JOIN cand0 b ON a.vec_id <> b.vec_id),
+       |$steps
+       |$unions ORDER BY rank""".stripMargin
+  }
 
   /** DuckDB twin of `TextAnalysis.charEntropy` — the 26 letter counts,
     * the fixed a–z fold order, and the algebraic entropy form are all

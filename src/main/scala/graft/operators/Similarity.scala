@@ -1596,4 +1596,59 @@ object Similarity {
     finite.select(col(idCol) +: outs: _*)
       .selectExpr(idCol, s"stack($outDims, $arms) AS (out_dim, proj_q)")
   }
+
+  /** Maximal-marginal-relevance rerank of a cosine top-`kCandidates`
+    * list: greedily pick `k` results trading relevance against
+    * redundancy — `mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * standard retrieval-head diversification (near-identical hits
+    * collapse to one slot instead of filling the page).
+    *
+    * Exact integer arithmetic end to end: relevance and pairwise
+    * similarities are the r4-rounded cosines scaled to 1e4 units
+    * (HALF_UP, away from zero — both engines' rounding), λ rides as the
+    * integer pair (`lambdaNum`/10 vs its complement), so every mmr score
+    * is a BIGINT and the greedy argmax (ties to the smaller id) is
+    * bit-reproducible — the oracle twin replays the SAME greedy as
+    * k unrolled SQL steps and must hash-match.
+    *
+    * Scale shape: the candidate sims (≤ k0 + k0² rows) compute
+    * DISTRIBUTED over the corpus-derived candidate set; only that
+    * bounded relation is collected for the inherently-sequential greedy
+    * (the rerank runs on the retrieval head, never the corpus — the
+    * DriftMonitor bounded-collect class). */
+  def mmrRerank(emb: DataFrame, vecCol: String, idCol: String,
+                queryId: Long, kCandidates: Int, k: Int,
+                lambdaNum: Int = 7): DataFrame = {
+    require(lambdaNum >= 0 && lambdaNum <= 10, "lambdaNum is tenths in [0,10]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def units(c: Column): Column = round(c * 10000, 0).cast("long")
+    val cand = bruteForceTopK(emb, vecCol, idCol, queryId, kCandidates)
+      .select(col(idCol), units(col("cos_sim")).as("rel_u"))
+    val cvec = cand.join(emb.select(col(idCol), col(vecCol).as("__v")), idCol)
+    val rels = cand.as[(Long, Long)].collect().sortBy(_._1)
+    val pairs = cvec.as("a").join(cvec.as("b"),
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("ia"), col(s"b.$idCol").as("ib"),
+        units(r4(cosineSim(col("a.__v"), col("b.__v")))).as("sim_u"))
+      .as[(Long, Long, Long)].collect()
+    val sim = pairs.flatMap { case (a, b, s) => Seq((a, b) -> s, (b, a) -> s) }.toMap
+    val mu = 10 - lambdaNum
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      val (pick, score) = remaining.iterator.map { case (id, rel) =>
+        val red = if (selected.isEmpty) 0L
+          else selected.iterator.map(s => sim((id, s._2))).max
+        (id, lambdaNum * rel - mu * red)
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+      }
+      selected += ((rank, pick, score))
+      remaining.remove(pick)
+      rank += 1
+    }
+    selected.toSeq.toDF("rank", idCol, "mmr_u")
+  }
 }

@@ -203,6 +203,27 @@ class RetrievalSpec extends SparkSpec {
       (2L, 1L, "hash a")))    // clamped at the document start
   }
 
+  test("mmrRerank diversifies: a redundant near-dup loses its slot") {
+    // probe 0; ids 1,2 nearly identical high-relevance; id 3 diverse
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.1f, 0f)),   // rel_u 9950
+      (2L, Array(1f, 0.12f, 0f)),  // rel_u 9929, sim(1,2)_u 9998
+      (3L, Array(0.6f, 0f, 0.8f))) // rel_u 6000, sim(1,3)_u 5970
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.mmrRerank(emb, "embedding", "vec_id",
+        queryId = 0L, kCandidates = 3, k = 3, lambdaNum = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // step 2 prefers the DIVERSE id 3 (150) over the near-dup id 2 (-345)
+    assert(out.toSeq === Seq((1L, 1L, 49750L), (2L, 3L, 150L), (3L, 2L, -345L)))
+    // pure relevance (λ = 1.0) reduces to the cosine order
+    val rel = graft.operators.Similarity.mmrRerank(emb, "embedding", "vec_id",
+        queryId = 0L, kCandidates = 3, k = 3, lambdaNum = 10)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(rel.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("charEntropy: uniform, skewed, single-letter and empty docs") {
     val out = TextAnalysis.charEntropy(
         Seq((1L, "abcd"), (2L, "aabb"), (3L, "aaaa"), (4L, "??!!"),
