@@ -224,6 +224,28 @@ class RetrievalSpec extends SparkSpec {
     assert(rel.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("property: stored-stats scoring == inline kernel on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    for (trial <- 1 to 3) {
+      val corpus = (0 until 40).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val df = corpus.toDF("doc_id", "text")
+      val dir = s"target/graft-test-bm25/prop-$trial-${java.util.UUID.randomUUID().toString.take(8)}"
+      TextAnalysis.buildBm25Stats(df, "text", dir)
+      val stats = TextAnalysis.loadBm25Stats(spark, dir, vocab)
+      val panel = Seq(0L -> Seq("alpha", "gamma"), 1L -> Seq("eps", "zeta", "eta"))
+      val stored = TextAnalysis.bm25ScoreFrom(df, "text", "doc_id", panel, stats)
+        .orderBy("query_id", "doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSeq
+      val inline = TextAnalysis.bm25TopK(df, "text", "doc_id", panel, k = 1000)
+        .orderBy("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      assert(stored === inline, s"trial=$trial")
+      assert(stored.nonEmpty)
+    }
+  }
+
   test("charEntropy: uniform, skewed, single-letter and empty docs") {
     val out = TextAnalysis.charEntropy(
         Seq((1L, "abcd"), (2L, "aabb"), (3L, "aaaa"), (4L, "??!!"),
