@@ -1348,6 +1348,16 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- similarity: exact embedding covariance matrix (PCA train) ----
+    // The train step of data-dependent compression: 1e6-unit integer
+    // quantization scan-side, decimal(38,0) raw-moment combination, one
+    // double division at the end - d²-bounded output however big the
+    // corpus. pcaTrain eigensolves this relation driver-side (spec'd).
+    "q_embed_cov" -> ((s, d) => {
+      Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding", "vec_id")
+        .orderBy("i", "j")
+    }),
+
     // ---- similarity: MMR diversified rerank of the cosine top-20 ----
     // The retrieval-head diversification: exact-integer greedy (1e4-unit
     // cosines, λ = 0.7 as the 7/3 integer pair), ties to the smaller id;
@@ -3291,6 +3301,20 @@ object SparkEntry {
     "q_char_entropy" -> charEntropySql,
 
     "q_mmr_rerank" -> mmrSql(k0 = 20, k = 5, lambdaNum = 7),
+
+    "q_embed_cov" ->
+      """WITH x AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  WHERE embedding IS NOT NULL),
+        |marg AS (SELECT i, count(*) AS n, CAST(sum(xu) AS BIGINT) AS s FROM x GROUP BY i),
+        |pair AS (SELECT a.i AS i, b.i AS j, sum(CAST(a.xu AS HUGEINT) * b.xu) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY a.i, b.i)
+        |SELECT p.i, p.j,
+        |  round(CAST(mi.n * p.sxy - CAST(mi.s AS HUGEINT) * mj.s AS DOUBLE)
+        |    / CAST(mi.n AS DOUBLE) / CAST(mi.n AS DOUBLE) / 1000000000000.0, 6) + 0.0 AS cov
+        |FROM pair p JOIN marg mi ON p.i = mi.i JOIN marg mj ON p.j = mj.i
+        |ORDER BY p.i, p.j""".stripMargin,
 
     "q_snippets" -> {
       val termValues = retrievalPanel.flatMap(_._2).distinct

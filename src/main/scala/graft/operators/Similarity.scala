@@ -1597,6 +1597,124 @@ object Similarity {
       .selectExpr(idCol, s"stack($outDims, $arms) AS (out_dim, proj_q)")
   }
 
+  /** Exact covariance matrix of the embedding components — the train
+    * step of data-dependent compression ([[pcaTrain]]) and the cross-dim
+    * sibling of the per-dimension moments panel (a correlated-dims block
+    * is what PCA exploits and what the JL projection ignores).
+    *
+    * Exactness under distribution: components quantize to 1e6-unit
+    * BIGINTs scan-side, every cross-row sum is over integers, and the
+    * raw-moment combination `n·S_ij − S_i·S_j` runs in decimal(38,0)
+    * (DuckDB HUGEINT — the momentsVar lane) before ONE double division —
+    * order-invariant, hash-identical in the twin.
+    *
+    * Scale shape: one posexplode to (row, i, x_u), a vec_id-co-partitioned
+    * self-join producing the i ≤ j pair stream (d²/2 per row), and a
+    * map-side-combinable (i, j) agg — output is d²-bounded (2080 rows at
+    * d=64) regardless of corpus size. The d² blow-up is a train-once
+    * pass; at open-web scale train on a uniform sample (the cov estimate
+    * converges at √n) — the scoring/projection pass never pays it. */
+  def covarianceMatrix(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    // null vectors drop (run embeddingHealthCard first — this kernel
+    // expects a health-checked input; a NaN component would poison its
+    // whole row/column block)
+    val xr = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__rid"), posexplode(col(vecCol)))
+      .select(col("__rid"), (col("pos") + 1).cast("long").as("i"),
+        round(col("col").cast("double") * 1e6, 0).cast("long").as("xu"))
+    val marg = xr.groupBy("i").agg(count(lit(1)).as("n"), sum("xu").as("s"))
+    val pair = xr.as("a").join(xr.as("b"),
+        col("a.__rid") === col("b.__rid") && col("a.i") <= col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        (col("a.xu") * col("b.xu")).as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+    pair
+      .join(marg.select(col("i"), col("n"), col("s").as("si")), "i")
+      .join(marg.select(col("i").as("j"), col("s").as("sj")), "j")
+      .select(col("i"), col("j"),
+        (round((col("n").cast("decimal(38,0)") * col("sxy")
+            - col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)"))
+            .cast("double")
+          / col("n").cast("double") / col("n").cast("double") / 1e12, 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  /** Driver-side PCA model: per-dimension means and the top-k principal
+    * components (rows of `components`, unit-norm, eigenvalue-descending). */
+  case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
+                      components: Array[Array[Double]])
+
+  /** Train PCA from the exact [[covarianceMatrix]]: collect the
+    * d²-bounded covariance relation (NOT the corpus) and run a cyclic
+    * Jacobi eigensolver driver-side — d×d is microseconds for any
+    * reasonable embedding width. The model then broadcasts as plan
+    * literals through [[pcaProject]], the same discipline as the JL
+    * sign matrix and the PQ codebooks. */
+  def pcaTrain(emb: DataFrame, vecCol: String, idCol: String, k: Int): PcaModel = {
+    val covRows = covarianceMatrix(emb, vecCol, idCol)
+      .collect().map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1),
+        r.getDouble(2)))
+    val d = covRows.iterator.map(_._1._2).max + 1
+    val a = Array.ofDim[Double](d, d)
+    covRows.foreach { case ((i, j), c) => a(i)(j) = c; a(j)(i) = c }
+    // means from one tiny agg (1e6-unit exact sums, same lane)
+    val mrow = emb.select(posexplode(col(vecCol)))
+      .select(col("pos"), round(col("col").cast("double") * 1e6, 0).cast("long").as("xu"))
+      .groupBy("pos").agg(sum("xu").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble / r.getLong(2) / 1e6)
+      .toMap
+    val mean = Array.tabulate(d)(mrow)
+    // cyclic Jacobi: rotate away the largest off-diagonal entries
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-18) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+          val c = math.cos(theta); val s = math.sin(theta)
+          for (r <- 0 until d) {
+            val apr = a(r)(p); val aqr = a(r)(q)
+            a(r)(p) = c * apr - s * aqr; a(r)(q) = s * apr + c * aqr
+          }
+          for (r <- 0 until d) {
+            val apr = a(p)(r); val aqr = a(q)(r)
+            a(p)(r) = c * apr - s * aqr; a(q)(r) = s * apr + c * aqr
+          }
+          for (r <- 0 until d) {
+            val vpr = v(r)(p); val vqr = v(r)(q)
+            v(r)(p) = c * vpr - s * vqr; v(r)(q) = s * vpr + c * vqr
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i)).take(k)
+    PcaModel(mean,
+      order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
+  }
+
+  /** Project embeddings onto the trained components — mean-center then
+    * k literal dot products, the [[randProject]] stack shape: scan →
+    * one codegen projection → stack, ZERO shuffle, model as plan
+    * literals. Returns (id, out_dim, proj) rows. */
+  def pcaProject(emb: DataFrame, vecCol: String, idCol: String,
+                 model: PcaModel): DataFrame = {
+    val d = model.mean.length
+    val outs = model.components.zipWithIndex.map { case (w, kIdx) =>
+      (0 until d).map { j =>
+        (element_at(col(vecCol), j + 1).cast("double") - lit(model.mean(j))) * lit(w(j))
+      }.reduceLeft(_ + _).as(s"__p$kIdx")
+    }
+    val arms = model.components.indices.map(k => s"${k}L, __p$k").mkString(", ")
+    emb.select(col(idCol) +: outs.toSeq: _*)
+      .selectExpr(idCol,
+        s"stack(${model.components.length}, $arms) AS (out_dim, proj)")
+  }
+
   /** Maximal-marginal-relevance rerank of a cosine top-`kCandidates`
     * list: greedily pick `k` results trading relevance against
     * redundancy — `mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the

@@ -810,4 +810,55 @@ class SimilaritySpec extends SparkSpec {
     assert(cNear > cOrtho + 0.2,
       s"angular order must survive the projection: near=$cNear ortho=$cOrtho")
   }
+
+  test("PCA: covariance eigensolve recovers the planted dominant direction") {
+    // x_i = a_i·e0 + b_i·e1 + tiny noise elsewhere; spread(a) >> spread(b)
+    val d = 8
+    val data = (0 until 200).map { i =>
+      val a = math.sin(i * 0.37) * 2.0
+      val b = math.cos(i * 0.91) * 0.4
+      (i.toLong, Array.tabulate(d) { j =>
+        (if (j == 0) a else if (j == 1) b else 0.001 * math.sin(i * 7 + j)).toFloat
+      })
+    }.toDF("id", "v")
+    val model = Similarity.pcaTrain(data, "v", "id", k = 3)
+    // eigenvalues descending, top one dominates
+    assert(model.eigenvalues(0) > model.eigenvalues(1))
+    assert(model.eigenvalues(1) > model.eigenvalues(2))
+    assert(model.eigenvalues(0) > 10 * model.eigenvalues(1))
+    // first component is ±e0, second ±e1
+    assert(math.abs(model.components(0)(0)) > 0.999)
+    assert(math.abs(model.components(1)(1)) > 0.999)
+    // orthonormal
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until d).map(j => model.components(a)(j) * model.components(b)(j)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-6, s"<$a,$b>=$dot")
+    }
+    // independent eigenpair check: Cov·v ≈ λ·v against the collected matrix
+    val cov = Array.ofDim[Double](d, d)
+    Similarity.covarianceMatrix(data, "v", "id").collect().foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val v0 = model.components(0)
+    val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v0(j)).sum)
+    (0 until d).foreach { i =>
+      assert(math.abs(av(i) - model.eigenvalues(0) * v0(i)) < 1e-4,
+        s"Cov·v != λ·v at dim $i: ${av(i)} vs ${model.eigenvalues(0) * v0(i)}")
+    }
+    // projection: per-out-dim variance ≈ the eigenvalue, ZERO shuffle plan
+    val proj = Similarity.pcaProject(data, "v", "id", model)
+    val stats = proj.groupBy("out_dim")
+      .agg(avg("proj").as("m"), avg(col("proj") * col("proj")).as("m2"))
+      .orderBy("out_dim").collect()
+    stats.zipWithIndex.foreach { case (r, k) =>
+      val variance = r.getDouble(2) - r.getDouble(1) * r.getDouble(1)
+      assert(math.abs(variance - model.eigenvalues(k)) < 0.01 * (1 + model.eigenvalues(k)),
+        s"proj variance vs eigenvalue at $k: $variance vs ${model.eigenvalues(k)}")
+      assert(math.abs(r.getDouble(1)) < 1e-3, "projections are mean-centered")
+    }
+    val plan = proj.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
 }
