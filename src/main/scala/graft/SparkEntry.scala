@@ -1348,6 +1348,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- similarity: active-learning uncertainty sample (vote margin) ----
+    // The "label these next" list: probes whose kNN label votes are
+    // closest, over the SAME fixed probe panel as q_knn_classify.
+    "q_uncertainty" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.uncertaintySample(emb, "embedding", "vec_id", "label",
+        emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
+        k = 5, topN = 20).orderBy("rank")
+    }),
+
     // ---- similarity: exact embedding covariance matrix (PCA train) ----
     // The train step of data-dependent compression: 1e6-unit integer
     // quantization scan-side, decimal(38,0) raw-moment combination, one
@@ -3301,6 +3312,36 @@ object SparkEntry {
     "q_char_entropy" -> charEntropySql,
 
     "q_mmr_rerank" -> mmrSql(k0 = 20, k = 5, lambdaNum = 7),
+
+    "q_uncertainty" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 500),
+        |s AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(p.q, p.q))), 4) + 0.0 AS cos_sim
+        |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id),
+        |r AS (
+        |  SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM s),
+        |h AS (SELECT r.probe_id, e.label FROM r JOIN embeddings e USING (vec_id)
+        |      WHERE rnk <= 5),
+        |v AS (SELECT probe_id, label, count(*) AS n_votes FROM h GROUP BY 1, 2),
+        |w AS (SELECT probe_id, CAST(label AS BIGINT) AS label,
+        |        CAST(n_votes AS BIGINT) AS n_votes,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY n_votes DESC, label) AS vr
+        |      FROM v),
+        |m AS (SELECT w1.probe_id, w1.label AS pred_label,
+        |    w1.n_votes - coalesce(w2.n_votes, 0) AS margin
+        |  FROM w w1 LEFT JOIN w w2 ON w1.probe_id = w2.probe_id AND w2.vr = 2
+        |  WHERE w1.vr = 1)
+        |SELECT CAST(row_number() OVER (ORDER BY margin, probe_id) AS BIGINT) AS rank,
+        |  probe_id, pred_label, margin
+        |FROM m ORDER BY rank LIMIT 20""".stripMargin,
 
     "q_embed_cov" ->
       """WITH x AS (SELECT vec_id, i,

@@ -1237,6 +1237,45 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** Active-learning uncertainty sample: the probes whose kNN label votes
+    * are CLOSEST — the "label these next" list that makes a labeling
+    * budget count (margin sampling: a probe whose top two vote counts tie
+    * at 3–2 teaches the model more than a 5–0 slam dunk). Margin =
+    * top-vote count − runner-up count (unanimous probes margin k).
+    * Returns the `topN` most uncertain as (rank, probe_id, pred_label,
+    * margin), rank by (margin ASC, probe id).
+    *
+    * Scale shape: rides the batched top-k kernel (probe panel broadcast,
+    * one corpus scan, bounded per-probe agg); votes and both windows run
+    * on the probes × labels relation — nothing corpus-sized after the
+    * scan. Corpus-scale probe sets go through the stored IVF index
+    * exactly as [[knnClassifyIndexed]] prescribes. */
+  def uncertaintySample(emb: DataFrame, vecCol: String, idCol: String,
+                        labelCol: String, probes: DataFrame, k: Int,
+                        topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = topKBatchFor(emb, vecCol, idCol, probes, k)
+    val lbl = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).cast("long").as("__lbl"))
+    val votes = hits.join(lbl, "vec_id")
+      .groupBy("probe_id", "__lbl").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("n_votes").desc, col("__lbl").asc)
+    val ranked = votes.withColumn("vr", row_number().over(w))
+    val top1 = ranked.filter(col("vr") === 1)
+      .select(col("probe_id"), col("__lbl").as("pred_label"),
+        col("n_votes").as("__n1"))
+    val top2 = ranked.filter(col("vr") === 2)
+      .select(col("probe_id"), col("n_votes").as("__n2"))
+    val margins = top1.join(top2, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("pred_label"),
+        (col("__n1") - coalesce(col("__n2"), lit(0L))).as("margin"))
+    val order = Window.orderBy(col("margin").asc, col("probe_id").asc)
+    margins.withColumn("rank", row_number().over(order).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("probe_id"), col("pred_label"), col("margin"))
+  }
+
   /** End-to-end IVF ANN: build (or rebuild) the stored index, then probe
     * it. The build is the one-time cost IVF amortizes over many probes —
     * callers with a probe workload build once via `buildIvfIndex` and then

@@ -811,6 +811,21 @@ class SimilaritySpec extends SparkSpec {
       s"angular order must survive the projection: near=$cNear ortho=$cOrtho")
   }
 
+  test("uncertaintySample ranks the contested probe above the unanimous one") {
+    val emb = (Seq(
+      (1L, Array(1f, 0.01f), 0), (2L, Array(1f, 0.02f), 0), (3L, Array(1f, 0.03f), 0)) ++
+      (11 to 15).map(i => (i.toLong, Array(0.01f * (i - 10), 1f), 1)))
+      .toDF("id", "v", "label")
+    val probes = Seq((100L, Array(0.8f, 0.6f)), (200L, Array(0f, 1f)))
+      .toDF("probe_id", "q_vec")
+    val out = graft.operators.Similarity.uncertaintySample(
+        emb, "v", "id", "label", probes, k = 5, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // probe 100's k=5 votes split 3 (label 0) vs 2 (label 1) -> margin 1;
+    // probe 200 is unanimous label 1 -> margin 5; contested ranks first
+    assert(out.toSeq === Seq((1L, 100L, 0L, 1L), (2L, 200L, 1L, 5L)))
+  }
+
   test("PCA: covariance eigensolve recovers the planted dominant direction") {
     // x_i = a_i·e0 + b_i·e1 + tiny noise elsewhere; spread(a) >> spread(b)
     val d = 8
