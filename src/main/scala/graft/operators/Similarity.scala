@@ -1647,26 +1647,33 @@ object Similarity {
     * (DuckDB HUGEINT — the momentsVar lane) before ONE double division —
     * order-invariant, hash-identical in the twin.
     *
-    * Scale shape: one posexplode to (row, i, x_u), a vec_id-co-partitioned
-    * self-join producing the i ≤ j pair stream (d²/2 per row), and a
-    * map-side-combinable (i, j) agg — output is d²-bounded (2080 rows at
-    * d=64) regardless of corpus size. The d² blow-up is a train-once
-    * pass; at open-web scale train on a uniform sample (the cov estimate
-    * converges at √n) — the scoring/projection pass never pays it. */
+    * Scale shape: the i ≤ j pair stream (d²/2 per row) is built by a
+    * NARROW nested explode — the outer posexplode walks i, the inner one
+    * walks the tail slice from the diagonal — so the only shuffle in the
+    * plan is the map-side-combinable (i, j) partial agg, and the output
+    * is d²-bounded (2080 rows at d=64) regardless of corpus size. The d²
+    * blow-up is a train-once pass; at open-web scale train on a uniform
+    * sample (the cov estimate converges at √n) — the scoring/projection
+    * pass never pays it. */
   def covarianceMatrix(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
     // null vectors drop (run embeddingHealthCard first — this kernel
     // expects a health-checked input; a NaN component would poison its
     // whole row/column block)
-    val xr = emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__rid"), posexplode(col(vecCol)))
-      .select(col("__rid"), (col("pos") + 1).cast("long").as("i"),
-        round(col("col").cast("double") * 1e6, 0).cast("long").as("xu"))
-    val marg = xr.groupBy("i").agg(count(lit(1)).as("n"), sum("xu").as("s"))
-    val pair = xr.as("a").join(xr.as("b"),
-        col("a.__rid") === col("b.__rid") && col("a.i") <= col("b.i"))
-      .select(col("a.i").as("i"), col("b.i").as("j"),
-        (col("a.xu") * col("b.xu")).as("xy"))
-      .groupBy("i", "j").agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+    def u(c: Column): Column = round(c.cast("double") * 1e6, 0).cast("long")
+    val rows = emb.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__v"), posexplode(col(vecCol)))
+      .select((col("pos") + 1).cast("long").as("i"), u(col("col")).as("xu"),
+        slice(col("__v"), col("pos") + 1, size(col("__v")) - col("pos")).as("__tail"))
+    val marg = rows.groupBy("i").agg(count(lit(1)).as("n"), sum("xu").as("s"))
+    // product sums ride PRIMITIVE longs through the hot partial agg
+    // (|x| ≤ ~10 ⇒ products ≤ 1e14; safe to ~10⁴ corpus rows per unit —
+    // ~3e8 rows here); past that, swap this one sum to decimal(38,0)
+    // exactly as the momentsVar lane does — the combination below is
+    // already decimal on the d²-row relation either way
+    val pair = rows.select(col("i"), col("xu"), posexplode(col("__tail")))
+      .select(col("i"), (col("i") + col("pos")).as("j"),
+        (col("xu") * u(col("col"))).as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).cast("decimal(38,0)").as("sxy"))
     pair
       .join(marg.select(col("i"), col("n"), col("s").as("si")), "i")
       .join(marg.select(col("i").as("j"), col("s").as("sj")), "j")
