@@ -1348,6 +1348,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- multimodal: perceptual hash + media near-dup pairs ----
+    // The image-dedup lane: stubbed decode (prime-stride luma samples),
+    // real aHash + banded Hamming pairing — the text SimHash kernel
+    // reused over media fingerprints.
+    "q_media_phash" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.perceptualHash(
+        Multimodal.withPayload(t(s, d, "documents"), "text", "doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // The ingest batch carries planted "re-encoded" twins (one
+    // leading-byte change, length-preserving — the synthetic corpus has
+    // no natural media dups): the pair list must link each twin to its
+    // original and nothing else.
+    "q_media_dups" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents")
+      val twins = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit(" "), expr("substring(text, 2)")).as("text"))
+      val batch = docs.select(col("doc_id"), col("text")).unionByName(twins)
+      Multimodal.perceptualNearDups(
+        Multimodal.withPayload(batch, "text", "doc_id"), maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity: active-learning uncertainty sample (vote margin) ----
     // The "label these next" list: probes whose kNN label votes are
     // closest, over the SAME fixed probe panel as q_knn_classify.
@@ -3313,6 +3340,25 @@ object SparkEntry {
 
     "q_mmr_rerank" -> mmrSql(k0 = 20, k = 5, lambdaNum = 7),
 
+    "q_media_phash" ->
+      s"""WITH $mediaPhashCtes
+         |SELECT doc_id, ph_hi, ph_lo FROM ph ORDER BY doc_id""".stripMargin,
+
+    "q_media_dups" ->
+      s"""WITH ${mediaPhashCtes.replace(
+             "mt AS (SELECT doc_id, text AS t FROM documents),",
+             """mt AS (SELECT doc_id, text AS t FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, ' ' || substr(text, 2)
+               |  FROM documents WHERE doc_id % 25 = 0),""".stripMargin)}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ph_hi, b.ph_hi))
+         |    + bit_count(xor(a.ph_lo, b.ph_lo)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph_hi, b.ph_hi))
+         |    + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_uncertainty" ->
       """WITH p AS (
         |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q
@@ -4451,6 +4497,25 @@ object SparkEntry {
        |qranked AS (SELECT query_id, doc, score_micro,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc) AS rank
        |  FROM qagg)""".stripMargin
+
+  /** DuckDB twin of `Multimodal.perceptualHash` — the same 64
+    * prime-stride luma samples and strict ×64 mean-threshold bits,
+    * generated from one Scala loop for both engines. Valid because the
+    * corpus text is ASCII (payload byte k == ascii of char k — the same
+    * identity q_multimodal_meta's octet_length oracle relies on). */
+  private val mediaPhashCtes: String = {
+    def px(k: Int) =
+      s"CASE WHEN length(t) = 0 THEN 0 ELSE ascii(substr(t, 1 + (${k * 7919} % length(t)), 1)) END"
+    val sumExpr = (0 until 64).map(px).mkString(" + ")
+    def half(lo: Boolean) = (if (lo) 0 until 32 else 32 until 64).map { k =>
+      val shift = if (lo) k else k - 32
+      s"CASE WHEN ${px(k)} * 64 > psum THEN CAST(1 AS BIGINT) << $shift ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""mt AS (SELECT doc_id, text AS t FROM documents),
+       |ms AS (SELECT doc_id, t, ($sumExpr) AS psum FROM mt),
+       |ph AS (SELECT doc_id, CAST(${half(lo = false)} AS BIGINT) AS ph_hi,
+       |  CAST(${half(lo = true)} AS BIGINT) AS ph_lo FROM ms)""".stripMargin
+  }
 
   /** DuckDB twin of `Similarity.mmrRerank` — the same exact-integer
     * greedy REPLAYED as k unrolled SQL steps (each step: score the

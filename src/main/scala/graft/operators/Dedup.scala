@@ -441,6 +441,15 @@ object Dedup {
                           maxDist: Int = 3): DataFrame =
     pairsFromPackedFingerprints(simhashPackedFast(docs, textCol, idCol), maxDist)
 
+  /** Public face of the packed-fingerprint pair kernel for OTHER hash
+    * families (the media lane's perceptual hashes ride it unchanged):
+    * 16-bit chunk banding over any 64-bit fingerprint column,
+    * pigeonhole-lossless at Hamming ≤ 3. */
+  def packedHammingPairs(fp: DataFrame, idCol: String, hashCol: String,
+                         maxDist: Int): DataFrame =
+    pairsFromPackedFingerprints(
+      fp.select(col(idCol).as("doc"), col(hashCol).as("simhash")), maxDist)
+
   private def pairsFromPackedFingerprints(sh: DataFrame, maxDist: Int): DataFrame = {
     // 4 chunk structs instead of explode+variable shift: shiftrightunsigned
     // needs a literal shift amount, and 4 unrolled extractions stay in one

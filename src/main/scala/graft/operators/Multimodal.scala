@@ -97,6 +97,50 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint per payload —
+    * the media-dedup signal: near-identical images (re-encodes, minor
+    * crops) hash within a few bits of each other, and
+    * [[perceptualNearDups]] turns that into the keep/drop pair list the
+    * same way the text lane's SimHash family does. The "decode +
+    * downsample to an 8×8 grayscale grid" step is STUBBED like every
+    * codec here: 64 luma samples are drawn at a prime stride over the
+    * payload bytes (a real decoder swaps in actual pixel averaging at
+    * the same spot); each bit is sample > mean (strict, ×64 integer
+    * form — no division). The hash splits into (ph_hi, ph_lo) 32-bit
+    * halves so the SQL twin never shifts into the BIGINT sign bit.
+    * Empty payloads hash to 0. */
+  def perceptualHash(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].map { row =>
+      val len = row.payload.length
+      val px = Array.tabulate(64)(k =>
+        if (len == 0) 0 else row.payload((k * 7919) % len) & 0xff)
+      val sum = px.sum.toLong
+      var hi = 0L; var lo = 0L
+      var k = 0
+      while (k < 64) {
+        if (px(k).toLong * 64 > sum) {
+          if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+        }
+        k += 1
+      }
+      (row.doc_id, hi, lo)
+    }.toDF("doc_id", "ph_hi", "ph_lo")
+  }
+
+  /** Near-duplicate media pairs at Hamming ≤ `maxDist` over the
+    * perceptual hashes — packs the halves back into one long ENGINE-SIDE
+    * and rides the text lane's 16-bit chunk banding
+    * ([[Dedup.packedHammingPairs]]): pigeonhole-lossless at ≤ 3 bits,
+    * candidates-not-cross-products at scale. The oracle twin brute-forces
+    * the same pair set from the (hi, lo) halves. */
+  def perceptualNearDups(media: DataFrame, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.packedHammingPairs(
+      perceptualHash(media).select(col("doc_id"),
+        (shiftleft(col("ph_hi"), 32).bitwiseOR(col("ph_lo"))).as("phash")),
+      "doc_id", "phash", maxDist)
+
   case class ResizePlan(doc_id: Long, width: Int, height: Int,
                         out_w: Int, out_h: Int, scale: Double)
 
