@@ -102,7 +102,9 @@ object PlanDoc {
     "q_bm25_stored" -> "stored-stats BM25 scoring: driver-side idf constants + per-row tf from the token array — pure projection + explode, ZERO shuffle (the plan a percolating stream runs)",
     "q_rrf_fusion" -> "RRF: both ranker legs are top-k-bounded before the fuse — the full-outer join + rank window touch ≤ 2k rows",
     "q_rank_metrics" -> "ranking eval: system/gold are bounded ranker outputs; hit join, per-group aggs and the ≤k-element IDCG fold are all groups-sized",
-    "q_char_entropy" -> "char entropy: ONE native byte-pass kernel per row, fixed-order 26-term fold — scan → project, zero shuffle")
+    "q_char_entropy" -> "char entropy: ONE native byte-pass kernel per row, fixed-order 26-term fold — scan → project, zero shuffle",
+    "q_embed_cov" -> "covariance: narrow nested explode builds the i≤j pair stream (no self-join) — the ONLY shuffle is the (i,j) partial agg, output d²-bounded",
+    "q_media_dups" -> "media dedup: typed-map aHash, 16-bit chunk bucket self-join — candidates, never the payload cross product")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
