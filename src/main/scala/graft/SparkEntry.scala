@@ -1265,6 +1265,37 @@ object SparkEntry {
         .orderBy("probe_id", "rnk")
     }),
 
+    // ---- similarity: binary sign-bit Hamming top-k (compression ladder) ----
+    // 1-bit/dim tier: corpus packed to two 32-bit halves per vector, probe
+    // panel broadcast, bit_count(xor) distance, bounded TopKHits agg — the
+    // RAM-resident shortlist stage that feeds an exact rerank at 100 TB.
+    "q_hamming_topk" -> ((s, d) => {
+      Similarity.hammingTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+        probeIds = Seq(0L, 1L, 2L), k = 10)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // ---- similarity: matryoshka truncation recall eval ----
+    // recall@10 of first-16-dims cosine top-k vs full 64-dim top-k over a
+    // FIXED probe panel — the measure-before-ship gate for dim truncation.
+    "q_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.matryoshkaRecall(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec")),
+        k = 10, subDim = 16)
+        .orderBy("probe_id")
+    }),
+
+    // ---- similarity: hard-negative mining (contrastive training) ----
+    // Top-k most-similar DIFFERENT-label vectors per probe: the negatives
+    // an InfoNCE/triplet batch wants. Probe panel broadcasts with labels.
+    "q_hard_negatives" -> ((s, d) => {
+      Similarity.hardNegatives(t(s, d, "embeddings"), "embedding", "vec_id",
+        "label", probeIds = Seq(0L, 5L, 10L, 15L, 20L), k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // ---- similarity: kNN auto-label (majority vote over exact top-k) ----
     "q_knn_classify" -> ((s, d) => knnPanelClassify(s, d).orderBy("probe_id")),
 
@@ -2965,6 +2996,12 @@ object SparkEntry {
         |ORDER BY grp, doc_id""".stripMargin,
 
     "q_sim_topk_batch" -> simTopkBatchSql,
+
+    "q_hamming_topk" -> hammingTopkSql,
+
+    "q_matryoshka" -> matryoshkaSql,
+
+    "q_hard_negatives" -> hardNegativesSql,
 
     "q_knn_classify" -> knnClassifySql,
 
@@ -4719,6 +4756,90 @@ object SparkEntry {
       |  FROM s)
       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim FROM r
       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** DuckDB twin of `Similarity.binarySignPack`'s 32-bit half `half` (0 =
+    * dims 0–31, 1 = dims 32–63): 32 CASE-OR terms, generated so the bit
+    * layout can never drift from the Scala packer. */
+  private def signPackSql(half: Int): String =
+    (half * 32 until half * 32 + 32).map { i =>
+      s"(CASE WHEN embedding[${i + 1}] > 0 THEN CAST(${1L << (i - half * 32)} AS BIGINT) ELSE 0 END)"
+    }.mkString(" | ")
+
+  /** Binary-tier Hamming top-k twin: same packed halves, bit_count(xor)
+    * distance, per-probe (distance ASC, vec_id ASC) ranking — the window
+    * form of the TopKHits contract at similarity = 64 − d. */
+  private def hammingTopkSql: String =
+    s"""WITH pk AS (
+       |  SELECT vec_id, ${signPackSql(0)} AS lo, ${signPackSql(1)} AS hi
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, lo AS q_lo, hi AS q_hi
+       |      FROM pk WHERE vec_id IN (0, 1, 2)),
+       |s AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    CAST(bit_count(xor(e.lo, p.q_lo)) + bit_count(xor(e.hi, p.q_hi)) AS BIGINT) AS d
+       |  FROM pk e, p WHERE e.vec_id <> p.probe_id),
+       |r AS (
+       |  SELECT probe_id, vec_id, d,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id) AS rnk
+       |  FROM s)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, d AS hamming
+       |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Matryoshka recall twin: full-dim and first-16-dim ranked arms share
+    * the sim_topk_batch shape; recall joins the two rank-≤10 sets. */
+  private def matryoshkaSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q,
+      |         CAST(embedding[1:16] AS DOUBLE[]) AS qs
+      |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         CAST(embedding[1:16] AS DOUBLE[]) AS vs
+      |  FROM embeddings),
+      |sf AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_dot_product(e.v, p.q)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.q, p.q))), 4) + 0.0 AS c
+      |  FROM e, p WHERE e.vec_id <> p.probe_id),
+      |st AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_dot_product(e.vs, p.qs)
+      |      / (sqrt(list_dot_product(e.vs, e.vs)) * sqrt(list_dot_product(p.qs, p.qs))), 4) + 0.0 AS c
+      |  FROM e, p WHERE e.vec_id <> p.probe_id),
+      |rf AS (SELECT probe_id, vec_id,
+      |         row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rnk
+      |       FROM sf),
+      |rt AS (SELECT probe_id, vec_id,
+      |         row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rnk
+      |       FROM st),
+      |m AS (
+      |  SELECT rf.probe_id, count(*) AS n_match
+      |  FROM rf JOIN rt ON rf.probe_id = rt.probe_id AND rf.vec_id = rt.vec_id
+      |  WHERE rf.rnk <= 10 AND rt.rnk <= 10 GROUP BY 1)
+      |SELECT p.probe_id,
+      |  CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
+      |  CAST((10000 * coalesce(m.n_match, 0)) // 10 AS BIGINT) AS recall_bp
+      |FROM p LEFT JOIN m ON p.probe_id = m.probe_id
+      |ORDER BY p.probe_id""".stripMargin
+
+  /** Hard-negative twin: the batch top-k shape with the different-label
+    * candidate restriction pushed into the scored CTE. */
+  private def hardNegativesSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS q, label AS pl
+      |  FROM embeddings WHERE vec_id IN (0, 5, 10, 15, 20)),
+      |s AS (
+      |  SELECT p.probe_id, e.vec_id, CAST(e.label AS BIGINT) AS neg_label,
+      |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.q)
+      |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |         * sqrt(list_dot_product(p.q, p.q))), 4) + 0.0 AS cos_sim
+      |  FROM embeddings e, p WHERE e.label <> p.pl AND e.vec_id <> p.probe_id),
+      |r AS (
+      |  SELECT probe_id, vec_id, neg_label, cos_sim,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM s)
+      |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id, neg_label, cos_sim
+      |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   /** The classifier both kNN queries evaluate — ONE definition, so the
     * confusion matrix can never drift from the classifier it grades (the

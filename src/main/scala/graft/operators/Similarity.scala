@@ -1815,4 +1815,125 @@ object Similarity {
     }
     selected.toSeq.toDF("rank", idCol, "mmr_u")
   }
+
+  // ------------------------------------------------------------- binary tier
+
+  /** Sign-bit binarization — the last rung of the embedding compression
+    * ladder (float32 → int8 [`quantizeInt8`] → PQ [`pqEncode`] → 1 bit/dim):
+    * dim 64 floats (256 B) become TWO packed BIGINTs (`bits_lo` = dims 0–31,
+    * `bits_hi` = dims 32–63; bit i set ⇔ component > 0), a 16× cut that
+    * keeps a 100 TB corpus's candidate structure RAM-resident where even PQ
+    * codes would spill. Hamming distance on sign bits is a monotone proxy
+    * for angular distance (Charikar 2002 random-hyperplane bound — here the
+    * hyperplanes are the coordinate axes, i.e. ITQ-without-rotation), good
+    * for shortlisting, to be reranked exact like `pqRerankTopK` does.
+    * Two 32-bit halves rather than one 64-bit word so no engine ever shifts
+    * into the sign bit — every packed value stays in [0, 2^32), portable
+    * across BIGINT implementations. Pure codegen projection, zero shuffle. */
+  def binarySignPack(emb: DataFrame, vecCol: String, idCol: String,
+                     dim: Int = 64): DataFrame = {
+    require(dim == 64, s"binarySignPack packs exactly 64 dims (got $dim)")
+    def half(from: Int): Column =
+      (from until from + 32).map { i =>
+        when(element_at(col(vecCol), i + 1).cast("double") > 0,
+          shiftleft(lit(1L), i - from)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    emb.select(col(idCol), half(0).as("bits_lo"), half(32).as("bits_hi"))
+  }
+
+  /** Top-k by HAMMING distance over the sign-packed corpus: the binary-tier
+    * probe. Same plan family as [[bruteForceTopKBatch]] — probes broadcast,
+    * ONE pass over the packed table (2 longs/row, not 64 floats), distance
+    * is two `bit_count(xor)` integer ops inside whole-stage codegen, and the
+    * per-probe top-k is the bounded `TopKHits` aggregate (shuffle = tasks ×
+    * p × k rows). Ties break by smaller distance then smaller id (the
+    * TopKHits score-DESC/id-ASC contract applied to similarity = 64 − d).
+    * At 100 TB this scan touches 16 GB per 10⁹ vectors — memory-speed — and
+    * feeds an exact rerank of p·k rows; the float corpus is never scanned. */
+  def hammingTopK(emb: DataFrame, vecCol: String, idCol: String,
+                  probeIds: Seq[Long], k: Int): DataFrame = {
+    val packed = binarySignPack(emb, vecCol, idCol)
+    val probes = packed.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"),
+        col("bits_lo").as("q_lo"), col("bits_hi").as("q_hi"))
+    val dist = (bit_count(col("bits_lo").bitwiseXOR(col("q_lo"))) +
+      bit_count(col("bits_hi").bitwiseXOR(col("q_hi")))).cast("long")
+    val topk = udaf(new graft.functions.TopKHits(k),
+      graft.functions.TopKHits.hitEncoder)
+    packed.crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), (lit(64L) - dist).cast("double").as("sim"),
+        col(idCol).as("vec_id"))
+      .groupBy("probe_id")
+      .agg(topk(col("sim"), col("vec_id")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"),
+        (lit(64L) - col("col.score").cast("long")).as("hamming"))
+  }
+
+  // ------------------------------------------------------- truncation eval
+
+  /** Matryoshka-style truncation eval: recall@k of the FIRST-`subDim`-dims
+    * cosine top-k against the full-dim exact top-k, per probe — the
+    * measure-before-ship gate for "can we run ANN at d′ < d?" (truncated
+    * prefixes are how MRL-trained embeddings are deployed cheaply; this
+    * quantifies what a given prefix costs on YOUR corpus, exactly like
+    * `annRecallEval` does for IVF probe counts). Both arms ride
+    * [[topKBatchFor]] (probes broadcast, one corpus scan each, bounded
+    * top-k agg); the recall join touches p·k rows only. Integer output:
+    * matched count and basis points (`div` — exact on both engines). */
+  def matryoshkaRecall(emb: DataFrame, vecCol: String, idCol: String,
+                       probes: DataFrame, k: Int, subDim: Int): DataFrame = {
+    val full = topKBatchFor(emb, vecCol, idCol, probes, k)
+      .select(col("probe_id"), col("vec_id"))
+    val cut = topKBatchFor(
+      emb.select(col(idCol), slice(col(vecCol), 1, subDim).as(vecCol)),
+      vecCol, idCol,
+      probes.select(col("probe_id"), slice(col("q_vec"), 1, subDim).as("q_vec")),
+      k)
+      .select(col("probe_id"), col("vec_id"))
+    full.join(cut, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_match"))
+      .join(probes.select(col("probe_id")), Seq("probe_id"), "right_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("recall_bp", expr(s"(10000 * n_match) div $k"))
+  }
+
+  // ------------------------------------------------------ negative mining
+
+  /** Hard-negative mining for contrastive training: each probe's top-k most
+    * cosine-similar vectors whose label DIFFERS from the probe's — the rows
+    * most likely to confuse a model into collapsing classes, which is
+    * exactly what a triplet/InfoNCE batch wants as negatives. Same scale
+    * shape as [[topKBatchFor]] (probe panel broadcasts with its labels, one
+    * corpus scan, bounded per-probe `TopKHits`); the negative-label fetch
+    * afterwards joins only the p·k hit rows back to the corpus. Corpus-sized
+    * probe sets belong on the stored IVF index + a label partition filter;
+    * this is the exact-scan panel form. */
+  def hardNegatives(emb: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String, probeIds: Seq[Long], k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKHits(k),
+      graft.functions.TopKHits.hitEncoder)
+    val probes = emb.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("probe_label"))
+    val hits = emb.crossJoin(broadcast(probes))
+      .filter(col(labelCol) =!= col("probe_label"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"),
+        r4(cosineSim(col(vecCol), col("q_vec"))).as("cos_sim"),
+        col(idCol).as("vec_id"))
+      .filter(!isnan(col("cos_sim")))
+      .groupBy("probe_id")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("hits"))
+      .select(col("probe_id"), posexplode(col("hits")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("vec_id"), col("col.score").as("cos_sim"))
+    hits.join(emb.select(col(idCol).as("vec_id"),
+        col(labelCol).cast("long").as("neg_label")), Seq("vec_id"))
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("neg_label"),
+        col("cos_sim"))
+  }
 }

@@ -876,4 +876,79 @@ class SimilaritySpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+
+  /** 64-dim vectors with deterministic signed components (the sign pattern
+    * is what the binary tier packs). */
+  private def vecs64(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (((i * 31 + j * 17) % 19) - 9) / 10.0f + 0.05f))
+    }.toDF("id", "v")
+
+  test("binarySignPack: hand-computed bit layout, halves stay in [0, 2^32)") {
+    // dims 0,1,33 positive, everything else negative → lo = b0|b1 = 3,
+    // hi = bit (33-32) = 2
+    val v = Array.tabulate(64)(j => if (j == 0 || j == 1 || j == 33) 1.0f else -1.0f)
+    val row = Similarity.binarySignPack(Seq((7L, v)).toDF("id", "v"), "v", "id")
+      .collect()(0)
+    assert(row.getLong(1) == 3L && row.getLong(2) == 2L,
+      s"packed halves: ${row.getLong(1)}/${row.getLong(2)}")
+    // bit 31 of a half (dim 31 / dim 63) must not overflow into the sign
+    val top = Array.tabulate(64)(j => if (j == 31 || j == 63) 1.0f else -1.0f)
+    val r2 = Similarity.binarySignPack(Seq((8L, top)).toDF("id", "v"), "v", "id")
+      .collect()(0)
+    assert(r2.getLong(1) == (1L << 31) && r2.getLong(2) == (1L << 31))
+    assert(r2.getLong(1) > 0 && r2.getLong(2) > 0, "halves are non-negative")
+  }
+
+  test("hammingTopK: an exact sign-duplicate ranks first at distance 0") {
+    // row 100 duplicates row 0's sign pattern (scaled positives stay
+    // positive); every other row differs somewhere
+    val base = vecs64(50)
+    val dup = base.filter(col("id") === 0)
+      .select(lit(100L).as("id"), transform(col("v"), x => x * 2.0f).as("v"))
+    val out = Similarity.hammingTopK(base.union(dup), "v", "id",
+      probeIds = Seq(0L), k = 5).orderBy("rnk").collect()
+    // the generator's sign pattern has period 19 in id, so ids 19 and 38
+    // ALSO match row 0 exactly — all three sit at distance 0, ranked by
+    // the equal-score smaller-id-first contract
+    val zeros = out.takeWhile(_.getLong(3) == 0L).map(_.getLong(2))
+    assert(zeros.sameElements(Array(19L, 38L, 100L)),
+      s"distance-0 set must be id-ordered 19,38,100: ${out.mkString(";")}")
+    // distances are non-decreasing down the ranks and within [0, 64]
+    val ds = out.map(_.getLong(3))
+    assert(ds.sameElements(ds.sorted) && ds.forall(d => d >= 0 && d <= 64))
+  }
+
+  test("matryoshkaRecall: subDim = full dim is perfect recall; truncation is bounded") {
+    val emb = vecs64(40)
+    val probes = emb.filter(col("id") === 0)
+      .select(col("id").as("probe_id"), col("v").as("q_vec"))
+    val perfect = Similarity.matryoshkaRecall(emb, "v", "id", probes,
+      k = 5, subDim = 64).collect()
+    assert(perfect.length == 1 && perfect(0).getLong(2) == 10000L,
+      "identical arms must agree exactly")
+    val cut = Similarity.matryoshkaRecall(emb, "v", "id", probes,
+      k = 5, subDim = 4).collect()(0)
+    assert(cut.getLong(1) >= 0L && cut.getLong(1) <= 5L)
+    assert(cut.getLong(2) == cut.getLong(1) * 10000 / 5)
+  }
+
+  test("hardNegatives: every hit has a different label, ranks follow cosine") {
+    val emb = vecs64(60).withColumn("label", (col("id") % 3).cast("int"))
+    val out = Similarity.hardNegatives(emb, "v", "id", "label",
+      probeIds = Seq(0L, 1L), k = 4)
+    val rows = out.orderBy("probe_id", "rnk").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val probeLabel = r.getLong(0) % 3
+      assert(r.getLong(3) != probeLabel,
+        s"negative label ${r.getLong(3)} must differ from probe's $probeLabel")
+    }
+    // per probe: cosine non-increasing down the ranks
+    rows.groupBy(_.getLong(0)).foreach { case (_, hs) =>
+      val cs = hs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
