@@ -1067,6 +1067,24 @@ object SparkEntry {
         .orderBy("span")
     }),
 
+    // ---- dedup: duplicate-span LOCALIZATION (Lee et al. 2022) ----
+    // q_repeated_spans reports the shared window STRINGS; this merges the
+    // cross-doc windows into maximal per-doc token ranges — the cut list a
+    // span-level dedup pass actually applies. String lane anchors the
+    // oracle; the xxhash64 shuffle lane is spec-pinned identical.
+    "q_span_dedup" -> ((s, d) => {
+      Dedup.duplicateSpans(t(s, d, "documents"), "text", "doc_id",
+        window = 8, minDocs = 2, hashLane = false)
+        .orderBy("doc", "span_start")
+    }),
+
+    // ---- dedup: winnowing fingerprints (Schleimer et al. 2003 / MOSS) ----
+    "q_winnow" -> ((s, d) => {
+      Dedup.winnowFingerprints(t(s, d, "documents"), "text", "doc_id",
+        gram = 3, w = 4)
+        .orderBy("doc")
+    }),
+
     // ---- curation: per-group winsorization (percentile clamp) ----
     "q_winsorize" -> ((s, d) => {
       Curation.winsorize(t(s, d, "events"), "value", Seq("event_type"))
@@ -2108,6 +2126,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: exact rank-sum ROC-AUC (length as an en-ness probe) ----
+    "q_auc" -> ((s, d) => {
+      Curation.aucExact(
+        t(s, d, "documents").select(col("n_chars"),
+          (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en")
+    }),
+
+    // ---- curation: Cohen's kappa, langid heuristic vs the lang column ----
+    "q_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.cohenKappa(
+        docs.join(TextAnalysis.languageId(docs, "text", "doc_id"), "doc_id"),
+        "lang", "lang_pred")
+    }),
+
     // ---- curation: token-budget water-filling across sources ----
     // Budget 21732 = ~80% of the sf0.01 corpus's ws tokens — chosen so
     // the cap cascade spans all 3 rounds at the gate SF (7, 2, then 2
@@ -2911,6 +2945,55 @@ object SparkEntry {
          |  min(doc_id) AS first_doc
          |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span""".stripMargin,
+
+    // gaps-and-islands twin of Dedup.duplicateSpans: lag + running sum per
+    // doc; NULL lag falls to the ELSE 1 arm exactly like Spark's otherwise
+    "q_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7)) AS start, tk
+         |      FROM t WHERE len(tk) >= 8),
+         |s AS (SELECT doc_id, start, array_to_string(tk[start : start+7], ' ') AS win
+         |      FROM w),
+         |dup AS (SELECT win FROM s GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+         |c AS (SELECT doc_id, start FROM s WHERE win IN (SELECT win FROM dup)),
+         |m AS (SELECT doc_id, start,
+         |        CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= 8
+         |             THEN 0 ELSE 1 END AS newisl
+         |      FROM c),
+         |i AS (SELECT doc_id, start,
+         |        sum(newisl) OVER (PARTITION BY doc_id ORDER BY start) AS isl
+         |      FROM m)
+         |SELECT doc_id AS doc, CAST(min(start) AS BIGINT) AS span_start,
+         |  CAST(max(start) + 7 AS BIGINT) AS span_end,
+         |  count(*) AS n_windows,
+         |  CAST(max(start) + 7 - min(start) + 1 AS BIGINT) AS span_len
+         |FROM i GROUP BY doc_id, isl ORDER BY doc, span_start""".stripMargin,
+
+    // winnowing twin: same packed (hash, rightmost-pos) key, the same
+    // w-row MIN frame, // 2^20 decode (pk positive, ≡ Spark shiftright)
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS start, tk
+         |      FROM t WHERE len(tk) >= 3),
+         |h AS (SELECT doc_id, start,
+         |        (${Sketches.kmvHash32Sql("array_to_string(tk[start : start+2], ' ')")})
+         |          * 1048576 + (1048575 - start) AS pk
+         |      FROM g),
+         |w AS (SELECT doc_id, start, pk,
+         |        min(pk) OVER (PARTITION BY doc_id ORDER BY start
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY start) AS rn,
+         |        count(*) OVER (PARTITION BY doc_id) AS n
+         |      FROM h),
+         |p AS (SELECT DISTINCT doc_id, n, win_min FROM w WHERE rn <= n - 3),
+         |f AS (SELECT doc_id, n, win_min // 1048576 AS fp_hash FROM p),
+         |sh AS (SELECT fp_hash FROM f GROUP BY fp_hash
+         |       HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id AS doc, CAST(max(n) AS BIGINT) AS n_kgrams,
+         |  count(*) AS n_fps,
+         |  CAST(sum(CASE WHEN fp_hash IN (SELECT fp_hash FROM sh)
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |FROM f GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
@@ -4014,6 +4097,43 @@ object SparkEntry {
 
     // Tie-aware rank() (equal qualities calibrate equal) — the engine's
     // contract; single-member groups pin to 0.
+    // rank-sum AUC twin on score groups; HUGEINT sums cast to BIGINT at
+    // the edge (the q_expectations lesson), // ≡ Spark div
+    "q_auc" ->
+      """WITH b AS (SELECT n_chars AS s,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+        |        sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS g
+        |      FROM documents GROUP BY 1),
+        |c AS (SELECT s, p, g,
+        |        coalesce(sum(g) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |      FROM b)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(g) AS BIGINT) AS n_neg,
+        |  CAST(CASE WHEN sum(p) > 0 AND sum(g) > 0
+        |    THEN (500000 * sum(p * (2 * nb + g))) // (sum(p) * sum(g))
+        |    ELSE 0 END AS BIGINT) AS auc_ppm
+        |FROM c""".stripMargin,
+
+    // kappa twin: confusion cells → marginal product chance term; the
+    // langid CTE IS langIdCoreSql, shared with q_langid
+    "q_kappa" ->
+      s"""WITH pred AS ($langIdCoreSql),
+         |pair AS (SELECT d.lang AS a, p.lang_pred AS b
+         |         FROM documents d JOIN pred p USING (doc_id)),
+         |cells AS (SELECT a, b, count(*) AS c FROM pair GROUP BY a, b),
+         |ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY a),
+         |mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+         |pe AS (SELECT coalesce(sum(ca * cb), 0) AS pe
+         |       FROM ma JOIN mb ON ma.a = mb.b),
+         |agg AS (SELECT sum(c) AS n,
+         |          sum(CASE WHEN a = b THEN c ELSE 0 END) AS n_agree
+         |        FROM cells)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+         |  CAST(CASE WHEN n * n <> pe
+         |    THEN (1000000 * (n * n_agree - pe)) // (n * n - pe)
+         |    ELSE 0 END AS BIGINT) AS kappa_ppm
+         |FROM agg, pe""".stripMargin,
+
     "q_calibrate" ->
       s"""WITH q AS (SELECT doc_id, quality FROM ($qualitySql)),
          |j AS (SELECT d.doc_id, d.source, q.quality
@@ -4638,7 +4758,10 @@ object SparkEntry {
        | ELSE list_transform(generate_series(1, len($toksExpr) - ${n - 1}),
        |        i -> array_to_string(($toksExpr)[i:i+${n - 1}], ' ')) END""".stripMargin
 
-  private def langIdSql: String = {
+  /** The langid prediction relation WITHOUT a final ORDER BY, so q_kappa
+    * can embed the SAME definition as a CTE — one marker table, two
+    * consumers, zero drift. */
+  private def langIdCoreSql: String = {
     def score(markers: Seq[String]): String =
       markers.map { m =>
         val esc = m.replace("'", "''")
@@ -4653,9 +4776,11 @@ object SparkEntry {
     }
     s"""SELECT doc_id, CASE ${branches.mkString(" ")} ELSE '${langs.last}' END AS lang_pred
        |FROM (SELECT doc_id, $selects
-       |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents))""".stripMargin
   }
+
+  private def langIdSql: String =
+    langIdCoreSql + "\nORDER BY doc_id"
 
   private def qualitySql: String = {
     val stop = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -736,4 +736,74 @@ object Curation {
         expr("(10000 * coalesce(alloc_tokens, CAST(0 AS BIGINT)))" +
           " div avail_tokens")).otherwise(lit(0L)).cast("long").as("rate_bp"))
   }
+
+  // ------------------------------------------------------ classifier evals
+
+  /** EXACT ROC-AUC of a score against a boolean label, by the rank-sum
+    * (Mann–Whitney U) identity with the standard ½-credit for score ties —
+    * the gate that grades any quality/filter classifier before its
+    * threshold ships. Computed on SCORE GROUPS, not rows: one groupBy score
+    * → (n_pos, n_neg) per distinct score, then a window over the score
+    * groups for the cumulative negatives below. The corpus is touched by
+    * exactly one map-side-combinable aggregation; the only sort is over
+    * DISTINCT scores — bounded by score cardinality (a quality score has
+    * thousands of values, not 10¹¹), never a corpus sort. Exact integers:
+    * doubled U (so tie halves stay integral) → floored ppm via `div`.
+    * Returns one row (n_pos, n_neg, auc_ppm); degenerate single-class
+    * input yields auc_ppm = 0 rather than a division blow-up. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__g"))
+    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__negBelow", coalesce(sum(col("__g")).over(w), lit(0L)))
+      // per-term and doubled-U products ride decimal(38,0): at 10^11 rows a
+      // single p·(2·negBelow+g) term already wraps a LONG (the centsMoments
+      // convention; DuckDB's HUGEINT sums mirror it); div still emits LONG
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__g")).as("n_neg"),
+        sum(col("__p").cast("decimal(19,0)") *
+            (lit(2L) * col("__negBelow") + col("__g")).cast("decimal(19,0)"))
+          .as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(CAST(500000 AS DECIMAL(38,0)) * __u2)" +
+            " div (CAST(n_pos AS DECIMAL(19,0)) * n_neg)"))
+          .otherwise(lit(0L)).cast("long").as("auc_ppm"))
+  }
+
+  /** Cohen's kappa between two categorical rater columns — chance-corrected
+    * agreement, the standard inter-annotator (or model-vs-gold) signal for
+    * label quality audits. One groupBy over the (a, b) confusion cells
+    * (map-side combinable; the corpus never re-shuffles), marginals and the
+    * chance term derived from the cells relation (confusion-matrix-sized).
+    * κ = (n·agree − Σₖ aₖbₖ) / (n² − Σₖ aₖbₖ) in exact floored ppm; the
+    * degenerate n² = Σ aₖbₖ case (both raters constant) reports 0.
+    * NULL ratings count as their own category (two NULLs agree) — dropping
+    * them silently would overstate agreement on sparsely-labeled data. */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val cells = df.groupBy(
+        coalesce(col(raterA).cast("string"), lit("\u0000null")).as("__a"),
+        coalesce(col(raterB).cast("string"), lit("\u0000null")).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val margA = cells.groupBy("__a").agg(sum("__c").as("__ca"))
+    val margB = cells.groupBy("__b").agg(sum("__c").as("__cb"))
+    // marginal products and n² wrap a LONG at web scale — decimal(38,0)
+    // lane throughout (≡ DuckDB's HUGEINT sums); div emits LONG
+    val chance = margA.join(margB, col("__a") === col("__b"))
+      .agg(coalesce(
+        sum(col("__ca").cast("decimal(19,0)") * col("__cb").cast("decimal(19,0)")),
+        lit(0L).cast("decimal(38,0)")).as("__pe"))
+    cells
+      .agg(sum("__c").as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(chance)
+      .select(col("n"), col("n_agree"),
+        when(col("n").cast("decimal(19,0)") * col("n") =!= col("__pe"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) *" +
+            " (CAST(n AS DECIMAL(19,0)) * n_agree - __pe))" +
+            " div (CAST(n AS DECIMAL(19,0)) * n - __pe)"))
+          .otherwise(lit(0L)).cast("long").as("kappa_ppm"))
+  }
 }

@@ -802,4 +802,128 @@ object Dedup {
     }
     BandPlan(b, r, math.pow(1.0 / b, 1.0 / r), fp, fn)
   }
+
+  // ---------------------------------------------- cross-doc duplicate spans
+
+  /** Token windows of `window` consecutive whitespace tokens per document:
+    * (doc, start, win) with 1-based token positions. The shared kernel under
+    * [[duplicateSpans]] and [[winnowFingerprints]]'s k-grams. One codegen'd
+    * projection + Generate over the scan — output is ≈ one row per token. */
+  private def tokenWindows(docs: DataFrame, textCol: String, idCol: String,
+                           window: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= window)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - window),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(window))))))
+      .select(col("doc"), (col("pos") + 1).cast("long").as("start"),
+        col("col").as("win"))
+
+  /** CROSS-document duplicate span detection (the "dedup the spans, not the
+    * docs" pass of Lee et al. 2022, *Deduplicating Training Data Makes
+    * Language Models Better*): every maximal token span covered by
+    * `window`-token windows that occur in ≥ `minDocs` DISTINCT documents.
+    * Doc-level dedup misses boilerplate stitched into otherwise-unique
+    * pages; this finds the stitched spans themselves. Within-doc repeats
+    * are deliberately out of scope (that's `repeatedSpans`) — the distinct-
+    * doc count is what makes a window "shared infrastructure text".
+    *
+    * Shape: tokenize → windows (≈1 row/token) → groupBy window key with a
+    * two-phase distinct-doc count → semi-join the windows back (AQE
+    * broadcasts the dup set when small) → per-DOC gaps-and-islands merge
+    * (adjacent/overlapping windows fuse when starts differ by ≤ `window`).
+    * The only window function is partitioned by doc — bounded by document
+    * length, never corpus-wide. At 100 TB: one shuffle on the window key,
+    * one on doc for the merge; nothing quadratic, no global sort.
+    *
+    * `hashLane=true` shuffles xxhash64(win) — 8 bytes instead of the
+    * window text — the production default; `false` keys on the raw window
+    * string (engine-portable, anchors the DuckDB twin). Identical output
+    * barring a 64-bit hash collision (spec-pinned equal). Returns
+    * (doc, span_start, span_end, n_windows, span_len), token positions
+    * 1-based inclusive. */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                     window: Int, minDocs: Int = 2,
+                     hashLane: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, "window must be >= 2 tokens")
+    require(minDocs >= 2, "a span shared by < 2 docs is not a cross-doc dup")
+    val wins = tokenWindows(docs, textCol, idCol, window)
+      .select(col("doc"), col("start"),
+        (if (hashLane) xxhash64(col("win")) else col("win")).as("wkey"))
+    val dupKeys = wins.groupBy("wkey")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("wkey")
+    val cand = wins.join(dupKeys, Seq("wkey"), "left_semi")
+    val byDoc = Window.partitionBy("doc").orderBy("start")
+    cand
+      .withColumn("__newisl",
+        when(col("start") - lag(col("start"), 1).over(byDoc) <= window, 0L)
+          .otherwise(1L))
+      .withColumn("__isl", sum(col("__newisl")).over(byDoc))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + window - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc"), col("span_start"), col("span_end"),
+        col("n_windows"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  // ------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every `gram`-token k-gram, slide a window of
+    * `w` consecutive k-gram hashes, and keep each window's RIGHTMOST
+    * minimal hash. Guarantees: any shared run of `w + gram − 1` tokens
+    * yields at least one shared fingerprint (no-miss), while storing only
+    * ~2/(w+1) of the k-grams — position-robust dedup signatures at a
+    * fraction of full-shingle cost, the classic alternative to MinHash when
+    * you need to LOCATE the overlap, not just estimate Jaccard.
+    *
+    * The rightmost-minimal selection is one expression: minimize
+    * `hash·2^20 + (2^20 − 1 − pos)` over a per-doc ROWS frame of `w`
+    * k-grams (smaller hash wins, ties to the LARGER position), then
+    * distinct-decode the packed winners. Safe: hash < 2^32 (md5 lane), so
+    * the packed key < 2^52. Per-doc frames only — bounded by doc length.
+    *
+    * Returns one row per doc: (doc, n_kgrams, n_fps, n_shared) where
+    * n_shared counts this doc's fingerprints whose hash also fingerprints
+    * ≥ 1 OTHER doc — the MOSS match signal, computed fingerprint-vs-
+    * fingerprint (vocabulary-sized relation), never corpus-vs-corpus. */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         gram: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "winnow window must be >= 2")
+    val P = 1L << 20 // > any doc's k-gram count; packs (hash, pos) losslessly
+    val grams = tokenWindows(docs, textCol, idCol, gram)
+      .select(col("doc"), col("start"),
+        (Sketches.md5Hash32(col("win")) * P + (lit(P - 1) - col("start")))
+          .as("pk"))
+    val byDoc = Window.partitionBy("doc").orderBy("start")
+    val frame = byDoc.rowsBetween(Window.currentRow, w - 1)
+    val picked = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("doc")))
+      .withColumn("__rn", row_number().over(byDoc))
+      .withColumn("__win_min", min(col("pk")).over(frame))
+      // only full windows select (rows where a complete w-frame starts)
+      .filter(col("__rn") <= col("__n") - w + 1)
+      .select(col("doc"), col("__n").as("n_kgrams"), col("__win_min"))
+      .distinct()
+      // pk is positive (< 2^52), so a plain right shift recovers the hash
+      // half exactly (Spark's `/` on longs would go through double)
+      .select(col("doc"), col("n_kgrams"),
+        shiftright(col("__win_min"), 20).as("fp_hash"))
+    val shared = picked.groupBy("fp_hash")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("fp_hash")
+    picked
+      .join(shared.withColumn("__sh", lit(1L)), Seq("fp_hash"), "left")
+      .groupBy(col("doc"))
+      .agg(max(col("n_kgrams")).as("n_kgrams"),
+        count(lit(1)).as("n_fps"),
+        sum(coalesce(col("__sh"), lit(0L))).as("n_shared"))
+  }
 }
