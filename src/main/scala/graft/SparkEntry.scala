@@ -1037,6 +1037,29 @@ object SparkEntry {
         .orderBy("left_sym", "right_sym")
     }),
 
+    // ---- curation: BPE tokenizer TRAINING (3 merge rounds, argmax + fold) ----
+    // The full loop, oracle-pinned: each round's winning pair AND count must
+    // match an unrolled DuckDB twin whose merge step is the same greedy
+    // left-to-right fold (list_reduce on a space-delimited accumulator).
+    "q_bpe_train" -> ((s, d) => {
+      Curation.bpeMergeTable(t(s, d, "documents"), "text", numMerges = 3)
+        .orderBy("round")
+    }),
+
+    // ---- curation: fractional-epoch upsampling (multi-epoch data recipe) ----
+    // Rates from the source suffix: (sfx % 4) * 7500 bp covers drop (0),
+    // sub-epoch (0.75), between (1.5) and multi-epoch (2.25) in one query.
+    "q_upsample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rates = docs.select(col("source")).distinct()
+        .select(col("source"),
+          ((expr("CAST(substring(source, 4) AS INT)") % 4) * 7500)
+            .cast("long").as("rate_bp"))
+      Curation.repeatUpsample(docs, "doc_id", "source", rates, "source",
+          "rate_bp")
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // ---- text: Unicode NFC normalization (native codegen expression) ----
     // Composed vs decomposed forms of the same visible text hash apart
     // without this pass — exact dedup silently misses them. The raw corpus
@@ -2109,6 +2132,17 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- privacy: l-diversity over the k-anonymity quasi key ----
+    // Sensitive attribute = the account-balance band (floor/1000 — floor,
+    // not cast: double→int casts ROUND in DuckDB and TRUNCATE in Spark).
+    "q_ldiversity" -> ((s, d) => {
+      RelationalOps.lDiversity(
+        t(s, d, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // ---- quality: zlib compression ratio ----
     // Deterministic but not SQL-expressible (no zlib in the oracle) —
     // deliberately has NO oracleSql entry: the driver records the weaker
@@ -2921,6 +2955,22 @@ object SparkEntry {
          |SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
          |FROM p GROUP BY 1, 2 HAVING sum(n) >= 50
          |ORDER BY left_sym, right_sym""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainSql(3),
+
+    "q_upsample" ->
+      """WITH r AS (SELECT DISTINCT source,
+        |        CAST((CAST(substring(source, 4) AS INT) % 4) * 7500 AS BIGINT)
+        |          AS rate_bp
+        |      FROM documents),
+        |c AS (SELECT d.doc_id, d.source,
+        |        rate_bp // 10000
+        |          + CASE WHEN ((d.doc_id % 1000003) * 2654435761) % 10000
+        |                      < rate_bp % 10000 THEN 1 ELSE 0 END AS copies
+        |      FROM documents d JOIN r USING (source))
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_idx
+        |FROM c WHERE copies >= 1 ORDER BY doc_id, copy_idx""".stripMargin,
 
     "q_normalize" ->
       """WITH base AS (
@@ -4095,6 +4145,20 @@ object SparkEntry {
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
+    // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
+    // restores "unknown is a value of its own" identically
+    "q_ldiversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |      FROM customer)
+        |SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  CAST(count(DISTINCT bal_band)
+        |    + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_distinct,
+        |  (count(DISTINCT bal_band)
+        |    + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END)) >= 3 AS l_ok
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Tie-aware rank() (equal qualities calibrate equal) — the engine's
     // contract; single-member groups pin to 0.
     // rank-sum AUC twin on score groups; HUGEINT sums cast to BIGINT at
@@ -4757,6 +4821,46 @@ object SparkEntry {
     s"""CASE WHEN len($toksExpr) <= $n THEN [array_to_string($toksExpr, ' ')]
        | ELSE list_transform(generate_series(1, len($toksExpr) - ${n - 1}),
        |        i -> array_to_string(($toksExpr)[i:i+${n - 1}], ' ')) END""".stripMargin
+
+  /** Unrolled DuckDB twin of `Curation.bpeMergeTable`, generated per round
+    * so the CTE chain can't drift from the round count: pairs → argmax
+    * (count DESC, then lexicographic — the bpeTopPair contract) → greedy
+    * left-to-right fold-merge. The fold is `list_reduce` over a space-
+    * delimited accumulator (symbols never contain spaces: they come from
+    * whitespace tokens), merging when the accumulator's LAST symbol is l
+    * and the next is r — exactly Curation.mergeFold's aggregate().
+    * Symbols here are alphanumeric, so the last-symbol regex is literal-
+    * safe. */
+  private def bpeTrainSql(rounds: Int): String = {
+    def pairs(i: Int) =
+      s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(n) AS c
+         |  FROM (SELECT syms, n, unnest(generate_series(1, len(syms)-1)) AS i
+         |        FROM v${i - 1} WHERE len(syms) >= 2) GROUP BY 1, 2)""".stripMargin
+    def best(i: Int) =
+      s"b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)"
+    def merge(i: Int) =
+      s"""v$i AS (SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN regexp_extract(acc, '[^ ]+$$') = b$i.l AND x = b$i.r
+         |    THEN CASE WHEN acc = b$i.l THEN b$i.l || b$i.r
+         |         ELSE substr(acc, 1, length(acc) - length(b$i.l) - 1)
+         |              || ' ' || b$i.l || b$i.r END
+         |    ELSE acc || ' ' || x END), ' ') AS syms, n
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    val ctes = Seq(
+      s"""wf AS (SELECT word, count(*) AS n
+         |  FROM (SELECT unnest($sqlTokens) AS word FROM documents)
+         |  GROUP BY 1)""".stripMargin,
+      """v0 AS (SELECT list_transform(generate_series(1, len(word)),
+        |    i -> substr(word, i, 1)) AS syms, n FROM wf)""".stripMargin) ++
+      (1 to rounds).flatMap { i =>
+        Seq(pairs(i), best(i)) ++ (if (i < rounds) Seq(merge(i)) else Nil)
+      }
+    val unions = (1 to rounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}\nORDER BY round"
+  }
 
   /** The langid prediction relation WITHOUT a final ORDER BY, so q_kappa
     * can embed the SAME definition as a CTE — one marker table, two

@@ -98,6 +98,38 @@ object Curation {
       .filter(keepsAtBp(col(idCol), col("__bp")))
       .drop("__src", "__bp")
 
+  /** FRACTIONAL-EPOCH UPSAMPLING — the other half of mixture execution:
+    * [[allocationSample]] downsamples a source to a keep rate ≤ 1; this
+    * REPEATS documents to hit a rate ≥ 1 (e.g. rate_bp 27000 = "2.7
+    * epochs": every doc appears twice, a deterministic 70% hash-slice
+    * appears a third time — the multi-epoch data weighting of every
+    * modern LM data recipe). The extra-copy decision is the same Knuth id
+    * hash as every sampler here (bp grain), so reruns, engines, and
+    * partitionings emit the identical copy multiset, and composing with
+    * the downsampler is consistent: rate_bp < 10000 degenerates to
+    * exactly [[allocationSample]]'s Bernoulli keep. Emits (id, domain,
+    * copy_idx) with copy_idx 1..copies; sources absent from `rates` drop
+    * (no budget — allocationSample's convention).
+    *
+    * Scale shape: rates broadcast (sources-sized); the corpus scans once
+    * through a codegen projection + Generate — output rows = Σ copies,
+    * which is the POINT (the training set IS bigger); no shuffle at all.
+    * Shard-shuffle the result downstream if copies must not co-locate. */
+  def repeatUpsample(docs: DataFrame, idCol: String, domainCol: String,
+                     rates: DataFrame, rateSourceCol: String,
+                     rateBpCol: String): DataFrame = {
+    val copies = expr("__bp div 10000") +
+      when(knuthHash(col(idCol), 10000L) < pmod(col("__bp"), lit(10000L)), 1L)
+        .otherwise(0L)
+    docs.join(broadcast(rates.select(col(rateSourceCol).as("__src"),
+        col(rateBpCol).cast("long").as("__bp"))),
+        docs(domainCol) === col("__src"), "inner")
+      .withColumn("__copies", copies)
+      .filter(col("__copies") >= 1L)
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(1L), col("__copies"))).as("copy_idx"))
+  }
+
   /** Concat-then-chunk sequence packing: documents are laid end-to-end in
     * deterministic (shard, id) order and cut into fixed `budgetTokens`
     * context windows. Each document reports the pack it STARTS in and its
@@ -453,14 +485,22 @@ object Curation {
     * `localCheckpoint` truncates the per-round plan growth exactly as in
     * `kmeansCentroids`. Stops early when no pair clears `minCount`. */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-               minCount: Long = 1L): Seq[(String, String)] = {
+               minCount: Long = 1L): Seq[(String, String)] =
+    bpeTrainDetailed(docs, textCol, numMerges, minCount)
+      .map { case (l, r, _) => (l, r) }
+
+  /** [[bpeTrain]] with each round's winning pair COUNT kept — the
+    * training-curve record (count trajectories are how you pick the merge
+    * budget). Same loop, same scale shape. */
+  def bpeTrainDetailed(docs: DataFrame, textCol: String, numMerges: Int,
+                       minCount: Long = 1L): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     var vocab = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(split(col("word"), "").as("syms"), col("n"))
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     for (_ <- 0 until numMerges if !exhausted) {
       val top = vocab
@@ -473,13 +513,25 @@ object Curation {
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r))
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, c))
         vocab = vocab.select(mergeFold(l, r).as("syms"), col("n"))
           .localCheckpoint()
       }
     }
     merges.toSeq
+  }
+
+  /** The merge list as a relation — (round, left_sym, right_sym, merged,
+    * pair_count) — the persistable tokenizer artifact the oracle pins. */
+  def bpeMergeTable(docs: DataFrame, textCol: String, numMerges: Int,
+                    minCount: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainDetailed(docs, textCol, numMerges, minCount)
+      .zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, l + r, c) }
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
   }
 
   /** Tokenizer APPLY: segment every distinct word by replaying a trained

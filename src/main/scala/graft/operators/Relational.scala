@@ -828,6 +828,27 @@ object RelationalOps {
       .withColumn("violates", col("n") < k)
   }
 
+  /** l-DIVERSITY audit — the refinement k-anonymity needs before a table
+    * ships (Machanavajjhala et al. 2007): a quasi-identifier group of 50
+    * rows is 50-anonymous yet leaks everything if all 50 share one
+    * sensitive value. Per group: row count, DISTINCT sensitive-value
+    * count, and the pass flag `n_distinct >= l`. NULL sensitive values
+    * count as a value of their own (distinct() semantics on both
+    * engines): "unknown" still partitions the group. One shuffle on the
+    * quasi key with a two-phase distinct — the [[kAnonymity]] plan plus a
+    * distinct column; the audits compose by joining on the quasi key. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, s"quasiCols=$quasiCols l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("__nd_nonnull"),
+        max(col(sensitiveCol).isNull.cast("long")).as("__has_null"))
+      .withColumn("n_distinct", col("__nd_nonnull") + col("__has_null"))
+      .select(quasiCols.map(col) :+ col("n") :+ col("n_distinct") :+
+        (col("n_distinct") >= l).as("l_ok"): _*)
+  }
+
   /** Gate-attrition report over boolean rule columns, in DECLARED gate
     * order — the pipeline-observability panel behind every curation
     * decision ("which gate is doing the killing, and does gate 4 still

@@ -314,6 +314,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(seg("abba") == Seq("ab", "b", "a"), s"${seg("abba")}")
   }
 
+  test("bpeMergeTable records the same merges with their winning counts") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "aaa")).toDF("doc_id", "text")
+    val rows = Curation.bpeMergeTable(docs, "text", numMerges = 4)
+      .orderBy("round")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // counts follow the hand trace in the bpeTrain test above
+    assert(rows.toSeq == Seq(
+      (1L, "a", "b", "ab", 3L), (2L, "a", "a", "aa", 2L),
+      (3L, "aa", "a", "aaa", 1L), (4L, "ab", "c", "abc", 1L)), rows.mkString(";"))
+  }
+
+  test("repeatUpsample: copies follow the floor+hash-fraction rule exactly") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Seq(("src0", 0L), ("src1", 7500L), ("src2", 15000L),
+      ("src3", 22500L)).toDF("source", "rate_bp")
+    val got = Curation.repeatUpsample(docs, "doc_id", "source", rates,
+        "source", "rate_bp")
+      .groupBy("doc_id").agg(max("copy_idx").as("copies"), count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def hash(id: Long) = ((id % 1000003L) * 2654435761L) % 10000L
+    (0L until 40L).foreach { id =>
+      val bp = (id % 4) * 7500L
+      val expect = bp / 10000L + (if (hash(id) < bp % 10000L) 1L else 0L)
+      if (expect == 0L) assert(!got.contains(id), s"id $id must drop")
+      else assert(got(id) == (expect, expect),
+        s"id $id: copy_idx must run 1..$expect, got ${got.get(id)}")
+    }
+    // rate < 1 epoch degenerates to exactly the Bernoulli downsampler
+    val viaAlloc = Curation.allocationSample(docs, "doc_id", "source",
+        rates.filter(col("rate_bp") < 10000), "source", "rate_bp")
+      .select("doc_id").as[Long].collect().toSet
+    val viaRepeat = got.keySet.filter(_ % 4 <= 1)
+    assert(viaAlloc == viaRepeat, "sub-epoch upsample == allocationSample keep set")
+  }
+
   // ---- Sequential Poisson weighted sampling ----
 
   /** The shared Knuth uniform, reimplemented in plain Scala. */

@@ -635,4 +635,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(kept == Set(("US", "auto"), ("DE", "auto")),
       s"only the violating class vanishes: $kept")
   }
+
+  test("lDiversity: distinct sensitive values gate the group; NULL is a value") {
+    val df = Seq[(String, java.lang.Long)](
+      // group a: 4 rows but only 2 distinct sensitive values -> fails l=3
+      ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+      // group b: 3 rows, values {1, 2, NULL} -> NULL counts, passes l=3
+      ("b", 1L), ("b", 2L), ("b", null),
+      // group c: all NULL -> one distinct value
+      ("c", null), ("c", null))
+      .toDF("g", "s")
+    val out = RelationalOps.lDiversity(df, Seq("g"), "s", l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map("a" -> ((4L, 2L, false)), "b" -> ((3L, 3L, true)),
+      "c" -> ((2L, 1L, false))), s"got: $out")
+  }
 }
