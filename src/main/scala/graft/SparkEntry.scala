@@ -1046,6 +1046,40 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    // ---- curation: BPE tokenizer APPLY (segment the vocabulary) ----
+    // Replays the 3 trained merges over the distinct-word relation; the
+    // oracle replays the SAME unrolled rounds and reads the final vocab.
+    "q_bpe_segments" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Curation.bpeTrain(docs, "text", numMerges = 3)
+      Curation.bpeSegments(docs, "text", merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"),
+          concat_ws(" ", col("syms")).as("seg"))
+        .orderBy("word")
+    }),
+
+    // ---- text: hashing-trick features (Weinberger et al. 2009) ----
+    "q_feature_hash" -> ((s, d) => {
+      TextAnalysis.featureHash(t(s, d, "documents"), "text", "doc_id",
+          dim = 256)
+        .orderBy("doc", "feature_idx")
+    }),
+
+    // ---- text: linear classifier inference over hashed features ----
+    // Weights are the affine-of-index literal both engines embed (the CMS
+    // convention) — training happens elsewhere; this pins the 100 TB
+    // scoring pass: broadcast dim-sized weights, one fold per doc.
+    "q_linear_score" -> ((s, d) => {
+      val feats = TextAnalysis.featureHash(t(s, d, "documents"), "text",
+        "doc_id", dim = 256)
+      val wts = s.range(256).select(col("id").as("idx"),
+        (pmod(col("id") * 2654435761L, lit(1000003L)) % 2001L - 1000L)
+          .as("w_micro"))
+      TextAnalysis.linearScore(feats, wts, "idx", "w_micro",
+          biasMicro = 50000L)
+        .orderBy("doc")
+    }),
+
     // ---- curation: fractional-epoch upsampling (multi-epoch data recipe) ----
     // Rates from the source suffix: (sfx % 4) * 7500 bp covers drop (0),
     // sub-epoch (0.75), between (1.5) and multi-epoch (2.25) in one query.
@@ -2143,6 +2177,15 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- privacy: t-closeness (EMD over the ordered balance bands) ----
+    "q_tcloseness" -> ((s, d) => {
+      RelationalOps.tCloseness(
+        t(s, d, "customer")
+          .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tPpm = 200000L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // ---- quality: zlib compression ratio ----
     // Deterministic but not SQL-expressible (no zlib in the oracle) —
     // deliberately has NO oracleSql entry: the driver records the weaker
@@ -2957,6 +3000,20 @@ object SparkEntry {
          |ORDER BY left_sym, right_sym""".stripMargin,
 
     "q_bpe_train" -> bpeTrainSql(3),
+
+    "q_bpe_segments" -> bpeSegmentsSql(3),
+
+    "q_feature_hash" -> featureHashSql,
+
+    "q_linear_score" ->
+      s"""WITH $featureHashCtes,
+         |w AS (SELECT idx, ((idx * 2654435761) % 1000003) % 2001 - 1000 AS w_micro
+         |      FROM (SELECT unnest(generate_series(0, 255)) AS idx))
+         |SELECT doc, CAST(sum(f_sum * coalesce(w_micro, 0)) + 50000 AS BIGINT)
+         |    AS logit_micro,
+         |  (sum(f_sum * coalesce(w_micro, 0)) + 50000) > 0 AS predicted
+         |FROM fs LEFT JOIN w ON fs.feature_idx = w.idx
+         |GROUP BY doc ORDER BY doc""".stripMargin,
 
     "q_upsample" ->
       """WITH r AS (SELECT DISTINCT source,
@@ -4159,6 +4216,37 @@ object SparkEntry {
         |    + max(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END)) >= 3 AS l_ok
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // EMD = mean absolute CDF gap over the ordered band domain; integer
+    // numerators on the n_g·n common denominator, floored ppm
+    "q_tcloseness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |        CAST(floor(c_acctbal / 1000) AS BIGINT) AS v FROM customer),
+        |dom AS (SELECT v, count(*) AS q FROM b GROUP BY 1),
+        |gcum AS (SELECT v, sum(q) OVER (ORDER BY v) AS cq,
+        |           count(*) OVER () AS m, sum(q) OVER () AS tot FROM dom),
+        |gv AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS p
+        |       FROM b GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, c_mktsegment, sum(p) AS ng
+        |        FROM gv GROUP BY 1, 2),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.ng,
+        |           gl.v, gl.cq, gl.m, gl.tot,
+        |           coalesce(sum(gv.p) OVER (
+        |             PARTITION BY g.c_nationkey, g.c_mktsegment
+        |             ORDER BY gl.v), 0) AS cp
+        |         FROM grp g CROSS JOIN gcum gl
+        |         LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
+        |           AND gv.c_mktsegment = g.c_mktsegment AND gv.v = gl.v)
+        |SELECT c_nationkey, c_mktsegment, CAST(max(ng) AS BIGINT) AS n,
+        |  CAST(CASE WHEN max(m) > 1
+        |    THEN (1000000 * sum(abs(cp * tot - cq * ng)))
+        |         // ((max(m) - 1) * max(ng) * max(tot))
+        |    ELSE 0 END AS BIGINT) AS t_ppm,
+        |  CAST(CASE WHEN max(m) > 1
+        |    THEN (1000000 * sum(abs(cp * tot - cq * ng)))
+        |         // ((max(m) - 1) * max(ng) * max(tot))
+        |    ELSE 0 END AS BIGINT) <= 200000 AS t_ok
+        |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Tie-aware rank() (equal qualities calibrate equal) — the engine's
     // contract; single-member groups pin to 0.
     // rank-sum AUC twin on score groups; HUGEINT sums cast to BIGINT at
@@ -4831,7 +4919,7 @@ object SparkEntry {
     * and the next is r — exactly Curation.mergeFold's aggregate().
     * Symbols here are alphanumeric, so the last-symbol regex is literal-
     * safe. */
-  private def bpeTrainSql(rounds: Int): String = {
+  private def bpeSqlCtes(rounds: Int): String = {
     def pairs(i: Int) =
       s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(n) AS c
          |  FROM (SELECT syms, n, unnest(generate_series(1, len(syms)-1)) AS i
@@ -4839,28 +4927,57 @@ object SparkEntry {
     def best(i: Int) =
       s"b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)"
     def merge(i: Int) =
-      s"""v$i AS (SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+      s"""v$i AS (SELECT word, string_split(list_reduce(syms, (acc, x) -> CASE
          |    WHEN regexp_extract(acc, '[^ ]+$$') = b$i.l AND x = b$i.r
          |    THEN CASE WHEN acc = b$i.l THEN b$i.l || b$i.r
          |         ELSE substr(acc, 1, length(acc) - length(b$i.l) - 1)
          |              || ' ' || b$i.l || b$i.r END
          |    ELSE acc || ' ' || x END), ' ') AS syms, n
          |  FROM v${i - 1}, b$i)""".stripMargin
-    val ctes = Seq(
+    (Seq(
       s"""wf AS (SELECT word, count(*) AS n
          |  FROM (SELECT unnest($sqlTokens) AS word FROM documents)
          |  GROUP BY 1)""".stripMargin,
-      """v0 AS (SELECT list_transform(generate_series(1, len(word)),
+      """v0 AS (SELECT word, list_transform(generate_series(1, len(word)),
         |    i -> substr(word, i, 1)) AS syms, n FROM wf)""".stripMargin) ++
-      (1 to rounds).flatMap { i =>
-        Seq(pairs(i), best(i)) ++ (if (i < rounds) Seq(merge(i)) else Nil)
-      }
+      (1 to rounds).flatMap(i => Seq(pairs(i), best(i), merge(i))))
+      .mkString(",\n")
+  }
+
+  private def bpeTrainSql(rounds: Int): String = {
     val unions = (1 to rounds).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym,
          |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin
     }
-    s"WITH ${ctes.mkString(",\n")}\n${unions.mkString("\nUNION ALL\n")}\nORDER BY round"
+    s"WITH ${bpeSqlCtes(rounds)}\n${unions.mkString("\nUNION ALL\n")}\nORDER BY round"
   }
+
+  /** Tokenizer-apply twin: read the vocab AFTER the final unrolled merge
+    * round — the same CTE chain q_bpe_train pins, one more hop. */
+  private def bpeSegmentsSql(rounds: Int): String =
+    // no outer stripMargin: the embedded CTE text is already stripped, and
+    // a second pass would eat the first pipe of its `||` operators
+    s"WITH ${bpeSqlCtes(rounds)}\n" +
+      "SELECT word, CAST(len(syms) AS BIGINT) AS n_syms,\n" +
+      "  array_to_string(syms, ' ') AS seg\n" +
+      s"FROM v$rounds ORDER BY word"
+
+  /** Hashed-feature CTE chain shared by q_feature_hash and q_linear_score:
+    * md5-lane index mod 256, sign from bit 20 (h // 2^20, ≡ Spark's
+    * shiftright), signed-count sum with exact cancellations dropped. */
+  private def featureHashCtes: String =
+    s"""tok AS (SELECT doc_id AS doc, unnest($sqlTokens) AS tk FROM documents),
+       |h AS (SELECT doc, (${Sketches.kmvHash32Sql("tk")}) AS h FROM tok),
+       |f AS (SELECT doc, h % 256 AS feature_idx,
+       |        1 - 2 * ((h // 1048576) % 2) AS sign FROM h),
+       |fs AS (SELECT doc, feature_idx, sum(sign) AS f_sum
+       |       FROM f GROUP BY 1, 2 HAVING sum(sign) <> 0)""".stripMargin
+
+  private def featureHashSql: String =
+    s"""WITH $featureHashCtes
+       |SELECT doc, CAST(feature_idx AS BIGINT) AS feature_idx,
+       |  CAST(f_sum AS BIGINT) AS f_sum
+       |FROM fs ORDER BY doc, feature_idx""".stripMargin
 
   /** The langid prediction relation WITHOUT a final ORDER BY, so q_kappa
     * can embed the SAME definition as a CTE — one marker table, two

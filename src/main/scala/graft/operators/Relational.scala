@@ -849,6 +849,64 @@ object RelationalOps {
         (col("n_distinct") >= l).as("l_ok"): _*)
   }
 
+  /** t-CLOSENESS audit — the last rung of the release ladder
+    * ([[kAnonymity]] → [[lDiversity]] → this; Li, Li & Venkatasubramanian
+    * 2007): a group can be diverse yet still leak when its sensitive
+    * DISTRIBUTION deviates from the table's (all-high balances in one
+    * quasi group identifies the rich). Distance is the Earth Mover's
+    * Distance over the ORDERED sensitive domain with unit adjacent-value
+    * ground distance, normalized to [0,1] by (m−1) — the paper's numeric-
+    * attribute form, equal to the mean absolute CDF gap. Exact integers:
+    * |cumP/n_g − cumQ/n| rides the common denominator n_g·n, summed in
+    * decimal(38,0), floored to ppm by `div`.
+    *
+    * Scale shape: the sensitive-domain relation (m distinct values) is
+    * TINY and broadcasts; the grid is groups × m rows (never corpus-
+    * sized); the corpus contributes two map-side-combinable aggregates.
+    * The per-group cumulative window is partitioned by the quasi key and
+    * m-bounded. NULL sensitive values are rejected up front — NULL
+    * orders first in Spark and last in DuckDB, so a silent NULL domain
+    * value would diverge across engines; bucket NULLs explicitly before
+    * auditing. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty && tPpm > 0, s"quasiCols=$quasiCols t=$tPpm")
+    val keys = quasiCols.map(col)
+    val s = col(sensitiveCol)
+    val guarded = df.select(keys :+
+      when(s.isNull, raise_error(lit("tCloseness: NULL sensitive value — " +
+        "bucket NULLs explicitly before auditing"))).otherwise(s).as("__v"): _*)
+    val domain = guarded.groupBy(col("__v")).agg(count(lit(1)).as("__q"))
+    val wGlob = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globCum = domain // m rows: domain value → global cumulative count
+      .select(col("__v"), sum(col("__q")).over(wGlob).as("__cq"),
+        count(lit(1)).over(Window.partitionBy()).as("__m"),
+        sum(col("__q")).over(Window.partitionBy()).as("__n"))
+    val groupVal = guarded.groupBy(keys :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__p"))
+    val groups = groupVal.groupBy(keys: _*).agg(sum(col("__p")).as("__ng"))
+    // groups × m grid, then the group-side cumulative over the m values
+    val grid = groups.crossJoin(broadcast(globCum))
+      .join(groupVal, quasiCols :+ "__v", "left")
+      .withColumn("__cp", coalesce(
+        sum(col("__p")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys: _*).orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
+    grid.groupBy(keys: _*)
+      .agg(max(col("__ng")).as("n"),
+        sum(abs(col("__cp").cast("decimal(19,0)") * col("__n")
+          - col("__cq").cast("decimal(19,0)") * col("__ng"))).as("__num"),
+        max(col("__m")).as("__m2"), max(col("__n")).as("__n2"))
+      .select(keys :+ col("n") :+
+        when(col("__m2") > 1,
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * __num)" +
+            " div ((__m2 - 1) * (CAST(n AS DECIMAL(19,0)) * __n2))"))
+          .otherwise(lit(0L)).cast("long").as("t_ppm"): _*)
+      .withColumn("t_ok", col("t_ppm") <= tPpm)
+  }
+
   /** Gate-attrition report over boolean rule columns, in DECLARED gate
     * order — the pipeline-observability panel behind every curation
     * decision ("which gate is doing the killing, and does gate 4 still

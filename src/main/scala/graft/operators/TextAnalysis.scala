@@ -1149,6 +1149,51 @@ object TextAnalysis {
     * Pure codegen projection: one scan, zero shuffle (the qualityScore
     * shape) — ONE byte pass per row (the 26-×-replace column form would
     * traverse and copy the string 26 times). */
+  /** HASHING-TRICK feature extraction (Weinberger et al. 2009 — the
+    * fastText/Vowpal-Wabbit vectorizer): each token hashes to a feature
+    * index in [0, dim) with a ±1 sign from an independent hash bit, and a
+    * document's feature value is the SIGNED count sum — unbiased under
+    * collisions, which is the trick's whole point. No vocabulary pass, no
+    * dictionary to broadcast, fixed dimensionality at any corpus size:
+    * the feature space that still works when the vocabulary is 10⁹.
+    * One explode + one (doc, idx) aggregate — map-side combinable, output
+    * ≤ min(doc_tokens, dim) rows per doc. md5 lane (engine-portable, the
+    * oracle anchor); swap [[graft.operators.Sketches.md5Hash32]] for
+    * xxhash64 at scale exactly like the dedup family. */
+  def featureHash(docs: DataFrame, textCol: String, idCol: String,
+                  dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val h = Sketches.md5Hash32(col("__tok"))
+    docs.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("doc"), pmod(h, lit(dim.toLong)).as("feature_idx"),
+        // sign bit from way above the index bits — independent of idx
+        (lit(1L) - lit(2L) * pmod(shiftright(h, 20), lit(2L))).as("__sign"))
+      .groupBy("doc", "feature_idx")
+      .agg(sum(col("__sign")).as("f_sum"))
+      .filter(col("f_sum") =!= 0L) // collisions can cancel; zero = absent
+  }
+
+  /** LINEAR CLASSIFIER INFERENCE over hashed features — the deployment
+    * shape of every fastText-style quality/safety filter: logit =
+    * Σ f·w + bias in exact integer micro-units (weights arrive already
+    * micro-scaled; training happens elsewhere — this is the 100 TB
+    * scoring pass). The weight table is dim-sized and BROADCASTS; the
+    * feature relation joins it and folds per doc — one shuffle, no
+    * corpus re-scan. Unweighted (hash-missed) features contribute 0 via
+    * the left join. Returns (doc, logit_micro, predicted). */
+  def linearScore(features: DataFrame, weights: DataFrame,
+                  weightIdxCol: String, weightMicroCol: String,
+                  biasMicro: Long): DataFrame =
+    features.join(
+        broadcast(weights.select(col(weightIdxCol).as("feature_idx"),
+          col(weightMicroCol).cast("long").as("__w"))),
+        Seq("feature_idx"), "left")
+      .groupBy("doc")
+      .agg((sum(col("f_sum") * coalesce(col("__w"), lit(0L))) + biasMicro)
+        .as("logit_micro"))
+      .withColumn("predicted", col("logit_micro") > 0L)
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val letters = ('a' to 'z').toSeq
     def cnt(ch: Char): Column = element_at(col("__lc"), ch - 'a' + 1)

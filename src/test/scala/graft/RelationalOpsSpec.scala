@@ -636,6 +636,28 @@ class RelationalOpsSpec extends SparkSpec {
       s"only the violating class vanishes: $kept")
   }
 
+  test("tCloseness: concentrated groups score the CDF gap, matched ones score 0") {
+    // global over values {1,2}: 3+3 rows. A all-1s, B all-2s, C one of each.
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
+      ("C", 1L), ("C", 2L)).toDF("g", "v")
+    val out = RelationalOps.tCloseness(df, Seq("g"), "v", tPpm = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // m=2, tot=6, cq=[3,6]. A: ng=2, cp=[2,2] -> |2*6-3*2| + |2*6-6*2| = 6
+    //   t = 1e6*6 // (1*2*6) = 500000. B: cp=[0,2] -> |0-6| + 0 = 6 -> 500000.
+    // C: cp=[1,2] -> |6-6| + |12-12| = 0.
+    assert(out == Map("A" -> ((2L, 500000L, false)),
+      "B" -> ((2L, 500000L, false)), "C" -> ((2L, 0L, true))), s"got: $out")
+  }
+
+  test("tCloseness rejects NULL sensitive values loudly") {
+    val df = Seq(("A", java.lang.Long.valueOf(1L)), ("A", null))
+      .toDF("g", "v")
+    val ex = intercept[Exception](
+      RelationalOps.tCloseness(df, Seq("g"), "v", tPpm = 1L).collect())
+    assert(ex.getMessage != null)
+  }
+
   test("lDiversity: distinct sensitive values gate the group; NULL is a value") {
     val df = Seq[(String, java.lang.Long)](
       // group a: 4 rows but only 2 distinct sensitive values -> fails l=3

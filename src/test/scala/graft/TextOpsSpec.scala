@@ -554,4 +554,57 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, None)))
     assert(rows(3L) == ((4L, 0L, 0L, 0L, 0L, 4L, 0L, Some(10000L))))
   }
+
+  test("featureHash: identical docs get identical vectors; repeats scale the sum") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(docs, "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d1 = out.filter(_._1._1 == 1L).map { case ((_, i), v) => i -> v }
+    val d2 = out.filter(_._1._1 == 2L).map { case ((_, i), v) => i -> v }
+    assert(d1 == d2, "same text, same hashed vector")
+    // doc 3: one token thrice -> a single feature with |f_sum| = 3
+    val d3 = out.filter(_._1._1 == 3L).values.toSeq
+    assert(d3.map(math.abs) == Seq(3L), s"got: $d3")
+    out.foreach { case ((_, i), _) => assert(i >= 0 && i < 64) }
+  }
+
+  test("featureHash: opposite-signed colliding tokens cancel and drop") {
+    // brute-force two tokens that land in the same bucket with opposite
+    // signs under the md5 lane at dim=8, then assert their doc vanishes
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 8).map { i =>
+        val d = Character.digit(md.charAt(i), 16).toLong
+        d * (1L << (4 * (7 - i)))
+      }.sum
+    }
+    val cands = (1 to 500).map(i => s"t$i")
+    val byBucket = cands.groupBy(t => h32(t) % 8)
+    val pair = byBucket.values.flatMap { ts =>
+      val plus = ts.find(t => (h32(t) >> 20) % 2 == 0)
+      val minus = ts.find(t => (h32(t) >> 20) % 2 == 1)
+      for (p <- plus; m <- minus) yield (p, m)
+    }.headOption
+    assert(pair.nonEmpty, "fixture must contain a cancelling pair")
+    val (p, m) = pair.get
+    val docs = Seq((1L, s"$p $m")).toDF("doc_id", "text")
+    assert(TextAnalysis.featureHash(docs, "text", "doc_id", dim = 8)
+      .count() == 0L, s"pair ($p,$m) must cancel to an empty vector")
+  }
+
+  test("linearScore: zero weights yield the bias; missing weights contribute 0") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val feats = TextAnalysis.featureHash(docs, "text", "doc_id", dim = 16)
+    val zeroW = spark.range(16).selectExpr("id AS idx", "CAST(0 AS LONG) AS w")
+    val out = TextAnalysis.linearScore(feats, zeroW, "idx", "w", biasMicro = 7L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((7L, true)), 2L -> ((7L, true))), s"got: $out")
+    // an EMPTY weight table (every feature unweighted) also folds to bias
+    val emptyW = spark.range(0).selectExpr("id AS idx", "id AS w")
+    val out2 = TextAnalysis.linearScore(feats, emptyW, "idx", "w",
+      biasMicro = -3L).collect().map(r => r.getLong(1)).toSet
+    assert(out2 == Set(-3L))
+  }
 }
