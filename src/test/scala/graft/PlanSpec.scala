@@ -450,4 +450,58 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_char_entropy")
     assert(!p.contains("Join") && !p.contains("Aggregate"), s"pure projection:\n$p")
   }
+
+  test("Hamming top-k: packed probes broadcast, bounded agg, no window sort") {
+    val p = plan("q_hamming_topk")
+    assert(p.toLowerCase.contains("partial_topkhits"),
+      s"per-probe top-k must be the bounded aggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the probe panel must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the packed corpus must never shuffle for the probe:\n$p")
+    assert(!p.contains("Window"), s"no rank window over distances:\n$p")
+  }
+
+  test("feature hashing: one (doc, idx) aggregate exchange, no joins at all") {
+    val p = plan("q_feature_hash")
+    assert(!p.contains("Join"), s"hashing-trick features need no dictionary join:\n$p")
+    assert(p.linesIterator.count(_.trim.matches("\\+?-? ?Exchange.*")) <= 2,
+      s"only the feature agg and output sort may exchange:\n$p")
+  }
+
+  test("linear scoring: the weight table broadcasts, the corpus never sort-merges") {
+    val p = plan("q_linear_score")
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for the weight attach:\n$p")
+  }
+
+  test("duplicate spans: banded candidates only — no cartesian, doc-bounded window") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"window matching must be key-equi, never all-pairs:\n$p")
+    // every window spec partitions by doc — bounded by document length
+    assert(p.contains("windowspecdefinition(doc"),
+      s"island merge is a per-doc window:\n$p")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("windowspecdefinition(doc")),
+      s"windows must partition by doc:\n$p")
+  }
+
+  test("upsampling: rates broadcast; the corpus side is scan -> join -> Generate") {
+    val p = plan("q_upsample")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    // aggregates exist only on the sources-sized rate derivation; the
+    // corpus side must stay join -> Generate with no shuffle or window
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"pure scan-side expansion:\n$p")
+    assert(p.contains("Generate"), s"copies come from an explode:\n$p")
+  }
+
+  test("t-closeness: the m-value domain broadcasts; windows stay domain-bounded") {
+    val p = plan("q_tcloseness")
+    assert(!p.contains("CartesianProduct"),
+      s"the groups-by-domain grid must ride a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"grid joins must not reshuffle the corpus:\n$p")
+  }
 }
