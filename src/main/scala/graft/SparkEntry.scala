@@ -849,6 +849,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: LSH candidate recall/precision (measure-before-ship) ----
+    "q_dedup_recall" -> ((s, d) => {
+      Dedup.lshCandidateEval(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5,
+        maxDf = 100)
+    }),
+
     // ---- dedup: the same pairs from the STORED dedup index ----
     // The production shape (the batch sibling of the streaming band
     // index): shingle+signature+banding run once at build (paid in rep 1
@@ -3279,6 +3286,32 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q_dedup_minhash" -> minhashSql,
+
+    // candidate-quality eval: truth = the exact df-cut Jaccard lane at the
+    // shipping threshold, pred = the raw band buckets; nested WITH scopes
+    // keep the two chains' shared CTE names (sh, sz) from colliding
+    "q_dedup_recall" ->
+      s"""WITH truth AS (
+         |  WITH $ngramInterCtes
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sz x ON id_a = x.doc JOIN sz y ON id_b = y.doc
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter),4)
+         |        >= 0.5),
+         |pred AS (
+         |  WITH $minhashCandCtes
+         |  SELECT id_a, id_b FROM cand),
+         |hit AS (SELECT t.id_a FROM truth t
+         |        JOIN pred p ON t.id_a = p.id_a AND t.id_b = p.id_b),
+         |m AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM pred) AS n_cand,
+         |             (SELECT count(*) FROM hit) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_true > 0 THEN (10000 * n_hit) // n_true
+         |       ELSE 0 END AS BIGINT) AS recall_bp,
+         |  CAST(CASE WHEN n_cand > 0 THEN (10000 * n_hit) // n_cand
+         |       ELSE 0 END AS BIGINT) AS precision_bp
+         |FROM m""".stripMargin,
     // identical SQL by design: the stored band/shingle relations hold
     // exactly what the inline kernel derives — same rows, same hash
     "q_dedup_indexed" -> minhashSql,

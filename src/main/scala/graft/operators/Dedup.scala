@@ -183,6 +183,52 @@ object Dedup {
       signatures(shingleRows(docs, textCol, idCol, shingleSize), numHashes, useMd5),
       numHashes, rowsPerBand)
 
+  /** Raw banded candidate pairs (id_a < id_b, distinct) WITHOUT the Jaccard
+    * verify — what the LSH stage alone proposes. Exists so candidate
+    * quality can be measured ([[lshCandidateEval]]) and so callers can swap
+    * in a different verifier. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int = 16, rowsPerBand: Int = 4,
+                            shingleSize: Int = 3,
+                            useMd5: Boolean = true): DataFrame =
+    bandCandidates(minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
+      shingleSize, useMd5))
+
+  /** MEASURE-BEFORE-SHIP for the LSH banding plan — the dedup counterpart
+    * of `Similarity.annRecallEval`: recall (what fraction of true ≥
+    * `threshold` Jaccard pairs does banding surface?) and precision (what
+    * fraction of surfaced candidates are true?) of the band candidates
+    * against the exact df-cut n-gram Jaccard lane. [[lshBandPlan]] predicts
+    * these curves analytically; this measures them on YOUR corpus, which is
+    * the number you tune b×r against. One row: (n_true, n_cand, n_hit,
+    * recall_bp, precision_bp), floored basis points.
+    *
+    * Scale: both inputs are candidate-bounded relations (df-cut self-join /
+    * band buckets — never corpus²); the comparison joins pair keys. On a
+    * 100 TB corpus run it on a hash-sliced sample of documents — the curve,
+    * not the corpus, is the deliverable. */
+  def lshCandidateEval(docs: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int = 16, rowsPerBand: Int = 4,
+                       shingleSize: Int = 3, threshold: Double = 0.5,
+                       maxDf: Int = 100, useMd5: Boolean = true): DataFrame = {
+    val truth = ngramJaccardPairs(docs, textCol, idCol, shingleSize,
+        threshold, maxDf)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pred = minhashCandidatePairs(docs, textCol, idCol, numHashes,
+        rowsPerBand, shingleSize, useMd5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hit = truth.join(pred, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0, expr("(10000 * n_hit) div n_true"))
+          .otherwise(lit(0L)).cast("long").as("recall_bp"),
+        when(col("n_cand") > 0, expr("(10000 * n_hit) div n_cand"))
+          .otherwise(lit(0L)).cast("long").as("precision_bp"))
+  }
+
   /** Candidate near-duplicate pairs from MinHash LSH, verified with the true
     * n-gram Jaccard and filtered at `threshold`. Output: (id_a, id_b,
     * jaccard) with id_a < id_b. The verify join only touches candidate

@@ -1194,6 +1194,32 @@ object TextAnalysis {
         .as("logit_micro"))
       .withColumn("predicted", col("logit_micro") > 0L)
 
+  /** The ZERO-SHUFFLE form of [[featureHash]] + [[linearScore]]: the logit
+    * folds per row over the token array (Σ sign(t)·w[idx(t)] + bias — the
+    * same integer sum, since feature grouping distributes over addition;
+    * spec-pinned equal). The dim-sized weight vector embeds as an ARRAY
+    * LITERAL in the plan, so the corpus is scan → project → filter with no
+    * join, no aggregate, no state — which makes it the form that runs
+    * UNCHANGED on a stream ([[graft.streaming.CurationStream]]'s
+    * classifier gate) and the cheapest possible 100 TB scoring pass. Use
+    * [[linearScore]] when weights are a TABLE you join/update; use this
+    * when they're a shipped model artifact (≤ a few 100k dims — beyond
+    * that the literal bloats the plan; broadcast-join instead). */
+  def linearScoreScan(docs: DataFrame, textCol: String, idCol: String,
+                      weightsMicro: Seq[Long], biasMicro: Long): DataFrame = {
+    val dim = weightsMicro.size
+    require(dim >= 2, s"dim must be >= 2: $dim")
+    val wArr = typedLit(weightsMicro)
+    val logit = aggregate(tokens(col(textCol)), lit(biasMicro),
+      (acc, tok) => {
+        val h = Sketches.md5Hash32(tok)
+        val sign = lit(1L) - lit(2L) * pmod(shiftright(h, 20), lit(2L))
+        acc + sign * element_at(wArr, pmod(h, lit(dim.toLong)).cast("int") + 1)
+      })
+    docs.select(col(idCol).as("doc"), logit.as("logit_micro"))
+      .withColumn("predicted", col("logit_micro") > 0L)
+  }
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val letters = ('a' to 'z').toSeq
     def cnt(ch: Char): Column = element_at(col("__lc"), ch - 'a' + 1)

@@ -92,6 +92,27 @@ class DedupSpanSpec extends SparkSpec {
     assert(r.getLong(3) == 0L, "unique doc shares nothing")
   }
 
+  test("lshCandidateEval: exact dups always surface; disjoint corpora degenerate to 0") {
+    // identical text -> identical signature -> shares every band: the one
+    // recall case banding can NEVER miss
+    val txt = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val dups = Seq((1L, txt), (2L, txt), (3L, (20 to 31).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshCandidateEval(dups, "text", "doc_id", threshold = 0.5)
+      .collect()(0)
+    val (nTrue, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue >= 1L && nHit >= 1L, s"planted dup must be found: $r")
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(r.getLong(3) == 10000L * nHit / nTrue)
+    assert(r.getLong(4) == 10000L * nHit / nCand)
+    // all-distinct corpus: no true pairs, no candidates, flat zeros
+    val uniq = (1L to 5L).map(i => (i, (0 to 11).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val z = Dedup.lshCandidateEval(uniq, "text", "doc_id").collect()(0)
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3), z.getLong(4)) ==
+      (0L, 0L, 0L, 0L, 0L), s"got: $z")
+  }
+
   test("winnowing: disjoint-vocabulary docs share zero fingerprints") {
     val docs = Seq(
       doc(1L, (1 to 12).map(i => s"a$i"): _*),
