@@ -214,10 +214,10 @@ object Dedup {
     val truth = ngramJaccardPairs(docs, textCol, idCol, shingleSize,
         threshold, maxDf)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val pred = minhashCandidatePairs(docs, textCol, idCol, numHashes,
         rowsPerBand, shingleSize, useMd5)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val hit = truth.join(pred, Seq("id_a", "id_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(pred.agg(count(lit(1)).as("n_cand")))
@@ -242,7 +242,7 @@ object Dedup {
     // Jaccard verify — materialize it once instead of re-deriving from text.
     // (At cluster scale this would be a checkpointed intermediate table.)
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand)
     verifyJaccardOnShingles(sh, bandCandidates(bands), threshold)
   }
@@ -317,7 +317,7 @@ object Dedup {
     // hold, lazy, reclaimed when the returned plan is dereferenced.
     val bands = minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
       shingleSize, useMd5)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val candidates = bandCandidates(bands)
     val texts = docs.select(col(idCol), col(textCol))
     candidates
@@ -667,7 +667,7 @@ object Dedup {
   private def ngramIntersections(docs: DataFrame, textCol: String, idCol: String,
                                  shingleSize: Int, maxDf: Int): DataFrame = {
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // The hot-shingle list is the vocabulary TAIL above maxDf — tiny by
     // construction (Zipf: few shingles are boilerplate-common), so it
     // broadcasts and the rare/hot split is two broadcast joins over the
@@ -687,7 +687,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_rare"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val interHot = interRare.select("id_a", "id_b")
       .join(hot.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
       .join(hot.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))

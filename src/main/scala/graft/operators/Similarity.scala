@@ -814,7 +814,7 @@ object Similarity {
                    k: Int): DataFrame = {
     val cells = ivfAssign(emb, vecCol, idCol, k)
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val total = cells.select(sum("n_vectors").as("__n_total"))
     cells.crossJoin(broadcast(total))
       .select(col("centroid_id"), col("n_vectors"),
@@ -1558,7 +1558,7 @@ object Similarity {
       // pair outright (the semanticDecontaminate/knnGraph convention)
       .filter(!isnan(col("cos_sim")))
       .withColumn("__cq", round(col("cos_sim") * 10000, 0).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val topk = udaf(new graft.functions.TopKHits(kNN),
       graft.functions.TopKHits.hitEncoder)
     def sideSums(keyCol: String, otherCol: String) = pairs
@@ -1665,15 +1665,15 @@ object Similarity {
       .select((col("pos") + 1).cast("long").as("i"), u(col("col")).as("xu"),
         slice(col("__v"), col("pos") + 1, size(col("__v")) - col("pos")).as("__tail"))
     val marg = rows.groupBy("i").agg(count(lit(1)).as("n"), sum("xu").as("s"))
-    // product sums ride PRIMITIVE longs through the hot partial agg
-    // (|x| ≤ ~10 ⇒ products ≤ 1e14; safe to ~10⁴ corpus rows per unit —
-    // ~3e8 rows here); past that, swap this one sum to decimal(38,0)
-    // exactly as the momentsVar lane does — the combination below is
-    // already decimal on the d²-row relation either way
+    // each PRODUCT still rides a primitive long (|x| ≤ ~10 ⇒ ≤ 1e14), but
+    // the cross-row SUM accumulates in decimal(38,0) — the momentsVar
+    // lane — because a long accumulator wraps silently (non-ANSI) once
+    // ~9e4 rows of worst-case products stack up, far below corpus scale;
+    // DuckDB's HUGEINT sum is the exact twin
     val pair = rows.select(col("i"), col("xu"), posexplode(col("__tail")))
       .select(col("i"), (col("i") + col("pos")).as("j"),
-        (col("xu") * u(col("col"))).as("xy"))
-      .groupBy("i", "j").agg(sum(col("xy")).cast("decimal(38,0)").as("sxy"))
+        (col("xu") * u(col("col"))).cast("decimal(38,0)").as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
     pair
       .join(marg.select(col("i"), col("n"), col("s").as("si")), "i")
       .join(marg.select(col("i").as("j"), col("s").as("sj")), "j")

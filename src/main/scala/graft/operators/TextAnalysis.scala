@@ -635,7 +635,7 @@ object TextAnalysis {
     val words = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
       .filter(col("word") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val vocab = words.groupBy("word").agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("word").asc).limit(vocabSize)
       .select(col("word"), lit(1).as("__in_vocab"))
@@ -743,7 +743,7 @@ object TextAnalysis {
     val w0 = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1)).as("word"))
       .filter(col("word") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val uni = w0.groupBy("word").agg(count(lit(1)).as("c"))
     val kept = if (maxDf == Long.MaxValue) w0
       else w0.join(broadcast(uni.filter(col("c") > maxDf).select("word")),
@@ -781,7 +781,7 @@ object TextAnalysis {
                    shingleSize: Int = 3): DataFrame = {
     val rows = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val firstSeen = rows.groupBy("shingle").agg(min(col("doc")).as("__first_doc"))
     rows.join(firstSeen, "shingle")
       .groupBy(col("doc"))
@@ -1197,7 +1197,12 @@ object TextAnalysis {
   /** The ZERO-SHUFFLE form of [[featureHash]] + [[linearScore]]: the logit
     * folds per row over the token array (Σ sign(t)·w[idx(t)] + bias — the
     * same integer sum, since feature grouping distributes over addition;
-    * spec-pinned equal). The dim-sized weight vector embeds as an ARRAY
+    * spec-pinned equal on every document with ≥1 token). The edge contract
+    * differs BY DESIGN where the join form has no row at all: a tokenless
+    * document scores `bias` here (explode drops it there), and NULL text
+    * scores NULL (both pinned in `TextOpsSpec`) — so a ≥-threshold gate
+    * passes empty docs iff bias clears it, and never passes NULL text.
+    * The dim-sized weight vector embeds as an ARRAY
     * LITERAL in the plan, so the corpus is scan → project → filter with no
     * join, no aggregate, no state — which makes it the form that runs
     * UNCHANGED on a stream ([[graft.streaming.CurationStream]]'s
@@ -1206,18 +1211,27 @@ object TextAnalysis {
     * when they're a shipped model artifact (≤ a few 100k dims — beyond
     * that the literal bloats the plan; broadcast-join instead). */
   def linearScoreScan(docs: DataFrame, textCol: String, idCol: String,
-                      weightsMicro: Seq[Long], biasMicro: Long): DataFrame = {
+                      weightsMicro: Seq[Long], biasMicro: Long): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        linearLogitMicro(col(textCol), weightsMicro, biasMicro).as("logit_micro"))
+      .withColumn("predicted", col("logit_micro") > 0L)
+
+  /** The logit COLUMN of [[linearScoreScan]], exposed so callers that need
+    * the score attached to their own row shape (the streaming classifier
+    * gate) can `withColumn` it instead of joining — one expression, no
+    * shuffle, no state. NULL text folds to a NULL logit (the aggregate
+    * over a null token array), which a `>= threshold` filter drops. */
+  private[graft] def linearLogitMicro(text: Column, weightsMicro: Seq[Long],
+                                      biasMicro: Long): Column = {
     val dim = weightsMicro.size
     require(dim >= 2, s"dim must be >= 2: $dim")
     val wArr = typedLit(weightsMicro)
-    val logit = aggregate(tokens(col(textCol)), lit(biasMicro),
+    aggregate(tokens(text), lit(biasMicro),
       (acc, tok) => {
         val h = Sketches.md5Hash32(tok)
         val sign = lit(1L) - lit(2L) * pmod(shiftright(h, 20), lit(2L))
         acc + sign * element_at(wArr, pmod(h, lit(dim.toLong)).cast("int") + 1)
       })
-    docs.select(col(idCol).as("doc"), logit.as("logit_micro"))
-      .withColumn("predicted", col("logit_micro") > 0L)
   }
 
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

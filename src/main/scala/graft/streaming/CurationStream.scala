@@ -72,24 +72,23 @@ object CurationStream {
 
   /** MODEL-BASED ingest gate: admit documents whose fastText-style linear
     * quality score clears `minLogitMicro` — the learned upgrade of
-    * [[curationGate]]'s hand-rule threshold. Rides
-    * [[graft.operators.TextAnalysis.linearScoreScan]], whose weight
-    * vector embeds as an array literal: the gate is a pure stateless
-    * projection+filter, so it runs on a stream with no watermark, no
-    * state store, and batch/replay/live agree row-for-row by construction
-    * (the streaming spec pins stream == batch). Re-training = shipping a
-    * new weight array and restarting the query — the model is config, not
-    * stream state, same auditability convention as [[mixtureGate]]. */
+    * [[curationGate]]'s hand-rule threshold. The logit is computed INLINE
+    * on the document row ([[graft.operators.TextAnalysis.linearLogitMicro]]
+    * as a `withColumn`, weight vector embedded as an array literal), so the
+    * gate is a genuinely stateless projection+filter — no join, no
+    * watermark, no state store — and batch/replay/live agree row-for-row
+    * by construction (`CurationStreamSpec` pins stream == batch). NULL
+    * text folds to a NULL logit, which the ≥ filter drops. Re-training =
+    * shipping a new weight array and restarting the query — the model is
+    * config, not stream state, same auditability convention as
+    * [[mixtureGate]]. */
   def classifierGate(docs: DataFrame, textCol: String, idCol: String,
                      weightsMicro: Seq[Long], biasMicro: Long,
                      minLogitMicro: Long): DataFrame =
-    docs.join(
-        graft.operators.TextAnalysis
-          .linearScoreScan(docs, textCol, idCol, weightsMicro, biasMicro)
-          .filter(col("logit_micro") >= minLogitMicro)
-          .select(col("doc"), col("logit_micro")),
-        docs(idCol) === col("doc"))
-      .drop("doc")
+    docs.withColumn("logit_micro",
+        graft.operators.TextAnalysis.linearLogitMicro(col(textCol),
+          weightsMicro, biasMicro))
+      .filter(col("logit_micro") >= minLogitMicro)
 
   /** Read a stored index directory, treating ABSENT or uncommitted-empty
     * (a first write attempt that died leaves the path existing with only

@@ -607,4 +607,51 @@ class TextOpsSpec extends SparkSpec {
       biasMicro = -3L).collect().map(r => r.getLong(1)).toSet
     assert(out2 == Set(-3L))
   }
+
+  test("linearScoreScan == featureHash+linearScore on random corpora; null/empty edge contract") {
+    // property: feature grouping distributes over addition, so the
+    // zero-shuffle scan must produce the join form's logit EXACTLY on
+    // every doc the join form emits; docs the join form drops (no tokens,
+    // or a fully-cancelled feature vector) must score exactly `bias`;
+    // NULL text must score NULL (and only NULL text may)
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val dim = 16
+    val bias = 7919L
+    val weightsMicro: Seq[Long] = Seq.fill(dim)(rnd.nextLong() % 1000L)
+    val docs = ((1 to 60).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens — includes tokenless docs
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((100L, null: String), (101L, ""), (102L, "   ")))
+      .toDF("doc_id", "text")
+
+    val scan = TextAnalysis.linearScoreScan(docs, "text", "doc_id",
+        weightsMicro, bias)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getBoolean(2)))))
+      .toMap
+    val wTab = weightsMicro.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("idx", "w")
+    val joined = TextAnalysis.linearScore(
+        TextAnalysis.featureHash(docs, "text", "doc_id", dim),
+        wTab, "idx", "w", bias)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+
+    assert(scan.size == 63, "the scan form scores every row, null text included")
+    assert(joined.nonEmpty, "fixture must produce join-form rows")
+    joined.foreach { case (doc, lv) =>
+      assert(scan(doc).contains(lv), s"doc $doc: scan=${scan(doc)} join=$lv")
+    }
+    (scan.keySet -- joined.keySet - 100L).foreach { doc =>
+      assert(scan(doc).exists(_._1 == bias),
+        s"doc $doc absent from the join form must fold to bias: ${scan(doc)}")
+    }
+    assert(scan(100L).isEmpty, "NULL text scores NULL in the scan form")
+    assert(!joined.contains(100L), "NULL text emits no join-form row")
+    Seq(101L, 102L).foreach { doc =>
+      assert(scan(doc).contains((bias, true)), s"tokenless doc $doc scores bias")
+      assert(!joined.contains(doc), "tokenless docs emit no join-form row")
+    }
+  }
 }

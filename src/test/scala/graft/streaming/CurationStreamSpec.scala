@@ -163,4 +163,49 @@ class CurationStreamSpec extends SparkSpec {
     assert(batch.nonEmpty && !batch.exists(_._2 == "forums"),
       s"unplanned sources must ship nothing: ${batch.filter(_._2 == "forums")}")
   }
+
+  test("classifierGate: stream == batch, stateless (no state store), NULL text drops") {
+    val rnd = new scala.util.Random(7)
+    val weights: Seq[Long] = Seq.fill(32)(rnd.nextLong() % 500000L)
+    val bias = -100000L
+    val minLogit = 0L
+    val vocab = (1 to 20).map(i => s"tok$i")
+    val docs = (1 to 80).map { i =>
+      Doc(i.toLong, Seq.fill(1 + rnd.nextInt(15))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "), ts(1000 + i))
+    } ++ Seq(Doc(200L, null, ts(2000)), Doc(201L, "", ts(2001)))
+
+    val in = MemoryStream[Doc]
+    val q = CurationStream.classifierGate(in.toDF(), "text", "doc_id",
+        weights, bias, minLogit)
+      .writeStream.format("memory").queryName("t_clfgate")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(40)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // the gate's whole point: a pure projection+filter carries NO state
+      // store — the docstring contract the join form silently broke
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"classifierGate must be stateless: ${q.lastProgress.stateOperators.mkString(",")}")
+    } finally q.stop()
+
+    val streamed = spark.table("t_clfgate")
+      .select("doc_id", "logit_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = CurationStream.classifierGate(
+        docs.map(d => (d.doc_id, d.text, d.ev_ts))
+          .toDF("doc_id", "text", "ev_ts"),
+        "text", "doc_id", weights, bias, minLogit)
+      .select("doc_id", "logit_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"stream and batch must admit identical rows with identical logits")
+    assert(batch.nonEmpty && batch.size < docs.size,
+      "the threshold must be a real cut on this fixture")
+    assert(!streamed.contains(200L), "NULL text must never pass the gate")
+    // kept rows carry the full input row shape plus the score
+    assert(spark.table("t_clfgate").columns.toSeq ==
+      Seq("doc_id", "text", "ev_ts", "logit_micro"))
+  }
 }
