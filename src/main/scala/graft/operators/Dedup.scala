@@ -211,6 +211,14 @@ object Dedup {
                        numHashes: Int = 16, rowsPerBand: Int = 4,
                        shingleSize: Int = 3, threshold: Double = 0.5,
                        maxDf: Int = 100, useMd5: Boolean = true): DataFrame = {
+    // Eager localCheckpoints (NOT the usual lazy persist): the inner
+    // lanes carry their own persists whose blocks would otherwise stay
+    // pinned for the life of this 6-way reuse plan — materializing here
+    // releases the inner caches immediately and truncates lineage to two
+    // small pair relations. Deliberate exception to the lazy-persist
+    // convention; the truncation trade-off is fine because both inputs
+    // are candidate-bounded (tiny) and this is a diagnostic, not a
+    // production lineage.
     val truth = ngramJaccardPairs(docs, textCol, idCol, shingleSize,
         threshold, maxDf)
       .select(col("id_a"), col("id_b"))
@@ -242,7 +250,7 @@ object Dedup {
     // Jaccard verify — materialize it once instead of re-deriving from text.
     // (At cluster scale this would be a checkpointed intermediate table.)
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand)
     verifyJaccardOnShingles(sh, bandCandidates(bands), threshold)
   }
@@ -317,7 +325,7 @@ object Dedup {
     // hold, lazy, reclaimed when the returned plan is dereferenced.
     val bands = minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
       shingleSize, useMd5)
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = bandCandidates(bands)
     val texts = docs.select(col(idCol), col(textCol))
     candidates
@@ -667,7 +675,7 @@ object Dedup {
   private def ngramIntersections(docs: DataFrame, textCol: String, idCol: String,
                                  shingleSize: Int, maxDf: Int): DataFrame = {
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The hot-shingle list is the vocabulary TAIL above maxDf — tiny by
     // construction (Zipf: few shingles are boilerplate-common), so it
     // broadcasts and the rare/hot split is two broadcast joins over the
@@ -687,7 +695,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_rare"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val interHot = interRare.select("id_a", "id_b")
       .join(hot.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
       .join(hot.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))

@@ -319,7 +319,7 @@ object Graphs {
     val labeled = e
       .join(lab.select(col("node").as("u"), col("community").as("cu")), "u")
       .join(lab.select(col("node").as("v"), col("community").as("cv")), "v")
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = labeled.agg(sum("w").as("__m"))
     val wIn = labeled.filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("community"))

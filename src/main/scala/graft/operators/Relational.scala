@@ -153,7 +153,7 @@ object RelationalOps {
     val bucketed = df
       .groupBy(keys :+ date_trunc(unit, col(tsCol)).as("bucket"): _*)
       .agg(count(lit(1)).as("n_events"), sum(centsCol).as("__cents"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = bucketed.groupBy(keys: _*)
       .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
     val grid = span.select(
@@ -336,7 +336,7 @@ object RelationalOps {
       val counts = df.select(col(key).as("k"))
         .filter(col("k").isNotNull)
         .groupBy("k").agg(count(lit(1)).as(s"c_$tag"))
-        .localCheckpoint(eager = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nulls = df.filter(col(key).isNull)
         .agg(count(lit(1)).as(s"n_${tag}_null"))
       (counts, nulls)
@@ -531,7 +531,7 @@ object RelationalOps {
     // lazy, materializes on first action)
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n_rows"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum("n_rows").as("__n_total"),
       count(lit(1)).as("__n_keys"))
     // share/skew via FLOORED integer division, not round(): count ratios
@@ -955,7 +955,7 @@ object RelationalOps {
     * (a gap audit is about coverage, not multiplicity). */
   def idGaps(df: DataFrame, idCol: String): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = ids.agg(min("id").as("__mn"), max("id").as("__mx"))
     val present = ids.select(col("id").as("pid"))
     val starts = ids.crossJoin(broadcast(bounds))

@@ -814,7 +814,7 @@ object Similarity {
                    k: Int): DataFrame = {
     val cells = ivfAssign(emb, vecCol, idCol, k)
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = cells.select(sum("n_vectors").as("__n_total"))
     cells.crossJoin(broadcast(total))
       .select(col("centroid_id"), col("n_vectors"),
@@ -1558,7 +1558,7 @@ object Similarity {
       // pair outright (the semanticDecontaminate/knnGraph convention)
       .filter(!isnan(col("cos_sim")))
       .withColumn("__cq", round(col("cos_sim") * 10000, 0).cast("long"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topk = udaf(new graft.functions.TopKHits(kNN),
       graft.functions.TopKHits.hitEncoder)
     def sideSums(keyCol: String, otherCol: String) = pairs

@@ -114,7 +114,7 @@ object Sketches {
       org.apache.spark.sql.Encoders.scalaLong)
     val sk = df.select(col(groupCol).cast("string").as("g"), h.as("h"))
       .groupBy("g").agg(sketch(col("h")).as("kmv"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sk.select(col("g"), explode(col("kmv")).as("h"))
     val groups = sk.select(col("g"))
     val pairs = groups.select(col("g").as("ga"))

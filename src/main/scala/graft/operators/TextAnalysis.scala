@@ -635,7 +635,7 @@ object TextAnalysis {
     val words = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShingles(col(textCol), 1)).as("word"))
       .filter(col("word") =!= "")
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = words.groupBy("word").agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("word").asc).limit(vocabSize)
       .select(col("word"), lit(1).as("__in_vocab"))
@@ -743,7 +743,7 @@ object TextAnalysis {
     val w0 = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1)).as("word"))
       .filter(col("word") =!= "")
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = w0.groupBy("word").agg(count(lit(1)).as("c"))
     val kept = if (maxDf == Long.MaxValue) w0
       else w0.join(broadcast(uni.filter(col("c") > maxDf).select("word")),
@@ -781,7 +781,7 @@ object TextAnalysis {
                    shingleSize: Int = 3): DataFrame = {
     val rows = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstSeen = rows.groupBy("shingle").agg(min(col("doc")).as("__first_doc"))
     rows.join(firstSeen, "shingle")
       .groupBy(col("doc"))
