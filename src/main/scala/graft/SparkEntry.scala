@@ -2340,6 +2340,67 @@ object SparkEntry {
         .withColumn("variant",
           concat(lit("v"), pmod(col("user_id"), lit(2L)).cast("string")))
       RelationalOps.cupedMeans(per, "variant", "y", "x").orderBy("variant")
+    }),
+
+    // ---- warehouse: zone-map stats + range-predicate skip evaluation ----
+    // bucket = l_orderkey div 4096 stands in for the physical file id; the
+    // skip rule is exactly parquet row-group / Iceberg manifest pruning.
+    "q_zone_map" -> ((s, d) => {
+      val zones = Warehouse.zoneMap(t(s, d, "lineitem"),
+        expr("l_orderkey div 4096"), Seq("l_shipdate", "l_extendedprice"))
+      Warehouse.zoneSkip(zones, "l_shipdate",
+          lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp"))
+        .orderBy("bucket")
+    }),
+
+    // ---- warehouse: mergeable partial-agg state (incremental MV) ----
+    // Two disjoint "loads" (event_id mod 3) build states independently;
+    // the merged+finalized result must equal a from-scratch aggregate —
+    // which is precisely what the oracle computes.
+    "q_agg_delta" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+      val base = Warehouse.aggState(ev.filter(col("event_id") % 3 =!= 0),
+        Seq("event_type", "day"), "value")
+      val delta = Warehouse.aggState(ev.filter(col("event_id") % 3 === 0),
+        Seq("event_type", "day"), "value")
+      Warehouse.finalizeAggState(
+          Warehouse.mergeAggStates(Seq(base, delta), Seq("event_type", "day")))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- preferences: pairwise win matrix from head-to-head trials ----
+    "q_pairwise_wins" -> ((s, d) => {
+      Preferences.winMatrix(Preferences.comparisons(t(s, d, "events"),
+          expr("event_id div 2"), "event_type", "value", "event_id"))
+        .orderBy("winner", "loser")
+    }),
+
+    // ---- preferences: Bradley–Terry strengths (3 MM steps, exact micro) ----
+    "q_bradley_terry" -> ((s, d) => {
+      Preferences.fitBradleyTerry(t(s, d, "events"), expr("event_id div 2"),
+          "event_type", "value", "event_id", iters = 3)
+        .orderBy("item")
+    }),
+
+    // ---- text: template mining over the digit-masked corpus ----
+    "q_templates" -> ((s, d) => {
+      TextAnalysis.templates(templateCorpus(s, d), "text", "doc_id")
+        .orderBy("template")
+    }),
+
+    // ---- attribution: last-touch credit of purchase value ----
+    "q_attribution" -> ((s, d) => {
+      Timeseries.lastTouchAttribution(t(s, d, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type", "value", "purchase")
+        .orderBy("channel")
+    }),
+
+    // ---- text: zero-shuffle linear scoring scan (weights as literal) ----
+    "q_linear_scan" -> ((s, d) => {
+      TextAnalysis.linearScoreScan(t(s, d, "documents"), "text", "doc_id",
+          scanWeightsMicro, biasMicro = 50000L)
+        .orderBy("doc")
     })
   )
 
@@ -2370,6 +2431,92 @@ object SparkEntry {
     * stride 40, covering events.value's [0, 500) span with overlaps. */
   private val rangeBands: Seq[(String, Double, Double)] =
     (0 until 12).map(i => (f"band_$i%02d", i * 40.0, i * 40.0 + 60.0))
+
+  /** q_linear_scan's shipped-model weight vector — the SAME per-index
+    * formula q_linear_score's weight TABLE uses, computed once here and
+    * embedded as an array literal on the Spark side / a formula CTE in the
+    * oracle (they agree index-for-index by construction). */
+  private val scanWeightsMicro: Seq[Long] =
+    Seq.tabulate(256)(i => ((i * 2654435761L) % 1000003L) % 2001L - 1000L)
+
+  /** documents ∪ deterministic order "log lines" — the corpus for template
+    * mining. Raw documents have zero repeated digit-masked templates at
+    * every SF (verified in DuckDB), so the log lines derive machine-
+    * generated text from real order rows with an engine-identical
+    * construction; after digit masking they collapse to one template per
+    * priority class. Ids offset by 3e6 to stay disjoint. */
+  private def templateCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val logs = t(s, d, "orders").select(
+      (col("o_orderkey") + lit(3000000L)).as("doc_id"),
+      concat(lit("order "), col("o_orderkey"), lit(" priority "),
+        col("o_orderpriority"), lit(" total "),
+        cents(col("o_totalprice"))).as("text"))
+    docs.unionByName(logs)
+  }
+
+  /** DuckDB twin of [[templateCorpus]] — kept adjacent for side-by-side
+    * review. */
+  private val templateCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT o_orderkey + 3000000 AS doc_id,
+      | concat('order ', o_orderkey, ' priority ', o_orderpriority,
+      |   ' total ', CAST(round(o_totalprice*100) AS BIGINT)) AS text
+      |FROM orders""".stripMargin
+
+  /** Comparison-derivation CTEs shared by q_pairwise_wins and
+    * q_bradley_terry (one definition, two consumers — the q_langid
+    * convention). */
+  private val winsCtes: String =
+    """e AS (SELECT * FROM events),
+      |p AS (SELECT a.event_type AS ta, a.value AS va,
+      |        b.event_type AS tb, b.value AS vb
+      |      FROM e a JOIN e b
+      |        ON a.event_id // 2 = b.event_id // 2 AND a.event_id < b.event_id
+      |      WHERE a.event_type <> b.event_type),
+      |c AS (SELECT
+      |        CASE WHEN va > vb THEN ta WHEN vb > va THEN tb
+      |             ELSE least(ta, tb) END AS winner,
+      |        CASE WHEN va > vb THEN tb WHEN vb > va THEN ta
+      |             ELSE greatest(ta, tb) END AS loser
+      |      FROM p),
+      |wins AS (SELECT winner, loser, count(*) AS n FROM c GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled Bradley–Terry MM chain (the q_bpe_train unrolled-CTE idiom):
+    * one d/r/it CTE triple per iteration, HUGEINT products, `//` floored
+    * division — line-for-line the integer recurrence of
+    * [[graft.operators.Preferences.bradleyTerry]]. */
+  private def bradleyTerrySql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT p.i AS item,
+         |  sum((CAST(p.t AS HUGEINT) * 1000000) // greatest(si.s + sj.s, 1)) AS D
+         | FROM sym p
+         | JOIN it${k - 1} si ON si.item = p.i
+         | JOIN it${k - 1} sj ON sj.item = p.j
+         | GROUP BY 1),
+         |r$k AS (SELECT i.item, i.wins,
+         |  (CAST(i.wins AS HUGEINT) * 1000000 * 1000000) // greatest(d.D, 1) AS raw
+         | FROM items i JOIN d$k d USING (item)),
+         |it$k AS (SELECT item, wins,
+         |  (CAST(raw AS HUGEINT) * 1000000)
+         |    // greatest((SELECT sum(raw) FROM r$k), 1) AS s
+         | FROM r$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $winsCtes,
+       |sym AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS t FROM (
+       |    SELECT winner AS i, loser AS j, n FROM wins
+       |    UNION ALL SELECT loser AS i, winner AS j, n FROM wins)
+       |  GROUP BY 1, 2),
+       |items AS (SELECT s.item, CAST(coalesce(w.wins, 0) AS BIGINT) AS wins
+       |  FROM (SELECT DISTINCT i AS item FROM sym) s
+       |  LEFT JOIN (SELECT winner AS item, sum(n) AS wins FROM wins GROUP BY 1) w
+       |    USING (item)),
+       |it0 AS (SELECT item, wins, CAST(1000000 AS BIGINT) AS s FROM items),
+       |$steps
+       |SELECT item, wins, CAST(s AS BIGINT) AS strength_micro
+       |FROM it$iters ORDER BY item""".stripMargin
+  }
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -4526,7 +4673,79 @@ object SparkEntry {
         |  CAST((1000000 * sy) // n
         |    - (theta_micro * ((1000000 * sx) // n - gmx_micro)) // 1000000
         |    AS BIGINT) / 1000000.0 AS mean_adjusted
-        |FROM v, gg ORDER BY variant""".stripMargin
+        |FROM v, gg ORDER BY variant""".stripMargin,
+
+    "q_zone_map" ->
+      """SELECT l_orderkey // 4096 AS bucket, count(*) AS n_rows,
+        | min(l_shipdate) AS min_l_shipdate, max(l_shipdate) AS max_l_shipdate,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS nnull_l_shipdate,
+        | min(l_extendedprice) AS min_l_extendedprice,
+        | max(l_extendedprice) AS max_l_extendedprice,
+        | CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS nnull_l_extendedprice,
+        | coalesce(max(l_shipdate) < TIMESTAMP '1995-01-01', false)
+        |   OR coalesce(min(l_shipdate) > TIMESTAMP '1995-12-31', false)
+        |   OR min(l_shipdate) IS NULL AS can_skip
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The oracle recomputes from scratch — equality IS the incremental-
+    // maintenance correctness claim (merged base+delta state == full agg).
+    "q_agg_delta" ->
+      """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+        | round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value,
+        | round(min(CAST(round(value*100) AS BIGINT))/100.0, 2) AS min_value,
+        | round(max(CAST(round(value*100) AS BIGINT))/100.0, 2) AS max_value,
+        | round(sum(CAST(round(value*100) AS BIGINT))/100.0/count(*), 4)
+        |   AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "q_pairwise_wins" ->
+      s"""WITH $winsCtes
+         |SELECT winner, loser, n AS n_wins FROM wins
+         |ORDER BY winner, loser""".stripMargin,
+
+    "q_bradley_terry" -> bradleyTerrySql(3),
+
+    "q_templates" ->
+      s"""WITH corpus AS ($templateCorpusSql),
+         |t AS (SELECT doc_id,
+         |        trim(regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'),
+         |          '[ \\t]+', ' ', 'g')) AS template
+         |      FROM corpus)
+         |SELECT template, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM t GROUP BY 1 HAVING count(*) >= 2 ORDER BY template""".stripMargin,
+
+    "q_attribution" ->
+      """WITH a AS (SELECT event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT coalesce(touch, '(direct)') AS channel,
+        | count(*) AS n_conversions,
+        | round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Scan form == join form per token-sum distributivity; the SQL twin
+    // keeps the join shape but LEFT JOINs from documents so tokenless docs
+    // score the bare bias and NULL text scores NULL (the spec-pinned edge
+    // contract of linearScoreScan).
+    "q_linear_scan" ->
+      s"""WITH $featureHashCtes,
+         |w AS (SELECT idx, ((idx * 2654435761) % 1000003) % 2001 - 1000 AS w_micro
+         |      FROM (SELECT unnest(generate_series(0, 255)) AS idx)),
+         |contrib AS (SELECT doc, sum(f_sum * w_micro) AS sc
+         |            FROM fs JOIN w ON fs.feature_idx = w.idx GROUP BY doc)
+         |SELECT d.doc_id AS doc,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE CAST(50000 + coalesce(sc, 0) AS BIGINT) END AS logit_micro,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE (50000 + coalesce(sc, 0)) > 0 END AS predicted
+         |FROM documents d LEFT JOIN contrib ON contrib.doc = d.doc_id
+         |ORDER BY doc""".stripMargin
   )
 
   /** Per-side MinHash band CTEs for the cross-table linkage oracle — the

@@ -1234,6 +1234,30 @@ object TextAnalysis {
       })
   }
 
+  /** Template mining: mask digit runs to '#', collapse whitespace runs,
+    * and group — the log/boilerplate-detection pass that finds machine-
+    * generated near-identical documents ("order 123 shipped" == "order 456
+    * shipped") which near-dup hashing misses when the variable spans shift
+    * alignment. Output per template seen >= `minDocs` times:
+    * (template, n_docs, first_doc) — first_doc = smallest id, the
+    * canonical keeper under the repo's dedup convention.
+    *
+    * Regex subset chosen to mean the same thing in Java (Spark) and RE2
+    * (DuckDB): explicit classes `[0-9]+` / `[ \t]+` only.
+    *
+    * Scale shape: projection + one map-side-combinable aggregate at
+    * template cardinality; the text itself never shuffles — only the
+    * masked template (and at 100 TB you'd group its xxhash64 instead and
+    * keep an exemplar via min_by; same plan shape). */
+  def templates(docs: DataFrame, textCol: String, idCol: String,
+                minDocs: Long = 2L): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        trim(regexp_replace(regexp_replace(col(textCol), "[0-9]+", "#"),
+          "[ \t]+", " ")).as("template"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_docs"), min("doc").as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val letters = ('a' to 'z').toSeq
     def cnt(ch: Char): Column = element_at(col("__lc"), ch - 'a' + 1)

@@ -281,4 +281,32 @@ object Timeseries {
           expr("(10000 * __sb * __n) div (__nb * __s)"))
           .cast("long").as("index_bp"))
   }
+
+  /** Last-touch attribution: credit each conversion's value to the LAST
+    * non-conversion event the same key emitted before it (ordered by
+    * `orderCols` — include a unique id after the timestamp so ties are
+    * deterministic); conversions with no prior touch credit "(direct)".
+    * Output per touch channel: (channel, n_conversions, sum_value at 2 dp)
+    * in exact integer cents.
+    *
+    * Physically one window pass (the running `last(..., ignoreNulls)` over
+    * rows-preceding) plus a map-side-combinable aggregate — no self-join
+    * of the event log, no per-conversion scan-back. The window partitions
+    * by the entity key, so 100 TB of events shuffle once on a key whose
+    * per-partition slices are user-history-sized, never global. */
+  def lastTouchAttribution(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                           typeCol: String, valueCol: String,
+                           convType: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true).over(w)
+    df.withColumn("__touch", touch)
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0, 2)
+          .as("sum_value"))
+  }
 }

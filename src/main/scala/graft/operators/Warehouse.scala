@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout / incremental-maintenance operators — the warehouse-side
+  * capabilities a 100 TB pipeline leans on: zone-map (file-level min/max)
+  * statistics with predicate skip evaluation, and algebraic partial-aggregate
+  * state that merges across incremental loads without a full recompute.
+  *
+  * Reference grounding: the reference materializes per-key state into local
+  * stores and re-reads it incrementally (hello-samza
+  * `StreamTableJoinExample.java:112-124`, `WikipediaApplication.java:155`);
+  * these operators are the batch/warehouse re-expression of that
+  * "maintain state, don't recompute" contract on Spark.
+  */
+object Warehouse {
+
+  /** Zone map: per-bucket min/max/null-count statistics over `statCols`,
+    * the file/row-group-level skipping index every columnar store keeps
+    * (parquet row-group stats, ORC stripe stats, Delta/Iceberg file stats).
+    * `bucket` stands in for the physical file id — at cluster scale it IS
+    * the file id (or `spark_partition_id()` at write time).
+    *
+    * Output: (bucket, n_rows, min_<c>, max_<c>, nnull_<c> per stat col).
+    *
+    * Scale shape: ONE map-side-combinable aggregate pass — the zone map of
+    * a 100 TB table is built in the same scan that writes it, and its
+    * cardinality is file-count, not row-count (~1e5 rows for 100 TB of
+    * 1 GB files), so it broadcasts to planners for free. */
+  def zoneMap(df: DataFrame, bucket: Column, statCols: Seq[String]): DataFrame = {
+    val stats = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nnull_$c"))
+    }
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+  }
+
+  /** Evaluate a range predicate `lo <= statCol <= hi` against a zone map:
+    * `can_skip` is true when the bucket's [min, max] envelope provably
+    * excludes the range — the exact pruning rule Spark's parquet reader and
+    * Delta/Iceberg manifests apply. A bucket that is all-NULL in the column
+    * (min/max NULL) is also skippable for a non-null-matching range
+    * predicate. Conservative by construction: can_skip=false never loses
+    * rows; true never loses a match.
+    *
+    * The skip RATIO this reports is the point of the exercise: it is the
+    * fraction of a 100 TB scan's I/O that clustering (see
+    * [[RelationalOps]]' z-order lane) converts into metadata lookups. */
+  def zoneSkip(zones: DataFrame, statCol: String, lo: Column, hi: Column): DataFrame =
+    zones.withColumn("can_skip",
+      coalesce(col(s"max_$statCol") < lo, lit(false)) ||
+      coalesce(col(s"min_$statCol") > hi, lit(false)) ||
+      col(s"min_$statCol").isNull)
+
+  /** Algebraic aggregate STATE per key: (n, s_cents, mn_cents, mx_cents)
+    * over a 2-dp money-ish value column — exact integer cents, partition-
+    * order invariant (the repo's money convention). This is the partial
+    * form of count/sum/min/max/avg: states from disjoint loads merge with
+    * [[mergeAggStates]] instead of rescanning history — the incremental-
+    * materialized-view contract (Samza's changelog-backed store semantics,
+    * `WikipediaApplication.java:155-181`, re-expressed as data).
+    *
+    * Scale shape: building a state is one map-side-combinable pass over
+    * only the NEW partition of data; merging is key-cardinality work. At
+    * 100 TB that is the difference between scanning a day and scanning
+    * three years. */
+  def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val c = round(col(valueCol) * 100, 0).cast("long")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(c).as("s_cents"),
+        min(c).as("mn_cents"), max(c).as("mx_cents"))
+  }
+
+  /** Merge any number of aggregate states (same key schema) into one —
+    * count/sum add, min/max fold. Associative + commutative, so loads can
+    * merge in any order and any grouping (daily → monthly → total). */
+  def mergeAggStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("s_cents").as("s_cents"),
+        min("mn_cents").as("mn_cents"), max("mx_cents").as("mx_cents"))
+
+  /** Finalize a state into user-facing aggregates: dollars at 2 dp, the
+    * average at 4 dp via the exact integer quotient (identical in DuckDB
+    * regardless of which loads the state came from). */
+  def finalizeAggState(state: DataFrame): DataFrame =
+    state.select(state.columns.filterNot(
+        Set("s_cents", "mn_cents", "mx_cents")).map(col) ++ Seq(
+      round(col("s_cents") / 100.0, 2).as("sum_value"),
+      round(col("mn_cents") / 100.0, 2).as("min_value"),
+      round(col("mx_cents") / 100.0, 2).as("max_value"),
+      round(col("s_cents") / 100.0 / col("n"), 4).as("avg_value")): _*)
+}

@@ -504,4 +504,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
       s"grid joins must not reshuffle the corpus:\n$p")
   }
+
+  test("zone map: one scan, one aggregate — no join, no window") {
+    val p = plan("q_zone_map")
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"zone stats build in the writing scan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"pure map-side-combinable aggregate:\n$p")
+  }
+
+  test("pairwise wins: pair-grain aggregation, never a self-join of the event log") {
+    val p = plan("q_pairwise_wins")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"),
+      s"comparisons derive from min_by/max_by partial aggs, not a join:\n$p")
+  }
+
+  test("bradley-terry: MM iterations reuse ONE persisted win matrix — single event scan") {
+    val p = plan("q_bradley_terry")
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1,
+      s"every iteration must read the cached win matrix, not re-scan events:\n$p")
+    assert(p.contains("InMemoryRelation"),
+      s"the win matrix is the shared cached relation:\n$p")
+  }
+
+  test("attribution: one window pass over the log, no join, no second scan") {
+    val p = plan("q_attribution")
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1 && !p.contains("Join"),
+      s"last-touch is a running window, not a scan-back join:\n$p")
+    assert(p.linesIterator.count(l => l.matches(""".*\bWindow\s+\(\d+\)\s*""")) == 1,
+      s"exactly one window pass:\n$p")
+  }
+
+  test("linear scan scoring: no join, no aggregate-exchange — scan -> project -> filter only") {
+    val p = plan("q_linear_scan")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the weight vector rides the plan as a literal:\n$p")
+    // the only exchange is the final orderBy's range partitioning
+    val exchIds = """Exchange\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchIds.size == 1 && p.contains("rangepartitioning"),
+      s"no shuffle before the sort:\n$p")
+  }
 }
