@@ -2401,8 +2401,97 @@ object SparkEntry {
       TextAnalysis.linearScoreScan(t(s, d, "documents"), "text", "doc_id",
           scanWeightsMicro, biasMicro = 50000L)
         .orderBy("doc")
+    }),
+
+    // ---- linkage: blocked Fellegi-Sunter matching across two systems ----
+    "q_er_matches" -> ((s, d) => {
+      val (a, b) = erSides(s, d)
+      Linkage.linkPairs(a, b, "rec_id", Seq("nat", "postcode"), erFields,
+          threshold = 25L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- linkage: precision/recall of the config vs ground truth ----
+    "q_er_eval" -> ((s, d) => {
+      val (a, b) = erSides(s, d)
+      val pred = Linkage.linkPairs(a, b, "rec_id", Seq("nat", "postcode"),
+        erFields, threshold = 25L)
+      val truth = t(s, d, "customer").select(
+        col("c_custkey").as("id_a"), col("c_custkey").as("id_b"))
+      Linkage.linkEval(pred, truth)
+    }),
+
+    // ---- graphs: link prediction (common neighbors + RA index) ----
+    "q_link_predict" -> ((s, d) => {
+      Graphs.linkPrediction(nationTradeEdges(s, d), "u", "v")
+        .orderBy("u", "v")
+    }),
+
+    // ---- curation: curriculum sharding (difficulty-stratified deal) ----
+    "q_curriculum" -> ((s, d) => {
+      Curation.curriculumShards(t(s, d, "documents"), "doc_id", "n_chars",
+          "source", numShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          (round(sum("n_chars") / count(lit(1)), 4) + lit(0.0)).as("avg_chars"))
+        .orderBy("shard")
     })
   )
+
+  /** The two "systems" for the linkage queries — both derive from customer
+    * with engine-identical constructions (the piiCorpus convention): side B
+    * perturbs deterministically (rec_id mod 4 → name format drift, mod 5 →
+    * segment lost, mod 7 → balance band off by one), so match difficulty
+    * is real and the precision/recall curve is non-trivial at every SF.
+    * Blocking key: (nation, rec_id mod 97) — the latter standing in for a
+    * shared coarse attribute (a postcode). */
+  private def erSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = t(s, d, "customer").select(
+      col("c_custkey").as("rec_id"),
+      col("c_nationkey").as("nat"),
+      (col("c_custkey") % 97).as("postcode"),
+      lower(col("c_name")).as("name"),
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 100).cast("long").as("band"))
+    val b = base.select(col("rec_id"), col("nat"), col("postcode"),
+      when(col("rec_id") % 4 === 0,
+        regexp_replace(col("name"), "customer#", "cust "))
+        .otherwise(col("name")).as("name"),
+      when(col("rec_id") % 5 === 0, lit("UNKNOWN"))
+        .otherwise(col("seg")).as("seg"),
+      (col("band") + when(col("rec_id") % 7 === 0, 1L).otherwise(0L))
+        .as("band"))
+    (base, b)
+  }
+
+  /** (field, wAgree, wDisagree) — fixed Fellegi–Sunter weights shared by
+    * q_er_matches/q_er_eval and their oracle twins. */
+  private val erFields: Seq[(String, Long, Long)] =
+    Seq(("name", 30L, -10L), ("seg", 10L, -5L), ("band", 10L, -5L))
+
+  /** Linkage CTEs shared by the two ER oracles (one definition, two
+    * consumers). Weights/threshold are inlined from [[erFields]]'s values;
+    * `IS NOT DISTINCT FROM` ≡ Spark's null-safe `<=>`. */
+  private val erCtes: String =
+    """sa AS (SELECT c_custkey AS rec_id, c_nationkey AS nat,
+      |    c_custkey % 97 AS postcode, lower(c_name) AS name,
+      |    c_mktsegment AS seg, CAST(floor(c_acctbal/100) AS BIGINT) AS band
+      |  FROM customer),
+      |sb AS (SELECT rec_id, nat, postcode,
+      |    CASE WHEN rec_id % 4 = 0 THEN replace(name, 'customer#', 'cust ')
+      |         ELSE name END AS name,
+      |    CASE WHEN rec_id % 5 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+      |    band + CASE WHEN rec_id % 7 = 0 THEN 1 ELSE 0 END AS band
+      |  FROM sa),
+      |m AS (SELECT id_a, id_b, CAST(score AS BIGINT) AS score FROM (
+      |    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+      |      CASE WHEN a.name IS NOT DISTINCT FROM b.name THEN 30 ELSE -10 END
+      |      + CASE WHEN a.seg IS NOT DISTINCT FROM b.seg THEN 10 ELSE -5 END
+      |      + CASE WHEN a.band IS NOT DISTINCT FROM b.band THEN 10 ELSE -5 END
+      |        AS score
+      |    FROM sa a JOIN sb b ON a.nat = b.nat AND a.postcode = b.postcode)
+      |  WHERE score >= 25)""".stripMargin
 
   /** The nation trade graph (customer-nation, supplier-nation
     * co-occurrence on a lineitem, relative-weight cut) — the shared edge
@@ -4745,7 +4834,56 @@ object SparkEntry {
          |  CASE WHEN d.text IS NULL THEN NULL
          |       ELSE (50000 + coalesce(sc, 0)) > 0 END AS predicted
          |FROM documents d LEFT JOIN contrib ON contrib.doc = d.doc_id
-         |ORDER BY doc""".stripMargin
+         |ORDER BY doc""".stripMargin,
+
+    "q_er_matches" ->
+      s"""WITH $erCtes
+         |SELECT id_a, id_b, score FROM m ORDER BY id_a, id_b""".stripMargin,
+
+    "q_er_eval" ->
+      s"""WITH $erCtes,
+         |t AS (SELECT c_custkey AS id_a, c_custkey AS id_b FROM customer),
+         |h AS (SELECT count(*) AS n_hit FROM t
+         |      WHERE EXISTS (SELECT 1 FROM m
+         |                    WHERE m.id_a = t.id_a AND m.id_b = t.id_b))
+         |SELECT (SELECT count(*) FROM t) AS n_true,
+         |  (SELECT count(*) FROM m) AS n_pred, n_hit,
+         |  CASE WHEN (SELECT count(*) FROM t) > 0
+         |    THEN (10000 * n_hit) // (SELECT count(*) FROM t) ELSE 0 END
+         |    AS recall_bp,
+         |  CASE WHEN (SELECT count(*) FROM m) > 0
+         |    THEN (10000 * n_hit) // (SELECT count(*) FROM m) ELSE 0 END
+         |    AS precision_bp
+         |FROM h""".stripMargin,
+
+    "q_link_predict" ->
+      s"""WITH $nationTradeEdgesCtes,
+         |adj AS (SELECT u AS z, n FROM (
+         |    SELECT u, v AS n FROM kept UNION ALL SELECT v AS u, u AS n FROM kept)),
+         |deg AS (SELECT z, count(*) AS degz FROM adj GROUP BY 1),
+         |adjd AS MATERIALIZED (SELECT a.z, a.n, d.degz
+         |  FROM adj a JOIN deg d USING (z)),
+         |cand AS (SELECT x.n AS u, y.n AS v, count(*) AS n_common,
+         |    CAST(sum(1000000 // x.degz) AS BIGINT) AS ra_micro
+         |  FROM adjd x JOIN adjd y ON x.z = y.z AND x.n < y.n
+         |  GROUP BY 1, 2)
+         |SELECT u, v, CAST(n_common AS BIGINT) AS n_common, ra_micro
+         |FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM kept k
+         |  WHERE (k.u = cand.u AND k.v = cand.v)
+         |     OR (k.u = cand.v AND k.v = cand.u))
+         |ORDER BY u, v""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents),
+        |a AS (SELECT (rank - 1) % 8 AS shard, n_chars FROM r)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(sum(n_chars)/count(*), 4) + 0.0 AS avg_chars
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
   )
 
   /** Per-side MinHash band CTEs for the cross-table linkage oracle — the

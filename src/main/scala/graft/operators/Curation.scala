@@ -58,6 +58,29 @@ object Curation {
     df.select(col(idCol), guarded.as("split"))
   }
 
+  /** Curriculum sharding: rank documents by a difficulty proxy WITHIN each
+    * group (descending, id tie-break) and deal them round-robin across
+    * `numShards` — every shard receives a stratified difficulty mix from
+    * every group, so a trainer consuming shards in any order sees the same
+    * curriculum distribution (contrast [[graft.operators.Outputs]]'
+    * hash sharding, which stratifies by nothing). Output:
+    * (id, group, rank, shard).
+    *
+    * Scale shape: the window partitions by `groupCol` — per-partition
+    * state is one group's documents, never global. If one group dwarfs
+    * the rest, pre-split it (salt the group id by a difficulty band) —
+    * round-robin within each sub-band preserves the stratification
+    * guarantee. */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: String,
+                       groupCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("shard", ((col("rank") - 1) % numShards).cast("long"))
+  }
+
   /** THE keep rule every percentage sampler applies (batch and streaming):
     * a row survives when its id hash lands below the keep percentage.
     * Centralized so the comparison (`<`, mod 100) can never drift between

@@ -236,6 +236,42 @@ object Graphs {
           .otherwise(lit(0L)) / lit(10000.0) + lit(0.0)).as("clustering"))
   }
 
+  /** Link prediction over an undirected simple graph: for every NON-edge
+    * pair with at least one common neighbor, the common-neighbor count and
+    * the resource-allocation index Σ_z 1/deg(z) in exact floored micro
+    * units (RA chosen over Adamic–Adar because 1e6 div deg is integer-
+    * exact — no transcendental drift across engines; Zhou et al. 2009
+    * report it no worse empirically). Output (u, v, n_common, ra_micro),
+    * u < v.
+    *
+    * Scale shape: the wedge join is Σ deg(z)² work — `maxDegree` cuts hub
+    * wedge centers exactly as [[Dedup]] df-cuts hot shingles (a z linked
+    * to everything predicts nothing anyway: its RA term is ~0). The edge
+    * relation is persisted once (wedge side ×2 + the existing-edge anti
+    * join); everything else is candidate-bounded. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDegree: Long = Long.MaxValue): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = raw.select(col("u").as("z"), col("v").as("n"))
+      .union(raw.select(col("v").as("z"), col("u").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("degz"))
+    // nodes-sized relation: broadcast, as in triangleStats
+    val adjd = adj.join(broadcast(deg), "z").filter(col("degz") <= maxDegree)
+    val cand = adjd.select(col("z"), col("n").as("cu"), col("degz"))
+      .join(adjd.select(col("z"), col("n").as("cv")), "z")
+      .filter(col("cu") < col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div degz")).as("ra_micro"))
+    cand.join(raw, Seq("u", "v"), "left_anti")
+  }
+
   /** Synchronous weighted label propagation with a FIXED round count —
     * community detection without an objective function: every node starts
     * as its own community, and each round every node adopts the label

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution — match records that refer to the
+  * same real-world entity across two systems without a shared key:
+  * blocking (candidate generation), integer-weighted field-agreement
+  * scoring (Fellegi–Sunter with fixed weights), thresholding, and a
+  * precision/recall evaluation against ground truth.
+  *
+  * Reference grounding: the reference's stream–table join enriches by an
+  * EXACT key (hello-samza `StreamTableJoinExample.java:112-135`); linkage
+  * is the generalization to fuzzy identity, the first pass a training-data
+  * pipeline runs when merging document/author/source catalogs.
+  *
+  * Scale shape: candidates are BLOCK-bounded — the corpus never self-joins
+  * unblocked (the MinHash-LSH argument, applied to records). Blocking keys
+  * shuffle both sides once; scoring is per-candidate projection work.
+  * Skewed blocks (one postcode holding 1e6 records) are the operational
+  * hazard: cap or sub-salt them upstream, exactly as [[Dedup]] df-cuts hot
+  * shingles. */
+object Linkage {
+
+  /** Blocked candidate pairs: records from `a` and `b` sharing every
+    * `blockCols` value, carrying `fieldCols` prefixed a_/b_ for scoring.
+    * Equi-join on the block key — never a cartesian. */
+  def blockedCandidates(a: DataFrame, b: DataFrame, idCol: String,
+                        blockCols: Seq[String],
+                        fieldCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(blockCols.map(col) ++ (col(idCol).as(s"id_$tag") +:
+        fieldCols.map(c => col(c).as(s"${tag}_$c"))): _*)
+    side(a, "a").join(side(b, "b"), blockCols)
+  }
+
+  /** Add a Fellegi–Sunter-style agreement score: per field, `wAgree` when
+    * the two sides agree (null-safe — two NULLs agree), `wDisagree`
+    * otherwise. Fixed integer weights (centi-units by convention) keep the
+    * score exact and engine-portable; callers calibrate them offline from
+    * labeled pairs (the log-odds estimates), which keeps this operator a
+    * pure projection. */
+  def scorePairs(cands: DataFrame,
+                 fields: Seq[(String, Long, Long)]): DataFrame = {
+    val score = fields.map { case (f, wA, wD) =>
+      when(col(s"a_$f") <=> col(s"b_$f"), lit(wA)).otherwise(lit(wD))
+    }.reduceLeft(_ + _)
+    cands.withColumn("score", score)
+  }
+
+  /** End-to-end: block → score → threshold. Output (id_a, id_b, score). */
+  def linkPairs(a: DataFrame, b: DataFrame, idCol: String,
+                blockCols: Seq[String], fields: Seq[(String, Long, Long)],
+                threshold: Long): DataFrame =
+    scorePairs(
+        blockedCandidates(a, b, idCol, blockCols, fields.map(_._1)), fields)
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+
+  /** MEASURE-BEFORE-SHIP for a linkage config (the [[Dedup.lshCandidateEval]]
+    * counterpart): precision/recall of predicted matches against a ground-
+    * truth pair relation, floored basis points. One row:
+    * (n_true, n_pred, n_hit, recall_bp, precision_bp). Run it on a labeled
+    * slice — the weights/threshold curve, not the corpus, is the
+    * deliverable. */
+  def linkEval(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val p = pred.select(col("id_a"), col("id_b"))
+    val hit = truth.join(p, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(p.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_pred"), col("n_hit"),
+        when(col("n_true") > 0, expr("(10000 * n_hit) div n_true"))
+          .otherwise(lit(0L)).cast("long").as("recall_bp"),
+        when(col("n_pred") > 0, expr("(10000 * n_hit) div n_pred"))
+          .otherwise(lit(0L)).cast("long").as("precision_bp"))
+  }
+}

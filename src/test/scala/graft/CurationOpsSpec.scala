@@ -551,4 +551,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(one == alloc, s"engine vs sequential:\n$one\nvs\n$alloc")
     assert(one == run(11), "allocation must not depend on partitioning")
   }
+
+  test("curriculumShards: round-robin deal stratifies difficulty per group; ties break by id") {
+    import spark.implicits._
+    // group g: scores 9,8,7,7,6 (docs 1..5; docs 3,4 tie at 7) → ranks by
+    // (score desc, id asc): 1→1, 2→2, 3→3, 4→4, 5→5; shards mod 2: 0,1,0,1,0
+    val docs = Seq((1L, "g", 9L), (2L, "g", 8L), (3L, "g", 7L),
+      (4L, "g", 7L), (5L, "g", 6L), (6L, "h", 5L)).toDF("id", "grp", "sc")
+    val out = Curation.curriculumShards(docs, "id", "sc", "grp", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(1L -> ((1L, 0L)), 2L -> ((2L, 1L)), 3L -> ((3L, 0L)),
+      4L -> ((4L, 1L)), 5L -> ((5L, 0L)), 6L -> ((1L, 0L))), s"got: $out")
+    // stratification invariant: within a group, shard sizes differ by <= 1
+    val sizes = Curation.curriculumShards(docs, "id", "sc", "grp", 2)
+      .groupBy("grp", "shard").count()
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    assert(sizes("g").max - sizes("g").min <= 1)
+  }
 }

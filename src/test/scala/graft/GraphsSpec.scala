@@ -251,4 +251,29 @@ class GraphsSpec extends SparkSpec {
     assert(out == Map(("p", "q") -> ((3L, 10000L))),
       s"(p,r)/(q,r) are single-basket and must be cut: $out")
   }
+
+  test("linkPrediction: hand-computed RA on a path+hub graph; existing edges excluded") {
+    // path a-b-c plus hub h linked to a and c:
+    //   non-edges with common neighbors: (a,c) via b (deg 2) and h (deg 2)
+    //   → n_common=2, ra = 2·(1e6 div 2) = 1e6; (b,h) via a and c (both
+    //   deg 2)... wait a links b,h → deg(a)=2; c links b,h → deg(c)=2.
+    //   (b,h): common a,c → ra = 500000+500000 = 1e6, n_common=2.
+    val edges = Seq(("a", "b"), ("b", "c"), ("h", "a"), ("h", "c"))
+      .toDF("s", "t")
+    val out = Graphs.linkPrediction(edges, "s", "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(("a", "c") -> ((2L, 1000000L)),
+      ("b", "h") -> ((2L, 1000000L))), s"got: $out")
+  }
+
+  test("linkPrediction: maxDegree cuts hub wedge centers; duplicate/reversed input edges collapse") {
+    // star: hub z linked to 5 leaves (deg 5); leaves pairwise predicted
+    // via z with ra = 1e6 div 5 = 200000 — unless z is degree-capped out
+    val star = (1 to 5).flatMap(i => Seq(("z", s"l$i"), (s"l$i", "z")))
+      .toDF("s", "t")
+    val full = Graphs.linkPrediction(star, "s", "t").collect()
+    assert(full.length == 10 && full.forall(_.getLong(3) == 200000L))
+    assert(Graphs.linkPrediction(star, "s", "t", maxDegree = 4).count() == 0L)
+  }
 }

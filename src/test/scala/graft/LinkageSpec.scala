@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Linkage
+import org.apache.spark.sql.functions._
+
+/** Record-linkage golden cases: blocking bounds candidates, null-safe
+  * field agreement, threshold semantics, and the eval counters. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(("name", 30L, -10L), ("city", 10L, -5L))
+
+  test("blockedCandidates: only same-block pairs appear — blocking, not a cartesian") {
+    val a = Seq((1L, "b1", "ann", "rome"), (2L, "b2", "bob", "oslo"))
+      .toDF("id", "blk", "name", "city")
+    val b = Seq((10L, "b1", "ann", "rome"), (20L, "b3", "cay", "lima"))
+      .toDF("id", "blk", "name", "city")
+    val c = Linkage.blockedCandidates(a, b, "id", Seq("blk"), Seq("name", "city"))
+    assert(c.select("id_a", "id_b").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L)))
+  }
+
+  test("scorePairs: null-safe agreement (NULL<=>NULL agrees, NULL vs value disagrees)") {
+    val a = Seq((1L, "k", null.asInstanceOf[String], "rome"),
+      (2L, "k", "bob", null.asInstanceOf[String]))
+      .toDF("id", "blk", "name", "city")
+    val b = Seq((10L, "k", null.asInstanceOf[String], "oslo"),
+      (20L, "k", "bob", "lima")).toDF("id", "blk", "name", "city")
+    val s = Linkage.scorePairs(
+        Linkage.blockedCandidates(a, b, "id", Seq("blk"), fields.map(_._1)), fields)
+      .select("id_a", "id_b", "score").as[(Long, Long, Long)].collect().toMap2
+    assert(s((1L, 10L)) == 30L - 5L)   // NULL name agrees, city differs
+    assert(s((1L, 20L)) == -10L - 5L)  // NULL vs 'bob' disagrees
+    assert(s((2L, 20L)) == 30L - 5L)   // name agrees, NULL city vs 'lima'
+    assert(s((2L, 10L)) == -10L - 5L)
+  }
+
+  test("linkPairs + linkEval: threshold picks true pairs; counters and bp are exact") {
+    val a = Seq((1L, "k", "ann", "rome"), (2L, "k", "bob", "oslo"),
+      (3L, "k", "cay", "lima")).toDF("id", "blk", "name", "city")
+    // 1 matches cleanly, 2 lost its name (below threshold), 3 absent
+    val b = Seq((1L, "k", "ann", "rome"), (2L, "k", "rob", "oslo"),
+      (9L, "k", "zed", "kiev")).toDF("id", "blk", "name", "city")
+    val pred = Linkage.linkPairs(a, b, "id", Seq("blk"), fields, threshold = 35L)
+    assert(pred.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      == Seq((1L, 1L)))
+    val truth = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id_a", "id_b")
+    val e = Linkage.linkEval(pred, truth).collect().head
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3), e.getLong(4))
+      == ((3L, 1L, 1L, 3333L, 10000L)))
+  }
+
+  implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}

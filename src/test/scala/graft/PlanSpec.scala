@@ -541,6 +541,27 @@ class PlanSpec extends SparkSpec {
       s"exactly one window pass:\n$p")
   }
 
+  test("entity resolution: candidates ride the blocking equi-join — never a cartesian") {
+    val p = plan("q_er_matches")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scoring must only see block-bounded candidates:\n$p")
+  }
+
+  test("link prediction: wedge join is key-equi on the center; existing edges leave via anti join") {
+    val p = plan("q_link_predict")
+    // (the one BroadcastNestedLoopJoin in this plan is the 1-row totals
+    // crossJoin inside the shared trade-edge derivation — corpus-safe)
+    assert(!p.contains("CartesianProduct"),
+      s"wedges must join on the common-neighbor key:\n$p")
+    assert(p.contains("LeftAnti"), s"existing edges are an anti join:\n$p")
+  }
+
+  test("curriculum shards: the rank window partitions by the group — no global sort of the corpus") {
+    val p = plan("q_curriculum")
+    assert(p.contains("windowspecdefinition(source"),
+      s"rank must be per-source, never a single global window:\n$p")
+  }
+
   test("linear scan scoring: no join, no aggregate-exchange — scan -> project -> filter only") {
     val p = plan("q_linear_scan")
     assert(!p.contains("Join") && !p.contains("Window"),
