@@ -96,10 +96,17 @@ object Preferences {
           expr("CAST(wins AS DECIMAL(38,0)) * 1000000 * 1000000" +
             " div greatest(D, 1)").as("raw"))
       val tot = raw.agg(sum("raw").as("__tot"))
+      // localCheckpoint per round — the repo's LOOP-KERNEL discipline
+      // (ivfRefit/connected-components convention): without it, iteration
+      // k's plan embeds iteration k-1 TWICE (the si/sj joins), so the
+      // lineage doubles per round and the optimizer re-derives the whole
+      // chain 2^iters times (measured 42 s for 3 rounds at sf0.1; 0.5 s
+      // checkpointed). The strength relation is item-cardinality — tiny.
       s = raw.crossJoin(broadcast(tot))
         .select(col("item"), col("wins"),
           expr("CAST(raw AS DECIMAL(38,0)) * 1000000 div greatest(__tot, 1)")
             .cast("long").as("s"))
+        .localCheckpoint()
     }
     s.select(col("item"), col("wins"), col("s").as("strength_micro"))
   }

@@ -1226,9 +1226,16 @@ object TextAnalysis {
     val dim = weightsMicro.size
     require(dim >= 2, s"dim must be >= 2: $dim")
     val wArr = typedLit(weightsMicro)
-    aggregate(tokens(text), lit(biasMicro),
-      (acc, tok) => {
-        val h = Sketches.md5Hash32(tok)
+    // Higher-order-function lambdas are interpreted — no codegen, no
+    // common-subexpression elimination — so the hash must be SINGLE-md5
+    // (conv of the first 8 hex chars ≡ Sketches.md5Hash32's digit fold,
+    // value-identical) and computed in its own transform() so the fold
+    // references a cheap lambda variable, not a re-evaluated digest.
+    // Measured 5× on the sf0.1 corpus vs hashing inside the fold.
+    val hashes = transform(tokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    aggregate(hashes, lit(biasMicro),
+      (acc, h) => {
         val sign = lit(1L) - lit(2L) * pmod(shiftright(h, 20), lit(2L))
         acc + sign * element_at(wArr, pmod(h, lit(dim.toLong)).cast("int") + 1)
       })

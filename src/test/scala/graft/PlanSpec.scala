@@ -521,14 +521,16 @@ class PlanSpec extends SparkSpec {
       s"comparisons derive from min_by/max_by partial aggs, not a join:\n$p")
   }
 
-  test("bradley-terry: MM iterations reuse ONE persisted win matrix — single event scan") {
+  test("bradley-terry: the loop kernel checkpoints each round — the final plan is item-sized, corpus-free") {
     val p = plan("q_bradley_terry")
-    val scanIds = """Scan parquet\s+\((\d+)\)""".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(scanIds.size == 1,
-      s"every iteration must read the cached win matrix, not re-scan events:\n$p")
-    assert(p.contains("InMemoryRelation"),
-      s"the win matrix is the shared cached relation:\n$p")
+    // the MM loop consumes the ONE persisted win matrix at build time and
+    // truncates lineage per round (else iteration k embeds k-1 twice —
+    // 2^iters plan growth, measured 42 s vs 0.5 s at sf0.1); what remains
+    // is the checkpointed item-cardinality strength relation
+    assert(p.contains("Scan ExistingRDD"),
+      s"rounds must checkpoint (loop-kernel discipline):\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the event log must not reappear above the checkpoint:\n$p")
   }
 
   test("attribution: one window pass over the log, no join, no second scan") {
