@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.operators.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of a mergeable aggregate state — the incremental-
+  * materialized-view contract of [[graft.operators.Warehouse.aggState]]
+  * lifted onto Structured Streaming (the batch/stream pair the reference
+  * keeps as a changelog-backed store, hello-samza
+  * `WikipediaApplication.java:155-181`).
+  *
+  * Design: each micro-batch writes its OWN algebraic state delta under
+  * `deltaDir/epoch=<id>` (mode=overwrite, so a retried batch REPLACES its
+  * first attempt instead of double-counting — the CurationStream flags
+  * convention); the queryable state is the merge of all epoch deltas,
+  * which is exact because the state is associative+commutative. Nothing
+  * ever rewrites history: the write path is append-only at epoch grain,
+  * and compaction (folding old epochs into one) is itself just
+  * [[graft.operators.Warehouse.mergeAggStates]] — run it whenever the
+  * epoch count grows past a few thousand.
+  *
+  * Scale shape: per batch, one map-side-combinable aggregate over ONLY the
+  * new data (key-cardinality output); the read-side merge is
+  * epochs × keys work, independent of how many events history holds. */
+object StateMaintenance {
+
+  /** Start the maintenance stream: per micro-batch, aggregate the batch to
+    * its algebraic state and overwrite that epoch's delta partition. */
+  def maintainAggState(stream: DataFrame, keyCols: Seq[String],
+                       valueCol: String, deltaDir: String,
+                       checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Warehouse.aggState(batch, keyCols, valueCol)
+          .write.mode("overwrite").parquet(s"$deltaDir/epoch=$epoch")
+        ()
+      }
+      .start()
+
+  /** The current state: merge every epoch delta. Absent/uncommitted dir →
+    * empty state shaped like `like`'s aggregation. */
+  def currentState(spark: SparkSession, deltaDir: String,
+                   keyCols: Seq[String], like: DataFrame,
+                   valueCol: String): DataFrame = {
+    val empty = Warehouse.aggState(like.limit(0), keyCols, valueCol)
+    val stored = CurationStream.readIndexOrEmpty(spark, deltaDir, empty)
+    Warehouse.mergeAggStates(
+      Seq(stored.drop("epoch").select(empty.columns.map(col): _*)), keyCols)
+  }
+}
