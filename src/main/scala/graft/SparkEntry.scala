@@ -2427,6 +2427,27 @@ object SparkEntry {
         .orderBy("u", "v")
     }),
 
+    // ---- warehouse: join cardinality estimate (pre-flight stats) ----
+    // lineitem self-join on l_partkey — genuinely many-to-many, so the
+    // estimate is non-trivial; 10% key-cluster sample.
+    "q_join_card" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Warehouse.joinCardinalityEstimate(li, li, "l_partkey", pct = 10)
+    }),
+
+    // ---- warehouse: equi-depth histogram (optimizer column stat) ----
+    "q_histogram" -> ((s, d) => {
+      RelationalOps.equiDepthHistogram(t(s, d, "events"), "value",
+          col("event_id"), nBuckets = 16, samplePct = 10)
+        .orderBy("bucket")
+    }),
+
+    // ---- text: Flesch-style readability (integer milli) ----
+    "q_readability" -> ((s, d) => {
+      TextAnalysis.readability(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc")
+    }),
+
     // ---- curation: curriculum sharding (difficulty-stratified deal) ----
     "q_curriculum" -> ((s, d) => {
       Curation.curriculumShards(t(s, d, "documents"), "doc_id", "n_chars",
@@ -4873,6 +4894,44 @@ object SparkEntry {
          |  WHERE (k.u = cand.u AND k.v = cand.v)
          |     OR (k.u = cand.v AND k.v = cand.u))
          |ORDER BY u, v""".stripMargin,
+
+    "q_join_card" ->
+      """WITH ca AS (SELECT l_partkey AS k, count(*) AS na FROM lineitem GROUP BY 1),
+        |cb AS (SELECT l_partkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+        |e AS (SELECT sum(CAST(na AS HUGEINT) * nb) AS s FROM ca JOIN cb USING (k)
+        |      WHERE ((k % 1000003) * 2654435761) % 100 < 10),
+        |a AS (SELECT sum(CAST(na AS HUGEINT) * nb) AS t FROM ca JOIN cb USING (k))
+        |SELECT CAST(coalesce(s * 100 // 10, 0) AS BIGINT) AS est_rows,
+        |  CAST(coalesce(t, 0) AS BIGINT) AS actual_rows,
+        |  CAST(CASE WHEN coalesce(t, 0) > 0
+        |    THEN abs(coalesce(s * 100 // 10, 0) - t) * 10000 // t
+        |    ELSE 0 END AS BIGINT) AS err_bp
+        |FROM e, a""".stripMargin,
+
+    "q_histogram" ->
+      """WITH f AS (SELECT value AS v, event_id AS rid FROM events),
+        |s AS (SELECT v, rid FROM f
+        |      WHERE ((rid % 1000003) * 2654435761) % 100 < 10),
+        |nb AS (SELECT v, ntile(16) OVER (ORDER BY v, rid) AS b FROM s),
+        |bounds AS (SELECT b, max(v) AS hi FROM nb GROUP BY 1),
+        |asn AS (SELECT f.rid, coalesce(min(bo.b), 16) AS bucket
+        |        FROM f LEFT JOIN bounds bo ON f.v <= bo.hi GROUP BY f.rid)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows
+        |FROM asn GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_readability" ->
+      s"""SELECT doc_id AS doc,
+         |  CAST(len($sqlTokens) AS BIGINT) AS n_words,
+         |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         |    AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |    AS n_syllables,
+         |  CASE WHEN len($sqlTokens) > 0 THEN CAST(206835
+         |    - (1015 * len($sqlTokens))
+         |      // greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |    - (84600 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+         |      // len($sqlTokens) AS BIGINT) END AS flesch_milli
+         |FROM documents ORDER BY doc""".stripMargin,
 
     "q_curriculum" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

@@ -953,6 +953,41 @@ object RelationalOps {
     * pairing window that zips the i-th start with the i-th end. Returns
     * (gap_start, gap_end, gap_len). Duplicate ids are collapsed first
     * (a gap audit is about coverage, not multiplicity). */
+  /** Equi-depth histogram — the optimizer's column statistic: `nBuckets`
+    * buckets holding ~equal row counts, boundaries learned from a
+    * deterministic `samplePct`% Knuth-hash sample of `idCol` and applied
+    * to the FULL relation. Output: (bucket 1..nBuckets, n_rows).
+    *
+    * Two-pass scale shape: (1) the boundary pass sorts only the SAMPLE
+    * (the single-partition ntile window is sample-bounded by
+    * construction — at 100 TB you cap the sample, not the corpus);
+    * the k boundary rows come to the driver (the pcaTrain convention:
+    * driver-side math on an aggregate bounded by a parameter, never by
+    * data); (2) the assignment pass is a scan-side codegen'd when-chain —
+    * zero joins, zero extra shuffles over the corpus. Rows above the top
+    * sampled boundary clamp into bucket `nBuckets` (the catch-all the
+    * oracle mirrors with a LEFT JOIN + coalesce). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: Column,
+                         nBuckets: Int, samplePct: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val sample = df.filter(Curation.knuthHash(idCol, 100L) < samplePct)
+      .select(col(valueCol).as("__v"), idCol.as("__id"))
+    val w = Window.orderBy(col("__v"), col("__id"))
+    val bounds = sample.withColumn("__b", ntile(nBuckets).over(w))
+      .groupBy("__b").agg(max("__v").as("__hi"))
+      .orderBy("__b")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // fold over ALL bounds (first matching ascending boundary wins ≡ the
+    // oracle's min(b) over v<=hi); only values above the top sampled
+    // boundary fall through to the catch-all — so a degenerate sample
+    // with fewer tiles than nBuckets still agrees with the oracle
+    val assign = bounds.foldRight(lit(nBuckets.toLong)) {
+      case ((b, hi), rest) => when(col(valueCol) <= hi, lit(b.toLong)).otherwise(rest)
+    }
+    df.select(assign.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+  }
+
   def idGaps(df: DataFrame, idCol: String): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1265,6 +1265,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min("doc").as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Flesch-style reading-ease in exact integer milli-units — the quality
+    * signal curation stacks use to bucket "textbook prose" vs "fragment
+    * soup". Syllables are approximated by vowel GROUPS (runs of
+    * [aeiouy]), sentences by terminal-punctuation runs (min 1) — both
+    * regex-countable identically in Java and RE2, which keeps the score a
+    * pure scan-side projection with a bit-exact oracle:
+    * flesch_milli = 206835 - (1015·W) div S - (84600·Syl) div W.
+    * Tokenless docs score NULL (no words → undefined). */
+  def readability(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long")
+    docs.select(col(idCol).as("doc"),
+        w.as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0,
+          lit(206835L) - expr("1015 * n_words div n_sentences")
+            - expr("84600 * n_syllables div n_words")))
+  }
+
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val letters = ('a' to 'z').toSeq
     def cnt(ch: Char): Column = element_at(col("__lc"), ch - 'a' + 1)

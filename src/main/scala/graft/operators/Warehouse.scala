@@ -82,6 +82,42 @@ object Warehouse {
       .agg(sum("n").as("n"), sum("s_cents").as("s_cents"),
         min("mn_cents").as("mn_cents"), max("mx_cents").as("mx_cents"))
 
+  /** Join cardinality estimation from a deterministic KEY sample — the
+    * optimizer-statistics question ("how big is A ⋈ B on k?") answered
+    * without running the join: sample `pct`% of A's join keys by the
+    * repo's Knuth id hash (cluster sampling at key grain — unbiased for
+    * the total since E[Σ_sampled cntA·cntB · 100/pct] = Σ cntA·cntB),
+    * multiply per-key counts against B's, and scale at the end in exact
+    * integer arithmetic. One row: (est_rows, actual_rows, err_bp).
+    *
+    * The actual is computed from per-key COUNT PRODUCTS, never a
+    * materialized join — both sides reduce to key-cardinality relations
+    * before touching each other, so the operator is cheap enough to run
+    * as a pre-flight check before a 100 TB join (the point). Products
+    * accumulate in decimal(38,0) (DuckDB HUGEINT): two 1e9-row skew keys
+    * already push a Long sum past 2^63. */
+  def joinCardinalityEstimate(a: DataFrame, b: DataFrame, keyCol: String,
+                              pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100]: $pct")
+    val ca = a.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("na"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = b.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = ca.filter(Curation.knuthHash(col("k"), 100L) < pct)
+    val est = sampled.join(cb, "k")
+      .agg(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")).as("__s"))
+      .select(expr(s"CAST(__s * 100 div $pct AS BIGINT)").as("est_rows"))
+    val act = ca.join(cb, "k")
+      .agg(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")).as("__a"))
+      .select(expr("CAST(__a AS BIGINT)").as("actual_rows"))
+    est.crossJoin(act).select(
+      coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+      coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
+      when(coalesce(col("actual_rows"), lit(0L)) > 0,
+        expr("abs(coalesce(est_rows, 0) - actual_rows) * 10000 div actual_rows"))
+        .otherwise(lit(0L)).cast("long").as("err_bp"))
+  }
+
   /** Finalize a state into user-facing aggregates: dollars at 2 dp, the
     * average at 4 dp via the exact integer quotient (identical in DuckDB
     * regardless of which loads the state came from). */

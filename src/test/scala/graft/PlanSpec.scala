@@ -564,6 +564,21 @@ class PlanSpec extends SparkSpec {
       s"rank must be per-source, never a single global window:\n$p")
   }
 
+  test("equi-depth histogram: assignment is a scan-side when-chain — no join over the corpus") {
+    val p = plan("q_histogram")
+    assert(!p.contains("Join"),
+      s"boundaries are driver-collected literals, not a joined relation:\n$p")
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"one assignment scan:\n$p")
+  }
+
+  test("readability: pure scan-side projection — no join, no window, no extra exchange") {
+    val p = plan("q_readability")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), s"scan -> project -> sort only:\n$p")
+  }
+
   test("linear scan scoring: no join, no aggregate-exchange — scan -> project -> filter only") {
     val p = plan("q_linear_scan")
     assert(!p.contains("Join") && !p.contains("Window"),

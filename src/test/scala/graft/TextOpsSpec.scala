@@ -654,4 +654,21 @@ class TextOpsSpec extends SparkSpec {
       assert(!joined.contains(doc), "tokenless docs emit no join-form row")
     }
   }
+
+  test("readability: hand-computed Flesch milli; sentence floor; tokenless NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat. it purred!"),   // W=5, S=2, Syl: e,a,a,i,u,e -> 6
+      (2L, "no terminal punctuation here"), // W=4, S=1(floor), Syl: o,e,i,a,u,ua,io,e,e -> 9
+      (3L, "")                            // tokenless -> NULL score
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.readability(docs, "text", "doc_id")
+      .orderBy("doc").collect()
+    val d1 = r(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) == ((5L, 2L, 6L)))
+    // 206835 - (1015*5) div 2 - (84600*6) div 5 = 206835 - 2537 - 101520
+    assert(d1.getLong(4) == 102778L)
+    assert(r(1).getLong(2) == 1L, "sentence count floors at 1")
+    assert(r(2).isNullAt(4), "tokenless doc has no defined score")
+  }
 }

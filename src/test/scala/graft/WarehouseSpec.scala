@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Preferences, TextAnalysis, Timeseries, Warehouse}
+import graft.operators.{Preferences, RelationalOps, TextAnalysis, Timeseries, Warehouse}
 import org.apache.spark.sql.functions._
 
 /** Warehouse (zone maps, mergeable agg state), preference analytics
@@ -64,6 +64,36 @@ class WarehouseSpec extends SparkSpec {
     // 1.005 is 1.004999… as a double, so cents() rounds it to 100 — the
     // identical-in-both-engines behavior the oracle convention relies on
     assert(r == (("a", 3L, 2.5, -0.5, 2.0, 0.8333)))
+  }
+
+  // ---------------------------------------------------- optimizer stats
+
+  test("joinCardinalityEstimate: pct=100 is exact (err_bp 0); estimate scales the key sample") {
+    val a = (1 to 60).map(i => (i % 6).toLong).toDF("k")   // 10 rows per key 0..5
+    val b = (1 to 12).map(i => (i % 6).toLong).toDF("k")   // 2 rows per key
+    val exact = Warehouse.joinCardinalityEstimate(a, b, "k", pct = 100)
+      .as[(Long, Long, Long)].collect().head
+    assert(exact == ((120L, 120L, 0L)), s"got $exact")     // 6 keys x 10 x 2
+    val sampled = Warehouse.joinCardinalityEstimate(a, b, "k", pct = 50)
+      .as[(Long, Long, Long)].collect().head
+    // whatever keys the hash kept, actual stays exact and est = kept*20*2
+    assert(sampled._2 == 120L && sampled._1 % 40L == 0L, s"got $sampled")
+  }
+
+  test("equiDepthHistogram: full-sample buckets are equal-depth; catch-all clamps; partition-invariant") {
+    val df = (1 to 64).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val h = RelationalOps.equiDepthHistogram(df, "v", col("id"),
+        nBuckets = 4, samplePct = 100)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(h == Seq((1L, 16L), (2L, 16L), (3L, 16L), (4L, 16L)), s"got $h")
+    // boundaries from a 25% sample still cover every row (catch-all) and
+    // the assignment is partition-count invariant
+    val h1 = RelationalOps.equiDepthHistogram(df.repartition(1), "v",
+      col("id"), 4, 25).orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val h7 = RelationalOps.equiDepthHistogram(df.repartition(7), "v",
+      col("id"), 4, 25).orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(h1 == h7, s"partitioning changed the histogram:\n$h1\nvs\n$h7")
+    assert(h1.map(_._2).sum == 64L, "every row lands in exactly one bucket")
   }
 
   // -------------------------------------------------- preference analytics
