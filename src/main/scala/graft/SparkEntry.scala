@@ -2442,6 +2442,17 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- distribution audit: exact two-sample KS on the cents domain ----
+    "q_ks_test" -> ((s, d) => {
+      RelationalOps.ksStatistic(t(s, d, "events"), "event_type", "value",
+        "click", "error")
+    }),
+
+    // ---- distribution audit: Gini concentration of order sizes ----
+    "q_gini" -> ((s, d) => {
+      RelationalOps.giniIndex(t(s, d, "orders"), "o_totalprice")
+    }),
+
     // ---- text: Flesch-style readability (integer milli) ----
     "q_readability" -> ((s, d) => {
       TextAnalysis.readability(t(s, d, "documents"), "text", "doc_id")
@@ -4918,6 +4929,40 @@ object SparkEntry {
         |        FROM f LEFT JOIN bounds bo ON f.v <= bo.hi GROUP BY f.rid)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows
         |FROM asn GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'error')
+        |    AND value IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cb) OVER (ORDER BY v) AS cumb FROM c),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(CASE WHEN na > 0 AND nb > 0 THEN
+        |    max(abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+        |      * 10000 // (CAST(na AS HUGEINT) * nb)
+        |  ELSE 0 END AS BIGINT) AS ks_bp
+        |FROM cum, t GROUP BY na, nb""".stripMargin,
+
+    "q_gini" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v,
+        |    count(*) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, n, sum(n) OVER (ORDER BY v) AS cc FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(v AS HUGEINT) * n) AS s FROM c),
+        |t2 AS (SELECT sum(CAST(v AS HUGEINT)
+        |    * (2 * CAST(n AS HUGEINT) * (cc - n)
+        |       + CAST(n AS HUGEINT) * (n + 1))) AS two_rankx FROM cum)
+        |SELECT nn AS n, CAST(s AS BIGINT) AS sum_cents,
+        |  CAST(CASE WHEN nn > 0 AND s > 0 THEN
+        |    (two_rankx - (CAST(nn AS HUGEINT) + 1) * s) * 1000000
+        |      // (CAST(nn AS HUGEINT) * s)
+        |  ELSE 0 END AS BIGINT) AS gini_ppm
+        |FROM t, t2""".stripMargin,
 
     "q_readability" ->
       s"""SELECT doc_id AS doc,

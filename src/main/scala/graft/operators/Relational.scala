@@ -953,6 +953,87 @@ object RelationalOps {
     * pairing window that zips the i-th start with the i-th end. Returns
     * (gap_start, gap_end, gap_len). Duplicate ids are collapsed first
     * (a gap audit is about coverage, not multiplicity). */
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `ga` and `gb`
+    * of a money-ish column, EXACT on the cents-quantized domain: group to
+    * distinct-cents grain first, then walk the combined CDF. One row:
+    * (n_a, n_b, ks_bp) with ks = max |F_a - F_b| in floored basis points.
+    * The drift-audit companion of the PSI lane — KS needs no binning
+    * choice and is sensitive anywhere in the distribution, not just where
+    * bins were drawn.
+    *
+    * Scale shape: the corpus reduces to DISTINCT-CENTS grain in one
+    * map-side-combinable aggregate, so the CDF window runs over the VALUE
+    * DOMAIN (bounded: a 2-dp column spanning [0, 1e6) has ≤ 1e8 distinct
+    * cents regardless of row count — and real money columns far fewer).
+    * Products ride decimal(38,0): cum·n reaches ~1e24 at 1e12-row
+    * groups. */
+  def ksStatistic(df: DataFrame, groupCol: String, valueCol: String,
+                  ga: String, gb: String): DataFrame = {
+    val c = round(col(valueCol) * 100, 0).cast("long")
+    val counts = df.filter(col(groupCol).isin(ga, gb) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), c.as("__v"))
+      .groupBy("__v")
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    counts
+      .select(col("__v"),
+        sum("__ca").over(w).as("__cuma"), sum("__cb").over(w).as("__cumb"))
+      .crossJoin(broadcast(tot))
+      // |F_a - F_b| cleared of denominators: |cuma·nb - cumb·na|
+      .select(col("__na"), col("__nb"),
+        expr("abs(CAST(__cuma AS DECIMAL(38,0)) * __nb" +
+          " - CAST(__cumb AS DECIMAL(38,0)) * __na)").as("__d"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max("__d").as("__dmax"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("CAST(__dmax * 10000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+            " AS BIGINT)"))
+          .otherwise(lit(0L)).as("ks_bp"))
+  }
+
+  /** Gini concentration index of a NONNEGATIVE money-ish column, exact on
+    * the cents-quantized domain and in floored parts-per-million:
+    * G = (2·Σᵢ rankᵢ·xᵢ − (N+1)·Σx) / (N·Σx) with ascending ranks —
+    * computed from distinct-cents grain via the grouped-data identity
+    * (ranks of a tied block expand to nᵢ·(Cᵢ₋₁) + nᵢ(nᵢ+1)/2), so no
+    * per-row ranking ever happens. One row: (n, sum_cents, gini_ppm).
+    *
+    * Scale shape: same as [[ksStatistic]] — one aggregate to value-domain
+    * grain, a domain-bounded CDF window, decimal(38,0) products (v·n² at
+    * 1e7 cents × 1e12 rows ~ 1e31, inside decimal38). For DERIVED values
+    * with unbounded domains (per-key sums), bin to cents of a fixed grid
+    * first — the identity is exact for any quantization you choose. */
+  def giniIndex(df: DataFrame, valueCol: String): DataFrame = {
+    val c = round(col(valueCol) * 100, 0).cast("long")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(c.as("__v")).groupBy("__v").agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum("__n").as("__N"),
+      sum(expr("CAST(__v AS DECIMAL(38,0)) * __n")).as("__S"))
+    counts
+      .select(col("__v"), col("__n"), sum("__n").over(w).as("__C"))
+      // 2·Σ rank·x expanded per tied block: v·(2n(C−n) + n(n+1)); the
+      // inner products go decimal BEFORE multiplying — n·C wraps a Long
+      // past ~2e9 rows
+      .select(expr("CAST(__v AS DECIMAL(38,0))" +
+        " * (2 * CAST(__n AS DECIMAL(38,0)) * (__C - __n)" +
+        "    + CAST(__n AS DECIMAL(38,0)) * (__n + 1))").as("__t"))
+      .agg(sum("__t").as("__T2"))
+      .crossJoin(broadcast(tot))
+      .select(coalesce(col("__N"), lit(0L)).as("n"),
+        coalesce(col("__S"), lit(0L)).cast("long").as("sum_cents"),
+        when(col("__N") > 0 && col("__S") > 0,
+          expr("CAST((__T2 - (CAST(__N AS DECIMAL(38,0)) + 1) * __S)" +
+            " * 1000000 div (CAST(__N AS DECIMAL(38,0)) * __S) AS BIGINT)"))
+          .otherwise(lit(0L)).as("gini_ppm"))
+  }
+
   /** Equi-depth histogram — the optimizer's column statistic: `nBuckets`
     * buckets holding ~equal row counts, boundaries learned from a
     * deterministic `samplePct`% Knuth-hash sample of `idCol` and applied

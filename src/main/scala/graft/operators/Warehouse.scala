@@ -37,6 +37,20 @@ object Warehouse {
       .agg(count(lit(1)).as("n_rows"), stats: _*)
   }
 
+  /** Merge zone maps from incremental loads (same bucket/stat schema):
+    * counts add, mins/maxes fold, null-counts add — associative and
+    * commutative like [[mergeAggStates]], so per-load zone maps compose
+    * into the table-wide skipping index without rescanning history. */
+  def mergeZoneMaps(zones: Seq[DataFrame], statCols: Seq[String]): DataFrame = {
+    val stats = statCols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"nnull_$c")).as(s"nnull_$c"))
+    }
+    zones.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(sum("n_rows").as("n_rows"), stats: _*)
+  }
+
   /** Evaluate a range predicate `lo <= statCol <= hi` against a zone map:
     * `can_skip` is true when the bucket's [min, max] envelope provably
     * excludes the range — the exact pruning rule Spark's parquet reader and

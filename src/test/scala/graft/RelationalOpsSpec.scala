@@ -673,4 +673,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out == Map("a" -> ((4L, 2L, false)), "b" -> ((3L, 3L, true)),
       "c" -> ((2L, 1L, false))), s"got: $out")
   }
+
+  test("ksStatistic: hand-computed two-sample KS; other groups ignored; partition-invariant") {
+    // A = {1, 2}, B = {2, 3}: max |F_a - F_b| = 0.5 -> 5000 bp
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+      ("z", 99.0)).toDF("g", "v")
+    val r = RelationalOps.ksStatistic(df, "g", "v", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((2L, 2L, 5000L)), s"got $r")
+    val r7 = RelationalOps.ksStatistic(df.repartition(7), "g", "v", "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(r7 == r, "KS must not depend on partitioning")
+    // identical distributions -> 0
+    val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "v")
+    assert(RelationalOps.ksStatistic(same, "g", "v", "a", "b")
+      .as[(Long, Long, Long)].collect().head._3 == 0L)
+  }
+
+  test("giniIndex: equality -> 0; single-holder -> (n-1)/n; tied blocks handled exactly") {
+    val equal = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    assert(RelationalOps.giniIndex(equal, "v")
+      .as[(Long, Long, Long)].collect().head == ((4L, 2000L, 0L)))
+    val concentrated = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    assert(RelationalOps.giniIndex(concentrated, "v")
+      .as[(Long, Long, Long)].collect().head == ((4L, 1000L, 750000L)))
+    // mixed ties: {1, 1, 2}: G = (2*(1*1 + 2*1 + 3*2) - 4*4) / (3*4) = 1/6
+    val mixed = Seq(1.0, 1.0, 2.0).toDF("v")
+    assert(RelationalOps.giniIndex(mixed, "v")
+      .as[(Long, Long, Long)].collect().head == ((3L, 400L, 166666L)))
+  }
 }

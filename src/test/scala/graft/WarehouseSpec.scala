@@ -36,6 +36,17 @@ class WarehouseSpec extends SparkSpec {
     assert(matching.intersect(skipped).isEmpty)
   }
 
+  test("mergeZoneMaps: per-load maps compose to the full-table map") {
+    val df = (1 to 40).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    val full = Warehouse.zoneMap(df, expr("id div 10"), Seq("v"))
+    val merged = Warehouse.mergeZoneMaps(
+      Seq(Warehouse.zoneMap(df.filter($"id" % 2 === 0), expr("id div 10"), Seq("v")),
+        Warehouse.zoneMap(df.filter($"id" % 2 =!= 0), expr("id div 10"), Seq("v"))),
+      Seq("v"))
+    assert(merged.orderBy("bucket").collect().toSeq ==
+      full.orderBy("bucket").collect().toSeq)
+  }
+
   // -------------------------------------------- mergeable aggregate state
 
   test("aggState: merge of disjoint loads == recompute from scratch, any split, any merge order") {
