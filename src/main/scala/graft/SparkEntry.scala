@@ -2442,6 +2442,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- hygiene: group-atomic split (GroupKFold rule) ----
+    "q_group_split" -> ((s, d) => {
+      Curation.groupSplitAssignments(t(s, d, "documents"), "source",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy("split", "source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "source")
+    }),
+
+    // ---- hygiene: time split with embargo gap ----
+    "q_time_split" -> ((s, d) => {
+      Curation.timeSplit(t(s, d, "events"), "ts",
+          "2024-01-20 00:00:00", "3 DAYS")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("ts").as("first_ts"),
+          max("ts").as("last_ts"))
+        .orderBy("split")
+    }),
+
     // ---- distribution audit: exact two-sample KS on the cents domain ----
     "q_ks_test" -> ((s, d) => {
       RelationalOps.ksStatistic(t(s, d, "events"), "event_type", "value",
@@ -4929,6 +4947,27 @@ object SparkEntry {
         |        FROM f LEFT JOIN bounds bo ON f.v <= bo.hi GROUP BY f.rid)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows
         |FROM asn GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_group_split" -> {
+      val h = s"(((${graft.operators.Sketches.kmvHash32Sql("source")})" +
+        " % 1000003) * 2654435761) % 100"
+      s"""WITH a AS (SELECT source,
+         |    CASE WHEN $h < 90 THEN 'train'
+         |         WHEN $h < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, source, count(*) AS n_docs FROM a
+         |GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+    },
+
+    "q_time_split" ->
+      """WITH a AS (SELECT ts,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |         WHEN ts < TIMESTAMP '2024-01-20 00:00:00' + INTERVAL 3 DAY
+        |           THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM events)
+        |SELECT split, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q_ks_test" ->
       """WITH c AS (SELECT CAST(round(value*100) AS BIGINT) AS v,

@@ -58,6 +58,51 @@ object Curation {
     df.select(col(idCol), guarded.as("split"))
   }
 
+  /** GROUP-atomic split: like [[splitAssignments]], but membership hashes
+    * the GROUP key, so every row of a group lands in the same split —
+    * the GroupKFold hygiene rule that stops near-duplicate families,
+    * multi-chunk documents, or per-user event histories from straddling
+    * train/eval (the leakage [[splitLeakage]]-style audits detect, closed
+    * off at assignment time instead). Same stability contract as the id
+    * hash: pure function of the group key, immune to growth. */
+  def groupSplitAssignments(df: DataFrame, groupCol: String,
+                            splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100: $splits")
+    require(splits.forall(_._2 > 0), s"every split needs a positive share: $splits")
+    // group keys may be strings — hash to a stable long first (the md5
+    // oracle lane, engine-identical in DuckDB), then the Knuth bucket
+    val h = knuthHash(graft.operators.Sketches.md5Hash32(col(groupCol)), 100L)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr0 = splits.zip(cum).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), bound), rest) => when(h < bound, name).otherwise(rest)
+    }
+    val guarded = when(col(groupCol).isNull,
+      raise_error(lit(s"groupSplitAssignments: null $groupCol — split " +
+        "membership must be a pure function of a non-null group")))
+      .otherwise(expr0)
+    df.withColumn("split", guarded)
+  }
+
+  /** Time-based split with an EMBARGO gap — the leakage-free eval recipe
+    * for temporally correlated data: rows strictly before `trainEnd`
+    * train; rows inside [trainEnd, trainEnd + embargo) are discarded as
+    * "embargo" (temporal near-duplicates of late-train rows would
+    * otherwise leak into eval); rows at or beyond the embargo boundary
+    * test. Pure scan-side projection. */
+  def timeSplit(df: DataFrame, tsCol: String, trainEnd: String,
+                embargo: String): DataFrame = {
+    val end = lit(trainEnd).cast("timestamp")
+    val gap = end + expr(s"INTERVAL $embargo")
+    df.withColumn("split",
+      when(col(tsCol).isNull, raise_error(lit(
+        s"timeSplit: null $tsCol — split membership must be a pure " +
+          "function of a non-null timestamp")))
+        .when(col(tsCol) < end, "train")
+        .when(col(tsCol) < gap, "embargo")
+        .otherwise("test"))
+  }
+
   /** Curriculum sharding: rank documents by a difficulty proxy WITHIN each
     * group (descending, id tie-break) and deal them round-robin across
     * `numShards` — every shard receives a stratified difficulty mix from

@@ -552,6 +552,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(one == run(11), "allocation must not depend on partitioning")
   }
 
+  test("groupSplitAssignments: group-atomic (no group straddles splits); null group fails loudly") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"g${i % 12}")).toDF("id", "grp")
+    val out = Curation.groupSplitAssignments(docs, "grp",
+      Seq(("train", 80), ("test", 20)))
+    // atomicity: every group maps to exactly one split
+    assert(out.groupBy("grp").agg(countDistinct("split").as("k"))
+      .filter($"k" =!= 1).count() == 0L)
+    // stability: membership is a pure function of the group key
+    assert(out.select("grp", "split").distinct().collect().toSet ==
+      Curation.groupSplitAssignments(docs.repartition(7), "grp",
+        Seq(("train", 80), ("test", 20)))
+        .select("grp", "split").distinct().collect().toSet)
+    val nullGrp = Seq((1L, null.asInstanceOf[String])).toDF("id", "grp")
+    intercept[Exception] {
+      Curation.groupSplitAssignments(nullGrp, "grp",
+        Seq(("train", 80), ("test", 20))).collect()
+    }
+  }
+
+  test("timeSplit: train/embargo/test boundaries are half-open; null ts fails loudly") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(999)), (2L, ts(1000)),            // train: strictly before end
+      (3L, ts(1060)),                            // embargo: inside the gap
+      (4L, ts(1000 + 120))                       // test: at/after end+gap
+    ).toDF("id", "t")
+    val end = new java.sql.Timestamp(1000L * 1000).toString.stripSuffix(".0")
+    val out = Curation.timeSplit(ev, "t", end, "2 MINUTES")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test"), s"got $out")
+    intercept[Exception] {
+      Curation.timeSplit(Seq((1L, null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("id", "t"), "t", end, "2 MINUTES").collect()
+    }
+  }
+
   test("curriculumShards: round-robin deal stratifies difficulty per group; ties break by id") {
     import spark.implicits._
     // group g: scores 9,8,7,7,6 (docs 1..5; docs 3,4 tie at 7) → ranks by
