@@ -2471,6 +2471,13 @@ object SparkEntry {
       RelationalOps.giniIndex(t(s, d, "orders"), "o_totalprice")
     }),
 
+    // ---- distribution audit: chi-square independence (type x weekday) ----
+    "q_chi2" -> ((s, d) => {
+      RelationalOps.chiSquare(
+        t(s, d, "events").withColumn("isodow", (weekday(col("ts")) + 1).cast("long")),
+        "event_type", "isodow")
+    }),
+
     // ---- text: Flesch-style readability (integer milli) ----
     "q_readability" -> ((s, d) => {
       TextAnalysis.readability(t(s, d, "documents"), "text", "doc_id")
@@ -5002,6 +5009,28 @@ object SparkEntry {
         |      // (CAST(nn AS HUGEINT) * s)
         |  ELSE 0 END AS BIGINT) AS gini_ppm
         |FROM t, t2""".stripMargin,
+
+    "q_chi2" ->
+      """WITH cells AS (SELECT event_type AS x, isodow(ts) AS y, count(*) AS o
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT y, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT ra.r, cb.c, coalesce(cells.o, 0) AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.x = ra.x AND cells.y = cb.y),
+        |s AS (SELECT sum(
+        |    (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * 1000000 // (CAST(r AS HUGEINT) * c * n)) AS chi
+        |  FROM grid, tot),
+        |k AS (SELECT (SELECT count(*) FROM ra) AS ka,
+        |    (SELECT count(*) FROM cb) AS kb)
+        |SELECT (SELECT n FROM tot) AS n,
+        |  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+        |  CAST(coalesce(chi, 0) AS BIGINT) AS chi2_micro
+        |FROM s, k""".stripMargin,
 
     "q_readability" ->
       s"""SELECT doc_id AS doc,

@@ -996,6 +996,46 @@ object RelationalOps {
           .otherwise(lit(0L)).as("ks_bp"))
   }
 
+  /** Chi-square independence test between two categorical columns, exact
+    * in floored micro units: χ²·1e6 = Σ_cells ((O·N − R·C)² · 1e6) div
+    * (R·C·N) over the FULL margin grid (zero-observed cells included —
+    * they carry expected mass). One row: (n, dof, chi2_micro).
+    *
+    * Scale shape: the corpus reduces to cell grain in one aggregate; the
+    * grid is a margins×margins cross join (category-cardinality², tiny);
+    * everything downstream is grid-sized. Exactness bound: the scaled
+    * squared term reaches N⁴·1e6, so decimal(38,0)/HUGEINT arithmetic is
+    * exact to N ≈ 1e8 rows — past that, run it on a deterministic sample
+    * (the statistic converges anyway; the audit question is "dependent
+    * or not", not its 10th digit). */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__x"), col(colB).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ra = cells.groupBy("__x").agg(sum("__o").as("__r"))
+    val cb = cells.groupBy("__y").agg(sum("__o").as("__c"))
+    val tot = cells.agg(sum("__o").as("__n"))
+    val dofs = ra.agg(count(lit(1)).as("__ka"))
+      .crossJoin(cb.agg(count(lit(1)).as("__kb")))
+    ra.crossJoin(cb)
+      .join(cells, Seq("__x", "__y"), "left")
+      .select(col("__r"), col("__c"), coalesce(col("__o"), lit(0L)).as("__o"))
+      .crossJoin(broadcast(tot))
+      .select(col("__n"),
+        expr("CAST(__o AS DECIMAL(38,0)) * __n" +
+          " - CAST(__r AS DECIMAL(38,0)) * __c").as("__d"),
+        col("__r"), col("__c"))
+      .select(col("__n"),
+        expr("__d * __d * 1000000" +
+          " div (CAST(__r AS DECIMAL(38,0)) * __c * __n)").as("__t"))
+      .agg(max("__n").as("__n2"), sum("__t").as("__chi"))
+      .crossJoin(broadcast(dofs))
+      .select(coalesce(col("__n2"), lit(0L)).cast("long").as("n"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).cast("long").as("dof"),
+        coalesce(col("__chi"), lit(0L)).cast("long").as("chi2_micro"))
+  }
+
   /** Gini concentration index of a NONNEGATIVE money-ish column, exact on
     * the cents-quantized domain and in floored parts-per-million:
     * G = (2·Σᵢ rankᵢ·xᵢ − (N+1)·Σx) / (N·Σx) with ascending ranks —

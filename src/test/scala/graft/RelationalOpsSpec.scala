@@ -690,6 +690,23 @@ class RelationalOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head._3 == 0L)
   }
 
+  test("chiSquare: independence -> 0; hand-computed 2x2; zero-observed cells carry expected mass") {
+    // perfectly independent 2x2 (all margins equal): chi2 = 0
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    assert(RelationalOps.chiSquare(indep, "x", "y")
+      .as[(Long, Long, Long)].collect().head == ((4L, 1L, 0L)))
+    // diagonal-only 2x2: N=4, every cell |O*N - R*C| = 4 -> term = 16e6/(2*2*4)
+    // x4 cells = 4e6 (chi2 = 4 = N, the perfect-association value)
+    val dep = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v")).toDF("x", "y")
+    val r = RelationalOps.chiSquare(dep, "x", "y")
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((4L, 1L, 4000000L)), s"got $r")
+    // the zero-observed off-diagonal cells MUST contribute — dropping them
+    // would halve the statistic; also partition-invariant
+    assert(RelationalOps.chiSquare(dep.repartition(5), "x", "y")
+      .as[(Long, Long, Long)].collect().head == r)
+  }
+
   test("giniIndex: equality -> 0; single-holder -> (n-1)/n; tied blocks handled exactly") {
     val equal = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
     assert(RelationalOps.giniIndex(equal, "v")
