@@ -2435,6 +2435,14 @@ object SparkEntry {
       Warehouse.joinCardinalityEstimate(li, li, "l_partkey", pct = 10)
     }),
 
+    // ---- warehouse: compaction plan over the zone map ----
+    "q_compaction" -> ((s, d) => {
+      val zones = Warehouse.zoneMap(t(s, d, "lineitem"),
+        expr("l_orderkey div 512"), Seq("l_shipdate"))
+      Warehouse.compactionPlan(zones, targetRows = 4000L)
+        .orderBy("merge_group")
+    }),
+
     // ---- warehouse: equi-depth histogram (optimizer column stat) ----
     "q_histogram" -> ((s, d) => {
       RelationalOps.equiDepthHistogram(t(s, d, "events"), "value",
@@ -4943,6 +4951,16 @@ object SparkEntry {
         |    THEN abs(coalesce(s * 100 // 10, 0) - t) * 10000 // t
         |    ELSE 0 END AS BIGINT) AS err_bp
         |FROM e, a""".stripMargin,
+
+    "q_compaction" ->
+      """WITH z AS (SELECT l_orderkey // 512 AS bucket, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT bucket, n_rows,
+        |    sum(n_rows) OVER (ORDER BY bucket) AS cum FROM z),
+        |g AS (SELECT (cum - n_rows) // 4000 AS merge_group, n_rows FROM c)
+        |SELECT CAST(merge_group AS BIGINT) AS merge_group,
+        |  count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS total_rows
+        |FROM g GROUP BY 1 ORDER BY merge_group""".stripMargin,
 
     "q_histogram" ->
       """WITH f AS (SELECT value AS v, event_id AS rid FROM events),

@@ -74,12 +74,16 @@ object Preferences {
       col("n_wins").as("w"))
     val rev = wins.select(col("loser").as("i"), col("winner").as("j"),
       col("n_wins").as("w"))
+    // sym feeds every MM round and items every raw step — lazy persists
+    // (item²-bounded), reclaimed when the returned plan is dereferenced
     val sym = fwd.unionByName(rev).groupBy("i", "j").agg(sum("w").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val items = sym.select(col("i").as("item"))
       .distinct()
       .join(fwd.groupBy("i").agg(sum("w").as("wins"))
         .select(col("i").as("item"), col("wins")), Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var s = items.select(col("item"), col("wins"), lit(1000000L).as("s"))
     for (_ <- 1 to iters) {
       val d = sym

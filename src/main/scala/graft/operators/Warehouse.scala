@@ -96,6 +96,31 @@ object Warehouse {
       .agg(sum("n").as("n"), sum("s_cents").as("s_cents"),
         min("mn_cents").as("mn_cents"), max("mx_cents").as("mx_cents"))
 
+  /** Compaction plan over a zone map: pack small files (buckets) into
+    * merge groups of ~`targetRows` by cumulative-sum binning in bucket
+    * order — the small-file problem every incremental pipeline hits
+    * (epoch deltas, streaming sinks, CDC). Output: one row per merge
+    * group (merge_group, n_files, total_rows) — a group with n_files > 1
+    * is a rewrite task; a lone file at target size passes through.
+    *
+    * Scale shape: runs on the ZONE MAP (file-cardinality), never the
+    * data; the cum-sum window is a single ordered pass over ~1e5 rows
+    * for 100 TB of 1 GB files. The deterministic bucket-order packing
+    * (vs bin-packing heuristics) keeps the plan a pure function of the
+    * zone map — re-running it after a crash yields the same groups. */
+  def compactionPlan(zones: DataFrame, targetRows: Long): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1: $targetRows")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    zones
+      .select(col("bucket"), col("n_rows"), sum("n_rows").over(w).as("__cum"))
+      // a file belongs to the group its START falls in: (cum - n) div target
+      .select(col("bucket"), col("n_rows"),
+        expr(s"(__cum - n_rows) div $targetRows").as("merge_group"))
+      .groupBy("merge_group")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("total_rows"))
+  }
+
   /** Join cardinality estimation from a deterministic KEY sample — the
     * optimizer-statistics question ("how big is A ⋈ B on k?") answered
     * without running the join: sample `pct`% of A's join keys by the

@@ -77,6 +77,17 @@ class WarehouseSpec extends SparkSpec {
     assert(r == (("a", 3L, 2.5, -0.5, 2.0, 0.8333)))
   }
 
+  test("compactionPlan: cum-sum binning packs small files; a file joins the group its start falls in") {
+    // sizes 10,10,10,10,25,5 with target 20:
+    // starts 0,10,20,30,40,65 -> groups 0,0,1,1,2,3
+    val zones = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 25L), (5L, 5L)).toDF("bucket", "n_rows")
+    val r = Warehouse.compactionPlan(zones, targetRows = 20L)
+      .orderBy("merge_group").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 2L, 20L), (1L, 2L, 20L), (2L, 1L, 25L),
+      (3L, 1L, 5L)), s"got $r")
+  }
+
   // ---------------------------------------------------- optimizer stats
 
   test("joinCardinalityEstimate: pct=100 is exact (err_bp 0); estimate scales the key sample") {
