@@ -162,7 +162,7 @@ object Warehouse {
     * regardless of which loads the state came from). */
   def finalizeAggState(state: DataFrame): DataFrame =
     state.select(state.columns.filterNot(
-        Set("s_cents", "mn_cents", "mx_cents")).map(col) ++ Seq(
+        Set("s_cents", "mn_cents", "mx_cents")).toIndexedSeq.map(col) ++ Seq(
       round(col("s_cents") / 100.0, 2).as("sum_value"),
       round(col("mn_cents") / 100.0, 2).as("min_value"),
       round(col("mx_cents") / 100.0, 2).as("max_value"),

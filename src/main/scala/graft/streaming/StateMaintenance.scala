@@ -48,6 +48,7 @@ object StateMaintenance {
     val empty = Warehouse.aggState(like.limit(0), keyCols, valueCol)
     val stored = CurationStream.readIndexOrEmpty(spark, deltaDir, empty)
     Warehouse.mergeAggStates(
-      Seq(stored.drop("epoch").select(empty.columns.map(col): _*)), keyCols)
+      Seq(stored.drop("epoch")
+        .select(empty.columns.toIndexedSeq.map(col): _*)), keyCols)
   }
 }
