@@ -26,19 +26,50 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * epochs × keys work, independent of how many events history holds. */
 object StateMaintenance {
 
-  /** Start the maintenance stream: per micro-batch, aggregate the batch to
-    * its algebraic state and overwrite that epoch's delta partition. */
-  def maintainAggState(stream: DataFrame, keyCols: Seq[String],
-                       valueCol: String, deltaDir: String,
-                       checkpointDir: String): StreamingQuery =
+  /** Generic epoch-delta maintainer: per micro-batch, reduce the batch
+    * with `buildState` (ANY algebraic state builder — agg state, zone
+    * map, …) and overwrite that epoch's delta partition. The overwrite
+    * per epoch is the retry-safety contract; associativity of the state
+    * is the caller's (merge-on-read) contract. */
+  def maintainDelta(stream: DataFrame, deltaDir: String,
+                    checkpointDir: String)
+                   (buildState: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        Warehouse.aggState(batch, keyCols, valueCol)
+        buildState(batch)
           .write.mode("overwrite").parquet(s"$deltaDir/epoch=$epoch")
         ()
       }
       .start()
+
+  /** Start the agg-state maintenance stream: per micro-batch, aggregate
+    * the batch to its algebraic state and overwrite that epoch's delta. */
+  def maintainAggState(stream: DataFrame, keyCols: Seq[String],
+                       valueCol: String, deltaDir: String,
+                       checkpointDir: String): StreamingQuery =
+    maintainDelta(stream, deltaDir, checkpointDir)(
+      Warehouse.aggState(_, keyCols, valueCol))
+
+  /** Zone-map maintenance: every load keeps the skipping index current
+    * without rescanning history — read-side, [[currentZoneMap]] folds the
+    * epoch deltas with [[graft.operators.Warehouse.mergeZoneMaps]]. */
+  def maintainZoneMap(stream: DataFrame, bucket: org.apache.spark.sql.Column,
+                      statCols: Seq[String], deltaDir: String,
+                      checkpointDir: String): StreamingQuery =
+    maintainDelta(stream, deltaDir, checkpointDir)(
+      Warehouse.zoneMap(_, bucket, statCols))
+
+  /** The current zone map: merge every epoch delta (absent dir → empty). */
+  def currentZoneMap(spark: SparkSession, deltaDir: String,
+                     like: DataFrame, bucket: org.apache.spark.sql.Column,
+                     statCols: Seq[String]): DataFrame = {
+    val empty = Warehouse.zoneMap(like.limit(0), bucket, statCols)
+    val stored = CurationStream.readIndexOrEmpty(spark, deltaDir, empty)
+    Warehouse.mergeZoneMaps(
+      Seq(stored.drop("epoch")
+        .select(empty.columns.toIndexedSeq.map(col): _*)), statCols)
+  }
 
   /** The current state: merge every epoch delta. Absent/uncommitted dir →
     * empty state shaped like `like`'s aggregation. */

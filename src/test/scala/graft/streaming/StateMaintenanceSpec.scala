@@ -42,6 +42,25 @@ class StateMaintenanceSpec extends SparkSpec {
       .count(_.getName.startsWith("epoch=")) == 3)
   }
 
+  test("stream-maintained zone map == batch zone map over all loads") {
+    val dir = java.nio.file.Files.createTempDirectory("zm_maint").toString
+    val in = MemoryStream[Ev]
+    val bucket = org.apache.spark.sql.functions.expr(
+      "CAST(abs(hash(k)) % 3 AS BIGINT)")
+    val q = StateMaintenance.maintainZoneMap(in.toDF(), bucket, Seq("v"),
+      s"$dir/deltas", s"$dir/ckpt")
+    in.addData(Ev("a", 1.0), Ev("b", -3.0)); q.processAllAvailable()
+    in.addData(Ev("a", 9.0), Ev("c", 0.5)); q.processAllAvailable()
+    q.stop()
+    val all = Seq(Ev("a", 1.0), Ev("b", -3.0), Ev("a", 9.0), Ev("c", 0.5)).toDF()
+    val expect = Warehouse.zoneMap(all, bucket, Seq("v"))
+      .orderBy("bucket").collect().toSeq
+    val got = StateMaintenance.currentZoneMap(spark, s"$dir/deltas", all,
+        bucket, Seq("v"))
+      .orderBy("bucket").collect().toSeq
+    assert(got == expect, s"zone map drifted:\n$got\nvs\n$expect")
+  }
+
   test("a retried epoch overwrites its delta — no double counting") {
     val dir = java.nio.file.Files.createTempDirectory("state_retry").toString
     val batch = Seq(Ev("a", 5.0), Ev("b", 7.0)).toDF()
