@@ -2450,6 +2450,15 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- training: exact decision-stump fit (model == query result) ----
+    "q_stump" -> ((s, d) => {
+      val feats = t(s, d, "documents").select(
+        col("n_chars"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+        (col("lang") === "en").as("is_en"))
+      Curation.trainStump(feats, Seq("n_chars", "n_words"), "is_en")
+    }),
+
     // ---- hygiene: group-atomic split (GroupKFold rule) ----
     "q_group_split" -> ((s, d) => {
       Curation.groupSplitAssignments(t(s, d, "documents"), "source",
@@ -4972,6 +4981,34 @@ object SparkEntry {
         |        FROM f LEFT JOIN bounds bo ON f.v <= bo.hi GROUP BY f.rid)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows
         |FROM asn GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_stump" ->
+      s"""WITH f AS (
+         |  SELECT 'n_chars' AS feature, n_chars AS value, lang = 'en' AS pos
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'n_words', CAST(len($sqlTokens) AS BIGINT), lang = 'en'
+         |  FROM documents),
+         |g AS (SELECT feature, value,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+         |  FROM f GROUP BY 1, 2),
+         |t AS (SELECT feature, sum(np) AS tp, sum(nn) AS tn FROM g GROUP BY 1),
+         |c AS (SELECT g.feature, value,
+         |    sum(np) OVER (PARTITION BY g.feature ORDER BY value) AS cnp,
+         |    sum(nn) OVER (PARTITION BY g.feature ORDER BY value) AS cnn,
+         |    t.tp, t.tn
+         |  FROM g JOIN t ON t.feature = g.feature),
+         |s AS (SELECT feature, value AS threshold,
+         |    CASE WHEN cnp + tn - cnn >= cnn + tp - cnp
+         |         THEN 'le_pos' ELSE 'le_neg' END AS polarity,
+         |    greatest(cnp + tn - cnn, cnn + tp - cnp) * 10000 // (tp + tn)
+         |      AS acc_bp
+         |  FROM c)
+         |SELECT feature, CAST(threshold AS BIGINT) AS threshold, polarity,
+         |  CAST(acc_bp AS BIGINT) AS acc_bp
+         |FROM s ORDER BY acc_bp DESC, feature, threshold, polarity
+         |LIMIT 1""".stripMargin,
 
     "q_group_split" -> {
       val h = s"(((${graft.operators.Sketches.kmvHash32Sql("source")})" +

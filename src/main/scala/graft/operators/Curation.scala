@@ -58,6 +58,54 @@ object Curation {
     df.select(col(idCol), guarded.as("split"))
   }
 
+  /** Train a decision STUMP (one-split classifier) exactly: for every
+    * feature, every observed value is a candidate threshold; the rule
+    * `value <= t → pos` (or its flipped polarity) is scored by exact
+    * cumulative label counts, and the argmax is deterministic
+    * (accuracy desc, feature asc, threshold asc, polarity asc). One row:
+    * (feature, threshold, polarity 'le_pos'|'le_neg', acc_bp).
+    *
+    * The trainable upgrade path between hand rules ([[qualityPercentileCut]])
+    * and the shipped linear model ([[graft.operators.TextAnalysis.linearScoreScan]]):
+    * exact, seedless, engine-portable — training IS a query, so the model
+    * artifact is auditable the same way every other result is.
+    *
+    * Scale shape: one unpivot + one aggregate to (feature, value) grain;
+    * the threshold sweep is a per-feature window over the VALUE DOMAIN
+    * (bounded for integer-ish features, the KS/Gini argument); the argmax
+    * is a 1-row TakeOrdered. The corpus is scanned once. */
+  def trainStump(df: DataFrame, featureCols: Seq[String],
+                 labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val stacked = featureCols.map { f =>
+      df.filter(col(f).isNotNull && col(labelCol).isNotNull)
+        .select(lit(f).as("feature"), col(f).cast("long").as("value"),
+          col(labelCol).cast("boolean").as("pos"))
+    }.reduce(_ unionByName _)
+    val grain = stacked.groupBy("feature", "value")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val w = Window.partitionBy(col("feature")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grain.groupBy("feature")
+      .agg(sum("np").as("tp"), sum("nn").as("tn"))
+    grain
+      .select(col("feature"), col("value"),
+        sum("np").over(w).as("cnp"), sum("nn").over(w).as("cnn"))
+      .join(tot, "feature")
+      .select(col("feature"), col("value"), col("tp"), col("tn"),
+        (col("cnp") + col("tn") - col("cnn")).as("acc_le_pos"),
+        (col("cnn") + col("tp") - col("cnp")).as("acc_le_neg"))
+      .select(col("feature"), col("value").as("threshold"),
+        when(col("acc_le_pos") >= col("acc_le_neg"), lit("le_pos"))
+          .otherwise(lit("le_neg")).as("polarity"),
+        expr("greatest(acc_le_pos, acc_le_neg) * 10000 div (tp + tn)")
+          .as("acc_bp"))
+      .orderBy(col("acc_bp").desc, col("feature").asc,
+        col("threshold").asc, col("polarity").asc)
+      .limit(1)
+  }
+
   /** GROUP-atomic split: like [[splitAssignments]], but membership hashes
     * the GROUP key, so every row of a group lands in the same split —
     * the GroupKFold hygiene rule that stops near-duplicate families,

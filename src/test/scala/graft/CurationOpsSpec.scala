@@ -552,6 +552,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(one == run(11), "allocation must not depend on partitioning")
   }
 
+  test("trainStump: finds the perfectly-separating split; polarity flips; deterministic tie-break") {
+    import spark.implicits._
+    // f1 separates perfectly at <=2 (positives low); f2 is noise
+    val df = Seq((1L, 9L, true), (2L, 3L, true), (3L, 7L, false),
+      (4L, 1L, false)).toDF("f1", "f2", "y")
+    val r = Curation.trainStump(df, Seq("f1", "f2"), "y").collect().head
+    assert((r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)) ==
+      (("f1", 2L, "le_pos", 10000L)), s"got $r")
+    // flipped labels -> same split, flipped polarity, same accuracy
+    val rf = Curation.trainStump(df.withColumn("y", !$"y"),
+      Seq("f1", "f2"), "y").collect().head
+    assert((rf.getString(0), rf.getLong(1), rf.getString(2), rf.getLong(3)) ==
+      (("f1", 2L, "le_neg", 10000L)), s"got $rf")
+    // partition invariance of the argmax
+    assert(Curation.trainStump(df.repartition(5), Seq("f1", "f2"), "y")
+      .collect().head.toSeq == r.toSeq)
+  }
+
   test("groupSplitAssignments: group-atomic (no group straddles splits); null group fails loudly") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, s"g${i % 12}")).toDF("id", "grp")
