@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   * shingles. */
 object Linkage {
 
+  /** Deterministic hot-block cap: keep at most `cap` records per block,
+    * chosen by id-hash rank (stable across runs and partitionings — no
+    * sampling seed). The linkage counterpart of [[Dedup]]'s df-cut: a
+    * block holding 1e6 records contributes 1e12 candidate pairs and
+    * almost no discrimination, so bounding it bounds the whole join's
+    * candidate volume at the cost of recall INSIDE pathological blocks
+    * only. Run [[linkEval]] with and without the cap to price that
+    * trade on your corpus. */
+  def capBlocks(df: DataFrame, blockCols: Seq[String], idCol: String,
+                cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Blocked candidate pairs: records from `a` and `b` sharing every
     * `blockCols` value, carrying `fieldCols` prefixed a_/b_ for scoring.
     * Equi-join on the block key — never a cartesian. */

@@ -50,6 +50,19 @@ class LinkageSpec extends SparkSpec {
       == ((3L, 1L, 1L, 3333L, 10000L)))
   }
 
+  test("capBlocks: bounds every block at cap, keeps small blocks whole, stable across partitionings") {
+    val df = ((1 to 50).map(i => (i.toLong, "hot")) ++
+      Seq((100L, "cold"), (101L, "cold"))).toDF("id", "blk")
+    val capped = Linkage.capBlocks(df, Seq("blk"), "id", cap = 10)
+    val sizes = capped.groupBy("blk").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("hot" -> 10L, "cold" -> 2L), s"got $sizes")
+    val again = Linkage.capBlocks(df.repartition(7), Seq("blk"), "id", cap = 10)
+    assert(capped.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet,
+      "the kept set must be a pure function of the data")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
