@@ -2450,6 +2450,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- SQL surface: correlated scalar subquery (Catalyst decorrelates
+    // it to an aggregate+join — plan-pinned; TPC-H Q17 shape with the
+    // avg threshold as an exact floored-cents integer) ----
+    "q17_smallqty" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("__q17_lineitem")
+      t(s, d, "part").createOrReplaceTempView("__q17_part")
+      s.sql(
+        """SELECT p_brand, count(*) AS n_small,
+          |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2)
+          |    AS sum_price
+          |FROM __q17_lineitem JOIN __q17_part ON l_partkey = p_partkey
+          |WHERE CAST(round(l_quantity*100) AS BIGINT) <
+          |  (SELECT (2 * sum(CAST(round(l2.l_quantity*100) AS BIGINT)))
+          |     div (10 * count(*))
+          |   FROM __q17_lineitem l2 WHERE l2.l_partkey = __q17_part.p_partkey)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
     // ---- training: exact decision-stump fit (model == query result) ----
     "q_stump" -> ((s, d) => {
       val feats = t(s, d, "documents").select(
@@ -4981,6 +4999,17 @@ object SparkEntry {
         |        FROM f LEFT JOIN bounds bo ON f.v <= bo.hi GROUP BY f.rid)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows
         |FROM asn GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q17_smallqty" ->
+      """SELECT p_brand, count(*) AS n_small,
+        |  round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2)
+        |    AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(round(l_quantity*100) AS BIGINT) <
+        |  (SELECT (2 * sum(CAST(round(l2.l_quantity*100) AS BIGINT)))
+        |     // (10 * count(*))
+        |   FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_stump" ->
       s"""WITH f AS (

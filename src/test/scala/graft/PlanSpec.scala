@@ -543,6 +543,17 @@ class PlanSpec extends SparkSpec {
       s"exactly one window pass:\n$p")
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate+join — no per-row subquery") {
+    val p = plan("q17_smallqty")
+    // Catalyst rewrites the TPC-H Q17 shape into per-part aggregate +
+    // join; a surviving per-row scalar subquery would re-scan lineitem
+    // once per probe row
+    assert(!p.contains("Subquery") && !p.contains("ScalarSubquery"),
+      s"the correlated threshold must decorrelate:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"decorrelation lands as a join:\n$p")
+  }
+
   test("entity resolution: candidates ride the blocking equi-join — never a cartesian") {
     val p = plan("q_er_matches")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
