@@ -2468,6 +2468,13 @@ object SparkEntry {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     }),
 
+    // ---- training: in-engine Naive Bayes fit + held-out accuracy ----
+    "q_nb_classify" -> ((s, d) => {
+      TextAnalysis.nbAccuracy(
+        t(s, d, "documents").withColumn("is_en", col("lang") === "en"),
+        "text", "doc_id", "is_en", trainPct = 80)
+    }),
+
     // ---- training: exact decision-stump fit (model == query result) ----
     "q_stump" -> ((s, d) => {
       val feats = t(s, d, "documents").select(
@@ -4999,6 +5006,43 @@ object SparkEntry {
         |        FROM f LEFT JOIN bounds bo ON f.v <= bo.hi GROUP BY f.rid)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows
         |FROM asn GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_nb_classify" ->
+      s"""WITH s AS (SELECT doc_id, text, lang = 'en' AS pos,
+         |    ((doc_id % 1000003) * 2654435761) % 100 < 80 AS tr
+         |  FROM documents),
+         |trw AS (SELECT pos, unnest($sqlTokens) AS word FROM s WHERE tr),
+         |cnt AS (SELECT word,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS ne,
+         |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+         |  FROM trw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ne) AS DOUBLE) AS te,
+         |    CAST(sum(nn) AS DOUBLE) AS tn, CAST(count(*) AS DOUBLE) AS v
+         |  FROM cnt),
+         |wts AS (SELECT word,
+         |    CAST(round(ln((CAST(ne + 1 AS DOUBLE) * (tn + v))
+         |      / (CAST(nn + 1 AS DOUBLE) * (te + v))) * 1e6, 0) AS BIGINT) AS w
+         |  FROM cnt, tot),
+         |wz AS (SELECT CAST(round(ln((tn + v) / (te + v)) * 1e6, 0) AS BIGINT)
+         |    AS w0 FROM tot),
+         |pri AS (SELECT CAST(round(ln(
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / sum(CASE WHEN pos THEN 0 ELSE 1 END)) * 1e6, 0) AS BIGINT)
+         |    AS prior FROM s WHERE tr),
+         |tew AS (SELECT doc_id, unnest($sqlTokens) AS word FROM s WHERE NOT tr),
+         |sc AS (SELECT t.doc_id, sum(coalesce(wts.w, wz.w0)) AS sw
+         |  FROM tew t LEFT JOIN wts USING (word) CROSS JOIN wz
+         |  GROUP BY t.doc_id),
+         |fin AS (SELECT a.pos,
+         |    (coalesce(sc.sw, 0) + pri.prior) > 0 AS pred
+         |  FROM (SELECT doc_id, pos FROM s WHERE NOT tr) a
+         |  LEFT JOIN sc USING (doc_id) CROSS JOIN pri)
+         |SELECT count(*) AS n_test,
+         |  CAST(sum(CASE WHEN pred = pos THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST((10000 * sum(CASE WHEN pred = pos THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS acc_bp
+         |FROM fin""".stripMargin,
 
     "q17_smallqty" ->
       """SELECT p_brand, count(*) AS n_small,

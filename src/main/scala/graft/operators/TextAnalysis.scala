@@ -1265,6 +1265,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min("doc").as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Multinomial Naive Bayes, trained AND evaluated in-engine: fit add-1-
+    * smoothed token log-odds on the Knuth-hash `trainPct` slice, score the
+    * held-out slice, and report accuracy. One row:
+    * (n_test, n_correct, acc_bp).
+    *
+    * Determinism: each token weight is ONE ln of an exact integer ratio,
+    * rounded to micro BEFORE the per-document sum (the q_unigram_lp
+    * idiom), so document scores are integer sums — partition-order
+    * invariant, engine-exact. Unseen test tokens take the smoothed-zero
+    * weight w0; tokenless docs score the bare prior.
+    *
+    * Scale shape: training is one token-grain aggregate (vocab-sized
+    * output); scoring is a token→weight join + integer sum per doc —
+    * the same plan as [[linearScore]], with the model's weights coming
+    * from data instead of a shipped artifact. The exact-integer products
+    * inside the ln stay double-exact to ~2^53 (≈9e15 token pairs) —
+    * past that, train on a hash slice. */
+  def nbAccuracy(docs: DataFrame, textCol: String, idCol: String,
+                 labelCol: String, trainPct: Int = 80): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), col(textCol).as("__text"),
+        col(labelCol).cast("boolean").as("pos"),
+        (Curation.knuthHash(col(idCol), 100L) < trainPct).as("__tr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainTok = base.filter(col("__tr"))
+      .select(col("pos"),
+        explode(graft.functions.TextFunctions.tokens(col("__text"))).as("word"))
+    val cnt = trainTok.groupBy("word")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("ne"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val tot = cnt.agg(sum("ne").cast("double").as("__te"),
+      sum("nn").cast("double").as("__tn"),
+      count(lit(1)).cast("double").as("__v"))
+    val wts = cnt.crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(log(((col("ne") + 1).cast("double") * (col("__tn") + col("__v")))
+          / ((col("nn") + 1).cast("double") * (col("__te") + col("__v")))) * 1e6, 0)
+          .cast("long").as("w"))
+    val w0 = tot.select(round(log((col("__tn") + col("__v"))
+      / (col("__te") + col("__v"))) * 1e6, 0).cast("long").as("w0"))
+    val prior = base.filter(col("__tr"))
+      .agg(round(log(sum(when(col("pos"), 1L).otherwise(0L)).cast("double")
+        / sum(when(col("pos"), 0L).otherwise(1L))) * 1e6, 0)
+        .cast("long").as("prior"))
+    val testTok = base.filter(!col("__tr"))
+      .select(col("doc"),
+        explode(graft.functions.TextFunctions.tokens(col("__text"))).as("word"))
+    val sums = testTok.join(wts, Seq("word"), "left")
+      .crossJoin(broadcast(w0))
+      .groupBy("doc").agg(sum(coalesce(col("w"), col("w0"))).as("__sw"))
+    base.filter(!col("__tr")).select(col("doc"), col("pos"))
+      .join(sums, Seq("doc"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("pos"),
+        ((coalesce(col("__sw"), lit(0L)) + col("prior")) > 0).as("__pred"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__pred") === col("pos"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n_test"), col("n_correct"),
+        expr("(10000 * n_correct) div n_test").as("acc_bp"))
+  }
+
   /** Flesch-style reading-ease in exact integer milli-units — the quality
     * signal curation stacks use to bucket "textbook prose" vs "fragment
     * soup". Syllables are approximated by vowel GROUPS (runs of

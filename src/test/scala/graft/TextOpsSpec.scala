@@ -655,6 +655,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("nbAccuracy: separable vocab classifies held-out perfectly; partition-invariant") {
+    import spark.implicits._
+    // ids chosen so the Knuth 80% split puts both classes in train AND test;
+    // class vocabularies are disjoint -> held-out accuracy must be 10000 bp
+    val docs = (0 until 40).map { i =>
+      val en = i % 2 == 0
+      val text = if (en) "the quick brown fox" else "der schnelle braune fuchs"
+      (i.toLong, text, en)
+    }.toDF("doc_id", "text", "is_en")
+    val r = graft.operators.TextAnalysis.nbAccuracy(docs, "text", "doc_id",
+      "is_en", trainPct = 80).as[(Long, Long, Long)].collect().head
+    assert(r._1 > 0 && r._2 == r._1 && r._3 == 10000L, s"got $r")
+    val r7 = graft.operators.TextAnalysis.nbAccuracy(docs.repartition(7),
+      "text", "doc_id", "is_en", trainPct = 80)
+      .as[(Long, Long, Long)].collect().head
+    assert(r7 == r, "accuracy must not depend on partitioning")
+  }
+
   test("readability: hand-computed Flesch milli; sentence floor; tokenless NULL") {
     import spark.implicits._
     val docs = Seq(
