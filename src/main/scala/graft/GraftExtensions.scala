@@ -46,6 +46,12 @@ object GraftExtensions {
         require(args.length == 2, "hamming_dist(bitsA, bitsB)")
         graft.expressions.HammingDistance(args(0), args(1))
       }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b)")
+        graft.expressions.JaroWinkler(args(0), args(1))
+      }),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => {

@@ -2535,6 +2535,19 @@ object SparkEntry {
           sum("n_chars").as("total_chars"),
           (round(sum("n_chars") / count(lit(1)), 4) + lit(0.0)).as("avg_chars"))
         .orderBy("shard")
+    }),
+
+    // ---- linkage: Jaro-Winkler fuzzy pairs (native codegen expression,
+    // blocked self-join -- candidates, never the cross product) ----
+    "q_jaro_pairs" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val cands = Linkage.blockedCandidates(p, p, "p_partkey",
+          Seq("p_brand"), Seq("p_name"))
+        .filter(col("id_a") < col("id_b"))
+      Linkage.fuzzyScorePairs(cands, Seq(("p_name", 1L)))
+        .filter(col("score") >= 9000L)
+        .select(col("id_a"), col("id_b"), col("score").as("jw_bp"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5183,7 +5196,17 @@ object SparkEntry {
         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(sum(n_chars)/count(*), 4) + 0.0 AS avg_chars
-        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_jaro_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000, 0)
+        |    AS BIGINT) AS jw_bp
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000,
+        |    0) AS BIGINT) >= 9000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Per-side MinHash band CTEs for the cross-table linkage oracle — the

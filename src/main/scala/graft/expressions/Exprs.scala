@@ -28,6 +28,11 @@ object Exprs {
   def letterCounts(text: Column): Column =
     ColumnBridge.column(LetterCounts(ColumnBridge.expression(text)))
 
+  /** Jaro–Winkler similarity in [0,1] (DuckDB-parity semantics). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def bloomMightContain(s: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bloom))

@@ -94,4 +94,35 @@ object Linkage {
         when(col("n_pred") > 0, expr("(10000 * n_hit) div n_pred"))
           .otherwise(lit(0L)).cast("long").as("precision_bp"))
   }
+
+  /** Fuzzy (Jaro–Winkler) field scoring over blocked candidates — the
+    * typo-tolerant lane [[scorePairs]]'s exact agreement weights can't
+    * provide: per field, similarity in half-up-rounded basis points
+    * (`round(jw·10000)` — the repo's cross-engine double convention)
+    * weighted by `wBp` centi-weights and summed. Stays a pure projection
+    * over the candidate relation: JW is O(len·window) per PAIR, so cost is
+    * governed entirely by the blocking that produced `cands` — the 100 TB
+    * lever is block choice (+ [[capBlocks]]), never this scorer.
+    * Null fields score 0 for that field (unknown ≠ agreement — the
+    * Fellegi–Sunter missing-data convention). */
+  def fuzzyScorePairs(cands: DataFrame,
+                      fields: Seq[(String, Long)]): DataFrame = {
+    val score = fields.map { case (f, wBp) =>
+      coalesce(
+        round(graft.expressions.Exprs.jaroWinkler(
+          col(s"a_$f"), col(s"b_$f")) * 10000, 0).cast("long") * lit(wBp),
+        lit(0L))
+    }.reduceLeft(_ + _)
+    cands.withColumn("score", score)
+  }
+
+  /** End-to-end fuzzy linkage: block → JW-score → threshold.
+    * Output (id_a, id_b, score). */
+  def fuzzyLinkPairs(a: DataFrame, b: DataFrame, idCol: String,
+                     blockCols: Seq[String], fields: Seq[(String, Long)],
+                     threshold: Long): DataFrame =
+    fuzzyScorePairs(
+        blockedCandidates(a, b, idCol, blockCols, fields.map(_._1)), fields)
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
 }
