@@ -2548,6 +2548,21 @@ object SparkEntry {
         .filter(col("score") >= 9000L)
         .select(col("id_a"), col("id_b"), col("score").as("jw_bp"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- eval: Poisson bootstrap replicates (B resamples, ONE scan) ----
+    "q_bootstrap" -> ((s, d) => {
+      RelationalOps.poissonBootstrap(t(s, d, "orders"),
+          col("o_orderkey").cast("string"),
+          round(col("o_totalprice") * 100).cast("long"), resamples = 40)
+        .orderBy("b")
+    }),
+
+    // ---- eval: percentile bootstrap CI over the replicate means ----
+    "q_bootstrap_ci" -> ((s, d) => {
+      RelationalOps.poissonBootstrapCI(t(s, d, "orders"),
+          col("o_orderkey").cast("string"),
+          round(col("o_totalprice") * 100).cast("long"), resamples = 40)
     })
   )
 
@@ -5206,8 +5221,53 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000,
         |    0) AS BIGINT) >= 9000
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_bootstrap" ->
+      s"""WITH $bootstrapCtes
+         |SELECT b, n_eff, sum_cents, mean_ccents FROM boot
+         |ORDER BY b""".stripMargin,
+
+    "q_bootstrap_ci" -> {
+      val b = 40
+      val loR = math.max(1, math.ceil(0.025 * b).toInt)
+      val hiR = math.min(b, math.ceil(0.975 * b).toInt)
+      val medR = (b + 1) / 2
+      s"""WITH $bootstrapCtes,
+         |r AS (SELECT mean_ccents,
+         |    row_number() OVER (ORDER BY mean_ccents, b) AS rn FROM boot)
+         |SELECT count(*) AS n_resamples,
+         |  max(CASE WHEN rn = $loR THEN mean_ccents END) AS lo_ccents,
+         |  max(CASE WHEN rn = $medR THEN mean_ccents END) AS median_ccents,
+         |  max(CASE WHEN rn = $hiR THEN mean_ccents END) AS hi_ccents
+         |FROM r""".stripMargin
+    }
   )
+
+  /** DuckDB twin of the Poisson-bootstrap replicate kernel over orders'
+    * exact cents — (a_j, c_j) affine params and Poisson(1) CDF thresholds
+    * generated from the SAME Scala literals the Column kernel embeds
+    * (the shared-literal convention). Produces CTE `boot`
+    * (b, n_eff, sum_cents HUGEINT, mean_ccents BIGINT) for 40 resamples. */
+  private lazy val bootstrapCtes: String = {
+    val resamples = 40
+    val vals = RelationalOps.bootRowParams(resamples).zipWithIndex
+      .map { case ((a, c), j) => s"($j, $a, $c)" }.mkString(", ")
+    val ladder = RelationalOps.bootThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""hb AS (SELECT
+       |    (${graft.operators.Sketches.kmvHash32Sql("CAST(o_orderkey AS VARCHAR)")}) AS h0,
+       |    CAST(round(o_totalprice*100) AS BIGINT) AS x FROM orders),
+       |pr (b, a, c) AS (VALUES $vals),
+       |cw AS (SELECT b, CASE $ladder ELSE 8 END AS cnt, x
+       |       FROM (SELECT b, ((a * h0 + c) % ${RelationalOps.BootP}) AS u, x
+       |             FROM hb CROSS JOIN pr)),
+       |boot AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS n_eff,
+       |    CAST(sum(CAST(cnt AS HUGEINT) * x) AS HUGEINT) AS sum_cents,
+       |    CAST((100 * sum(CAST(cnt AS HUGEINT) * x)) // sum(cnt) AS BIGINT)
+       |      AS mean_ccents
+       |  FROM cw GROUP BY b)""".stripMargin
+  }
 
   /** Per-side MinHash band CTEs for the cross-table linkage oracle — the
     * minhashCandCtes kernel parametrized by a (doc_id, text) source and a

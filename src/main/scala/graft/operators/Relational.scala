@@ -1219,4 +1219,90 @@ object RelationalOps {
       .select(quasiCols.map(col): _*)
     df.join(broadcast(bad), quasiCols, "left_anti")
   }
+
+  /** Poisson-bootstrap machinery: the scale-correct bootstrap. A classic
+    * resample draws n rows WITH replacement — at 100 TB that is B full
+    * shuffles of the corpus. The Poisson bootstrap (the standard
+    * large-data substitute: multinomial(n, 1/n) per-row counts converge
+    * to independent Poisson(1)) instead gives every row a deterministic
+    * per-resample weight c ~ Poisson(1), so all B resamples ride ONE
+    * corpus scan and the shuffle carries B partial-sum rows per task.
+    *
+    * Determinism contract (the CMS pattern): ONE md5-lane base digest per
+    * row behind a projection boundary, then one affine universal-hash row
+    * per resample `u_j = (a_j·h + c_j) mod P` (P = 2^31−1, a_j < 2^30 so
+    * the product never overflows a long), mapped to a count through the
+    * Poisson(1) inverse CDF quantized onto [0, P). Counts truncate at 8
+    * (P(X>8) ≈ 1.1e-6 — bias far below resampling noise). The (a_j, c_j)
+    * params and CDF thresholds are computed once here and embedded in
+    * BOTH engines, so every resample hash-matches the DuckDB twin. */
+  private[graft] val BootP = 2147483647L // 2^31 − 1
+  private[graft] def bootRowParams(resamples: Int): Seq[(Long, Long)] = {
+    val k0 = 0x94d049bbL % BootP
+    (0 until resamples).map { j =>
+      val a = ((0x9e3779b9L * (2L * j + 1L)) & 0x3FFFFFFFL) | 1L
+      val c = (k0 * (j + 1L)) % BootP
+      (a, c)
+    }
+  }
+  /** Cumulative Poisson(1) thresholds t_0..t_7 on [0, P): count = first k
+    * with u < t_k, else 8. */
+  private[graft] val bootThresholds: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) p = p / k
+      cum += p
+      math.floor(cum * BootP).toLong
+    }
+  }
+  private def bootCount(u: Column): Column =
+    bootThresholds.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), els) => when(u < t, lit(k.toLong)).otherwise(els)
+    }
+
+  /** Per-resample replicate statistics for the mean of an exact-cents
+    * metric: B rows (b, n_eff, sum_cents, mean_ccents) where mean is the
+    * floored centi-cent integer division — the replicate distribution a
+    * caller turns into standard errors or a percentile CI
+    * ([[poissonBootstrapCI]]). `idCol` must be unique per row (the
+    * resample identity); `valueCents` an integral Column. One corpus
+    * scan, ×B scan-side explode into a map-side-combinable agg — the
+    * shuffle is tasks×B partial rows regardless of corpus size. */
+  def poissonBootstrap(df: DataFrame, idCol: Column, valueCents: Column,
+                       resamples: Int): DataFrame = {
+    require(resamples >= 2 && resamples <= 256, s"resamples=$resamples")
+    val counts = array(bootRowParams(resamples).map { case (a, c) =>
+      bootCount(pmod(col("__h") * a + c, lit(BootP)))
+    }: _*)
+    df.select(graft.operators.Sketches.md5Hash32(idCol).as("__h"),
+        valueCents.cast("long").as("__x"))
+      .select(col("__x"), posexplode(counts).as(Seq("b", "__c")))
+      .groupBy("b")
+      .agg(sum(col("__c")).as("n_eff"),
+        sum(col("__c").cast("decimal(38,0)") * col("__x")).as("__sx"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        col("__sx").cast("decimal(38,0)").as("sum_cents"),
+        expr("(100 * __sx) div n_eff").as("mean_ccents"))
+  }
+
+  /** Percentile-method bootstrap CI over the replicate means: one row
+    * (n_resamples, lo_ccents, median_ccents, hi_ccents) at the 1-based
+    * order statistics ⌈0.025·B⌉ / ⌊(B+1)/2⌋ / ⌈0.975·B⌉ (exact rank
+    * selection, no interpolation — engine-portable). The ranking window
+    * is global but runs over the B-row replicate relation (B ≤ 256),
+    * never the corpus — the bounded-window class. */
+  def poissonBootstrapCI(df: DataFrame, idCol: Column, valueCents: Column,
+                         resamples: Int): DataFrame = {
+    val loR = math.max(1, math.ceil(0.025 * resamples).toInt)
+    val hiR = math.min(resamples, math.ceil(0.975 * resamples).toInt)
+    val medR = (resamples + 1) / 2
+    val ranked = poissonBootstrap(df, idCol, valueCents, resamples)
+      .select(col("mean_ccents"),
+        row_number().over(Window.orderBy(col("mean_ccents"), col("b"))).as("rn"))
+    ranked.agg(count(lit(1)).as("n_resamples"),
+      max(when(col("rn") === loR, col("mean_ccents"))).as("lo_ccents"),
+      max(when(col("rn") === medR, col("mean_ccents"))).as("median_ccents"),
+      max(when(col("rn") === hiR, col("mean_ccents"))).as("hi_ccents"))
+  }
 }
