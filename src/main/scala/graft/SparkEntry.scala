@@ -2563,6 +2563,23 @@ object SparkEntry {
       RelationalOps.poissonBootstrapCI(t(s, d, "orders"),
           col("o_orderkey").cast("string"),
           round(col("o_totalprice") * 100).cast("long"), resamples = 40)
+    }),
+
+    // ---- training: batch perceptron over hashed features (3 synchronous
+    // rounds, exact integer updates — audit curve == model checksum) ----
+    "q_perceptron" -> ((s, d) => {
+      TextAnalysis.trainPerceptron(
+          t(s, d, "documents").withColumn("is_en", col("lang") === "en"),
+          "text", "doc_id", "is_en", dim = 256, rounds = 3)
+        .orderBy("round")
+    }),
+
+    // ---- audit: WOE / information-value panel (supervised binning) ----
+    "q_woe" -> ((s, d) => {
+      RelationalOps.woePanel(
+          t(s, d, "documents").filter(col("n_chars").isNotNull),
+          expr("n_chars div 100"), col("lang") === "en")
+        .orderBy("bin")
     })
   )
 
@@ -5241,8 +5258,71 @@ object SparkEntry {
          |  max(CASE WHEN rn = $medR THEN mean_ccents END) AS median_ccents,
          |  max(CASE WHEN rn = $hiR THEN mean_ccents END) AS hi_ccents
          |FROM r""".stripMargin
-    }
+    },
+
+    "q_perceptron" -> perceptronSql,
+
+    "q_woe" ->
+      """WITH a AS (SELECT n_chars // 100 AS bin, lang = 'en' AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT bin, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM a GROUP BY 1),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nn) AS BIGINT) AS tn, count(*) AS b FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(round(ln((CAST(np + 1 AS DOUBLE) * (tn + b))
+        |    / (CAST(nn + 1 AS DOUBLE) * (tp + b))) * 1e6, 0) AS BIGINT)
+        |    AS woe_micro,
+        |  CAST(round((CAST(np + 1 AS DOUBLE) / (tp + b)
+        |      - CAST(nn + 1 AS DOUBLE) / (tn + b))
+        |    * ln((CAST(np + 1 AS DOUBLE) * (tn + b))
+        |      / (CAST(nn + 1 AS DOUBLE) * (tp + b))) * 1e6, 0) AS BIGINT)
+        |    AS iv_micro
+        |FROM g, t ORDER BY bin""".stripMargin
   )
+
+  /** Unrolled batch-perceptron twin (the pageRank/HITS fixed-round
+    * pattern): per round r, margins under w_{r−1}/b_{r−1}, the
+    * misclassified set, the feature-grain gradient, and the synchronously
+    * updated w_r/b_r — each an exact-integer CTE. SQL `sum()` skipping
+    * NULL products IS the missing-weight-scores-zero semantics, matching
+    * the engine's element_at on a zero-initialized literal array. */
+  private lazy val perceptronSql: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { r =>
+      val pw = s"w${r - 1}"
+      val pb = s"b${r - 1}"
+      s"""sc$r AS (SELECT doc, y, s + (SELECT b FROM $pb) AS score
+         |  FROM (SELECT l.doc, l.y, coalesce(sum(f.f_sum * pw.w), 0) AS s
+         |        FROM lab l LEFT JOIN fs f ON f.doc = l.doc
+         |        LEFT JOIN $pw pw ON pw.feature_idx = f.feature_idx
+         |        GROUP BY l.doc, l.y)),
+         |mis$r AS (SELECT doc, y FROM sc$r WHERE y * score <= 0),
+         |g$r AS (SELECT f.feature_idx, sum(m.y * f.f_sum) AS dw
+         |  FROM mis$r m JOIN fs f ON f.doc = m.doc GROUP BY 1),
+         |w$r AS (SELECT coalesce(pw.feature_idx, g.feature_idx) AS feature_idx,
+         |    CAST(coalesce(pw.w, 0) + coalesce(g.dw, 0) AS BIGINT) AS w
+         |  FROM $pw pw FULL OUTER JOIN g$r g
+         |    ON pw.feature_idx = g.feature_idx),
+         |b$r AS (SELECT CAST((SELECT b FROM $pb)
+         |    + coalesce((SELECT sum(y) FROM mis$r), 0) AS BIGINT) AS b),
+         |a$r AS (SELECT $r AS round,
+         |    (SELECT count(*) FROM mis$r) AS n_mis,
+         |    (SELECT CAST(coalesce(sum(abs(w)), 0) AS BIGINT) FROM w$r) AS w_l1,
+         |    (SELECT b FROM b$r) AS bias)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $featureHashCtes,
+       |lab AS (SELECT doc_id AS doc,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS feature_idx,
+       |    CAST(NULL AS BIGINT) AS w WHERE false),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+       |$roundCtes
+       |SELECT CAST(round AS BIGINT) AS round, n_mis, w_l1, bias
+       |FROM (${(1 to rounds).map(r => s"SELECT * FROM a$r").mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
 
   /** DuckDB twin of the Poisson-bootstrap replicate kernel over orders'
     * exact cents — (a_j, c_j) affine params and Poisson(1) CDF thresholds

@@ -1286,6 +1286,40 @@ object RelationalOps {
         expr("(100 * __sx) div n_eff").as("mean_ccents"))
   }
 
+  /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE panel — the credit-scoring
+    * diagnostic for "how much does this binned feature separate the
+    * classes", the supervised sibling of [[populationStability]] (same
+    * bucket grammar, label-aware): per bin, WOE = ln(share⁺/share⁻) and
+    * its IV contribution (share⁺ − share⁻)·WOE, add-one smoothed so empty
+    * cells stay finite (the Naive-Bayes convention — and exactly the NB
+    * log-likelihood-ratio of the bin, which is why a features-screening
+    * pass sums iv_micro per candidate feature and keeps the top ones).
+    * Integer micro-units via the round(ln·1e6) lane q_nb_classify proved
+    * cross-engine.
+    *
+    * Scale shape: ONE bin-grain aggregate (map-side combinable, output
+    * bins-sized), a 1-row totals broadcast back — the corpus never
+    * shuffles twice. NULL bins drop; NULL labels count negative (the
+    * CASE-ELSE convention, matching the SQL twin). */
+  def woePanel(df: DataFrame, binCol: Column, labelCol: Column): DataFrame = {
+    val bins = df.select(binCol.cast("long").as("bin"),
+        labelCol.cast("boolean").as("__pos"))
+      .filter(col("bin").isNotNull)
+      .groupBy("bin")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = bins.agg(sum("n_pos").cast("long").as("__tp"),
+      sum("n_neg").cast("long").as("__tn"), count(lit(1)).as("__b"))
+    val ratio = ((col("n_pos") + 1L).cast("double") * (col("__tn") + col("__b"))) /
+      ((col("n_neg") + 1L).cast("double") * (col("__tp") + col("__b")))
+    val shareDiff = (col("n_pos") + 1L).cast("double") / (col("__tp") + col("__b")) -
+      (col("n_neg") + 1L).cast("double") / (col("__tn") + col("__b"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(log(ratio) * 1e6, 0).cast("long").as("woe_micro"),
+        round(shareDiff * log(ratio) * 1e6, 0).cast("long").as("iv_micro"))
+  }
+
   /** Percentile-method bootstrap CI over the replicate means: one row
     * (n_resamples, lo_ccents, median_ccents, hi_ccents) at the 1-based
     * order statistics ⌈0.025·B⌉ / ⌊(B+1)/2⌋ / ⌈0.975·B⌉ (exact rank

@@ -1364,4 +1364,93 @@ object TextAnalysis {
           round(log(n.cast("double")) - sumClnC / n.cast("double"), 4) + lit(0.0))
           .as("char_entropy"))
   }
+
+  /** IN-ENGINE BATCH PERCEPTRON over hashed features (Rosenblatt's rule
+    * in its synchronous/batch form — the distributed-determinism twin of
+    * the sequential online perceptron, same family as the fixed-round
+    * pageRank/Bradley–Terry contracts): per round, every document with
+    * margin y·(w·x + b) ≤ 0 under the CURRENT weights contributes y·x to
+    * one gradient aggregate, then w ← w + Δ synchronously. Zero-init means
+    * round 1 updates on every document (margin 0) — the standard start.
+    * Everything is exact integer arithmetic (features are signed counts,
+    * η = 1), so the audit trail hash-matches an unrolled SQL twin round
+    * for round.
+    *
+    * Output: one audit row per round, (round, n_mis, w_l1, bias) — the
+    * training curve (n_mis falling = linearly-separable-ish signal), with
+    * the learned model's L1 mass as the replayable checksum. The final
+    * weights feed [[linearScore]]/[[linearScoreScan]] as the shipped
+    * artifact — train in-engine, score with the zero-shuffle scan.
+    *
+    * Scale shape: the (doc, y, feature_idx, f_sum) relation materializes
+    * ONCE, pre-partitioned by doc, so each round's margin aggregate
+    * reuses the partitioning (no per-round corpus exchange); the gradient
+    * aggregate is map-side-combinable with a dim-bounded result; weights
+    * live on the DRIVER between rounds (dim-sized, the centroid/PCA
+    * bounded class) and re-enter each round's plan as an array literal —
+    * plans stay flat, no lineage growth, no checkpoint needed. Scores are
+    * LONG micro-magnitudes: at extreme corpus×round scale swap the score
+    * sum to DECIMAL(38,0) (the olsTrend lane). */
+  def trainPerceptron(docs: DataFrame, textCol: String, idCol: String,
+                      labelCol: String, dim: Int, rounds: Int): DataFrame = {
+    val (audit, _, _) =
+      perceptronCore(docs, textCol, idCol, labelCol, dim, rounds)
+    import docs.sparkSession.implicits._
+    audit.toDF("round", "n_mis", "w_l1", "bias")
+  }
+
+  /** The trained MODEL instead of the audit curve: (feature_idx, w) pairs
+    * plus the bias at index `dim` — the shipped-artifact shape
+    * [[linearScore]]/[[linearScoreScan]] consume (η = 1 integer grain;
+    * multiply by the caller's micro-scale on the way in if mixing with
+    * micro-unit weight tables). Same training loop, one source of truth. */
+  def perceptronWeights(docs: DataFrame, textCol: String, idCol: String,
+                        labelCol: String, dim: Int, rounds: Int): Seq[(Long, Long)] = {
+    val (_, w, bias) =
+      perceptronCore(docs, textCol, idCol, labelCol, dim, rounds)
+    w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+ (dim.toLong, bias)
+  }
+
+  private def perceptronCore(docs: DataFrame, textCol: String, idCol: String,
+                             labelCol: String, dim: Int, rounds: Int)
+      : (Seq[(Long, Long, Long, Long)], Array[Long], Long) = {
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds")
+    require(dim >= 2 && dim <= 65536, s"dim=$dim")
+    val labs = docs.select(col(idCol).as("doc"),
+      when(col(labelCol).cast("boolean"), 1L).otherwise(-1L).as("y"))
+    val feats = featureHash(docs, textCol, idCol, dim)
+    // one materialization, doc-partitioned; every round's two doc-grain
+    // passes (margin agg, gradient semi-filter) reuse the exchange
+    val joined = labs.join(feats, Seq("doc"), "left")
+      .select(col("doc"), col("y"), col("feature_idx"), col("f_sum"))
+      .repartition(col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    val audit = (1 to rounds).map { r =>
+      val wLit = typedLit(w.toSeq)
+      val misDocs = joined.groupBy("doc", "y")
+        .agg(coalesce(sum(col("f_sum") *
+          element_at(wLit, col("feature_idx").cast("int") + 1)), lit(0L))
+          .as("__s"))
+        .filter(col("y") * (col("__s") + bias) <= 0L)
+        .select(col("doc"), col("y").as("__my"))
+      // gradient: doc-keyed join stays in the reused partitioning; the
+      // (feature_idx) agg output is dim-bounded, collect is the
+      // centroid/PCA driver-state class
+      val grad = joined.join(misDocs, Seq("doc"))
+        .filter(col("feature_idx").isNotNull)
+        .groupBy("feature_idx")
+        .agg(sum(col("__my") * col("f_sum")).as("__dw"))
+        .collect()
+      val misStats = misDocs
+        .agg(count(lit(1)), coalesce(sum(col("__my")), lit(0L)))
+        .collect()(0)
+      grad.foreach(row => w(row.getLong(0).toInt) += row.getLong(1))
+      bias += misStats.getLong(1)
+      (r.toLong, misStats.getLong(0), w.map(math.abs).sum, bias)
+    }
+    joined.unpersist()
+    (audit, w, bias)
+  }
 }

@@ -719,4 +719,35 @@ class RelationalOpsSpec extends SparkSpec {
     assert(RelationalOps.giniIndex(mixed, "v")
       .as[(Long, Long, Long)].collect().head == ((3L, 400L, 166666L)))
   }
+
+  test("woePanel: hand-computed smoothed WOE/IV; uninformative bins ~0; null bins drop, null labels negative") {
+    // bin 0: 3 pos / 1 neg, bin 1: 1 pos / 3 neg (B=2, tp=4, tn=4)
+    val df = Seq((0L, true), (0L, true), (0L, true), (0L, false),
+      (1L, true), (1L, false), (1L, false), (1L, false)).toDF("bin", "pos")
+    val got = RelationalOps.woePanel(df, col("bin"), col("pos"))
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    def woe(np: Long, nn: Long): Long =
+      math.rint(math.log((np + 1.0) * 6.0 / ((nn + 1.0) * 6.0)) * 1e6).toLong
+    def iv(np: Long, nn: Long): Long =
+      math.rint(((np + 1.0) / 6.0 - (nn + 1.0) / 6.0) *
+        math.log((np + 1.0) * 6.0 / ((nn + 1.0) * 6.0)) * 1e6).toLong
+    assert(got == Seq((0L, 3L, 1L, woe(3, 1), iv(3, 1)),
+      (1L, 1L, 3L, woe(1, 3), iv(1, 3))))
+    assert(got(0)._4 == -got(1)._4, "symmetric fixture has mirrored WOE")
+    assert(got.map(_._5).forall(_ > 0), "IV contributions are nonnegative")
+
+    // label-independent bins: WOE = 0 exactly (equal smoothed shares)
+    val flat = Seq((0L, true), (0L, false), (1L, true), (1L, false))
+      .toDF("bin", "pos")
+    assert(RelationalOps.woePanel(flat, col("bin"), col("pos"))
+      .agg(max(abs(col("woe_micro"))), max(abs(col("iv_micro"))))
+      .as[(Long, Long)].collect().head == ((0L, 0L)))
+
+    // null bin rows vanish; null label counts into n_neg
+    val edge = Seq((Some(0L), Some(true)), (None, Some(true)),
+      (Some(0L), None)).toDF("bin", "pos")
+    val e = RelationalOps.woePanel(edge, col("bin"), col("pos"))
+      .select("bin", "n_pos", "n_neg").as[(Long, Long, Long)].collect().toSeq
+    assert(e == Seq((0L, 1L, 1L)))
+  }
 }
