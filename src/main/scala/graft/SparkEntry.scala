@@ -2580,8 +2580,48 @@ object SparkEntry {
           t(s, d, "documents").filter(col("n_chars").isNotNull),
           expr("n_chars div 100"), col("lang") === "en")
         .orderBy("bin")
+    }),
+
+    // ---- sketch: HyperLogLog registers (mergeable 64-row state/group) ----
+    "q_hll_registers" -> ((s, d) => {
+      Sketches.hllBuild(hllSource(s, d), "cust", "grp")
+        .orderBy("grp", "bucket")
+    }),
+
+    // ---- sketch: HLL estimate vs exact (the measure-before-ship row) ----
+    "q_hll_estimate" -> ((s, d) => {
+      val src = hllSource(s, d)
+      val est = Sketches.hllEstimate(
+        Sketches.hllBuild(src, "cust", "grp"), "grp")
+      val exact = src.groupBy("grp")
+        .agg(countDistinct(col("cust")).as("exact_distinct"))
+      est.join(exact, "grp")
+        .select(col("grp"), col("n_buckets_seen"), col("est_distinct"),
+          col("exact_distinct"),
+          expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct")
+            .as("err_bp"))
+        .orderBy("grp")
+    }),
+
+    // ---- attribution: Markov removal-effect shares (data-driven
+    // multi-touch, exact integer value iteration) ----
+    "q_markov_attrib" -> ((s, d) => {
+      Sequences.removalEffectAttribution(t(s, d, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type", "purchase", markovChannels)
+        .orderBy("channel")
     })
   )
+
+  /** The attribution channel taxonomy (config, not data) — shared between
+    * the engine call and the generated SQL twin. */
+  private val markovChannels = Seq("click", "error", "signup", "view")
+
+  /** Shared source for the HLL queries: distinct customers per order
+    * priority, hashed on the string form (the md5 oracle lane). */
+  private def hllSource(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").filter(col("o_custkey").isNotNull)
+      .select(col("o_orderpriority").as("grp"),
+        col("o_custkey").cast("string").as("cust"))
 
   /** The two "systems" for the linkage queries — both derive from customer
     * with engine-identical constructions (the piiCorpus convention): side B
@@ -5279,8 +5319,147 @@ object SparkEntry {
         |    * ln((CAST(np + 1 AS DOUBLE) * (tn + b))
         |      / (CAST(nn + 1 AS DOUBLE) * (tp + b))) * 1e6, 0) AS BIGINT)
         |    AS iv_micro
-        |FROM g, t ORDER BY bin""".stripMargin
+        |FROM g, t ORDER BY bin""".stripMargin,
+
+    "q_hll_registers" ->
+      s"""WITH $hllSketchCtes
+         |SELECT grp, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(max_rank AS BIGINT) AS max_rank
+         |FROM sk ORDER BY grp, bucket""".stripMargin,
+
+    "q_markov_attrib" -> markovAttribSql,
+
+    "q_hll_estimate" -> {
+      import graft.operators.Sketches.{HllM, HllSuffixBits, HllAlphaMicro}
+      val full = 1L << (HllSuffixBits + 1)
+      val num = HllAlphaMicro * HllM * HllM * full
+      val lcBound = (2.5 * HllM * 1e6).toLong
+      s"""WITH $hllSketchCtes,
+         |agg AS (SELECT grp, count(*) AS nseen,
+         |    sum(CAST(1 AS BIGINT) << (${HllSuffixBits + 1} - max_rank))
+         |      AS sseen
+         |  FROM sk GROUP BY 1),
+         |e AS (SELECT grp, nseen,
+         |    sseen + ($HllM - nseen) * $full AS s, $HllM - nseen AS zeros
+         |  FROM agg),
+         |est AS (SELECT grp, CAST(nseen AS BIGINT) AS n_buckets_seen,
+         |    CASE WHEN zeros > 0 AND ($num // s) <= $lcBound
+         |      THEN CAST(round($HllM.0 * ln($HllM.0 / zeros), 0) AS BIGINT)
+         |      ELSE CAST(($num // s) // 1000000 AS BIGINT) END AS est_distinct
+         |  FROM e),
+         |x AS (SELECT o_orderpriority AS grp,
+         |    count(DISTINCT o_custkey) AS exact_distinct
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+         |SELECT est.grp, n_buckets_seen, est_distinct,
+         |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+         |  CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct
+         |    AS BIGINT) AS err_bp
+         |FROM est JOIN x ON est.grp = x.grp
+         |ORDER BY est.grp""".stripMargin
+    }
   )
+
+  /** Unrolled removal-effect attribution twin: journey pairs → pivoted
+    * transition-count row → one value-iteration CTE chain per scenario
+    * (full + one per removed channel), every step the exact integer
+    * p'(s) = (Σ n(s,t)·p(t)) div n_from(s) the engine's driver chase
+    * runs. Generated from the SAME channel taxonomy and iteration count. */
+  private lazy val markovAttribSql: String = {
+    val channels = markovChannels.sorted
+    val iters = 8
+    val states = "__START__" +: channels
+    val targets = states ++ Seq("__CONV__", "__NULL__")
+    def nCol(i: Int, j: Int) = s"n_${i}_$j"
+    val nnCols = states.indices.flatMap { i =>
+      targets.indices.map { j =>
+        s"CAST(sum(CASE WHEN f = '${states(i)}' AND t = '${targets(j)}' " +
+          s"THEN n ELSE 0 END) AS BIGINT) AS ${nCol(i, j)}"
+      } :+ (s"CAST(sum(CASE WHEN f = '${states(i)}' THEN n ELSE 0 END) " +
+        s"AS BIGINT) AS nf_$i")
+    }.mkString(", ")
+    val convIdx = states.size
+    def chain(name: String, removedIdx: Option[Int]): String = {
+      val init = s"p${name}_0 AS (SELECT " +
+        states.indices.map(i => s"CAST(0 AS BIGINT) AS p_$i").mkString(", ") +
+        ")"
+      val steps = (1 to iters).map { k =>
+        val prev = s"p${name}_${k - 1}"
+        val cols = states.indices.map { i =>
+          if (removedIdx.contains(i)) s"CAST(0 AS BIGINT) AS p_$i"
+          else {
+            val terms = states.indices
+              .map(j => s"${nCol(i, j)} * $prev.p_$j") :+
+              s"${nCol(i, convIdx)} * 1000000"
+            s"CASE WHEN nf_$i = 0 THEN 0 " +
+              s"ELSE (${terms.mkString(" + ")}) // nf_$i END AS p_$i"
+          }
+        }.mkString(", ")
+        // MATERIALIZED: every step is one row, and without the hint each
+        // downstream reference re-inlines the whole upstream chain
+        // (exponential planning/execution — the repo's documented DuckDB
+        // CTE trap)
+        s"p${name}_$k AS MATERIALIZED (SELECT $cols FROM nn, $prev)"
+      }
+      (init +: steps).mkString(",\n")
+    }
+    val chains = chain("f", None) + ",\n" + channels.indices
+      .map(i => chain(s"r$i", Some(i + 1))).mkString(",\n")
+    val reCols = channels.indices.map { i =>
+      s"greatest((SELECT p_0 FROM pf_$iters) - (SELECT p_0 FROM pr${i}_$iters), 0) AS re_$i"
+    }.mkString(", ")
+    val totExpr = channels.indices.map(i => s"re_$i").mkString(" + ")
+    val rows = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT p_0 FROM pf_$iters) AS p_full_micro,
+         |  (SELECT p_0 FROM pr${i}_$iters) AS p_removed_micro,
+         |  (SELECT re_$i FROM re) AS removal_micro,
+         |  CASE WHEN (SELECT tt FROM tot) > 0
+         |    THEN ((SELECT re_$i FROM re) * 10000) // (SELECT tt FROM tot)
+         |    ELSE 0 END AS share_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN event_type = 'purchase' THEN '__CONV__'
+       |         ELSE event_type END AS st
+       |  FROM events
+       |  WHERE event_type IN (${(channels :+ "purchase").map(c => s"'$c'").mkString(", ")})),
+       |fl AS (SELECT user_id, ts, event_id, st,
+       |    coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS seen
+       |  FROM ev),
+       |jn AS MATERIALIZED (SELECT user_id, st,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn,
+       |    lead(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM fl WHERE seen = 0),
+       |prs AS (SELECT '__START__' AS f, st AS t FROM jn WHERE rn = 1
+       |  UNION ALL SELECT st, nxt FROM jn WHERE nxt IS NOT NULL
+       |  UNION ALL SELECT st, '__NULL__' FROM jn
+       |    WHERE nxt IS NULL AND st <> '__CONV__'),
+       |tc AS (SELECT f, t, count(*) AS n FROM prs GROUP BY 1, 2),
+       |nn AS MATERIALIZED (SELECT $nnCols FROM tc),
+       |$chains,
+       |re AS MATERIALIZED (SELECT $reCols),
+       |tot AS MATERIALIZED (SELECT $totExpr AS tt FROM re)
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** DuckDB twin of the HLL register build (md5 lane, top-6-bit bucket,
+    * generated bit-length rank ladder — the same literals the Column
+    * kernel embeds). Produces CTE `sk` (grp, bucket, max_rank). */
+  private lazy val hllSketchCtes: String = {
+    import graft.operators.Sketches.{HllSuffixBits, hllRankSql}
+    s"""hh AS (SELECT o_orderpriority AS grp,
+       |    (${graft.operators.Sketches.kmvHash32Sql("CAST(o_custkey AS VARCHAR)")}) AS h
+       |  FROM orders WHERE o_custkey IS NOT NULL),
+       |rk AS (SELECT grp, h // ${1L << HllSuffixBits} AS bucket,
+       |    ${hllRankSql(s"(h % ${1L << HllSuffixBits})")} AS rank
+       |  FROM hh),
+       |sk AS (SELECT grp, bucket, max(rank) AS max_rank
+       |  FROM rk GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Unrolled batch-perceptron twin (the pageRank/HITS fixed-round
     * pattern): per round r, margins under w_{r−1}/b_{r−1}, the

@@ -65,6 +65,88 @@ object Sequences {
       .limit(k)
   }
 
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the
+    * data-driven multi-touch model next to [[Timeseries.lastTouchAttribution]]'s
+    * heuristic): journeys become a first-order chain
+    * START → channels → {CONV, NULL}, truncated at the first conversion,
+    * and a channel's credit is its REMOVAL EFFECT — how much the chain's
+    * conversion probability drops when every hop into that channel is
+    * redirected to NULL. Shares are removal effects normalized to basis
+    * points.
+    *
+    * Conversion probability is the absorption probability approximated by
+    * `iters` fixed synchronous value-iteration steps in EXACT integer
+    * micro-units — p'(s) = (Σ_t n(s,t)·p(t)) div n_from(s) works on the
+    * raw transition COUNTS (one floored division per state per step, no
+    * pre-floored probability matrix compounding error), so the whole
+    * computation is bit-identical on any engine and the SQL twin unrolls
+    * it CTE for CTE.
+    *
+    * `channels` is the caller's channel taxonomy (config, not data — the
+    * bound that keeps the state space fixed); events with other types are
+    * ignored. Scale shape: ONE key exchange + shared window pass builds
+    * the journey pairs; the transition matrix is (|channels|+3)²-bounded
+    * and COLLECTS (the centroid/PCA driver-state class); the
+    * channels×iters chase is driver arithmetic on that tiny matrix. */
+  def removalEffectAttribution(events: DataFrame, keyCol: String,
+                               orderCols: Seq[String], typeCol: String,
+                               convType: String, channels: Seq[String],
+                               iters: Int = 8): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 64, s"channels=$channels")
+    require(iters >= 1 && iters <= 32, s"iters=$iters")
+    val (start, conv, nul) = ("__START__", "__CONV__", "__NULL__")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val seen = coalesce(
+      max(when(col(typeCol) === convType, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+    val base = events
+      .filter(col(typeCol).isin(channels :+ convType: _*))
+      .withColumn("__seen", seen)
+      .filter(col("__seen") === 0)
+      .withColumn("st",
+        when(col(typeCol) === convType, conv).otherwise(col(typeCol)))
+    val j = base.select(col(keyCol), col("st"),
+      row_number().over(w).as("rn"), lead(col("st"), 1).over(w).as("nxt"))
+    val pairs = j.filter(col("rn") === 1)
+        .select(lit(start).as("f"), col("st").as("t"))
+      .unionAll(j.filter(col("nxt").isNotNull)
+        .select(col("st").as("f"), col("nxt").as("t")))
+      .unionAll(j.filter(col("nxt").isNull && col("st") =!= conv)
+        .select(col("st").as("f"), lit(nul).as("t")))
+    val tc = pairs.groupBy("f", "t").agg(count(lit(1)).as("n")).collect()
+    val n = tc.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nFrom = n.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val states = start +: channels
+    val targets = states ++ Seq(conv, nul)
+    def chase(removed: Option[String]): Long = {
+      var p = (states.map(_ -> 0L) ++ Seq(conv -> 1000000L, nul -> 0L)).toMap
+      for (_ <- 1 to iters) {
+        val upd = states.map { s =>
+          val tot = nFrom.getOrElse(s, 0L)
+          if (removed.contains(s) || tot == 0L) s -> 0L
+          else s -> targets.map { t =>
+            n.getOrElse((s, t), 0L) *
+              (if (removed.contains(t)) 0L else p(t))
+          }.sum / tot
+        }.toMap
+        p = p ++ upd
+      }
+      p(start)
+    }
+    val pFull = chase(None)
+    val rem = channels.sorted.map { c =>
+      val pc = chase(Some(c))
+      (c, pc, math.max(pFull - pc, 0L))
+    }
+    val total = rem.map(_._3).sum
+    val rows = rem.map { case (c, pc, re) =>
+      (c, pFull, pc, re, if (total > 0L) re * 10000L / total else 0L)
+    }
+    import events.sparkSession.implicits._
+    rows.toDF("channel", "p_full_micro", "p_removed_micro",
+      "removal_micro", "share_bp")
+  }
+
   /** Per-key ordered event-type SEQUENCES, truncated to `maxLen` steps —
     * events rendered as behavioral-LM training rows ("click > view >
     * purchase"), the flattening stage between raw telemetry and a

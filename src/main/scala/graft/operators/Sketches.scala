@@ -245,6 +245,87 @@ object Sketches {
     * `minCount`. Count-min never underestimates, so TRUE heavy hitters
     * are never missed — false positives (collision-inflated light items)
     * are the documented one-sided error, shrinking with width. */
+  /** HyperLogLog register layout shared by build/estimate/SQL twin:
+    * m = 64 registers (b = 6 index bits off the TOP of the 32-bit md5-lane
+    * hash), rank = leading-zero count of the remaining 26-bit suffix + 1
+    * (1..27, the Flajolet et al. 2007 ρ). Rank extraction is a generated
+    * bit-length CASE ladder over power-of-two literals — pure integer
+    * comparisons, identical in both engines, NO float log2. */
+  private[graft] val HllM = 64
+  private[graft] val HllSuffixBits = 26
+  /** α₆₄·10⁶, computed once (0.7213/(1 + 1.079/m)) and embedded in both
+    * engines — the shared-literal convention. */
+  private[graft] val HllAlphaMicro: Long =
+    math.round(0.7213 / (1.0 + 1.079 / HllM) * 1e6)
+  private def hllRank(w: Column): Column =
+    (1 to HllSuffixBits).foldLeft(
+      when(w === 0L, lit(HllSuffixBits + 1L)): Column) { (acc, k) =>
+      // bitlength(w) = k  ⇔  2^(k−1) ≤ w < 2^k  →  ρ = 26 − k + 1
+      acc.when(w < (1L << k), lit((HllSuffixBits - k + 1).toLong))
+    }.otherwise(lit(1L))
+  private[graft] def hllRankSql(w: String): String = {
+    val arms = (1 to HllSuffixBits).map { k =>
+      s"WHEN $w < ${1L << k} THEN ${HllSuffixBits - k + 1}"
+    }.mkString(" ")
+    s"CASE WHEN $w = 0 THEN ${HllSuffixBits + 1} $arms ELSE 1 END"
+  }
+
+  /** HYPERLOGLOG build: the industry-standard mergeable distinct-count
+    * sketch, as a 64-row (bucket, max_rank) relation per group — the
+    * third cardinality lane next to KMV (exact-ish small sets, set
+    * algebra) and exact groupBy: fixed 64·group state at ANY corpus
+    * size, and shard/micro-batch sketches merge by per-bucket MAX (the
+    * same agg that builds them — re-aggregate [[hllMerge]]), which is
+    * what lets a 100 TB profiling pass compute per-partition AND global
+    * distinct counts in one scan + one bounded shuffle.
+    *
+    * Scale shape: hash + bucket + rank are one codegen projection; the
+    * (group, bucket) agg is map-side combinable with ≤ 64 output rows
+    * per group. md5 lane for the oracle anchor; swap xxhash64 (and
+    * b = 14 / m = 16384 for the ±0.8% production error) at scale. */
+  def hllBuild(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), md5Hash32(col(valueCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+      .select(col(groupCol),
+        expr(s"__h div ${1L << HllSuffixBits}").as("bucket"),
+        pmod(col("__h"), lit(1L << HllSuffixBits)).as("__w"))
+      .groupBy(groupCol, "bucket")
+      .agg(max(hllRank(col("__w"))).as("max_rank"))
+
+  /** Merge shard sketches: per-bucket MAX — the mergeable-state property. */
+  def hllMerge(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.groupBy(groupCol, "bucket").agg(max("max_rank").as("max_rank"))
+
+  /** HLL ESTIMATE from a register relation — exact-integer harmonic sum:
+    * Σ 2^−M_j = (Σ 2^(27−M_j)) / 2^27 where every term is an integer
+    * ≤ 2^27, so S is an exact BIGINT and the raw estimate
+    * α·m²·2^27 / S is ONE integer division in micro units — no
+    * float accumulation, order-invariant on any engine. Unseen buckets
+    * contribute rank 0 (term 2^27) via the (m − seen) fill. Small-range
+    * branch (raw ≤ 2.5m with empty buckets): linear counting
+    * m·ln(m/zeros), the only float (the proven round(ln·1e6) lane).
+    * Output per group: (n_buckets_seen, est_distinct). */
+  def hllEstimate(sketches: DataFrame, groupCol: String): DataFrame = {
+    val full = 1L << (HllSuffixBits + 1) // 2^27
+    val num = HllAlphaMicro * HllM * HllM * full // fits: ~3.9e17 < 2^63
+    val lcBound = (2.5 * HllM * 1e6).toLong // branch test in micro units
+    sketches.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_buckets_seen"),
+        sum(expr(s"shiftleft(cast(1 as bigint), " +
+          s"cast(${HllSuffixBits + 1} - max_rank as int))")).as("__sSeen"))
+      .select(col(groupCol), col("n_buckets_seen"),
+        (col("__sSeen") + (lit(HllM.toLong) - col("n_buckets_seen")) * full)
+          .as("__s"),
+        (lit(HllM.toLong) - col("n_buckets_seen")).as("__zeros"))
+      .select(col(groupCol), col("n_buckets_seen"),
+        when(col("__zeros") > 0L && expr(s"$num div __s") <= lcBound,
+          round(lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / col("__zeros").cast("double")), 0)
+            .cast("long"))
+          .otherwise(expr(s"($num div __s) div 1000000"))
+          .as("est_distinct"))
+  }
+
   def cmsHeavyHitters(df: DataFrame, candidates: DataFrame, itemCol: String,
                       minCount: Long, depth: Int = 3,
                       width: Int = 1024): DataFrame =

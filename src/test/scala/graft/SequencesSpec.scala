@@ -74,4 +74,42 @@ class SequencesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(run(1) == run(13))
   }
+
+  test("removalEffectAttribution: hand-computed fixture (truncation, taxonomy filter, direct conversion)") {
+    // journeys: u1/u2 [A,conv]; u3 [B,null]; u4 [B,conv];
+    // u5 [A,conv,(B,conv dropped — truncate at first conversion)];
+    // u6 [conv] (START→CONV direct); u7 [A,(X ignored — not in taxonomy)]
+    val df = ev(
+      (1L, 1L, "A"), (1L, 2L, "conv"),
+      (2L, 1L, "A"), (2L, 2L, "conv"),
+      (3L, 1L, "B"),
+      (4L, 1L, "B"), (4L, 2L, "conv"),
+      (5L, 1L, "A"), (5L, 2L, "conv"), (5L, 3L, "B"), (5L, 4L, "conv"),
+      (6L, 1L, "conv"),
+      (7L, 1L, "A"), (7L, 2L, "X"))
+    val got = Sequences.removalEffectAttribution(df, "user_id", Seq("ord"),
+        "event_type", "conv", Seq("A", "B"), iters = 8)
+      .orderBy("channel")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // transitions: START→{A:4, B:2, CONV:1}, A→{CONV:3, NULL:1},
+    // B→{CONV:1, NULL:1}; converged: p(A)=750000, p(B)=500000,
+    // p(START)=5e6 div 7=714285; removals: A→285714, B→571428
+    assert(got == Seq(
+      ("A", 714285L, 285714L, 428571L, 7500L),
+      ("B", 714285L, 571428L, 142857L, 2500L)))
+  }
+
+  test("removalEffectAttribution: partitioning-invariant, zero-conversion corpus attributes nothing") {
+    val df = ev((0 until 200).map(i =>
+      ((i % 11).toLong, i.toLong, Seq("A", "B", "C", "conv")(i % 4))): _*)
+    def run(parts: Int) = Sequences.removalEffectAttribution(
+      df.repartition(parts), "user_id", Seq("ord"), "event_type", "conv",
+      Seq("A", "B", "C")).collect().toSeq
+    assert(run(1) == run(13))
+    val dead = Sequences.removalEffectAttribution(
+        ev((1L, 1L, "A"), (2L, 1L, "B")), "user_id", Seq("ord"),
+        "event_type", "conv", Seq("A", "B"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(dead == Seq(("A", 0L, 0L, 0L, 0L), ("B", 0L, 0L, 0L, 0L)))
+  }
 }

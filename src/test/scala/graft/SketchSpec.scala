@@ -213,4 +213,60 @@ class SketchSpec extends SparkSpec {
     assert(!hh.contains("cold") && !hh.contains("never-seen"),
       s"collision-free grid must not promote light items: $hh")
   }
+
+  test("hll: rank ladder equals the leading-zero reference on every bit-length class") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // one synthetic value per suffix bit-length, plus the w=0 sentinel:
+    // feed values whose md5-suffix we can't control, so instead check the
+    // LADDER directly through hllBuild's composition: for each input, the
+    // engine's (bucket, max_rank) must equal a sequential md5 reference.
+    def md5h(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).take(4)
+      d.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    def refRank(w: Long): Long =
+      if (w == 0L) 27L else 26L - (63 - java.lang.Long.numberOfLeadingZeros(w)) // 26 - bitlen + 1
+    val vals = (1 to 300).map(i => s"v$i")
+    val got = Sketches.hllBuild(vals.toDF("v").withColumn("g", lit("x")), "v", "g")
+      .select("bucket", "max_rank").as[(Long, Long)].collect().toMap
+    val want = vals.map(md5h).groupBy(_ >> 26)
+      .map { case (b, hs) => b -> hs.map(h => refRank(h & ((1L << 26) - 1))).max }
+    assert(got == want)
+  }
+
+  test("hll: shard sketches merge into the whole-corpus sketch; estimate is partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val all = (1 to 4000).map(i => ("g", s"user$i")).toDF("g", "v")
+    val whole = Sketches.hllBuild(all, "v", "g")
+    val shards = Sketches.hllBuild(all.filter($"v" < "user3"), "v", "g")
+      .union(Sketches.hllBuild(all.filter($"v" >= "user3"), "v", "g"))
+    val merged = Sketches.hllMerge(shards, "g")
+    assert(merged.orderBy("bucket").collect().toSeq ==
+      whole.orderBy("bucket").collect().toSeq,
+      "per-bucket max merge == build over the union")
+    val e1 = Sketches.hllEstimate(whole, "g").collect().toSeq
+    val e2 = Sketches.hllEstimate(
+      Sketches.hllBuild(all.repartition(13), "v", "g"), "g").collect().toSeq
+    assert(e1 == e2)
+  }
+
+  test("hll: estimates track exact counts — linear-counting branch small, harmonic branch large") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    def est(n: Int): Long = Sketches.hllEstimate(
+      Sketches.hllBuild((1 to n).map(i => ("g", s"id$i")).toDF("g", "v"), "v", "g"),
+      "g").collect()(0).getLong(2)
+    val small = est(30) // sparse registers -> linear counting
+    assert(math.abs(small - 30) <= 10, s"small-range estimate: $small")
+    val large = est(5000) // all 64 registers hit -> harmonic estimate
+    assert(math.abs(large - 5000) <= 1500,
+      s"m=64 keeps ~13pct relative error: $large")
+    // duplicates must not move the sketch: distinct-ness is the point
+    val dup = (1 to 500).map(i => ("g", s"id${i % 50 + 1}")).toDF("g", "v")
+    assert(Sketches.hllEstimate(Sketches.hllBuild(dup, "v", "g"), "g")
+      .collect()(0).getLong(2) == est(50))
+  }
 }
