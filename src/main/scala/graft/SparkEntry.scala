@@ -2609,6 +2609,19 @@ object SparkEntry {
       Sequences.removalEffectAttribution(t(s, d, "events"), "user_id",
           Seq("ts", "event_id"), "event_type", "purchase", markovChannels)
         .orderBy("channel")
+    }),
+
+    // ---- eval: split-conformal upper bound with its own coverage row ----
+    "q_conformal" -> ((s, d) => {
+      RelationalOps.conformalUpperBound(t(s, d, "orders"),
+        col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+    }),
+
+    // ---- features: leave-one-out target encoding (leakage-safe) ----
+    "q_target_encode" -> ((s, d) => {
+      RelationalOps.targetEncode(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("lang") === "en")
+        .orderBy("id")
     })
   )
 
@@ -5328,6 +5341,38 @@ object SparkEntry {
          |FROM sk ORDER BY grp, bucket""".stripMargin,
 
     "q_markov_attrib" -> markovAttribSql,
+
+    "q_conformal" ->
+      """WITH m AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v,
+        |    ((o_orderkey % 1000003) * 2654435761) % 100 < 50 AS cal
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT v, count(*) AS n FROM m WHERE cal GROUP BY 1),
+        |cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cc FROM c),
+        |kk AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal,
+        |    CAST(((sum(n) + 1) * 9000 + 9999) // 10000 AS BIGINT) AS k_rank
+        |  FROM c),
+        |thr AS (SELECT min(v) AS threshold_cents FROM cum, kk
+        |  WHERE cc >= k_rank),
+        |ev AS (SELECT count(*) AS n_eval,
+        |    coalesce(sum(CASE WHEN v <= (SELECT threshold_cents FROM thr)
+        |      THEN 1 ELSE 0 END), 0) AS ncov
+        |  FROM m WHERE NOT cal)
+        |SELECT n_cal, k_rank,
+        |  (SELECT threshold_cents FROM thr) AS threshold_cents,
+        |  CAST(n_eval AS BIGINT) AS n_eval,
+        |  CAST(CASE WHEN n_eval > 0 THEN (10000 * ncov) // n_eval
+        |    ELSE 0 END AS BIGINT) AS coverage_bp
+        |FROM kk, ev""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH b AS (SELECT doc_id AS id, source AS cat,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |g AS (SELECT cat, sum(y) AS s, count(*) AS n FROM b GROUP BY 1),
+        |t AS (SELECT (1000000 * sum(y)) // count(*) AS gr FROM b)
+        |SELECT id, cat,
+        |  CAST(((g.s - y) * 1000000 + 10 * t.gr) // (g.n - 1 + 10)
+        |    AS BIGINT) AS te_micro
+        |FROM b JOIN g USING (cat), t ORDER BY id""".stripMargin,
 
     "q_hll_estimate" -> {
       import graft.operators.Sketches.{HllM, HllSuffixBits, HllAlphaMicro}

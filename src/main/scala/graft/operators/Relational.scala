@@ -1320,6 +1320,78 @@ object RelationalOps {
         round(shareDiff * log(ratio) * 1e6, 0).cast("long").as("iv_micro"))
   }
 
+  /** SPLIT-CONFORMAL UPPER BOUND — the distribution-free "this metric
+    * stays under T with probability ≥ level" gate (Vovk's conformal
+    * prediction in its simplest, production-honest form): a deterministic
+    * hash half becomes the calibration split, the threshold is the
+    * ⌈(n+1)·level⌉-th ORDER STATISTIC of calibration values (the
+    * finite-sample correction — a naive quantile under-covers), and the
+    * other half reports empirical coverage, so the guarantee ships with
+    * its own measurement.
+    *
+    * Scale shape: the exact order statistic rides the distinct-cents
+    * value-domain reduction (the KS/Gini pattern) — counts per distinct
+    * value, a domain-bounded cumulative window, smallest value whose
+    * cumulative count reaches the rank. No corpus sort, no collect; the
+    * rank constant broadcasts as a 1-row relation. `levelBp` in basis
+    * points (9000 = 90%). Returns one row
+    * (n_cal, k_rank, threshold_cents, n_eval, coverage_bp); if the rank
+    * exceeds n_cal (tiny calibration sets) the threshold is NULL and
+    * nothing covers. */
+  def conformalUpperBound(df: DataFrame, idCol: Column, valueCents: Column,
+                          levelBp: Long = 9000L): DataFrame = {
+    require(levelBp > 0 && levelBp < 10000, s"levelBp=$levelBp")
+    val marked = df.select(valueCents.cast("long").as("v"),
+        (Curation.knuthHash(idCol, 100L) < 50L).as("cal"))
+      .filter(col("v").isNotNull)
+    val cal = marked.filter(col("cal"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val cum = cal.select(col("v"),
+      sum(col("n")).over(Window.orderBy(col("v"))).as("cc"))
+    val kk = cal.agg(sum("n").cast("long").as("n_cal"))
+      .select(col("n_cal"),
+        expr(s"((n_cal + 1) * $levelBp + 9999) div 10000").as("k_rank"))
+    val thr = cum.crossJoin(broadcast(kk))
+      .filter(col("cc") >= col("k_rank"))
+      .agg(min("v").as("threshold_cents"))
+    val ev = marked.filter(!col("cal")).crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_eval"),
+        coalesce(sum(when(col("v") <= col("threshold_cents"), 1L)
+          .otherwise(0L)), lit(0L)).as("__ncov"))
+    kk.crossJoin(thr).crossJoin(ev)
+      .select(col("n_cal"), col("k_rank"), col("threshold_cents"),
+        col("n_eval"),
+        when(col("n_eval") > 0, expr("(10000 * __ncov) div n_eval"))
+          .otherwise(lit(0L)).as("coverage_bp"))
+  }
+
+  /** LEAVE-ONE-OUT TARGET ENCODING with prior smoothing — the categorical
+    * feature transform for high-cardinality columns (domain, source,
+    * author) where one-hot explodes and a plain category mean LEAKS the
+    * row's own label: te(row) = (Σy(cat) − y_row + m·global_rate) /
+    * (n(cat) − 1 + m), everything in exact integer micro-units. The LOO
+    * subtraction is the leakage fix; the m-weighted prior keeps rare
+    * categories from memorizing. NULL categories drop (no key to encode);
+    * NULL labels count 0 (the CASE-ELSE convention).
+    *
+    * Scale shape: one category-grain aggregate + a 1-row global rate,
+    * both joined back onto the scan (categories-sized relation —
+    * broadcast when bounded, shuffle join beyond); the corpus is never
+    * windowed or self-joined. */
+  def targetEncode(df: DataFrame, idCol: Column, catCol: Column,
+                   labelCol: Column, priorWeight: Int = 10): DataFrame = {
+    require(priorWeight >= 1, s"priorWeight=$priorWeight")
+    val b = df.select(idCol.as("id"), catCol.as("cat"),
+      when(labelCol.cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val g = b.groupBy("cat")
+      .agg(sum("__y").as("__s"), count(lit(1)).as("__n"))
+    val gr = b.agg(expr("(1000000 * sum(__y)) div count(1)").as("__gr"))
+    b.join(g, "cat").crossJoin(broadcast(gr))
+      .select(col("id"), col("cat"),
+        expr(s"((__s - __y) * 1000000 + $priorWeight * __gr) " +
+          s"div (__n - 1 + $priorWeight)").as("te_micro"))
+  }
+
   /** Percentile-method bootstrap CI over the replicate means: one row
     * (n_resamples, lo_ccents, median_ccents, hi_ccents) at the 1-based
     * order statistics ⌈0.025·B⌉ / ⌊(B+1)/2⌋ / ⌈0.975·B⌉ (exact rank

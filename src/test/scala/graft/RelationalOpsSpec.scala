@@ -750,4 +750,61 @@ class RelationalOpsSpec extends SparkSpec {
       .select("bin", "n_pos", "n_neg").as[(Long, Long, Long)].collect().toSeq
     assert(e == Seq((0L, 1L, 1L)))
   }
+
+  test("conformalUpperBound: exact order-statistic rank, measured coverage, tiny-set NULL branch") {
+    // ids chosen so knuthHash(id,100) splits deterministically; recompute
+    // the split in the test to stay honest to the hash
+    def isCal(id: Long): Boolean = ((id % 1000003L) * 2654435761L) % 100L < 50L
+    val rows = (1L to 400L).map(i => (i, i * 3L)) // value = 3·id cents
+    val df = rows.toDF("id", "cents")
+    val out = RelationalOps.conformalUpperBound(df, col("id"),
+      col("cents"), levelBp = 9000L).collect()(0)
+    val calVals = rows.filter(r => isCal(r._1)).map(_._2).sorted
+    val k = ((calVals.size + 1) * 9000L + 9999L) / 10000L
+    assert(out.getLong(0) == calVals.size && out.getLong(1) == k)
+    assert(out.getLong(2) == calVals(k.toInt - 1),
+      "threshold = k-th smallest calibration value")
+    val evVals = rows.filterNot(r => isCal(r._1)).map(_._2)
+    val cov = evVals.count(_ <= calVals(k.toInt - 1)) * 10000L / evVals.size
+    assert(out.getLong(4) == cov)
+    // guarantee direction: coverage at least near the level on iid halves
+    assert(out.getLong(4) >= 8500L, s"coverage ${out.getLong(4)}")
+
+    // calibration set so small that ceil((n+1)·level) exceeds n -> NULL
+    val tiny = Seq((2L, 10L), (4L, 20L)).toDF("id", "cents") // both hash < 50
+    val t = RelationalOps.conformalUpperBound(tiny, col("id"), col("cents"))
+      .collect()(0)
+    assert(t.isNullAt(2) && t.getLong(4) == 0L,
+      s"rank ${t.getLong(1)} of ${t.getLong(0)} must yield NULL threshold")
+  }
+
+  test("targetEncode: exact LOO values, prior pull on singletons, null-category drop") {
+    // cat a: y = [1, 1, 0]; cat b: y = [0]; global rate = 2/4 = 500000
+    val df = Seq((1L, "a", true), (2L, "a", true), (3L, "a", false),
+      (4L, "b", false)).toDF("id", "cat", "y")
+    val te = RelationalOps.targetEncode(df, col("id"), col("cat"), col("y"),
+        priorWeight = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // row1: (2-1)*1e6 + 2*500000 over (3-1+2) = 2e6/4
+    assert(te(1L) == 500000L && te(2L) == 500000L)
+    // row3: (2-0)*1e6 + 1e6 over 4
+    assert(te(3L) == 750000L)
+    // singleton cat b: LOO leaves nothing -> pure prior: (0 + 1e6) / 2
+    assert(te(4L) == 500000L)
+    // leakage check: row3's encoding never saw its own label — flipping it
+    // moves ONLY via the global rate, not the category sum
+    val flipped = Seq((1L, "a", true), (2L, "a", true), (3L, "a", true),
+      (4L, "b", false)).toDF("id", "cat", "y")
+    val te2 = RelationalOps.targetEncode(flipped, col("id"), col("cat"),
+        col("y"), priorWeight = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // cat-a sum minus own label unchanged for row3 (2 either way); only the
+    // global rate moved 500000 -> 750000
+    assert(te2(3L) == (2L * 1000000L + 2L * 750000L) / 4L)
+    // null categories produce no row
+    val withNull = Seq((1L, Some("a"), true), (2L, None, true))
+      .toDF("id", "cat", "y")
+    assert(RelationalOps.targetEncode(withNull, col("id"), col("cat"),
+      col("y")).count() == 1L)
+  }
 }
