@@ -104,7 +104,13 @@ object PlanDoc {
     "q_rank_metrics" -> "ranking eval: system/gold are bounded ranker outputs; hit join, per-group aggs and the ≤k-element IDCG fold are all groups-sized",
     "q_char_entropy" -> "char entropy: ONE native byte-pass kernel per row, fixed-order 26-term fold — scan → project, zero shuffle",
     "q_embed_cov" -> "covariance: narrow nested explode builds the i≤j pair stream (no self-join) — the ONLY shuffle is the (i,j) partial agg, output d²-bounded",
-    "q_media_dups" -> "media dedup: typed-map aHash, 16-bit chunk bucket self-join — candidates, never the payload cross product")
+    "q_media_dups" -> "media dedup: typed-map aHash, 16-bit chunk bucket self-join — candidates, never the payload cross product",
+    "q_jaro_pairs" -> "Jaro-Winkler linkage: blocked equi-join candidates, codegen'd JW verify — the scorer never sees a cross product",
+    "q_bootstrap" -> "Poisson bootstrap: ONE corpus scan, per-resample affine counts explode into a map-side-combinable b-grain agg (tasks×B shuffle rows)",
+    "q_hll_registers" -> "HyperLogLog: scan-side hash/bucket/rank projection into one bounded two-phase MAX agg — 64 rows per group at any corpus size",
+    "q_woe" -> "WOE/IV: bin-grain agg + 1-row totals broadcast back — the corpus shuffles once at bin grain",
+    "q_target_encode" -> "LOO target encoding: category agg + 1-row rate broadcast back onto the scan — no window, no self-join",
+    "q_conformal" -> "conformal bound: distinct-cents reduction, domain-bounded cumulative window, 1-row rank/threshold broadcasts — no corpus sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

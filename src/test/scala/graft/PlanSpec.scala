@@ -600,4 +600,40 @@ class PlanSpec extends SparkSpec {
     assert(exchIds.size == 1 && p.contains("rangepartitioning"),
       s"no shuffle before the sort:\n$p")
   }
+
+  test("jaro pairs: candidates ride the brand equi-join — never a cartesian; scan pruned to 3 columns") {
+    val p = plan("q_jaro_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay an equi-join:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("p_brand") && readSchema.contains("p_name") &&
+      !readSchema.contains("p_retailprice"),
+      s"scan must prune to the blocked fields:\n$readSchema")
+  }
+
+  test("poisson bootstrap: ONE corpus scan, explode into a combinable agg, no join") {
+    val p = plan("q_bootstrap")
+    assert(!p.contains("Join"), s"all B resamples ride one scan:\n$p")
+    assert(p.contains("Generate"), "the per-resample counts explode scan-side")
+    assert("""Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size == 1,
+      s"exactly one corpus scan:\n$p")
+  }
+
+  test("hll registers: scan -> projection -> bounded two-phase agg; no join, no window") {
+    val p = plan("q_hll_registers")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the sketch is one aggregation:\n$p")
+    assert("""Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size == 1, s"one scan:\n$p")
+  }
+
+  test("woe panel: bin-grain agg with the 1-row totals broadcast back") {
+    val p = plan("q_woe")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"totals must attach as a broadcast, never shuffle the bins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
