@@ -2622,6 +2622,25 @@ object SparkEntry {
       RelationalOps.targetEncode(t(s, d, "documents"), col("doc_id"),
           col("source"), col("lang") === "en")
         .orderBy("id")
+    }),
+
+    // ---- dedup: duplicate-survivor loss weights (keep copies, split
+    // their gradient mass) ----
+    "q_dup_weights" -> ((s, d) => {
+      Dedup.duplicateWeights(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc")
+    }),
+
+    // ---- training: k-fold cross-validation of the stump (per-fold
+    // train-vs-held-out accuracy -- the overfit readout) ----
+    "q_cv_stump" -> ((s, d) => {
+      val feats = t(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+        (col("lang") === "en").as("is_en"))
+      Curation.crossValidateStump(feats, "doc_id",
+          Seq("n_chars", "n_words"), "is_en", folds = 5)
+        .orderBy("fold")
     })
   )
 
@@ -3719,6 +3738,16 @@ object SparkEntry {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q_dedup_minhash" -> minhashSql,
+
+    "q_dup_weights" ->
+      s"""WITH sz AS (SELECT $sqlFingerprint AS fp, count(*) AS n_copies
+         |  FROM documents GROUP BY 1),
+         |dd AS (SELECT doc_id AS doc, $sqlFingerprint AS fp FROM documents)
+         |SELECT doc, n_copies,
+         |  CAST(1000000 // n_copies AS BIGINT) AS weight_micro
+         |FROM dd JOIN sz USING (fp) ORDER BY doc""".stripMargin,
+
+    "q_cv_stump" -> cvStumpSql,
 
     // candidate-quality eval: truth = the exact df-cut Jaccard lane at the
     // shipping threshold, pred = the raw band buckets; nested WITH scopes
@@ -5403,6 +5432,71 @@ object SparkEntry {
          |ORDER BY est.grp""".stripMargin
     }
   )
+
+  /** Per-fold stump CV twin: the q_stump training chain parametrized by
+    * the deterministic fold hash (train = other k−1 folds), plus a
+    * held-out eval block applying the selected (feature, threshold,
+    * polarity) with the exact bp-accuracy lane. `best` CTEs MATERIALIZED —
+    * each is referenced several times and re-inlining would replay the
+    * whole training chain per reference. */
+  private lazy val cvStumpSql: String = {
+    val folds = 5
+    def foldCond(k: Int, in: Boolean) =
+      s"((doc_id % 1000003) * 2654435761) % $folds ${if (in) "=" else "<>"} $k"
+    val blocks = (0 until folds).map { k =>
+      s"""f$k AS (
+         |  SELECT 'n_chars' AS feature, n_chars AS value, lang = 'en' AS pos
+         |  FROM documents WHERE ${foldCond(k, in = false)}
+         |  UNION ALL
+         |  SELECT 'n_words', CAST(len($sqlTokens) AS BIGINT), lang = 'en'
+         |  FROM documents WHERE ${foldCond(k, in = false)}),
+         |g$k AS (SELECT feature, value,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+         |  FROM f$k GROUP BY 1, 2),
+         |t$k AS (SELECT feature, sum(np) AS tp, sum(nn) AS tn
+         |  FROM g$k GROUP BY 1),
+         |c$k AS (SELECT g$k.feature, value,
+         |    sum(np) OVER (PARTITION BY g$k.feature ORDER BY value) AS cnp,
+         |    sum(nn) OVER (PARTITION BY g$k.feature ORDER BY value) AS cnn,
+         |    t$k.tp, t$k.tn
+         |  FROM g$k JOIN t$k ON t$k.feature = g$k.feature),
+         |s$k AS (SELECT feature, value AS threshold,
+         |    CASE WHEN cnp + tn - cnn >= cnn + tp - cnp
+         |         THEN 'le_pos' ELSE 'le_neg' END AS polarity,
+         |    greatest(cnp + tn - cnn, cnn + tp - cnp) * 10000 // (tp + tn)
+         |      AS acc_bp
+         |  FROM c$k),
+         |best$k AS MATERIALIZED (SELECT feature,
+         |    CAST(threshold AS BIGINT) AS threshold, polarity,
+         |    CAST(acc_bp AS BIGINT) AS acc_bp
+         |  FROM s$k ORDER BY acc_bp DESC, feature, threshold, polarity
+         |  LIMIT 1),
+         |ev$k AS (SELECT
+         |    CASE WHEN (SELECT feature FROM best$k) = 'n_chars' THEN n_chars
+         |         ELSE CAST(len($sqlTokens) AS BIGINT) END AS v,
+         |    lang = 'en' AS pos
+         |  FROM documents WHERE ${foldCond(k, in = true)}),
+         |a$k AS (SELECT $k AS fold,
+         |    (SELECT feature FROM best$k) AS feature,
+         |    (SELECT threshold FROM best$k) AS threshold,
+         |    (SELECT polarity FROM best$k) AS polarity,
+         |    (SELECT acc_bp FROM best$k) AS train_acc_bp,
+         |    count(*) AS n_test,
+         |    CAST(CASE WHEN count(*) > 0 THEN (10000 * sum(CASE WHEN
+         |        (CASE WHEN (SELECT polarity FROM best$k) = 'le_pos'
+         |              THEN v <= (SELECT threshold FROM best$k)
+         |              ELSE v > (SELECT threshold FROM best$k) END) = pos
+         |        THEN 1 ELSE 0 END)) // count(*) ELSE 0 END AS BIGINT)
+         |      AS test_acc_bp
+         |  FROM ev$k WHERE v IS NOT NULL AND pos IS NOT NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $blocks
+       |SELECT CAST(fold AS BIGINT) AS fold, feature, threshold, polarity,
+       |  train_acc_bp, CAST(n_test AS BIGINT) AS n_test, test_acc_bp
+       |FROM (${(0 until folds).map(k => s"SELECT * FROM a$k").mkString(" UNION ALL ")})
+       |ORDER BY fold""".stripMargin
+  }
 
   /** Unrolled removal-effect attribution twin: journey pairs → pivoted
     * transition-count row → one value-iteration CTE chain per scenario

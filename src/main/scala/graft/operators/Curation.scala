@@ -106,6 +106,54 @@ object Curation {
       .limit(1)
   }
 
+  /** K-FOLD CROSS-VALIDATION of the decision stump — the measure-twice
+    * discipline [[trainStump]]'s single split can't give: the train
+    * accuracy of a model selected ON the training set is optimistically
+    * biased, and CV is the standard estimate of the real one. Folds are
+    * the deterministic id hash (reproducible membership, the
+    * [[splitAssignments]] contract); per fold, the stump trains on the
+    * other k−1 folds and scores the held-out fold with the EXACT
+    * bp-accuracy lane. A stable gap between train_acc_bp and test_acc_bp
+    * across folds is the overfit signal; fold-to-fold variance of
+    * test_acc_bp is the error bar.
+    *
+    * Scale shape: the featurized frame materializes once (lazy persist —
+    * 2k passes read it); each fold is the trainStump aggregate (value-
+    * domain grain) plus one test-fold aggregate, and the per-fold model
+    * is a 1-row collect (driver-state bounded class). Eval rows with a
+    * NULL chosen-feature or label drop, mirroring training's per-feature
+    * null filter. */
+  def crossValidateStump(df: DataFrame, idCol: String,
+                         featureCols: Seq[String], labelCol: String,
+                         folds: Int): DataFrame = {
+    require(folds >= 2 && folds <= 10, s"folds=$folds")
+    val withFold = df
+      .withColumn("__fold", knuthHash(col(idCol), folds.toLong))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = (0 until folds).map { f =>
+      val stump = trainStump(withFold.filter(col("__fold") =!= f),
+        featureCols, labelCol).collect()(0)
+      val (feat, thr, pol) =
+        (stump.getString(0), stump.getLong(1), stump.getString(2))
+      val pred =
+        if (pol == "le_pos") col(feat).cast("long") <= thr
+        else col(feat).cast("long") > thr
+      val m = withFold.filter(col("__fold") === f)
+        .filter(col(feat).isNotNull && col(labelCol).isNotNull)
+        .agg(count(lit(1)),
+          sum(when(pred === col(labelCol).cast("boolean"), 1L)
+            .otherwise(0L)))
+        .collect()(0)
+      val nTest = m.getLong(0)
+      (f.toLong, feat, thr, pol, stump.getLong(3), nTest,
+        if (nTest > 0) m.getLong(1) * 10000L / nTest else 0L)
+    }
+    withFold.unpersist()
+    import df.sparkSession.implicits._
+    rows.toDF("fold", "feature", "threshold", "polarity",
+      "train_acc_bp", "n_test", "test_acc_bp")
+  }
+
   /** GROUP-atomic split: like [[splitAssignments]], but membership hashes
     * the GROUP key, so every row of a group lands in the same split —
     * the GroupKFold hygiene rule that stops near-duplicate families,

@@ -33,6 +33,22 @@ object Dedup {
     docs.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-survivor LOSS WEIGHTS — the soft alternative to dropping
+    * exact duplicates: every copy stays in the corpus but carries
+    * weight = 1e6 div n_copies, so a document's total gradient mass is
+    * independent of how many times the crawl caught it (the
+    * repetition-control lever when provenance wants copies kept).
+    * One fingerprint agg + a join back on the fingerprint — the same
+    * single-shuffle shape as [[exact]], plus the fp-keyed join. */
+  def duplicateWeights(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sizes = docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.select(col(idCol).as("doc"), fingerprint(col(textCol)).as("fp"))
+      .join(sizes, "fp")
+      .select(col("doc"), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_micro"))
+  }
+
   /** Distinct (doc, shingle) rows — the shared intermediate of every
     * shingle-based dedup variant. Uniqueness is established INSIDE the
     * shingle kernel (per-document set), so no corpus-wide distinct shuffle

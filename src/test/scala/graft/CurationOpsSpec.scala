@@ -570,6 +570,43 @@ class CurationOpsSpec extends SparkSpec {
       .collect().head.toSeq == r.toSeq)
   }
 
+  test("crossValidateStump: per-fold models match training the folds by hand; held-out accuracy exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def foldOf(id: Long, k: Int): Long = ((id % 1000003L) * 2654435761L) % k
+    // signal feature f1 (pos iff f1 <= 50) with a little noise; f2 random-ish
+    val rows = (1L to 300L).map { i =>
+      val pos = (i % 100 < 50) != (i % 17 == 0)
+      (i, if (pos) i % 50 else 51 + (i % 40), (i * 7) % 90, pos)
+    }
+    val df = rows.toDF("id", "f1", "f2", "y")
+    val cv = Curation.crossValidateStump(df, "id", Seq("f1", "f2"), "y", 3)
+      .orderBy("fold").collect()
+    assert(cv.length == 3)
+    for (r <- cv) {
+      val f = r.getLong(0)
+      // re-train on the same folds directly: must agree exactly
+      val manual = Curation.trainStump(
+        df.filter(expr(s"((id % 1000003) * 2654435761) % 3 <> $f")),
+        Seq("f1", "f2"), "y").collect().head
+      assert((r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)) ==
+        ((manual.getString(0), manual.getLong(1), manual.getString(2),
+          manual.getLong(3))), s"fold $f model mismatch")
+      // held-out accuracy recomputed sequentially
+      val test = rows.filter(t => foldOf(t._1, 3) == f)
+      val (feat, thr, pol) = (r.getString(1), r.getLong(2), r.getString(3))
+      val correct = test.count { case (_, f1, f2, y) =>
+        val v = if (feat == "f1") f1 else f2
+        (if (pol == "le_pos") v <= thr else v > thr) == y
+      }
+      assert(r.getLong(5) == test.size.toLong)
+      assert(r.getLong(6) == correct * 10000L / test.size)
+    }
+    // fold partition: every row in exactly one test fold
+    assert((0 until 3).map(f => rows.count(t => foldOf(t._1, 3) == f)).sum ==
+      rows.size)
+  }
+
   test("groupSplitAssignments: group-atomic (no group straddles splits); null group fails loudly") {
     import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, s"g${i % 12}")).toDF("id", "grp")
