@@ -2641,6 +2641,39 @@ object SparkEntry {
       Curation.crossValidateStump(feats, "doc_id",
           Seq("n_chars", "n_words"), "is_en", folds = 5)
         .orderBy("fold")
+    }),
+
+    // ---- sequences: batch gap-sessionization (30-min inactivity) ----
+    "q_sessionize" -> ((s, d) => {
+      Sequences.sessionize(t(s, d, "events"), "user_id", "ts",
+          Seq("ts", "event_id"), gapMillis = 1800000L)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---- timeseries: Kaplan-Meier survival of session durations
+    // (sessions still open at the corpus horizon are right-censored) ----
+    "q_kaplan_meier" -> ((s, d) => {
+      val sess = Sequences.sessionize(t(s, d, "events"), "user_id", "ts",
+        Seq("ts", "event_id"), gapMillis = 1800000L)
+      val mx = sess.agg(max("end_ts").as("__m"))
+      val subj = sess.crossJoin(broadcast(mx))
+        .select(expr("duration_ms div 60000").as("t"),
+          (col("end_ts") < col("__m") - expr("INTERVAL 30 MINUTES")).as("e"))
+      Timeseries.kaplanMeier(subj, col("t"), col("e")).orderBy("t")
+    }),
+
+    // ---- eval: calibration panel / reliability diagram over the
+    // stopword-ratio "English probability" score ----
+    "q_ece" -> ((s, d) => {
+      val nWords = size(TextFunctions.tokens(col("text"))).cast("long")
+      val nStop = TextFunctions.stopwordCount(col("text")).cast("long")
+      val scored = t(s, d, "documents")
+        .select((lit(10000L) * nStop).as("__num"),
+          greatest(nWords, lit(1L)).as("__den"),
+          (col("lang") === "en").as("is_en"))
+        .select(expr("__num div __den").as("score_bp"), col("is_en"))
+      RelationalOps.calibrationPanel(scored, col("score_bp"), col("is_en"))
+        .orderBy("bin")
     })
   )
 
@@ -3748,6 +3781,93 @@ object SparkEntry {
          |FROM dd JOIN sz USING (fp) ORDER BY doc""".stripMargin,
 
     "q_cv_stump" -> cvStumpSql,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS nb
+        |  FROM e),
+        |sx AS (SELECT user_id, ts,
+        |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM b)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+        |FROM sx GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "q_kaplan_meier" ->
+      """WITH e0 AS (SELECT user_id, ts, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |b0 AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS nb
+        |  FROM e0),
+        |sx0 AS (SELECT user_id, ts,
+        |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+        |  FROM b0),
+        |sess AS MATERIALIZED (SELECT user_id, si, max(ts) AS en,
+        |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur
+        |  FROM sx0 GROUP BY 1, 2),
+        |mx AS (SELECT max(en) AS m FROM sess),
+        |subj AS (SELECT dur // 60000 AS t,
+        |    en < (SELECT m FROM mx) - INTERVAL 30 MINUTE AS e FROM sess),
+        |g AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN 0 ELSE 1 END) AS c FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM g),
+        |r AS (SELECT t, d,
+        |    nn - coalesce(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM g, tot),
+        |tm AS (SELECT t, d, n_at_risk,
+        |    CASE WHEN d < n_at_risk THEN CAST(round(
+        |        ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) * 1e6, 0)
+        |      AS BIGINT) END AS term
+        |  FROM r),
+        |ls AS (SELECT t, d, n_at_risk,
+        |    sum(term) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+        |  FROM tm)
+        |SELECT CAST(t AS BIGINT) AS t,
+        |  CAST(n_at_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS d,
+        |  CASE WHEN d < n_at_risk THEN CAST(lsum AS BIGINT) END
+        |    AS logs_micro,
+        |  CASE WHEN d >= n_at_risk THEN 0
+        |       ELSE CAST(round(exp(CAST(lsum AS DOUBLE) / 1e6) * 10000, 0)
+        |         AS BIGINT) END AS s_bp
+        |FROM ls WHERE d > 0 ORDER BY t""".stripMargin,
+
+    "q_ece" -> {
+      val stop = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH sc AS (SELECT
+         |    (10000 * CAST(len(list_filter(list_filter(
+         |        string_split(lower(text), ' '), x -> x <> ''),
+         |        x -> list_contains([$stop], x))) AS BIGINT))
+         |      // greatest(CAST(len($sqlTokens) AS BIGINT), 1) AS s,
+         |    lang = 'en' AS y
+         |  FROM documents),
+         |f AS (SELECT s, y FROM sc WHERE s IS NOT NULL AND y IS NOT NULL),
+         |b AS (SELECT least(s // 1000, 9) AS bin, s, y FROM f)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_bp,
+         |  CAST((10000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS obs_rate_bp,
+         |  CAST(abs(sum(s) // count(*)
+         |      - (10000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // count(*))
+         |    * count(*) AS BIGINT) AS ece_contrib
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+    },
 
     // candidate-quality eval: truth = the exact df-cut Jaccard lane at the
     // shipping threshold, pred = the raw band buckets; nested WITH scopes

@@ -1320,6 +1320,33 @@ object RelationalOps {
         round(shareDiff * log(ratio) * 1e6, 0).cast("long").as("iv_micro"))
   }
 
+  /** CALIBRATION PANEL (reliability diagram + per-bin ECE contribution) —
+    * "when the scorer says 70%, is it right 70% of the time?": scores in
+    * basis points bucket into `nBins` fixed-width bins; each bin reports
+    * its exact mean claimed probability, observed positive rate, and
+    * |gap|·n contribution (Σ contributions div N = the Expected
+    * Calibration Error). The readout that decides whether a quality/
+    * safety classifier's scores can gate by THRESHOLD or must first go
+    * through [[Curation]]'s quantile calibration. All exact integer
+    * arithmetic at bin grain; one map-side-combinable aggregate. */
+  def calibrationPanel(df: DataFrame, scoreBpCol: Column, labelCol: Column,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"nBins=$nBins")
+    val width = 10000L / nBins
+    df.select(scoreBpCol.cast("long").as("__s"),
+        labelCol.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .withColumn("bin",
+        least(expr(s"__s div $width"), lit(nBins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(__s) div count(1)").as("mean_score_bp"),
+        expr("(10000 * sum(CASE WHEN __y THEN 1 ELSE 0 END)) div count(1)")
+          .as("obs_rate_bp"))
+      .withColumn("ece_contrib",
+        abs(col("mean_score_bp") - col("obs_rate_bp")) * col("n"))
+  }
+
   /** SPLIT-CONFORMAL UPPER BOUND — the distribution-free "this metric
     * stays under T with probability ≥ level" gate (Vovk's conformal
     * prediction in its simplest, production-honest form): a deterministic

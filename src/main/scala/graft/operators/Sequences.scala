@@ -65,6 +65,37 @@ object Sequences {
       .limit(k)
   }
 
+  /** BATCH GAP-SESSIONIZATION — the offline twin of the streaming session
+    * window (`session_window` / the fMGWS variant in StatefulOps): a new
+    * session starts where the gap to the previous event exceeds
+    * `gapMillis`; session ids are the running count of boundary flags
+    * (exact, reproducible — no state machine). Output is session-grain:
+    * (key, session_idx, n_events, start_ts, end_ts, duration_ms).
+    *
+    * Scale shape: ONE key exchange; the boundary lag, the running count,
+    * and the final session agg all share its partitioning (the groupBy
+    * keys prefix the window keys). Millisecond integer arithmetic —
+    * engine-portable, no timestamp float lanes. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 orderCols: Seq[String], gapMillis: Long): DataFrame = {
+    require(gapMillis > 0, s"gapMillis=$gapMillis")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val ms = unix_millis(col(tsCol))
+    val boundary = when(lag(ms, 1).over(w).isNull ||
+      ms - lag(ms, 1).over(w) > gapMillis, 1L).otherwise(0L)
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).as("__ts"),
+        sum(boundary).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_idx"))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("__ts").as("start_ts"), max("__ts").as("end_ts"))
+      .withColumn("duration_ms",
+        unix_millis(col("end_ts")) - unix_millis(col("start_ts")))
+  }
+
   /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the
     * data-driven multi-touch model next to [[Timeseries.lastTouchAttribution]]'s
     * heuristic): journeys become a first-order chain

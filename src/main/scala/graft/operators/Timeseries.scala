@@ -294,6 +294,54 @@ object Timeseries {
     * of the event log, no per-conversion scan-back. The window partitions
     * by the entity key, so 100 TB of events shuffle once on a key whose
     * per-partition slices are user-history-sized, never global. */
+  /** KAPLAN–MEIER SURVIVAL CURVE with right-censoring — retention's
+    * honest estimator: at each duration t with d(t) observed events, the
+    * survival multiplies by (n_at_risk − d)/n_at_risk, and censored
+    * subjects leave the risk set WITHOUT counting as events (averaging
+    * them in is the classic churn-overstatement bug).
+    *
+    * Cross-engine exactness: the prefix PRODUCT becomes a prefix SUM of
+    * per-step log terms, each term rounded to integer micro-units
+    * (ln of an exact rational — the proven round(ln·1e6) lane), so the
+    * accumulation is integer and order-invariant; only the final
+    * exp(logS) display column re-enters float. When the last at-risk
+    * subjects all die (d = n), logS is −∞ — that row reports NULL
+    * log-survival and s_bp = 0 explicitly.
+    *
+    * Scale shape: subject rows reduce to duration-grain counts (one
+    * map-side-combinable agg); the cumulative windows run over the
+    * DURATION DOMAIN, not subjects (the KS/Gini value-domain class);
+    * output rows = distinct event durations. */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("__e"))
+      .filter(col("t").isNotNull && col("__e").isNotNull)
+    val grain = base.groupBy("t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = grain.agg(sum(col("d") + col("__c")).cast("long").as("__n"))
+    grain.crossJoin(broadcast(n))
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("d") + col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__term",
+        when(col("d") < col("n_at_risk"),
+          round(log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double")) * 1e6, 0).cast("long")))
+      .withColumn("logs_micro", sum(col("__term")).over(wCur))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("n_at_risk"), col("d"),
+        when(col("d") < col("n_at_risk"), col("logs_micro")).as("logs_micro"),
+        when(col("d") >= col("n_at_risk"), lit(0L))
+          .otherwise(round(
+            exp(col("logs_micro").cast("double") / 1e6) * 10000, 0)
+            .cast("long")).as("s_bp"))
+  }
+
   def lastTouchAttribution(df: DataFrame, keyCol: String, orderCols: Seq[String],
                            typeCol: String, valueCol: String,
                            convType: String): DataFrame = {

@@ -751,6 +751,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(e == Seq((0L, 1L, 1L)))
   }
 
+  test("calibrationPanel: exact per-bin means/rates/contributions; top bin absorbs score 10000; nulls drop") {
+    // bin width 1000 (10 bins): scores 500,700 -> bin 0; 9500,10000 -> bin 9
+    val df = Seq((500L, true), (700L, false), (9500L, true), (10000L, true),
+      (10000L, false)).toDF("s", "y")
+    val got = RelationalOps.calibrationPanel(df, col("s"), col("y"))
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bin 0: n=2, mean=(500+700)/2=600, obs=(10000*1)/2=5000, |600-5000|*2
+    // bin 9: n=3, mean=(9500+20000)/3=9833, obs=(10000*2)/3=6666
+    assert(got == Seq(
+      (0L, 2L, 600L, 5000L, 8800L),
+      (9L, 3L, 9833L, 6666L, (9833L - 6666L) * 3L)))
+    val withNull = Seq((Some(100L), Some(true)), (None, Some(true)),
+      (Some(200L), None)).toDF("s", "y")
+    assert(RelationalOps.calibrationPanel(withNull, col("s"), col("y"))
+      .agg(sum("n")).as[Long].collect().head == 1L)
+  }
+
   test("conformalUpperBound: exact order-statistic rank, measured coverage, tiny-set NULL branch") {
     // ids chosen so knuthHash(id,100) splits deterministically; recompute
     // the split in the test to stay honest to the hash

@@ -75,6 +75,33 @@ class SequencesSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("sessionize: gap strictly-greater splits, per-user contiguous ids, exact durations") {
+    import org.apache.spark.sql.functions._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(ms: Long) = new java.sql.Timestamp(base.getTime + ms)
+    val gap = 1000L
+    val df = Seq(
+      (1L, at(0), 1L), (1L, at(1000), 2L),    // gap == 1000: NOT a boundary
+      (1L, at(2001), 3L),                     // gap 1001 > 1000: new session
+      (1L, at(2500), 4L),
+      (2L, at(0), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sequences.sessionize(df, "user_id", "ts",
+        Seq("ts", "event_id"), gap)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_ms")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L, 1000L), (1L, 2L, 2L, 499L),
+      (2L, 1L, 1L, 0L)))
+    // partitioning invariance
+    val rep = Sequences.sessionize(df.repartition(7), "user_id", "ts",
+        Seq("ts", "event_id"), gap)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_ms")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == got)
+  }
+
   test("removalEffectAttribution: hand-computed fixture (truncation, taxonomy filter, direct conversion)") {
     // journeys: u1/u2 [A,conv]; u3 [B,null]; u4 [B,conv];
     // u5 [A,conv,(B,conv dropped — truncate at first conversion)];

@@ -224,4 +224,39 @@ class TimeseriesSpec extends SparkSpec {
     // (10000·30·2) div 40 = 15000
     assert(out == Map(1L -> 5000L, 6L -> 15000L), s"got: $out")
   }
+
+  test("kaplanMeier: sequential product reference, censoring leaves risk set silently, terminal d=n row") {
+    import org.apache.spark.sql.functions._
+    // durations: events at t=1 (2 of 5), t=3 (1 of remaining 3 after a
+    // censor at t=2), terminal death at t=4
+    val df = Seq((1L, true), (1L, true), (2L, false), (3L, true), (4L, true))
+      .toDF("t", "e")
+    val got = Timeseries.kaplanMeier(df, col("t"), col("e"))
+      .orderBy("t").collect()
+    // t=1: n=5, d=2 -> S=3/5; t=3: n=2 (censor at 2 removed), d=1 -> S=3/10
+    // t=4: n=1, d=1 -> terminal: NULL logS, s_bp=0
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 5L, 2L), (3L, 2L, 1L), (4L, 1L, 1L)))
+    def expBp(s: Double) = math.rint(s * 10000).toLong
+    val term1 = math.rint(math.log(3.0 / 5.0) * 1e6).toLong
+    val term3 = math.rint(math.log(1.0 / 2.0) * 1e6).toLong
+    assert(got(0).getLong(3) == term1)
+    assert(got(1).getLong(3) == term1 + term3)
+    assert(got(0).getLong(4) == expBp(math.exp(term1 / 1e6)))
+    assert(got(1).getLong(4) == expBp(math.exp((term1 + term3) / 1e6)))
+    assert(got(2).isNullAt(3) && got(2).getLong(4) == 0L,
+      "all-die terminal row: NULL log-survival, s_bp 0")
+    // the censored subject never surfaces as an event row (no t=2 output)
+    // but DOES shrink the t=3 risk set from 3 to 2 — treating the censor
+    // as an event instead would put a d row at t=2
+    assert(!got.exists(_.getLong(0) == 2L), "censor-only durations emit no row")
+    val censAsEvent = Timeseries.kaplanMeier(
+      df.withColumn("e", lit(true)), col("t"), col("e"))
+      .orderBy("t").collect()
+    assert(censAsEvent.exists(r => r.getLong(0) == 2L && r.getLong(2) == 1L))
+    // partitioning invariance
+    val rep = Timeseries.kaplanMeier(df.repartition(5), col("t"), col("e"))
+      .orderBy("t").collect().map(_.toSeq).toSeq
+    assert(rep == got.map(_.toSeq).toSeq)
+  }
 }
