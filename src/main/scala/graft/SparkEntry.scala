@@ -2674,6 +2674,19 @@ object SparkEntry {
         .select(expr("__num div __den").as("score_bp"), col("is_en"))
       RelationalOps.calibrationPanel(scored, col("score_bp"), col("is_en"))
         .orderBy("bin")
+    }),
+
+    // ---- experimentation: power / sample-size row (exact variance) ----
+    "q_power" -> ((s, d) => {
+      RelationalOps.powerSampleSize(t(s, d, "orders"),
+        round(col("o_totalprice") * 100).cast("long"), mdeCents = 25000L)
+    }),
+
+    // ---- experimentation: post-stratified mean vs the naive readout ----
+    "q_post_strat" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      RelationalOps.postStratifiedMean(docs, col("source"), col("n_chars"),
+        docs.filter(col("lang") === "en"), col("source"))
     })
   )
 
@@ -3781,6 +3794,40 @@ object SparkEntry {
          |FROM dd JOIN sz USING (fp) ORDER BY doc""".stripMargin,
 
     "q_cv_stump" -> cvStumpSql,
+
+    "q_power" -> {
+      val zz2 = 2L * RelationalOps.PowerZSumSqMicro
+      val den = 25000L * 25000L * 1000000L
+      s"""WITH a AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS x
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |g AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s1,
+         |    sum(CAST(x AS HUGEINT) * x) AS s2 FROM a),
+         |v AS (SELECT n, CAST(s1 // n AS BIGINT) AS mean_cents,
+         |    CAST((n * s2 - s1 * s1) // (n * (n - 1)) AS BIGINT)
+         |      AS var_cents2
+         |  FROM g)
+         |SELECT n AS n_units, mean_cents, var_cents2,
+         |  CAST(25000 AS BIGINT) AS mde_cents,
+         |  CAST(($zz2 * CAST(var_cents2 AS HUGEINT) + $den - 1) // $den
+         |    AS BIGINT) AS n_per_arm
+         |FROM v""".stripMargin
+    },
+
+    "q_post_strat" ->
+      """WITH cur AS (SELECT source AS st, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |ca AS (SELECT st, count(*) AS n, sum(CAST(x AS HUGEINT)) AS s
+        |  FROM cur GROUP BY 1),
+        |rf AS (SELECT source AS st, count(*) AS rn FROM documents
+        |  WHERE lang = 'en' AND source IS NOT NULL GROUP BY 1),
+        |rt AS (SELECT CAST(sum(rn) AS BIGINT) AS t FROM rf),
+        |j AS (SELECT (10000 * rn) // t AS w_bp, (100 * s) // n AS mean_cc,
+        |    n, s
+        |  FROM ca JOIN rf USING (st), rt)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_units,
+        |  CAST((100 * sum(s)) // sum(n) AS BIGINT) AS naive_mean_ccents,
+        |  CAST(sum(w_bp * mean_cc) // 10000 AS BIGINT) AS ps_mean_ccents
+        |FROM j""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, ts, event_id, epoch_ms(ts) AS ms

@@ -1320,6 +1320,82 @@ object RelationalOps {
         round(shareDiff * log(ratio) * 1e6, 0).cast("long").as("iv_micro"))
   }
 
+  /** EXPERIMENT POWER / SAMPLE-SIZE row — "how many units per arm before
+    * this metric can detect a Δ?": n = ⌈2·(z_α/2 + z_β)²·σ² / Δ²⌉, the
+    * two-sample normal-approximation workhorse. σ² comes EXACTLY from the
+    * cents domain (the olsTrend decimal lane: n·Σx² − (Σx)² over n·(n−1));
+    * the z constants are compile-time literals (α = 5% two-sided,
+    * power 80% → (1.959964 + 0.841621)² — embedded micro-scaled in both
+    * engines, never recomputed). Output one row:
+    * (n_units, mean_cents, var_cents2, mde_cents, n_per_arm). All
+    * integer arithmetic — the ceiling division is exact.
+    *
+    * Scale shape: ONE map-side-combinable 3-sum aggregate; everything
+    * after is 1-row math. */
+  val PowerZSumSqMicro: Long = {
+    val z = 1.959964 + 0.841621 // z_{0.025} + z_{0.20}
+    math.round(z * z * 1e6) // 7849174
+  }
+  def powerSampleSize(df: DataFrame, valueCents: Column,
+                      mdeCents: Long): DataFrame = {
+    require(mdeCents > 0, s"mdeCents=$mdeCents")
+    // the ceiling-division constants precompute in Scala (SQL int literals
+    // would overflow INT before widening)
+    val zz2 = 2L * PowerZSumSqMicro
+    val den = mdeCents * mdeCents * 1000000L
+    df.select(valueCents.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s1"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__s2"))
+      .select(col("n_units"),
+        expr("__s1 div n_units").as("mean_cents"),
+        expr("(n_units * __s2 - __s1 * __s1) div (n_units * (n_units - 1))")
+          .as("var_cents2"),
+        lit(mdeCents).as("mde_cents"))
+      // ceil(2·zz·σ² / Δ²): numerator rides DECIMAL(38,0) — 2·zz_micro·σ²
+      // overflows a long at realistic cent variances
+      .withColumn("n_per_arm",
+        expr(s"($zz2 * CAST(var_cents2 AS DECIMAL(38,0)) + $den - 1) " +
+          s"div $den"))
+  }
+
+  /** POST-STRATIFICATION estimator — reweight a metric's per-stratum means
+    * to REFERENCE stratum shares (the survey-sampling fix for "our sample
+    * over-represents stratum X"): ps_mean = Σ_s share_s·mean_s with shares
+    * from the reference relation in basis points. Reports the naive mean
+    * beside it; the gap is the composition-shift bias the naive readout
+    * hides (the estimator twin of the PSI drift alarm). Exact integers:
+    * per-stratum means floored to centi-cents, share weights in bp,
+    * one floored division at the end.
+    *
+    * Scale shape: one stratum-grain agg per relation (both map-side
+    * combinable), strata-sized join, 1-row outputs. */
+  def postStratifiedMean(df: DataFrame, stratumCol: Column,
+                         valueCents: Column, reference: DataFrame,
+                         refStratumCol: Column): DataFrame = {
+    val cur = df.select(stratumCol.as("stratum"),
+        valueCents.cast("long").as("__x"))
+      .filter(col("stratum").isNotNull && col("__x").isNotNull)
+    val curAgg = cur.groupBy("stratum")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"))
+    val ref = reference.select(refStratumCol.as("stratum"))
+      .filter(col("stratum").isNotNull)
+      .groupBy("stratum").agg(count(lit(1)).as("__rn"))
+    val refTot = ref.agg(sum("__rn").cast("long").as("__rt"))
+    val joined = curAgg.join(ref, Seq("stratum"))
+      .crossJoin(broadcast(refTot))
+      .select(
+        expr("(10000 * __rn) div __rt").as("__w_bp"),
+        expr("(100 * __s) div __n").as("__mean_cc"),
+        col("__n"), col("__s"))
+    joined.agg(
+        sum("__n").cast("long").as("n_units"),
+        expr("(100 * sum(__s)) div sum(__n)").as("naive_mean_ccents"),
+        expr("sum(__w_bp * __mean_cc) div 10000").as("ps_mean_ccents"))
+  }
+
   /** CALIBRATION PANEL (reliability diagram + per-bin ECE contribution) —
     * "when the scorer says 70%, is it right 70% of the time?": scores in
     * basis points bucket into `nBins` fixed-width bins; each bin reports

@@ -769,6 +769,40 @@ class RelationalOpsSpec extends SparkSpec {
       .agg(sum("n")).as[Long].collect().head == 1L)
   }
 
+  test("powerSampleSize: exact variance, ceiling division, scale sanity (4x smaller MDE -> 16x n)") {
+    // values 10, 20, 30, 40 cents: mean 25, var = (4·3000 − 100²)/(4·3) = 166
+    val df = Seq(10L, 20L, 30L, 40L).toDF("cents")
+    val r = RelationalOps.powerSampleSize(df, col("cents"), mdeCents = 2L)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 25L, 166L, 2L)))
+    val zz2 = 2L * RelationalOps.PowerZSumSqMicro
+    val den = 2L * 2L * 1000000L
+    assert(r.getLong(4) == (zz2 * 166L + den - 1) / den,
+      "ceiling of 2·(z_a+z_b)²·σ²/Δ²")
+    val r8 = RelationalOps.powerSampleSize(df, col("cents"), mdeCents = 8L)
+      .collect()(0)
+    // quadratic law within integer flooring: a 4x larger MDE needs ~16x less
+    assert(math.abs(r.getLong(4) - 16L * r8.getLong(4)) <= 16L)
+  }
+
+  test("postStratifiedMean: reweighting corrects composition shift exactly; matched-strata contract") {
+    // current sample over-represents stratum a (3:1); reference is 1:1.
+    // means: a=100, b=200 -> naive favours a; post-stratified = 150.
+    val cur = Seq(("a", 100L), ("a", 100L), ("a", 100L), ("b", 200L))
+      .toDF("st", "x")
+    val ref = Seq("a", "b", "a", "b").toDF("st")
+    val r = RelationalOps.postStratifiedMean(cur, col("st"), col("x"),
+      ref, col("st")).as[(Long, Long, Long)].collect().head
+    assert(r == ((4L, 12500L, 15000L)),
+      s"naive 125.00, post-stratified exactly 150.00: $r")
+    // strata missing from the reference drop (no weight exists for them)
+    val refA = Seq("a").toDF("st")
+    val r2 = RelationalOps.postStratifiedMean(cur, col("st"), col("x"),
+      refA, col("st")).as[(Long, Long, Long)].collect().head
+    assert(r2 == ((3L, 10000L, 10000L)))
+  }
+
   test("conformalUpperBound: exact order-statistic rank, measured coverage, tiny-set NULL branch") {
     // ids chosen so knuthHash(id,100) splits deterministically; recompute
     // the split in the test to stay honest to the hash
