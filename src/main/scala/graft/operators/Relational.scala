@@ -1272,18 +1272,34 @@ object RelationalOps {
   def poissonBootstrap(df: DataFrame, idCol: Column, valueCents: Column,
                        resamples: Int): DataFrame = {
     require(resamples >= 2 && resamples <= 256, s"resamples=$resamples")
-    val counts = array(bootRowParams(resamples).map { case (a, c) =>
-      bootCount(pmod(col("__h") * a + c, lit(BootP)))
-    }: _*)
-    df.select(graft.operators.Sketches.md5Hash32(idCol).as("__h"),
+    // one straight-line aggregate with 2B sum columns instead of a ×B
+    // posexplode: the exploded form materialized B× the corpus into the
+    // partial agg (measured 6.9 s at sf0.1 for B=40; this shape runs the
+    // same ladder arithmetic inside ONE codegen'd row pass and shuffles a
+    // single 2B-column partial row per task)
+    // the projection boundary pins the digest to ONE evaluation per row
+    // (the CMS lesson — inlining md5 into each count column re-evaluates
+    // it B times)
+    val wide = df
+      .select(graft.operators.Sketches.md5Hash32(idCol).as("__h"),
         valueCents.cast("long").as("__x"))
-      .select(col("__x"), posexplode(counts).as(Seq("b", "__c")))
-      .groupBy("b")
-      .agg(sum(col("__c")).as("n_eff"),
-        sum(col("__c").cast("decimal(38,0)") * col("__x")).as("__sx"))
-      .select(col("b").cast("long").as("b"), col("n_eff"),
-        col("__sx").cast("decimal(38,0)").as("sum_cents"),
-        expr("(100 * __sx) div n_eff").as("mean_ccents"))
+      .select(col("__x") +:
+        bootRowParams(resamples).zipWithIndex.map { case ((a, c), j) =>
+          bootCount(pmod(col("__h") * a + c, lit(BootP))).as(s"__c$j")
+        }: _*)
+    val aggs = (0 until resamples).flatMap { j =>
+      Seq(sum(col(s"__c$j")).as(s"__n$j"),
+        sum(col(s"__c$j").cast("decimal(38,0)") * col("__x")).as(s"__sx$j"))
+    }
+    val stacked = explode(array((0 until resamples).map { j =>
+      struct(lit(j.toLong).as("b"), col(s"__n$j").as("n_eff"),
+        col(s"__sx$j").as("__sx"))
+    }: _*)).as("r")
+    wide.agg(aggs.head, aggs.tail: _*)
+      .select(stacked)
+      .select(col("r.b").as("b"), col("r.n_eff").as("n_eff"),
+        col("r.__sx").cast("decimal(38,0)").as("sum_cents"),
+        expr("(100 * r.__sx) div r.n_eff").as("mean_ccents"))
   }
 
   /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE panel — the credit-scoring

@@ -71,6 +71,39 @@ class JaroWinklerSpec extends SparkSpec {
     assert(viaSql.isNullAt(1), "null in, null out")
   }
 
+  test("jaroBound is SOUND: no pair at or above the threshold is ever filtered") {
+    import graft.expressions.JaroCommonBytesKernel
+    def cb(a: String, b: String): Long = JaroCommonBytesKernel.commonBytes(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    // kernel correctness: exact byte-multiset intersection
+    assert(cb("aabc", "abca") == 4L && cb("aabc", "ab") == 2L &&
+      cb("abc", "xyz") == 0L && cb("", "abc") == 0L)
+    assert(cb("a b", "b a") == 3L, "spaces count as matchable bytes")
+    // soundness sweep: pseudo-random word-soup pairs at several thresholds
+    val vocab = Seq("gold", "rod", "lavender", "spring", "choco", "late",
+      "mint", "navy", "pale", "deep", "dim", "dark", "light", " ")
+    def mk(seed: Int): String =
+      (0 until 4 + seed % 4).map(i => vocab((seed * 31 + i * 17) % vocab.size))
+        .mkString(" ")
+    val pairs = for (i <- 1 to 60; j <- 1 to 60 if i < j) yield (mk(i), mk(j))
+    for (bp <- Seq(7000L, 8500L, 9000L, 9500L); (a, b) <- pairs) {
+      val jwBp = math.rint(jw(a, b) * 10000).toLong
+      if (jwBp >= bp) {
+        val t2 = 2L * bp - 1L
+        val (la, lb) = (a.getBytes("UTF-8").length.toLong,
+          b.getBytes("UTF-8").length.toLong)
+        assert(4000L * cb(a, b) * (la + lb) >= (t2 - 12000L) * la * lb,
+          s"bound dropped a true pair: jw=$jwBp bp=$bp a='$a' b='$b'")
+      }
+    }
+    // the Column lane agrees with the kernel and actually filters
+    val df = Seq(("goldenrod lace", "goldenrod lace"),
+      ("goldenrod lace", "zzzzzz")).toDF("a", "b")
+    val kept = df.filter(graft.operators.Linkage.jaroBound(
+      col("a"), col("b"), 9000L)).count()
+    assert(kept == 1L, "identical passes, disjoint is cut")
+  }
+
   test("fuzzyScorePairs: weighted bp sum, null field scores 0; fuzzyLinkPairs thresholds") {
     val a = Seq((1L, "k", "MARTHA", "rome"), (2L, "k", "bob", null.asInstanceOf[String]))
       .toDF("id", "blk", "name", "city")
