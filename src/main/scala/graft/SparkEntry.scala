@@ -2553,6 +2553,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- linkage: the SCALE lane of q_jaro_pairs — fixed-category
+    // blocking makes candidates grow n² per block, so the production
+    // shape caps blocks deterministically (bounded pairs at ANY corpus
+    // size; recall trade priced by comparing against the exact twin) ----
+    "q_jaro_scaled" -> ((s, d) => {
+      val capped = Linkage.capBlocks(t(s, d, "part"), Seq("p_brand"),
+        "p_partkey", cap = 400, useMd5 = true)
+      val cands = Linkage.blockedCandidates(capped, capped, "p_partkey",
+          Seq("p_brand"), Seq("p_name"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Linkage.jaroBound(col("a_p_name"), col("b_p_name"),
+          minJwBp = 9000L))
+      Linkage.fuzzyScorePairs(cands, Seq(("p_name", 1L)))
+        .filter(col("score") >= 9000L)
+        .select(col("id_a"), col("id_b"), col("score").as("jw_bp"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- eval: Poisson bootstrap replicates (B resamples, ONE scan) ----
     "q_bootstrap" -> ((s, d) => {
       RelationalOps.poissonBootstrap(t(s, d, "orders"),
@@ -5491,6 +5509,24 @@ object SparkEntry {
         |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000,
         |    0) AS BIGINT) >= 9000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_jaro_scaled" -> {
+      val h = graft.operators.Sketches.kmvHash32Sql(
+        "CAST(p_partkey AS VARCHAR)")
+      s"""WITH rk AS (SELECT p_partkey, p_brand, p_name,
+         |    row_number() OVER (PARTITION BY p_brand
+         |      ORDER BY ($h), p_partkey) AS rk
+         |  FROM part),
+         |cp AS (SELECT p_partkey, p_brand, p_name FROM rk WHERE rk <= 400)
+         |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         |  CAST(round(jaro_winkler_similarity(a.p_name, b.p_name) * 10000,
+         |    0) AS BIGINT) AS jw_bp
+         |FROM cp a JOIN cp b
+         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         |WHERE CAST(round(jaro_winkler_similarity(a.p_name, b.p_name)
+         |    * 10000, 0) AS BIGINT) >= 9000
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_bootstrap" ->
       s"""WITH $bootstrapCtes

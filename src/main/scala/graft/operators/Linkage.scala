@@ -31,11 +31,17 @@ object Linkage {
     * only. Run [[linkEval]] with and without the cap to price that
     * trade on your corpus. */
   def capBlocks(df: DataFrame, blockCols: Seq[String], idCol: String,
-                cap: Int): DataFrame = {
+                cap: Int, useMd5: Boolean = false): DataFrame = {
     require(cap >= 1, s"cap must be >= 1: $cap")
+    // dual hash lane (the Dedup convention): xxhash64 at scale, the
+    // md5-lane when a DuckDB twin must reproduce the ranking
+    val h =
+      if (useMd5)
+        graft.operators.Sketches.md5Hash32(col(idCol).cast("string"))
+      else xxhash64(col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(blockCols.map(col): _*)
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(h, col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap)
       .drop("__rk")

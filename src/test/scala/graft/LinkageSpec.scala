@@ -61,6 +61,16 @@ class LinkageSpec extends SparkSpec {
     assert(capped.select("id").as[Long].collect().toSet ==
       again.select("id").as[Long].collect().toSet,
       "the kept set must be a pure function of the data")
+    // md5 oracle lane: same bounds, deterministic, and its kept set
+    // matches an independent MessageDigest ranking of the hot block
+    val md = Linkage.capBlocks(df, Seq("blk"), "id", cap = 10, useMd5 = true)
+    val keptHot = md.filter($"blk" === "hot").select("id").as[Long]
+      .collect().toSet
+    def h32(id: Long): Long = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    val want = (1L to 50L).sortBy(i => (h32(i), i)).take(10).toSet
+    assert(keptHot == want, "md5 lane must rank exactly like the digest")
   }
 
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
