@@ -67,8 +67,11 @@ object Sequences {
 
   /** BATCH GAP-SESSIONIZATION — the offline twin of the streaming session
     * window (`session_window` / the fMGWS variant in StatefulOps): a new
-    * session starts where the gap to the previous event exceeds
-    * `gapMillis`; session ids are the running count of boundary flags
+    * session starts where the gap to the previous event EXCEEDS
+    * `gapMillis` (strictly — an event at exactly prev+gap still merges,
+    * which is `session_window`'s inclusive-end semantics; the parity spec
+    * pins batch == native grouping event for event, boundary included);
+    * session ids are the running count of boundary flags
     * (exact, reproducible — no state machine). Output is session-grain:
     * (key, session_idx, n_events, start_ts, end_ts, duration_ms).
     *

@@ -75,14 +75,15 @@ class SequencesSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
-  test("sessionize: gap strictly-greater splits, per-user contiguous ids, exact durations") {
+  test("sessionize: session_window boundary semantics (exact gap merges, > splits), contiguous ids, exact durations") {
     import org.apache.spark.sql.functions._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(ms: Long) = new java.sql.Timestamp(base.getTime + ms)
     val gap = 1000L
     val df = Seq(
-      (1L, at(0), 1L), (1L, at(1000), 2L),    // gap == 1000: NOT a boundary
-      (1L, at(2001), 3L),                     // gap 1001 > 1000: new session
+      (1L, at(0), 1L),
+      (1L, at(1000), 2L), // gap == 1000 MERGES (session_window inclusive end)
+      (1L, at(2001), 3L), // gap 1001 > 1000: new session
       (1L, at(2500), 4L),
       (2L, at(0), 5L))
       .toDF("user_id", "ts", "event_id")
@@ -100,6 +101,32 @@ class SequencesSpec extends SparkSpec {
       .select("user_id", "session_idx", "n_events", "duration_ms")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(rep == got)
+  }
+
+  test("sessionize == session_window: the batch twin reproduces Spark's native grouping exactly") {
+    import org.apache.spark.sql.functions._
+    // pseudo-random event times with exact-boundary collisions planted
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 400).map { i =>
+      val u = (i % 7).toLong
+      val ms = (i / 7).toLong * 700L + (i * 37 % 5) * 300L
+      (u, new java.sql.Timestamp(base.getTime + ms), i.toLong)
+    } ++ Seq((9L, new java.sql.Timestamp(base.getTime), 1000L),
+      (9L, new java.sql.Timestamp(base.getTime + 2000L), 1001L)) // exact gap
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val native = df
+      .groupBy(col("user_id"), session_window(col("ts"), "2 seconds"))
+      .agg(count(lit(1)).as("n"), min("ts").as("s"), max("ts").as("e"))
+      .select("user_id", "n", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3)))
+      .toSet
+    val batch = Sequences.sessionize(df, "user_id", "ts",
+        Seq("ts", "event_id"), gapMillis = 2000L)
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3)))
+      .toSet
+    assert(batch == native,
+      "batch sessionize must partition events exactly like session_window")
   }
 
   test("removalEffectAttribution: hand-computed fixture (truncation, taxonomy filter, direct conversion)") {
