@@ -2708,6 +2708,22 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       RelationalOps.postStratifiedMean(docs, col("source"), col("n_chars"),
         docs.filter(col("lang") === "en"), col("source"))
+    }),
+
+    // ---- sketch: shard-built HLL sketches merged == the whole-corpus
+    // sketch — the mergeable-state contract proven through the hash gate
+    // (the oracle computes the single-pass form; the engine merges two
+    // parity shards and must land on identical registers/estimates) ----
+    "q_hll_merged" -> ((s, d) => {
+      val src = hllSource(s, d)
+      val shards = Sketches
+        .hllBuild(src.filter(expr("CAST(cust AS BIGINT) % 2 = 0")),
+          "cust", "grp")
+        .unionByName(Sketches
+          .hllBuild(src.filter(expr("CAST(cust AS BIGINT) % 2 = 1")),
+            "cust", "grp"))
+      Sketches.hllEstimate(Sketches.hllMerge(shards, "grp"), "grp")
+        .orderBy("grp")
     })
   )
 
@@ -5576,6 +5592,28 @@ object SparkEntry {
          |FROM sk ORDER BY grp, bucket""".stripMargin,
 
     "q_markov_attrib" -> markovAttribSql,
+
+    // the single-pass whole-corpus estimate IS the contract the merged
+    // shard sketches must reproduce (per-bucket MAX is associative)
+    "q_hll_merged" -> {
+      import graft.operators.Sketches.{HllM, HllSuffixBits, HllAlphaMicro}
+      val full = 1L << (HllSuffixBits + 1)
+      val num = HllAlphaMicro * HllM * HllM * full
+      val lcBound = (2.5 * HllM * 1e6).toLong
+      s"""WITH $hllSketchCtes,
+         |agg AS (SELECT grp, count(*) AS nseen,
+         |    sum(CAST(1 AS BIGINT) << (${HllSuffixBits + 1} - max_rank))
+         |      AS sseen
+         |  FROM sk GROUP BY 1),
+         |e AS (SELECT grp, nseen,
+         |    sseen + ($HllM - nseen) * $full AS s, $HllM - nseen AS zeros
+         |  FROM agg)
+         |SELECT grp, CAST(nseen AS BIGINT) AS n_buckets_seen,
+         |  CASE WHEN zeros > 0 AND ($num // s) <= $lcBound
+         |    THEN CAST(round($HllM.0 * ln($HllM.0 / zeros), 0) AS BIGINT)
+         |    ELSE CAST(($num // s) // 1000000 AS BIGINT) END AS est_distinct
+         |FROM e ORDER BY grp""".stripMargin
+    },
 
     "q_conformal" ->
       """WITH m AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v,
