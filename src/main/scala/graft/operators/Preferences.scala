@@ -112,6 +112,9 @@ object Preferences {
             .cast("long").as("s"))
         .localCheckpoint()
     }
+    // s is an eager checkpoint — the loop inputs release now instead of
+    // waiting for ContextCleaner (the pageRank/hits unpersist discipline)
+    sym.unpersist(); items.unpersist()
     s.select(col("item"), col("wins"), col("s").as("strength_micro"))
   }
 
@@ -123,6 +126,10 @@ object Preferences {
                       iters: Int = 3): DataFrame = {
     val wins = winMatrix(comparisons(df, pairIdCol, itemCol, scoreCol, orderCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bradleyTerry(wins, iters)
+    // bradleyTerry's eager per-round checkpoints fully consume wins
+    // before returning — release it here
+    val out = bradleyTerry(wins, iters)
+    wins.unpersist()
+    out
   }
 }

@@ -1091,8 +1091,11 @@ object RelationalOps {
   def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: Column,
                          nBuckets: Int, samplePct: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    // boundaries are read driver-side as doubles, so the sample projects
+    // __v to double up front — any numeric valueCol (long/int/decimal)
+    // works; ordering is unchanged for magnitudes below 2^53
     val sample = df.filter(Curation.knuthHash(idCol, 100L) < samplePct)
-      .select(col(valueCol).as("__v"), idCol.as("__id"))
+      .select(col(valueCol).cast("double").as("__v"), idCol.as("__id"))
     val w = Window.orderBy(col("__v"), col("__id"))
     val bounds = sample.withColumn("__b", ntile(nBuckets).over(w))
       .groupBy("__b").agg(max("__v").as("__hi"))
@@ -1298,7 +1301,7 @@ object RelationalOps {
     wide.agg(aggs.head, aggs.tail: _*)
       .select(stacked)
       .select(col("r.b").as("b"), col("r.n_eff").as("n_eff"),
-        col("r.__sx").cast("decimal(38,0)").as("sum_cents"),
+        col("r.__sx").cast("long").as("sum_cents"),
         expr("(100 * r.__sx) div r.n_eff").as("mean_ccents"))
   }
 

@@ -814,6 +814,8 @@ object Similarity {
                    k: Int): DataFrame = {
     val cells = ivfAssign(emb, vecCol, idCol, k)
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+      // caller-owned cache (returned plan reads it from >1 branch);
+      // ContextCleaner reclaims it when the plan is dereferenced
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = cells.select(sum("n_vectors").as("__n_total"))
     cells.crossJoin(broadcast(total))
@@ -1558,6 +1560,8 @@ object Similarity {
       // pair outright (the semanticDecontaminate/knnGraph convention)
       .filter(!isnan(col("cos_sim")))
       .withColumn("__cq", round(col("cos_sim") * 10000, 0).cast("long"))
+      // caller-owned cache (returned plan reads it from >1 branch);
+      // ContextCleaner reclaims it when the plan is dereferenced
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topk = udaf(new graft.functions.TopKHits(kNN),
       graft.functions.TopKHits.hitEncoder)

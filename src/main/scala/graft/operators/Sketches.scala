@@ -114,6 +114,10 @@ object Sketches {
       org.apache.spark.sql.Encoders.scalaLong)
     val sk = df.select(col(groupCol).cast("string").as("g"), h.as("h"))
       .groupBy("g").agg(sketch(col("h")).as("kmv"))
+      // the returned plan reads this cache from several branches (groups,
+      // both union arms), so the operator can't unpersist before
+      // returning — caller-owned lifecycle, ContextCleaner reclaims it
+      // once the result plan is dereferenced (the file-wide convention)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sk.select(col("g"), explode(col("kmv")).as("h"))
     val groups = sk.select(col("g"))

@@ -743,6 +743,8 @@ object TextAnalysis {
     val w0 = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1)).as("word"))
       .filter(col("word") =!= "")
+      // returned plan reads this cache from two branches — caller-owned
+      // lifecycle per the file convention; ContextCleaner reclaims it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = w0.groupBy("word").agg(count(lit(1)).as("c"))
     val kept = if (maxDf == Long.MaxValue) w0
@@ -781,6 +783,8 @@ object TextAnalysis {
                    shingleSize: Int = 3): DataFrame = {
     val rows = docs.select(col(idCol).as("doc"),
         explode(graft.expressions.Exprs.wordShinglesDistinct(col(textCol), shingleSize)).as("shingle"))
+      // returned plan reads this cache from two branches — caller-owned
+      // lifecycle per the file convention; ContextCleaner reclaims it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstSeen = rows.groupBy("shingle").agg(min(col("doc")).as("__first_doc"))
     rows.join(firstSeen, "shingle")
@@ -861,6 +865,54 @@ object TextAnalysis {
     out.withColumn("ratio_bp",
       when(col("n_bytes") > 0,
         expr("(10000 * n_compressed) div n_bytes")).cast("long"))
+  }
+
+  /** Shared ln(2) literal for [[entropyCodedSize]] and its oracle twin —
+    * computed ONCE here and embedded verbatim in both engines (the
+    * shared-literal convention): dividing by each engine's own `ln(2)`
+    * would differ in the last ulp across libms. */
+  val Ln2: Double = math.log(2.0)
+
+  /** Per-document ORDER-0 ENTROPY-CODED size — the oracle-expressible
+    * twin of [[compressionRatio]]: model the entropy-coding stage of
+    * deflate (each character costs −log2(n_c/N) bits under the document's
+    * own character distribution) and skip the LZ77 stage no SQL engine
+    * can express. est_bytes = ⌈Σ_c n_c·(ln N − ln n_c)/ln2 / 8⌉ via the
+    * round(·1e6) micro-bit lane q_nb_classify proved cross-engine;
+    * ratio_bp = (10000·est_bytes) div utf8_bytes, NULL for empty
+    * documents (the zlib operator's empty-doc contract). Templated text
+    * scores low, mojibake high — the same quality axis as zlib, exactly
+    * hash-twinnable. Character grain (codepoints), not bytes: both
+    * engines split identically on codepoints.
+    *
+    * Scale shape: the explode is chars-per-doc rows but partial
+    * aggregation collapses the shuffle to docs × distinct-chars
+    * (≤ alphabet size) — the [[wordCounts]] shape; the corpus scan
+    * dominates. At 100 TB the histogram would fuse scan-side into a
+    * native counts expression (the LetterCounts pattern); the agg form
+    * keeps the oracle twin line-for-line. */
+  def entropyCodedSize(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+      coalesce(col(textCol).cast("string"), lit("")).as("__t"))
+    val sizes = base.select(col("doc"),
+      octet_length(col("__t")).cast("long").as("n_bytes"))
+    val bits = base
+      .select(col("doc"), length(col("__t")).cast("long").as("__n"),
+        explode(split(col("__t"), "")).as("__c"))
+      .filter(col("__c") =!= "")
+      .groupBy("doc", "__n", "__c").agg(count(lit(1)).as("__nc"))
+      .select(col("doc"),
+        (col("__nc") * round((log(col("__n")) - log(col("__nc")))
+          / Ln2 * 1e6).cast("long")).as("__bm"))
+      .groupBy("doc").agg(sum("__bm").as("__bits_micro"))
+    sizes.join(bits, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_bytes"),
+        coalesce(expr("(__bits_micro + 7999999) div 8000000"), lit(0L))
+          .as("est_bytes"),
+        when(col("n_bytes") > 0,
+          expr("(10000 * coalesce((__bits_micro + 7999999) div 8000000, 0))"
+            + " div n_bytes")).cast("long").as("ratio_bp"))
   }
 
   /** Unicode script mix per document — the writing-system census that
@@ -1287,6 +1339,8 @@ object TextAnalysis {
     val base = docs.select(col(idCol).as("doc"), col(textCol).as("__text"),
         col(labelCol).cast("boolean").as("pos"),
         (Curation.knuthHash(col(idCol), 100L) < trainPct).as("__tr"))
+      // returned plan reads this cache from two branches — caller-owned
+      // lifecycle per the file convention; ContextCleaner reclaims it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainTok = base.filter(col("__tr"))
       .select(col("pos"),

@@ -139,6 +139,8 @@ object Warehouse {
                               pct: Int): DataFrame = {
     require(pct >= 1 && pct <= 100, s"pct must be in [1,100]: $pct")
     val ca = a.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("na"))
+      // caller-owned cache (returned plan reads it from >1 branch);
+      // ContextCleaner reclaims it when the plan is dereferenced
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = b.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("nb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -166,5 +168,9 @@ object Warehouse {
       round(col("s_cents") / 100.0, 2).as("sum_value"),
       round(col("mn_cents") / 100.0, 2).as("min_value"),
       round(col("mx_cents") / 100.0, 2).as("max_value"),
-      round(col("s_cents") / 100.0 / col("n"), 4).as("avg_value")): _*)
+      // FLOORED 4-dp mean via exact integer division — round() of the
+      // double quotient lands on the .5 boundary whenever 100·s_cents
+      // divides n·(a power of 10), where Spark (HALF_UP) and DuckDB
+      // (raw double) disagree (surfaced at sf0.001: 30703/8 cents)
+      (expr("(100 * s_cents) div n") / 10000.0).as("avg_value")): _*)
 }

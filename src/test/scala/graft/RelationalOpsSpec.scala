@@ -688,6 +688,15 @@ class RelationalOpsSpec extends SparkSpec {
     val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "v")
     assert(RelationalOps.ksStatistic(same, "g", "v", "a", "b")
       .as[(Long, Long, Long)].collect().head._3 == 0L)
+    // degenerate corpora: neither group present, and one group present —
+    // the contract is EXACTLY ONE (n_a, n_b, 0) row, never an empty
+    // relation (the oracle twin's ungrouped-aggregate form pins the same)
+    val none = Seq(("z", 1.0)).toDF("g", "v")
+    assert(RelationalOps.ksStatistic(none, "g", "v", "a", "b")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 0L, 0L)))
+    val oneSide = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(RelationalOps.ksStatistic(oneSide, "g", "v", "a", "b")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((2L, 0L, 0L)))
   }
 
   test("chiSquare: independence -> 0; hand-computed 2x2; zero-observed cells carry expected mass") {

@@ -527,6 +527,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._1 == 0L && out(3L)._3.isEmpty, s"empty doc: ${out(3L)}")
   }
 
+  test("entropyCodedSize: hand-computed order-0 sizes; empty/uniform docs; ratio ordering matches zlib's axis") {
+    // "aabb": each char costs (ln4 - ln2)/ln2 = exactly 1 bit -> 4 bits
+    // -> ceil(4/8) = 1 byte; "abcd": 2 bits each -> 8 bits -> 1 byte;
+    // "aaaa": 0 bits -> 0 bytes; "": NULL ratio, 0 bytes
+    val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.entropyCodedSize(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(1L) == ((4L, 1L, Some(2500L))), s"aabb: ${out(1L)}")
+    assert(out(2L) == ((4L, 1L, Some(2500L))), s"abcd: ${out(2L)}")
+    assert(out(3L) == ((4L, 0L, Some(0L))), s"aaaa: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, None)), s"empty: ${out(4L)}")
+    // same quality axis as the zlib kernel: repetitive text sits far
+    // below printable noise (the compressionRatio spec's corpus)
+    val repetitive = Array.fill(200)("the same phrase again").mkString(" ")
+    val rnd = new scala.util.Random(42)
+    val noisy = (0 until 800).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    val big = Seq((1L, repetitive), (2L, noisy)).toDF("doc_id", "text")
+    val r = TextAnalysis.entropyCodedSize(big, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) < r(2L) - 2000, s"repetitive far below noisy: $r")
+    // multibyte UTF-8: n_bytes counts octets, the model counts chars
+    val mb = Seq((1L, "éé")).toDF("doc_id", "text")
+    val m = TextAnalysis.entropyCodedSize(mb, "text", "doc_id").collect().head
+    assert(m.getLong(1) == 4L && m.getLong(2) == 0L && m.getLong(3) == 0L)
+  }
+
   test("scriptMix: astral-plane codepoints count once and land in other") {
     // emoji are outside every BMP class; both engines count CODEPOINTS
     // (not UTF-16 units), so one emoji = one n_other, never two

@@ -116,6 +116,14 @@ class WarehouseSpec extends SparkSpec {
       col("id"), 4, 25).orderBy("bucket").as[(Long, Long)].collect().toSeq
     assert(h1 == h7, s"partitioning changed the histogram:\n$h1\nvs\n$h7")
     assert(h1.map(_._2).sum == 64L, "every row lands in exactly one bucket")
+    // non-double value columns (long here) must work — the boundary read
+    // is driver-side doubles, so the sample casts; previously this threw
+    // ClassCastException
+    val longDf = (1 to 64).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+    val hl = RelationalOps.equiDepthHistogram(longDf, "v", col("id"),
+        nBuckets = 4, samplePct = 100)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(hl == Seq((1L, 16L), (2L, 16L), (3L, 16L), (4L, 16L)), s"got $hl")
   }
 
   // -------------------------------------------------- preference analytics

@@ -20,11 +20,44 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {t} AS FROM '{pat}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+# ---- output-dtype contract (round-9 gate) ----
+# The driver's compare hashes TYPED values, so both sides must surface
+# results in the blessed type set; anything else (INT32 from a VALUES
+# list, HUGEINT/DECIMAL sums, float32) has hash-failed twice before
+# (r5 q_expectations, r8 q_bootstrap). The duckdb->pandas path LAUNDERS
+# types (HUGEINT/DECIMAL -> float64), which is exactly how those two
+# escaped the old value-compare — so the gate reads the TRUE types:
+# spark via the parquet footer (pyarrow), duck via relation.types.
+BLESSED_ARROW = ("int64", "double", "string", "large_string", "bool",
+                 "date32", "timestamp")
+BLESSED_DUCK = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+                "TIMESTAMP", "TIMESTAMP_NS"}
+def dtype_violations(name, sql, res_path):
+    import pyarrow.parquet as pq
+    v = []
+    files = glob.glob(f"{res_path}/*.parquet")
+    if files:
+        for f in pq.read_schema(files[0]):
+            if not str(f.type).startswith(BLESSED_ARROW):
+                v.append(f"spark {f.name}: {f.type}")
+    try:
+        rel = con.sql(sql)
+        for cn, ct in zip(rel.columns, rel.types):
+            if str(ct).split("(")[0] not in BLESSED_DUCK:
+                v.append(f"oracle {cn}: {ct}")
+    except Exception:
+        pass  # SQL errors surface in the value compare below
+    return v
+
 ok, bad = [], []
 for name, sql in sorted(oracle.items()):
     res_path = f"{out_dir}/{name}"
     if not glob.glob(f"{res_path}/*.parquet"):
         bad.append((name, "NO RESULT DUMPED")); continue
+    dv = dtype_violations(name, sql, res_path)
+    if dv:
+        bad.append((name, f"DTYPE CONTRACT: {dv}")); continue
     try:
         spark_df = con.sql(f"FROM '{res_path}/*.parquet'").df()
         duck_df = con.sql(sql).df()
@@ -56,6 +89,12 @@ for name, sql in sorted(oracle.items()):
             # (q_expectations) — flag the kind mismatch instead.
             ak, bk = av.dtype.kind, bv.dtype.kind
             if (ak == 'f') != (bk == 'f') and {ak, bk} <= {'f', 'i', 'u'}:
+                diff_cols.append(c)
+            # integer WIDTH mismatches (int32 vs int64) pass the kind
+            # check but can still hash-fail the driver — the r8
+            # q_bootstrap escape. The dtype-contract gate above should
+            # make this unreachable; belt and braces.
+            elif {ak, bk} <= {'i', 'u'} and av.dtype != bv.dtype:
                 diff_cols.append(c)
             elif av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 # Null masks must agree FIRST: a null/NaN on one side where
