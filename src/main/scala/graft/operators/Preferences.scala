@@ -112,9 +112,9 @@ object Preferences {
             .cast("long").as("s"))
         .localCheckpoint()
     }
-    // s is an eager checkpoint — the loop inputs release now instead of
-    // waiting for ContextCleaner (the pageRank/hits unpersist discipline)
-    sym.unpersist(); items.unpersist()
+    // no unpersist of sym/items — same rationale as the Graphs loop
+    // kernels (r9): canonicalized-plan cache reuse across repeated calls
+    // is worth more than early block release; ContextCleaner reclaims.
     s.select(col("item"), col("wins"), col("s").as("strength_micro"))
   }
 
@@ -126,10 +126,6 @@ object Preferences {
                       iters: Int = 3): DataFrame = {
     val wins = winMatrix(comparisons(df, pairIdCol, itemCol, scoreCol, orderCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bradleyTerry's eager per-round checkpoints fully consume wins
-    // before returning — release it here
-    val out = bradleyTerry(wins, iters)
-    wins.unpersist()
-    out
+    bradleyTerry(wins, iters)
   }
 }
