@@ -2333,6 +2333,27 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // ---- linkage against a STORED reference index ----
+    // Same output as q_link_tables (identical hash family lives in the
+    // stored bands); the cost drops to the delta side's kernel + the
+    // candidates-sized verify — the production lane of the accepted
+    // q_link_tables inline-kernel artifact (the q_dedup_indexed pattern).
+    "q_link_indexed" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rightT = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(col("text"), lit(" xlinked")))
+            .otherwise(col("text")).as("text"))
+      val dir = s"target/graft-link/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val marker = new org.apache.hadoop.fs.Path(dir + "/texts/_SUCCESS")
+      if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker))
+        Dedup.buildLinkIndex(docs, "text", "doc_id", dir)
+      Dedup.linkAgainstIndex(s, dir, rightT, "text", "doc_id", maxDist = 10)
+        .orderBy("id_l", "id_r")
+    }),
+
     // ---- sequences: per-user truncated event-type training rows ----
     "q_user_sequences" -> ((s, d) => {
       Sequences.userSequences(t(s, d, "events"), "user_id", "event_type",
@@ -5178,25 +5199,13 @@ object SparkEntry {
         |LEFT JOIN u ON u.bucket = g.bucket, t
         |ORDER BY g.bucket""".stripMargin,
 
-    "q_link_tables" -> {
-      val leftSrc = "SELECT doc_id, text FROM documents"
-      val rightSrc = """SELECT doc_id + 1000000 AS doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN text || ' xlinked' ELSE text END AS text
-        |FROM documents WHERE doc_id % 3 <> 2""".stripMargin
-      s"""WITH ${linkBandCtes(leftSrc, "l")},
-         |${linkBandCtes(rightSrc, "r")},
-         |cand AS (
-         |  SELECT DISTINCT l.doc AS id_l, r.doc AS id_r
-         |  FROM lbands l JOIN rbands r
-         |    ON l.band = r.band AND l.band_key = r.band_key)
-         |SELECT c.id_l, c.id_r,
-         |  CAST(levenshtein(dl.text, dr.text) AS BIGINT) AS edit_dist
-         |FROM cand c
-         |JOIN ($leftSrc) dl ON dl.doc_id = c.id_l
-         |JOIN ($rightSrc) dr ON dr.doc_id = c.id_r
-         |WHERE levenshtein(dl.text, dr.text) <= 10
-         |ORDER BY id_l, id_r""".stripMargin
-    },
+    "q_link_tables" -> linkTablesSql,
+
+    // identical output by construction: the stored index holds the SAME
+    // hash-family bands the inline kernel derives
+    "q_link_indexed" -> linkTablesSql,
+
+
 
     // rank computed in the window CTE orders string_agg — the oracle twin
     // of the engine's rank-keyed struct sort inside collect_list.
@@ -5931,6 +5940,30 @@ object SparkEntry {
        |FROM (${(1 to rounds).map(r => s"SELECT * FROM a$r").mkString(" UNION ALL ")})
        |ORDER BY round""".stripMargin
   }
+
+  /** Shared DuckDB twin of the cross-table linkage output — used by
+    * BOTH q_link_tables (inline kernel) and q_link_indexed (stored
+    * index): the stored bands are the same hash-family relation, so
+    * the outputs are identical by construction. */
+  private lazy val linkTablesSql: String = {
+      val leftSrc = "SELECT doc_id, text FROM documents"
+      val rightSrc = """SELECT doc_id + 1000000 AS doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' xlinked' ELSE text END AS text
+        |FROM documents WHERE doc_id % 3 <> 2""".stripMargin
+      s"""WITH ${linkBandCtes(leftSrc, "l")},
+         |${linkBandCtes(rightSrc, "r")},
+         |cand AS (
+         |  SELECT DISTINCT l.doc AS id_l, r.doc AS id_r
+         |  FROM lbands l JOIN rbands r
+         |    ON l.band = r.band AND l.band_key = r.band_key)
+         |SELECT c.id_l, c.id_r,
+         |  CAST(levenshtein(dl.text, dr.text) AS BIGINT) AS edit_dist
+         |FROM cand c
+         |JOIN ($leftSrc) dl ON dl.doc_id = c.id_l
+         |JOIN ($rightSrc) dr ON dr.doc_id = c.id_r
+         |WHERE levenshtein(dl.text, dr.text) <= 10
+         |ORDER BY id_l, id_r""".stripMargin
+    }
 
   /** DuckDB twin of the Poisson-bootstrap replicate kernel over orders'
     * exact cents — (a_j, c_j) affine params and Poisson(1) CDF thresholds

@@ -388,6 +388,50 @@ object Dedup {
       .filter(col("edit_dist") >= 0)
   }
 
+  /** Build the stored LINKAGE index for a reference table — the
+    * [[buildDedupIndex]] twin for cross-table matching: the band relation
+    * (blocking keys) plus the verify texts, so every incoming table links
+    * against the reference WITHOUT re-running the reference side's
+    * shingle+MinHash kernel. At 100 TB the reference side (the master
+    * entity table) is indexed once; per-ingest cost is the DELTA side's
+    * kernel + a candidates-sized verify. */
+  def buildLinkIndex(left: DataFrame, leftText: String, leftId: String,
+                     dir: String, numHashes: Int = 16, rowsPerBand: Int = 4,
+                     shingleSize: Int = 3, useMd5: Boolean = true): Unit = {
+    minhashBands(left, leftText, leftId, numHashes, rowsPerBand,
+        shingleSize, useMd5)
+      .write.mode("overwrite").parquet(dir + "/bands")
+    left.select(col(leftId).as("id_l"), col(leftText).as("__tl"))
+      .write.mode("overwrite").parquet(dir + "/texts")
+    ()
+  }
+
+  /** [[linkTables]] semantics with the reference side's kernel cost
+    * ALREADY PAID: candidates come from the stored band relation, the
+    * verify joins the stored texts. Output is bit-identical to
+    * linkTables over the same sides (the stored bands ARE the same
+    * hash-family bands) — only the cost moves. */
+  def linkAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       right: DataFrame, rightText: String, rightId: String,
+                       maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,
+                       shingleSize: Int = 3, useMd5: Boolean = true): DataFrame = {
+    val lb = spark.read.parquet(dir + "/bands")
+    val lt = spark.read.parquet(dir + "/texts")
+    val rb = minhashBands(right, rightText, rightId, numHashes, rowsPerBand,
+      shingleSize, useMd5)
+    val cand = lb.select(col("band"), col("band_key"), col("doc").as("id_l"))
+      .join(rb.select(col("band"), col("band_key"), col("doc").as("id_r")),
+        Seq("band", "band_key"))
+      .select("id_l", "id_r").distinct()
+    cand
+      .join(lt, Seq("id_l"))
+      .join(right.select(col(rightId).as("id_r"), col(rightText).as("__tr")),
+        Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("__tl"), col("__tr"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
   /** Bloom-filter decontamination — `decontaminate` for when the benchmark
     * side is too big to broadcast raw (a full eval-suite union: hundreds of
     * millions of shingles, GBs of strings). The bench shingle set collapses

@@ -73,6 +73,29 @@ class LinkageSpec extends SparkSpec {
     assert(keptHot == want, "md5 lane must rank exactly like the digest")
   }
 
+  test("linkAgainstIndex == linkTables: the stored index moves cost, never results") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated content about database engines here"),
+      (3L, "shared prefix shared prefix shared prefix unique tail a"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog tonite"), // 1 edit-ish
+      (12L, "nothing in common with anything on the left side at"),
+      (13L, "shared prefix shared prefix shared prefix unique tail b"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("linkidx").toString
+    graft.operators.Dedup.buildLinkIndex(left, "text", "doc_id", dir)
+    val inline = graft.operators.Dedup.linkTables(
+        left, "text", "doc_id", right, "text", "doc_id", maxDist = 10)
+      .orderBy("id_l", "id_r").collect().toSeq
+    val indexed = graft.operators.Dedup.linkAgainstIndex(
+        spark, dir, right, "text", "doc_id", maxDist = 10)
+      .orderBy("id_l", "id_r").collect().toSeq
+    assert(indexed == inline, s"indexed $indexed vs inline $inline")
+    assert(inline.nonEmpty, "fixture must produce at least one linked pair")
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

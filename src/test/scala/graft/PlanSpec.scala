@@ -636,4 +636,16 @@ class PlanSpec extends SparkSpec {
       s"totals must attach as a broadcast, never shuffle the bins:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("entropy-coded size: char explode collapses map-side before any exchange; doc-grain join only") {
+    // the explode is chars-per-doc rows, but the (doc, char) count must
+    // partially aggregate BEFORE the shuffle — otherwise the exchange
+    // carries the whole character stream (corpus-bytes-sized) instead of
+    // docs × alphabet
+    val p = plan("q_compress_ratio")
+    assert(p.toLowerCase.contains("partial_count"),
+      s"map-side combine expected on the char histogram:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sizes-bits join must stay a doc-keyed equi-join")
+  }
 }
