@@ -406,6 +406,23 @@ object Dedup {
     ()
   }
 
+  /** Grow a stored [[buildLinkIndex]] reference WITHOUT rebuilding it:
+    * the delta's bands and verify texts append to the stored relations
+    * (banding is per-record, so append IS the correct merge). Append-only
+    * id discipline: re-appending an id duplicates its bands/texts (the
+    * AnnIngest/appendBm25Stats rule — dedup reference deltas upstream);
+    * on a production cluster write through a transactional table format. */
+  def appendLinkIndex(delta: DataFrame, textCol: String, idCol: String,
+                      dir: String, numHashes: Int = 16, rowsPerBand: Int = 4,
+                      shingleSize: Int = 3, useMd5: Boolean = true): Unit = {
+    minhashBands(delta, textCol, idCol, numHashes, rowsPerBand,
+        shingleSize, useMd5)
+      .write.mode("append").parquet(dir + "/bands")
+    delta.select(col(idCol).as("id_l"), col(textCol).as("__tl"))
+      .write.mode("append").parquet(dir + "/texts")
+    ()
+  }
+
   /** [[linkTables]] semantics with the reference side's kernel cost
     * ALREADY PAID: candidates come from the stored band relation, the
     * verify joins the stored texts. Output is bit-identical to

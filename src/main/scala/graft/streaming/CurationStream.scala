@@ -201,4 +201,29 @@ object CurationStream {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Streaming entity resolution against a STORED
+    * [[graft.operators.Dedup.buildLinkIndex]] reference: every
+    * micro-batch links via [[graft.operators.Dedup.linkAgainstIndex]]
+    * (only the delta's kernel + a candidates-sized verify run per batch;
+    * the reference kernel was paid at index-build time) and writes its
+    * matches under `matchesDir/epoch=<id>` — the overwrite-per-epoch
+    * retry contract [[nearDupIngest]] uses, so a replayed batch replaces
+    * its first attempt instead of duplicating matches. The stream never
+    * mutates the reference; grow it explicitly with
+    * [[graft.operators.Dedup.appendLinkIndex]] between batches (new
+    * reference records become visible to the NEXT micro-batch's stored
+    * read — eventual visibility, the index-maintenance contract
+    * AnnIngest documents). */
+  def linkIngest(docs: DataFrame, textCol: String, idCol: String,
+                 indexDir: String, matchesDir: String, checkpointDir: String,
+                 maxDist: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.operators.Dedup
+          .linkAgainstIndex(b.sparkSession, indexDir, b, textCol, idCol, maxDist)
+          .write.mode("overwrite").parquet(s"$matchesDir/epoch=$epoch")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

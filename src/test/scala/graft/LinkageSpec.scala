@@ -96,6 +96,33 @@ class LinkageSpec extends SparkSpec {
     assert(inline.nonEmpty, "fixture must produce at least one linked pair")
   }
 
+  test("appendLinkIndex: index grown by a delta links exactly like a full rebuild") {
+    val l1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated content about database engines here"))
+      .toDF("doc_id", "text")
+    val l2 = Seq(
+      (3L, "shared prefix shared prefix shared prefix unique tail a"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog tonite"),
+      (13L, "shared prefix shared prefix shared prefix unique tail b"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("linkidx_app").toString
+    graft.operators.Dedup.buildLinkIndex(l1, "text", "doc_id", dir)
+    graft.operators.Dedup.appendLinkIndex(l2, "text", "doc_id", dir)
+    val grown = graft.operators.Dedup.linkAgainstIndex(
+        spark, dir, right, "text", "doc_id", maxDist = 10)
+      .orderBy("id_l", "id_r").collect().toSeq
+    val rebuilt = graft.operators.Dedup.linkTables(
+        l1.unionByName(l2), "text", "doc_id", right, "text", "doc_id",
+        maxDist = 10)
+      .orderBy("id_l", "id_r").collect().toSeq
+    assert(grown == rebuilt, s"grown $grown vs rebuilt $rebuilt")
+    // the delta's record must actually link (3 -> 13), not just coexist
+    assert(grown.exists(r => r.getLong(0) == 3L && r.getLong(1) == 13L))
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -208,4 +208,35 @@ class CurationStreamSpec extends SparkSpec {
     assert(spark.table("t_clfgate").columns.toSeq ==
       Seq("doc_id", "text", "ev_ts", "logit_micro"))
   }
+
+  test("linkIngest: batches link against the stored reference; appendLinkIndex grows it between batches") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("linkingest").toString
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated reference content about engines here"))
+      .toDF("doc_id", "text")
+    Dedup.buildLinkIndex(ref, "text", "doc_id", s"$tmp/index")
+    val in = MemoryStream[Doc]
+    val q = CurationStream.linkIngest(in.toDF(), "text", "doc_id",
+      s"$tmp/index", s"$tmp/matches", s"$tmp/ckpt", maxDist = 10)
+    // batch 1: one near-match of reference 1, one unrelated row
+    in.addData(
+      Doc(11L, "the quick brown fox jumps over the lazy dog tonite", ts(1000)),
+      Doc(12L, "nothing shared with any reference row at all zyxw quux", ts(1001)))
+    q.processAllAvailable()
+    // the reference grows BETWEEN batches — visible to the next one
+    Dedup.appendLinkIndex(
+      Seq((3L, "brand new reference row with a unique tail alpha"))
+        .toDF("doc_id", "text"), "text", "doc_id", s"$tmp/index")
+    in.addData(
+      Doc(13L, "brand new reference row with a unique tail betaa", ts(1010)))
+    q.processAllAvailable(); q.stop()
+    val matches = spark.read.parquet(s"$tmp/matches")
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(matches.contains((1L, 11L)), s"batch-1 near-match expected: $matches")
+    assert(!matches.exists(_._2 == 12L), s"unrelated row must not link: $matches")
+    assert(matches.contains((3L, 13L)),
+      s"post-append reference must link in the NEXT batch: $matches")
+  }
 }
