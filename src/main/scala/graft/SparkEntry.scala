@@ -2323,13 +2323,8 @@ object SparkEntry {
     // unmatched lefts, all live at every SF.
     "q_link_tables" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val rightT = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          when(pmod(col("doc_id"), lit(3L)) === 0,
-            concat(col("text"), lit(" xlinked")))
-            .otherwise(col("text")).as("text"))
-      Dedup.linkTables(docs, "text", "doc_id", rightT, "text", "doc_id",
-          maxDist = 10)
+      Dedup.linkTables(docs, "text", "doc_id", linkRightTable(docs),
+          "text", "doc_id", maxDist = 10)
         .orderBy("id_l", "id_r")
     }),
 
@@ -2340,17 +2335,13 @@ object SparkEntry {
     // q_link_tables inline-kernel artifact (the q_dedup_indexed pattern).
     "q_link_indexed" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val rightT = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          when(pmod(col("doc_id"), lit(3L)) === 0,
-            concat(col("text"), lit(" xlinked")))
-            .otherwise(col("text")).as("text"))
       val dir = s"target/graft-link/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag"
       val marker = new org.apache.hadoop.fs.Path(dir + "/texts/_SUCCESS")
       if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker))
         Dedup.buildLinkIndex(docs, "text", "doc_id", dir)
-      Dedup.linkAgainstIndex(s, dir, rightT, "text", "doc_id", maxDist = 10)
+      Dedup.linkAgainstIndex(s, dir, linkRightTable(docs), "text", "doc_id",
+          maxDist = 10)
         .orderBy("id_l", "id_r")
     }),
 
@@ -5940,6 +5931,18 @@ object SparkEntry {
        |FROM (${(1 to rounds).map(r => s"SELECT * FROM a$r").mkString(" UNION ALL ")})
        |ORDER BY round""".stripMargin
   }
+
+  /** The linkage fixture's RIGHT side, shared by q_link_tables and
+    * q_link_indexed — ONE derivation on purpose: the two queries share
+    * one oracle SQL, so a drift between their fixtures would silently
+    * fail the hash gate. Mirrors the oracle's rightSrc CTE. */
+  private def linkRightTable(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(col("text"), lit(" xlinked")))
+          .otherwise(col("text")).as("text"))
 
   /** Shared DuckDB twin of the cross-table linkage output — used by
     * BOTH q_link_tables (inline kernel) and q_link_indexed (stored

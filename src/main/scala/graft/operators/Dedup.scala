@@ -376,13 +376,30 @@ object Dedup {
       shingleSize, useMd5)
     val rb = minhashBands(right, rightText, rightId, numHashes, rowsPerBand,
       shingleSize, useMd5)
-    val cand = lb.select(col("band"), col("band_key"), col("doc").as("id_l"))
-      .join(rb.select(col("band"), col("band_key"), col("doc").as("id_r")),
+    verifyLinkCandidates(lb, rb,
+      left.select(col(leftId).as("id_l"), col(leftText).as("__tl")),
+      right.select(col(rightId).as("id_r"), col(rightText).as("__tr")),
+      maxDist)
+  }
+
+  /** The shared candidates → verify tail of BOTH linkage lanes: band-key
+    * equi-join of the two band relations, distinct pair set, thresholded
+    * Levenshtein against the (id_l, __tl)/(id_r, __tr) text relations.
+    * ONE implementation on purpose — q_link_tables and q_link_indexed
+    * share a single oracle SQL on the premise the kernels are identical,
+    * so the kernel must have a single home. */
+  private def verifyLinkCandidates(leftBands: DataFrame, rightBands: DataFrame,
+                                   leftTexts: DataFrame, rightTexts: DataFrame,
+                                   maxDist: Int): DataFrame = {
+    val cand = leftBands
+      .select(col("band"), col("band_key"), col("doc").as("id_l"))
+      .join(rightBands
+        .select(col("band"), col("band_key"), col("doc").as("id_r")),
         Seq("band", "band_key"))
       .select("id_l", "id_r").distinct()
     cand
-      .join(left.select(col(leftId).as("id_l"), col(leftText).as("__tl")), Seq("id_l"))
-      .join(right.select(col(rightId).as("id_r"), col(rightText).as("__tr")), Seq("id_r"))
+      .join(leftTexts, Seq("id_l"))
+      .join(rightTexts, Seq("id_r"))
       .select(col("id_l"), col("id_r"),
         levenshtein(col("__tl"), col("__tr"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0)
@@ -415,11 +432,18 @@ object Dedup {
   def appendLinkIndex(delta: DataFrame, textCol: String, idCol: String,
                       dir: String, numHashes: Int = 16, rowsPerBand: Int = 4,
                       shingleSize: Int = 3, useMd5: Boolean = true): Unit = {
+    // texts append FIRST: the two appends are not atomic together, and
+    // the failure modes differ — orphaned texts (crash after the first
+    // append) are invisible (no bands -> no candidates; the retry makes
+    // the id live), while orphaned BANDS would generate candidates whose
+    // verify join silently drops them forever. The retry's duplicate
+    // texts rows are absorbed by linkAgainstIndex's exact-duplicate
+    // collapse.
+    delta.select(col(idCol).as("id_l"), col(textCol).as("__tl"))
+      .write.mode("append").parquet(dir + "/texts")
     minhashBands(delta, textCol, idCol, numHashes, rowsPerBand,
         shingleSize, useMd5)
       .write.mode("append").parquet(dir + "/bands")
-    delta.select(col(idCol).as("id_l"), col(textCol).as("__tl"))
-      .write.mode("append").parquet(dir + "/texts")
     ()
   }
 
@@ -433,20 +457,16 @@ object Dedup {
                        maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,
                        shingleSize: Int = 3, useMd5: Boolean = true): DataFrame = {
     val lb = spark.read.parquet(dir + "/bands")
-    val lt = spark.read.parquet(dir + "/texts")
+    // exact-duplicate collapse: a retried appendLinkIndex re-appends the
+    // same (id, text) rows; (id_l, __tl)-distinct restores one row per
+    // record without masking a REAL id conflict (different texts under
+    // one id keep both rows — the upstream-dedup contract surfaces them)
+    val lt = spark.read.parquet(dir + "/texts").dropDuplicates("id_l", "__tl")
     val rb = minhashBands(right, rightText, rightId, numHashes, rowsPerBand,
       shingleSize, useMd5)
-    val cand = lb.select(col("band"), col("band_key"), col("doc").as("id_l"))
-      .join(rb.select(col("band"), col("band_key"), col("doc").as("id_r")),
-        Seq("band", "band_key"))
-      .select("id_l", "id_r").distinct()
-    cand
-      .join(lt, Seq("id_l"))
-      .join(right.select(col(rightId).as("id_r"), col(rightText).as("__tr")),
-        Seq("id_r"))
-      .select(col("id_l"), col("id_r"),
-        levenshtein(col("__tl"), col("__tr"), maxDist).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") >= 0)
+    verifyLinkCandidates(lb, rb, lt,
+      right.select(col(rightId).as("id_r"), col(rightText).as("__tr")),
+      maxDist)
   }
 
   /** Bloom-filter decontamination — `decontaminate` for when the benchmark

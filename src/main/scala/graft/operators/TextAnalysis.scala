@@ -1084,22 +1084,17 @@ object TextAnalysis {
     * [[graft.operators.Similarity]] index append's id rule — dedup
     * upstream). */
   def appendBm25Stats(delta: DataFrame, textCol: String, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val spark = delta.sparkSession
     val base = delta.select(
         size(tokens(col(textCol))).cast("long").as("len"),
         graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1).as("toksD"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swapIn(df: DataFrame, table: String): Unit = {
-      val tmp = new Path(dir + table + ".tmp-append")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      val dst = new Path(dir + table)
-      fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new IllegalStateException(s"swap failed for $dst")
-    }
+    // shared swap discipline (incl. crash recovery of an orphaned
+    // complete tmp) — see graft.sources.AtomicSwap
+    def swapIn(df: DataFrame, table: String): Unit =
+      graft.sources.AtomicSwap.swapIn(df, dir + table)
+    graft.sources.AtomicSwap.recover(spark, dir + ".terms")
+    graft.sources.AtomicSwap.recover(spark, dir + ".stats")
     swapIn(spark.read.parquet(dir + ".terms")
       .unionByName(base.select(explode(col("toksD")).as("term"))
         .filter(col("term") =!= "")

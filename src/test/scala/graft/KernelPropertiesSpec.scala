@@ -100,4 +100,33 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(total <= budget, s"sample $si: allocated $total over budget $budget")
     }
   }
+
+  test("entropyCodedSize equals the sequential micro-bit reference on arbitrary ASCII docs") {
+    val Ln2 = graft.operators.TextAnalysis.Ln2
+    val docGen = Gen.listOfN(60, Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    samples(Gen.listOfN(6, docGen), 5).zipWithIndex.foreach { case (texts, si) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis
+        .entropyCodedSize(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val n = t.length.toLong
+        val counts = t.groupBy(identity).view.mapValues(_.length.toLong)
+        val bitsMicro = counts.values.map { nc =>
+          nc * math.round((math.log(n.toDouble) - math.log(nc.toDouble))
+            / Ln2 * 1e6)
+        }.sum
+        val expBytes = if (n == 0) 0L else (bitsMicro + 7999999L) / 8000000L
+        val (nBytes, estBytes) = out(i.toLong)
+        assert(nBytes == t.getBytes("UTF-8").length.toLong, s"sample $si doc $i")
+        assert(estBytes == expBytes,
+          s"sample $si doc $i: engine $estBytes vs reference $expBytes")
+        // the order-0 bound: never above ceil(n*log2(alphabet)/8)+1
+        val alpha = math.max(counts.size, 1)
+        val cap = (n * math.log(alpha.toDouble) / Ln2 / 8).ceil.toLong + 1
+        assert(estBytes <= cap, s"sample $si doc $i: $estBytes over cap $cap")
+      }
+    }
+  }
 }

@@ -51,7 +51,7 @@ class StoredSketchSpec extends SparkSpec {
     // what the CMS lane relies on)
     val before = regs(spark.read.parquet(dir))
     SketchMaintenance.appendHllSketch(
-      b1.toDF("g", "v"), "v", "g", dir, batchId = 0L)
+      b1.toDF("g", "v"), "v", "g", dir, batchId = 0L, streamId = cp)
     assert(regs(spark.read.parquet(dir)) == before, "replay must be a no-op")
   }
 
@@ -90,8 +90,51 @@ class StoredSketchSpec extends SparkSpec {
     // idempotent — this is the lane the __batch_id stamp exists for)
     val before = cells(spark.read.parquet(dir))
     SketchMaintenance.appendCmsSketch(
-      b1.toDF("item"), "item", dir, batchId = 0L, depth = 3, width = 64)
+      b1.toDF("item"), "item", dir, batchId = 0L, depth = 3, width = 64,
+      streamId = cp)
     assert(cells(spark.read.parquet(dir)) == before,
       "replayed batch must be skipped, not re-summed")
+
+    // a NEW lineage (fresh checkpoint, ids restarting at 0) pointed at
+    // the SAME artifact must keep MERGING, never silently skip — the
+    // stamp is per (streamId, batchId), not a global high-water mark
+    SketchMaintenance.appendCmsSketch(
+      Seq.fill(5)("hot").toDF("item"), "item", dir, batchId = 0L,
+      depth = 3, width = 64, streamId = "another-stream")
+    val est2 = graft.operators.Sketches.cmsEstimate(
+        Seq("hot").toDF("item"), "item",
+        spark.read.parquet(dir).select("row", "bucket", "cnt"),
+        depth = 3, width = 64)
+      .collect()(0).getLong(1)
+    assert(est2 >= 55L, s"new lineage's batch must fold in: estimate $est2")
+  }
+
+  test("AtomicSwap recovery: a crash between delete and rename never loses the merged sketch") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("hll_crash").toString + "/regs"
+    val b1 = (1 to 300).map(i => ("g", s"user$i"))
+    SketchMaintenance.appendHllSketch(
+      b1.toDF("g", "v"), "v", "g", dir, batchId = 0L, streamId = "s")
+    // simulate the crash window: the NEXT swap completed its tmp write
+    // and the delete(dst), then died before the rename — dst missing,
+    // complete tmp present
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = spark.read.parquet(dir).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(dir + ".tmp-append")
+    fs.delete(new Path(dir), true)
+    // restart path: the append must RECOVER the orphaned tmp (it IS the
+    // artifact) instead of treating the store as empty and rebuilding
+    // from the replayed batch alone
+    val b2 = (200 to 500).map(i => ("g", s"user$i"))
+    SketchMaintenance.appendHllSketch(
+      b2.toDF("g", "v"), "v", "g", dir, batchId = 1L, streamId = "s")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "bucket", "max_rank").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = graft.operators.Sketches
+      .hllBuild((b1 ++ b2).toDF("g", "v"), "v", "g")
+    assert(regs(spark.read.parquet(dir)) == regs(whole),
+      "recovered artifact + next batch must equal the whole-corpus sketch")
   }
 }
