@@ -110,7 +110,9 @@ object PlanDoc {
     "q_hll_registers" -> "HyperLogLog: scan-side hash/bucket/rank projection into one bounded two-phase MAX agg — 64 rows per group at any corpus size",
     "q_woe" -> "WOE/IV: bin-grain agg + 1-row totals broadcast back — the corpus shuffles once at bin grain",
     "q_target_encode" -> "LOO target encoding: category agg + 1-row rate broadcast back onto the scan — no window, no self-join",
-    "q_conformal" -> "conformal bound: distinct-cents reduction, domain-bounded cumulative window, 1-row rank/threshold broadcasts — no corpus sort")
+    "q_conformal" -> "conformal bound: distinct-cents reduction, domain-bounded cumulative window, 1-row rank/threshold broadcasts — no corpus sort",
+    "q_compress_ratio" -> "entropy-coded size: char explode collapses map-side to docs×alphabet before the exchange, doc-grain sizes join — the r9 oracle-able compressibility lane",
+    "q_link_indexed" -> "stored-index linkage: reference bands+texts read from parquet (kernel paid at build), delta-side kernel + candidates-only Levenshtein verify")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
