@@ -2180,6 +2180,23 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- privacy: ε-DP Laplace releases (seeded mechanism) ----
+    // The MECHANISM side of the privacy family (k-anon/l-div/t-closeness
+    // are audits): noisy counts and clamped noisy sums, deterministic by
+    // the seeded-noise contract so the oracle reproduces them exactly.
+    "q_dp_counts" -> ((s, d) => {
+      RelationalOps.dpGroupCounts(t(s, d, "events"), "event_type",
+          epsilonMicro = 500000L, salt = "graft-r9")
+        .orderBy("event_type")
+    }),
+
+    "q_dp_sum" -> ((s, d) => {
+      RelationalOps.dpGroupSum(t(s, d, "orders"), "o_orderstatus",
+          round(col("o_totalprice") * 100).cast("long"),
+          clampCents = 10000000L, epsilonMicro = 1000000L, salt = "graft-r9")
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- privacy: l-diversity over the k-anonymity quasi key ----
     // Sensitive attribute = the account-balance band (floor/1000 — floor,
     // not cast: double→int casts ROUND in DuckDB and TRUNCATE in Spark).
@@ -4951,6 +4968,25 @@ object SparkEntry {
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
+    // Seeded Laplace: the same (salt || key) md5-lane uniform, inverse
+    // CDF, and integer-grain round as the engine — b literals computed
+    // from the SAME εµ arithmetic (shared-literal convention)
+    "q_dp_counts" -> dpSql(
+      cte = "SELECT event_type AS g, count(*) AS stat FROM events GROUP BY 1",
+      groupAlias = "event_type", statAlias = "n_noisy",
+      bMicro = 1000000000000L / 500000L,
+      epsilonMicro = 500000L, extra = ""),
+
+    "q_dp_sum" -> dpSql(
+      cte = """SELECT o_orderstatus AS g,
+        |    CAST(sum(least(greatest(CAST(round(o_totalprice*100) AS BIGINT),
+        |      0), 10000000)) AS BIGINT) AS stat
+        |  FROM orders GROUP BY 1""".stripMargin,
+      groupAlias = "o_orderstatus", statAlias = "sum_noisy",
+      bMicro = 10000000L * (1000000000000L / 1000000L),
+      epsilonMicro = 1000000L,
+      extra = ", CAST(10000000 AS BIGINT) AS clamp_cents"),
+
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
     // restores "unknown is a value of its own" identically
     "q_ldiversity" ->
@@ -5930,6 +5966,25 @@ object SparkEntry {
        |SELECT CAST(round AS BIGINT) AS round, n_mis, w_l1, bias
        |FROM (${(1 to rounds).map(r => s"SELECT * FROM a$r").mkString(" UNION ALL ")})
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB twin of the seeded-Laplace DP release: same md5-lane
+    * uniform over (salt || key), same inverse CDF, same integer-grain
+    * round; `bMicro` arrives from the SAME Scala arithmetic the engine
+    * uses (shared-literal convention). */
+  private def dpSql(cte: String, groupAlias: String, statAlias: String,
+                    bMicro: Long, epsilonMicro: Long,
+                    extra: String): String = {
+    val hash = "(strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 8, 1)) - 1) * 1"
+    val b = bMicro.toDouble / 1e6
+    s"""WITH c AS ($cte),
+       |u AS (SELECT g, stat, (($hash) + 0.5) / 4294967296.0 AS u FROM c)
+       |SELECT g AS $groupAlias, CAST(stat + CAST(round(
+       |    (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+       |    * ($b * -ln(1 - 2 * abs(u - 0.5)))) AS BIGINT) AS BIGINT)
+       |  AS $statAlias,
+       |  CAST($epsilonMicro AS BIGINT) AS epsilon_micro$extra
+       |FROM u ORDER BY g""".stripMargin
   }
 
   /** The linkage fixture's RIGHT side, shared by q_link_tables and

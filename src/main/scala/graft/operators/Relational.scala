@@ -828,6 +828,76 @@ object RelationalOps {
       .withColumn("violates", col("n") < k)
   }
 
+  /** Seeded Laplace noise for the DP release mechanisms below: a uniform
+    * in (0,1) from the md5 lane over (salt, key) — u = (h + 0.5)/2^32,
+    * never exactly 0 or 1 — through the Laplace inverse CDF
+    * −b·sgn(u−½)·ln(1−2|u−½|), rounded to the integer grain of the
+    * released statistic (the geometric-mechanism convention for counting
+    * queries). DETERMINISTIC on purpose: pipelines replay bit-identically
+    * and both engines derive the same noise from the same literals — the
+    * formal DP guarantee then rests on `salt` staying secret (the seeded-
+    * noise trade every reproducible DP system makes; rotate the salt per
+    * release). ln on a hash-uniform double is the proven round(ln·1e6)
+    * cross-engine lane; here rounding happens at INTEGER grain, coarser
+    * still. */
+  private def laplaceNoise(key: Column, salt: String, bMicro: Long): Column = {
+    // coalesce pins the NULL-group seed cross-engine (SQL || propagates
+    // NULL; an explicit empty-string key is the shared convention)
+    val u = (graft.operators.Sketches.md5Hash32(
+      concat(lit(salt), coalesce(key, lit(""))))
+      .cast("double") + 0.5) / 4294967296.0
+    val centered = u - 0.5
+    // |noise| = b·(−ln(1−2|u−½|)) ≥ 0; the sign follows the half u fell in
+    val mag = lit(bMicro.toDouble / 1e6) *
+      -log(lit(1.0) - lit(2.0) * abs(centered))
+    round(signum(centered) * mag, 0).cast("long")
+  }
+
+  /** DIFFERENTIALLY-PRIVATE group counts (ε-DP Laplace mechanism,
+    * sensitivity 1): per group, n_noisy = n + round(Laplace(1/ε)) with
+    * the seeded noise above — the release form of the [[kAnonymity]]
+    * audit family (k-anon/l-div/t-closeness measure re-identification
+    * risk; this MECHANISM bounds it by construction). ε arrives in micro
+    * units (epsilonMicro = ε·1e6; keep it a divisor of 1e6 so the scale
+    * b = 1e6/εµ is an exact double). Noisy counts can be negative — the
+    * unbiasedness of the mechanism; clamp downstream if a display layer
+    * needs ≥0, never before aggregation across releases.
+    *
+    * Scale shape: ONE map-side-combinable count agg at group grain; the
+    * noise is a scan-side projection over the groups-sized relation. */
+  def dpGroupCounts(df: DataFrame, groupCol: String, epsilonMicro: Long,
+                    salt: String): DataFrame = {
+    require(epsilonMicro > 0, s"epsilonMicro must be positive: $epsilonMicro")
+    // b = 1/ε in micro units: 1e12/εµ (exact when εµ divides 1e12)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        (col("__n") + laplaceNoise(col(groupCol).cast("string"), salt,
+          1000000000000L / epsilonMicro)).as("n_noisy"),
+        lit(epsilonMicro).as("epsilon_micro"))
+  }
+
+  /** DP group SUMS over a cents-grain metric: each row's contribution
+    * clamps to [0, clampCents] FIRST (the sensitivity bound — without the
+    * clamp one outlier row makes ε meaningless), then
+    * sum_noisy = Σ clamped + round(Laplace(clampCents/ε)). Same seeded-
+    * noise contract as [[dpGroupCounts]]. */
+  def dpGroupSum(df: DataFrame, groupCol: String, valueCents: Column,
+                 clampCents: Long, epsilonMicro: Long,
+                 salt: String): DataFrame = {
+    require(clampCents > 0 && epsilonMicro > 0,
+      s"clampCents=$clampCents epsilonMicro=$epsilonMicro")
+    df.groupBy(col(groupCol))
+      .agg(sum(least(greatest(valueCents.cast("long"), lit(0L)),
+        lit(clampCents))).as("__s"))
+      .select(col(groupCol),
+        // b = C/ε in micro units = C·(1e12/εµ)
+        (col("__s") + laplaceNoise(col(groupCol).cast("string"), salt,
+          clampCents * (1000000000000L / epsilonMicro))).as("sum_noisy"),
+        lit(epsilonMicro).as("epsilon_micro"),
+        lit(clampCents).as("clamp_cents"))
+  }
+
   /** l-DIVERSITY audit — the refinement k-anonymity needs before a table
     * ships (Machanavajjhala et al. 2007): a quasi-identifier group of 50
     * rows is 50-anonymous yet leaks everything if all 50 share one

@@ -636,6 +636,43 @@ class RelationalOpsSpec extends SparkSpec {
       s"only the violating class vanishes: $kept")
   }
 
+  test("dpGroupCounts/dpGroupSum: seeded Laplace matches the sequential formula; clamp bounds sensitivity; determinism") {
+    // reference implementation of the seeded noise, sequential
+    def refNoise(key: String, salt: String, bMicro: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 0.5) / 4294967296.0
+      val c = u - 0.5
+      math.round(math.signum(c) *
+        (bMicro.toDouble / 1e6) * -math.log(1.0 - 2.0 * math.abs(c)))
+    }
+    val df = (Seq.fill(40)("a") ++ Seq.fill(10)("b")).toDF("g")
+    val out = RelationalOps.dpGroupCounts(df, "g",
+        epsilonMicro = 500000L, salt = "s1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = 1000000000000L / 500000L
+    assert(out("a") == 40L + refNoise("a", "s1", b), s"got $out")
+    assert(out("b") == 10L + refNoise("b", "s1", b), s"got $out")
+    // determinism: the same salt reproduces; a different salt re-draws
+    val out2 = RelationalOps.dpGroupCounts(df, "g", 500000L, "s1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == out, "seeded release must replay bit-identically")
+    // sums: the clamp bounds each row's contribution BEFORE the sum
+    val v = Seq(("a", 50L), ("a", 5000L), ("a", -30L), ("b", 100L))
+      .toDF("g", "cents")
+    val sums = RelationalOps.dpGroupSum(v, "g", col("cents"),
+        clampCents = 1000L, epsilonMicro = 1000000L, salt = "s2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bs = 1000L * (1000000000000L / 1000000L)
+    // a: 50 + 1000 (clamped) + 0 (negative clamps to 0) = 1050
+    assert(sums("a") == 1050L + refNoise("a", "s2", bs), s"got $sums")
+    assert(sums("b") == 100L + refNoise("b", "s2", bs), s"got $sums")
+    // scale sanity: ε=0.5, sensitivity 1 → |noise| rarely exceeds ~15
+    assert(math.abs(out("a") - 40L) <= 20L && math.abs(out("b") - 10L) <= 20L)
+  }
+
   test("tCloseness: concentrated groups score the CDF gap, matched ones score 0") {
     // global over values {1,2}: 3+3 rows. A all-1s, B all-2s, C one of each.
     val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
