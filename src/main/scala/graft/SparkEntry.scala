@@ -4973,9 +4973,8 @@ object SparkEntry {
     // from the SAME εµ arithmetic (shared-literal convention)
     "q_dp_counts" -> dpSql(
       cte = "SELECT event_type AS g, count(*) AS stat FROM events GROUP BY 1",
-      groupAlias = "event_type", statAlias = "n_noisy",
-      bMicro = 1000000000000L / 500000L,
-      epsilonMicro = 500000L, extra = ""),
+      groupAlias = "event_type", statAlias = "n_noisy", salt = "graft-r9",
+      epsilonMicro = 500000L, sensitivity = 1L, extra = ""),
 
     "q_dp_sum" -> dpSql(
       cte = """SELECT o_orderstatus AS g,
@@ -4983,8 +4982,7 @@ object SparkEntry {
         |      0), 10000000)) AS BIGINT) AS stat
         |  FROM orders GROUP BY 1""".stripMargin,
       groupAlias = "o_orderstatus", statAlias = "sum_noisy",
-      bMicro = 10000000L * (1000000000000L / 1000000L),
-      epsilonMicro = 1000000L,
+      salt = "graft-r9", epsilonMicro = 1000000L, sensitivity = 10000000L,
       extra = ", CAST(10000000 AS BIGINT) AS clamp_cents"),
 
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
@@ -5973,10 +5971,14 @@ object SparkEntry {
     * round; `bMicro` arrives from the SAME Scala arithmetic the engine
     * uses (shared-literal convention). */
   private def dpSql(cte: String, groupAlias: String, statAlias: String,
-                    bMicro: Long, epsilonMicro: Long,
+                    salt: String, epsilonMicro: Long, sensitivity: Long,
                     extra: String): String = {
-    val hash = "(strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('graft-r9' || coalesce(g, '')), 8, 1)) - 1) * 1"
-    val b = bMicro.toDouble / 1e6
+    // b derives HERE from the same (sensitivity, εµ) arithmetic the
+    // engine uses, and the hash lane is the SHARED kmvHash32Sql twin of
+    // md5Hash32 — one home for both, so the two engines cannot drift
+    val hash = graft.operators.Sketches
+      .kmvHash32Sql(s"'$salt' || coalesce(g, '')")
+    val b = (sensitivity * (1000000000000L / epsilonMicro)).toDouble / 1e6
     s"""WITH c AS ($cte),
        |u AS (SELECT g, stat, (($hash) + 0.5) / 4294967296.0 AS u FROM c)
        |SELECT g AS $groupAlias, CAST(stat + CAST(round(
@@ -5986,6 +5988,7 @@ object SparkEntry {
        |  CAST($epsilonMicro AS BIGINT) AS epsilon_micro$extra
        |FROM u ORDER BY g""".stripMargin
   }
+
 
   /** The linkage fixture's RIGHT side, shared by q_link_tables and
     * q_link_indexed — ONE derivation on purpose: the two queries share

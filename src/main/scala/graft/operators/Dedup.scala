@@ -450,8 +450,12 @@ object Dedup {
   /** [[linkTables]] semantics with the reference side's kernel cost
     * ALREADY PAID: candidates come from the stored band relation, the
     * verify joins the stored texts. Output is bit-identical to
-    * linkTables over the same sides (the stored bands ARE the same
-    * hash-family bands) — only the cost moves. */
+    * linkTables over the same ID-UNIQUE sides (the append-only id
+    * discipline both lanes require; the stored bands ARE the same
+    * hash-family bands) — only the cost moves. A reference side with
+    * duplicate (id, text) rows diverges: the stored-texts read collapses
+    * exact duplicates (retry idempotence) while the inline lane would
+    * emit one output row per copy. */
   def linkAgainstIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        right: DataFrame, rightText: String, rightId: String,
                        maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,

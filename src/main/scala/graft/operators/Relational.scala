@@ -867,8 +867,9 @@ object RelationalOps {
     * noise is a scan-side projection over the groups-sized relation. */
   def dpGroupCounts(df: DataFrame, groupCol: String, epsilonMicro: Long,
                     salt: String): DataFrame = {
-    require(epsilonMicro > 0, s"epsilonMicro must be positive: $epsilonMicro")
-    // b = 1/ε in micro units: 1e12/εµ (exact when εµ divides 1e12)
+    require(epsilonMicro > 0 && 1000000000000L % epsilonMicro == 0,
+      s"epsilonMicro must be a positive divisor of 1e12 (exact b): $epsilonMicro")
+    // b = 1/ε in micro units: 1e12/εµ (exact by the require above)
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
       .select(col(groupCol),
@@ -885,8 +886,13 @@ object RelationalOps {
   def dpGroupSum(df: DataFrame, groupCol: String, valueCents: Column,
                  clampCents: Long, epsilonMicro: Long,
                  salt: String): DataFrame = {
-    require(clampCents > 0 && epsilonMicro > 0,
-      s"clampCents=$clampCents epsilonMicro=$epsilonMicro")
+    require(clampCents > 0 && epsilonMicro > 0 &&
+      1000000000000L % epsilonMicro == 0,
+      s"clampCents=$clampCents epsilonMicro=$epsilonMicro (eps must divide 1e12)")
+    // overflow guard: b = C·1e12/εµ micro units must stay inside Long —
+    // a silent wrap would FLIP the noise sign (garbage-scale release)
+    require(clampCents <= Long.MaxValue / (1000000000000L / epsilonMicro),
+      s"clampCents·(1e12/epsilonMicro) overflows Long: $clampCents, $epsilonMicro")
     df.groupBy(col(groupCol))
       .agg(sum(least(greatest(valueCents.cast("long"), lit(0L)),
         lit(clampCents))).as("__s"))

@@ -1115,6 +1115,11 @@ object TextAnalysis {
 
   def loadBm25Stats(spark: org.apache.spark.sql.SparkSession, dir: String,
                     terms: Seq[String]): Bm25Stats = {
+    // read path of a swap-maintained table — recover an orphaned complete
+    // tmp first (the AtomicSwap contract; a crash between delete and
+    // rename would otherwise read as path-not-found)
+    graft.sources.AtomicSwap.recover(spark, dir + ".stats")
+    graft.sources.AtomicSwap.recover(spark, dir + ".terms")
     val st = spark.read.parquet(dir + ".stats").collect()(0)
     val dfm = spark.read.parquet(dir + ".terms")
       .filter(col("term").isin(terms.distinct: _*)).collect()

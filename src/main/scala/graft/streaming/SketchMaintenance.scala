@@ -16,38 +16,38 @@ import graft.sources.AtomicSwap
   * reference's changelog-backed store, samza `stores.*.changelog`,
   * re-expressed as a table a 100-TB deployment would actually query).
   *
-  * Exactly-once across restarts: every swap stamps the micro-batch id AND
-  * the stream lineage (the checkpoint path for the sink forms) into the
-  * artifact, and a replayed batch (foreachBatch is at-least-once) is
-  * SKIPPED when its id is already committed FOR THAT LINEAGE — one atomic
-  * swap covers sketch + stamp together, so counts and marker can never
-  * disagree. A NEW stream (different `streamId`) pointed at an existing
-  * artifact starts its own id sequence and keeps merging on top of the
-  * stored counts — batch ids restarting at 0 no longer silently discard
-  * data. Wiping a checkpoint while keeping its PATH (same lineage id,
-  * restarted ids) is the one unprotected case — the same discipline
-  * transactional table formats demand of their txn-version column. HLL's
-  * per-bucket MAX merge is idempotent anyway; CMS's per-cell SUM is the
-  * lane the guard exists for. */
+  * Exactly-once across restarts: the artifact carries one WATERMARK ROW
+  * PER LINEAGE (`__stream_id`, high `__batch_id`) alongside the sketch
+  * rows — every swap rewrites the whole small table, so sketch + all
+  * watermarks commit in ONE atomic rename, and a replayed batch
+  * (foreachBatch is at-least-once) is SKIPPED when its id is already
+  * committed FOR ITS lineage. Watermarks of OTHER lineages are carried
+  * forward, never erased — concurrent/interleaved writers each keep their
+  * own replay guard (single-writer-at-a-time is still the discipline; the
+  * carried watermarks make writer HANDOVER safe). A NEW stream (fresh
+  * checkpoint → ids restart at 0) starts its own watermark and keeps
+  * merging on top of the stored counts. Artifacts written by older
+  * builds (no watermark rows) read as watermark −1: their next fold is
+  * processed, which is idempotent for HLL's MAX and at-least-once for
+  * CMS's SUM — documented, not silent failure. Wiping a checkpoint while
+  * keeping its PATH (same lineage id, restarted ids) is the one
+  * unprotected case — the discipline transactional table formats demand
+  * of their txn-version column. */
 object SketchMaintenance {
 
-  /** Last micro-batch id folded into the stored artifact BY THIS LINEAGE,
-    * −1 if none (missing table, empty table, or a different stream's
-    * stamp). The artifact is register-table-sized (64·groups for HLL,
-    * depth·width for CMS), so the read is trivially bounded. Runs swap
-    * recovery first — after a crash between delete and rename, the
-    * orphaned complete tmp IS the artifact. */
-  private def committedBatch(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, streamId: String): Long = {
-    AtomicSwap.recover(spark, dir)
-    if (!exists(spark, dir)) -1L
-    else {
-      val r = spark.read.parquet(dir)
-        .filter(col("__stream_id") === streamId)
-        .agg(max("__batch_id")).collect()(0)
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    }
-  }
+  /** Sketch rows vs watermark rows share one schema: watermark rows carry
+    * `__stream_id` (data rows hold NULL there) and store the committed
+    * batch id in the long payload column (`max_rank`/`cnt`) with the
+    * bucket key pinned to −1 (outside every real bucket). Readers of the
+    * REGISTERS filter [[dataRows]]. */
+  private val WatermarkBucket = -1L
+
+  /** The register/cell rows of a stored sketch table — what estimators
+    * read ([[Sketches.hllEstimate]]/[[Sketches.cmsEstimate]] inputs). */
+  def dataRows(stored: DataFrame): DataFrame =
+    if (stored.columns.contains("__stream_id"))
+      stored.filter(col("__stream_id").isNull).drop("__stream_id")
+    else stored
 
   private def exists(spark: org.apache.spark.sql.SparkSession,
                      dir: String): Boolean = {
@@ -56,33 +56,64 @@ object SketchMaintenance {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** (carried watermark rows for OTHER lineages, this lineage's committed
+    * batch id). Runs swap recovery first — after a crash between delete
+    * and rename, the orphaned complete tmp IS the artifact. Legacy tables
+    * without watermark rows read as (∅, −1). */
+  private def watermarks(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, streamId: String,
+                         payloadCol: String): (Option[DataFrame], Long) = {
+    AtomicSwap.recover(spark, dir)
+    if (!exists(spark, dir)) (None, -1L)
+    else {
+      val stored = spark.read.parquet(dir)
+      if (!stored.columns.contains("__stream_id")) (None, -1L)
+      else {
+        val marks = stored.filter(col("__stream_id").isNotNull)
+        val mine = marks.filter(col("__stream_id") === streamId)
+          .agg(max(payloadCol)).collect()(0)
+        (Some(marks.filter(col("__stream_id") =!= streamId)),
+          if (mine.isNullAt(0)) -1L else mine.getLong(0))
+      }
+    }
+  }
+
   /** Fold a DELTA of (groupCol, valueCol) rows into a stored HLL register
-    * table at `dir` — schema (groupCol, bucket, max_rank, __batch_id,
-    * __stream_id). Replays of an already-committed (streamId, batchId)
-    * are skipped; foreachBatch provides the monotone id, the sink forms
-    * pass the checkpoint path as the lineage. The merge is the per-bucket
-    * MAX [[Sketches.hllMerge]] proved shard-exact through the
+    * table at `dir` — rows (groupCol, bucket, max_rank, __stream_id) with
+    * per-lineage watermark rows as documented above. The merge is the
+    * per-bucket MAX [[Sketches.hllMerge]] proved shard-exact through the
     * q_hll_merged oracle — stored ∪ delta never rescans history. */
   def appendHllSketch(delta: DataFrame, valueCol: String, groupCol: String,
                       dir: String, batchId: Long,
                       streamId: String = ""): Unit = {
     val spark = delta.sparkSession
-    if (batchId <= committedBatch(spark, dir, streamId)) return
+    val (others, committed) = watermarks(spark, dir, streamId, "max_rank")
+    if (batchId <= committed) return
     val deltaRegs = Sketches.hllBuild(delta, valueCol, groupCol)
     val merged =
       if (!exists(spark, dir)) deltaRegs
       else Sketches.hllMerge(
-        spark.read.parquet(dir).select(groupCol, "bucket", "max_rank")
+        dataRows(spark.read.parquet(dir))
+          .select(groupCol, "bucket", "max_rank")
           .unionByName(deltaRegs), groupCol)
+    val mark = spark.range(1).select(lit("").as(groupCol),
+      lit(WatermarkBucket).as("bucket"), lit(batchId).as("max_rank"),
+      lit(streamId).as("__stream_id"))
+    val marks = others.map(o =>
+        o.select(col(groupCol), col("bucket"), col("max_rank"),
+          col("__stream_id")).unionByName(mark))
+      .getOrElse(mark)
     // the tmp write materializes the stored-table read BEFORE the swap
     // deletes it — the AtomicSwap ordering
-    AtomicSwap.swapIn(merged.withColumn("__batch_id", lit(batchId))
-      .withColumn("__stream_id", lit(streamId)), dir)
+    AtomicSwap.swapIn(
+      merged.withColumn("__stream_id", lit(null).cast("string")).unionByName(marks),
+      dir)
   }
 
   /** Streaming HLL maintenance: every micro-batch folds into the stored
     * register table. Estimate any time with
-    * `Sketches.hllEstimate(spark.read.parquet(dir), groupCol)`. */
+    * `Sketches.hllEstimate(SketchMaintenance.dataRows(
+    *   spark.read.parquet(dir)), groupCol)`. */
   def hllSketchSink(stream: DataFrame, valueCol: String, groupCol: String,
                     dir: String, checkpoint: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -93,28 +124,39 @@ object SketchMaintenance {
       }
 
   /** Fold a DELTA's count-min shard into a stored CMS table at `dir` —
-    * schema (row, bucket, cnt, __batch_id, __stream_id). CMS cells are
-    * additive, so the merge is a per-cell SUM; the (streamId, batchId)
-    * guard is what makes the at-least-once replay exactly-once (a
-    * re-summed batch would double-count, unlike HLL's idempotent MAX). */
+    * rows (row, bucket, cnt, __stream_id) plus per-lineage watermark
+    * rows. CMS cells are additive, so the merge is a per-cell SUM; the
+    * per-lineage watermark is what makes the at-least-once replay
+    * exactly-once (a re-summed batch would double-count, unlike HLL's
+    * idempotent MAX). */
   def appendCmsSketch(delta: DataFrame, itemCol: String, dir: String,
                       batchId: Long, depth: Int = 3, width: Int = 1024,
                       streamId: String = ""): Unit = {
     val spark = delta.sparkSession
-    if (batchId <= committedBatch(spark, dir, streamId)) return
+    val (others, committed) = watermarks(spark, dir, streamId, "cnt")
+    if (batchId <= committed) return
     val deltaCells = Sketches.cmsBuild(delta, itemCol, depth, width)
     val merged =
       if (!exists(spark, dir)) deltaCells
-      else spark.read.parquet(dir).select("row", "bucket", "cnt")
+      else dataRows(spark.read.parquet(dir)).select("row", "bucket", "cnt")
         .unionByName(deltaCells)
         .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
-    AtomicSwap.swapIn(merged.withColumn("__batch_id", lit(batchId))
-      .withColumn("__stream_id", lit(streamId)), dir)
+    val mark = spark.range(1).select(lit(WatermarkBucket).as("row"),
+      lit(WatermarkBucket).as("bucket"), lit(batchId).as("cnt"),
+      lit(streamId).as("__stream_id"))
+    val marks = others.map(o =>
+        o.select(col("row"), col("bucket"), col("cnt"), col("__stream_id"))
+          .unionByName(mark))
+      .getOrElse(mark)
+    AtomicSwap.swapIn(
+      merged.withColumn("__stream_id", lit(null).cast("string")).unionByName(marks),
+      dir)
   }
 
   /** Streaming CMS maintenance; point-estimate any time with
     * `Sketches.cmsEstimate(candidates, itemCol,
-    * spark.read.parquet(dir), depth, width)`. */
+    * SketchMaintenance.dataRows(spark.read.parquet(dir)), depth,
+    * width)`. */
   def cmsSketchSink(stream: DataFrame, itemCol: String, dir: String,
                     checkpoint: String, depth: Int = 3,
                     width: Int = 1024): DataStreamWriter[Row] =

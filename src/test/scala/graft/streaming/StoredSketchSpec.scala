@@ -38,7 +38,7 @@ class StoredSketchSpec extends SparkSpec {
     def regs(df: org.apache.spark.sql.DataFrame) =
       df.select("g", "bucket", "max_rank").collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val stored = spark.read.parquet(dir)
+    val stored = SketchMaintenance.dataRows(spark.read.parquet(dir))
     val whole = Sketches.hllBuild((b1 ++ b2 ++ b3).toDF("g", "v"), "v", "g")
     assert(regs(stored) == regs(whole),
       "stored registers must equal the whole-corpus sketch after a restart")
@@ -49,10 +49,11 @@ class StoredSketchSpec extends SparkSpec {
     // at-least-once replay: re-folding an already-committed batch id must
     // not change the artifact (MAX is idempotent anyway; the guard is
     // what the CMS lane relies on)
-    val before = regs(spark.read.parquet(dir))
+    def storedRegs() = regs(SketchMaintenance.dataRows(spark.read.parquet(dir)))
+    val before = storedRegs()
     SketchMaintenance.appendHllSketch(
       b1.toDF("g", "v"), "v", "g", dir, batchId = 0L, streamId = cp)
-    assert(regs(spark.read.parquet(dir)) == before, "replay must be a no-op")
+    assert(storedRegs() == before, "replay must be a no-op")
   }
 
   test("CMS: restart-spanning per-cell sums stay exact; replayed batches never double-count") {
@@ -75,7 +76,7 @@ class StoredSketchSpec extends SparkSpec {
     def cells(df: org.apache.spark.sql.DataFrame) =
       df.select("row", "bucket", "cnt").collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val stored = spark.read.parquet(dir)
+    val stored = SketchMaintenance.dataRows(spark.read.parquet(dir))
     val whole = Sketches.cmsBuild((b1 ++ b2).toDF("item"), "item",
       depth = 3, width = 64)
     assert(cells(stored) == cells(whole),
@@ -87,26 +88,39 @@ class StoredSketchSpec extends SparkSpec {
     assert(est >= 50L, s"hot item saw 50 occurrences, estimate $est")
 
     // replay guard: re-folding batch 0 must NOT double-count (SUM is not
-    // idempotent — this is the lane the __batch_id stamp exists for)
-    val before = cells(spark.read.parquet(dir))
+    // idempotent — this is the lane the per-lineage watermark exists for)
+    def storedCells() =
+      cells(SketchMaintenance.dataRows(spark.read.parquet(dir)))
+    val before = storedCells()
     SketchMaintenance.appendCmsSketch(
       b1.toDF("item"), "item", dir, batchId = 0L, depth = 3, width = 64,
       streamId = cp)
-    assert(cells(spark.read.parquet(dir)) == before,
+    assert(storedCells() == before,
       "replayed batch must be skipped, not re-summed")
 
     // a NEW lineage (fresh checkpoint, ids restarting at 0) pointed at
     // the SAME artifact must keep MERGING, never silently skip — the
-    // stamp is per (streamId, batchId), not a global high-water mark
+    // watermark is per (streamId, batchId), not a global high-water mark
     SketchMaintenance.appendCmsSketch(
       Seq.fill(5)("hot").toDF("item"), "item", dir, batchId = 0L,
       depth = 3, width = 64, streamId = "another-stream")
     val est2 = graft.operators.Sketches.cmsEstimate(
         Seq("hot").toDF("item"), "item",
-        spark.read.parquet(dir).select("row", "bucket", "cnt"),
+        SketchMaintenance.dataRows(spark.read.parquet(dir))
+          .select("row", "bucket", "cnt"),
         depth = 3, width = 64)
       .collect()(0).getLong(1)
     assert(est2 >= 55L, s"new lineage's batch must fold in: estimate $est2")
+
+    // watermark CARRY-FORWARD: the other lineage's swap must not erase
+    // this lineage's replay guard — a replay of the ORIGINAL stream's
+    // batch 1 is still a no-op after the interleaved writer
+    val afterOther = storedCells()
+    SketchMaintenance.appendCmsSketch(
+      b2.toDF("item"), "item", dir, batchId = 1L, depth = 3, width = 64,
+      streamId = cp)
+    assert(storedCells() == afterOther,
+      "an interleaved lineage must not reset this lineage's watermark")
   }
 
   test("AtomicSwap recovery: a crash between delete and rename never loses the merged sketch") {
@@ -121,6 +135,7 @@ class StoredSketchSpec extends SparkSpec {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged = spark.read.parquet(dir).localCheckpoint(true)
+    // (the whole table — registers AND watermark rows — is the artifact)
     merged.write.mode("overwrite").parquet(dir + ".tmp-append")
     fs.delete(new Path(dir), true)
     // restart path: the append must RECOVER the orphaned tmp (it IS the
@@ -134,7 +149,8 @@ class StoredSketchSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val whole = graft.operators.Sketches
       .hllBuild((b1 ++ b2).toDF("g", "v"), "v", "g")
-    assert(regs(spark.read.parquet(dir)) == regs(whole),
+    assert(regs(SketchMaintenance.dataRows(spark.read.parquet(dir)))
+      == regs(whole),
       "recovered artifact + next batch must equal the whole-corpus sketch")
   }
 }
