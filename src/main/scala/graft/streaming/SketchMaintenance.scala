@@ -30,9 +30,13 @@ import graft.sources.AtomicSwap
   * builds (no watermark rows) read as watermark −1: their next fold is
   * processed, which is idempotent for HLL's MAX and at-least-once for
   * CMS's SUM — documented, not silent failure. Wiping a checkpoint while
-  * keeping its PATH (same lineage id, restarted ids) is the one
-  * unprotected case — the discipline transactional table formats demand
-  * of their txn-version column. */
+  * keeping its PATH (same lineage id, restarted ids) is DETECTED and
+  * rejected: batch ids restarting at 0 while this lineage has committed
+  * past 0 can only mean the checkpoint is gone — a genuine replay of
+  * batch 0 implies committed == 0 (the fold landed but the checkpoint
+  * commit didn't) and still no-ops. The one undetectable wipe is a
+  * lineage whose ONLY committed batch was 0; everything later throws
+  * instead of silently dropping data. */
 object SketchMaintenance {
 
   /** Sketch rows vs watermark rows share one schema: watermark rows carry
@@ -41,6 +45,32 @@ object SketchMaintenance {
     * bucket key pinned to −1 (outside every real bucket). Readers of the
     * REGISTERS filter [[dataRows]]. */
   private val WatermarkBucket = -1L
+
+  /** A lineage id is the replay-guard key: two callers sharing one id
+    * share one watermark lane, so the second's batch 0 would read as the
+    * first's replay and be dropped — the empty-string default this
+    * replaces had exactly that failure mode. The sinks pass their
+    * checkpoint path; direct callers must pick something as unique. */
+  private def requireLineage(streamId: String): Unit =
+    require(streamId.nonEmpty,
+      "streamId must be a non-empty lineage id (e.g. the checkpoint " +
+        "path): two writers sharing a lineage share one replay guard, " +
+        "and the second writer's batches would be dropped as replays")
+
+  /** Batch ids restarting at 0 while this lineage committed past 0 can
+    * only mean the checkpoint was wiped but its PATH (= lineage id) was
+    * reused — every batch until ids catch up would be silently skipped,
+    * dropping new data with no error. A genuine at-least-once replay of
+    * batch 0 implies committed == 0, which still no-ops downstream. */
+  private def rejectStaleLineage(batchId: Long, committed: Long,
+                                 streamId: String, dir: String): Unit =
+    if (batchId == 0L && committed > 0L)
+      throw new IllegalStateException(
+        s"stale lineage '$streamId' at $dir: batch ids restarted at 0 " +
+          s"but this lineage already committed through batch $committed " +
+          "— the checkpoint was wiped while its path was reused. Use a " +
+          "fresh checkpoint dir (a fresh lineage id) to keep folding " +
+          "into this artifact.")
 
   /** The register/cell rows of a stored sketch table — what estimators
     * read ([[Sketches.hllEstimate]]/[[Sketches.cmsEstimate]] inputs). */
@@ -85,9 +115,11 @@ object SketchMaintenance {
     * q_hll_merged oracle — stored ∪ delta never rescans history. */
   def appendHllSketch(delta: DataFrame, valueCol: String, groupCol: String,
                       dir: String, batchId: Long,
-                      streamId: String = ""): Unit = {
+                      streamId: String): Unit = {
+    requireLineage(streamId)
     val spark = delta.sparkSession
     val (others, committed) = watermarks(spark, dir, streamId, "max_rank")
+    rejectStaleLineage(batchId, committed, streamId, dir)
     if (batchId <= committed) return
     val deltaRegs = Sketches.hllBuild(delta, valueCol, groupCol)
     val merged =
@@ -131,9 +163,11 @@ object SketchMaintenance {
     * idempotent MAX). */
   def appendCmsSketch(delta: DataFrame, itemCol: String, dir: String,
                       batchId: Long, depth: Int = 3, width: Int = 1024,
-                      streamId: String = ""): Unit = {
+                      streamId: String): Unit = {
+    requireLineage(streamId)
     val spark = delta.sparkSession
     val (others, committed) = watermarks(spark, dir, streamId, "cnt")
+    rejectStaleLineage(batchId, committed, streamId, dir)
     if (batchId <= committed) return
     val deltaCells = Sketches.cmsBuild(delta, itemCol, depth, width)
     val merged =

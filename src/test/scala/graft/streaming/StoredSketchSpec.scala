@@ -48,11 +48,13 @@ class StoredSketchSpec extends SparkSpec {
 
     // at-least-once replay: re-folding an already-committed batch id must
     // not change the artifact (MAX is idempotent anyway; the guard is
-    // what the CMS lane relies on)
+    // what the CMS lane relies on). Batch 2 is the last committed — a
+    // replayed batch 0 with committed > 0 now means a WIPED checkpoint
+    // and throws instead (see the stale-lineage test).
     def storedRegs() = regs(SketchMaintenance.dataRows(spark.read.parquet(dir)))
     val before = storedRegs()
     SketchMaintenance.appendHllSketch(
-      b1.toDF("g", "v"), "v", "g", dir, batchId = 0L, streamId = cp)
+      b3.toDF("g", "v"), "v", "g", dir, batchId = 2L, streamId = cp)
     assert(storedRegs() == before, "replay must be a no-op")
   }
 
@@ -87,13 +89,14 @@ class StoredSketchSpec extends SparkSpec {
       .collect()(0).getLong(1)
     assert(est >= 50L, s"hot item saw 50 occurrences, estimate $est")
 
-    // replay guard: re-folding batch 0 must NOT double-count (SUM is not
-    // idempotent — this is the lane the per-lineage watermark exists for)
+    // replay guard: re-folding the last committed batch must NOT
+    // double-count (SUM is not idempotent — this is the lane the
+    // per-lineage watermark exists for)
     def storedCells() =
       cells(SketchMaintenance.dataRows(spark.read.parquet(dir)))
     val before = storedCells()
     SketchMaintenance.appendCmsSketch(
-      b1.toDF("item"), "item", dir, batchId = 0L, depth = 3, width = 64,
+      b2.toDF("item"), "item", dir, batchId = 1L, depth = 3, width = 64,
       streamId = cp)
     assert(storedCells() == before,
       "replayed batch must be skipped, not re-summed")
@@ -121,6 +124,121 @@ class StoredSketchSpec extends SparkSpec {
       streamId = cp)
     assert(storedCells() == afterOther,
       "an interleaved lineage must not reset this lineage's watermark")
+  }
+
+  test("wiped checkpoint with a reused path throws instead of silently dropping data") {
+    val dir = Files.createTempDirectory("cms_wipe").toString + "/cells"
+    SketchMaintenance.appendCmsSketch(
+      Seq("a", "b").toDF("item"), "item", dir, batchId = 0L,
+      depth = 3, width = 64, streamId = "cp-wipe")
+    SketchMaintenance.appendCmsSketch(
+      Seq("c").toDF("item"), "item", dir, batchId = 1L,
+      depth = 3, width = 64, streamId = "cp-wipe")
+    // the checkpoint is wiped but its PATH (= lineage id) reused: the new
+    // incarnation's ids restart at 0 while the artifact committed through
+    // 1 — before round 10 this SKIPPED every new batch until ids caught
+    // up, dropping data with no error; now it must refuse
+    val e = intercept[IllegalStateException] {
+      SketchMaintenance.appendCmsSketch(
+        Seq("NEW-DATA").toDF("item"), "item", dir, batchId = 0L,
+        depth = 3, width = 64, streamId = "cp-wipe")
+    }
+    assert(e.getMessage.contains("stale lineage") &&
+      e.getMessage.contains("fresh checkpoint"))
+    // same detection on the HLL lane
+    val hdir = Files.createTempDirectory("hll_wipe").toString + "/regs"
+    SketchMaintenance.appendHllSketch(
+      Seq(("g", "u1")).toDF("g", "v"), "v", "g", hdir, batchId = 0L,
+      streamId = "cp-wipe")
+    SketchMaintenance.appendHllSketch(
+      Seq(("g", "u2")).toDF("g", "v"), "v", "g", hdir, batchId = 1L,
+      streamId = "cp-wipe")
+    intercept[IllegalStateException] {
+      SketchMaintenance.appendHllSketch(
+        Seq(("g", "u3")).toDF("g", "v"), "v", "g", hdir, batchId = 0L,
+        streamId = "cp-wipe")
+    }
+  }
+
+  test("a genuine batch-0 replay (committed == 0) still no-ops, never throws") {
+    val dir = Files.createTempDirectory("cms_b0").toString + "/cells"
+    SketchMaintenance.appendCmsSketch(
+      Seq.fill(7)("x").toDF("item"), "item", dir, batchId = 0L,
+      depth = 3, width = 64, streamId = "cp-b0")
+    def cells() = SketchMaintenance.dataRows(spark.read.parquet(dir))
+      .select("row", "bucket", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val before = cells()
+    // the fold landed but the checkpoint commit didn't → the stream
+    // re-delivers batch 0; committed == 0 distinguishes this from a wipe
+    SketchMaintenance.appendCmsSketch(
+      Seq.fill(7)("x").toDF("item"), "item", dir, batchId = 0L,
+      depth = 3, width = 64, streamId = "cp-b0")
+    assert(cells() == before, "legit batch-0 replay must be a silent no-op")
+  }
+
+  test("an empty streamId is rejected — shared lanes drop the second writer's data") {
+    val dir = Files.createTempDirectory("cms_empty").toString + "/cells"
+    intercept[IllegalArgumentException] {
+      SketchMaintenance.appendCmsSketch(
+        Seq("x").toDF("item"), "item", dir, batchId = 0L,
+        depth = 3, width = 64, streamId = "")
+    }
+    intercept[IllegalArgumentException] {
+      SketchMaintenance.appendHllSketch(
+        Seq(("g", "u")).toDF("g", "v"), "v", "g", dir, batchId = 0L,
+        streamId = "")
+    }
+  }
+
+  test("writer handover: a second lineage takes over the artifact, the first lineage's replay stays guarded") {
+    // Stream A (checkpoint cpA) folds two batches, stops; stream B — a
+    // DIFFERENT checkpoint, ids restarting at 0 — takes over the same
+    // stored artifact. B must keep merging (its batch 0 is not A's
+    // replay), A's re-delivered last batch must still be skipped (its
+    // watermark was carried through B's swaps), and the final cells must
+    // equal the whole-corpus sketch. CMS lane: SUM is not idempotent, so
+    // any double-count or drop shows up exactly.
+    val dir = Files.createTempDirectory("cms_handover").toString + "/cells"
+    val cpA = Files.createTempDirectory("cp_handover_a").toString
+    val cpB = Files.createTempDirectory("cp_handover_b").toString
+    val inA = MemoryStream[String]
+    val inB = MemoryStream[String]
+
+    val a1 = Seq.fill(10)("hot") ++ (1 to 20).map(i => s"a$i")
+    val a2 = Seq.fill(5)("hot") ++ (21 to 40).map(i => s"a$i")
+    val b1 = Seq.fill(8)("hot") ++ (1 to 15).map(i => s"b$i")
+
+    val qA = SketchMaintenance.cmsSketchSink(
+      inA.toDS().toDF("item"), "item", dir, cpA,
+      depth = 3, width = 64).start()
+    inA.addData(a1: _*); qA.processAllAvailable()
+    inA.addData(a2: _*); qA.processAllAvailable()
+    qA.stop()
+
+    val qB = SketchMaintenance.cmsSketchSink(
+      inB.toDS().toDF("item"), "item", dir, cpB,
+      depth = 3, width = 64).start()
+    inB.addData(b1: _*); qB.processAllAvailable()
+    qB.stop()
+
+    def cells() = SketchMaintenance.dataRows(spark.read.parquet(dir))
+      .select("row", "bucket", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val afterHandover = cells()
+    // A's at-least-once re-delivery of its batch 1 arrives AFTER the
+    // handover — B's swaps must have carried A's watermark forward
+    SketchMaintenance.appendCmsSketch(
+      a2.toDF("item"), "item", dir, batchId = 1L, depth = 3, width = 64,
+      streamId = cpA)
+    assert(cells() == afterHandover,
+      "A's replayed batch must stay skipped after B's takeover")
+    val whole = Sketches.cmsBuild((a1 ++ a2 ++ b1).toDF("item"), "item",
+      depth = 3, width = 64)
+    val wholeCells = whole.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells() == wholeCells,
+      "handed-over artifact must equal the whole-corpus sketch")
   }
 
   test("AtomicSwap recovery: a crash between delete and rename never loses the merged sketch") {
