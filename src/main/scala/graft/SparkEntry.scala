@@ -191,7 +191,9 @@ object SparkEntry {
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         (discUnits / 10000.0).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // revenue breaks the tie: the synthetic lineitem has duplicate
+        // (orderkey, linenumber) pairs with differing payloads
+        .orderBy("l_orderkey", "l_linenumber", "revenue")
     }),
 
     // ---- P3 flatMap/explode: corpus word count ----
@@ -1878,7 +1880,9 @@ object SparkEntry {
           Seq("l_partkey", "l_suppkey"), bits = 16)
         .select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"), col("zval"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // zval breaks the tie left by the synthetic data's duplicate
+        // (orderkey, linenumber) pairs
+        .orderBy("l_orderkey", "l_linenumber", "zval")
     }),
 
     // ---- embeddings: semantic decontamination (paraphrase leakage) ----
@@ -2184,17 +2188,38 @@ object SparkEntry {
     // The MECHANISM side of the privacy family (k-anon/l-div/t-closeness
     // are audits): noisy counts and clamped noisy sums, deterministic by
     // the seeded-noise contract so the oracle reproduces them exactly.
+    // Each release carries its OWN nonce (never reused across releases —
+    // shared noise across two releases of evolving data exposes the delta)
     "q_dp_counts" -> ((s, d) => {
       RelationalOps.dpGroupCounts(t(s, d, "events"), "event_type",
-          epsilonMicro = 500000L, salt = "graft-r9")
+          epsilonMicro = 500000L, releaseNonce = "graft-r10-evcounts")
         .orderBy("event_type")
     }),
 
     "q_dp_sum" -> ((s, d) => {
       RelationalOps.dpGroupSum(t(s, d, "orders"), "o_orderstatus",
           round(col("o_totalprice") * 100).cast("long"),
-          clampCents = 10000000L, epsilonMicro = 1000000L, salt = "graft-r9")
+          clampCents = 10000000L, epsilonMicro = 1000000L,
+          releaseNonce = "graft-r10-ordsum")
         .orderBy("o_orderstatus")
+    }),
+
+    // Fixed-support DP release over a PUBLIC key domain: customers of
+    // one region counted per nation, released over ALL 25 nation names —
+    // the 20 absent nations get a noised zero, so the support is a
+    // constant of the release and add/remove adjacency holds (the
+    // support-leak fix: without the domain, a vanished group would
+    // distinguish neighbors with certainty).
+    "q_dp_domain" -> ((s, d) => {
+      val nat = t(s, d, "nation")
+      val data = t(s, d, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 1L)
+        .select(col("n_name"))
+      RelationalOps.dpGroupCounts(data, "n_name", epsilonMicro = 500000L,
+          releaseNonce = "graft-r10-natdomain",
+          keyDomain = Some(nat.select(col("n_name"))))
+        .orderBy("n_name")
     }),
 
     // ---- privacy: l-diversity over the k-anonymity quasi key ----
@@ -2354,7 +2379,9 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val dir = s"target/graft-link/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag"
-      val marker = new org.apache.hadoop.fs.Path(dir + "/texts/_SUCCESS")
+      // bands is the LAST half buildLinkIndex writes (texts-first crash
+      // ordering), so its marker proves the whole build committed
+      val marker = new org.apache.hadoop.fs.Path(dir + "/bands/_SUCCESS")
       if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker))
         Dedup.buildLinkIndex(docs, "text", "doc_id", dir)
       Dedup.linkAgainstIndex(s, dir, linkRightTable(docs), "text", "doc_id",
@@ -2971,7 +2998,7 @@ object SparkEntry {
     "q_project_revenue" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | (CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
 
     "q_wordcount" ->
       s"""SELECT word, count(*) AS n FROM (
@@ -4973,7 +5000,8 @@ object SparkEntry {
     // from the SAME εµ arithmetic (shared-literal convention)
     "q_dp_counts" -> dpSql(
       cte = "SELECT event_type AS g, count(*) AS stat FROM events GROUP BY 1",
-      groupAlias = "event_type", statAlias = "n_noisy", salt = "graft-r9",
+      groupAlias = "event_type", statAlias = "n_noisy",
+      nonce = "graft-r10-evcounts",
       epsilonMicro = 500000L, sensitivity = 1L, extra = ""),
 
     "q_dp_sum" -> dpSql(
@@ -4982,8 +5010,23 @@ object SparkEntry {
         |      0), 10000000)) AS BIGINT) AS stat
         |  FROM orders GROUP BY 1""".stripMargin,
       groupAlias = "o_orderstatus", statAlias = "sum_noisy",
-      salt = "graft-r9", epsilonMicro = 1000000L, sensitivity = 10000000L,
+      nonce = "graft-r10-ordsum", epsilonMicro = 1000000L,
+      sensitivity = 10000000L,
       extra = ", CAST(10000000 AS BIGINT) AS clamp_cents"),
+
+    // Fixed support: the nation domain LEFT JOINs the per-nation counts,
+    // absent nations contribute stat = 0 and still draw noise
+    "q_dp_domain" -> dpSql(
+      cte = """SELECT n.n_name AS g, CAST(count(c.c_custkey) AS BIGINT) AS stat
+        |  FROM nation n LEFT JOIN (
+        |    SELECT cu.c_custkey, cu.c_nationkey FROM customer cu
+        |      JOIN nation n2 ON cu.c_nationkey = n2.n_nationkey
+        |      WHERE n2.n_regionkey = 1
+        |  ) c ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1""".stripMargin,
+      groupAlias = "n_name", statAlias = "n_noisy",
+      nonce = "graft-r10-natdomain",
+      epsilonMicro = 500000L, sensitivity = 1L, extra = ""),
 
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
     // restores "unknown is a value of its own" identically
@@ -5971,13 +6014,13 @@ object SparkEntry {
     * round; `bMicro` arrives from the SAME Scala arithmetic the engine
     * uses (shared-literal convention). */
   private def dpSql(cte: String, groupAlias: String, statAlias: String,
-                    salt: String, epsilonMicro: Long, sensitivity: Long,
+                    nonce: String, epsilonMicro: Long, sensitivity: Long,
                     extra: String): String = {
     // b derives HERE from the same (sensitivity, εµ) arithmetic the
     // engine uses, and the hash lane is the SHARED kmvHash32Sql twin of
     // md5Hash32 — one home for both, so the two engines cannot drift
     val hash = graft.operators.Sketches
-      .kmvHash32Sql(s"'$salt' || coalesce(g, '')")
+      .kmvHash32Sql(s"'$nonce' || coalesce(g, '')")
     val b = (sensitivity * (1000000000000L / epsilonMicro)).toDouble / 1e6
     s"""WITH c AS ($cte),
        |u AS (SELECT g, stat, (($hash) + 0.5) / 4294967296.0 AS u FROM c)
@@ -7315,7 +7358,7 @@ object SparkEntry {
        |  FROM lineitem, mm)
        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
        |  CAST($terms AS BIGINT) AS zval
-       |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin
+       |FROM sc ORDER BY l_orderkey, l_linenumber, zval""".stripMargin
   }
 
   /** DuckDB twin of [[Curation.tokenBudget]] over per-source ws-token

@@ -34,7 +34,10 @@ import org.apache.spark.sql.types._
   * Feed lines: {"doc_id": 1, "text": "...", "ts": "2026-01-01T00:00:00"}
   * Output: <outDir>/shards/epoch=N/shard_id=K/ parquet files (curated docs),
   *         <outDir>/dlq/epoch=N/ parquet files (malformed raw lines),
-  *         <outDir>/fpindex/epoch=N/ fingerprints first seen in epoch N.
+  *         <outDir>/fpindex/epoch=N/ fingerprints first seen in epoch N,
+  *         <outDir>/hllstats/ stored HLL registers — live distinct shipped
+  *           contents per language (estimate via `Sketches.hllEstimate(
+  *           SketchMaintenance.dataRows(...), "lang_pred")`).
   */
 object IngestCurationApp {
 
@@ -138,6 +141,16 @@ object IngestCurationApp {
           "doc_id", numShards, s"$outDir/shards/epoch=$epoch")
         fresh.select("fp", "doc_id")
           .write.mode("overwrite").parquet(s"$fpDir/epoch=$epoch")
+        // live corpus stats: distinct shipped contents per language as a
+        // STORED HLL register table — the artifact (not the stream
+        // checkpoint) is the state, so running distinct counts survive
+        // restarts and any batch reader estimates off the same table the
+        // stream maintains. The (streamId, epoch) watermark makes a
+        // foreachBatch retry a no-op even though HLL's fold is a
+        // register-table rewrite.
+        graft.streaming.SketchMaintenance.appendHllSketch(
+          fresh.select(col("lang_pred"), col("fp")), "fp", "lang_pred",
+          s"$outDir/hllstats", batchId = epoch, streamId = s"$outDir/ck")
         fresh.unpersist(); b.unpersist(); ()
       }
       .start()

@@ -415,11 +415,19 @@ object Dedup {
   def buildLinkIndex(left: DataFrame, leftText: String, leftId: String,
                      dir: String, numHashes: Int = 16, rowsPerBand: Int = 4,
                      shingleSize: Int = 3, useMd5: Boolean = true): Unit = {
+    // texts FIRST — the same crash-ordering appendLinkIndex argues: a
+    // caller REBUILDING over an existing index that crashes between the
+    // two writes leaves fresh texts + stale bands, which only costs
+    // recall (stale blocking misses new candidates; the verify distances
+    // are still computed on real texts). The reverse order would pair
+    // fresh bands with stale texts and VERIFY against the wrong strings —
+    // silently wrong output. linkAgainstIndex additionally refuses to
+    // read an index whose either half lacks its _SUCCESS marker.
+    left.select(col(leftId).as("id_l"), col(leftText).as("__tl"))
+      .write.mode("overwrite").parquet(dir + "/texts")
     minhashBands(left, leftText, leftId, numHashes, rowsPerBand,
         shingleSize, useMd5)
       .write.mode("overwrite").parquet(dir + "/bands")
-    left.select(col(leftId).as("id_l"), col(leftText).as("__tl"))
-      .write.mode("overwrite").parquet(dir + "/texts")
     ()
   }
 
@@ -460,6 +468,16 @@ object Dedup {
                        right: DataFrame, rightText: String, rightId: String,
                        maxDist: Int, numHashes: Int = 16, rowsPerBand: Int = 4,
                        shingleSize: Int = 3, useMd5: Boolean = true): DataFrame = {
+    // both halves must be committed writes: a half-written index (crash
+    // mid-build/mid-rebuild) must fail loudly here, not verify against
+    // whatever files happen to exist
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (half <- Seq("texts", "bands"))
+      require(fs.exists(new Path(s"$dir/$half/_SUCCESS")),
+        s"link index at $dir has no committed $half write " +
+          "(missing _SUCCESS) — rebuild the index before probing it")
     val lb = spark.read.parquet(dir + "/bands")
     // exact-duplicate collapse: a retried appendLinkIndex re-appends the
     // same (id, text) rows; (id_l, __tl)-distinct restores one row per

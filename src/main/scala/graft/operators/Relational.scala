@@ -835,16 +835,19 @@ object RelationalOps {
     * released statistic (the geometric-mechanism convention for counting
     * queries). DETERMINISTIC on purpose: pipelines replay bit-identically
     * and both engines derive the same noise from the same literals — the
-    * formal DP guarantee then rests on `salt` staying secret (the seeded-
-    * noise trade every reproducible DP system makes; rotate the salt per
-    * release). ln on a hash-uniform double is the proven round(ln·1e6)
-    * cross-engine lane; here rounding happens at INTEGER grain, coarser
-    * still. */
-  private def laplaceNoise(key: Column, salt: String, bMicro: Long): Column = {
+    * formal DP guarantee then rests on `nonce` staying secret AND unique
+    * per release (the seeded-noise trade every reproducible DP system
+    * makes). The nonce is a REQUIRED explicit parameter precisely because
+    * reuse is the attack: two releases over evolving data that share a
+    * nonce draw identical noise per key, and their difference exposes the
+    * true delta exactly. ln on a hash-uniform double is the proven
+    * round(ln·1e6) cross-engine lane; here rounding happens at INTEGER
+    * grain, coarser still. */
+  private def laplaceNoise(key: Column, nonce: String, bMicro: Long): Column = {
     // coalesce pins the NULL-group seed cross-engine (SQL || propagates
     // NULL; an explicit empty-string key is the shared convention)
     val u = (graft.operators.Sketches.md5Hash32(
-      concat(lit(salt), coalesce(key, lit(""))))
+      concat(lit(nonce), coalesce(key, lit(""))))
       .cast("double") + 0.5) / 4294967296.0
     val centered = u - 0.5
     // |noise| = b·(−ln(1−2|u−½|)) ≥ 0; the sign follows the half u fell in
@@ -863,45 +866,81 @@ object RelationalOps {
     * unbiasedness of the mechanism; clamp downstream if a display layer
     * needs ≥0, never before aggregation across releases.
     *
+    * SUPPORT of the release: without `keyDomain`, only groups PRESENT in
+    * the data are released, so the support itself reveals record
+    * existence — under add/remove adjacency, a group whose sole record is
+    * removed vanishes entirely, distinguishing neighbors with certainty.
+    * That mode is therefore ε-DP only OVER A PUBLIC GROUP DOMAIN (the key
+    * set itself must already be public knowledge — e.g. a fixed enum the
+    * schema documents). For the full add/remove guarantee, pass the
+    * public domain: the release then left-joins onto it, absent groups
+    * get a noised ZERO count, out-of-domain groups are NOT released, and
+    * the support is a constant of the release, independent of the data.
+    *
     * Scale shape: ONE map-side-combinable count agg at group grain; the
-    * noise is a scan-side projection over the groups-sized relation. */
+    * noise is a scan-side projection over the groups-sized relation; the
+    * optional domain join is groups-sized × domain-sized — both tiny
+    * relative to the corpus, broadcastable by AQE. */
   def dpGroupCounts(df: DataFrame, groupCol: String, epsilonMicro: Long,
-                    salt: String): DataFrame = {
+                    releaseNonce: String,
+                    keyDomain: Option[DataFrame] = None): DataFrame = {
     require(epsilonMicro > 0 && 1000000000000L % epsilonMicro == 0,
       s"epsilonMicro must be a positive divisor of 1e12 (exact b): $epsilonMicro")
+    require(releaseNonce.nonEmpty,
+      "releaseNonce must be non-empty and unique per release: nonce reuse " +
+        "across releases over evolving data exposes the true delta exactly")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // fixed-support mode: the domain IS the released key set
+    val based = keyDomain match {
+      case Some(dom) => dom.select(col(groupCol)).distinct()
+        .join(counts, Seq(groupCol), "left")
+        .select(col(groupCol), coalesce(col("__n"), lit(0L)).as("__n"))
+      case None => counts
+    }
     // b = 1/ε in micro units: 1e12/εµ (exact by the require above)
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__n"))
-      .select(col(groupCol),
-        (col("__n") + laplaceNoise(col(groupCol).cast("string"), salt,
-          1000000000000L / epsilonMicro)).as("n_noisy"),
-        lit(epsilonMicro).as("epsilon_micro"))
+    based.select(col(groupCol),
+      (col("__n") + laplaceNoise(col(groupCol).cast("string"), releaseNonce,
+        1000000000000L / epsilonMicro)).as("n_noisy"),
+      lit(epsilonMicro).as("epsilon_micro"))
   }
 
   /** DP group SUMS over a cents-grain metric: each row's contribution
     * clamps to [0, clampCents] FIRST (the sensitivity bound — without the
     * clamp one outlier row makes ε meaningless), then
     * sum_noisy = Σ clamped + round(Laplace(clampCents/ε)). Same seeded-
-    * noise contract as [[dpGroupCounts]]. */
+    * noise and release-support contract as [[dpGroupCounts]]: without
+    * `keyDomain` the support leaks membership, so the guarantee scopes to
+    * a public group domain; with it, absent groups release a noised zero
+    * sum and the support is data-independent. */
   def dpGroupSum(df: DataFrame, groupCol: String, valueCents: Column,
                  clampCents: Long, epsilonMicro: Long,
-                 salt: String): DataFrame = {
+                 releaseNonce: String,
+                 keyDomain: Option[DataFrame] = None): DataFrame = {
     require(clampCents > 0 && epsilonMicro > 0 &&
       1000000000000L % epsilonMicro == 0,
       s"clampCents=$clampCents epsilonMicro=$epsilonMicro (eps must divide 1e12)")
+    require(releaseNonce.nonEmpty,
+      "releaseNonce must be non-empty and unique per release: nonce reuse " +
+        "across releases over evolving data exposes the true delta exactly")
     // overflow guard: b = C·1e12/εµ micro units must stay inside Long —
     // a silent wrap would FLIP the noise sign (garbage-scale release)
     require(clampCents <= Long.MaxValue / (1000000000000L / epsilonMicro),
       s"clampCents·(1e12/epsilonMicro) overflows Long: $clampCents, $epsilonMicro")
-    df.groupBy(col(groupCol))
+    val sums = df.groupBy(col(groupCol))
       .agg(sum(least(greatest(valueCents.cast("long"), lit(0L)),
         lit(clampCents))).as("__s"))
-      .select(col(groupCol),
-        // b = C/ε in micro units = C·(1e12/εµ)
-        (col("__s") + laplaceNoise(col(groupCol).cast("string"), salt,
-          clampCents * (1000000000000L / epsilonMicro))).as("sum_noisy"),
-        lit(epsilonMicro).as("epsilon_micro"),
-        lit(clampCents).as("clamp_cents"))
+    val based = keyDomain match {
+      case Some(dom) => dom.select(col(groupCol)).distinct()
+        .join(sums, Seq(groupCol), "left")
+        .select(col(groupCol), coalesce(col("__s"), lit(0L)).as("__s"))
+      case None => sums
+    }
+    based.select(col(groupCol),
+      // b = C/ε in micro units = C·(1e12/εµ)
+      (col("__s") + laplaceNoise(col(groupCol).cast("string"), releaseNonce,
+        clampCents * (1000000000000L / epsilonMicro))).as("sum_noisy"),
+      lit(epsilonMicro).as("epsilon_micro"),
+      lit(clampCents).as("clamp_cents"))
   }
 
   /** l-DIVERSITY audit — the refinement k-anonymity needs before a table

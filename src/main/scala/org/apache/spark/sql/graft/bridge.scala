@@ -22,6 +22,16 @@ object ColumnBridge {
   def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Wrap an (analyzed) logical plan back into a DataFrame —
+    * `Dataset.ofRows` is `private[sql]`. Used by the tie-audit gate to
+    * evaluate a query's sort-key uniqueness on the Sort node's CHILD,
+    * where sort columns later dropped by a projection still exist. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a native-expression SQL function on a live session (the
     * runtime-registration twin of `SparkSessionExtensions.injectFunction`,
     * which only applies at session build). Used for the reference-parity

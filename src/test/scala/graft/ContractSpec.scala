@@ -50,4 +50,84 @@ class ContractSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"non-blessed result columns:\n  ${bad.mkString("\n  ")}")
   }
+
+  /** The query's outermost global Sort, walked through order-preserving
+    * wrappers only. None = no top-level sort, which the tie gate treats
+    * as a failure: the driver hashes rows in result order, so an
+    * un-sorted result has no engine-independent order contract. */
+  private def topSort(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Sort] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Option[Sort] = p match {
+      case s: Sort if s.global => Some(s)
+      case p: Project => walk(p.child)
+      case l: GlobalLimit => walk(l.child)
+      case l: LocalLimit => walk(l.child)
+      case a: SubqueryAlias => walk(a.child)
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
+  /** Rows of the Sort's CHILD that tie on the full sort-key tuple —
+    * evaluated below any final projection, so sort columns the output
+    * later drops (the ADC queries sort on the pre-division integer) are
+    * still in scope, and non-attribute sort expressions audit as the
+    * expressions they are. */
+  private def tiedRows(sort: org.apache.spark.sql.catalyst.plans.logical.Sort): Long = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keyCols = sort.order.map(o => ColumnBridge.column(o.child))
+    ColumnBridge.ofRows(spark, sort.child)
+      .groupBy(keyCols: _*).count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).count()
+  }
+
+  /** Round-10 tie gate: every query's ORDER BY keys must form a UNIQUE
+    * key of its result. The driver hashes rows in result order, so a tie
+    * in the sort key leaves the tied rows' relative order to each
+    * engine's sort implementation — the hash-fail class that historically
+    * only surfaced at sf0.1 (bigger data = more collisions). sf0.01 is
+    * the driver's own gate scale. */
+  test("every query's ORDER BY columns form a unique key of its result (sf0.01)") {
+    val d = "/root/testdata/sf0.01"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, d)
+      topSort(df) match {
+        // a single-row result (global aggregate) is order-trivial; any
+        // other sortless result has no engine-independent order contract
+        case None =>
+          if (df.limit(2).count() <= 1) None
+          else Some(s"$name: no top-level global Sort on a multi-row result")
+        case Some(s) =>
+          if (tiedRows(s) > 0)
+            Some(s"$name: sort keys " +
+              s"${s.order.map(_.child.sql).mkString("(", ", ", ")")} " +
+              "have tied rows — result order is engine-dependent")
+          else None
+      }
+    }
+    assert(bad.isEmpty, s"tie-audit failures:\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("the tie audit catches a deliberately tied query") {
+    import spark.implicits._
+    // two rows tie on the sort key: the audit must flag it
+    val tied = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .orderBy("k")
+    val Some(sort) = topSort(tied)
+    assert(tiedRows(sort) > 0, "the toy tie must be caught")
+    // a unique-key sort passes
+    val ok = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .orderBy("k", "v")
+    assert(tiedRows(topSort(ok).get) == 0)
+    // sort keys dropped by a later projection still audit (the ADC shape)
+    val shaped = Seq((1L, 10L), (2L, 10L)).toDF("id", "raw")
+      .orderBy("raw")
+      .select((org.apache.spark.sql.functions.col("raw") / 10.0).as("d"))
+    assert(tiedRows(topSort(shaped).get) > 0,
+      "a tie on a projected-away sort column must still be caught")
+    // and an un-sorted result is flagged as un-auditable
+    assert(topSort(Seq(1).toDF("x")).isEmpty)
+  }
 }

@@ -123,6 +123,24 @@ class LinkageSpec extends SparkSpec {
     assert(grown.exists(r => r.getLong(0) == 3L && r.getLong(1) == 13L))
   }
 
+  test("linkAgainstIndex refuses a half-written index (missing _SUCCESS)") {
+    // buildLinkIndex writes texts THEN bands — a crash between the two
+    // (simulated by deleting bands' marker) must fail the probe loudly,
+    // never verify candidates against whatever files happen to exist
+    val left = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val right = left.select((col("doc_id") + 10).as("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("linkidx_half").toString
+    graft.operators.Dedup.buildLinkIndex(left, "text", "doc_id", dir)
+    val marker = new java.io.File(s"$dir/bands/_SUCCESS")
+    assert(marker.delete(), "fixture expects the bands marker on disk")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.linkAgainstIndex(
+        spark, dir, right, "text", "doc_id", maxDist = 10)
+    }
+    assert(e.getMessage.contains("bands") && e.getMessage.contains("_SUCCESS"))
+  }
+
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -650,7 +650,7 @@ class RelationalOpsSpec extends SparkSpec {
     }
     val df = (Seq.fill(40)("a") ++ Seq.fill(10)("b")).toDF("g")
     val out = RelationalOps.dpGroupCounts(df, "g",
-        epsilonMicro = 500000L, salt = "s1")
+        epsilonMicro = 500000L, releaseNonce = "s1")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val b = 1000000000000L / 500000L
     assert(out("a") == 40L + refNoise("a", "s1", b), s"got $out")
@@ -663,7 +663,7 @@ class RelationalOpsSpec extends SparkSpec {
     val v = Seq(("a", 50L), ("a", 5000L), ("a", -30L), ("b", 100L))
       .toDF("g", "cents")
     val sums = RelationalOps.dpGroupSum(v, "g", col("cents"),
-        clampCents = 1000L, epsilonMicro = 1000000L, salt = "s2")
+        clampCents = 1000L, epsilonMicro = 1000000L, releaseNonce = "s2")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bs = 1000L * (1000000000000L / 1000000L)
     // a: 50 + 1000 (clamped) + 0 (negative clamps to 0) = 1050
@@ -671,6 +671,51 @@ class RelationalOpsSpec extends SparkSpec {
     assert(sums("b") == 100L + refNoise("b", "s2", bs), s"got $sums")
     // scale sanity: ε=0.5, sensitivity 1 → |noise| rarely exceeds ~15
     assert(math.abs(out("a") - 40L) <= 20L && math.abs(out("b") - 10L) <= 20L)
+  }
+
+  test("dp releases: a public key domain fixes the support; empty nonce rejected") {
+    // data has groups {a, b, d}; the PUBLIC domain is {a, b, c}: the
+    // release must cover exactly the domain — c (absent from the data)
+    // gets a noised ZERO, d (outside the domain) is not released — so
+    // removing any record never changes which keys appear
+    def refNoise(key: String, nonce: String, bMicro: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((nonce + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 0.5) / 4294967296.0
+      val c = u - 0.5
+      math.round(math.signum(c) *
+        (bMicro.toDouble / 1e6) * -math.log(1.0 - 2.0 * math.abs(c)))
+    }
+    val df = (Seq.fill(12)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("d"))
+      .toDF("g")
+    val dom = Seq("a", "b", "c").toDF("g")
+    val b = 1000000000000L / 500000L
+    val out = RelationalOps.dpGroupCounts(df, "g", 500000L, "dom1",
+        keyDomain = Some(dom))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("a", "b", "c"),
+      s"support must be the domain, independent of the data: ${out.keySet}")
+    assert(out("a") == 12L + refNoise("a", "dom1", b))
+    assert(out("c") == 0L + refNoise("c", "dom1", b),
+      "an absent group releases a noised zero, not nothing")
+    // same contract on the sum lane
+    val v = Seq(("a", 500L), ("d", 100L)).toDF("g", "cents")
+    val bs = 1000L * (1000000000000L / 1000000L)
+    val sums = RelationalOps.dpGroupSum(v, "g", col("cents"),
+        clampCents = 1000L, epsilonMicro = 1000000L,
+        releaseNonce = "dom2", keyDomain = Some(dom))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.keySet == Set("a", "b", "c"))
+    assert(sums("b") == 0L + refNoise("b", "dom2", bs))
+    // nonce reuse across releases is the attack — empty is never legal
+    intercept[IllegalArgumentException] {
+      RelationalOps.dpGroupCounts(df, "g", 500000L, "")
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.dpGroupSum(v, "g", col("cents"), 1000L, 1000000L, "")
+    }
   }
 
   test("tCloseness: concentrated groups score the CDF gap, matched ones score 0") {

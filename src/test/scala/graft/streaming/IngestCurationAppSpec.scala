@@ -67,6 +67,50 @@ class IngestCurationAppSpec extends SparkSpec {
       s"doc 2 ships once, original content: ${doc2.toSeq}")
   }
 
+  test("stored HLL corpus stats survive a restart and equal the whole-corpus sketch") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val in = MemoryStream[String]
+    val out = java.nio.file.Files.createTempDirectory("ingest-hll").toString
+    def doc(id: Long, tag: String, t: String) =
+      s"""{"doc_id": $id, "text": "$base $tag", "ts": "$t"}"""
+    def start() = IngestCurationApp.run(spark, in.toDF(), out,
+      minQuality = 0.3, lang = "en", keepPct = 100, numShards = 4)
+
+    val q1 = start()
+    in.addData((1L to 6L).map(i =>
+      doc(i, s"variant number $i", s"2026-01-01T00:00:0$i")): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // second incarnation, same checkpoint + same stored artifact
+    val q2 = start()
+    in.addData((7L to 9L).map(i =>
+      doc(i, s"later variant $i entirely", s"2026-01-01T00:01:0${i - 6}")): _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the stored registers must equal the sketch built over EVERYTHING
+    // the app ever shipped — counts survived the restart
+    val stored = SketchMaintenance.dataRows(
+      spark.read.parquet(s"$out/hllstats"))
+    val shipped = spark.read.parquet(s"$out/shards")
+      .select(col("lang_pred"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    assert(shipped.count() == 9, "fixture: all nine distinct docs ship")
+    val whole = graft.operators.Sketches.hllBuild(shipped, "fp", "lang_pred")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang_pred", "bucket", "max_rank").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(regs(stored) == regs(whole),
+      "post-restart stored registers must equal the whole-corpus sketch")
+    val estStored = graft.operators.Sketches
+      .hllEstimate(stored, "lang_pred").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val estWhole = graft.operators.Sketches
+      .hllEstimate(whole, "lang_pred").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(estStored == estWhole && estStored.values.forall(_ > 0))
+  }
+
   test("a bad keepPct refuses to start instead of failing the first batch") {
     val in = MemoryStream[String]
     val base = java.nio.file.Files.createTempDirectory("ingest-bad").toString
