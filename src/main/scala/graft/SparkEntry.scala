@@ -1427,6 +1427,8 @@ object SparkEntry {
       val sem = Similarity.bruteForceTopK(t(s, d, "embeddings"), "embedding", "vec_id",
           queryId = 0L, k = 20)
         .withColumn("rank",
+          // single-partition sort bound: bruteForceTopK already cut to
+          // k=20 rows — the window ranks the shortlist, not the corpus
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id").asc))
             .cast("long"))
         .select(lit(0L).as("query_id"), col("vec_id").as("doc_id"), col("rank"))

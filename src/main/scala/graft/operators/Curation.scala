@@ -971,6 +971,8 @@ object Curation {
     val byScore = df.groupBy(col(scoreCol).as("__s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__g"))
+    // single-partition sort bound: distinct scores (the value domain the
+    // scaladoc sizes at thousands), never the corpus
     val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
     byScore
       .withColumn("__negBelow", coalesce(sum(col("__g")).over(w), lit(0L)))

@@ -992,6 +992,8 @@ object RelationalOps {
       when(s.isNull, raise_error(lit("tCloseness: NULL sensitive value — " +
         "bucket NULLs explicitly before auditing"))).otherwise(s).as("__v"): _*)
     val domain = guarded.groupBy(col("__v")).agg(count(lit(1)).as("__q"))
+    // single-partition sort bound: m = distinct sensitive values (the
+    // audit's value domain), never the audited rows
     val wGlob = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val globCum = domain // m rows: domain value → global cumulative count
@@ -1090,6 +1092,9 @@ object RelationalOps {
       .groupBy("__v")
       .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+    // single-partition sort bound: distinct cents values (exact-cents
+    // value domain — can reach 1e7+ at 100×; bin to a coarser grid
+    // upstream if the domain outgrows a partition)
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = counts.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
@@ -1167,6 +1172,9 @@ object RelationalOps {
     val c = round(col(valueCol) * 100, 0).cast("long")
     val counts = df.filter(col(valueCol).isNotNull)
       .select(c.as("__v")).groupBy("__v").agg(count(lit(1)).as("__n"))
+    // single-partition sort bound: distinct cents values — the same
+    // value-domain bound (and the same bin-first escape) as ksStatistic;
+    // the scaladoc's quantization note applies
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = counts.agg(sum("__n").as("__N"),
@@ -1211,6 +1219,10 @@ object RelationalOps {
     // works; ordering is unchanged for magnitudes below 2^53
     val sample = df.filter(Curation.knuthHash(idCol, 100L) < samplePct)
       .select(col(valueCol).cast("double").as("__v"), idCol.as("__id"))
+    // single-partition sort bound: the samplePct% sample — the caller's
+    // knob; size samplePct so the sample fits one partition (boundary
+    // precision needs only ~1e5 rows/bucket, so 100 TB wants a far
+    // smaller pct than the sf0.1 default)
     val w = Window.orderBy(col("__v"), col("__id"))
     val bounds = sample.withColumn("__b", ntile(nBuckets).over(w))
       .groupBy("__b").agg(max("__v").as("__hi"))
@@ -1583,6 +1595,8 @@ object RelationalOps {
       .filter(col("v").isNotNull)
     val cal = marked.filter(col("cal"))
       .groupBy("v").agg(count(lit(1)).as("n"))
+    // single-partition sort bound: distinct calibration cents values
+    // (value domain), never the calibration rows
     val cum = cal.select(col("v"),
       sum(col("n")).over(Window.orderBy(col("v"))).as("cc"))
     val kk = cal.agg(sum("n").cast("long").as("n_cal"))
@@ -1642,6 +1656,8 @@ object RelationalOps {
     val medR = (resamples + 1) / 2
     val ranked = poissonBootstrap(df, idCol, valueCents, resamples)
       .select(col("mean_ccents"),
+        // single-partition sort bound: B resample rows (B <= 256 — the
+        // scaladoc's bounded-window note), never the corpus
         row_number().over(Window.orderBy(col("mean_ccents"), col("b"))).as("rn"))
     ranked.agg(count(lit(1)).as("n_resamples"),
       max(when(col("rn") === loR, col("mean_ccents"))).as("lo_ccents"),

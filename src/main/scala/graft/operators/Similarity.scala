@@ -1272,6 +1272,8 @@ object Similarity {
     val margins = top1.join(top2, Seq("probe_id"), "left")
       .select(col("probe_id"), col("pred_label"),
         (col("__n1") - coalesce(col("__n2"), lit(0L))).as("margin"))
+    // single-partition sort bound: margins is probe-grain (one row per
+    // probe) and probes are the small query side, never the corpus
     val order = Window.orderBy(col("margin").asc, col("probe_id").asc)
     margins.withColumn("rank", row_number().over(order).cast("long"))
       .filter(col("rank") <= topN)

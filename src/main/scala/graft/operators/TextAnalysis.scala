@@ -670,6 +670,10 @@ object TextAnalysis {
       s"ranks must be >= 2 strictly increasing values: $ranks")
     import org.apache.spark.sql.expressions.Window
     val freq = wordCounts(docs, textCol)
+    // single-partition sort bound: vocabulary grain, not corpus grain.
+    // A 100-TB web corpus's vocabulary can still reach 1e8 shapes —
+    // if that bites, pre-filter freq to n >= some floor (rank targets
+    // are always in the head) before the window
     val w = Window.orderBy(col("n").desc, col("word").asc)
     val ranked = freq.withColumn("rank", row_number().over(w))
       .filter(col("rank").isin(ranks.map(Integer.valueOf): _*))

@@ -320,6 +320,8 @@ object Timeseries {
     val grain = base.groupBy("t")
       .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("d"),
         sum(when(col("__e"), 0L).otherwise(1L)).as("__c"))
+    // single-partition sort bound: grain = distinct event times (the
+    // value domain of t), never the subject rows
     val wPrev = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCur = Window.orderBy(col("t"))

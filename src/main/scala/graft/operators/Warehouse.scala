@@ -110,6 +110,8 @@ object Warehouse {
     * zone map — re-running it after a crash yields the same groups. */
   def compactionPlan(zones: DataFrame, targetRows: Long): DataFrame = {
     require(targetRows >= 1, s"targetRows must be >= 1: $targetRows")
+    // single-partition sort bound: zone-map grain (~1e5 rows for 100 TB
+    // of 1 GB files — see the scale-shape note above), never the data
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     zones

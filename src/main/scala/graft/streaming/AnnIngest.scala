@@ -51,6 +51,8 @@ object AnnIngest {
     // assigning against zero centroids drops every vector forever
     if (batch.isEmpty) return
     if (!Similarity.ivfIndexCommitted(spark, indexDir)) {
+      // single-partition sort bound: runs on the limit(kCentroids) seed
+      // relation below — k rows, never the batch
       val w = Window.orderBy(col(idCol))
       val seeds = batch.orderBy(col(idCol)).limit(kCentroids)
         .select((row_number().over(w) - 1).cast("int").as("centroid_id"),
