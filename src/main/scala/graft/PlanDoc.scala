@@ -43,6 +43,7 @@ object PlanDoc {
     "q_ivf_assign2" -> "2-iter refined assignment: still broadcast centroids + map-side argmax — refit never changes the plan shape",
     "q_ivf_batch" -> "batched IVF probe: PartitionFilters-pruned union-of-cells scan, broadcast (probe, cell) restriction, bounded per-probe top-k agg",
     "q_skew_report" -> "key-skew report: map-side-combinable count agg, then top-k + broadcast total over the keys-sized relation — the corpus scans once",
+    "q_dp_user" -> "user-level DP: (group,user)-grain clamp agg → group sum → scan-side seeded-noise projection — both aggs map-side combinable, noise is groups-sized",
     "q_knn_classify" -> "kNN vote: broadcast probe panel → one corpus scan → bounded top-k agg → p·k-row vote argmax — nothing corpus-sized after the scan",
     "q_ivf_topk2" -> "probe of the refined-centroid index: partition-pruned cell scan + 1-row probe broadcast + TakeOrderedAndProject",
     "q_bigram_score" -> "LM scoring pass: pair stream joins ONLY broadcast relations (trimmed model, unigram vocab, 1-row total) then one per-doc agg",

@@ -2224,6 +2224,30 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // USER-LEVEL DP: event counts per type where the privacy unit is the
+    // USER — each user's contribution clamps to 20 events per type, so
+    // the release is ε-DP under removing an entire user's history
+    "q_dp_user" -> ((s, d) => {
+      RelationalOps.dpUserCounts(t(s, d, "events"), "event_type", "user_id",
+          capPerUser = 20L, epsilonMicro = 500000L,
+          releaseNonce = "graft-r10-usercounts")
+        .orderBy("event_type")
+    }),
+
+    // Thresholded ("stable histogram") DP release of a PRIVATE key set:
+    // the corpus vocabulary with noisy term frequencies, rare strings
+    // dropped by the noisy threshold — the release form for key sets
+    // with no public domain (ε=0.5, tau=25 → δ ≈ 3e-6).
+    "q_dp_vocab" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(
+          graft.expressions.Exprs.wordShingles(col("text"), 1)).as("word"))
+        .filter(col("word") =!= "")
+      RelationalOps.dpStableCounts(toks, "word", epsilonMicro = 500000L,
+          tau = 25L, releaseNonce = "graft-r10-vocab")
+        .orderBy("word")
+    }),
+
     // ---- privacy: l-diversity over the k-anonymity quasi key ----
     // Sensitive attribute = the account-balance band (floor/1000 — floor,
     // not cast: double→int casts ROUND in DuckDB and TRUNCATE in Spark).
@@ -5030,6 +5054,27 @@ object SparkEntry {
       nonce = "graft-r10-natdomain",
       epsilonMicro = 500000L, sensitivity = 1L, extra = ""),
 
+    // user-grain clamp first, then the group sum — sensitivity = cap
+    "q_dp_user" -> dpSql(
+      cte = """SELECT g, CAST(sum(c) AS BIGINT) AS stat FROM (
+        |    SELECT event_type AS g, user_id,
+        |      least(count(*), 20) AS c
+        |    FROM events GROUP BY 1, 2
+        |  ) GROUP BY 1""".stripMargin,
+      groupAlias = "event_type", statAlias = "n_noisy",
+      nonce = "graft-r10-usercounts",
+      epsilonMicro = 500000L, sensitivity = 20L,
+      extra = ", CAST(20 AS BIGINT) AS cap_per_user"),
+
+    "q_dp_vocab" -> dpSql(
+      cte = s"""SELECT word AS g, count(*) AS stat FROM (
+        |    SELECT unnest($sqlTokens) AS word FROM documents
+        |  ) WHERE word <> '' GROUP BY 1""".stripMargin,
+      groupAlias = "word", statAlias = "n_noisy",
+      nonce = "graft-r10-vocab",
+      epsilonMicro = 500000L, sensitivity = 1L, extra = "",
+      tau = Some(25L)),
+
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
     // restores "unknown is a value of its own" identically
     "q_ldiversity" ->
@@ -6017,21 +6062,29 @@ object SparkEntry {
     * uses (shared-literal convention). */
   private def dpSql(cte: String, groupAlias: String, statAlias: String,
                     nonce: String, epsilonMicro: Long, sensitivity: Long,
-                    extra: String): String = {
+                    extra: String, tau: Option[Long] = None): String = {
     // b derives HERE from the same (sensitivity, εµ) arithmetic the
     // engine uses, and the hash lane is the SHARED kmvHash32Sql twin of
     // md5Hash32 — one home for both, so the two engines cannot drift
     val hash = graft.operators.Sketches
       .kmvHash32Sql(s"'$nonce' || coalesce(g, '')")
     val b = (sensitivity * (1000000000000L / epsilonMicro)).toDouble / 1e6
+    // thresholded ("stable histogram") releases keep only noisy counts
+    // >= tau and record the threshold in the release
+    val (tauCol, tauFilter) = tau match {
+      case Some(t) => (s", CAST($t AS BIGINT) AS tau",
+        s"WHERE $statAlias >= $t ")
+      case None => ("", "")
+    }
     s"""WITH c AS ($cte),
-       |u AS (SELECT g, stat, (($hash) + 0.5) / 4294967296.0 AS u FROM c)
-       |SELECT g AS $groupAlias, CAST(stat + CAST(round(
+       |u AS (SELECT g, stat, (($hash) + 0.5) / 4294967296.0 AS u FROM c),
+       |r AS (SELECT g AS $groupAlias, CAST(stat + CAST(round(
        |    (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
        |    * ($b * -ln(1 - 2 * abs(u - 0.5)))) AS BIGINT) AS BIGINT)
        |  AS $statAlias,
        |  CAST($epsilonMicro AS BIGINT) AS epsilon_micro$extra
-       |FROM u ORDER BY g""".stripMargin
+       |FROM u)
+       |SELECT r.*$tauCol FROM r ${tauFilter}ORDER BY $groupAlias""".stripMargin
   }
 
 

@@ -904,6 +904,77 @@ object RelationalOps {
       lit(epsilonMicro).as("epsilon_micro"))
   }
 
+  /** THRESHOLDED DP release ("stable histogram" — the third leg of the
+    * release family, for key sets that are themselves private data and
+    * have NO public domain: vocabularies, n-grams, URLs). Each group's
+    * count is noised as in [[dpGroupCounts]], then only groups with
+    * n_noisy ≥ tau are released. The threshold is what absorbs the
+    * support leak [[dpGroupCounts]]'s domain mode fixes by other means:
+    * a group whose record count is far below tau has (exponentially in
+    * ε·tau) vanishing odds of appearing, so removing one record shifts
+    * release probabilities by at most an (ε, δ) bound with
+    * δ = ½·e^(−ε·(tau−1)) under add/remove adjacency — pick tau from the
+    * δ you need (ε=0.5, tau=25: δ ≈ 3e-6), not from utility alone.
+    *
+    * This is the mechanism for releasing a vocabulary or n-gram table
+    * out of a private corpus: frequent tokens survive with accurate
+    * noisy counts, rare (potentially identifying) strings drop.
+    *
+    * Scale shape: [[dpGroupCounts]]'s one count agg + noise projection,
+    * then a groups-sized filter — nothing corpus-sized after the scan. */
+  def dpStableCounts(df: DataFrame, groupCol: String, epsilonMicro: Long,
+                     tau: Long, releaseNonce: String): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1: $tau")
+    dpGroupCounts(df, groupCol, epsilonMicro, releaseNonce)
+      .filter(col("n_noisy") >= tau)
+      .withColumn("tau", lit(tau))
+  }
+
+  /** USER-LEVEL DP group counts — the privacy unit deployed systems
+    * actually need: [[dpGroupCounts]] protects one ROW, but one user may
+    * own thousands of rows, and removing the USER is the adjacency that
+    * matters. Each user's contribution to each group is clamped to
+    * `capPerUser` FIRST (the sensitivity bound — the [[dpGroupSum]]
+    * clamp at event grain), then the clamped counts sum per group and
+    * draw Laplace(capPerUser/ε): ε-DP under add/remove of an entire
+    * user, for any number of rows that user had. Same release-support
+    * contract as [[dpGroupCounts]] (`keyDomain` fixes the support; no
+    * domain scopes the claim to a public group domain).
+    *
+    * Scale shape: one (group, user)-grain count agg (map-side
+    * combinable), one group-grain sum, noise as a groups-sized
+    * projection. The (group, user) relation is the only intermediate and
+    * it is bounded by the DATA's own grain, never materialized beyond
+    * the shuffle. */
+  def dpUserCounts(df: DataFrame, groupCol: String, userCol: String,
+                   capPerUser: Long, epsilonMicro: Long,
+                   releaseNonce: String,
+                   keyDomain: Option[DataFrame] = None): DataFrame = {
+    require(capPerUser > 0 && epsilonMicro > 0 &&
+      1000000000000L % epsilonMicro == 0,
+      s"capPerUser=$capPerUser epsilonMicro=$epsilonMicro (eps must divide 1e12)")
+    require(releaseNonce.nonEmpty,
+      "releaseNonce must be non-empty and unique per release: nonce reuse " +
+        "across releases over evolving data exposes the true delta exactly")
+    // overflow guard: b = cap·1e12/εµ micro units must stay inside Long
+    require(capPerUser <= Long.MaxValue / (1000000000000L / epsilonMicro),
+      s"capPerUser·(1e12/epsilonMicro) overflows Long: $capPerUser, $epsilonMicro")
+    val bounded = df.groupBy(col(groupCol), col(userCol))
+      .agg(least(count(lit(1)), lit(capPerUser)).as("__c"))
+    val counts = bounded.groupBy(col(groupCol)).agg(sum("__c").as("__n"))
+    val based = keyDomain match {
+      case Some(dom) => dom.select(col(groupCol)).distinct()
+        .join(counts, Seq(groupCol), "left")
+        .select(col(groupCol), coalesce(col("__n"), lit(0L)).as("__n"))
+      case None => counts
+    }
+    based.select(col(groupCol),
+      (col("__n") + laplaceNoise(col(groupCol).cast("string"), releaseNonce,
+        capPerUser * (1000000000000L / epsilonMicro))).as("n_noisy"),
+      lit(epsilonMicro).as("epsilon_micro"),
+      lit(capPerUser).as("cap_per_user"))
+  }
+
   /** DP group SUMS over a cents-grain metric: each row's contribution
     * clamps to [0, clampCents] FIRST (the sensitivity bound — without the
     * clamp one outlier row makes ε meaningless), then

@@ -637,6 +637,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("DP releases: noise rides the groups-sized projection, no corpus-sized window or cross join") {
+    // user-level: two map-side-combinable aggs ((group,user) clamp, then
+    // group sum) — the corpus shuffles at (group,user) grain once and
+    // nothing larger; the Laplace draw is a projection over the final
+    // groups-sized relation
+    val pu = plan("q_dp_user")
+    assert(pu.toLowerCase.contains("partial_least") ||
+      pu.toLowerCase.contains("partial_count"),
+      s"map-side combine expected on the user clamp agg:\n$pu")
+    assert(!pu.contains("CartesianProduct") && !pu.contains("Window"),
+      "noise must be a projection, never a window or cross join")
+    // fixed-support: the public domain attaches to the groups-sized
+    // counts as a broadcast join — the corpus side never reshuffles for it
+    val pd = plan("q_dp_domain")
+    assert(pd.contains("BroadcastHashJoin"),
+      s"domain left join must broadcast at groups grain:\n$pd")
+    assert(!pd.contains("CartesianProduct"))
+  }
+
   test("entropy-coded size: char explode collapses map-side before any exchange; doc-grain join only") {
     // the explode is chars-per-doc rows, but the (doc, char) count must
     // partially aggregate BEFORE the shuffle — otherwise the exchange

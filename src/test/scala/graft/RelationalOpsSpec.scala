@@ -718,6 +718,70 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("dpUserCounts: a heavy user contributes at most the cap; sensitivity scales the noise") {
+    def refNoise(key: String, nonce: String, bMicro: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((nonce + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 0.5) / 4294967296.0
+      val c = u - 0.5
+      math.round(math.signum(c) *
+        (bMicro.toDouble / 1e6) * -math.log(1.0 - 2.0 * math.abs(c)))
+    }
+    // user u1 owns 100 rows of group a (clamps to 3), u2 owns 2 (stays
+    // 2), u3 owns 5 of b (clamps to 3): a = 5, b = 3 before noise
+    val df = (Seq.fill(100)(("a", "u1")) ++ Seq.fill(2)(("a", "u2")) ++
+      Seq.fill(5)(("b", "u3"))).toDF("g", "u")
+    val b = 3L * (1000000000000L / 500000L) // sensitivity = cap = 3
+    val out = RelationalOps.dpUserCounts(df, "g", "u", capPerUser = 3L,
+        epsilonMicro = 500000L, releaseNonce = "usr1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out("a")._1 == 5L + refNoise("a", "usr1", b),
+      s"heavy user clamps to the cap before the sum: $out")
+    assert(out("b")._1 == 3L + refNoise("b", "usr1", b))
+    assert(out.values.forall(_._2 == 3L), "the release records its cap")
+    // the domain mode composes: absent group released as noised zero
+    val dom = Seq("a", "b", "c").toDF("g")
+    val outD = RelationalOps.dpUserCounts(df, "g", "u", 3L, 500000L,
+        "usr2", keyDomain = Some(dom))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outD.keySet == Set("a", "b", "c"))
+    assert(outD("c") == 0L + refNoise("c", "usr2", b))
+  }
+
+  test("dpStableCounts: only groups whose noisy count clears tau are released") {
+    def refNoise(key: String, nonce: String, bMicro: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((nonce + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 0.5) / 4294967296.0
+      val c = u - 0.5
+      math.round(math.signum(c) *
+        (bMicro.toDouble / 1e6) * -math.log(1.0 - 2.0 * math.abs(c)))
+    }
+    // common: 60 rows (clears any reasonable tau); rare: 2 rows (the
+    // identifying string the threshold exists to drop); mid: 9 rows
+    // (whether it ships depends on ITS noise draw — assert exactly that)
+    val df = (Seq.fill(60)("common") ++ Seq.fill(2)("rare-secret") ++
+      Seq.fill(9)("mid")).toDF("g")
+    val b = 1000000000000L / 500000L
+    val tau = 10L
+    val out = RelationalOps.dpStableCounts(df, "g", 500000L, tau, "vocab1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val expect = Seq("common" -> 60L, "rare-secret" -> 2L, "mid" -> 9L)
+      .map { case (k, n) => k -> (n + refNoise(k, "vocab1", b)) }
+      .filter(_._2 >= tau).toMap
+    assert(out.view.mapValues(_._1).toMap == expect, s"got $out want $expect")
+    assert(out.contains("common") && !out.contains("rare-secret"),
+      "the frequent group ships, the rare identifying string never does")
+    assert(out.values.forall(_._2 == tau), "the release records its threshold")
+    intercept[IllegalArgumentException] {
+      RelationalOps.dpStableCounts(df, "g", 500000L, 0L, "vocab1")
+    }
+  }
+
   test("tCloseness: concentrated groups score the CDF gap, matched ones score 0") {
     // global over values {1,2}: 3+3 rows. A all-1s, B all-2s, C one of each.
     val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
