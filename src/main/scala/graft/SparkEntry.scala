@@ -1965,6 +1965,37 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // ---- graph: multi-source BFS hop distance on the co-purchase graph ----
+    // "How many recommendation hops from the promoted parts is each
+    // part?" — seeds = every 97th part key, edges = the q_covisit pair
+    // graph (shared derivation), fixed horizon 4. Seeds outside the graph
+    // still emit at hop 0 (a seed reaches itself); nodes past the horizon
+    // are absent — the fixed-round contract the oracle unrolls.
+    "q_bfs_hops" -> ((s, d) => {
+      val edges = Graphs.coOccurrence(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", maxBasketSize = 10, minCount = 2)
+      val seeds = t(s, d, "part")
+        .filter(col("p_partkey") % 97 === 0).select(col("p_partkey"))
+      Graphs.bfsHops(edges, "item_a", "item_b", seeds, "p_partkey",
+          rounds = 4)
+        .select(col("node").cast("bigint").as("node"), col("hops"))
+        .orderBy("node")
+    }),
+
+    // ---- graph: apriori frequent triples (3-itemset tier) ----
+    // Candidate-pruned in the engine (pair tier → closed candidates →
+    // basket verify); the oracle brute-counts all basket triples and
+    // filters — equal sets by the apriori property (support(abc) ≥ mc ⟹
+    // every pair ≥ mc ⟹ abc is a candidate), so the two sides verify
+    // each other across DIFFERENT algorithms, the strongest oracle shape.
+    "q_itemsets3" -> ((s, d) => {
+      Graphs.frequentTriples(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", maxBasketSize = 10, minCount = 2)
+        .orderBy("item_a", "item_b", "item_c")
+    }),
+
     // ---- time series: bounded-lookback EWMA (exact integer weights) ----
     // ewma is in CENTS (the caller-quantized unit) — the 1e6/2^i weight
     // ladder makes it bit-identical on any engine/partitioning.
@@ -4847,6 +4878,24 @@ object SparkEntry {
         |CROSS JOIN nb
         |ORDER BY item_a, item_b""".stripMargin,
 
+    "q_bfs_hops" -> bfsHopsSql,
+
+    // Brute-force triple enumeration per basket (≤ C(10,3)=120 rows per
+    // kept basket) + HAVING — a DIFFERENT algorithm from the engine's
+    // candidate-pruned apriori; equal output by the apriori property.
+    "q_itemsets3" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |sized AS (SELECT bk FROM (
+        |  SELECT bk, count(*) AS sz FROM bi GROUP BY bk) WHERE sz <= 10),
+        |kept AS MATERIALIZED (SELECT bi.bk, bi.it FROM bi JOIN sized USING (bk))
+        |SELECT a.it AS item_a, b.it AS item_b, c.it AS item_c,
+        |  count(*) AS n_all
+        |FROM kept a JOIN kept b USING (bk) JOIN kept c USING (bk)
+        |WHERE a.it < b.it AND b.it < c.it
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY item_a, item_b, item_c""".stripMargin,
+
     "q_pq_codes" ->
       s"""WITH $pqCodesCtes
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
@@ -6371,6 +6420,37 @@ object SparkEntry {
     * 1e6·(100−85)/100 — keep in sync with the query's dampingPct). The
     * iteration CTEs are generated, not hand-copied, so iter count changes
     * in one place. */
+  /** DuckDB twin of `Graphs.bfsHops(rounds = 4)` over the q_covisit pair
+    * graph: 4 UNROLLED min-relaxation rounds. Round CTEs are MATERIALIZED
+    * — each d_i is consumed twice (carry + relax) and would otherwise
+    * re-inline the whole pair derivation O(2^rounds) times (the kCoreSql
+    * lesson). */
+  private def bfsHopsSql: String = {
+    val roundCtes = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(hops) AS hops FROM (
+         |  SELECT node, hops FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.t AS node, d.hops + 1 AS hops
+         |  FROM e JOIN d${i - 1} d ON d.node = e.s) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bi AS (
+       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+       |sized AS (SELECT bk FROM (
+       |  SELECT bk, count(*) AS sz FROM bi GROUP BY bk) WHERE sz <= 10),
+       |kept AS MATERIALIZED (SELECT bi.bk, bi.it FROM bi JOIN sized USING (bk)),
+       |fp AS MATERIALIZED (
+       |  SELECT a.it AS ia, b.it AS ib
+       |  FROM kept a JOIN kept b USING (bk) WHERE a.it < b.it
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT ia AS s, ib AS t FROM fp UNION SELECT ib, ia FROM fp),
+       |d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS hops
+       |  FROM part WHERE p_partkey % 97 = 0),
+       |$roundCtes
+       |SELECT CAST(node AS BIGINT) AS node, CAST(hops AS BIGINT) AS hops
+       |FROM d4 ORDER BY node""".stripMargin
+  }
+
   private def pageRankSql: String = {
     val iterCtes = (1 to 3).map { i =>
       s"""c$i AS (SELECT e.t AS node, sum((r.r * e.w) // o.wout) AS c

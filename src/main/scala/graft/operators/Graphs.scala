@@ -447,4 +447,101 @@ object Graphs {
           " div (CAST(__sa AS DECIMAL(38,0)) * __sb)")
           .cast("long").as("lift_bp"))
   }
+
+  /** Multi-source BFS hop distance with a FIXED round count: every node
+    * reachable from the seed set within `rounds` hops gets its exact
+    * minimum hop count; nodes further away are absent (the fixed-horizon
+    * contract — callers wanting full reachability pick rounds ≥ graph
+    * diameter, and can verify convergence by comparing `rounds` and
+    * `rounds+1` outputs, the PageRank/k-core convention). Seeds not
+    * touching any edge still emit at hop 0 — a seed is reachable from
+    * itself by definition. Hop relaxation is a min-aggregate, so the
+    * result is order- and partitioning-invariant (no float anywhere).
+    *
+    * Scale shape per round: ONE shuffle keyed on the edge source (the
+    * frontier join) + one min-agg keyed on the node — the edge relation
+    * is scanned once per round and never self-joined; the distance
+    * relation stays nodes-sized because min() collapses duplicates each
+    * round. localCheckpoint truncates per-round lineage (the shared loop
+    * discipline). `directed=false` doubles the edge relation once up
+    * front instead of per-round union gymnastics. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, rounds: Int,
+              directed: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    val fwd = edges.select(col(srcCol).cast("string").as("s"),
+      col(dstCol).cast("string").as("t"))
+    val e = (if (directed) fwd
+             else fwd.union(edges.select(col(dstCol).cast("string").as("s"),
+               col(srcCol).cast("string").as("t"))))
+      .filter(col("s") =!= col("t")).distinct()
+      // scanned once per round — caller-owned cache (pageRank note)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var d = seeds.select(col(seedCol).cast("string").as("node")).distinct()
+      .select(col("node"), lit(0L).as("hops"))
+    for (_ <- 0 until rounds) {
+      val relax = e
+        .join(d.select(col("node").as("s"), col("hops")), "s")
+        .select(col("t").as("node"), (col("hops") + 1L).as("hops"))
+      d = d.union(relax).groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint()
+    }
+    d
+  }
+
+  /** Apriori FREQUENT TRIPLES — the 3-itemset tier above [[coOccurrence]]
+    * 's pair tier, with the classic candidate-pruning structure kept
+    * intact because it IS the scale story: candidate triples are
+    * generated only from frequent PAIRS joined on a shared low item
+    * (a,b)+(a,c) → (a,b,c), then closed under the apriori property by
+    * requiring the third side (b,c) frequent too, and only the surviving
+    * candidates are verified against baskets. Support counting never
+    * enumerates the n·size³ raw triple stream — the dominant cost is the
+    * pair tier everyone already pays. Same hot-basket drop (not
+    * truncate) as the pair tier, same deterministic integer output.
+    *
+    * Returns (item_a < item_b < item_c, n_all) for triples in ≥ minCount
+    * baskets. Scale shape: pair tier = coOccurrence's; candidate gen =
+    * one join of the (bounded) frequent-pair relation with itself on the
+    * low item + one semi-join closing (b,c); verification = two
+    * basket-keyed joins that each attach a candidate side via the
+    * frequent-pair filter before fan-out. */
+  def frequentTriples(baskets: DataFrame, basketCol: String, itemCol: String,
+                      maxBasketSize: Int = 100, minCount: Long = 2): DataFrame = {
+    require(maxBasketSize >= 3, s"maxBasketSize: $maxBasketSize")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val kept = bi
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+      .filter(col("__sz") <= maxBasketSize)
+      .drop("__sz")
+      .persist(lvl) // pair tier + triple verify both scan it
+    val fpairs = kept.select(col("bk"), col("it").as("a"))
+      .join(kept.select(col("bk"), col("it").as("b")), "bk")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .persist(lvl) // candidate gen joins it 3× (ab, ac, bc-closure)
+    // (a,b)×(a,c) with b<c, apriori-closed by (b,c) frequent
+    val cands = fpairs.select(col("a"), col("b"))
+      .join(fpairs.select(col("a"), col("b").as("c")), "a")
+      .filter(col("b") < col("c"))
+      .join(fpairs.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"),
+        "left_semi")
+    // verify: baskets holding (a,b) joined to the same basket's c
+    val abHits = kept.select(col("bk"), col("it").as("a"))
+      .join(kept.select(col("bk"), col("it").as("b")), "bk")
+      .filter(col("a") < col("b"))
+      .join(fpairs.select("a", "b"), Seq("a", "b"), "left_semi")
+    abHits
+      .join(kept.select(col("bk"), col("it").as("c")), "bk")
+      .filter(col("b") < col("c"))
+      .join(cands, Seq("a", "b", "c"), "left_semi")
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"))
+      .agg(count(lit(1)).as("n_all"))
+      .filter(col("n_all") >= minCount)
+  }
 }

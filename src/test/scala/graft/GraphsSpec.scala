@@ -276,4 +276,85 @@ class GraphsSpec extends SparkSpec {
     assert(full.length == 10 && full.forall(_.getLong(3) == 200000L))
     assert(Graphs.linkPrediction(star, "s", "t", maxDegree = 4).count() == 0L)
   }
+
+  // ---- bfsHops ----
+
+  private def bfs(edges: Seq[(String, String)], seeds: Seq[String],
+                  rounds: Int, directed: Boolean = false) =
+    Graphs.bfsHops(edges.toDF("s", "t"), "s", "t",
+        seeds.toDF("node"), "node", rounds, directed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("bfsHops: path graph — exact hop counts, horizon cuts the tail, seed wins at 0") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert(bfs(path, Seq("a"), rounds = 2) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    assert(bfs(path, Seq("a"), rounds = 4) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // a seeded interior node is hop 0, not its distance from the other seed
+    assert(bfs(path, Seq("a", "c"), rounds = 4) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L, "e" -> 2L))
+  }
+
+  test("bfsHops: direction respected when directed, erased when not; isolated seed emits at 0") {
+    val e = Seq(("a", "b"), ("c", "b"))
+    assert(bfs(e, Seq("a"), rounds = 3, directed = true) ==
+      Map("a" -> 0L, "b" -> 1L))
+    assert(bfs(e, Seq("a"), rounds = 3) ==
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    assert(bfs(e, Seq("x"), rounds = 2) == Map("x" -> 0L))
+  }
+
+  test("bfsHops: min wins over multiple paths and is partitioning-invariant") {
+    // diamond with a long way round: a→b→z and a→c→d→z
+    val e = Seq(("a", "b"), ("b", "z"), ("a", "c"), ("c", "d"), ("d", "z"))
+    val out = bfs(e, Seq("a"), rounds = 4)
+    assert(out("z") == 2L, s"got: $out")
+    val big = (0 until 300).map(i => (s"n${i % 30}", s"n${(i * 11 + 7) % 30}"))
+    def run(parts: Int) = Graphs.bfsHops(
+      big.toDF("s", "t").repartition(parts), "s", "t",
+      Seq("n0", "n7").toDF("node"), "node", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(13))
+  }
+
+  // ---- frequentTriples ----
+
+  test("frequentTriples: hand-counted supports, minCount cut, hot-basket drop") {
+    // baskets: {1,2,3} ×2, {1,2,3,4}, {1,2} — triple (1,2,3) in 3
+    // baskets; (1,2,4),(1,3,4),(2,3,4) in 1 each (cut at minCount 2);
+    // a 5-item basket is dropped by maxBasketSize=4 before pairing.
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L), (12L, 4L),
+      (13L, 1L), (13L, 2L),
+      (14L, 1L), (14L, 2L), (14L, 3L), (14L, 4L), (14L, 5L))
+    val out = Graphs.frequentTriples(rows.toDF("bk", "it"), "bk", "it",
+        maxBasketSize = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map((1L, 2L, 3L) -> 3L), s"got: $out")
+  }
+
+  test("frequentTriples equals brute-force triple counting (apriori property)") {
+    // pseudo-random baskets; brute force = enumerate + filter
+    val rows = (0 until 400).map { i =>
+      ((i * 7919 % 40).toLong, (i * 104729 % 12).toLong)
+    }.distinct
+    val out = Graphs.frequentTriples(rows.toDF("bk", "it"), "bk", "it",
+        maxBasketSize = 8, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val kept = rows.groupBy(_._1).filter(_._2.size <= 8)
+      .values.flatten.toSeq
+    val brute = kept.groupBy(_._1).values.toSeq
+      .flatMap { b =>
+        val its = b.map(_._2).sorted
+        for (x <- its; y <- its if x < y; z <- its if y < z) yield (x, y, z)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    assert(out == brute, s"engine: $out\nbrute: $brute")
+  }
 }
