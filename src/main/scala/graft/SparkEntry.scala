@@ -1874,6 +1874,33 @@ object SparkEntry {
         .orderBy("vec_id", "out_dim")
     }),
 
+    // ---- clustering: DBSCAN roles on the projected embedding plane ----
+    // Density classification in the 2-D JL plane (jlCoords2d): grid-
+    // blocked in the engine (lossless — cell width = eps), brute-force
+    // all-pairs in the oracle — different algorithms, equal relation.
+    // eps/minPts picked so all three roles are live at sf0.01
+    // (33 cores / 32 borders / 435 noise).
+    "q_dbscan" -> ((s, d) => {
+      Similarity.dbscanClassify(
+          Similarity.jlCoords2d(t(s, d, "embeddings"), "embedding",
+            "vec_id", dim = 64),
+          "vec_id", "x", "y", eps = 1000L, minPts = 6)
+        .orderBy("vec_id")
+    }),
+
+    // ---- clustering: DBSCAN cluster labels (cores + borders) ----
+    // Core components carry min-id labels (fixpoint CC); borders attach
+    // to the MIN cluster id among their core neighbors — the textbook
+    // algorithm's one nondeterminism pinned. 8 clusters at sf0.01,
+    // singleton cores included.
+    "q_dbscan_clusters" -> ((s, d) => {
+      Similarity.dbscanClusters(
+          Similarity.jlCoords2d(t(s, d, "embeddings"), "embedding",
+            "vec_id", dim = 64),
+          "vec_id", "x", "y", eps = 1000L, minPts = 6)
+        .orderBy("vec_id")
+    }),
+
     // ---- layout: Z-order key over (part, supplier) ----
     "q_zorder" -> ((s, d) => {
       Outputs.zOrderKey(
@@ -5236,6 +5263,64 @@ object SparkEntry {
 
     "q_rand_proj" -> randProjSql(outDims = 8, dim = 64),
 
+    // Brute-force all-pairs DBSCAN classification — the engine's grid
+    // blocking is lossless (cell width = eps), so the relations match.
+    "q_dbscan" ->
+      s"""WITH $jlCoords2dCtes,
+         |n AS MATERIALIZED (
+         |  SELECT a.vec_id, count(*) AS n_nbrs
+         |  FROM pts a JOIN pts b
+         |    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000
+         |  GROUP BY 1),
+         |core AS MATERIALIZED (SELECT vec_id FROM n WHERE n_nbrs >= 6),
+         |border AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM pts a JOIN pts c
+         |    ON a.vec_id <> c.vec_id
+         |   AND (a.x-c.x)*(a.x-c.x) + (a.y-c.y)*(a.y-c.y) <= 1000000
+         |  JOIN core ON c.vec_id = core.vec_id
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM core))
+         |SELECT n.vec_id, n.n_nbrs,
+         |  CASE WHEN n.vec_id IN (SELECT vec_id FROM core) THEN 'core'
+         |       WHEN n.vec_id IN (SELECT vec_id FROM border) THEN 'border'
+         |       ELSE 'noise' END AS role
+         |FROM n ORDER BY vec_id""".stripMargin,
+
+    "q_dbscan_clusters" ->
+      s"""WITH RECURSIVE $jlCoords2dCtes,
+         |n AS MATERIALIZED (
+         |  SELECT a.vec_id, count(*) AS n_nbrs
+         |  FROM pts a JOIN pts b
+         |    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000
+         |  GROUP BY 1),
+         |core AS MATERIALIZED (SELECT vec_id FROM n WHERE n_nbrs >= 6),
+         |ce AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM pts a JOIN pts b
+         |    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000
+         |  WHERE a.vec_id IN (SELECT vec_id FROM core)
+         |    AND b.vec_id IN (SELECT vec_id FROM core)),
+         |reach(src, dst) AS (
+         |  SELECT ia, ib FROM ce
+         |  UNION
+         |  SELECT r.src, e.ib FROM reach r JOIN ce e ON r.dst = e.ia),
+         |lab AS MATERIALIZED (
+         |  SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY 1),
+         |bl AS (
+         |  SELECT a.vec_id AS id, min(l.cluster_id) AS cluster_id
+         |  FROM pts a JOIN pts c
+         |    ON a.vec_id <> c.vec_id
+         |   AND (a.x-c.x)*(a.x-c.x) + (a.y-c.y)*(a.y-c.y) <= 1000000
+         |  JOIN core ON c.vec_id = core.vec_id
+         |  JOIN lab l ON l.id = c.vec_id
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM core)
+         |  GROUP BY 1)
+         |SELECT id AS vec_id, role, cluster_id FROM (
+         |  SELECT id, 'core' AS role, cluster_id FROM lab
+         |  UNION ALL
+         |  SELECT id, 'border' AS role, cluster_id FROM bl)
+         |ORDER BY vec_id""".stripMargin,
+
     // Ratio-margin bitext mining: same assign CTEs as the IVF family,
     // integer-quantized cosines, the identical floored cross-multiplied
     // margin, and the same (margin DESC, id) forward-mining cut.
@@ -7449,6 +7534,28 @@ object SparkEntry {
        |  FROM probe LEFT JOIN cells USING (row, bucket) GROUP BY word)
        |SELECT word, CAST(est_count AS BIGINT) AS est_count
        |FROM est WHERE est_count >= $minCount ORDER BY word""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.jlCoords2d]] (dim 64): CTEs ending in
+    * `pts(vec_id, x, y)` on the exact integer grid — the shared plane of
+    * the DBSCAN oracles. Signs embed the IDENTICAL `jlSign` literals the
+    * engine folds at plan build. */
+  private def jlCoords2dCtes: String = {
+    val qs = (0 until 64).map(dd =>
+      s"CAST(round(CAST(embedding[${dd + 1}] AS DOUBLE) * 10000, 0) AS BIGINT) AS q$dd")
+      .mkString(",\n    ")
+    def arm(k: Int) = (0 until 64).map(dd =>
+      (if (Similarity.jlSign(k, dd) > 0) "+" else "-") + s" q$dd")
+      .mkString(" ")
+    s"""f AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE len(embedding) = 64
+       |    AND len(list_filter(embedding,
+       |          e -> isnan(e) OR NOT isfinite(e))) = 0),
+       |qq AS (SELECT vec_id,
+       |    $qs
+       |  FROM f),
+       |pts AS MATERIALIZED (
+       |  SELECT vec_id, 0 ${arm(0)} AS x, 0 ${arm(1)} AS y FROM qq)""".stripMargin
   }
 
   /** DuckDB twin of [[Similarity.randomProjection]]: per-output-dim arms

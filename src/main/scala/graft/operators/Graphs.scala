@@ -479,12 +479,16 @@ object Graphs {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var d = seeds.select(col(seedCol).cast("string").as("node")).distinct()
       .select(col("node"), lit(0L).as("hops"))
-    for (_ <- 0 until rounds) {
+    for (i <- 0 until rounds) {
+      // truncate the PREVIOUS round on entry (not the current one on
+      // exit): same bounded lineage, one fewer materialization, and the
+      // returned plan still shows the per-round join+min-agg shape —
+      // which is what the plan pin audits
+      if (i > 0) d = d.localCheckpoint()
       val relax = e
         .join(d.select(col("node").as("s"), col("hops")), "s")
         .select(col("t").as("node"), (col("hops") + 1L).as("hops"))
       d = d.union(relax).groupBy("node").agg(min("hops").as("hops"))
-        .localCheckpoint()
     }
     d
   }

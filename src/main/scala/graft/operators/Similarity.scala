@@ -1642,6 +1642,183 @@ object Similarity {
       .selectExpr(idCol, s"stack($outDims, $arms) AS (out_dim, proj_q)")
   }
 
+  /** The first two [[randomProjection]] outputs as WIDE integer
+    * coordinates (id, x, y) — the plotting/density plane of the
+    * embedding space, un-stacked so grid operators ([[dbscanClassify]])
+    * consume it without re-pivoting the stacked form. Same finite-row
+    * exclusion, same 1e-4-grid exactness, ZERO shuffle. */
+  def jlCoords2d(emb: DataFrame, vecCol: String, idCol: String,
+                 dim: Int): DataFrame = {
+    val finite = emb
+      .filter(size(col(vecCol)) === dim)
+      .filter(!exists(col(vecCol), x =>
+        isnan(x) || x <= Double.NegativeInfinity || x >= Double.PositiveInfinity))
+      .select(col(idCol) +: (0 until dim).map { d =>
+        round(element_at(col(vecCol), d + 1).cast("double") * 10000, 0)
+          .cast("long").as(s"__q$d")
+      }: _*)
+    def arm(k: Int, out: String) = (0 until dim).map { d =>
+      val t = col(s"__q$d")
+      if (jlSign(k, d) > 0) t else -t
+    }.reduce(_ + _).as(out)
+    finite.select(col(idCol), arm(0, "x"), arm(1, "y"))
+  }
+
+  // ------------------------------------------------------------ DBSCAN
+
+  /** Grid cell index of an integer coordinate column: floor division
+    * after a large positive shift, so negative coordinates never hit the
+    * truncate-toward-zero / floor divergence between engines. Coordinate
+    * magnitude must stay below the shift (1e15 — far above any 1e-4-grid
+    * projection of bounded embeddings). */
+  private def cellIdx(name: String, eps: Long): Column =
+    expr(s"($name + 1000000000000000L) div $eps")
+
+  /** All neighbor pairs (id_a, id_b), a ≠ b, within Euclidean `eps` of
+    * each other, BOTH directions — the primitive under DBSCAN. Grid-
+    * blocked: each point joins only the 3×3 adjacent cells of an
+    * eps-wide grid (cell width = eps guarantees every true pair lands in
+    * adjacent cells, so blocking is LOSSLESS — the MinHash-band argument
+    * in metric form). Cells holding more than `maxCellPoints` points are
+    * DROPPED before pairing (the coOccurrence hot-basket convention:
+    * per-cell pairing is quadratic in occupancy, and one degenerate
+    * all-points-equal cell would emit n² pairs from a single task;
+    * deterministic predicate, not an order-dependent truncation).
+    *
+    * Scale shape: one 9-way cell-key explode on the probe side, one
+    * equi-join on the cell key whose fan-out is bounded by cell
+    * occupancy, one distance filter — never an all-pairs cross. All
+    * arithmetic on the integer grid (squares of coordinate deltas ≤
+    * (2·eps)² ride longs exactly; eps capped at 1e9 keeps them there). */
+  private def gridNeighborPairs(p: DataFrame, eps: Long,
+                                maxCellPoints: Long): DataFrame = {
+    val withCell = p
+      .withColumn("__cx", cellIdx("x", eps))
+      .withColumn("__cy", cellIdx("y", eps))
+      .withColumn("__occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__cx", "__cy")))
+      .filter(col("__occ") <= maxCellPoints)
+      .drop("__occ")
+    val probe = withCell
+      .withColumn("__dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("id_a"), col("x").as("__xa"), col("y").as("__ya"),
+        (col("__cx") + col("__dx")).as("__kx"),
+        (col("__cy") + col("__dy")).as("__ky"))
+    probe.join(
+        withCell.select(col("id").as("id_b"), col("x").as("__xb"),
+          col("y").as("__yb"), col("__cx").as("__kx"), col("__cy").as("__ky")),
+        Seq("__kx", "__ky"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter((col("__xa") - col("__xb")) * (col("__xa") - col("__xb")) +
+        (col("__ya") - col("__yb")) * (col("__ya") - col("__yb")) <=
+        lit(eps) * lit(eps))
+      .select("id_a", "id_b")
+  }
+
+  /** Normalize and MATERIALIZE the point relation. The localCheckpoint is
+    * load-bearing, not a cache hint: x/y are often wide expression trees
+    * (jlCoords2d = 128-term signed sums over 64 element_at calls), and the
+    * grid self-join references them ~6× (probe coords, build coords, cell
+    * keys, the distance filter) — projection collapse would INLINE the
+    * full tree into every reference and the generated code explodes
+    * (measured: q_dbscan hung >400 s / OOM'd at 500 rows). Truncating to a
+    * flat scan of the 3-column nodes-sized relation makes every reference
+    * an attribute read — the same reasoning as the CC loop's per-round
+    * checkpoint. */
+  private def dbscanPoints(points: DataFrame, idCol: String, xCol: String,
+                           yCol: String): DataFrame =
+    points.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+      .localCheckpoint()
+
+  /** DBSCAN point classification on an integer-grid plane: every point's
+    * eps-neighborhood size (self included, the textbook |N_eps(p)|) and
+    * its role — `core` (n_nbrs ≥ minPts), `border` (non-core with a core
+    * neighbor), `noise` (neither). Exact DBSCAN semantics — the grid is
+    * a lossless blocking, not an approximation (see
+    * [[gridNeighborPairs]]); an all-pairs engine produces the identical
+    * relation, which is exactly how the oracle twin checks it.
+    *
+    * Scale shape: the neighbor-pair relation (density-bounded, grid-
+    * blocked) + two id-keyed aggregates; the corpus is scanned once.
+    * Typical use: [[jlCoords2d]] in front — density structure in the
+    * projected plane; for d-dimensional exactness compose per-cell
+    * verification like the semdedup lane instead. */
+  def dbscanClassify(points: DataFrame, idCol: String, xCol: String,
+                     yCol: String, eps: Long, minPts: Int,
+                     maxCellPoints: Long = 100000L): DataFrame = {
+    require(eps >= 1 && eps <= 1000000000L, s"eps out of range: $eps")
+    require(minPts >= 1, s"minPts: $minPts")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = dbscanPoints(points, idCol, xCol, yCol)
+    val nbrs = gridNeighborPairs(p, eps, maxCellPoints).persist(lvl)
+    val counts = p.join(
+        nbrs.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("__nn")),
+        Seq("id"), "left")
+      .select(col("id"), (coalesce(col("__nn"), lit(0L)) + 1L).as("n_nbrs"))
+      .persist(lvl)
+    val cores = counts.filter(col("n_nbrs") >= minPts).select("id")
+    val borderIds = nbrs
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("id")).distinct()
+      .join(cores, Seq("id"), "left_anti")
+    counts
+      .join(cores.withColumn("__c", lit(1)), Seq("id"), "left")
+      .join(borderIds.withColumn("__b", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_nbrs"),
+        when(col("__c") === 1, lit("core"))
+          .when(col("__b") === 1, lit("border"))
+          .otherwise(lit("noise")).as("role"))
+  }
+
+  /** DBSCAN clusters: connected components of the core-core
+    * eps-neighborhood graph label every core with its component's
+    * minimum id; borders attach to the MINIMUM cluster id among their
+    * core neighbors (the deterministic tie-break for the classic
+    * "border between two clusters" ambiguity); noise is excluded.
+    * Exactly the textbook algorithm with its one nondeterminism pinned.
+    *
+    * Scale shape: [[gridNeighborPairs]] once (shared with
+    * classification), core filter, then the min-label loop runs on the
+    * CORE-EDGE graph only — orders of magnitude smaller than the corpus
+    * (the [[graft.operators.Dedup.nearDupClusters]] kernel, fixpoint-
+    * checked, per-round localCheckpoint). */
+  def dbscanClusters(points: DataFrame, idCol: String, xCol: String,
+                     yCol: String, eps: Long, minPts: Int,
+                     maxCellPoints: Long = 100000L): DataFrame = {
+    require(eps >= 1 && eps <= 1000000000L, s"eps out of range: $eps")
+    require(minPts >= 1, s"minPts: $minPts")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = dbscanPoints(points, idCol, xCol, yCol)
+    val nbrs = gridNeighborPairs(p, eps, maxCellPoints).persist(lvl)
+    val cores = p.join(
+        nbrs.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("__nn")),
+        Seq("id"), "left")
+      .filter(coalesce(col("__nn"), lit(0L)) + 1L >= minPts)
+      .select("id").persist(lvl)
+    val coreEdges = nbrs
+      .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      // self-pairs pull singleton cores (no core neighbor) into the
+      // label relation with their own id as the cluster id
+      .union(cores.select(col("id").as("id_a"), col("id").as("id_b")))
+    val labels = graft.operators.Dedup.nearDupClusters(coreEdges,
+      strict = true)
+    val borderLabels = nbrs
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(labels.select(col("id").as("id_b"), col("cluster_id")), "id_b")
+      .groupBy(col("id_a").as("id"))
+      .agg(min("cluster_id").as("cluster_id"))
+    labels.select(col("id"), lit("core").as("role"), col("cluster_id"))
+      .unionByName(borderLabels.select(col("id"), lit("border").as("role"),
+        col("cluster_id")))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Exact covariance matrix of the embedding components — the train
     * step of data-dependent compression ([[pcaTrain]]) and the cross-dim
     * sibling of the per-dimension moments panel (a correlated-dims block

@@ -656,6 +656,43 @@ class PlanSpec extends SparkSpec {
     assert(!pd.contains("CartesianProduct"))
   }
 
+  test("BFS final round: one edge-keyed equi-join + node min-agg, no cartesian, no window") {
+    // localCheckpoint truncates earlier rounds; the visible round IS the
+    // per-round shape — an equi-join of the checkpointed frontier against
+    // the edge relation and a map-side-combinable min aggregate
+    // (the edge relation's own derivation contains coOccurrence's 1-row
+    // lift-total broadcast cross — that BNLJ lives in the cached edge
+    // plan, not in the round, so only CartesianProduct is banned here)
+    val p = plan("q_bfs_hops")
+    assert(!p.contains("CartesianProduct"),
+      s"frontier relaxation must stay an equi-join:\n$p")
+    assert(p.toLowerCase.contains("partial_min"),
+      s"hop relaxation must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the frontier join must be an equi-join:\n$p")
+  }
+
+  test("frequent triples: semi-join pruned verification, no cartesian, hot-basket window bounded by the basket key") {
+    val p = plan("q_itemsets3")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate verification must stay equi-joins:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"apriori pruning must reach the plan as semi-joins:\n$p")
+  }
+
+  test("DBSCAN: neighbor pairs form on the cell-key equi-join — never an all-pairs cross") {
+    val p = plan("q_dbscan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid blocking must plan as an equi-join on (__kx, __ky):\n$p")
+    val pc = plan("q_dbscan_clusters")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"),
+      s"cluster labeling must stay on the core-edge graph:\n$pc")
+  }
+
   test("entropy-coded size: char explode collapses map-side before any exchange; doc-grain join only") {
     // the explode is chars-per-doc rows, but the (doc, char) count must
     // partially aggregate BEFORE the shuffle — otherwise the exchange

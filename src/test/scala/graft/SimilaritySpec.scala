@@ -951,4 +951,96 @@ class SimilaritySpec extends SparkSpec {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  // ---- DBSCAN ----
+
+  private def classify(pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int,
+                       maxCell: Long = 100000L) =
+    Similarity.dbscanClassify(pts.toDF("id", "x", "y"), "id", "x", "y",
+        eps, minPts, maxCell)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+
+  test("dbscanClassify: textbook roles on two planted triangles, a border and an outlier") {
+    // triangles (1,2,3) and (6,7,8) are mutual eps-neighborhoods (core),
+    // 4 touches core 2 but has only 2 neighbors (border), 5 is alone
+    // (noise); (0,0)-(10,0) pins the dist² == eps² boundary INCLUSIVE
+    // and crosses a cell boundary (cell width = eps = 10).
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 10L, 0L), (3L, 5L, 5L),
+      (4L, 18L, 0L), (5L, 500L, 500L),
+      (6L, 1000L, 0L), (7L, 1006L, 0L), (8L, 1003L, 5L))
+    val out = classify(pts, eps = 10L, minPts = 3)
+    // 2's neighborhood: self, 1 (dist 10, boundary), 3 (√50), 4 (dist 8)
+    assert(out == Map(
+      1L -> ((3L, "core")), 2L -> ((4L, "core")), 3L -> ((3L, "core")),
+      4L -> ((2L, "border")), 5L -> ((1L, "noise")),
+      6L -> ((3L, "core")), 7L -> ((3L, "core")), 8L -> ((3L, "core"))),
+      s"got: $out")
+  }
+
+  test("dbscanClusters: min-id component labels, border takes min core neighbor, singleton core self-labels") {
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 10L, 0L), (3L, 5L, 5L),
+      (4L, 18L, 0L), (5L, 500L, 500L),
+      (6L, 1000L, 0L), (7L, 1006L, 0L), (8L, 1003L, 5L))
+    val out = Similarity.dbscanClusters(pts.toDF("id", "x", "y"),
+        "id", "x", "y", eps = 10L, minPts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(
+      1L -> (("core", 1L)), 2L -> (("core", 1L)), 3L -> (("core", 1L)),
+      4L -> (("border", 1L)),
+      6L -> (("core", 6L)), 7L -> (("core", 6L)), 8L -> (("core", 6L))),
+      s"got: $out")
+    // minPts=1: every point is a core; the isolated one self-labels via
+    // the singleton self-pair
+    val solo = Similarity.dbscanClusters(pts.toDF("id", "x", "y"),
+        "id", "x", "y", eps = 10L, minPts = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(solo(5L) == 5L && solo(4L) == 1L, s"got: $solo")
+  }
+
+  test("dbscan grid blocking equals brute force on pseudo-random points (negatives included)") {
+    val pts = (0 until 300).map { i =>
+      (i.toLong, ((i * 7919) % 401 - 200).toLong, ((i * 104729) % 401 - 200).toLong)
+    }
+    val eps = 25L
+    def dist2(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3; dx * dx + dy * dy
+    }
+    val brute = pts.map { p =>
+      p._1 -> pts.count(q => dist2(p, q) <= eps * eps).toLong
+    }.toMap
+    val out = classify(pts, eps, minPts = 4)
+    assert(out.view.mapValues(_._1).toMap == brute,
+      "grid neighbor counts must equal all-pairs counts")
+    // and the whole classification is partitioning-invariant
+    val out13 = Similarity.dbscanClassify(
+        pts.toDF("id", "x", "y").repartition(13), "id", "x", "y", eps, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out13 == out)
+  }
+
+  test("dbscan hot-cell drop: an over-full cell is excluded, its points classify as noise") {
+    // 5 coincident points + a far pair; maxCell=4 drops the pile-up cell
+    val pts = (1L to 5L).map(i => (i, 0L, 0L)) ++
+      Seq((10L, 100L, 100L), (11L, 101L, 100L))
+    val out = classify(pts, eps = 5L, minPts = 2, maxCell = 4L)
+    assert((1L to 5L).forall(i => out(i) == ((1L, "noise"))), s"got: $out")
+    assert(out(10L) == ((2L, "core")) && out(11L) == ((2L, "core")))
+  }
+
+  test("jlCoords2d matches the stacked randomProjection outputs") {
+    val emb = vecs(50, dim = 8)
+    val wide = Similarity.jlCoords2d(emb, "v", "id", dim = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stacked = Similarity.randomProjection(emb, "v", "id", outDims = 2, dim = 8)
+      .collect().groupBy(_.getLong(0)).view.mapValues { rs =>
+        val m = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+        (m(0L), m(1L))
+      }.toMap
+    assert(wide == stacked)
+  }
 }
