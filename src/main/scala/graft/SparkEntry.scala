@@ -2520,6 +2520,27 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // ---- warehouse: incremental join-view maintenance ----
+    // V = orders ⋈ customer; deltas split deterministically (every 17th
+    // order, every 13th customer — both live at sf0.01, including
+    // delta×delta pairs). Engine = the delta rule (masters broadcast-probe
+    // the deltas, never shuffle); oracle = full recompute EXCEPT ALL old
+    // view — the DEFINITION of the view delta, a different algorithm.
+    "q_join_delta" -> ((s, d) => {
+      val a = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      val b = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Warehouse.joinViewDelta(
+          a.filter(col("o_orderkey") % 17 =!= 0),
+          a.filter(col("o_orderkey") % 17 === 0),
+          b.filter(col("custkey") % 13 =!= 0),
+          b.filter(col("custkey") % 13 === 0),
+          Seq("custkey"))
+        .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- preferences: pairwise win matrix from head-to-head trials ----
     "q_pairwise_wins" -> ((s, d) => {
       Preferences.winMatrix(Preferences.comparisons(t(s, d, "events"),
@@ -5516,6 +5537,18 @@ object SparkEntry {
         | (100 * sum(CAST(round(value*100) AS BIGINT))) // count(*) / 10000.0
         |   AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    // Full recompute minus the old view (bag difference) — the DEFINITION
+    // of the view delta; the engine's delta rule must reproduce it.
+    "q_join_delta" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  EXCEPT ALL
+        |  SELECT o_orderkey, o_custkey AS custkey, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey % 17 <> 0 AND c_custkey % 13 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_pairwise_wins" ->
       s"""WITH $winsCtes

@@ -175,4 +175,35 @@ object Warehouse {
       // divides n·(a power of 10), where Spark (HALF_UP) and DuckDB
       // (raw double) disagree (surfaced at sf0.001: 30703/8 cents)
       (expr("(100 * s_cents) div n") / 10000.0).as("avg_value")): _*)
+
+  /** Incremental JOIN-VIEW maintenance: the view is V = A ⋈ B (inner
+    * equi-join on `keys`); given insert-only deltas dA and dB, the rows
+    * to APPEND are exactly
+    *
+    *   dV = dA ⋈ (B ∪ dB)  ∪  A ⋈ dB
+    *
+    * (the classic delta-rule factoring of dA⋈B + A⋈dB + dA⋈dB with the
+    * dA⋈dB term folded into the first join — each new pair is produced
+    * exactly once). BAG semantics throughout: the identity holds for
+    * multisets, so duplicate rows on either side need no special-casing.
+    *
+    * This is the maintenance step the reference performs row-at-a-time
+    * against its materialized table (`StreamTableJoinExample.java:112-124`
+    * — probe the stored side, emit the join of the new row); here it is
+    * the set-oriented batch form both masters are never rescanned for.
+    *
+    * Scale shape — the whole point of the rule: the MASTERS NEVER
+    * SHUFFLE. Both delta sides are broadcast (deltas are ingest-batch
+    * sized; masters are the 100 TB side), so dV costs two master scans
+    * with map-side hash probes — compare a full recompute, which
+    * re-shuffles A and B on the key every refresh. Output columns:
+    * keys, then A's columns, then B's columns. */
+  def joinViewDelta(aOld: DataFrame, aDelta: DataFrame,
+                    bOld: DataFrame, bDelta: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "join keys required")
+    val fromADelta = broadcast(aDelta).join(bOld.unionByName(bDelta), keys)
+    val fromBDelta = aOld.join(broadcast(bDelta), keys)
+    fromADelta.unionByName(fromBDelta)
+  }
 }

@@ -682,6 +682,14 @@ class PlanSpec extends SparkSpec {
       s"apriori pruning must reach the plan as semi-joins:\n$p")
   }
 
+  test("join-view delta: masters broadcast-probe the deltas — no master-side shuffle join") {
+    val p = plan("q_join_delta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the masters must never shuffle on the view key:\n$p")
+  }
+
   test("DBSCAN: neighbor pairs form on the cell-key equi-join — never an all-pairs cross") {
     val p = plan("q_dbscan")
     assert(!p.contains("CartesianProduct") &&

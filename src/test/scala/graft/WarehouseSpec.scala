@@ -207,4 +207,32 @@ class WarehouseSpec extends SparkSpec {
     assert(r(1).getLong(1) == 42L)      // empty text -> bias
     assert(r(2).isNullAt(1) && r(2).isNullAt(2)) // NULL text -> NULL logit+pred
   }
+
+  // ---- joinViewDelta ----
+
+  test("joinViewDelta equals the full-recompute bag difference, duplicates and delta×delta included") {
+    import graft.operators.Warehouse
+    // bags with DUPLICATE rows on both sides so the multiset identity is
+    // exercised, and delta keys that hit old rows, delta rows, and nothing
+    def mkA(rows: Seq[(Long, String)]) = rows.toDF("k", "av")
+    def mkB(rows: Seq[(Long, String)]) = rows.toDF("k", "bv")
+    val aOld = mkA(Seq((1L, "a1"), (1L, "a1"), (2L, "a2"), (5L, "a5")))
+    val aNew = mkA(Seq((1L, "a1x"), (3L, "a3"), (9L, "a9")))
+    val bOld = mkB(Seq((1L, "b1"), (3L, "b3"), (3L, "b3")))
+    val bNew = mkB(Seq((2L, "b2"), (3L, "b3n"), (8L, "b8")))
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, String)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val delta = bag(Warehouse.joinViewDelta(aOld, aNew, bOld, bNew, Seq("k"))
+      .select("k", "av", "bv"))
+    val full = bag(aOld.union(aNew).join(bOld.union(bNew), "k")
+      .select("k", "av", "bv"))
+    val old = bag(aOld.join(bOld, "k").select("k", "av", "bv"))
+    val expected = full.map { case (r, n) => r -> (n - old.getOrElse(r, 0)) }
+      .filter(_._2 > 0)
+    assert(delta == expected, s"delta: $delta\nexpected: $expected")
+    // empty deltas maintain nothing
+    assert(Warehouse.joinViewDelta(aOld, mkA(Nil), bOld, mkB(Nil),
+      Seq("k")).count() == 0L)
+  }
 }
