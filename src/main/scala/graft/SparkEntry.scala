@@ -598,6 +598,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- mergeable quantile summary from a bottom-k row sample ----
+    // Per event_type value percentiles (cents) estimated from the k=256
+    // deterministic id-hash sample — type-1 quantiles, exact when the
+    // group is smaller than k. Shard samples merge losslessly (bottom-k
+    // of union = bottom-k of concatenated bottom-k's), the rollup
+    // property the spec pins.
+    "q_quantile_sketch" -> ((s, d) => {
+      Sketches.quantileSketch(t(s, d, "events"), "event_id", "event_type",
+          cents(col("value")), k = 256, qs = Seq(25, 50, 90, 99))
+        .withColumnRenamed("est_value", "est_cents")
+        .orderBy("event_type", "q")
+    }),
+
     // ---- count-min heavy hitters over the corpus word stream ----
     // Width 64 vs a 31-word vocab: collisions are plausible and the
     // estimate is the sketch's (over-)count, identical cell-for-cell in
@@ -3466,6 +3479,29 @@ object SparkEntry {
          |  CAST(CASE WHEN nd < 64 THEN nd
          |       ELSE CAST(63 AS BIGINT) * 4294967296 // kth END AS BIGINT) AS est_distinct
          |FROM ag ORDER BY source""".stripMargin,
+
+    // Same Knuth-hash bottom-k sample, type-1 rank pick — the
+    // q_fixed_sample hash lane carrying the value column.
+    "q_quantile_sketch" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp, event_id AS id,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |hr AS (SELECT grp, id, v,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY ((id % 1000003) * 2654435761) % 1000000007, id) AS hrn
+        |  FROM b),
+        |s AS (SELECT grp, id, v FROM hr WHERE hrn <= 256),
+        |m AS (SELECT grp, count(*) AS n_sample FROM s GROUP BY 1),
+        |t AS (SELECT grp, count(*) AS n_total FROM b GROUP BY 1),
+        |rk AS (SELECT grp, id, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn
+        |  FROM s),
+        |qq AS (SELECT CAST(unnest([25, 50, 90, 99]) AS BIGINT) AS q)
+        |SELECT rk.grp AS event_type, qq.q, rk.v AS est_cents,
+        |  m.n_sample, t.n_total
+        |FROM rk JOIN m USING (grp) JOIN t USING (grp)
+        |JOIN qq ON rk.rn = (qq.q * m.n_sample + 99) // 100
+        |ORDER BY event_type, q""".stripMargin,
 
     // Cell-for-cell count-min twin: arms generated from the same
     // (depth, width, salt) literals as the engine's sketch.

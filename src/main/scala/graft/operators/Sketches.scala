@@ -336,4 +336,54 @@ object Sketches {
     cmsEstimate(candidates, itemCol, cmsBuild(df, itemCol, depth, width),
       depth, width)
       .filter(col("est_count") >= minCount)
+
+  /** MERGEABLE QUANTILE SUMMARY from a deterministic bottom-k row sample:
+    * per group, the k rows whose Knuth id-hash ranks smallest form a
+    * uniform sample ([[Curation.fixedSizeSample]] — bounded TopKHits
+    * aggregate, no window sort over the corpus), and each requested
+    * percentile is the TYPE-1 (nearest-rank-up) quantile of the sample:
+    * the smallest sampled value whose rank reaches ⌈q·m/100⌉. Standard
+    * error of a q-quantile's rank is √(q(1−q)/k) — k=256 puts the median
+    * within ~3% rank error; groups SMALLER than k are sampled whole, so
+    * their quantiles are exact.
+    *
+    * Mergeable exactly like KMV: bottom-k(A ∪ B) = bottom-k(bottom-k(A)
+    * ∪ bottom-k(B)) — shard samples concatenate and re-rank into the
+    * union's sample with NO approximation stacking (re-estimating from
+    * the merged sample equals estimating from a fresh whole-corpus
+    * sample), the property that lets per-partition/per-day summaries
+    * roll up without rescanning history. Deterministic end to end:
+    * id-hash sampling, integer values, integer rank arithmetic — every
+    * engine and partitioning produces the identical estimate.
+    *
+    * `valueCol` must be integer-valued (quantize first — the cents
+    * convention); `qs` are integer percents in [1, 100]. Output: (group,
+    * q, est_value, n_sample, n_total), one row per (group, q).
+    *
+    * Scale shape: one corpus scan into the bounded sample aggregate +
+    * one map-side-combinable total count; everything after (value
+    * join-back, rank window, quantile pick) runs on the groups×k sample
+    * relation. The rank window partitions by group and is k-bounded. */
+  def quantileSketch(df: DataFrame, idCol: String, groupCol: String,
+                     valueCol: Column, k: Int, qs: Seq[Int]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"qs must be percents in [1,100]: $qs")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("__id"),
+      valueCol.cast("long").as("__v"))
+    val sampleIds = Curation.fixedSizeSample(base, "__id", "grp", k)
+    val sample = base.join(broadcast(sampleIds), Seq("grp", "__id"))
+      .withColumn("__m", count(lit(1)).over(w.partitionBy("grp")))
+      // k-bounded per group: the sample aggregate capped membership at k
+      .withColumn("__rn", row_number().over(
+        w.partitionBy("grp").orderBy(col("__v"), col("__id"))))
+    val totals = base.groupBy("grp").agg(count(lit(1)).as("n_total"))
+    sample
+      .withColumn("q", explode(array(qs.map(q => lit(q.toLong)): _*)))
+      .filter(col("__rn") === expr("(q * __m + 99) div 100"))
+      .join(totals, "grp")
+      .select(col("grp").as(groupCol), col("q"), col("__v").as("est_value"),
+        col("__m").cast("long").as("n_sample"), col("n_total"))
+  }
 }

@@ -682,6 +682,18 @@ class PlanSpec extends SparkSpec {
       s"apriori pruning must reach the plan as semi-joins:\n$p")
   }
 
+  test("quantile sketch: bounded sample aggregate, window only after the sample join") {
+    // the corpus feeds the TopKHits ObjectHashAggregate (≤ k state per
+    // task×group) and the total count; the rank window runs on the
+    // groups×k sample attached back by broadcast — never on the corpus
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("ObjectHashAggregate"),
+      s"sampling must be the bounded top-k aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sample must attach by broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("join-view delta: masters broadcast-probe the deltas — no master-side shuffle join") {
     val p = plan("q_join_delta")
     assert(p.contains("BroadcastHashJoin"),

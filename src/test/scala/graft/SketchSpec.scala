@@ -269,4 +269,64 @@ class SketchSpec extends SparkSpec {
     assert(Sketches.hllEstimate(Sketches.hllBuild(dup, "v", "g"), "g")
       .collect()(0).getLong(2) == est(50))
   }
+
+  // ---- quantileSketch ----
+
+  test("quantileSketch: exact type-1 quantiles when the group fits the sample") {
+    import spark.implicits._
+    // 10 values in one group, k=64 ≥ group size → sample = whole group:
+    // type-1 q-quantile = smallest value with rank ≥ ceil(q·10/100)
+    val df = (1L to 10L).map(i => ("g", i, i * 10L)).toDF("grp", "id", "v")
+    val out = Sketches.quantileSketch(df, "id", "grp", col("v"), k = 64,
+        qs = Seq(10, 25, 50, 91, 100))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> 10L, 25L -> 30L, 50L -> 50L, 91L -> 100L,
+      100L -> 100L), s"got: $out")
+  }
+
+  test("quantileSketch: estimates track exact percentiles on a 10k-row group") {
+    import spark.implicits._
+    val df = (1L to 10000L).map(i => ("g", i, (i * 2654435761L) % 10000L))
+      .toDF("grp", "id", "v")
+    val out = Sketches.quantileSketch(df, "id", "grp", col("v"), k = 512,
+        qs = Seq(25, 50, 90))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.forall(_._4 == 10000L))
+    assert(out.forall(_._3 == 512L), "sample must be exactly k")
+    // values are ~uniform on [0, 10000): rank error ~ sqrt(q(1-q)/512)
+    // ≈ 2.2% — assert within 10% absolute of the true quantile
+    out.foreach { case (q, est, _, _) =>
+      val truth = q * 100L // q% of 10000
+      assert(math.abs(est - truth) <= 1000L,
+        s"q=$q est=$est truth≈$truth")
+    }
+  }
+
+  test("quantileSketch merge law: shard samples re-ranked == whole-corpus sample") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val all = (1L to 3000L).map(i => ("g", i, (i * 48271L) % 7919L))
+      .toDF("grp", "id", "v")
+    val s1 = all.filter($"id" % 2 === 0)
+    val s2 = all.filter($"id" % 2 =!= 0)
+    val k = 128
+    // bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)): the shard
+    // samples concatenate and re-rank into exactly the union's sample
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.fixedSizeSample(df, "id", "grp", k)
+        .select("id").as[Long].collect().toSet
+    val shardMerged = Curation.fixedSizeSample(
+      all.join(broadcast((ids(s1) ++ ids(s2)).toSeq.toDF("id")), "id"),
+      "id", "grp", k)
+      .select("id").as[Long].collect().toSet
+    assert(shardMerged == ids(all), "merged shard samples must equal the whole-corpus sample")
+    // and therefore the quantile estimates agree exactly
+    val direct = Sketches.quantileSketch(all, "id", "grp", col("v"), k,
+      Seq(50, 90)).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = Sketches.quantileSketch(
+      all.join(broadcast((ids(s1) ++ ids(s2)).toSeq.toDF("id")), "id"),
+      "id", "grp", col("v"), k, Seq(50, 90))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(direct == merged)
+  }
 }
