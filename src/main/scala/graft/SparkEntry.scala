@@ -2295,6 +2295,33 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // ---- LOCAL-DP frequency release (k-ary randomized response) ----
+    // The local-model leg of the privacy family: every event's type is
+    // perturbed row-side (p = 0.75 keep, the rest uniform over the other
+    // 4 public categories, ε = ln(12) ≈ 2.48), then the observed
+    // histogram debiases. The domain is the schema's public event-type
+    // enum — the release support is the domain, never the data.
+    "q_ldp_freq" -> ((s, d) => {
+      import s.implicits._
+      val domain = Seq("click", "error", "purchase", "signup", "view")
+        .toDF("event_type")
+      RelationalOps.ldpFrequency(t(s, d, "events"), "event_id",
+          "event_type", domain, pMicro = 750000L,
+          releaseNonce = "graft-r10-ldp")
+        .orderBy("event_type")
+    }),
+
+    // ---- Mann–Whitney U rank-sum test (tie-corrected) ----
+    // Nonparametric two-sample test: click values vs view values in
+    // exact integer cents — midranks in half-units, integer tie term,
+    // one double z at the end. Cents collide heavily (ties live).
+    "q_mannwhitney" -> ((s, d) => {
+      RelationalOps.mannWhitneyU(
+          t(s, d, "events")
+            .filter(col("event_type").isin("click", "view")),
+          cents(col("value")), col("event_type") === "click")
+    }),
+
     // USER-LEVEL DP: event counts per type where the privacy unit is the
     // USER — each user's contribution clamps to 20 events per type, so
     // the release is ε-DP under removing an entire user's history
@@ -5207,6 +5234,62 @@ object SparkEntry {
       nonce = "graft-r10-vocab",
       epsilonMicro = 500000L, sensitivity = 1L, extra = "",
       tau = Some(25L)),
+
+    // Row-side k-RR perturbation replayed from the same two md5 lanes,
+    // then the same debias arithmetic (p = 0.75, q = 0.0625 — both exact
+    // binary doubles, so the only rounding is the shipped 3dp)
+    "q_ldp_freq" ->
+      s"""WITH dom AS (
+         |  SELECT cat, CAST(row_number() OVER (ORDER BY cat) AS BIGINT) - 1 AS idx
+         |  FROM (SELECT unnest(['click','error','purchase','signup','view']) AS cat)),
+         |r AS (
+         |  SELECT CAST(e.event_id AS VARCHAR) AS rid, d.idx
+         |  FROM events e JOIN dom d ON e.event_type = d.cat),
+         |h AS (
+         |  SELECT idx,
+         |    ${Sketches.kmvHash32Sql("'graft-r10-ldp|k|' || rid")} AS hk,
+         |    ${Sketches.kmvHash32Sql("'graft-r10-ldp|p|' || rid")} AS hp
+         |  FROM r),
+         |rep AS (
+         |  SELECT CASE WHEN hk * 1000000 < 750000 * 4294967296 THEN idx
+         |              WHEN (hp % 4) >= idx THEN (hp % 4) + 1
+         |              ELSE (hp % 4) END AS ridx
+         |  FROM h),
+         |obs AS (SELECT ridx AS idx, count(*) AS n_reported FROM rep GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM rep)
+         |SELECT d.cat AS event_type,
+         |  coalesce(o.n_reported, 0) AS n_reported,
+         |  round((coalesce(o.n_reported, 0) - nn.n * ((1 - 0.75) / 4.0)) /
+         |        (0.75 - (1 - 0.75) / 4.0), 3) AS n_est,
+         |  CAST(round(ln(0.75 * 4.0 / 0.25) * 1e6, 0) AS BIGINT) AS epsilon_micro
+         |FROM dom d LEFT JOIN obs o USING (idx) CROSS JOIN nn
+         |ORDER BY event_type""".stripMargin,
+
+    // Identical exact-integer rank arithmetic, one double z at the end
+    "q_mannwhitney" ->
+      """WITH b AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |bv AS (SELECT v, count(*) AS t, CAST(sum(a) AS BIGINT) AS ta
+        |  FROM b GROUP BY v),
+        |rk AS (SELECT v, t, ta,
+        |    coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM bv),
+        |agg AS (SELECT
+        |    CAST(sum(ta) AS BIGINT) AS na,
+        |    CAST(sum(t - ta) AS BIGINT) AS nb,
+        |    CAST(sum(ta * (2*cum + t + 1)) AS BIGINT) AS ra2,
+        |    CAST(sum(t*t*t - t) AS BIGINT) AS ties
+        |  FROM rk)
+        |SELECT na AS n_a, nb AS n_b,
+        |  (ra2 - na*(na+1)) / 2.0 AS u_a,
+        |  round(((ra2 - na*(na+1)) / 2.0 - CAST(na AS DOUBLE) * nb / 2.0) /
+        |    sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+        |      ((na + nb + 1) - CAST(ties AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 4) AS z
+        |FROM agg""".stripMargin,
 
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
     // restores "unknown is a value of its own" identically

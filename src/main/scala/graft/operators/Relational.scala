@@ -1014,6 +1014,134 @@ object RelationalOps {
       lit(clampCents).as("clamp_cents"))
   }
 
+  /** LOCAL-DP frequency estimation via k-ary RANDOMIZED RESPONSE — the
+    * local-model member of the release family: the central mechanisms
+    * above ([[dpGroupCounts]] etc.) noise AGGREGATES a trusted curator
+    * computed; here each ROW's category is perturbed independently
+    * before any aggregation, so nothing trustworthy ever sees a true
+    * row (the Warner 1965 design; generalized k-RR per Kairouz et al.
+    * 2016). Each record reports its true category with probability p,
+    * any single other category with probability (1−p)/(k−1) — that is
+    * ε-LDP with ε = ln(p·(k−1)/(1−p)). The curator then DEBIASES the
+    * observed histogram: n̂_c = (obs_c − n·q)/(p − q), q = (1−p)/(k−1),
+    * an unbiased estimator of the true counts (estimates may be
+    * negative — that is the unbiasedness, never clamp before further
+    * aggregation).
+    *
+    * `domain` must be the PUBLIC category list (randomized response is
+    * undefined without it — the perturbation needs the full choice set,
+    * and the release support is the domain, not the data). Rows whose
+    * category falls outside the domain are EXCLUDED (they cannot be
+    * encoded); absent domain categories release a debiased zero.
+    *
+    * Seeded determinism, the [[laplaceNoise]] trade: the keep/pick draws
+    * come from two independent md5 lanes over (nonce, row id), so
+    * replays are bit-identical and both engines agree; the guarantee
+    * rests on the nonce staying secret and unique per release. The
+    * keep test is INTEGER-exact: h·1e6 < pMicro·2^32 (both under 2^63).
+    *
+    * Scale shape: the domain (k rows) broadcasts twice (index lookup,
+    * reported-index decode); the corpus scans once into a category-grain
+    * count agg — map-side combinable, nothing corpus-sized after. */
+  def ldpFrequency(df: DataFrame, idCol: String, categoryCol: String,
+                   domain: DataFrame, pMicro: Long,
+                   releaseNonce: String): DataFrame = {
+    require(pMicro > 0 && pMicro < 1000000,
+      s"pMicro must be in (0, 1e6): $pMicro")
+    require(releaseNonce.nonEmpty,
+      "releaseNonce must be non-empty and unique per release")
+    val w = org.apache.spark.sql.expressions.Window
+    // k-bounded: the public domain is an enum-sized relation
+    val dom = domain.select(col(categoryCol).cast("string").as("__cat"))
+      .distinct()
+      .withColumn("__idx",
+        row_number().over(w.orderBy("__cat")).cast("long") - 1L)
+    val rows = df.select(col(idCol).cast("string").as("__rid"),
+        col(categoryCol).cast("string").as("__cat"))
+      .join(broadcast(dom), Seq("__cat")) // out-of-domain rows excluded
+    val hKeep = graft.operators.Sketches.md5Hash32(
+      concat(lit(releaseNonce), lit("|k|"), col("__rid")))
+    val hPick = graft.operators.Sketches.md5Hash32(
+      concat(lit(releaseNonce), lit("|p|"), col("__rid")))
+    val domCount = dom.agg(count(lit(1)).as("__k"))
+    // reported index: true idx when kept; else the j-th OTHER category
+    // (j in [0, k-2], skipping the true index)
+    val reportedIdx = rows
+      .withColumn("__keep", hKeep * 1000000L < lit(pMicro) * 4294967296L)
+      .withColumn("__hp", hPick)
+      .crossJoin(broadcast(domCount))
+      .withColumn("__jj", pmod(col("__hp"), col("__k") - 1L))
+      .withColumn("__ridx", when(col("__keep"), col("__idx"))
+        .otherwise(when(col("__jj") >= col("__idx"), col("__jj") + 1L)
+          .otherwise(col("__jj"))))
+    val obs = reportedIdx.groupBy(col("__ridx").as("__idx"))
+      .agg(count(lit(1)).as("__obs"))
+    val n = reportedIdx.agg(count(lit(1)).as("__n"))
+    dom.join(obs, Seq("__idx"), "left")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(domCount))
+      .select(col("__cat").as(categoryCol),
+        coalesce(col("__obs"), lit(0L)).as("n_reported"),
+        // p, q exact doubles from the integer literals; estimate rounded
+        // at milli grain (one double divide after exact integer sums)
+        round((coalesce(col("__obs"), lit(0L)).cast("double") -
+          col("__n").cast("double") * ((lit(1.0) - lit(pMicro / 1e6)) /
+            (col("__k") - 1.0).cast("double"))) /
+          (lit(pMicro / 1e6) - ((lit(1.0) - lit(pMicro / 1e6)) /
+            (col("__k") - 1.0).cast("double"))), 3).as("n_est"),
+        round(log(lit(pMicro / 1e6) * (col("__k") - 1.0).cast("double") /
+          (lit(1.0) - lit(pMicro / 1e6))) * 1e6, 0).cast("long")
+          .as("epsilon_micro"))
+  }
+
+  /** MANN–WHITNEY U rank-sum test (two-sided normal approximation with
+    * tie-corrected variance) — the nonparametric sibling of the
+    * experiment-eval family: does the `flag` group's value distribution
+    * stochastically dominate the rest, with no normality assumption the
+    * t-based panels (power/CUPED) lean on. All rank arithmetic is EXACT
+    * INTEGER on the value domain: ranks are midranks in HALF-UNITS
+    * (2·rank is an integer even under ties), the rank-sum and the tie
+    * term Σ(t³−t) are integer sums, and only the final z divides in
+    * double (engine-identical given identical integers, rounded 4dp).
+    *
+    *   U_a = R_a − n_a(n_a+1)/2,   E[U] = n_a·n_b/2,
+    *   Var[U] = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    *
+    * Scale shape: one corpus scan into a VALUE-DOMAIN count agg (t, t_a
+    * per distinct value); the cumulative-rank window runs on the value
+    * domain, not the corpus — bounded by distinct quantized values (the
+    * documented unpartitioned-window class; cents of a bounded metric ≤
+    * 1e5ish rows, re-check the bound if the metric's domain grows at
+    * 100×); the final reduction is a 1-row aggregate. */
+  def mannWhitneyU(df: DataFrame, valueQ: Column, flag: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byVal = df.select(valueQ.cast("long").as("__v"),
+        when(flag, 1L).otherwise(0L).as("__a"))
+      .groupBy("__v")
+      .agg(count(lit(1)).as("__t"), sum("__a").as("__ta"))
+    // value-domain bound: one row per distinct quantized value
+    val ranked = byVal.withColumn("__cum",
+      coalesce(sum("__t").over(w.orderBy("__v")
+        .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__mid2", col("__cum") * 2L + col("__t") + 1L)
+    ranked.agg(
+        sum(col("__ta")).as("__na"),
+        sum(col("__t") - col("__ta")).as("__nb"),
+        sum(col("__ta") * col("__mid2")).as("__ra2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        // 2U_a = 2R_a − 2·n_a(n_a+1)/2 = __ra2 − ... kept in half-units
+        ((col("__ra2") - col("__na") * (col("__na") + 1L)) / 2.0).as("u_a"),
+        round(
+          ((col("__ra2") - col("__na") * (col("__na") + 1L)) / 2.0 -
+            col("__na").cast("double") * col("__nb").cast("double") / 2.0) /
+          sqrt(col("__na").cast("double") * col("__nb").cast("double") / 12.0 *
+            ((col("__na") + col("__nb") + 1L).cast("double") -
+              col("__ties").cast("double") /
+                ((col("__na") + col("__nb")).cast("double") *
+                 (col("__na") + col("__nb") - 1L).cast("double")))),
+          4).as("z"))
+  }
+
   /** l-DIVERSITY audit — the refinement k-anonymity needs before a table
     * ships (Machanavajjhala et al. 2007): a quasi-identifier group of 50
     * rows is 50-anonymous yet leaks everything if all 50 share one

@@ -1014,4 +1014,82 @@ class RelationalOpsSpec extends SparkSpec {
     assert(RelationalOps.targetEncode(withNull, col("id"), col("cat"),
       col("y")).count() == 1L)
   }
+
+  // ---- mannWhitneyU ----
+
+  test("mannWhitneyU: hand-computed tie-corrected z on a 5-row pooled sample") {
+    // A = {1, 2, 2}, B = {2, 3}: midranks 1, 3, 3, 3, 5 → R_A = 7,
+    // U_A = 7 − 3·4/2 = 1; ties Σ(t³−t) = 24;
+    // Var = (3·2/12)·(6 − 24/20) = 2.4; z = (1−3)/√2.4 = −1.2910
+    val df = Seq((1L, true), (2L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "flag")
+    val r = RelationalOps.mannWhitneyU(df, col("v"), col("flag")).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, s"U_A: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == -1.291, s"z: ${r.getDouble(3)}")
+  }
+
+  test("mannWhitneyU: swapping the flag negates z; identical samples give z = 0") {
+    val df = (1L to 200L).map(i => (i * 7 % 97, i % 3 == 0)).toDF("v", "flag")
+    val za = RelationalOps.mannWhitneyU(df, col("v"), col("flag"))
+      .collect()(0).getDouble(3)
+    val zb = RelationalOps.mannWhitneyU(df, col("v"), !col("flag"))
+      .collect()(0).getDouble(3)
+    assert(za == -zb, s"$za vs $zb")
+    // same distribution in both arms: interleave identical values
+    val same = (1L to 100L).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("v", "flag")
+    val z0 = RelationalOps.mannWhitneyU(same, col("v"), col("flag"))
+      .collect()(0).getDouble(3)
+    assert(z0 == 0.0, s"z: $z0")
+  }
+
+  // ---- ldpFrequency ----
+
+  private def ldpDomain = Seq("a", "b", "c", "d", "e").toDF("cat")
+
+  test("ldpFrequency: debiased estimates sum to n exactly and track planted truth") {
+    // k-RR algebra: Σ n̂ = n·(1 − k·q)/(p − q) = n for any p — the
+    // estimator redistributes, never creates mass
+    val rows = (1L to 2000L).map(i =>
+      (i, Seq("a", "a", "a", "b", "c")((i % 5).toInt))).toDF("id", "cat")
+    val out = RelationalOps.ldpFrequency(rows, "id", "cat", ldpDomain,
+        pMicro = 750000L, releaseNonce = "spec-nonce-1")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "e"))
+    val estSum = out.values.map(_._2).sum
+    assert(math.abs(estSum - 2000.0) < 0.01, s"Σest: $estSum")
+    assert(out.values.map(_._1).sum == 2000L, "reported histogram preserves n")
+    // truth: a=1200, b=400, c=400, d=0, e=0 — estimates within ±10% of n
+    assert(math.abs(out("a")._2 - 1200.0) < 200.0, s"a: ${out("a")}")
+    assert(math.abs(out("d")._2 - 0.0) < 200.0, s"d: ${out("d")}")
+  }
+
+  test("ldpFrequency: near-1 keep probability reproduces the truth; nonce changes the draw; out-of-domain rows drop") {
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 4 == 0L) "b" else "a")).toDF("id", "cat")
+    val exact = RelationalOps.ldpFrequency(rows, "id", "cat", ldpDomain,
+        pMicro = 999999L, releaseNonce = "spec-nonce-2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p = 0.999999: w.h.p. every row keeps its true category
+    assert(exact("a") == 375L && exact("b") == 125L, s"got: $exact")
+    val r1 = RelationalOps.ldpFrequency(rows, "id", "cat", ldpDomain,
+      pMicro = 600000L, releaseNonce = "n1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1b = RelationalOps.ldpFrequency(rows, "id", "cat", ldpDomain,
+      pMicro = 600000L, releaseNonce = "n1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = RelationalOps.ldpFrequency(rows, "id", "cat", ldpDomain,
+      pMicro = 600000L, releaseNonce = "n2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r1b, "same nonce must replay bit-identically")
+    assert(r1 != r2, "a fresh nonce must draw fresh perturbations")
+    // out-of-domain category contributes nothing
+    val withJunk = rows.union(Seq((9001L, "zzz")).toDF("id", "cat"))
+    val n = RelationalOps.ldpFrequency(withJunk, "id", "cat", ldpDomain,
+      pMicro = 750000L, releaseNonce = "n3")
+      .agg(sum("n_reported")).collect()(0).getLong(0)
+    assert(n == 500L, s"junk category must be excluded, got n=$n")
+  }
 }
