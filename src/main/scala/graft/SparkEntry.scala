@@ -611,6 +611,34 @@ object SparkEntry {
         .orderBy("event_type", "q")
     }),
 
+    // ---- STORED quantile sample: incremental fold == fresh sketch ----
+    // Two deterministic halves fold as batches 0 and 1 into the stored
+    // sample artifact (per-JVM scratch dir); estimating off the stored
+    // table must equal the one-shot sketch BIT-FOR-BIT (merge law +
+    // additive totals) — same oracle SQL by design.
+    "q_quantile_stored" -> ((s, d) => {
+      import graft.streaming.SketchMaintenance
+      val dir = s"target/graft-qsamp/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      val marker = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
+      if (!marker.getFileSystem(s.sessionState.newHadoopConf()).exists(marker)) {
+        val ev = t(s, d, "events")
+        SketchMaintenance.appendQuantileSample(
+          ev.filter(col("event_id") % 2 === 0), "event_id", "event_type",
+          cents(col("value")), k = 256, dir, batchId = 0L,
+          streamId = s"q_quantile_stored-$jvmTag")
+        SketchMaintenance.appendQuantileSample(
+          ev.filter(col("event_id") % 2 =!= 0), "event_id", "event_type",
+          cents(col("value")), k = 256, dir, batchId = 1L,
+          streamId = s"q_quantile_stored-$jvmTag")
+      }
+      SketchMaintenance.quantileEstimate(s.read.parquet(dir),
+          qs = Seq(25, 50, 90, 99))
+        .withColumnRenamed("grp", "event_type")
+        .withColumnRenamed("est_value", "est_cents")
+        .orderBy("event_type", "q")
+    }),
+
     // ---- count-min heavy hitters over the corpus word stream ----
     // Width 64 vs a 31-word vocab: collisions are plausible and the
     // estimate is the sketch's (over-)count, identical cell-for-cell in
@@ -3509,26 +3537,11 @@ object SparkEntry {
 
     // Same Knuth-hash bottom-k sample, type-1 rank pick — the
     // q_fixed_sample hash lane carrying the value column.
-    "q_quantile_sketch" ->
-      """WITH b AS (
-        |  SELECT event_type AS grp, event_id AS id,
-        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
-        |hr AS (SELECT grp, id, v,
-        |    row_number() OVER (PARTITION BY grp
-        |      ORDER BY ((id % 1000003) * 2654435761) % 1000000007, id) AS hrn
-        |  FROM b),
-        |s AS (SELECT grp, id, v FROM hr WHERE hrn <= 256),
-        |m AS (SELECT grp, count(*) AS n_sample FROM s GROUP BY 1),
-        |t AS (SELECT grp, count(*) AS n_total FROM b GROUP BY 1),
-        |rk AS (SELECT grp, id, v,
-        |    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn
-        |  FROM s),
-        |qq AS (SELECT CAST(unnest([25, 50, 90, 99]) AS BIGINT) AS q)
-        |SELECT rk.grp AS event_type, qq.q, rk.v AS est_cents,
-        |  m.n_sample, t.n_total
-        |FROM rk JOIN m USING (grp) JOIN t USING (grp)
-        |JOIN qq ON rk.rn = (qq.q * m.n_sample + 99) // 100
-        |ORDER BY event_type, q""".stripMargin,
+    "q_quantile_sketch" -> quantileSketchSql,
+    // identical SQL by design: the stored sample table holds exactly the
+    // rows the one-shot sketch samples (merge law) and its totals add —
+    // same rows, same hash
+    "q_quantile_stored" -> quantileSketchSql,
 
     // Cell-for-cell count-min twin: arms generated from the same
     // (depth, width, salt) literals as the engine's sketch.
@@ -7687,6 +7700,31 @@ object SparkEntry {
        |SELECT word, CAST(est_count AS BIGINT) AS est_count
        |FROM est WHERE est_count >= $minCount ORDER BY word""".stripMargin
   }
+
+  /** DuckDB twin of [[Sketches.quantileSketch]] over events (k=256,
+    * cents): the q_fixed_sample Knuth-hash lane carrying the value,
+    * type-1 rank pick — shared verbatim by q_quantile_sketch and the
+    * stored-lane twin q_quantile_stored (merge law ⇒ identical rows). */
+  private def quantileSketchSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS grp, event_id AS id,
+      |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |hr AS (SELECT grp, id, v,
+      |    row_number() OVER (PARTITION BY grp
+      |      ORDER BY ((id % 1000003) * 2654435761) % 1000000007, id) AS hrn
+      |  FROM b),
+      |s AS (SELECT grp, id, v FROM hr WHERE hrn <= 256),
+      |m AS (SELECT grp, count(*) AS n_sample FROM s GROUP BY 1),
+      |t AS (SELECT grp, count(*) AS n_total FROM b GROUP BY 1),
+      |rk AS (SELECT grp, id, v,
+      |    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn
+      |  FROM s),
+      |qq AS (SELECT CAST(unnest([25, 50, 90, 99]) AS BIGINT) AS q)
+      |SELECT rk.grp AS event_type, qq.q, rk.v AS est_cents,
+      |  m.n_sample, t.n_total
+      |FROM rk JOIN m USING (grp) JOIN t USING (grp)
+      |JOIN qq ON rk.rn = (qq.q * m.n_sample + 99) // 100
+      |ORDER BY event_type, q""".stripMargin
 
   /** DuckDB twin of [[Similarity.jlCoords2d]] (dim 64): CTEs ending in
     * `pts(vec_id, x, y)` on the exact integer grid — the shared plane of

@@ -367,23 +367,37 @@ object Sketches {
   def quantileSketch(df: DataFrame, idCol: String, groupCol: String,
                      valueCol: Column, k: Int, qs: Seq[Int]): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
-      s"qs must be percents in [1,100]: $qs")
-    val w = org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("__id"),
       valueCol.cast("long").as("__v"))
     val sampleIds = Curation.fixedSizeSample(base, "__id", "grp", k)
     val sample = base.join(broadcast(sampleIds), Seq("grp", "__id"))
+      .select(col("grp"), col("__id").as("id"), col("__v").as("v"))
+    val totals = base.groupBy("grp").agg(count(lit(1)).as("n_total"))
+    sampleQuantiles(sample, totals, qs)
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** The ESTIMATE step of [[quantileSketch]], factored out so a STORED
+    * sample table (the [[graft.streaming.SketchMaintenance]] quantile
+    * lane) estimates through the identical kernel: `sample` is
+    * (grp, id, v) rows — at most k per group — and `totals` is
+    * (grp, n_total). Output matches [[quantileSketch]] column-for-column
+    * (grp un-renamed). The rank window partitions by group and is
+    * k-bounded by the sample contract. */
+  def sampleQuantiles(sample: DataFrame, totals: DataFrame,
+                      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"qs must be percents in [1,100]: $qs")
+    val w = org.apache.spark.sql.expressions.Window
+    sample.select(col("grp"), col("id"), col("v"))
       .withColumn("__m", count(lit(1)).over(w.partitionBy("grp")))
       // k-bounded per group: the sample aggregate capped membership at k
       .withColumn("__rn", row_number().over(
-        w.partitionBy("grp").orderBy(col("__v"), col("__id"))))
-    val totals = base.groupBy("grp").agg(count(lit(1)).as("n_total"))
-    sample
+        w.partitionBy("grp").orderBy(col("v"), col("id"))))
       .withColumn("q", explode(array(qs.map(q => lit(q.toLong)): _*)))
       .filter(col("__rn") === expr("(q * __m + 99) div 100"))
       .join(totals, "grp")
-      .select(col("grp").as(groupCol), col("q"), col("__v").as("est_value"),
+      .select(col("grp"), col("q"), col("v").as("est_value"),
         col("__m").cast("long").as("n_sample"), col("n_total"))
   }
 }

@@ -200,4 +200,98 @@ object SketchMaintenance {
         appendCmsSketch(batch, itemCol, dir, batchId, depth, width,
           streamId = checkpoint)
       }
+
+  /** Per-group running-total rows of the quantile-sample artifact live at
+    * this sentinel id (the watermark rows live at −1); REAL row ids must
+    * be non-negative — the append-only id discipline the dedup/link
+    * artifacts already require. */
+  private val TotalId = -2L
+
+  /** Fold a DELTA into a stored bottom-k QUANTILE SAMPLE table at `dir` —
+    * rows (grp, id, v, __stream_id): sample rows (id ≥ 0, one per sampled
+    * row, v the quantized value), per-group running totals (id = −2, v =
+    * row count so far), and the per-lineage watermark rows shared with
+    * the HLL/CMS lanes. The merge re-ranks stored ∪ delta-sample through
+    * the SAME bottom-k aggregate — exactly the union's sample (the
+    * [[Sketches.quantileSketch]] merge law), so estimates off the stored
+    * table equal a fresh whole-history sketch with NO approximation
+    * stacking, and history is never rescanned. Totals are additive, so
+    * the replay watermark is what keeps them exactly-once (a re-summed
+    * batch would inflate n_total; the sample itself is replay-idempotent
+    * by the merge law — documented asymmetry, same as CMS-vs-HLL). */
+  def appendQuantileSample(delta: DataFrame, idCol: String, groupCol: String,
+                           valueQ: org.apache.spark.sql.Column, k: Int,
+                           dir: String, batchId: Long,
+                           streamId: String): Unit = {
+    requireLineage(streamId)
+    require(k > 0, s"k must be positive: $k")
+    val spark = delta.sparkSession
+    val (others, committed) = watermarks(spark, dir, streamId, "v")
+    rejectStaleLineage(batchId, committed, streamId, dir)
+    if (batchId <= committed) return
+    val base = delta.select(col(groupCol).cast("string").as("grp"),
+      col(idCol).cast("long").as("id"), valueQ.cast("long").as("v"))
+    val deltaSample = base.join(
+      broadcast(graft.operators.Curation.fixedSizeSample(base, "id", "grp", k)),
+      Seq("grp", "id"))
+    val deltaTotals = base.groupBy("grp")
+      .agg(count(lit(1)).as("v")).select(col("grp"), lit(TotalId).as("id"),
+        col("v"))
+    val (sampleRows, totalRows) =
+      if (!exists(spark, dir)) (deltaSample, deltaTotals)
+      else {
+        val stored = dataRows(spark.read.parquet(dir))
+          .select("grp", "id", "v")
+        val pool = stored.filter(col("id") >= 0L).unionByName(deltaSample)
+        val rerank = pool.join(
+          broadcast(graft.operators.Curation.fixedSizeSample(pool, "id", "grp", k)),
+          Seq("grp", "id"))
+        val tot = stored.filter(col("id") === TotalId)
+          .unionByName(deltaTotals)
+          .groupBy("grp", "id").agg(sum("v").as("v"))
+        (rerank, tot)
+      }
+    val mark = spark.range(1).select(lit("").as("grp"),
+      lit(WatermarkBucket).as("id"), lit(batchId).as("v"),
+      lit(streamId).as("__stream_id"))
+    val marks = others.map(o =>
+        o.select(col("grp"), col("id"), col("v"), col("__stream_id"))
+          .unionByName(mark))
+      .getOrElse(mark)
+    AtomicSwap.swapIn(
+      sampleRows.unionByName(totalRows)
+        .withColumn("__stream_id", lit(null).cast("string"))
+        .unionByName(marks),
+      dir)
+  }
+
+  /** The (grp, id, v) sample rows of a stored quantile artifact. */
+  def quantileSampleRows(stored: DataFrame): DataFrame =
+    dataRows(stored).filter(col("id") >= 0L).select("grp", "id", "v")
+
+  /** The (grp, n_total) running totals of a stored quantile artifact. */
+  def quantileTotals(stored: DataFrame): DataFrame =
+    dataRows(stored).filter(col("id") === TotalId)
+      .select(col("grp"), col("v").as("n_total"))
+
+  /** Estimate percentiles off the stored artifact — the
+    * [[Sketches.sampleQuantiles]] kernel over [[quantileSampleRows]] +
+    * [[quantileTotals]]; equals a whole-history
+    * [[Sketches.quantileSketch]] exactly (merge law). */
+  def quantileEstimate(stored: DataFrame, qs: Seq[Int]): DataFrame =
+    Sketches.sampleQuantiles(quantileSampleRows(stored),
+      quantileTotals(stored), qs)
+
+  /** Streaming quantile-sample maintenance: every micro-batch folds into
+    * the stored sample; estimate any time with
+    * `quantileEstimate(spark.read.parquet(dir), qs)`. */
+  def quantileSampleSink(stream: DataFrame, idCol: String, groupCol: String,
+                         valueQ: org.apache.spark.sql.Column, k: Int,
+                         dir: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendQuantileSample(batch, idCol, groupCol, valueQ, k, dir, batchId,
+          streamId = checkpoint)
+      }
 }

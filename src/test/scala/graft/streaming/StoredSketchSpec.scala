@@ -271,4 +271,49 @@ class StoredSketchSpec extends SparkSpec {
       == regs(whole),
       "recovered artifact + next batch must equal the whole-corpus sketch")
   }
+
+  test("quantile sample: streamed folds + a restart == the one-shot sketch; replayed totals never inflate") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("qs_store").toString + "/sample"
+    val cp = Files.createTempDirectory("cp_qs").toString
+    val in = MemoryStream[(String, Long, Long)]
+    def start() = SketchMaintenance.quantileSampleSink(
+      in.toDS().toDF("grp", "id", "v"), "id", "grp", col("v"), k = 64,
+      dir, cp).start()
+
+    val b1 = (1L to 500L).map(i => ("g", i, (i * 48271L) % 1000L))
+    val b2 = (501L to 900L).map(i => ("g", i, (i * 16807L) % 1000L))
+    val b3 = (901L to 1200L).map(i => ("g", i, (i * 69621L) % 1000L))
+
+    val q1 = start()
+    in.addData(b1: _*); q1.processAllAvailable()
+    in.addData(b2: _*); q1.processAllAvailable()
+    q1.stop() // restart boundary
+    val q2 = start()
+    in.addData(b3: _*); q2.processAllAvailable()
+    q2.stop()
+
+    val qs = Seq(25, 50, 90)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp", "q").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val stored = rows(SketchMaintenance.quantileEstimate(
+      spark.read.parquet(dir), qs))
+    val oneShot = rows(Sketches.quantileSketch(
+      (b1 ++ b2 ++ b3).toDF("grp", "id", "v"), "id", "grp", col("v"),
+      k = 64, qs))
+    assert(stored == oneShot,
+      s"stored-lane estimates must equal the one-shot sketch\n$stored\n$oneShot")
+    assert(stored.head._5 == 1200L, "running totals must sum the batches")
+
+    // replayed batch: totals are additive, so the watermark guard is
+    // what keeps n_total exact — a re-fold must change NOTHING
+    SketchMaintenance.appendQuantileSample(
+      b3.toDF("grp", "id", "v"), "id", "grp", col("v"), k = 64, dir,
+      batchId = 2L, streamId = cp)
+    assert(rows(SketchMaintenance.quantileEstimate(
+      spark.read.parquet(dir), qs)) == stored,
+      "replay must be a no-op for sample AND totals")
+  }
 }
