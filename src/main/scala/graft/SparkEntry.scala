@@ -2339,6 +2339,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- data quality: functional-dependency discovery ----
+    // Candidate panel over orders with all outcomes live at sf0.01:
+    // the key FD holds exactly; custkey→status, status→priority and
+    // date→priority are violated with measured g3 error.
+    "q_func_deps" -> ((s, d) => {
+      RelationalOps.fdProfile(t(s, d, "orders"), Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderstatus", "o_orderpriority"),
+          ("o_orderdate", "o_orderpriority")))
+        .orderBy("fd")
+    }),
+
     // ---- Mann–Whitney U rank-sum test (tie-corrected) ----
     // Nonparametric two-sample test: click values vs view values in
     // exact integer cents — midranks in half-units, integer tie term,
@@ -5277,6 +5290,34 @@ object SparkEntry {
          |  CAST(round(ln(0.75 * 4.0 / 0.25) * 1e6, 0) AS BIGINT) AS epsilon_micro
          |FROM dom d LEFT JOIN obs o USING (idx) CROSS JOIN nn
          |ORDER BY event_type""".stripMargin,
+
+    // Per-pair arms recompute independently (no stack twin needed —
+    // UNION ALL of four self-contained profiles is the simpler oracle)
+    "q_func_deps" -> {
+      val arms = Seq(
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderstatus", "o_orderpriority"),
+        ("o_orderdate", "o_orderpriority")).map { case (l, r) =>
+        s"""SELECT '$l->$r' AS fd, n_rows, n_groups, n_violating,
+           |  (10000 * (n_rows - keep)) // n_rows AS g3_bp,
+           |  n_violating = 0 AS holds
+           |FROM (
+           |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           |    CAST(count(*) AS BIGINT) AS n_groups,
+           |    CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_violating,
+           |    CAST(sum(mx) AS BIGINT) AS keep
+           |  FROM (
+           |    SELECT lhs, sum(c) AS n, max(c) AS mx, count(*) AS nrhs
+           |    FROM (
+           |      SELECT CAST($l AS VARCHAR) AS lhs, CAST($r AS VARCHAR) AS rhs,
+           |        count(*) AS c
+           |      FROM orders GROUP BY 1, 2)
+           |    GROUP BY lhs))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$arms\n) ORDER BY fd"
+    },
 
     // Identical exact-integer rank arithmetic, one double z at the end
     "q_mannwhitney" ->

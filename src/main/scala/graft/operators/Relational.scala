@@ -1093,6 +1093,48 @@ object RelationalOps {
           .as("epsilon_micro"))
   }
 
+  /** Approximate FUNCTIONAL-DEPENDENCY profile — the schema-discovery
+    * member of the data-quality family ([[kAnonymity]] audits privacy,
+    * `expectations` audits values; this audits STRUCTURE): for each
+    * candidate pair LHS → RHS, does each LHS value determine one RHS
+    * value, and if not, how badly is the dependency violated? Reported
+    * per pair:
+    *
+    *   n_rows, n_groups (distinct LHS), n_violating (LHS values mapping
+    *   to >1 RHS), g3_bp = 10000·(n − Σ_lhs max RHS count) div n — the
+    *   standard g3 error (Kivinen–Mannila): the fraction of rows that
+    *   must be removed for the FD to hold exactly — and the `holds` flag.
+    *
+    * NULL is a value of its own on both sides (the lDiversity
+    * convention): "unknown" still determines / violates like any value.
+    *
+    * Scale shape: the pair panel is folded into ONE corpus scan — a
+    * stack() projection emits (pair, lhs, rhs) rows — followed by two
+    * map-side-combinable aggs ((pair, lhs, rhs) counts, then (pair, lhs)
+    * maxima) and a pairs-sized rollup; P candidate pairs never cost P
+    * scans, and nothing after the scan exceeds the (pair, lhs) grain. */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "candidate pairs required")
+    val arms = pairs.map { case (l, r) =>
+      s"'$l->$r', CAST(`$l` AS STRING), CAST(`$r` AS STRING)"
+    }.mkString(", ")
+    val stacked = df.selectExpr(
+      s"stack(${pairs.size}, $arms) AS (fd, lhs, rhs)")
+    val cells = stacked.groupBy("fd", "lhs", "rhs")
+      .agg(count(lit(1)).as("__c"))
+    val perLhs = cells.groupBy("fd", "lhs")
+      .agg(sum("__c").as("__n"), max("__c").as("__mx"),
+        count(lit(1)).as("__nrhs"))
+    perLhs.groupBy("fd")
+      .agg(sum("__n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__nrhs") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        sum("__mx").as("__keep"))
+      .select(col("fd"), col("n_rows"), col("n_groups"), col("n_violating"),
+        expr("(10000 * (n_rows - __keep)) div n_rows").as("g3_bp"),
+        (col("n_violating") === 0L).as("holds"))
+  }
+
   /** MANN–WHITNEY U rank-sum test (two-sided normal approximation with
     * tie-corrected variance) — the nonparametric sibling of the
     * experiment-eval family: does the `flag` group's value distribution

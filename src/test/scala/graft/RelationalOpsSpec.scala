@@ -1015,6 +1015,23 @@ class RelationalOpsSpec extends SparkSpec {
       col("y")).count() == 1L)
   }
 
+  // ---- fdProfile ----
+
+  test("fdProfile: hand-computed g3, NULL is a value of its own, multi-pair panel") {
+    // l=a: {1,1,2} violating (keep 2); l=b: {1,1} holds; l=NULL: {1,2}
+    // violating (keep 1) → keep 5 of 7, g3 = ⌊10000·2/7⌋ = 2857
+    val df = Seq((Some("a"), 1), (Some("a"), 1), (Some("a"), 2),
+      (Some("b"), 1), (Some("b"), 1), (None, 1), (None, 2))
+      .toDF("l", "r")
+      .withColumn("k", monotonically_increasing_id()) // a trivially-held pair
+    val out = RelationalOps.fdProfile(df, Seq(("l", "r"), ("k", "r")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out("l->r") == ((7L, 3L, 2L, 2857L, false)), s"got: ${out("l->r")}")
+    assert(out("k->r") == ((7L, 7L, 0L, 0L, true)), s"got: ${out("k->r")}")
+  }
+
   // ---- mannWhitneyU ----
 
   test("mannWhitneyU: hand-computed tie-corrected z on a 5-row pooled sample") {
