@@ -73,9 +73,13 @@ object PlanDoc {
     "q_table_profile" -> "column profile: ONE corpus pass for every per-column stat (Expand for exact distincts), |cols|-row reshape",
     "q_knn_graph" -> "kNN graph: broadcast-centroid cells → in-cell pair join → bounded per-source TopKHits agg, no window sort",
     "q_knn_graph_scaled" -> "same graph at the production k = ⌊√n⌋ (AutoCells) — identical plan shape, cells sized to survive corpus growth",
-    "q_bfs_hops" -> "BFS round: frontier equi-join against the cached edge relation + map-side-combinable min agg; lineage truncated per round",
+    "q_bfs_hops" -> "BFS round: frontier equi-join against the cached edge relation + map-side-combinable min agg; lineage truncated per round (stats-flat)",
     "q_dbscan" -> "grid-blocked DBSCAN: 9-cell key explode + cell equi-join (lossless — cell width = eps), density-bounded fan-out, no all-pairs cross",
     "q_itemsets3" -> "apriori triples: frequent-pair tier reused 3×, candidates closed by LeftSemi joins BEFORE the basket verify fan-out",
+    "q_join_delta" -> "join-view delta rule: both delta sides broadcast — the masters scan once each and NEVER reshuffle on the view key",
+    "q_quantile_sketch" -> "quantile summary: bounded bottom-k sample agg (ObjectHashAggregate) + broadcast join-back; the rank window sees only groups×k sample rows",
+    "q_func_deps" -> "FD profile: pair panel stacks into ONE corpus scan → two map-side-combinable aggs — P candidates never cost P scans",
+    "q_ldp_freq" -> "k-RR release: domain broadcast twice (index, decode), perturbation is a scan-side md5 projection, one domain-grain count agg",
     "q_hits" -> "HITS: per-half-step = edge-keyed join + agg + 1-row broadcast normalize — edges scanned, never self-joined",
     "q_pq_adc" -> "PQ ADC top-k: m·k LUT broadcast onto the CODES relation (3 small ints/row, not dim floats), integer sum, TakeOrderedAndProject",
     "q_anomaly_z" -> "rolling z²: ONE key exchange; count/s1/s2 and the cross-multiplied k-sigma test share a single window pass",

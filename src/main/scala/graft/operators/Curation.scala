@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * generalized to the batch curation ops a training pipeline needs.) */
 object Curation {
 
+  /** Per-round checkpoint with ORIGIN STATISTICS DROPPED — loop kernels
+    * must use this, never bare localCheckpoint: inherited size estimates
+    * compound across rounds (see ColumnBridge.flatCheckpoint). */
+  private def flatCk(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(df)
+
   /** Overflow-safe Knuth multiplicative hash of an id column, in [0, mod):
     * the id reduces mod a prime BEFORE the multiply so the product stays
     * well inside Long range at any id (a raw id * 2654435761 wraps past
@@ -679,8 +685,7 @@ object Curation {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, c))
-        vocab = vocab.select(mergeFold(l, r).as("syms"), col("n"))
-          .localCheckpoint()
+        vocab = flatCk(vocab.select(mergeFold(l, r).as("syms"), col("n")))
       }
     }
     merges.toSeq
@@ -712,7 +717,7 @@ object Curation {
       .select(col("word"), split(col("word"), "").as("syms"))
       .localCheckpoint()
     for ((l, r) <- merges)
-      vocab = vocab.select(col("word"), mergeFold(l, r).as("syms")).localCheckpoint()
+      vocab = flatCk(vocab.select(col("word"), mergeFold(l, r).as("syms")))
     vocab
   }
 
@@ -940,10 +945,7 @@ object Curation {
             .otherwise(col("__demand")).as("alloc_tokens"),
           (col("capped") || col("__demand") >= col("avail_tokens"))
             .as("capped"))
-        // lazy: nothing runs until the caller's first action; the
-        // checkpoint still truncates lineage at materialization (the
-        // Dedup CC-loop convention)
-        .localCheckpoint(eager = false)
+        .transform(flatCk) // stats-flat per round (sources-sized job)
     }
     st.select(col("source"), col("avail_tokens"), col("weight_bp"),
       coalesce(col("alloc_tokens"), lit(0L)).as("alloc_tokens"),

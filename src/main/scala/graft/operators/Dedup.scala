@@ -689,17 +689,25 @@ object Dedup {
       math.min(parentSession.conf.get("spark.sql.shuffle.partitions").toLong,
         e.count() / 500000L + 4L))
     session.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    // Lazy checkpoints: `localCheckpoint(eager = false)` marks the round's
-    // result for materialize-on-first-action, and the labelSum fixpoint
-    // check IS that action — one Spark job per round instead of two.
     // Initial labels fold round 1 in for free: instead of label(x) = x and
     // a join-round to pick up neighbours, the node-building aggregate
     // itself takes min(x, min neighbour) — near-dup components are shallow
     // (pairs chain through shared content), so this often IS the fixpoint
     // and the loop only confirms it.
-    var labels = e.groupBy(col("id_a").as("id"))
-      .agg(min(least(col("id_a"), col("id_b"))).as("cluster_id"))
-      .localCheckpoint(eager = false)
+    // STATS-FLAT checkpoints in this loop, deliberately (measured, round
+    // 10): localCheckpoint truncates the plan but COPIES the origin
+    // plan's size estimate into the LogicalRDD leaf — the self-join
+    // squares it, the checkpoint preserves the square, and the estimate's
+    // BigInteger doubles in bit length EVERY ROUND until the stats
+    // visitor crawls for minutes and dies ("BigInteger would overflow
+    // supported range", surfaced by the sf1 DBSCAN giant component at
+    // ~30 rounds). flatCheckpoint rebuilds the leaf with originStats
+    // dropped, so every round re-plans from the conf default and round
+    // cost stays CONSTANT. See ColumnBridge.flatCheckpoint.
+    def flat(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(df)
+    var labels = flat(e.groupBy(col("id_a").as("id"))
+      .agg(min(least(col("id_a"), col("id_b"))).as("cluster_id")))
     // Labels only ever decrease (towards the component minimum), so the
     // fixpoint test is "did the label sum change" — one scalar aggregate
     // per round instead of a self-join diff. coalesce(..., 0) keeps the
@@ -726,9 +734,8 @@ object Dedup {
       val parent = labels.select(col("id").as("p_id"), col("cluster_id").as("p_cl"))
       val fromParent = labels.join(parent, col("cluster_id") === col("p_id"))
         .select(col("id"), col("p_cl").as("cl"))
-      val updated = own.union(fromNeighbors).union(fromParent)
-        .groupBy("id").agg(min("cl").as("cluster_id"))
-        .localCheckpoint(eager = false)
+      val updated = flat(own.union(fromNeighbors).union(fromParent)
+        .groupBy("id").agg(min("cl").as("cluster_id")))
       val curSum = labelSum(updated)
       labels = updated
       converged = curSum == prevSum
@@ -742,6 +749,8 @@ object Dedup {
       if (strict) throw new IllegalStateException(msg)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"nearDupClusters converged after $iter rounds")
     // Rebase the (small) result onto the CALLER's session so downstream
     // plans — the caller's orderBy, joins against corpus tables — run
     // under the caller's conf, not the loop's narrowed width.

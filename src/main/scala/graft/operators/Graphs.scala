@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Per-round checkpoint with ORIGIN STATISTICS DROPPED — every loop in
+    * this object must use this, never bare localCheckpoint: the bare form
+    * copies the round plan's size estimate into the truncated leaf, and
+    * estimates COMPOUND across rounds (squaring wherever a round derives
+    * a relation from itself — k-core's alive sets, CC's pointer doubling)
+    * until plan statistics BigIntegers dominate wall time and finally
+    * overflow. See [[org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint]].
+    */
+  private def flatCk(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(df)
+
   /** Weighted PageRank with fixed iteration count, in EXACT integer
     * micro-rank units (1e6 = rank 1.0) so every engine — and every
     * partitioning — produces bit-identical ranks: per-edge contributions
@@ -57,11 +68,10 @@ object Graphs {
         .select(col("t").as("node"),
           expr("CAST(r AS DECIMAL(38,0)) * w div wout").cast("long").as("c"))
         .groupBy("node").agg(sum("c").as("c"))
-      r = nodes.join(contribs, Seq("node"), "left")
+      r = flatCk(nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (base + expr(s"($dampingPct * coalesce(c, CAST(0 AS BIGINT))) div 100"))
-            .as("r"))
-        .localCheckpoint()
+            .as("r")))
     }
     // Deliberately NO unpersist here (r9 measured the alternative): the
     // caches are registered by canonicalized plan, so a repeated call
@@ -123,12 +133,12 @@ object Graphs {
         .select(col("t").as("node"),
           expr("CAST(h AS DECIMAL(38,0)) * w").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
-      a = norm(rawA, "a").localCheckpoint()
+      a = flatCk(norm(rawA, "a"))
       val rawH = e.join(a.select(col("node").as("t"), col("a")), "t")
         .select(col("s").as("node"),
           expr("CAST(a AS DECIMAL(38,0)) * w").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
-      h = norm(rawH, "h").localCheckpoint()
+      h = flatCk(norm(rawH, "h"))
     }
     // no unpersist — see pageRank's cache-lifecycle note
     a.join(h, "node")
@@ -167,10 +177,9 @@ object Graphs {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("node")
-      e = e.join(alive.select(col("node").as("u")), "u")
+      e = flatCk(e.join(alive.select(col("node").as("u")), "u")
         .join(alive.select(col("node").as("v")), "v")
-        .select("u", "v")
-        .localCheckpoint()
+        .select("u", "v"))
     }
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -328,9 +337,8 @@ object Graphs {
         .agg(sum("w").as("v"))
       val best = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).select(col("node"), col("label"))
-      labels = nodes.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-        .localCheckpoint()
+      labels = flatCk(nodes.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label")))
     }
     // no unpersist — see pageRank's cache-lifecycle note
     labels.select(col("node"), col("label").as("community"))
@@ -484,7 +492,7 @@ object Graphs {
       // exit): same bounded lineage, one fewer materialization, and the
       // returned plan still shows the per-round join+min-agg shape —
       // which is what the plan pin audits
-      if (i > 0) d = d.localCheckpoint()
+      if (i > 0) d = flatCk(d)
       val relax = e
         .join(d.select(col("node").as("s"), col("hops")), "s")
         .select(col("t").as("node"), (col("hops") + 1L).as("hops"))

@@ -106,11 +106,11 @@ object Preferences {
       // lineage doubles per round and the optimizer re-derives the whole
       // chain 2^iters times (measured 42 s for 3 rounds at sf0.1; 0.5 s
       // checkpointed). The strength relation is item-cardinality — tiny.
-      s = raw.crossJoin(broadcast(tot))
-        .select(col("item"), col("wins"),
-          expr("CAST(raw AS DECIMAL(38,0)) * 1000000 div greatest(__tot, 1)")
-            .cast("long").as("s"))
-        .localCheckpoint()
+      s = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+        raw.crossJoin(broadcast(tot))
+          .select(col("item"), col("wins"),
+            expr("CAST(raw AS DECIMAL(38,0)) * 1000000 div greatest(__tot, 1)")
+              .cast("long").as("s")))
     }
     // no unpersist of sym/items — same rationale as the Graphs loop
     // kernels (r9): canonicalized-plan cache reuse across repeated calls

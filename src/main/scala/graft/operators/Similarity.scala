@@ -882,8 +882,8 @@ object Similarity {
       // localCheckpoint truncates the per-round plan growth (same reasoning
       // as the CC loop); the centroid frame is k rows — the materialization
       // is trivially small.
-      val refitted = centroidsFromRefit(ivfRefit(emb, vecCol, idCol, assigned))
-        .localCheckpoint()
+      val refitted = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+        centroidsFromRefit(ivfRefit(emb, vecCol, idCol, assigned)))
       // A cell that attracted zero members this round (duplicate seeds, or
       // near-ties collapsed by the 4-decimal cosine rounding always
       // tie-breaking to the smaller id) vanishes from the refit — without
@@ -898,7 +898,8 @@ object Similarity {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"kmeansCentroids: $nDropped of $kk cells empty in round $round; " +
             "carrying previous centroids forward")
-      centroids = refitted.unionByName(dropped).localCheckpoint()
+      centroids = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+        refitted.unionByName(dropped))
     }
     centroids
   }
@@ -1805,8 +1806,15 @@ object Similarity {
       // self-pairs pull singleton cores (no core neighbor) into the
       // label relation with their own id as the cluster id
       .union(cores.select(col("id").as("id_a"), col("id").as("id_b")))
+    // maxIters 60, not the default 20: a dense plane grows ONE giant
+    // core component whose hop diameter scales with box/eps (measured:
+    // the 10× replica needs >20 doubling rounds); the fixpoint check
+    // still exits early on shallow graphs, so the higher cap costs
+    // nothing when unneeded. strict: partially-propagated labels must
+    // throw, not ship (two labels for one density cluster = near-dups
+    // surviving a KEEP/DROP decision).
     val labels = graft.operators.Dedup.nearDupClusters(coreEdges,
-      strict = true)
+      maxIters = 60, strict = true)
     val borderLabels = nbrs
       .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
       .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_anti")

@@ -32,6 +32,37 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** `localCheckpoint` with the ORIGIN STATISTICS DROPPED. Spark's
+    * `Dataset.localCheckpoint` truncates the logical plan to a
+    * `LogicalRDD` but copies the originating plan's size ESTIMATE into
+    * it (`originStats`, so broadcast decisions survive the truncation).
+    * In an iterative self-join loop that inheritance is fatal: a
+    * self-join SQUARES sizeInBytes, the checkpoint preserves the square,
+    * and the estimate's BigInteger doubles in BIT LENGTH every round —
+    * past ~25 rounds the stats visitor crawls for minutes and dies with
+    * "BigInteger would overflow supported range" (reproduced: 4 rounds of
+    * checkpointed self-join take sizeInBytes bits 11→21→40→79). This
+    * helper rebuilds the truncated leaf with `originStats = None` so each
+    * round re-plans from the conf default — loop kernels MUST checkpoint
+    * through this, not through bare localCheckpoint. */
+  def flatCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ck = df.localCheckpoint()
+    val plan = ck.queryExecution.analyzed
+    val flat = plan match {
+      case lr: LogicalRDD =>
+        LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None)
+      case other => other
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      flat)
+  }
+
   /** Register a native-expression SQL function on a live session (the
     * runtime-registration twin of `SparkSessionExtensions.injectFunction`,
     * which only applies at session build). Used for the reference-parity
