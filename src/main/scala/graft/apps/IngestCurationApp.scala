@@ -151,6 +151,18 @@ object IngestCurationApp {
         graft.streaming.SketchMaintenance.appendHllSketch(
           fresh.select(col("lang_pred"), col("fp")), "fp", "lang_pred",
           s"$outDir/hllstats", batchId = epoch, streamId = s"$outDir/ck")
+        // ... and the shipped-document QUALITY distribution per language
+        // as a stored bottom-k quantile sample (same artifact discipline,
+        // distinct lineage suffix so the two watermark lanes never
+        // share): estimates off the table equal a fresh whole-corpus
+        // sketch by the merge law, so "what does shipped p50/p99 quality
+        // look like" survives restarts without rescanning shards.
+        graft.streaming.SketchMaintenance.appendQuantileSample(
+          fresh.select(col("lang_pred"), col("doc_id"),
+            round(col("quality") * 10000, 0).cast("long").as("q4")),
+          "doc_id", "lang_pred", col("q4"), k = 256,
+          s"$outDir/qualquant", batchId = epoch,
+          streamId = s"$outDir/ck#qual")
         fresh.unpersist(); b.unpersist(); ()
       }
       .start()

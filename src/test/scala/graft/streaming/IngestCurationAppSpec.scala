@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.apps.IngestCurationApp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 
 /** The end-to-end ingest composition: corrupt lines to the DLQ, the
   * curation gate (quality/language/sampling/dedup) on the clean side,
@@ -109,6 +109,25 @@ class IngestCurationAppSpec extends SparkSpec {
       .hllEstimate(whole, "lang_pred").collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(estStored == estWhole && estStored.values.forall(_ > 0))
+
+    // the stored QUALITY quantile sample survives the restart too:
+    // estimates off the artifact equal a one-shot sketch over everything
+    // shipped (the merge law) — p50/p99 shipped quality without
+    // rescanning shards
+    val qs = Seq(50, 99)
+    def qrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp", "q").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val storedQ = qrows(SketchMaintenance.quantileEstimate(
+      spark.read.parquet(s"$out/qualquant"), qs))
+    val shippedQ = spark.read.parquet(s"$out/shards")
+      .select(col("lang_pred").as("grp"), col("doc_id"),
+        round(col("quality") * 10000, 0).cast("long").as("q4"))
+    val oneShot = qrows(graft.operators.Sketches.quantileSketch(
+      shippedQ, "doc_id", "grp", col("q4"), k = 256, qs))
+    assert(storedQ == oneShot && storedQ.head._5 == 9L,
+      s"stored quality quantiles must equal the one-shot sketch:\n$storedQ\n$oneShot")
   }
 
   test("a bad keepPct refuses to start instead of failing the first batch") {
