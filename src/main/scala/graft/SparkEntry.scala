@@ -2674,6 +2674,27 @@ object SparkEntry {
       Linkage.linkEval(pred, truth)
     }),
 
+    // ---- linkage: UNSUPERVISED Fellegi–Sunter weight learning (EM) ----
+    // q_er_matches ships with hand-set weights; here the un-thresholded
+    // candidate patterns LEARN p/m/u by EM (5 rounds, exact 1e-9-grid
+    // arithmetic) — all 8 agreement patterns live at sf0.01, posteriors
+    // spreading 0.005 (all-disagree) to 0.998 (all-agree).
+    "q_fs_em" -> ((s, d) => {
+      fsEmFit(s, d).patterns.orderBy("pattern")
+    }),
+
+    // the learned parameters themselves — the artifact a production ER
+    // config would persist and feed into scorePairs as log-odds weights
+    "q_fs_params" -> ((s, d) => {
+      import s.implicits._
+      val r = fsEmFit(s, d)
+      (("p", r.pNano) +:
+        (r.mNano.zipWithIndex.map { case (v, j) => (s"m_$j", v) } ++
+          r.uNano.zipWithIndex.map { case (v, j) => (s"u_$j", v) }))
+        .toDF("param", "value_nano")
+        .orderBy("param")
+    }),
+
     // ---- graphs: link prediction (common neighbors + RA index) ----
     "q_link_predict" -> ((s, d) => {
       Graphs.linkPrediction(nationTradeEdges(s, d), "u", "v")
@@ -3022,10 +3043,21 @@ object SparkEntry {
   private val erFields: Seq[(String, Long, Long)] =
     Seq(("name", 30L, -10L), ("seg", 10L, -5L), ("band", 10L, -5L))
 
-  /** Linkage CTEs shared by the two ER oracles (one definition, two
-    * consumers). Weights/threshold are inlined from [[erFields]]'s values;
-    * `IS NOT DISTINCT FROM` ≡ Spark's null-safe `<=>`. */
-  private val erCtes: String =
+  /** The shared FS-EM fit over the ER fixture's un-thresholded blocked
+    * candidates (q_fs_em + q_fs_params read one fit). */
+  private def fsEmFit(s: SparkSession, d: String): Linkage.FsEmResult = {
+    val (a, b) = erSides(s, d)
+    val cands = Linkage.blockedCandidates(a, b, "rec_id",
+      Seq("nat", "postcode"), Seq("name", "seg", "band"))
+    Linkage.fellegiSunterEM(cands, Seq(
+      col("a_name") <=> col("b_name"),
+      col("a_seg") <=> col("b_seg"),
+      col("a_band") <=> col("b_band")), rounds = 5)
+  }
+
+  /** The ER fixture's two sides as CTEs — shared by the fixed-weight
+    * oracles ([[erCtes]]) and the EM fit ([[fsEmSql]]). */
+  private val erSidesCtes: String =
     """sa AS (SELECT c_custkey AS rec_id, c_nationkey AS nat,
       |    c_custkey % 97 AS postcode, lower(c_name) AS name,
       |    c_mktsegment AS seg, CAST(floor(c_acctbal/100) AS BIGINT) AS band
@@ -3035,7 +3067,13 @@ object SparkEntry {
       |         ELSE name END AS name,
       |    CASE WHEN rec_id % 5 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
       |    band + CASE WHEN rec_id % 7 = 0 THEN 1 ELSE 0 END AS band
-      |  FROM sa),
+      |  FROM sa)""".stripMargin
+
+  /** Linkage CTEs shared by the two ER oracles (one definition, two
+    * consumers). Weights/threshold are inlined from [[erFields]]'s values;
+    * `IS NOT DISTINCT FROM` ≡ Spark's null-safe `<=>`. */
+  private val erCtes: String =
+    s"""$erSidesCtes,
       |m AS (SELECT id_a, id_b, CAST(score AS BIGINT) AS score FROM (
       |    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
       |      CASE WHEN a.name IS NOT DISTINCT FROM b.name THEN 30 ELSE -10 END
@@ -3044,6 +3082,60 @@ object SparkEntry {
       |        AS score
       |    FROM sa a JOIN sb b ON a.nat = b.nat AND a.postcode = b.postcode)
       |  WHERE score >= 25)""".stripMargin
+
+  /** DuckDB twin of [[Linkage.fellegiSunterEM]] over the ER fixture's
+    * UN-thresholded candidates: the agreement-pattern histogram, then
+    * `rounds` UNROLLED EM updates in the exact arithmetic contract —
+    * E-step posteriors in double from the 1e-9-grid params with the
+    * engine's multiplication order, floored back to the grid; M-step as
+    * HUGEINT mass sums with floor division and [1, 1e9−1] clamps. Ends
+    * with one more E-step (`wFin`) under the converged params — the
+    * pattern relation both q_fs_em and q_fs_params read. */
+  private def fsEmSql(rounds: Int): String = {
+    val k = 3
+    def clampSql(x: String) =
+      s"greatest(CAST(1 AS HUGEINT), least(CAST(999999999 AS HUGEINT), $x))"
+    val numExpr = (0 until k).foldLeft("(CAST(p AS DOUBLE) / 1e9)")((acc, j) =>
+      s"($acc * (CASE WHEN a$j THEN CAST(m$j AS DOUBLE) / 1e9" +
+        s" ELSE 1.0 - CAST(m$j AS DOUBLE) / 1e9 END))")
+    val denExpr = (0 until k).foldLeft("(1.0 - CAST(p AS DOUBLE) / 1e9)")((acc, j) =>
+      s"($acc * (CASE WHEN a$j THEN CAST(u$j AS DOUBLE) / 1e9" +
+        s" ELSE 1.0 - CAST(u$j AS DOUBLE) / 1e9 END))")
+    def wCte(name: String, em: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT a0, a1, a2, n,
+         |    CAST(floor(num / (num + den) * 1e9) AS BIGINT) AS w
+         |  FROM (SELECT pat.*, $numExpr AS num, $denExpr AS den
+         |        FROM pat CROSS JOIN $em))""".stripMargin
+    def emCte(name: String, w: String) = {
+      val fields = (0 until k).flatMap { j =>
+        Seq(
+          s"${clampSql(s"sum(CASE WHEN a$j THEN n*w ELSE 0 END) * 1000000000 // sum(n*w)")} AS m$j",
+          s"${clampSql(s"sum(CASE WHEN a$j THEN n*(1000000000-w) ELSE 0 END) * 1000000000 // sum(n*(1000000000-w))")} AS u$j")
+      }.mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT ${clampSql("sum(n*w) // sum(n)")} AS p,
+         |    $fields
+         |  FROM $w)""".stripMargin
+    }
+    val roundCtes = (1 to rounds).map { r =>
+      wCte(s"w$r", s"em${r - 1}") + ",\n" + emCte(s"em$r", s"w$r")
+    }.mkString(",\n")
+    s"""$erSidesCtes,
+       |pat AS MATERIALIZED (
+       |  SELECT (a.name IS NOT DISTINCT FROM b.name) AS a0,
+       |    (a.seg IS NOT DISTINCT FROM b.seg) AS a1,
+       |    (a.band IS NOT DISTINCT FROM b.band) AS a2,
+       |    count(*) AS n
+       |  FROM sa a JOIN sb b ON a.nat = b.nat AND a.postcode = b.postcode
+       |  GROUP BY 1, 2, 3),
+       |em0 AS (SELECT CAST(100000000 AS HUGEINT) AS p,
+       |  CAST(900000000 AS HUGEINT) AS m0, CAST(100000000 AS HUGEINT) AS u0,
+       |  CAST(900000000 AS HUGEINT) AS m1, CAST(100000000 AS HUGEINT) AS u1,
+       |  CAST(900000000 AS HUGEINT) AS m2, CAST(100000000 AS HUGEINT) AS u2),
+       |$roundCtes,
+       |${wCte("wFin", s"em$rounds")}""".stripMargin
+  }
 
   /** The nation trade graph (customer-nation, supplier-nation
     * co-occurrence on a lineitem, relative-weight cut) — the shared edge
@@ -5773,6 +5865,27 @@ object SparkEntry {
     "q_er_matches" ->
       s"""WITH $erCtes
          |SELECT id_a, id_b, score FROM m ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fs_em" ->
+      s"""WITH ${fsEmSql(5)}
+         |SELECT concat(CASE WHEN a0 THEN '1' ELSE '0' END,
+         |    CASE WHEN a1 THEN '1' ELSE '0' END,
+         |    CASE WHEN a2 THEN '1' ELSE '0' END) AS pattern,
+         |  CAST(n AS BIGINT) AS n, w AS posterior_nano,
+         |  w >= 500000000 AS is_match
+         |FROM wFin ORDER BY pattern""".stripMargin,
+
+    "q_fs_params" ->
+      s"""WITH ${fsEmSql(5)}
+         |SELECT param, CAST(v AS BIGINT) AS value_nano FROM (
+         |  SELECT 'p' AS param, p AS v FROM em5
+         |  UNION ALL SELECT 'm_0', m0 FROM em5
+         |  UNION ALL SELECT 'm_1', m1 FROM em5
+         |  UNION ALL SELECT 'm_2', m2 FROM em5
+         |  UNION ALL SELECT 'u_0', u0 FROM em5
+         |  UNION ALL SELECT 'u_1', u1 FROM em5
+         |  UNION ALL SELECT 'u_2', u2 FROM em5)
+         |ORDER BY param""".stripMargin,
 
     "q_er_eval" ->
       s"""WITH $erCtes,

@@ -164,4 +164,106 @@ object Linkage {
         blockedCandidates(a, b, idCol, blockCols, fields.map(_._1)), fields)
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
+
+  /** Learned Fellegi–Sunter parameters: match prevalence `pNano`, per-field
+    * agreement probabilities `mNano(j)` = P(field j agrees | match) and
+    * `uNano(j)` = P(agrees | unmatch), all on the exact 1e-9 integer grid,
+    * plus the agreement-pattern relation with each pattern's posterior
+    * match probability under the converged parameters. */
+  final case class FsEmResult(pNano: Long, mNano: Seq[Long], uNano: Seq[Long],
+                              patterns: DataFrame)
+
+  /** UNSUPERVISED Fellegi–Sunter parameter estimation via EM over
+    * agreement patterns (Fellegi & Sunter 1969; Winkler's EM fitting) —
+    * the learning step in front of [[scorePairs]]: instead of
+    * hand-calibrated weights, the candidate pairs THEMSELVES estimate
+    * match prevalence p and the per-field m/u probabilities, because the
+    * pattern histogram is a 2-component mixture the EM separates. This is
+    * the standard production ER loop (Splink et al.): block → EM on
+    * patterns → posterior-threshold.
+    *
+    * Determinism contract (the DP/quantile ladder applied to EM): all
+    * parameters live on the exact 1e-9 integer grid; the E-step computes
+    * each pattern's posterior in DOUBLE from those exact integers in a
+    * FIXED multiplication order and floors back to the grid; the M-step
+    * is pure integer arithmetic (BigInt mass sums, floor division,
+    * [1, 1e9−1] clamps — the clamp also keeps degenerate fits off the
+    * 0/1 boundary where EM gets stuck). Every engine and every
+    * partitioning produces bit-identical parameters, which is what lets
+    * a DuckDB twin reproduce the whole fit.
+    *
+    * `agreeCols` must be non-null boolean expressions (use null-safe
+    * `<=>`; a NULL agreement would silently vanish from the pattern
+    * grain). Scale shape: ONE map-side-combinable aggregate collapses
+    * the candidate relation to ≤ 2^k pattern counts; EM then runs
+    * driver-side on that ≤ 2^k-row relation (the bounded-collect class —
+    * k is the FIELD count, never data-sized; k ≤ 10 enforced). The
+    * candidate relation is scanned exactly once regardless of rounds. */
+  def fellegiSunterEM(cands: DataFrame, agreeCols: Seq[Column], rounds: Int,
+                      initPNano: Long = 100000000L,
+                      initMNano: Long = 900000000L,
+                      initUNano: Long = 100000000L): FsEmResult = {
+    val k = agreeCols.size
+    require(k >= 1 && k <= 10, s"field count out of range: $k")
+    require(rounds >= 1 && rounds <= 100, s"rounds out of range: $rounds")
+    val spark = cands.sparkSession
+    val pat = cands
+      .select(agreeCols.zipWithIndex.map { case (c, i) =>
+        c.cast("boolean").as(s"a$i")
+      }: _*)
+      .groupBy((0 until k).map(i => col(s"a$i")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect() // ≤ 2^k rows — the bounded driver-read class
+      .map { r =>
+        require((0 until k).forall(!r.isNullAt(_)),
+          "agreement expressions must be non-null (use null-safe <=>)")
+        ((0 until k).map(r.getBoolean), r.getLong(k))
+      }
+    require(pat.nonEmpty, "no candidate pairs — nothing to fit")
+    val Grid = 1000000000L
+    def clamp(x: BigInt): Long = x.max(1).min(Grid - 1).toLong
+    // E-step posterior on the nano grid: fixed multiply order, floor back
+    def wNano(bits: Seq[Boolean], p: Long, m: Array[Long],
+              u: Array[Long]): Long = {
+      val pd = p.toDouble / 1e9
+      var num = pd
+      var den = 1.0 - pd
+      var j = 0
+      while (j < k) {
+        val md = m(j).toDouble / 1e9
+        val ud = u(j).toDouble / 1e9
+        num *= (if (bits(j)) md else 1.0 - md)
+        den *= (if (bits(j)) ud else 1.0 - ud)
+        j += 1
+      }
+      math.floor(num / (num + den) * 1e9).toLong
+    }
+    var p = initPNano
+    val m = Array.fill(k)(initMNano)
+    val u = Array.fill(k)(initUNano)
+    for (_ <- 0 until rounds) {
+      val ws = pat.map { case (bits, n) => (bits, n, wNano(bits, p, m, u)) }
+      val matchMass = ws.map { case (_, n, w) => BigInt(n) * w }.sum
+      val unmatchMass = ws.map { case (_, n, w) => BigInt(n) * (Grid - w) }.sum
+      val totalN = ws.map { case (_, n, _) => BigInt(n) }.sum
+      val newP = clamp(matchMass / totalN)
+      for (j <- 0 until k) {
+        val mj = ws.collect { case (b, n, w) if b(j) => BigInt(n) * w }.sum
+        val uj = ws.collect { case (b, n, w) if b(j) =>
+          BigInt(n) * (Grid - w) }.sum
+        m(j) = clamp(mj * Grid / matchMass)
+        u(j) = clamp(uj * Grid / unmatchMass)
+      }
+      p = newP
+    }
+    // final E-step under the converged parameters → the pattern relation
+    val rows = pat.map { case (bits, n) =>
+      (bits.map(b => if (b) "1" else "0").mkString, n,
+        wNano(bits, p, m, u))
+    }.toSeq
+    import spark.implicits._
+    val patterns = rows.toDF("pattern", "n", "posterior_nano")
+      .withColumn("is_match", col("posterior_nano") >= Grid / 2)
+    FsEmResult(p, m.toSeq, u.toSeq, patterns)
+  }
 }

@@ -144,4 +144,56 @@ class LinkageSpec extends SparkSpec {
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
+
+  // ---- fellegiSunterEM ----
+
+  /** Planted 2-component mixture: 300 matches (each field agrees for 9
+    * of 10 residues), 700 unmatches (agrees for 1 of 10) — exact
+    * modular fractions, so the truth is p=0.3, m=0.9, u=0.1. */
+  private def plantedCands = {
+    import spark.implicits._
+    val rows = (0 until 1000).map { i =>
+      val isMatch = i < 300
+      def agree(j: Int) = {
+        val r = (i * Seq(7, 11, 13)(j) + j) % 10
+        if (isMatch) r < 9 else r < 1
+      }
+      (agree(0), agree(1), agree(2))
+    }
+    rows.toDF("g0", "g1", "g2")
+  }
+
+  test("fellegiSunterEM recovers a planted mixture's p/m/u") {
+    val r = Linkage.fellegiSunterEM(plantedCands,
+      Seq(col("g0"), col("g1"), col("g2")), rounds = 10)
+    def d(x: Long) = x / 1e9
+    assert(math.abs(d(r.pNano) - 0.3) < 0.08, s"p: ${d(r.pNano)}")
+    r.mNano.foreach(m => assert(math.abs(d(m) - 0.9) < 0.08, s"m: ${d(m)}"))
+    r.uNano.foreach(u => assert(math.abs(d(u) - 0.1) < 0.08, s"u: ${d(u)}"))
+    // posteriors separate the components and the pattern grain is intact
+    val pats = r.patterns.collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3))))
+      .toMap
+    assert(pats.values.map(_._1).sum == 1000L, "pattern counts preserve n")
+    assert(pats("111")._2 > 900000000L && pats("111")._3)
+    assert(pats("000")._2 < 100000000L && !pats("000")._3)
+  }
+
+  test("fellegiSunterEM: deterministic under repartitioning; degenerate input clamps instead of diverging") {
+    val a = Linkage.fellegiSunterEM(plantedCands,
+      Seq(col("g0"), col("g1"), col("g2")), rounds = 5)
+    val b = Linkage.fellegiSunterEM(plantedCands.repartition(13),
+      Seq(col("g0"), col("g1"), col("g2")), rounds = 5)
+    assert(a.pNano == b.pNano && a.mNano == b.mNano && a.uNano == b.uNano)
+    // every candidate agrees everywhere: no mixture to find — params must
+    // stay clamped inside (0, 1) and the posterior stays defined
+    import spark.implicits._
+    val degen = Seq.fill(50)((true, true)).toDF("g0", "g1")
+    val r = Linkage.fellegiSunterEM(degen, Seq(col("g0"), col("g1")),
+      rounds = 8)
+    assert(r.mNano.forall(m => m >= 1 && m <= 999999999L))
+    assert(r.uNano.forall(u => u >= 1 && u <= 999999999L))
+    val w = r.patterns.collect()(0).getLong(2)
+    assert(w >= 0L && w <= 1000000000L)
+  }
 }
