@@ -2695,6 +2695,27 @@ object SparkEntry {
         .orderBy("param")
     }),
 
+    // ---- linkage: pairs classified by the LEARNED model ----
+    // The loop closed: candidates → EM fit → posterior ≥ ½ patterns →
+    // matched pairs with their posterior; the 8-row pattern relation
+    // attaches by broadcast, so classification costs one candidate scan.
+    "q_fs_matches" -> ((s, d) => {
+      val (a, b) = erSides(s, d)
+      val cands = Linkage.blockedCandidates(a, b, "rec_id",
+        Seq("nat", "postcode"), Seq("name", "seg", "band"))
+      def bit(c: Column) = when(c, lit("1")).otherwise(lit("0"))
+      val withPat = cands.select(col("id_a"), col("id_b"),
+        concat(bit(col("a_name") <=> col("b_name")),
+          bit(col("a_seg") <=> col("b_seg")),
+          bit(col("a_band") <=> col("b_band"))).as("pattern"))
+      withPat.join(
+          broadcast(fsEmFit(s, d).patterns.filter(col("is_match"))
+            .select(col("pattern"), col("posterior_nano"))),
+          "pattern")
+        .select(col("id_a"), col("id_b"), col("posterior_nano"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- graphs: link prediction (common neighbors + RA index) ----
     "q_link_predict" -> ((s, d) => {
       Graphs.linkPrediction(nationTradeEdges(s, d), "u", "v")
@@ -5886,6 +5907,17 @@ object SparkEntry {
          |  UNION ALL SELECT 'u_1', u1 FROM em5
          |  UNION ALL SELECT 'u_2', u2 FROM em5)
          |ORDER BY param""".stripMargin,
+
+    "q_fs_matches" ->
+      s"""WITH ${fsEmSql(5)}
+         |SELECT a.rec_id AS id_a, b.rec_id AS id_b, f.w AS posterior_nano
+         |FROM sa a JOIN sb b ON a.nat = b.nat AND a.postcode = b.postcode
+         |JOIN wFin f
+         |  ON f.a0 = (a.name IS NOT DISTINCT FROM b.name)
+         | AND f.a1 = (a.seg IS NOT DISTINCT FROM b.seg)
+         | AND f.a2 = (a.band IS NOT DISTINCT FROM b.band)
+         |WHERE f.w >= 500000000
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_er_eval" ->
       s"""WITH $erCtes,
