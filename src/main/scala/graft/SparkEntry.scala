@@ -1351,6 +1351,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- text: vocabulary richness (Chao1 + Good–Turing P0) ----
+    // "How much vocabulary haven't we seen yet?" per source — the
+    // coverage question behind corpus-scaling decisions; singletons and
+    // doubletons are live at sf0.01 on every source.
+    "q_vocab_richness" -> ((s, d) => {
+      TextAnalysis.vocabularyRichness(t(s, d, "documents"), "text",
+          "source")
+        .orderBy("source")
+    }),
+
     // ---- dedup: SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
@@ -4034,6 +4044,23 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_corpus_stats" -> corpusStatsSql,
+
+    "q_vocab_richness" ->
+      s"""WITH w AS (
+         |  SELECT source AS grp, tok, count(*) AS c FROM (
+         |    SELECT source, unnest($sqlTokens) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |a AS (SELECT grp,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM w GROUP BY 1)
+         |SELECT grp AS source, n_tokens, vocab, f1, f2,
+         |  vocab + CASE WHEN f2 > 0 THEN (f1 * f1) // (2 * f2)
+         |               ELSE (f1 * (f1 - 1)) // 2 END AS chao1,
+         |  (10000 * f1) // n_tokens AS unseen_bp
+         |FROM a ORDER BY source""".stripMargin,
 
     "q_temp_sample" ->
       """WITH cnt AS (

@@ -1511,4 +1511,36 @@ object TextAnalysis {
     joined.unpersist()
     (audit, w, bias)
   }
+
+  /** VOCABULARY RICHNESS per group — "how much vocabulary haven't we seen
+    * yet?", the corpus-coverage question behind dedup/scaling decisions:
+    * Chao1's lower-bound estimate of the TRUE vocabulary size from the
+    * singleton/doubleton counts (chao1 = V + f1²/(2·f2); the
+    * bias-corrected f1(f1−1)/2 form when no doubletons exist), and the
+    * Good–Turing unseen-probability mass P₀ = f1/N in floored basis
+    * points — the probability the NEXT token is a word never seen. All
+    * integer arithmetic (`div`), engine-identical.
+    *
+    * Scale shape: token explode → ONE map-side-combinable (group, word)
+    * count agg → one group-grain agg of the Zipf-small vocabulary
+    * relation; the corpus contributes a single scan. */
+  def vocabularyRichness(docs: DataFrame, textCol: String,
+                         groupCol: String): DataFrame = {
+    val words = docs
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    words.groupBy("grp")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        (col("vocab") + when(col("f2") > 0L,
+          expr("(f1 * f1) div (2 * f2)"))
+          .otherwise(expr("(f1 * (f1 - 1)) div 2"))).as("chao1"),
+        expr("(10000 * f1) div n_tokens").as("unseen_bp"))
+  }
 }

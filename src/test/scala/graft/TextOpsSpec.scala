@@ -718,4 +718,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1).getLong(2) == 1L, "sentence count floors at 1")
     assert(r(2).isNullAt(4), "tokenless doc has no defined score")
   }
+
+  test("vocabularyRichness: hand-computed Chao1 and Good–Turing mass, f2=0 fallback") {
+    // g1: counts a=2, b=1, c=1 → N=4, V=3, f1=2, f2=1 →
+    //   chao1 = 3 + 4 div 2 = 5; unseen = 10000·2 div 4 = 5000
+    // g2: all singletons (x, y) → f2=0 → bias-corrected
+    //   chao1 = 2 + (2·1) div 2 = 3; unseen = 10000
+    val docs = Seq(("g1", "a a b"), ("g1", "c"), ("g2", "x y"))
+      .toDF("src", "text")
+    val out = TextAnalysis.vocabularyRichness(docs, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out("g1") == ((4L, 3L, 2L, 1L, 5L, 5000L)), s"g1: ${out("g1")}")
+    assert(out("g2") == ((2L, 2L, 2L, 0L, 3L, 10000L)), s"g2: ${out("g2")}")
+  }
 }
