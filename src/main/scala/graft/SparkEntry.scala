@@ -2373,6 +2373,41 @@ object SparkEntry {
           cents(col("value")), col("event_type") === "click")
     }),
 
+    // ---- Kruskal–Wallis H: did ANY event type shift the value
+    // distribution? (the k-sample sibling of q_mannwhitney — same
+    // midrank-on-the-cents-domain kernel, ppm-truncated group means) ----
+    "q_kruskal" -> ((s, d) => {
+      Stats.kruskalWallisH(t(s, d, "events"), cents(col("value")),
+        "event_type")
+    }),
+
+    // ---- one-way ANOVA F + eta² over the same framing: the parametric
+    // twin of q_kruskal (rank-free, so it reads effect SIZE in value
+    // units — together they bracket "shift exists" vs "shift matters") ----
+    "q_anova" -> ((s, d) => {
+      Stats.anovaF(t(s, d, "events"), cents(col("value")), "event_type")
+    }),
+
+    // ---- Spearman rank correlation per return flag: monotone
+    // quantity↔price association, tie-corrected (quantity's tiny integer
+    // domain collides constantly — midranks carry the ties exactly) ----
+    "q_spearman" -> ((s, d) => {
+      Stats.spearmanRho(t(s, d, "lineitem"), "l_returnflag",
+          cents(col("l_quantity")), cents(col("l_extendedprice")))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Kendall tau-b on the nation-grain panel (bounded all-pairs by
+    // construction: 25 nations → 300 pairs; corpus-grain rank association
+    // is q_spearman's linear kernel) ----
+    "q_kendall" -> ((s, d) => {
+      val nat = t(s, d, "customer").groupBy(col("c_nationkey").cast("long")
+          .as("nk"))
+        .agg(sum(cents(col("c_acctbal"))).as("bal"),
+          count(lit(1)).as("cnt"))
+      Stats.kendallTauB(nat, "nk", col("bal"), col("cnt"))
+    }),
+
     // USER-LEVEL DP: event counts per type where the privacy unit is the
     // USER — each user's contribution clamps to 20 events per type, so
     // the release is ε-DP under removing an entire user's history
@@ -3000,6 +3035,35 @@ object SparkEntry {
         .select(expr("__num div __den").as("score_bp"), col("is_en"))
       RelationalOps.calibrationPanel(scored, col("score_bp"), col("is_en"))
         .orderBy("bin")
+    }),
+
+    // ---- eval: Brier decomposition of the q_ece score — same bp-score
+    // input, one row of (brier, reliability, resolution, uncertainty):
+    // the panel says WHERE the bins sit, this says what the loss is ----
+    "q_brier" -> ((s, d) => {
+      val nWords = size(TextFunctions.tokens(col("text"))).cast("long")
+      val nStop = TextFunctions.stopwordCount(col("text")).cast("long")
+      val scored = t(s, d, "documents")
+        .select((lit(10000L) * nStop).as("__num"),
+          greatest(nWords, lit(1L)).as("__den"),
+          (col("lang") === "en").as("is_en"))
+        .select(expr("__num div __den").as("score_bp"), col("is_en"))
+      Stats.brierDecomposition(scored, col("score_bp"), col("is_en"),
+        bins = 10)
+    }),
+
+    // ---- survival: log-rank test between the even/odd user cohorts on
+    // the q_kaplan_meier session durations (same subjects relation; KM
+    // draws the curves, this says whether their gap is noise) ----
+    "q_logrank" -> ((s, d) => {
+      val sess = Sequences.sessionize(t(s, d, "events"), "user_id", "ts",
+        Seq("ts", "event_id"), gapMillis = 1800000L)
+      val mx = sess.agg(max("end_ts").as("__m"))
+      val subj = sess.crossJoin(broadcast(mx))
+        .select(expr("duration_ms div 60000").as("t"),
+          (col("end_ts") < col("__m") - expr("INTERVAL 30 MINUTES")).as("e"),
+          (col("user_id") % 2 === 0).as("g"))
+      Stats.logRank(subj, col("t"), col("e"), col("g"))
     }),
 
     // ---- experimentation: power / sample-size row (exact variance) ----
@@ -4356,6 +4420,94 @@ object SparkEntry {
          |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
     },
 
+    // same sc CTE as q_ece; per-bin means truncate to micro on both
+    // engines, the squared-error sum is exact integer bp²
+    "q_brier" -> {
+      val stop = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH sc AS (SELECT
+         |    (10000 * CAST(len(list_filter(list_filter(
+         |        string_split(lower(text), ' '), x -> x <> ''),
+         |        x -> list_contains([$stop], x))) AS BIGINT))
+         |      // greatest(CAST(len($sqlTokens) AS BIGINT), 1) AS p,
+         |    lang = 'en' AS y
+         |  FROM documents),
+         |f AS (SELECT p, CASE WHEN y THEN 1 ELSE 0 END AS o FROM sc
+         |  WHERE p BETWEEN 0 AND 10000),
+         |b AS (SELECT least((p * 10) // 10000, 9) AS bin, p, o FROM f),
+         |pb AS (SELECT bin, count(*) AS nb, sum(p) AS sp, sum(o) AS pos,
+         |    sum((p - 10000*o) * (p - 10000*o)) AS sq FROM b GROUP BY bin),
+         |tot AS (SELECT sum(nb) AS n, sum(pos) AS posall FROM pb),
+         |m AS (SELECT nb, sq, (100 * sp) // nb AS pbm,
+         |    (1000000 * pos) // nb AS obm,
+         |    (1000000 * posall) // n AS obmall, n, posall
+         |  FROM pb CROSS JOIN tot),
+         |agg AS (SELECT max(n) AS n, max(posall) AS posall,
+         |    sum(sq) AS sqall,
+         |    sum(nb * (pbm - obm) * (pbm - obm)) AS rel,
+         |    sum(nb * (obm - obmall) * (obm - obmall)) AS res FROM m)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(sqall AS DOUBLE) / (1e8 * CAST(n AS DOUBLE)), 6)
+         |    AS brier,
+         |  round(CAST(rel AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
+         |    AS reliability,
+         |  round(CAST(res AS DOUBLE) / (1e12 * CAST(n AS DOUBLE)), 6)
+         |    AS resolution,
+         |  round(CAST(posall AS DOUBLE) *
+         |      (CAST(n AS DOUBLE) - CAST(posall AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty
+         |FROM agg""".stripMargin
+    },
+
+    // q_kaplan_meier's sessionized subjects + the Mantel–Cox kernel: the
+    // hypergeometric mean/variance per event time truncate to micro
+    "q_logrank" ->
+      """WITH e0 AS (SELECT user_id, ts, event_id, epoch_ms(ts) AS ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |b0 AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS nb
+        |  FROM e0),
+        |sx0 AS (SELECT user_id, ts,
+        |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+        |  FROM b0),
+        |sess AS MATERIALIZED (SELECT user_id, si, max(ts) AS en,
+        |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur
+        |  FROM sx0 GROUP BY 1, 2),
+        |mx AS (SELECT max(en) AS m FROM sess),
+        |subj AS (SELECT dur // 60000 AS t,
+        |    en < (SELECT m FROM mx) - INTERVAL 30 MINUTE AS e,
+        |    user_id % 2 = 0 AS g FROM sess),
+        |grain AS (SELECT t, count(*) AS a,
+        |    sum(CASE WHEN g THEN 1 ELSE 0 END) AS a1,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e AND g THEN 1 ELSE 0 END) AS d1
+        |  FROM subj GROUP BY t),
+        |tot AS (SELECT sum(a) AS n, sum(a1) AS n1t FROM grain),
+        |r AS (SELECT t, d, d1,
+        |    n - coalesce(sum(a) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ni,
+        |    n1t - coalesce(sum(a1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1i
+        |  FROM grain, tot),
+        |f AS (SELECT * FROM r WHERE d > 0),
+        |agg AS (SELECT sum(d1) AS o1,
+        |    sum((1000000 * d * n1i) // ni) AS e1m,
+        |    sum(CASE WHEN ni > 1
+        |      THEN (1000000 * d * n1i * (ni - n1i) * (ni - d))
+        |        // (ni * ni * (ni - 1)) ELSE 0 END) AS vm
+        |  FROM f)
+        |SELECT CAST(o1 AS BIGINT) AS observed_1,
+        |  round(CAST(e1m AS DOUBLE) / 1e6, 4) AS expected_1,
+        |  round(CAST(vm AS DOUBLE) / 1e6, 4) AS variance,
+        |  CASE WHEN vm <= 0 THEN NULL
+        |    ELSE round((CAST(o1 AS DOUBLE) - CAST(e1m AS DOUBLE) / 1e6) /
+        |      sqrt(CAST(vm AS DOUBLE) / 1e6), 4) + 0.0 END AS z
+        |FROM agg""".stripMargin,
+
     // candidate-quality eval: truth = the exact df-cut Jaccard lane at the
     // shipping threshold, pred = the raw band buckets; nested WITH scopes
     // keep the two chains' shared CTE names (sh, sz) from colliding
@@ -5483,6 +5635,114 @@ object SparkEntry {
         |    sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
         |      ((na + nb + 1) - CAST(ties AS DOUBLE) /
         |        (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 4) AS z
+        |FROM agg""".stripMargin,
+
+    // identical midrank-on-the-value-domain kernel; the one truncation
+    // (group mean rank in ppm) is `div` ≡ `//` on both engines
+    "q_kruskal" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |byv AS (SELECT v, count(*) AS t FROM b GROUP BY v),
+        |mid AS (SELECT v, t,
+        |    2*coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS mid2
+        |  FROM byv),
+        |tot AS (SELECT sum(t) AS n, sum(t * mid2 * mid2) AS s2 FROM mid),
+        |gv AS (SELECT g, v, count(*) AS tg FROM b GROUP BY 1, 2),
+        |pg AS (SELECT g, sum(tg) AS ng, sum(tg * mid2) AS rg2
+        |  FROM gv JOIN mid USING (v) GROUP BY g),
+        |dev AS (SELECT ng,
+        |    (1000000 * rg2) // ng - 1000000 * (n + 1) AS dv, n, s2
+        |  FROM pg CROSS JOIN tot),
+        |agg AS (SELECT max(n) AS n, count(*) AS k,
+        |    sum(ng * dv * dv) AS num,
+        |    max(s2 - n * (n + 1) * (n + 1)) AS den4
+        |  FROM dev)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN den4 = 0 THEN NULL
+        |    ELSE round(CAST(n - 1 AS DOUBLE) * (CAST(num AS DOUBLE) / 1e12)
+        |      / CAST(den4 AS DOUBLE), 4) + 0.0 END AS h
+        |FROM agg""".stripMargin,
+
+    // group/grand means truncated to micro units on both engines; the sums
+    // of squares accumulate exactly around those truncated means
+    "q_anova" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |pg AS (SELECT g, count(*) AS ng, sum(v) AS sg, sum(v*v) AS ssg
+        |  FROM b GROUP BY g),
+        |tot AS (SELECT sum(ng) AS n, sum(sg) AS s FROM pg),
+        |m AS (SELECT ng, sg, ssg, n,
+        |    (1000000 * sg) // ng AS mg, (1000000 * s) // n AS gm
+        |  FROM pg CROSS JOIN tot),
+        |agg AS (SELECT max(n) AS n, count(*) AS k,
+        |    sum(ng * (mg - gm) * (mg - gm)) AS ssb,
+        |    sum(1000000000000 * ssg - 2 * mg * 1000000 * sg + ng * mg * mg)
+        |      AS ssw
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CASE WHEN ssw = 0 OR k <= 1 OR n <= k THEN NULL
+        |    ELSE round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)) /
+        |      (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 4) + 0.0
+        |    END AS f_stat,
+        |  CASE WHEN ssb + ssw = 0 THEN NULL
+        |    ELSE round(CAST(ssb AS DOUBLE) /
+        |      (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6) + 0.0
+        |    END AS eta_sq
+        |FROM agg""".stripMargin,
+
+    // Pearson over 2x midranks per flag — five exact cross-sums, one
+    // double expression; the same per-group window kernel as the engine
+    "q_spearman" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y FROM lineitem),
+        |bx AS (SELECT g, x, count(*) AS t FROM b GROUP BY 1, 2),
+        |rx AS (SELECT g, x,
+        |    2*coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS rx2 FROM bx),
+        |by_ AS (SELECT g, y, count(*) AS t FROM b GROUP BY 1, 2),
+        |ry AS (SELECT g, y,
+        |    2*coalesce(sum(t) OVER (PARTITION BY g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS ry2 FROM by_),
+        |j AS (SELECT b.g, rx2, ry2 FROM b
+        |  JOIN rx ON b.g = rx.g AND b.x = rx.x
+        |  JOIN ry ON b.g = ry.g AND b.y = ry.y),
+        |a AS (SELECT g, count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+        |    sum(rx2*rx2) AS sxx, sum(ry2*ry2) AS syy, sum(rx2*ry2) AS sxy
+        |  FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |    ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |           CAST(n*syy - sy*sy AS DOUBLE)), 4) + 0.0 END AS rho
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // exact pair classification on the 25-row nation panel
+    "q_kendall" ->
+      """WITH nat AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal,
+        |    count(*) AS cnt
+        |  FROM customer GROUP BY 1),
+        |p AS (SELECT a.bal AS x, a.cnt AS y, b.bal AS x2, b.cnt AS y2
+        |  FROM nat a JOIN nat b ON a.nk < b.nk),
+        |agg AS (SELECT count(*) AS np,
+        |    sum(CASE WHEN x <> x2 AND y <> y2 AND ((x < x2) = (y < y2))
+        |      THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN x <> x2 AND y <> y2 AND ((x < x2) <> (y < y2))
+        |      THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN x = x2 THEN 1 ELSE 0 END) AS tx,
+        |    sum(CASE WHEN y = y2 THEN 1 ELSE 0 END) AS ty
+        |  FROM p)
+        |SELECT CAST(np AS BIGINT) AS n_pairs, CAST(c AS BIGINT) AS concordant,
+        |  CAST(d AS BIGINT) AS discordant,
+        |  CASE WHEN np = tx OR np = ty THEN NULL
+        |    ELSE round(CAST(c - d AS DOUBLE) /
+        |      sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE)), 4)
+        |      + 0.0 END AS tau_b
         |FROM agg""".stripMargin,
 
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term

@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistics over quantized columns — the rank-correlation and
+  * hypothesis-test panel an experimentation/curation pipeline reads before
+  * trusting a metric move (the batch analytics layer next to
+  * [[RelationalOps.mannWhitneyU]], which pioneered this file's rank
+  * arithmetic; reference semantics: the per-type aggregates of
+  * src/main/java/samza/examples/wikipedia/task/WikipediaStatsStreamTask.java
+  * generalized to cross-metric association and k-sample tests).
+  *
+  * File-wide exactness convention (the [[Timeseries]] contract): callers
+  * quantize inputs to integer units (cents); every accumulation is
+  * long/decimal(38,0) — order-invariant under any partitioning; division
+  * happens once per scalar at the end, either as IEEE double division of two
+  * exact integers (bit-identical across engines for identical operands) or
+  * as truncated integer micro-units (Spark `div` ≡ DuckDB `//`, verified
+  * incl. negatives). Rank kernels work on the VALUE DOMAIN (one row per
+  * distinct quantized value), never the corpus: the single-partition sort a
+  * midrank window needs is bounded by the value domain (cents of a bounded
+  * metric), the same bound [[RelationalOps.mannWhitneyU]] documents.
+  */
+object Stats {
+
+  private val d38 = "decimal(38,0)"
+
+  /** Midranks (×2, so ties' half-ranks stay integral) of `valCol` within
+    * `partCols`: one row per distinct (partition, value) with `outCol` =
+    * 2·midrank. Value-domain grain in, value-domain grain out. */
+  private def midrank2(byVal: DataFrame, partCols: Seq[String],
+                       valCol: String, cntCol: String,
+                       outCol: String): DataFrame = {
+    // single-partition-per-group sort bound: distinct quantized values of
+    // one partition, not rows (the mannWhitneyU bound)
+    val w = (if (partCols.isEmpty) Window.orderBy(valCol)
+             else Window.partitionBy(partCols.map(col): _*).orderBy(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal.withColumn(outCol,
+      coalesce(sum(cntCol).over(w), lit(0L)) * 2L + col(cntCol) + 1L)
+  }
+
+  /** Spearman rank correlation per group, tie-corrected — Pearson's r over
+    * midranks, the monotone-association readout that survives outliers and
+    * arbitrary monotone metric transforms (where q_regression's Pearson
+    * does not). Ranks ride 2× integer midranks; the five cross-sums ride
+    * decimal(38,0); rho is ONE double expression over exact integers,
+    * rounded. Zero-variance groups (a constant column) yield NULL.
+    *
+    * Scale shape: two value-domain aggs (one per column) + their midrank
+    * windows (value-domain bound, see file header), two shuffle joins back
+    * on (group, value), one group-grain agg. Nothing exceeds corpus grain,
+    * no corpus-wide window. Overflow headroom: midranks ≤ 2n+1, so the
+    * largest sum Σrx·ry ≤ 4n³ and the rho numerator n·Σxy − ΣxΣy stays
+    * inside decimal(38,0) for per-group n up to ~1e9 — quantize coarser
+    * (the value domain only shrinks) past that. */
+  def spearmanRho(df: DataFrame, groupCol: String,
+                  xQ: Column, yQ: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
+    def ranksOf(v: String, out: String): DataFrame = midrank2(
+      base.groupBy(col("__g"), col(v)).agg(count(lit(1)).as("__t")),
+      Seq("__g"), v, "__t", out).drop("__t")
+    base
+      .join(ranksOf("__x", "__rx2"), Seq("__g", "__x"))
+      .join(ranksOf("__y", "__ry2"), Seq("__g", "__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__rx2").cast(d38)).as("__sx"),
+        sum(col("__ry2").cast(d38)).as("__sy"),
+        sum((col("__rx2").cast(d38) * col("__rx2")).cast(d38)).as("__sxx"),
+        sum((col("__ry2").cast(d38) * col("__ry2")).cast(d38)).as("__syy"),
+        sum((col("__rx2").cast(d38) * col("__ry2")).cast(d38)).as("__sxy"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        when(expr("(__n*__sxx - __sx*__sx) = 0 OR (__n*__syy - __sy*__sy) = 0"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            expr(s"CAST(__n*__sxy - __sx*__sy AS DOUBLE)") /
+              sqrt(expr(s"CAST(__n*__sxx - __sx*__sx AS DOUBLE)") *
+                   expr(s"CAST(__n*__syy - __sy*__sy AS DOUBLE)")),
+            4) + lit(0.0))
+          .as("rho"))
+  }
+
+  /** Kendall tau-b over a BOUNDED relation (caller contract: a group-grain
+    * or value-domain aggregate, thousands of rows, NOT the corpus — the
+    * all-pairs kernel is quadratic by definition; at corpus grain use
+    * [[spearmanRho]], whose value-domain rank kernel is linear). Exact
+    * concordant/discordant/tie pair counts; tau-b's tie-corrected
+    * denominator sqrt((n0−n1)(n0−n2)) as one double expression. Returns a
+    * single row (n_pairs, concordant, discordant, tau_b). */
+  def kendallTauB(df: DataFrame, idCol: String,
+                  xQ: Column, yQ: Column): DataFrame = {
+    val b = df.select(col(idCol).cast("long").as("__i"),
+      xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
+    val pairs = b.join(
+      broadcast(b.select(col("__i").as("__j"),
+        col("__x").as("__x2"), col("__y").as("__y2"))),
+      col("__i") < col("__j"))
+    pairs.agg(
+        count(lit(1)).as("__np"),
+        sum(when(col("__x") =!= col("__x2") && col("__y") =!= col("__y2") &&
+            ((col("__x") < col("__x2")) === (col("__y") < col("__y2"))),
+          1L).otherwise(0L)).as("__c"),
+        sum(when(col("__x") =!= col("__x2") && col("__y") =!= col("__y2") &&
+            ((col("__x") < col("__x2")) =!= (col("__y") < col("__y2"))),
+          1L).otherwise(0L)).as("__d"),
+        sum(when(col("__x") === col("__x2"), 1L).otherwise(0L)).as("__tx"),
+        sum(when(col("__y") === col("__y2"), 1L).otherwise(0L)).as("__ty"))
+      .select(col("__np").as("n_pairs"),
+        col("__c").as("concordant"), col("__d").as("discordant"),
+        when(expr("__np = __tx OR __np = __ty"), lit(null).cast("double"))
+          .otherwise(round(
+            expr("CAST(__c - __d AS DOUBLE)") /
+              sqrt(expr("CAST(__np - __tx AS DOUBLE)") *
+                   expr("CAST(__np - __ty AS DOUBLE)")), 4) + lit(0.0))
+          .as("tau_b"))
+  }
+
+  /** Kruskal–Wallis H — the k-sample generalization of
+    * [[RelationalOps.mannWhitneyU]] ("did ANY variant shift the metric
+    * distribution?"), tie-corrected via the identity
+    * H = (n−1)·Σ n_g(r̄_g−r̄)² / Σ(r_i−r̄)², which absorbs the classic
+    * 12/(n(n+1)) form's tie divisor. All rank arithmetic in exact 2×
+    * integer midranks on the value domain; the one inexact step is each
+    * group's mean rank truncated to ppm (`div`, identical on both
+    * engines), bounding |ΔH| under k·1e-6 — the theta_micro convention.
+    * Returns one row (n, k, h).
+    *
+    * Scale shape: one value-domain agg + midrank window (domain-bounded
+    * sort), one (group, value) agg, one group-grain reduce, a 1-row
+    * broadcast. Overflow: Σn_g·dev_ppm² ≤ 4e12·n³ — inside decimal(38,0)
+    * to n ≈ 2e8; shrink the ppm scale at larger n. */
+  def kruskalWallisH(df: DataFrame, valueQ: Column,
+                     groupCol: String): DataFrame = {
+    val b = df.select(col(groupCol).as("__g"), valueQ.cast("long").as("__v"))
+    val mid = midrank2(
+      b.groupBy("__v").agg(count(lit(1)).as("__t")),
+      Nil, "__v", "__t", "__mid2")
+    val tot = mid.agg(
+      sum(col("__t").cast(d38)).as("__n"),
+      // Σ(2r_i)² over ROWS via the value domain; den4 = Σ(2r_i)² − n(n+1)²
+      sum((col("__t").cast(d38) * col("__mid2") * col("__mid2")).cast(d38))
+        .as("__s2"))
+    val perG = b.groupBy("__g", "__v").agg(count(lit(1)).as("__tg"))
+      .join(mid.select("__v", "__mid2"), "__v")
+      .groupBy("__g")
+      .agg(sum(col("__tg").cast(d38)).as("__ng"),
+        sum((col("__tg").cast(d38) * col("__mid2")).cast(d38)).as("__rg2"))
+    perG.crossJoin(broadcast(tot))
+      // group mean of 2·rank in ppm — the single truncation
+      .withColumn("__mg2ppm", expr("(1000000 * __rg2) div __ng"))
+      .withColumn("__dev",
+        (col("__mg2ppm") - expr(s"CAST(1000000 AS $d38) * (__n + 1)"))
+          .cast(d38))
+      .agg(max(col("__n")).as("__n"), count(lit(1)).as("__k"),
+        sum((col("__ng") * col("__dev") * col("__dev")).cast(d38))
+          .as("__num"),
+        max(expr(s"__s2 - __n * (__n + 1) * (__n + 1)")).as("__den4"))
+      .select(col("__n").cast("long").as("n"), col("__k").as("k"),
+        when(col("__den4") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            expr("CAST(__n - 1 AS DOUBLE)") *
+              (expr("CAST(__num AS DOUBLE)") / lit(1e12)) /
+              expr("CAST(__den4 AS DOUBLE)"), 4) + lit(0.0))
+          .as("h"))
+  }
+
+  /** Brier-score decomposition (Murphy 1973) over a basis-point score —
+    * the scalar companion to [[RelationalOps]]' calibration panel: total
+    * Brier = reliability − resolution + uncertainty (up to binning), so a
+    * pipeline reads WHERE a score's loss comes from (mis-calibration vs
+    * lack of discrimination) before recalibrating. Scores are exact bp
+    * integers; per-row squared error Σ(p−o)² accumulates exactly in
+    * decimal(38,0); per-bin mean score / event rate truncate to micro
+    * units (the theta_micro convention) and the two decomposition sums
+    * accumulate exactly around them. Returns one row
+    * (n, brier, reliability, resolution, uncertainty).
+    *
+    * Scale shape: one row-grain agg to bin grain (≤ bins rows), then
+    * arithmetic against a 1-row broadcast — corpus scanned once. */
+  def brierDecomposition(df: DataFrame, scoreBp: Column, label: Column,
+                         bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
+    val base = df.select(scoreBp.cast("long").as("__p"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("__o"))
+      .filter(col("__p").between(0L, 10000L))
+    val perB = base
+      .withColumn("__b", least(expr(s"(__p * $bins) div 10000"),
+        lit((bins - 1).toLong)))
+      .groupBy("__b")
+      .agg(count(lit(1)).cast(d38).as("__nb"),
+        sum(col("__p").cast(d38)).as("__sp"),
+        sum(col("__o").cast(d38)).as("__pos"),
+        sum(((col("__p") - lit(10000L) * col("__o")).cast(d38) *
+          (col("__p") - lit(10000L) * col("__o")).cast(d38)).cast(d38))
+          .as("__sq"))
+    val tot = perB.agg(sum(col("__nb")).as("__n"),
+      sum(col("__pos")).as("__posall"))
+    perB.crossJoin(broadcast(tot))
+      // bin mean score and bin event rate in micro-probability units:
+      // score bp → micro is ×100; rates are (1e6·pos) div n
+      .withColumn("__pbm", expr("(100 * __sp) div __nb"))
+      .withColumn("__obm", expr("(1000000 * __pos) div __nb"))
+      .withColumn("__obmall", expr("(1000000 * __posall) div __n"))
+      .agg(max(col("__n")).as("__n"), max(col("__posall")).as("__posall"),
+        sum(col("__sq")).as("__sqall"),
+        sum((col("__nb") * (col("__pbm") - col("__obm")).cast(d38) *
+          (col("__pbm") - col("__obm")).cast(d38)).cast(d38)).as("__rel"),
+        sum((col("__nb") * (col("__obm") - col("__obmall")).cast(d38) *
+          (col("__obm") - col("__obmall")).cast(d38)).cast(d38)).as("__res"))
+      .select(col("__n").cast("long").as("n"),
+        round(expr("CAST(__sqall AS DOUBLE)") /
+          (lit(1e8) * expr("CAST(__n AS DOUBLE)")), 6).as("brier"),
+        round(expr("CAST(__rel AS DOUBLE)") /
+          (lit(1e12) * expr("CAST(__n AS DOUBLE)")), 6).as("reliability"),
+        round(expr("CAST(__res AS DOUBLE)") /
+          (lit(1e12) * expr("CAST(__n AS DOUBLE)")), 6).as("resolution"),
+        round(expr("CAST(__posall AS DOUBLE)") *
+          (expr("CAST(__n AS DOUBLE)") - expr("CAST(__posall AS DOUBLE)")) /
+          (expr("CAST(__n AS DOUBLE)") * expr("CAST(__n AS DOUBLE)")), 6)
+          .as("uncertainty"))
+  }
+
+  /** Log-rank test (Mantel–Cox) — "do two cohorts share a survival
+    * curve?", the inferential companion to [[Timeseries.kaplanMeier]]
+    * (which draws the curves; this says whether their gap is noise).
+    * Same subjects-relation input and the same value-domain at-risk
+    * kernel: one agg to the distinct-duration grain, a reverse cumulative
+    * window bounded by the duration domain. At each event time the
+    * hypergeometric mean d·n1/n and variance d·n1(n−n1)(n−d)/(n²(n−1))
+    * truncate to micro units (`div` ≡ `//`); O−E and the z-score are one
+    * double expression at the end. Returns one row
+    * (observed_1, expected_1, variance, z).
+    *
+    * Overflow headroom: the variance numerator rides decimal(38,0) at
+    * ≤ 1e6·d·n³ — safe while subjects-per-distinct-duration keeps
+    * d·n³ < 1e32 (any realistic duration quantization; coarsen the
+    * duration unit if a single tick ever holds ~n events). */
+  def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
+              groupFlag: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("__e"), groupFlag.cast("boolean").as("__g1"))
+      .filter(col("t").isNotNull && col("__e").isNotNull &&
+        col("__g1").isNotNull)
+    val grain = base.groupBy("t").agg(
+      count(lit(1)).as("__a"),
+      sum(when(col("__g1"), 1L).otherwise(0L)).as("__a1"),
+      sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+      sum(when(col("__e") && col("__g1"), 1L).otherwise(0L)).as("__d1"))
+    // single-partition sort bound: the duration value domain (the
+    // kaplanMeier bound), never the subject rows
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = grain.agg(sum(col("__a")).cast("long").as("__n"),
+      sum(col("__a1")).cast("long").as("__n1t"))
+    grain.crossJoin(broadcast(tot))
+      .withColumn("__ni",
+        col("__n") - coalesce(sum(col("__a")).over(wPrev), lit(0L)))
+      .withColumn("__n1i",
+        col("__n1t") - coalesce(sum(col("__a1")).over(wPrev), lit(0L)))
+      .filter(col("__d") > 0L)
+      .agg(sum(col("__d1")).as("__o1"),
+        sum(expr(s"(1000000 * CAST(__d AS $d38) * __n1i) div __ni"))
+          .as("__e1m"),
+        sum(when(col("__ni") > 1L,
+          expr(s"(1000000 * CAST(__d AS $d38) * __n1i * (__ni - __n1i)" +
+            s" * (__ni - __d)) div (CAST(__ni AS $d38) * __ni * (__ni - 1))"))
+          .otherwise(lit(0L))).as("__vm"))
+      .select(col("__o1").as("observed_1"),
+        round(col("__e1m").cast("double") / 1e6, 4).as("expected_1"),
+        round(col("__vm").cast("double") / 1e6, 4).as("variance"),
+        when(col("__vm") <= 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__o1").cast("double") - col("__e1m").cast("double") / 1e6) /
+              sqrt(col("__vm").cast("double") / 1e6), 4) + lit(0.0))
+          .as("z"))
+  }
+
+  /** One-way ANOVA — the between/within variance decomposition over a
+    * quantized metric: F = (SSB/(k−1))/(SSW/(n−k)) plus the effect size
+    * η² = SSB/(SSB+SSW) (an F alone says "significant", η² says "how
+    * much"). Group and grand means truncate to micro units (the one
+    * engine-identical inexactness); both sums of squares then accumulate
+    * exactly in decimal(38,0) around those truncated means, so SSW ≥ 0
+    * structurally. F and η² are double expressions over the two exact
+    * scaled sums — no big cross-product, so the decimal headroom bound is
+    * Σn_g·dev², safe to corpus sizes ~1e12 at cent quantization.
+    *
+    * Scale shape: ONE map-side-combinable (group, Σv, Σv², n) aggregate,
+    * then group-grain arithmetic against a 1-row broadcast. */
+  def anovaF(df: DataFrame, valueQ: Column, groupCol: String): DataFrame = {
+    val perG = df.select(col(groupCol).as("__g"), valueQ.cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast(d38).as("__ng"),
+        sum(col("__v").cast(d38)).as("__sg"),
+        sum((col("__v").cast(d38) * col("__v")).cast(d38)).as("__ssg"))
+    val tot = perG.agg(sum(col("__ng")).as("__n"),
+      sum(col("__sg")).as("__s"))
+    perG.crossJoin(broadcast(tot))
+      .withColumn("__mg", expr("(1000000 * __sg) div __ng"))
+      .withColumn("__gm", expr("(1000000 * __s) div __n"))
+      .agg(max(col("__n")).as("__n"), count(lit(1)).as("__k"),
+        sum((col("__ng") * (col("__mg") - col("__gm")).cast(d38) *
+          (col("__mg") - col("__gm")).cast(d38)).cast(d38)).as("__ssb"),
+        sum((expr(s"CAST(1000000000000 AS $d38) * __ssg") -
+          expr(s"2 * CAST(__mg AS $d38) * 1000000 * __sg") +
+          (col("__ng") * col("__mg").cast(d38) * col("__mg").cast(d38))
+            .cast(d38)).cast(d38)).as("__ssw"))
+      .select(col("__n").cast("long").as("n"), col("__k").as("k"),
+        when(expr("__ssw = 0 OR __k <= 1 OR __n <= __k"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            (expr("CAST(__ssb AS DOUBLE)") / expr("CAST(__k - 1 AS DOUBLE)")) /
+            (expr("CAST(__ssw AS DOUBLE)") / expr("CAST(__n - __k AS DOUBLE)")),
+            4) + lit(0.0)).as("f_stat"),
+        when(expr("__ssb + __ssw = 0"), lit(null).cast("double"))
+          .otherwise(round(expr("CAST(__ssb AS DOUBLE)") /
+            (expr("CAST(__ssb AS DOUBLE)") + expr("CAST(__ssw AS DOUBLE)")),
+            6) + lit(0.0)).as("eta_sq"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the rank-correlation / hypothesis-test
+  * kernels — every expected value was recomputed with exact rational
+  * arithmetic (Fraction), and the micro-truncated engine formulas agree
+  * with the exact values at the rounded precision on these fixtures. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spearmanRho: exact 0.8 on the classic tie-free permutation") {
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r = Stats.spearmanRho(df, "g", col("x"), col("y")).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 5L)
+    // 1 − 6·Σd²/(n(n²−1)) = 1 − 24/120
+    assert(r(0).getDouble(2) == 0.8, r(0).toString)
+  }
+
+  test("spearmanRho: tie-corrected via midranks (Pearson-on-midranks)") {
+    val df = Seq((1L, 10L), (2L, 30L), (2L, 20L), (3L, 50L), (3L, 40L),
+      (3L, 60L)).toDF("x", "y").withColumn("g", lit("a"))
+    val r = Stats.spearmanRho(df, "g", col("x"), col("y")).collect()(0)
+    assert(r.getDouble(2) == 0.9258, r.toString)
+  }
+
+  test("spearmanRho: per-group, perfect inverse is -1, constant is NULL") {
+    val up = (1L to 4L).map(i => ("inv", i, 10L - i)) ++
+      (1L to 4L).map(i => ("const", i, 7L))
+    val r = Stats.spearmanRho(up.toDF("g", "x", "y"), "g",
+        col("x"), col("y"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(2)) null else x.getDouble(2))).toMap
+    assert(r("inv") == -1.0 && r("const") == null, r.toString)
+  }
+
+  test("kendallTauB: tie-corrected tau-b with exact pair counts") {
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 2L, 2L), (4L, 3L, 4L))
+      .toDF("id", "x", "y")
+    val r = Stats.kendallTauB(df, "id", col("x"), col("y")).collect()(0)
+    // 6 pairs: C=5, D=0, 1 x-tie → 5/sqrt(5·6)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.9129, r.toString)
+  }
+
+  test("kendallTauB: all-tied x yields NULL tau (degenerate denominator)") {
+    val df = Seq((1L, 5L, 1L), (2L, 5L, 2L), (3L, 5L, 3L))
+      .toDF("id", "x", "y")
+    val r = Stats.kendallTauB(df, "id", col("x"), col("y")).collect()(0)
+    assert(r.isNullAt(3), r.toString)
+  }
+
+  test("kruskalWallisH matches the exact rational H on a tied fixture") {
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 3L, 4L).map(("b", _)) ++
+      Seq(5L, 6L, 7L).map(("c", _))).toDF("g", "v")
+    val r = Stats.kruskalWallisH(df, col("v"), "g").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    // exact (n−1)·Σng(r̄g−r̄)²/Σ(ri−r̄)² = 6.0565 (Fraction-checked)
+    assert(r.getDouble(2) == 6.0565, r.toString)
+  }
+
+  test("kruskalWallisH: identical distributions give H near 0") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("b", _))).toDF("g", "v")
+    val r = Stats.kruskalWallisH(df, col("v"), "g").collect()(0)
+    assert(math.abs(r.getDouble(2)) < 1e-9, r.toString)
+  }
+
+  test("anovaF matches the exact rational F and eta-squared") {
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 3L, 4L).map(("b", _)) ++
+      Seq(5L, 6L, 7L).map(("c", _))).toDF("g", "v")
+    val r = Stats.anovaF(df, col("v"), "g").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    // SSB=19.5/2, SSW=6/6 → F=13, η²=19.5/24 (Fraction-checked)
+    assert(r.getDouble(2) == 13.0 && r.getDouble(3) == 0.8125, r.toString)
+  }
+
+  test("brierDecomposition: exact bp fixture matches Murphy's components") {
+    val df = Seq((1000L, false), (3000L, false), (3500L, true),
+      (7000L, true), (9000L, true), (9200L, false)).toDF("p", "y")
+    val r = graft.operators.Stats
+      .brierDecomposition(df, col("p"), col("y"), bins = 10).collect()(0)
+    assert(r.getLong(0) == 6L)
+    // Fraction-checked; brier equals the exact Σ(p−o)²/n at 6dp
+    assert(r.getDouble(1) == 0.244817, s"brier ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.082908, s"rel ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.083333, s"res ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.25, s"unc ${r.getDouble(4)}")
+  }
+
+  test("brierDecomposition: a perfectly calibrated constant score has " +
+      "zero reliability and zero resolution") {
+    val df = Seq((5000L, true), (5000L, false), (5000L, true),
+      (5000L, false)).toDF("p", "y")
+    val r = graft.operators.Stats
+      .brierDecomposition(df, col("p"), col("y"), bins = 10).collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0, r.toString)
+    assert(r.getDouble(1) == 0.25 && r.getDouble(4) == 0.25, r.toString)
+  }
+
+  test("logRank: hand-computed O/E/V/z on the two-cohort fixture") {
+    val df = Seq((1L, true, true), (2L, true, true), (3L, false, true),
+      (1L, true, false), (4L, true, false), (5L, false, false))
+      .toDF("t", "e", "g")
+    val r = graft.operators.Stats
+      .logRank(df, col("t"), col("e"), col("g")).collect()(0)
+    assert(r.getLong(0) == 2L, r.toString)
+    assert(r.getDouble(1) == 1.5 && r.getDouble(2) == 0.65, r.toString)
+    assert(r.getDouble(3) == 0.6202, r.toString)
+  }
+
+  test("logRank: identical cohorts give z at 0") {
+    val one = Seq((1L, true), (2L, true), (3L, false), (4L, true))
+    val df = (one.map { case (t, e) => (t, e, true) } ++
+      one.map { case (t, e) => (t, e, false) }).toDF("t", "e", "g")
+    val r = graft.operators.Stats
+      .logRank(df, col("t"), col("e"), col("g")).collect()(0)
+    assert(math.abs(r.getDouble(3)) < 1e-9, r.toString)
+  }
+
+  test("anovaF: zero within-group variance yields NULL F") {
+    val df = (Seq(2L, 2L).map(("a", _)) ++ Seq(5L, 5L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Stats.anovaF(df, col("v"), "g").collect()(0)
+    assert(r.isNullAt(2), r.toString)
+  }
+}
