@@ -2408,6 +2408,60 @@ object SparkEntry {
       Stats.kendallTauB(nat, "nk", col("bal"), col("cnt"))
     }),
 
+    // ---- profiling: inclusion dependencies across the star schema —
+    // the referential-integrity audit before trusting a join key (the
+    // cross-table companion of q_func_deps; two planted non-keys) ----
+    "q_inclusion_deps" -> ((s, d) => {
+      RelationalOps.inclusionProfile(Seq(
+        ("customer.c_nationkey<nation.n_nationkey",
+          t(s, d, "customer"), "c_nationkey", t(s, d, "nation"), "n_nationkey"),
+        ("lineitem.l_orderkey<orders.o_orderkey",
+          t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey<part.p_partkey",
+          t(s, d, "lineitem"), "l_partkey", t(s, d, "part"), "p_partkey"),
+        ("lineitem.l_partkey<supplier.s_suppkey",
+          t(s, d, "lineitem"), "l_partkey", t(s, d, "supplier"), "s_suppkey"),
+        ("orders.o_custkey<customer.c_custkey",
+          t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"),
+        ("orders.o_orderkey<lineitem.l_orderkey",
+          t(s, d, "orders"), "o_orderkey", t(s, d, "lineitem"), "l_orderkey")))
+    }),
+
+    // ---- feature screen: mutual information + NMI between event type
+    // and hour-of-day (floored-nano cell contributions keep the
+    // cross-cell sum order-invariant) ----
+    "q_mutual_info" -> ((s, d) => {
+      Stats.mutualInfo(t(s, d, "events"), col("event_type"), hour(col("ts")))
+    }),
+
+    // ---- causal: difference-in-differences on the CUPED framing (same
+    // user-parity variants and 2024-01-16 cut; CUPED adjusts variance,
+    // DiD removes the shared time trend) ----
+    "q_did" -> ((s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      Stats.diffInDiff(t(s, d, "events"), cents(col("value")),
+        pmod(col("user_id"), lit(2L)) === 0, col("ts") >= cut)
+    }),
+
+    // ---- recommender: item-item cosine CF over the co-purchase baskets
+    // (q_covisit's relation; lift mines surprise, cosine ranks "users
+    // also bought" — ranked on truncated integer cos², never double) ----
+    "q_item_cf" -> ((s, d) => {
+      Graphs.itemItemCf(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", maxBasketSize = 10, minCount = 2, k = 5)
+        .orderBy("item", "rank")
+    }),
+
+    // ---- LM: interpolated Kneser–Ney bigram probabilities — one exact
+    // rational per bigram with D=3/4 cleared through the 4x denominator;
+    // same token stream and model cut as q_bigram_score ----
+    "q_kneser_ney" -> ((s, d) => {
+      TextAnalysis.kneserNeyBigram(t(s, d, "documents"), "text",
+          minPairCount = 25L)
+        .orderBy("w1", "w2")
+    }),
+
     // USER-LEVEL DP: event counts per type where the privacy unit is the
     // USER — each user's contribution clamps to 20 events per type, so
     // the release is ε-DP under removing an entire user's history
@@ -5744,6 +5798,139 @@ object SparkEntry {
         |      sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE)), 4)
         |      + 0.0 END AS tau_b
         |FROM agg""".stripMargin,
+
+    // one arm per candidate: distinct lhs values left-joined to distinct
+    // rhs values, string-compared on both engines
+    "q_inclusion_deps" -> {
+      val cands = Seq(
+        ("customer.c_nationkey<nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey<orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey<part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_partkey<supplier.s_suppkey",
+          "lineitem", "l_partkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey<customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        ("orders.o_orderkey<lineitem.l_orderkey",
+          "orders", "o_orderkey", "lineitem", "l_orderkey"))
+      val arms = cands.map { case (name, lt, lc, rt, rc) =>
+        s"""  SELECT '$name' AS ind, count(*) AS n_lhs,
+           |    sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) AS n_contained
+           |  FROM (SELECT DISTINCT CAST($lc AS VARCHAR) AS v FROM $lt
+           |        WHERE $lc IS NOT NULL) l
+           |  LEFT JOIN (SELECT DISTINCT CAST($rc AS VARCHAR) AS v, 1 AS hit
+           |        FROM $rt WHERE $rc IS NOT NULL) r USING (v)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT ind, CAST(n_lhs AS BIGINT) AS n_lhs,
+         |  CAST(n_contained AS BIGINT) AS n_contained,
+         |  CAST((1000000 * n_contained) // n_lhs AS BIGINT)
+         |    AS containment_ppm,
+         |  n_contained = n_lhs AS ind_ok
+         |FROM (
+         |$arms
+         |) ORDER BY ind""".stripMargin
+    },
+
+    // per-cell nano floor of an identical double keeps the cross-cell MI
+    // sum an exact integer on both engines
+    "q_mutual_info" ->
+      """WITH b AS (SELECT event_type AS a,
+        |    CAST(date_part('hour', ts) AS VARCHAR) AS h FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT a, h, count(*) AS cab FROM b GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(cab) AS ca FROM c GROUP BY a),
+        |mb AS (SELECT h, sum(cab) AS cb FROM c GROUP BY h),
+        |tt AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM c),
+        |mi AS (SELECT max(n) AS n, count(*) AS n_cells,
+        |    sum(CAST(floor(CAST(cab AS DOUBLE) *
+        |      ln(CAST(n AS DOUBLE) * CAST(cab AS DOUBLE) /
+        |        (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1e9)
+        |      AS BIGINT)) AS minano
+        |  FROM c JOIN ma USING (a) JOIN mb ON c.h = mb.h CROSS JOIN tt),
+        |ha AS (SELECT sum(CAST(floor(CAST(ca AS DOUBLE) *
+        |      ln(CAST(n AS DOUBLE) / CAST(ca AS DOUBLE)) * 1e9)
+        |      AS BIGINT)) AS hav FROM ma CROSS JOIN tt),
+        |hb AS (SELECT sum(CAST(floor(CAST(cb AS DOUBLE) *
+        |      ln(CAST(n AS DOUBLE) / CAST(cb AS DOUBLE)) * 1e9)
+        |      AS BIGINT)) AS hbv FROM mb CROSS JOIN tt)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+        |  round(CAST(minano AS DOUBLE) / (1e9 * CAST(n AS DOUBLE)), 6)
+        |    + 0.0 AS mi_nats,
+        |  CASE WHEN hav <= 0 OR hbv <= 0 THEN NULL
+        |    ELSE round(CAST(minano AS DOUBLE) /
+        |      sqrt(CAST(hav AS DOUBLE) * CAST(hbv AS DOUBLE)), 6) + 0.0
+        |    END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // the four cell means truncate to micro identically; the DiD contrast
+    // is exact integer arithmetic over them
+    "q_did" ->
+      """WITH b AS (SELECT CAST(round(value*100) AS BIGINT) AS y,
+        |    user_id % 2 = 0 AS t, ts >= TIMESTAMP '2024-01-16' AS p
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT t, p, count(*) AS n, sum(y) AS s FROM b GROUP BY 1, 2),
+        |m AS (SELECT t, p, n, (1000000 * s) // n AS mm FROM c),
+        |agg AS (SELECT sum(n) AS n,
+        |    max(CASE WHEN t AND NOT p THEN mm END) AS m10,
+        |    max(CASE WHEN t AND p THEN mm END) AS m11,
+        |    max(CASE WHEN NOT t AND NOT p THEN mm END) AS m00,
+        |    max(CASE WHEN NOT t AND p THEN mm END) AS m01
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(m10 AS DOUBLE) / 1e6 AS mean_treat_pre,
+        |  CAST(m11 AS DOUBLE) / 1e6 AS mean_treat_post,
+        |  CAST(m00 AS DOUBLE) / 1e6 AS mean_ctrl_pre,
+        |  CAST(m01 AS DOUBLE) / 1e6 AS mean_ctrl_post,
+        |  CAST((m11 - m10) - (m01 - m00) AS DOUBLE) / 1e6 AS did
+        |FROM agg""".stripMargin,
+
+    // rank on the truncated integer cos² (ppt), ties by neighbor id; the
+    // reported cosine is one sqrt at the end
+    "q_item_cf" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |szs AS (SELECT bk, count(*) AS sz FROM bi GROUP BY bk),
+        |kept AS (SELECT bi.bk, bi.it FROM bi JOIN szs USING (bk)
+        |  WHERE sz <= 10),
+        |sup AS (SELECT it, count(*) AS sup FROM kept GROUP BY it),
+        |p0 AS (SELECT a.it AS ia, b.it AS ib, count(*) AS n_co
+        |  FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2),
+        |p1 AS (SELECT ia, ib, n_co FROM p0 WHERE n_co >= 2
+        |  UNION ALL SELECT ib, ia, n_co FROM p0 WHERE n_co >= 2),
+        |sc AS (SELECT ia, ib, n_co,
+        |    (1000000000000 * n_co * n_co) // (sa.sup * sb.sup) AS cos2
+        |  FROM p1 JOIN sup sa ON p1.ia = sa.it JOIN sup sb ON p1.ib = sb.it),
+        |r AS (SELECT ia, ib, n_co, cos2,
+        |    row_number() OVER (PARTITION BY ia
+        |      ORDER BY cos2 DESC, ib ASC) AS rnk
+        |  FROM sc)
+        |SELECT CAST(ia AS BIGINT) AS item, CAST(rnk AS BIGINT) AS rank,
+        |  CAST(ib AS BIGINT) AS neighbor, CAST(n_co AS BIGINT) AS n_co,
+        |  round(sqrt(CAST(cos2 AS DOUBLE) / 1e12), 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY item, rank""".stripMargin,
+
+    // same pair stream as q_bigram_score; the KN estimate is one exact
+    // rational (D=3/4 cleared through the 4x denominator)
+    "q_kneser_ney" ->
+      s"""WITH t0 AS (SELECT doc_id AS doc, $sqlTokens AS tk FROM documents),
+         |toks AS (SELECT doc, tk FROM t0 WHERE len(tk) >= 2),
+         |p AS (SELECT doc, b.w1 AS w1, b.w2 AS w2 FROM (
+         |  SELECT doc, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b FROM toks)),
+         |c AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+         |l AS (SELECT w1, sum(c12) AS c1, count(*) AS nf FROM c GROUP BY w1),
+         |r AS (SELECT w2 AS w2r, count(*) AS nc FROM c GROUP BY w2),
+         |ty AS (SELECT count(*) AS nt FROM c)
+         |SELECT c.w1, c.w2, CAST(c12 AS BIGINT) AS c12,
+         |  round(CAST(greatest(4*c12 - 3, 0) * nt + 3 * nf * nc AS DOUBLE) /
+         |    CAST(4 * c1 * nt AS DOUBLE), 6) + 0.0 AS p_kn
+         |FROM c JOIN l USING (w1) JOIN r ON c.w2 = r.w2r CROSS JOIN ty
+         |WHERE c12 >= 25
+         |ORDER BY w1, w2""".stripMargin,
 
     // count(DISTINCT) ignores NULLs on both engines; the max(IS NULL) term
     // restores "unknown is a value of its own" identically

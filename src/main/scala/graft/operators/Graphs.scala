@@ -456,6 +456,62 @@ object Graphs {
           .cast("long").as("lift_bp"))
   }
 
+  /** Item-item collaborative filtering — top-k neighbors per item by
+    * co-occurrence COSINE n_co/√(sup_a·sup_b) (Sarwar et al. 2001), the
+    * recommendation readout over the same basket relation [[coOccurrence]]
+    * mines for lift: lift finds surprising pairs, cosine ranks SIMILAR
+    * items for "users also bought". Ranking happens on the truncated
+    * integer cos² in parts-per-trillion (`div`, engine-identical — a
+    * double cosine's ulps must never decide a rank), ties broken by
+    * neighbor id; the reported cosine is one √ at the end.
+    *
+    * Scale shape: [[coOccurrence]]'s shape — basket-size gate caps the
+    * pairing self-join fan-out at maxBasketSize² per basket, supports
+    * attach by broadcast, and the top-k window partitions by item (never a
+    * global sort). The union doubling pairs to both directions stays at
+    * pair grain. */
+  def itemItemCf(baskets: DataFrame, basketCol: String, itemCol: String,
+                 maxBasketSize: Int = 100, minCount: Long = 2,
+                 k: Int = 5): DataFrame = {
+    require(maxBasketSize >= 2 && minCount >= 1 && k >= 1,
+      s"maxBasketSize=$maxBasketSize minCount=$minCount k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+    val bi = baskets.select(col(basketCol).as("bk"),
+      col(itemCol).cast("long").as("it")).distinct()
+    val kept = bi
+      .withColumn("__sz", count(lit(1)).over(w.partitionBy("bk")))
+      .filter(col("__sz") <= maxBasketSize)
+      .drop("__sz")
+      // returned plan reads this from support + both pairing sides —
+      // caller-owned cache
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val support = kept.groupBy(col("it")).agg(count(lit(1)).as("__sup"))
+    val pairs = kept.select(col("bk"), col("it").as("item_a"))
+      .join(kept.select(col("bk"), col("it").as("item_b")), "bk")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCount)
+    val both = pairs.unionByName(pairs.select(col("item_b").as("item_a"),
+      col("item_a").as("item_b"), col("n_co")))
+    val scored = both
+      .join(broadcast(support.select(col("it").as("item_a"),
+        col("__sup").as("__sa"))), "item_a")
+      .join(broadcast(support.select(col("it").as("item_b"),
+        col("__sup").as("__sb"))), "item_b")
+      // decimal-first: 1e12·n_co² overflows a LONG exactly on the popular
+      // pairs that head every neighbor list
+      .withColumn("__cos2",
+        expr("(1000000000000 * CAST(n_co AS DECIMAL(38,0)) * n_co)" +
+          " div (CAST(__sa AS DECIMAL(38,0)) * __sb)"))
+    scored
+      .withColumn("rank", row_number().over(w.partitionBy("item_a")
+        .orderBy(col("__cos2").desc, col("item_b").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item_a").as("item"), col("rank"),
+        col("item_b").as("neighbor"), col("n_co"),
+        round(sqrt(col("__cos2").cast("double") / 1e12), 4).as("cosine"))
+  }
+
   /** Multi-source BFS hop distance with a FIXED round count: every node
     * reachable from the seed set within `rounds` hops gets its exact
     * minimum hop count; nodes further away are absent (the fixed-horizon

@@ -1135,6 +1135,41 @@ object RelationalOps {
         (col("n_violating") === 0L).as("holds"))
   }
 
+  /** INCLUSION-DEPENDENCY profile — the cross-table companion of
+    * [[fdProfile]] (Bauckmann et al.'s SPIDER problem, profiled not
+    * discovered: callers name candidate column pairs, the profile measures
+    * them): for each candidate lhs ⊆ rhs, the count of DISTINCT lhs values,
+    * how many appear in rhs, the floored-ppm containment, and the pass
+    * flag — the referential-integrity audit run before trusting a join key
+    * (a 0.98-containment "foreign key" silently drops 2% of facts in every
+    * downstream inner join). NULLs are excluded on both sides (SQL
+    * foreign-key semantics: NULL references nothing).
+    *
+    * Scale shape: per candidate, two distinct projections (map-side
+    * combinable to the value domain) and ONE left join on the value —
+    * value-domain-sized relations only; the candidate results union into a
+    * |candidates|-row report. Values compare as strings so cross-type
+    * candidates (bigint key ⊆ varchar key) behave identically on any
+    * engine. */
+  def inclusionProfile(
+      candidates: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(candidates.nonEmpty, "inclusion candidates required")
+    candidates.map { case (name, lhs, lcol, rhs, rcol) =>
+      val l = lhs.select(col(lcol).cast("string").as("__v"))
+        .filter(col("__v").isNotNull).distinct()
+      val r = rhs.select(col(rcol).cast("string").as("__v"))
+        .filter(col("__v").isNotNull).distinct()
+        .withColumn("__hit", lit(1L))
+      l.join(r, Seq("__v"), "left")
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_contained"))
+        .select(lit(name).as("ind"), col("n_lhs"), col("n_contained"),
+          expr("(1000000 * n_contained) div n_lhs").as("containment_ppm"),
+          (col("n_contained") === col("n_lhs")).as("ind_ok"))
+    }.reduce(_.unionByName(_)).orderBy("ind")
+  }
+
   /** MANN–WHITNEY U rank-sum test (two-sided normal approximation with
     * tie-corrected variance) — the nonparametric sibling of the
     * experiment-eval family: does the `flag` group's value distribution

@@ -168,6 +168,90 @@ object Stats {
           .as("h"))
   }
 
+  /** Mutual information between two categorical columns, plus the
+    * sqrt-normalized NMI — the model-free association screen (feature
+    * selection, leakage detection: a feature with high MI against the
+    * label of a held-out split leaks). Counts are exact integers; each
+    * cell's contribution c·ln(n·c/(c_a·c_b)) is ONE double expression over
+    * exact integers floored to nano units (floor of a bit-identical double
+    * is bit-identical), so the cross-cell sum is an exact long sum —
+    * order-invariant where a double Σ would depend on partitioning. The
+    * entropies for NMI ride the same floored-nano lane. Returns one row
+    * (n, n_cells, mi_nats, nmi).
+    *
+    * Scale shape: one (a,b) cell agg (map-side combinable), two marginal
+    * aggs OF THE CELLS (cell-grain, not corpus), one 1-row broadcast —
+    * the corpus is scanned once. Nano floor error: ≤ cells·1e-9/n in MI. */
+  def mutualInfo(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val base = df.select(aCol.cast("string").as("__a"),
+        bCol.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = base.groupBy("__a", "__b").agg(count(lit(1)).as("__cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ma = cells.groupBy("__a").agg(sum(col("__cab")).as("__ca"))
+    val mb = cells.groupBy("__b").agg(sum(col("__cab")).as("__cb"))
+    val tot = cells.agg(sum(col("__cab")).cast("long").as("__n"))
+    def nano(x: Column): Column = floor(x * lit(1e9)).cast("long")
+    val joined = cells.join(ma, "__a").join(mb, "__b")
+      .crossJoin(broadcast(tot))
+    val haNano = ma.crossJoin(broadcast(tot))
+      .agg(sum(nano(col("__ca").cast("double") *
+        log(col("__n").cast("double") / col("__ca").cast("double"))))
+        .as("__ha"))
+    val hbNano = mb.crossJoin(broadcast(tot))
+      .agg(sum(nano(col("__cb").cast("double") *
+        log(col("__n").cast("double") / col("__cb").cast("double"))))
+        .as("__hb"))
+    joined
+      .agg(max(col("__n")).as("__n"), count(lit(1)).as("n_cells"),
+        sum(nano(col("__cab").cast("double") *
+          log(col("__n").cast("double") * col("__cab").cast("double") /
+            (col("__ca").cast("double") * col("__cb").cast("double")))))
+          .as("__mi"))
+      .crossJoin(broadcast(haNano)).crossJoin(broadcast(hbNano))
+      .select(col("__n").as("n"), col("n_cells"),
+        // +0.0 normalizes the -0.0 a floored near-zero MI can round to
+        (round(col("__mi").cast("double") /
+          (lit(1e9) * col("__n").cast("double")), 6) + lit(0.0)).as("mi_nats"),
+        // the 1e9·n scale cancels: MI/√(Ha·Hb) = __mi/√(__ha·__hb)
+        when(expr("__ha <= 0 OR __hb <= 0"), lit(null).cast("double"))
+          .otherwise(round(col("__mi").cast("double") /
+            sqrt(col("__ha").cast("double") * col("__hb").cast("double")),
+            6) + lit(0.0))
+          .as("nmi"))
+  }
+
+  /** Difference-in-differences — the pre/post × treat/control 2×2 that
+    * turns "the metric moved after launch" into "the metric moved MORE for
+    * the treated" (parallel-trends causal readout; the additive sibling of
+    * [[RelationalOps]]' CUPED regression adjustment). Four cell means in
+    * micro units (one `div` each, engine-identical); the DiD contrast is
+    * exact long arithmetic over them. Returns one row with the four means
+    * and `did`. One map-side-combinable 4-cell aggregate — single corpus
+    * scan, no shuffle beyond the 4-row reduce. */
+  def diffInDiff(df: DataFrame, valueQ: Column, treated: Column,
+                 post: Column): DataFrame = {
+    val base = df.select(valueQ.cast("long").as("__y"),
+        treated.cast("boolean").as("__t"), post.cast("boolean").as("__p"))
+      .filter(col("__y").isNotNull && col("__t").isNotNull &&
+        col("__p").isNotNull)
+    val cells = base.groupBy("__t", "__p")
+      .agg(count(lit(1)).as("__n"), sum(col("__y").cast(d38)).as("__s"))
+      .withColumn("__m", expr("(1000000 * __s) div __n"))
+    cells.agg(sum(col("__n")).as("n"),
+        max(when(col("__t") && !col("__p"), col("__m"))).as("__m10"),
+        max(when(col("__t") && col("__p"), col("__m"))).as("__m11"),
+        max(when(!col("__t") && !col("__p"), col("__m"))).as("__m00"),
+        max(when(!col("__t") && col("__p"), col("__m"))).as("__m01"))
+      .select(col("n"),
+        (col("__m10") / 1e6).as("mean_treat_pre"),
+        (col("__m11") / 1e6).as("mean_treat_post"),
+        (col("__m00") / 1e6).as("mean_ctrl_pre"),
+        (col("__m01") / 1e6).as("mean_ctrl_post"),
+        (((col("__m11") - col("__m10")) - (col("__m01") - col("__m00"))) /
+          1e6).as("did"))
+  }
+
   /** Brier-score decomposition (Murphy 1973) over a basis-point score —
     * the scalar companion to [[RelationalOps]]' calibration panel: total
     * Brier = reliability − resolution + uncertainty (up to binning), so a

@@ -334,6 +334,52 @@ object TextAnalysis {
         (round(log(col("cnt") / col("c1")), 4) + lit(0.0)).as("cond_lp"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
+    * Chen & Goodman's interpolated form) — the smoothing that separates a
+    * production n-gram LM from [[bigramCondLogProb]]'s raw MLE: mass
+    * discounted from seen bigrams is redistributed by CONTINUATION counts
+    * (how many contexts a word follows, not how often), fixing the
+    * "san Francisco" pathology where raw frequency overrates a word glued
+    * to one context. Discount D = 3/4, so clearing denominators by 4
+    * makes the whole estimate ONE exact rational:
+    * p_kn = [max(4·c12−3, 0)·N_types + 3·N1+(w1·)·N1+(·w2)] /
+    * (4·c1·N_types) — integer numerator and denominator accumulated in
+    * decimal(38,0), one double division, rounded. Per-context mass is
+    * conserved exactly: Σ_w2 p_kn(w2|w1) = 1.
+    *
+    * `minPairCount` truncates the REPORTED vocabulary only (the
+    * [[bigramCondLogProb]] convention: applied after all totals, so
+    * truncation never changes a probability).
+    *
+    * Scale shape: one corpus-sized pair agg, then three aggregates OF the
+    * Zipf-small bigram relation (context totals, continuation counts, the
+    * 1-row type total); joins on w1/w2 at model grain, never corpus. */
+  def kneserNeyBigram(docs: DataFrame, textCol: String,
+                      minPairCount: Long = 1L): DataFrame = {
+    val toks = lmTokens(docs, textCol)
+    val bi = toks.select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] as w1, tk[i+1] as w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // scanned by the context/continuation/type aggs and the result —
+      // caller-owned cache per the file convention
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = cnt.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("nf"))
+    val cont = cnt.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val types = cnt.agg(count(lit(1)).cast("long").as("nt"))
+    cnt.filter(col("c12") >= minPairCount)
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        (round(
+          expr("CAST(greatest(4*c12 - 3, 0) AS DECIMAL(38,0)) * nt" +
+            " + 3 * CAST(nf AS DECIMAL(38,0)) * nc").cast("double") /
+          expr("4 * CAST(c1 AS DECIMAL(38,0)) * nt").cast("double"), 6)
+          + lit(0.0)).as("p_kn"))
+  }
+
   /** Per-document bigram log-probability under the corpus model — the
     * LM-perplexity quality filter (the CCNet recipe: score every document
     * under a reference LM and cut the tail). [[bigramCondLogProb]] is the

@@ -357,4 +357,22 @@ class GraphsSpec extends SparkSpec {
       .filter(_._2 >= 2L).toMap
     assert(out == brute, s"engine: $out\nbrute: $brute")
   }
+
+  test("itemItemCf: cosine ranks and exact integer tiebreak") {
+    import spark.implicits._
+    val bi = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 1L), (4L, 2L)).toDF("bk", "it")
+    val out = Graphs.itemItemCf(bi, "bk", "it", maxBasketSize = 10,
+        minCount = 2, k = 2)
+      .orderBy("item", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // sup: 1->3, 2->4, 3->2; pairs: (1,2)=3, (2,3)=2; (1,3)=1 cut
+    // cos(1,2)=3/sqrt(12)=0.8660, cos(2,3)=2/sqrt(8)=0.7071
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 3L, 0.866),
+      (2L, 1L, 1L, 3L, 0.866),
+      (2L, 2L, 3L, 2L, 0.7071),
+      (3L, 1L, 2L, 2L, 0.7071)), out.toSeq.toString)
+  }
 }

@@ -1109,4 +1109,17 @@ class RelationalOpsSpec extends SparkSpec {
       .agg(sum("n_reported")).collect()(0).getLong(0)
     assert(n == 500L, s"junk category must be excluded, got n=$n")
   }
+
+  test("inclusionProfile: containment ppm and the pass flag") {
+    import spark.implicits._
+    val l = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val r = Seq(1L, 2L).toDF("k")
+    val out = RelationalOps.inclusionProfile(Seq(
+        ("l<r", l, "k", r, "k"), ("r<l", r, "k", l, "k")))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("l<r", 3L, 2L, 666666L, false),
+      ("r<l", 2L, 2L, 1000000L, true)), out.toSeq.toString)
+  }
 }

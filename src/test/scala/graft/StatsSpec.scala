@@ -120,6 +120,37 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3)) < 1e-9, r.toString)
   }
 
+  test("mutualInfo: identical columns give NMI exactly 1, independent " +
+      "columns give MI 0") {
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val r1 = graft.operators.Stats.mutualInfo(dep, col("a"), col("b"))
+      .collect()(0)
+    // MI = H(a) = ln 2; the floored-nano lanes are equal term-by-term
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == 0.693147 && r1.getDouble(3) == 1.0, r1.toString)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r2 = graft.operators.Stats.mutualInfo(ind, col("a"), col("b"))
+      .collect()(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0, r2.toString)
+  }
+
+  test("diffInDiff: hand 2x2 fixture") {
+    val rows =
+      Seq((10L, false, false), (20L, false, false),   // ctrl pre  m=15
+          (20L, false, true), (30L, false, true),     // ctrl post m=25
+          (10L, true, false), (30L, true, false),     // treat pre m=20
+          (40L, true, true), (60L, true, true))       // treat post m=50
+    val r = graft.operators.Stats.diffInDiff(rows.toDF("y", "t", "p"),
+      col("y"), col("t"), col("p")).collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == 20.0 && r.getDouble(2) == 50.0, r.toString)
+    assert(r.getDouble(3) == 15.0 && r.getDouble(4) == 25.0, r.toString)
+    // (50−20) − (25−15)
+    assert(r.getDouble(5) == 20.0, r.toString)
+  }
+
   test("anovaF: zero within-group variance yields NULL F") {
     val df = (Seq(2L, 2L).map(("a", _)) ++ Seq(5L, 5L).map(("b", _)))
       .toDF("g", "v")

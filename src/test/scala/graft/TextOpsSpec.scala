@@ -733,4 +733,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out("g1") == ((4L, 3L, 2L, 1L, 5L, 5000L)), s"g1: ${out("g1")}")
     assert(out("g2") == ((2L, 2L, 2L, 0L, 3L, 10000L)), s"g2: ${out("g2")}")
   }
+
+  test("kneserNeyBigram: exact rationals, per-context mass sums to 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyBigram(docs, "text")
+      .orderBy("w1", "w2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // c12(a,b)=2, c12(a,c)=1; c1=3, nf(a)=2, nc(b)=nc(c)=1, nt=2
+    // p(b|a) = (max(8-3,0)*2 + 3*2*1)/(4*3*2) = 16/24; p(c|a) = 8/24
+    assert(out.toSeq == Seq(("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333)),
+      out.toSeq.toString)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
+  }
 }
