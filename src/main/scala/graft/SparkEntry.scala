@@ -2408,6 +2408,31 @@ object SparkEntry {
       Stats.kendallTauB(nat, "nk", col("bal"), col("cnt"))
     }),
 
+    // ---- Cramér's V over the q_chi2 framing — the [0,1] effect size
+    // that makes chi2 comparable across table sizes ----
+    "q_cramers_v" -> ((s, d) => {
+      Stats.cramersV(
+        t(s, d, "events").withColumn("isodow",
+          (weekday(col("ts")) + 1).cast("long")),
+        "event_type", "isodow")
+    }),
+
+    // ---- robust trend: Theil–Sen slope of daily revenue — the pair
+    // panel is calendar-grain (days²), data-independent at any SF ----
+    "q_theil_sen" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      Stats.theilSen(daily, col("day"), col("rev"))
+    }),
+
+    // ---- graph: degree assortativity of the nation trade graph — do
+    // hub nations trade with hubs (positive) or spokes (negative)? ----
+    "q_assortativity" -> ((s, d) => {
+      Graphs.assortativity(nationTradeEdges(s, d), "u", "v")
+    }),
+
     // ---- profiling: inclusion dependencies across the star schema —
     // the referential-integrity audit before trusting a join key (the
     // cross-table companion of q_func_deps; two planted non-keys) ----
@@ -2451,6 +2476,14 @@ object SparkEntry {
           t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey", maxBasketSize = 10, minCount = 2, k = 5)
         .orderBy("item", "rank")
+    }),
+
+    // ---- curation: Jensen–Shannon divergence of each source's unigram
+    // distribution vs the rest — the training-mix outlier panel (absent
+    // words fold in closed form; no source×vocab cross join) ----
+    "q_js_sources" -> ((s, d) => {
+      TextAnalysis.sourceJsDivergence(t(s, d, "documents"), "text", "source")
+        .orderBy("source")
     }),
 
     // ---- LM: interpolated Kneser–Ney bigram probabilities — one exact
@@ -5799,6 +5832,87 @@ object SparkEntry {
         |      + 0.0 END AS tau_b
         |FROM agg""".stripMargin,
 
+    // q_chi2's grid + the V effect size; identical micro-truncated chi
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT event_type AS x, isodow(ts) AS y, count(*) AS o
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT y, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT ra.r, cb.c, coalesce(cells.o, 0) AS o
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON cells.x = ra.x AND cells.y = cb.y),
+        |s AS (SELECT sum(
+        |    (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * 1000000 // (CAST(r AS HUGEINT) * c * n)) AS chi
+        |  FROM grid, tot),
+        |k AS (SELECT (SELECT count(*) FROM ra) AS ka,
+        |    (SELECT count(*) FROM cb) AS kb)
+        |SELECT (SELECT n FROM tot) AS n,
+        |  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+        |  round(CAST(coalesce(chi, 0) AS DOUBLE) / 1e6, 4) + 0.0 AS chi2,
+        |  CASE WHEN (SELECT n FROM tot) = 0 OR least(ka, kb) <= 1 THEN NULL
+        |    ELSE round(sqrt(CAST(coalesce(chi, 0) AS DOUBLE) / 1e6 /
+        |      (CAST((SELECT n FROM tot) AS DOUBLE) *
+        |       CAST(least(ka, kb) - 1 AS DOUBLE))), 4) + 0.0
+        |    END AS cramers_v
+        |FROM s, k""".stripMargin,
+
+    // explicit middle-of-the-sorted-run medians on both engines — no
+    // engine quantile interpolation in the contract
+    "q_theil_sen" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS x,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |    AS s
+        |  FROM d a JOIN d b ON a.x < b.x),
+        |ms AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM p),
+        |cs AS (SELECT count(*) AS m FROM p),
+        |sl AS (SELECT avg(s) AS sl, max(m) AS n_slopes FROM ms, cs
+        |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1),
+        |xs AS (SELECT CAST(x AS DOUBLE) AS xd,
+        |    row_number() OVER (ORDER BY x) AS rn FROM d),
+        |cx AS (SELECT count(*) AS m FROM d),
+        |mx AS (SELECT avg(xd) AS mx FROM xs, cx
+        |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1),
+        |ys AS (SELECT CAST(y AS DOUBLE) AS yd,
+        |    row_number() OVER (ORDER BY y) AS rn FROM d),
+        |my AS (SELECT avg(yd) AS my FROM ys, cx
+        |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,
+        |  CAST(n_slopes AS BIGINT) AS n_slopes,
+        |  round(sl, 6) + 0.0 AS slope,
+        |  round(my - sl * mx, 4) + 0.0 AS intercept
+        |FROM sl, mx, my""".stripMargin,
+
+    // three exact sums over the doubled edge list; Pearson's shift
+    // invariance makes plain degrees equal Newman's remaining degrees
+    "q_assortativity" -> {
+      s"""WITH $nationTradeEdgesCtes,
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM kept UNION ALL SELECT v FROM kept)
+         |  GROUP BY node),
+         |dir AS (SELECT u, v FROM kept
+         |  UNION ALL SELECT v AS u, u AS v FROM kept),
+         |j AS (SELECT du.deg AS jj, dv.deg AS kk FROM dir
+         |  JOIN deg du ON dir.u = du.node JOIN deg dv ON dir.v = dv.node),
+         |agg AS (SELECT count(*) AS m,
+         |    sum(CAST(jj AS HUGEINT) * kk) AS s1,
+         |    sum(CAST(jj AS HUGEINT)) AS se,
+         |    sum(CAST(jj AS HUGEINT) * jj) AS ss FROM j)
+         |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN m * ss - se * se = 0 THEN NULL
+         |    ELSE round(CAST(m * s1 - se * se AS DOUBLE) /
+         |      CAST(m * ss - se * se AS DOUBLE), 4) + 0.0
+         |    END AS assortativity
+         |FROM agg""".stripMargin
+    },
+
     // one arm per candidate: distinct lhs values left-joined to distinct
     // rhs values, string-compared on both engines
     "q_inclusion_deps" -> {
@@ -5912,6 +6026,42 @@ object SparkEntry {
         |  CAST(ib AS BIGINT) AS neighbor, CAST(n_co AS BIGINT) AS n_co,
         |  round(sqrt(CAST(cos2 AS DOUBLE) / 1e12), 4) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY item, rank""".stripMargin,
+
+    // identical per-word nano floor; the absent-word mass is the closed
+    // form (B − Σ present b)·ln2/2B on both engines
+    "q_js_sources" ->
+      s"""WITH w AS (SELECT source AS src, unnest($sqlTokens) AS word
+         |  FROM documents),
+         |w2 AS (SELECT src, word FROM w WHERE word <> ''),
+         |sw AS (SELECT src, word, count(*) AS a FROM w2 GROUP BY 1, 2),
+         |ct AS (SELECT word, sum(a) AS c FROM sw GROUP BY word),
+         |ps AS (SELECT src, CAST(sum(a) AS BIGINT) AS sa FROM sw
+         |  GROUP BY src),
+         |nn AS (SELECT CAST(sum(sa) AS BIGINT) AS n FROM ps),
+         |t AS (SELECT sw.src, sw.a, ct.c - sw.a AS b, ps.sa,
+         |    nn.n - ps.sa AS bb
+         |  FROM sw JOIN ct USING (word) JOIN ps ON sw.src = ps.src
+         |  CROSS JOIN nn),
+         |tn AS (SELECT src, sa, bb, count(*) AS n_types,
+         |    sum(CAST(floor(1e9 * (
+         |      CAST(a AS DOUBLE) / (2 * CAST(sa AS DOUBLE)) *
+         |        ln(2 * CAST(a AS DOUBLE) * CAST(bb AS DOUBLE) /
+         |           (CAST(a AS DOUBLE) * CAST(bb AS DOUBLE)
+         |            + CAST(b AS DOUBLE) * CAST(sa AS DOUBLE)))
+         |      + CASE WHEN b > 0
+         |          THEN CAST(b AS DOUBLE) / (2 * CAST(bb AS DOUBLE)) *
+         |            ln(2 * CAST(b AS DOUBLE) * CAST(sa AS DOUBLE) /
+         |               (CAST(a AS DOUBLE) * CAST(bb AS DOUBLE)
+         |                + CAST(b AS DOUBLE) * CAST(sa AS DOUBLE)))
+         |          ELSE 0 END)) AS BIGINT)) AS tsum,
+         |    sum(b) AS sb
+         |  FROM t GROUP BY 1, 2, 3)
+         |SELECT src AS source, sa AS n_words,
+         |  CAST(n_types AS BIGINT) AS n_types,
+         |  round(CAST(tsum AS DOUBLE) / 1e9 +
+         |    CAST(bb - sb AS DOUBLE) * ln(2.0) /
+         |      (2.0 * CAST(bb AS DOUBLE)), 6) + 0.0 AS jsd
+         |FROM tn ORDER BY source""".stripMargin,
 
     // same pair stream as q_bigram_score; the KN estimate is one exact
     // rational (D=3/4 cleared through the 4x denominator)

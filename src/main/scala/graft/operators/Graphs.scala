@@ -456,6 +456,53 @@ object Graphs {
           .cast("long").as("lift_bp"))
   }
 
+  /** Degree assortativity (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the edge list: positive = hubs link to hubs
+    * (social nets), negative = hubs link to leaves (the hub-and-spoke
+    * shape recommendation graphs degrade into when one bestseller
+    * co-occurs with everything). Pearson is shift-invariant, so plain
+    * degrees equal Newman's remaining-degree form exactly. Each
+    * undirected edge contributes both orientations (the standard
+    * computation), making Σj = Σk and Σj² = Σk² structurally — three
+    * exact decimal(38,0) sums, one double expression:
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²). Returns one row
+    * (n_edges, r). Null on degree-regular graphs (zero variance).
+    *
+    * Scale shape: canonical-edge distinct, a nodes-grain degree agg
+    * attached by broadcast, ONE edges-grain aggregate — no self-join. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val raw = edges.select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      // scanned by the degree agg and both orientations — caller-owned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dir = raw.select(col("u"), col("v"))
+      .unionByName(raw.select(col("v").as("u"), col("u").as("v")))
+    dir
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("__j"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("__k"))),
+        "v")
+      .agg(count(lit(1)).as("__m"),
+        sum((col("__j").cast(d38) * col("__k")).cast(d38)).as("__s1"),
+        sum(col("__j").cast(d38)).as("__se"),
+        sum((col("__j").cast(d38) * col("__j")).cast(d38)).as("__ss"))
+      .select(expr("__m div 2").as("n_edges"),
+        when(expr("__m * __ss - __se * __se = 0"), lit(null).cast("double"))
+          .otherwise(round(
+            expr("CAST(__m * __s1 - __se * __se AS DOUBLE)") /
+            expr("CAST(__m * __ss - __se * __se AS DOUBLE)"), 4) + lit(0.0))
+          .as("assortativity"))
+  }
+
   /** Item-item collaborative filtering — top-k neighbors per item by
     * co-occurrence COSINE n_co/√(sup_a·sup_b) (Sarwar et al. 2001), the
     * recommendation readout over the same basket relation [[coOccurrence]]

@@ -168,6 +168,76 @@ object Stats {
           .as("h"))
   }
 
+  /** Cramér's V — the [0,1] effect size for [[RelationalOps.chiSquare]]'s
+    * independence statistic: V = √(χ²/(n·(min(k_a,k_b)−1))), comparable
+    * across tables of any size where raw χ² is not (χ² grows with n even
+    * at fixed association — the "everything is significant at 1e12 rows"
+    * trap). Rides the chiSquare kernel unchanged (exact integer cells,
+    * per-cell micro truncation); V is one double expression over
+    * chi2_micro and the two exact cardinalities. Null when either margin
+    * is constant (V undefined). */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val ks = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .agg(countDistinct(col(colA)).as("__ka"),
+        countDistinct(col(colB)).as("__kb"))
+    RelationalOps.chiSquare(df, colA, colB)
+      .crossJoin(broadcast(ks))
+      .select(col("n"), col("dof"),
+        (round(col("chi2_micro") / 1e6, 4) + lit(0.0)).as("chi2"),
+        when(expr("n = 0 OR least(__ka, __kb) <= 1"),
+            lit(null).cast("double"))
+          .otherwise(round(sqrt(col("chi2_micro").cast("double") / 1e6 /
+            (col("n").cast("double") *
+              (least(col("__ka"), col("__kb")) - 1).cast("double"))), 4)
+            + lit(0.0))
+          .as("cramers_v"))
+  }
+
+  /** Theil–Sen robust trend — the median of all pairwise slopes over a
+    * BOUNDED panel (caller contract: a value-domain or calendar-grain
+    * aggregate, like [[kendallTauB]]'s; the all-pairs kernel is quadratic
+    * in the PANEL, which a calendar grain keeps data-independent). Breaks
+    * down only past 29% outliers where OLS breaks at one — the trend line
+    * for metrics with spikes. Slopes are exact-integer differences divided
+    * once in double; the median is selected EXPLICITLY (row_number against
+    * the pair count, averaging the two middles when even) — no engine
+    * quantile whose interpolation arithmetic might differ by an ulp.
+    * Intercept is the Conover variant median(y) − slope·median(x), same
+    * explicit selection. Returns one row (n, n_slopes, slope, intercept).
+    */
+  def theilSen(df: DataFrame, xQ: Column, yQ: Column): DataFrame = {
+    val b = df.select(xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // explicit middle-of-the-sorted-run median; single-partition sorts are
+    // panel-bounded by the caller contract
+    def median1(vals: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(v))
+      val cnt = vals.agg(count(lit(1)).as("__m"))
+      vals.withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(cnt))
+        .filter(col("__rn") === expr("(__m + 1) div 2") ||
+          col("__rn") === expr("__m div 2 + 1"))
+        .agg(avg(col(v)).as(out), max(col("__m")).as(s"${out}_n"))
+    }
+    val slopes = b.join(
+        broadcast(b.select(col("__x").as("__x2"), col("__y").as("__y2"))),
+        col("__x") < col("__x2"))
+      .select(((col("__y2") - col("__y")).cast("double") /
+        (col("__x2") - col("__x")).cast("double")).as("__s"))
+    val medS = median1(slopes, "__s", "__sl")
+    val medX = median1(b.select(col("__x").cast("double").as("__xd")),
+      "__xd", "__mx")
+    val medY = median1(b.select(col("__y").cast("double").as("__yd")),
+      "__yd", "__my")
+    val n = b.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(medS)).crossJoin(broadcast(medX))
+      .crossJoin(broadcast(medY))
+      .select(col("n"), col("__sl_n").as("n_slopes"),
+        (round(col("__sl"), 6) + lit(0.0)).as("slope"),
+        (round(col("__my") - col("__sl") * col("__mx"), 4) + lit(0.0))
+          .as("intercept"))
+  }
+
   /** Mutual information between two categorical columns, plus the
     * sqrt-normalized NMI — the model-free association screen (feature
     * selection, leakage detection: a feature with high MI against the

@@ -334,6 +334,68 @@ object TextAnalysis {
         (round(log(col("cnt") / col("c1")), 4) + lit(0.0)).as("cond_lp"))
   }
 
+  /** Per-source Jensen–Shannon divergence against the REST of the corpus —
+    * the symmetric, [0, ln 2]-bounded corpus-similarity readout training-mix
+    * curation reads to spot outlier sources (KL is infinite on any
+    * vocabulary gap; JSD is not, which is why mixture work uses it).
+    * P = the source's unigram distribution, Q = everything else's;
+    * JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2.
+    *
+    * Exactness: per shared word, the term is ONE double expression over
+    * exact counts floored to nano units (the [[graft.operators.Stats]]
+    * mutualInfo lane) so the cross-word sum is an exact long sum. Words
+    * ABSENT from the source contribute (b/2B)·ln 2 each — a closed form,
+    * so their total is (B − Σ_present b)·ln 2 / 2B computed from exact
+    * sums: no source×vocabulary cross join ever materializes (the
+    * scale-critical trick; a 20-source corpus with a 1e8-type vocabulary
+    * would otherwise build 2e9 rows of zeros).
+    *
+    * Scale shape: one (source, word) agg (map-side combinable), one
+    * vocabulary-grain total, one source-grain total, a 1-row broadcast;
+    * the join back runs at (source, word) grain — present pairs only. */
+  def sourceJsDivergence(docs: DataFrame, textCol: String,
+                         srcCol: String): DataFrame = {
+    val words = docs.select(col(srcCol).as("src"),
+        explode(graft.expressions.Exprs.wordShingles(col(textCol), 1))
+          .as("word"))
+      .filter(col("word") =!= "")
+    val perSW = words.groupBy("src", "word").agg(count(lit(1)).as("__a"))
+      // scanned by the word totals, the source totals, and the term join —
+      // caller-owned cache per the file convention
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perSW.groupBy("word").agg(sum("__a").as("__ct"))
+    val perS = perSW.groupBy("src").agg(sum("__a").as("__sa"))
+    val n = perS.agg(sum("__sa").cast("long").as("__n"))
+    // the term text is SHARED with the oracle twin builder modulo casts —
+    // identical operand order keeps the doubles bit-identical
+    val termNano =
+      """CAST(floor(1e9 * (
+        |  CAST(__a AS DOUBLE) / (2 * CAST(__sa AS DOUBLE)) *
+        |    ln(2 * CAST(__a AS DOUBLE) * CAST(__bb AS DOUBLE) /
+        |       (CAST(__a AS DOUBLE) * CAST(__bb AS DOUBLE)
+        |        + CAST(__b AS DOUBLE) * CAST(__sa AS DOUBLE)))
+        |  + CASE WHEN __b > 0
+        |      THEN CAST(__b AS DOUBLE) / (2 * CAST(__bb AS DOUBLE)) *
+        |        ln(2 * CAST(__b AS DOUBLE) * CAST(__sa AS DOUBLE) /
+        |           (CAST(__a AS DOUBLE) * CAST(__bb AS DOUBLE)
+        |            + CAST(__b AS DOUBLE) * CAST(__sa AS DOUBLE)))
+        |      ELSE 0 END)) AS BIGINT)""".stripMargin
+    perSW.join(tot, "word").join(perS, "src").crossJoin(broadcast(n))
+      .withColumn("__b", col("__ct") - col("__a"))
+      .withColumn("__bb", col("__n") - col("__sa"))
+      .groupBy("src")
+      .agg(max(col("__sa")).as("__sa"), max(col("__bb")).as("__bb"),
+        count(lit(1)).as("n_types"),
+        sum(expr(termNano)).as("__t"),
+        sum(col("__b").cast("decimal(38,0)")).as("__sb"))
+      .select(col("src").as("source"), col("__sa").as("n_words"),
+        col("n_types"),
+        (round(col("__t").cast("double") / lit(1e9) +
+          (col("__bb") - col("__sb")).cast("double") * log(lit(2.0)) /
+            (lit(2.0) * col("__bb").cast("double")), 6) + lit(0.0))
+          .as("jsd"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
     * Chen & Goodman's interpolated form) — the smoothing that separates a
     * production n-gram LM from [[bigramCondLogProb]]'s raw MLE: mass

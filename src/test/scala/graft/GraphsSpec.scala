@@ -375,4 +375,14 @@ class GraphsSpec extends SparkSpec {
       (2L, 2L, 3L, 2L, 0.7071),
       (3L, 1L, 2L, 2L, 0.7071)), out.toSeq.toString)
   }
+
+  test("assortativity: a star is exactly -1; a regular graph is NULL") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r1 = Graphs.assortativity(star, "a", "b").collect()(0)
+    assert(r1.getLong(0) == 3L && r1.getDouble(1) == -1.0, r1.toString)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val r2 = Graphs.assortativity(tri, "a", "b").collect()(0)
+    assert(r2.getLong(0) == 3L && r2.isNullAt(1), r2.toString)
+  }
 }

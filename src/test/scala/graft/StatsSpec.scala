@@ -157,4 +157,40 @@ class StatsSpec extends SparkSpec {
     val r = Stats.anovaF(df, col("v"), "g").collect()(0)
     assert(r.isNullAt(2), r.toString)
   }
+
+  test("cramersV: perfect association is 1, independence is 0") {
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val r1 = graft.operators.Stats.cramersV(dep, "a", "b").collect()(0)
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 1L)
+    assert(r1.getDouble(2) == 4.0 && r1.getDouble(3) == 1.0, r1.toString)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r2 = graft.operators.Stats.cramersV(ind, "a", "b").collect()(0)
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0, r2.toString)
+  }
+
+  test("theilSen: exact on a clean line, robust to one outlier") {
+    val line = Seq((0L, 1L), (1L, 4L), (2L, 7L), (3L, 10L), (4L, 13L))
+      .toDF("x", "y")
+    val r1 = graft.operators.Stats.theilSen(line, col("x"), col("y"))
+      .collect()(0)
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 10L)
+    assert(r1.getDouble(2) == 3.0 && r1.getDouble(3) == 1.0, r1.toString)
+    // y = 3x+1 with a blown final point: the slope median barely moves
+    val out = Seq((0L, 1L), (1L, 4L), (2L, 7L), (3L, 10L), (4L, 1000L))
+      .toDF("x", "y")
+    val r2 = graft.operators.Stats.theilSen(out, col("x"), col("y"))
+      .collect()(0)
+    assert(r2.getDouble(2) == 3.0, r2.toString)
+  }
+
+  test("theilSen: even slope count averages the two middles") {
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 100L)).toDF("x", "y")
+    val r = graft.operators.Stats.theilSen(pts, col("x"), col("y"))
+      .collect()(0)
+    // slopes sorted: [2,2,2,100/3,50,96] -> (2 + 33.333...)/2
+    assert(r.getLong(1) == 6L && r.getDouble(2) == 17.666667, r.toString)
+    assert(r.getDouble(3) == -23.5, r.toString)
+  }
 }

@@ -747,4 +747,22 @@ class TextOpsSpec extends SparkSpec {
       out.toSeq.toString)
     assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
   }
+
+  test("sourceJsDivergence: identical sources give 0, disjoint give ln 2") {
+    import spark.implicits._
+    val same = Seq((1L, "x y", "a"), (2L, "x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.sourceJsDivergence(same, "text", "source")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(r1.toSeq == Seq(("a", 0.0), ("b", 0.0)), r1.toSeq.toString)
+    val disj = Seq((1L, "x x", "a"), (2L, "y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val r2 = TextAnalysis.sourceJsDivergence(disj, "text", "source")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    // the JSD upper bound: completely disjoint vocabularies
+    assert(r2.toSeq == Seq(("a", 0.693147), ("b", 0.693147)),
+      r2.toSeq.toString)
+  }
 }
