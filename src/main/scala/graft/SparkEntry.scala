@@ -2408,6 +2408,48 @@ object SparkEntry {
       Stats.kendallTauB(nat, "nk", col("bal"), col("cnt"))
     }),
 
+    // ---- sketch: CMS inner-product join-size estimate vs the exact
+    // Σf² — the planner-side "how big would this self-join on user_id
+    // get?" answered from sketch cells without running the join ----
+    "q_cms_join_size" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id").cast("string").as("uid"))
+      val est = Sketches.cmsJoinSize(ev, "uid", ev, "uid")
+      val exact = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("__f"))
+        .agg(sum(expr("CAST(__f AS DECIMAL(38,0)) * __f")).cast("long")
+          .as("exact_join_size"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_join_size"), col("est_join_size"),
+          expr("(10000 * est_join_size) div exact_join_size").as("est_bp"))
+    }),
+
+    // ---- experimentation guardrail: sample-ratio mismatch on the
+    // user-parity variants vs their 1:1 assignment (df=1 critical value
+    // 3.8415) — the check that runs BEFORE any metric readout ----
+    "q_srm" -> ((s, d) => {
+      RelationalOps.srmCheck(
+        t(s, d, "events").select(concat(lit("v"),
+          pmod(col("user_id"), lit(2L)).cast("string")).as("variant")),
+        "variant", Seq(("v0", 1L), ("v1", 1L)), critMicro = 3841500L)
+    }),
+
+    // ---- causal diagnostic: covariate overlap (1 − TV distance) between
+    // the variants over the PSI value bins — positivity before weighting ----
+    "q_overlap_tv" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("__c", cents(col("value")))
+      RelationalOps.overlapTv(ev, expr("__c div 2500"),
+        pmod(col("user_id"), lit(2L)) === 0)
+    }),
+
+    // ---- skyline: the price/size pareto frontier of the parts catalog
+    // (no other part is cheaper-or-equal AND bigger-or-equal) ----
+    "q_skyline" -> ((s, d) => {
+      RelationalOps.skyline2d(t(s, d, "part"),
+          cents(col("p_retailprice")), col("p_size"))
+        .orderBy("min_value")
+    }),
+
     // ---- Cramér's V over the q_chi2 framing — the [0,1] effect size
     // that makes chi2 comparable across table sizes ----
     "q_cramers_v" -> ((s, d) => {
@@ -5831,6 +5873,93 @@ object SparkEntry {
         |      sqrt(CAST(np - tx AS DOUBLE) * CAST(np - ty AS DOUBLE)), 4)
         |      + 0.0 END AS tau_b
         |FROM agg""".stripMargin,
+
+    // the SAME md5-derived row/bucket lane as the engine (shared
+    // cmsBucketSql twin); per-row dot products, min across rows
+    "q_cms_join_size" -> {
+      val arms = (0 until 3).map { j =>
+        s"  SELECT $j AS row, " +
+          s"${graft.operators.Sketches.cmsBucketSql(j, 3, 1024, "uid")}" +
+          " AS bucket FROM ev"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+         |cells AS (SELECT row, bucket, count(*) AS cnt FROM (
+         |$arms
+         |) GROUP BY 1, 2),
+         |p AS (SELECT row, sum(CAST(cnt AS HUGEINT) * cnt) AS pr
+         |  FROM cells GROUP BY row),
+         |est AS (SELECT min(pr) AS e FROM p),
+         |ex AS (SELECT sum(CAST(f AS HUGEINT) * f) AS x FROM (
+         |  SELECT count(*) AS f FROM events GROUP BY user_id))
+         |SELECT CAST(x AS BIGINT) AS exact_join_size,
+         |  CAST(e AS BIGINT) AS est_join_size,
+         |  CAST((10000 * e) // x AS BIGINT) AS est_bp
+         |FROM ex, est""".stripMargin
+    },
+
+    // identical micro-truncated per-variant terms on the common
+    // denominator n·r·R; unobserved expected variants still contribute
+    "q_srm" ->
+      """WITH b AS (SELECT 'v' || CAST(user_id % 2 AS VARCHAR) AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |obs AS (SELECT v, count(*) AS o FROM b GROUP BY v),
+        |r AS (SELECT * FROM (VALUES ('v0', 1), ('v1', 1)) AS t(v, rr)),
+        |j AS (SELECT coalesce(o, 0) AS o, rr
+        |  FROM obs FULL OUTER JOIN r USING (v)),
+        |tot AS (SELECT sum(CASE WHEN rr IS NOT NULL THEN o ELSE 0 END) AS n
+        |  FROM j),
+        |agg AS (SELECT max(n) AS n,
+        |    sum(CASE WHEN rr IS NOT NULL THEN 1 ELSE 0 END) AS k,
+        |    sum(CASE WHEN rr IS NULL THEN o ELSE 0 END) AS n_unexpected,
+        |    sum(CASE WHEN rr IS NOT NULL THEN
+        |      (1000000 * (CAST(o AS HUGEINT) * 2 - CAST(n AS HUGEINT) * rr)
+        |        * (CAST(o AS HUGEINT) * 2 - CAST(n AS HUGEINT) * rr))
+        |      // (CAST(n AS HUGEINT) * rr * 2) ELSE 0 END) AS chi
+        |  FROM j, tot)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(n_unexpected AS BIGINT) AS n_unexpected,
+        |  round(CAST(chi AS DOUBLE) / 1e6, 4) + 0.0 AS chi2,
+        |  chi > 3841500 AS srm
+        |FROM agg""".stripMargin,
+
+    // exact integer TV on the common denominator 2·n_a·n_b
+    "q_overlap_tv" ->
+      """WITH b AS (SELECT CAST(round(value*100) AS BIGINT) // 2500 AS bin,
+        |    user_id % 2 = 0 AS g
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |bins AS (SELECT bin, sum(CASE WHEN g THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g THEN 0 ELSE 1 END) AS cb FROM b GROUP BY bin),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM bins),
+        |agg AS (SELECT max(na) AS na, max(nb) AS nb, count(*) AS n_bins,
+        |    sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |      AS s
+        |  FROM bins, tot)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(n_bins AS BIGINT) AS n_bins,
+        |  round(CAST(s AS DOUBLE) /
+        |    (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) + 0.0 AS tv,
+        |  round(1.0 - CAST(s AS DOUBLE) /
+        |    (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) + 0.0
+        |    AS overlap
+        |FROM agg""".stripMargin,
+
+    // the sorted-scan 2-D skyline identity: per-x best y, then a running
+    // max over the x domain
+    "q_skyline" ->
+      """WITH b AS (SELECT CAST(round(p_retailprice*100) AS BIGINT) AS x,
+        |    CAST(p_size AS BIGINT) AS y FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |xy AS (SELECT x, y, count(*) AS n_rows FROM b GROUP BY 1, 2),
+        |cand AS (SELECT x, y, n_rows FROM (
+        |  SELECT x, y, n_rows, max(y) OVER (PARTITION BY x) AS mx FROM xy)
+        |  WHERE y = mx),
+        |sk AS (SELECT x, y, n_rows, max(y) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM cand)
+        |SELECT x AS min_value, y AS max_value, CAST(n_rows AS BIGINT)
+        |  AS n_rows
+        |FROM sk WHERE prev IS NULL OR y > prev
+        |ORDER BY min_value""".stripMargin,
 
     // q_chi2's grid + the V effect size; identical micro-truncated chi
     "q_cramers_v" ->

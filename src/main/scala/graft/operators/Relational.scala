@@ -1135,6 +1135,109 @@ object RelationalOps {
         (col("n_violating") === 0L).as("holds"))
   }
 
+  /** Sample-ratio-mismatch check — the experimentation guardrail that
+    * runs BEFORE any metric readout: if the observed variant counts don't
+    * match the assignment ratios, every downstream number is biased by a
+    * broken bucketing path (the single most common silent A/B failure).
+    * χ² goodness-of-fit against the declared ratios, exact to one
+    * micro-truncated term per variant ((o·R − n·r)² rides decimal(38,0)
+    * on the common denominator n·r·R). Variants observed but absent from
+    * `ratios` — themselves an SRM — surface via n_unexpected. Returns one
+    * row (n, k, n_unexpected, chi2, srm) where `srm` fires at
+    * `chi2 > critMicro/1e6` (caller supplies the χ² critical value for
+    * k−1 df; 3.8415 for k=2 at α=0.05). One corpus scan into a
+    * variant-grain agg. */
+  def srmCheck(df: DataFrame, variantCol: String,
+               ratios: Seq[(String, Long)], critMicro: Long): DataFrame = {
+    require(ratios.nonEmpty && ratios.forall(_._2 > 0), s"ratios: $ratios")
+    val d38 = "decimal(38,0)"
+    val rsum = ratios.map(_._2).sum
+    val rdf = df.sparkSession.createDataFrame(ratios).toDF("__v", "__r")
+    val obs = df.select(col(variantCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__o"))
+    val j = obs.join(broadcast(rdf), Seq("__v"), "full_outer")
+      .select(coalesce(col("__o"), lit(0L)).as("__o"), col("__r"))
+    val tot = j.agg(sum(when(col("__r").isNotNull, col("__o"))
+      .otherwise(0L)).as("__n"))
+    j.crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("__n"),
+        sum(when(col("__r").isNotNull, 1L).otherwise(0L)).as("__k"),
+        sum(when(col("__r").isNull, col("__o")).otherwise(0L))
+          .as("n_unexpected"),
+        sum(when(col("__r").isNotNull,
+          expr(s"(1000000 * (CAST(__o AS $d38) * $rsum - CAST(__n AS $d38)" +
+            s" * __r) * (CAST(__o AS $d38) * $rsum - CAST(__n AS $d38)" +
+            s" * __r)) div (CAST(__n AS $d38) * __r * $rsum)"))
+          .otherwise(0L)).as("__chi"))
+      .select(col("__n").as("n"), col("__k").as("k"), col("n_unexpected"),
+        (round(col("__chi") / 1e6, 4) + lit(0.0)).as("chi2"),
+        (col("__chi") > critMicro).as("srm"))
+  }
+
+  /** Treatment–control OVERLAP (positivity check) — 1 − total-variation
+    * distance between the two groups' binned covariate distributions: the
+    * diagnostic a causal readout ([[cupedMeans]], [[Stats.diffInDiff]],
+    * [[postStratifiedMean]]) needs first, because with disjoint covariate
+    * support no weighting scheme identifies an effect. TV is EXACT
+    * integer arithmetic on the common denominator 2·n_a·n_b
+    * (Σ|c_a·n_b − c_b·n_a| rides decimal(38,0)); overlap = 1 − TV divides
+    * once. Returns one row (n_a, n_b, n_bins, tv, overlap). One scan into
+    * a (bin, group) agg, bin-grain arithmetic after. */
+  def overlapTv(df: DataFrame, binQ: Column, groupFlag: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.select(binQ.cast("long").as("__b"),
+        groupFlag.cast("boolean").as("__g"))
+      .filter(col("__b").isNotNull && col("__g").isNotNull)
+    val bins = base.groupBy("__b").agg(
+      sum(when(col("__g"), 1L).otherwise(0L)).as("__ca"),
+      sum(when(!col("__g"), 1L).otherwise(0L)).as("__cb"))
+    val tot = bins.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).as("n_bins"),
+        sum(expr(s"abs(CAST(__ca AS $d38) * __nb" +
+          s" - CAST(__cb AS $d38) * __na)")).as("__s"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_bins"),
+        (round(expr("CAST(__s AS DOUBLE)") /
+          (lit(2.0) * expr("CAST(__na AS DOUBLE)") *
+            expr("CAST(__nb AS DOUBLE)")), 6) + lit(0.0)).as("tv"),
+        (round(lit(1.0) - expr("CAST(__s AS DOUBLE)") /
+          (lit(2.0) * expr("CAST(__na AS DOUBLE)") *
+            expr("CAST(__nb AS DOUBLE)")), 6) + lit(0.0)).as("overlap"))
+  }
+
+  /** 2-D SKYLINE (pareto frontier, Börzsönyi et al. 2001) — the rows no
+    * other row beats on BOTH criteria (cheaper-or-equal AND
+    * bigger-or-equal, strictly better in one): the multi-criteria
+    * shortlist behind "best tradeoff" queries that no single ORDER BY
+    * expresses. The sorted-scan identity makes 2-D skylines linear: keep
+    * each x's best y, then keep points whose y strictly beats every
+    * cheaper x's best — one running max over the x VALUE DOMAIN. Equal
+    * (x,y) duplicates tie into one skyline point with `n_rows` counting
+    * them. Returns (min_value, max_value, n_rows).
+    *
+    * Scale shape: one (x,y) value-domain agg, a per-x max window
+    * (partitioned), one domain-bounded running-max window — the corpus
+    * contributes a single scan; nothing is ever pairwise. */
+  def skyline2d(df: DataFrame, minimizeQ: Column,
+                maximizeQ: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(minimizeQ.cast("long").as("__x"),
+        maximizeQ.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val xy = base.groupBy("__x", "__y").agg(count(lit(1)).as("n_rows"))
+    val cand = xy
+      .withColumn("__mx", max(col("__y")).over(w.partitionBy("__x")))
+      .filter(col("__y") === col("__mx"))
+    // single-partition sort bound: distinct minimize-values only
+    val wPrev = w.orderBy("__x").rowsBetween(w.unboundedPreceding, -1)
+    cand.withColumn("__prev", max(col("__y")).over(wPrev))
+      .filter(col("__prev").isNull || col("__y") > col("__prev"))
+      .select(col("__x").as("min_value"), col("__y").as("max_value"),
+        col("n_rows"))
+  }
+
   /** INCLUSION-DEPENDENCY profile — the cross-table companion of
     * [[fdProfile]] (Bauckmann et al.'s SPIDER problem, profiled not
     * discovered: callers name candidate column pairs, the profile measures

@@ -245,6 +245,37 @@ object Sketches {
       .agg(min(coalesce(col("__scnt"), lit(0L))).as("est_count"))
   }
 
+  /** JOIN-SIZE estimate from two count-min sketches (the AMS/CMS
+    * inner-product estimator, Cormode & Muthukrishnan 2005): |A ⋈ B| on a
+    * key = Σ_k f_A(k)·f_B(k), estimated per hash row as the dot product
+    * of the two rows' buckets, min across rows. NEVER underestimates
+    * (collisions only add cross terms), so a planner reading it for a
+    * broadcast/skew decision errs safe. This is the sketch-side answer to
+    * the exact q_join_card lane: two corpus scans into depth·width cells
+    * each, then arithmetic on the cells — the join itself never runs, the
+    * inputs are never shuffled, and stored sketches (the
+    * [[graft.streaming.SketchMaintenance]] lane) answer the question for
+    * every table pair without re-reading either table. Returns one row
+    * (est_join_size).
+    *
+    * Scale shape: cmsBuild's (map-side combinable into ≤ depth·width
+    * cells); the cell join and per-row dot product are sketch-sized.
+    * Products ride decimal(38,0): two 1e12-row tables colliding into one
+    * cell give 1e24, far past a LONG. */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                  depth: Int = 3, width: Int = 1024): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sa = cmsBuild(a, aCol, depth, width)
+    val sb = cmsBuild(b, bCol, depth, width)
+    sa.select(col("row"), col("bucket"), col("cnt").as("__ca"))
+      .join(sb.select(col("row"), col("bucket"), col("cnt").as("__cb")),
+        Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(sum((col("__ca").cast(d38) * col("__cb")).cast(d38)).as("__p"))
+      .agg(min(col("__p")).as("__est"))
+      .select(col("__est").cast("long").as("est_join_size"))
+  }
+
   /** Heavy hitters: candidates whose count-min estimate clears
     * `minCount`. Count-min never underestimates, so TRUE heavy hitters
     * are never missed — false positives (collision-inflated light items)

@@ -1122,4 +1122,53 @@ class RelationalOpsSpec extends SparkSpec {
       ("l<r", 3L, 2L, 666666L, false),
       ("r<l", 2L, 2L, 1000000L, true)), out.toSeq.toString)
   }
+
+  test("srmCheck: 60/40 on a 1:1 split fires; unexpected variants count") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("v0") ++ Seq.fill(40)("v1") ++ Seq.fill(5)("vX"))
+      .toDF("variant")
+    val r = RelationalOps.srmCheck(df, "variant",
+      Seq(("v0", 1L), ("v1", 1L)), critMicro = 3841500L).collect()(0)
+    // chi2 = (60-50)^2/50 + (40-50)^2/50 = 4; vX is outside the design
+    assert(r.getLong(0) == 100L && r.getLong(1) == 2L && r.getLong(2) == 5L)
+    assert(r.getDouble(3) == 4.0 && r.getBoolean(4), r.toString)
+    val ok = (Seq.fill(50)("v0") ++ Seq.fill(50)("v1")).toDF("variant")
+    val r2 = RelationalOps.srmCheck(ok, "variant",
+      Seq(("v0", 1L), ("v1", 1L)), critMicro = 3841500L).collect()(0)
+    assert(r2.getDouble(3) == 0.0 && !r2.getBoolean(4), r2.toString)
+  }
+
+  test("srmCheck: an expected-but-unobserved variant still contributes") {
+    import spark.implicits._
+    val df = Seq.fill(50)("v0").toDF("variant")
+    val r = RelationalOps.srmCheck(df, "variant",
+      Seq(("v0", 1L), ("v1", 1L)), critMicro = 3841500L).collect()(0)
+    // all 50 in one arm of a 1:1: chi2 = 25^2/25 + 25^2/25 = 50
+    assert(r.getLong(1) == 2L && r.getDouble(3) == 50.0 && r.getBoolean(4),
+      r.toString)
+  }
+
+  test("overlapTv: identical distributions overlap 1, disjoint overlap 0") {
+    import spark.implicits._
+    val same = Seq((1L, true), (1L, false), (2L, true), (2L, false))
+      .toDF("b", "g")
+    val r1 = RelationalOps.overlapTv(same, col("b"), col("g")).collect()(0)
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 1.0, r1.toString)
+    val disj = Seq((1L, true), (1L, true), (2L, false), (2L, false))
+      .toDF("b", "g")
+    val r2 = RelationalOps.overlapTv(disj, col("b"), col("g")).collect()(0)
+    assert(r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0, r2.toString)
+  }
+
+  test("skyline2d: dominated points drop, duplicate frontier points count") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (1L, 3L), (2L, 7L), (2L, 7L), (3L, 7L),
+      (4L, 2L)).toDF("price", "size")
+    val out = RelationalOps.skyline2d(pts, col("price"), col("size"))
+      .orderBy("min_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,3) dominated by (1,5); (3,7) by (2,7) (equal y, dearer);
+    // (4,2) by everything
+    assert(out.toSeq == Seq((1L, 5L, 1L), (2L, 7L, 2L)), out.toSeq.toString)
+  }
 }

@@ -329,4 +329,24 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(direct == merged)
   }
+
+  test("cmsJoinSize never underestimates and is exact without collisions") {
+    import spark.implicits._
+    val a = Seq("k1", "k1", "k1", "k2").toDF("k")   // f_A: k1=3, k2=1
+    val b = Seq("k1", "k2", "k2", "k3").toDF("k")   // f_B: k1=1, k2=2
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", depth = 3, width = 1024)
+      .collect()(0).getLong(0)
+    // true inner product 3*1 + 1*2 = 5; 3 keys in 1024 buckets: exact
+    assert(est == 5L, s"est=$est")
+    val self = Sketches.cmsJoinSize(a, "k", a, "k").collect()(0).getLong(0)
+    assert(self == 10L, s"self=$self")  // 9 + 1
+  }
+
+  test("cmsJoinSize: forced collisions only overestimate") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"key$i").toDF("k")
+    val est = Sketches.cmsJoinSize(a, "k", a, "k", depth = 3, width = 4)
+      .collect()(0).getLong(0)
+    assert(est >= 50L, s"est=$est")  // true self-join size = 50
+  }
 }
