@@ -120,7 +120,12 @@ object PlanDoc {
     "q_target_encode" -> "LOO target encoding: category agg + 1-row rate broadcast back onto the scan — no window, no self-join",
     "q_conformal" -> "conformal bound: distinct-cents reduction, domain-bounded cumulative window, 1-row rank/threshold broadcasts — no corpus sort",
     "q_compress_ratio" -> "entropy-coded size: char explode collapses map-side to docs×alphabet before the exchange, doc-grain sizes join — the r9 oracle-able compressibility lane",
-    "q_link_indexed" -> "stored-index linkage: reference bands+texts read from parquet (kernel paid at build), delta-side kernel + candidates-only Levenshtein verify")
+    "q_link_indexed" -> "stored-index linkage: reference bands+texts read from parquet (kernel paid at build), delta-side kernel + candidates-only Levenshtein verify",
+    "q_spearman" -> "Spearman rho: two value-domain rank relations join back on (group, value) — the corpus shuffles twice at row grain, windows only ever sort the value domain",
+    "q_item_cf" -> "item-item CF: basket-gated pairing self-join, supports attach by BROADCAST, top-k via a per-item window — no global sort, ranking on truncated integer cos²",
+    "q_js_sources" -> "per-source JSD: (source, word) agg + vocab/source-grain totals; absent-word mass folds in closed form — no source×vocab cross join in the plan",
+    "q_skyline" -> "2-D skyline: value-domain agg, per-x max window, one domain-bounded running max — the corpus contributes a single scan, nothing pairwise",
+    "q_cms_join_size" -> "CMS join-size: two scan-side sketch builds into depth×width cells, cell-join dot product — the estimated join never runs, inputs never shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

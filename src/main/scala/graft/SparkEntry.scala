@@ -2469,6 +2469,24 @@ object SparkEntry {
       Stats.theilSen(daily, col("day"), col("rev"))
     }),
 
+    // ---- changepoint: the single best mean-shift split of the daily
+    // revenue series — argmax decided on the exact integer gain ----
+    "q_changepoint" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      Timeseries.changepointMean(daily, col("day"), col("rev"))
+    }),
+
+    // ---- experimentation: two-proportion z on the purchase conversion
+    // rate between the user-parity variants (pooled variance) ----
+    "q_two_proportions" -> ((s, d) => {
+      Stats.twoProportionsZ(t(s, d, "events"),
+        col("event_type") === "purchase",
+        pmod(col("user_id"), lit(2L)) === 0)
+    }),
+
     // ---- graph: degree assortativity of the nation trade graph — do
     // hub nations trade with hubs (positive) or spokes (negative)? ----
     "q_assortativity" -> ((s, d) => {
@@ -5988,6 +6006,59 @@ object SparkEntry {
         |       CAST(least(ka, kb) - 1 AS DOUBLE))), 4) + 0.0
         |    END AS cramers_v
         |FROM s, k""".stripMargin,
+
+    // the argmax split rides the exact integer gain on the common
+    // denominator n·t·(n−t); ties break to the earliest split
+    "q_changepoint" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS t,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT t, row_number() OVER (ORDER BY t) AS i,
+        |    sum(CAST(y AS HUGEINT)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+        |  FROM d),
+        |tot AS (SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s FROM d),
+        |g AS (SELECT t, i, st, n, s,
+        |    CAST(n AS HUGEINT) * (n - i) * st * st
+        |      + CAST(n AS HUGEINT) * i * (s - st) * (s - st)
+        |      - CAST(i AS HUGEINT) * (n - i) * s * s AS gain
+        |  FROM o, tot WHERE i < n),
+        |b AS (SELECT * FROM g ORDER BY gain DESC, t ASC LIMIT 1)
+        |SELECT CAST(t AS BIGINT) AS split_at, CAST(i AS BIGINT) AS n_left,
+        |  CAST(n - i AS BIGINT) AS n_right,
+        |  CAST((1000000 * st) // i AS DOUBLE) / 1e6 AS mean_left,
+        |  CAST((1000000 * (s - st)) // (n - i) AS DOUBLE) / 1e6
+        |    AS mean_right,
+        |  round(CAST(gain AS DOUBLE) / (CAST(n AS DOUBLE) *
+        |    CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE)), 4) + 0.0 AS gain
+        |FROM b""".stripMargin,
+
+    // one double z over four exact counts, identical formula text
+    "q_two_proportions" ->
+      """WITH b AS (SELECT event_type = 'purchase' AS s,
+        |    user_id % 2 = 0 AS g FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |a AS (SELECT
+        |    sum(CASE WHEN g THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN g AND s THEN 1 ELSE 0 END) AS x1,
+        |    sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN NOT g AND s THEN 1 ELSE 0 END) AS x2
+        |  FROM b)
+        |SELECT CAST(n1 AS BIGINT) AS n_1, CAST(x1 AS BIGINT) AS x_1,
+        |  CAST(n2 AS BIGINT) AS n_2, CAST(x2 AS BIGINT) AS x_2,
+        |  round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + 0.0 AS rate_1,
+        |  round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + 0.0 AS rate_2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0
+        |      OR x1 + x2 = n1 + n2 THEN NULL
+        |    ELSE round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |      sqrt(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) *
+        |        (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) *
+        |        (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 4)
+        |      + 0.0 END AS z
+        |FROM a""".stripMargin,
 
     // explicit middle-of-the-sorted-run medians on both engines — no
     // engine quantile interpolation in the contract

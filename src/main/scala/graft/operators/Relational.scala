@@ -1156,7 +1156,9 @@ object RelationalOps {
     val obs = df.select(col(variantCol).cast("string").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy("__v").agg(count(lit(1)).as("__o"))
-    val j = obs.join(broadcast(rdf), Seq("__v"), "full_outer")
+    // no broadcast hint: Spark can't build-right a full outer join, and
+    // the hint only logs a warning; the ratio table is rows-few anyway
+    val j = obs.join(rdf, Seq("__v"), "full_outer")
       .select(coalesce(col("__o"), lit(0L)).as("__o"), col("__r"))
     val tot = j.agg(sum(when(col("__r").isNotNull, col("__o"))
       .otherwise(0L)).as("__n"))

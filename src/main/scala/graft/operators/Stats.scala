@@ -168,6 +168,41 @@ object Stats {
           .as("h"))
   }
 
+  /** Two-proportion z-test (pooled) — the conversion-rate A/B readout:
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂. Counts are
+    * exact; the z is ONE double expression over four exact longs, written
+    * identically on both engines. Returns one row
+    * (n_1, x_1, n_2, x_2, rate_1, rate_2, z); NULL z when a group is
+    * empty or the pooled rate is degenerate (0 or 1). One corpus scan
+    * into a 2×2 aggregate. */
+  def twoProportionsZ(df: DataFrame, successFlag: Column,
+                      groupFlag: Column): DataFrame = {
+    val base = df.select(successFlag.cast("boolean").as("__s"),
+        groupFlag.cast("boolean").as("__g"))
+      .filter(col("__s").isNotNull && col("__g").isNotNull)
+    base.agg(
+        sum(when(col("__g"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__g") && col("__s"), 1L).otherwise(0L)).as("__x1"),
+        sum(when(!col("__g"), 1L).otherwise(0L)).as("__n2"),
+        sum(when(!col("__g") && col("__s"), 1L).otherwise(0L)).as("__x2"))
+      .select(col("__n1").as("n_1"), col("__x1").as("x_1"),
+        col("__n2").as("n_2"), col("__x2").as("x_2"),
+        (round(expr("CAST(__x1 AS DOUBLE) / CAST(__n1 AS DOUBLE)"), 6)
+          + lit(0.0)).as("rate_1"),
+        (round(expr("CAST(__x2 AS DOUBLE) / CAST(__n2 AS DOUBLE)"), 6)
+          + lit(0.0)).as("rate_2"),
+        when(expr("__n1 = 0 OR __n2 = 0 OR __x1 + __x2 = 0" +
+            " OR __x1 + __x2 = __n1 + __n2"), lit(null).cast("double"))
+          .otherwise(round(
+            (expr("CAST(__x1 AS DOUBLE) / CAST(__n1 AS DOUBLE)") -
+             expr("CAST(__x2 AS DOUBLE) / CAST(__n2 AS DOUBLE)")) /
+            sqrt(expr("CAST(__x1 + __x2 AS DOUBLE) / CAST(__n1 + __n2 AS DOUBLE)") *
+              (lit(1.0) - expr("CAST(__x1 + __x2 AS DOUBLE) / CAST(__n1 + __n2 AS DOUBLE)")) *
+              (lit(1.0) / expr("CAST(__n1 AS DOUBLE)") +
+               lit(1.0) / expr("CAST(__n2 AS DOUBLE)"))), 4) + lit(0.0))
+          .as("z"))
+  }
+
   /** Cramér's V — the [0,1] effect size for [[RelationalOps.chiSquare]]'s
     * independence statistic: V = √(χ²/(n·(min(k_a,k_b)−1))), comparable
     * across tables of any size where raw χ² is not (χ² grows with n even

@@ -359,4 +359,52 @@ object Timeseries {
         round(sum(round(col(valueCol) * 100, 0).cast("long")) / 100.0, 2)
           .as("sum_value"))
   }
+
+  /** Single best mean-shift CHANGEPOINT (binary segmentation's first
+    * split, Scott & Knott / the CUSUM-optimum batch form): the split of an
+    * ordered panel that maximizes the between-segment sum-of-squares
+    * reduction. [[cusumAlarms]] watches a stream drift past a threshold;
+    * this finds the batch-optimal breakpoint after the fact. The argmax is
+    * decided on the EXACT integer gain scaled by the common denominator
+    * n·t·(n−t): G(t) = n(n−t)·S_t² + nt·(S−S_t)² − t(n−t)·S², so a
+    * double's ulps never pick the winner (ties break to the earliest
+    * split). Returns one row (split_at, n_left, n_right, mean_left,
+    * mean_right, gain) — gain in squared value units, means in exact
+    * micro.
+    *
+    * Caller contract: a BOUNDED ordered panel (calendar grain — the
+    * [[graft.operators.Stats.theilSen]] contract), so the prefix-sum
+    * window's single-partition sort is data-independent. Overflow: n²·S²
+    * at calendar grain (≤1e5 points × cents) stays well inside
+    * decimal(38,0). */
+  def changepointMean(df: DataFrame, orderQ: Column,
+                      valueQ: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val b = df.select(orderQ.cast("long").as("__t"),
+        valueQ.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    val wCur = Window.orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(count(lit(1)).as("__n"),
+      sum(col("__y").cast(d38)).as("__s"))
+    b.withColumn("__i", row_number().over(Window.orderBy("__t")).cast("long"))
+      .withColumn("__st", sum(col("__y").cast(d38)).over(wCur))
+      .crossJoin(broadcast(tot))
+      .filter(col("__i") < col("__n"))
+      .withColumn("__gain",
+        expr(s"""CAST(__n AS $d38) * (__n - __i) * __st * __st
+               + CAST(__n AS $d38) * __i * (__s - __st) * (__s - __st)
+               - CAST(__i AS $d38) * (__n - __i) * __s * __s"""))
+      .orderBy(col("__gain").desc, col("__t").asc).limit(1)
+      .select(col("__t").as("split_at"), col("__i").as("n_left"),
+        (col("__n") - col("__i")).as("n_right"),
+        (expr("(1000000 * __st) div __i").cast("double") / 1e6)
+          .as("mean_left"),
+        (expr("(1000000 * (__s - __st)) div (__n - __i)").cast("double")
+          / 1e6).as("mean_right"),
+        (round(col("__gain").cast("double") /
+          (col("__n").cast("double") * col("__i").cast("double") *
+            (col("__n") - col("__i")).cast("double")), 4) + lit(0.0))
+          .as("gain"))
+  }
 }

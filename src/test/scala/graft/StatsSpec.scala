@@ -193,4 +193,19 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) == 6L && r.getDouble(2) == 17.666667, r.toString)
     assert(r.getDouble(3) == -23.5, r.toString)
   }
+
+  test("twoProportionsZ: pooled z on a hand fixture; degenerate NULL") {
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(40)((false, true)) ++
+      Seq.fill(5)((true, false)) ++ Seq.fill(45)((false, false))
+    val r = graft.operators.Stats
+      .twoProportionsZ(rows.toDF("s", "g"), col("s"), col("g")).collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 10L &&
+      r.getLong(2) == 50L && r.getLong(3) == 5L, r.toString)
+    assert(r.getDouble(4) == 0.2 && r.getDouble(5) == 0.1, r.toString)
+    assert(r.getDouble(6) == 1.4003, r.toString)
+    val allFail = Seq((false, true), (false, false)).toDF("s", "g")
+    val r2 = graft.operators.Stats
+      .twoProportionsZ(allFail, col("s"), col("g")).collect()(0)
+    assert(r2.isNullAt(6), r2.toString)
+  }
 }

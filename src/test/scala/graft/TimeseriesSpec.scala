@@ -259,4 +259,24 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("t").collect().map(_.toSeq).toSeq
     assert(rep == got.map(_.toSeq).toSeq)
   }
+
+  test("changepointMean: the exact-gain argmax lands on the level shift") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 10L), (5L, 10L))
+      .toDF("t", "y")
+    val r = Timeseries.changepointMean(df, col("t"), col("y")).collect()(0)
+    // G(i=3) = 5·2·9 + 5·3·400 − 3·2·529 = 2916 → gain 2916/30 = 97.2
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L,
+      r.toString)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 10.0, r.toString)
+    assert(r.getDouble(5) == 97.2, r.toString)
+  }
+
+  test("changepointMean: a constant series ties every split to gain 0 " +
+      "and breaks to the earliest") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 4L).map((_, 7L)).toDF("t", "y")
+    val r = Timeseries.changepointMean(df, col("t"), col("y")).collect()(0)
+    assert(r.getLong(0) == 1L && r.getDouble(5) == 0.0, r.toString)
+  }
 }
