@@ -2479,6 +2479,17 @@ object SparkEntry {
       Timeseries.changepointMean(daily, col("day"), col("rev"))
     }),
 
+    // ---- randomness audit: Wald–Wolfowitz runs test on daily revenue
+    // around its median — too few runs = trend/level shifts (the
+    // q_changepoint signal), too many = oscillation ----
+    "q_runs_test" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      Stats.runsTest(daily, col("day"), col("rev"))
+    }),
+
     // ---- experimentation: two-proportion z on the purchase conversion
     // rate between the user-parity variants (pooled variance) ----
     "q_two_proportions" -> ((s, d) => {
@@ -6034,6 +6045,41 @@ object SparkEntry {
         |  round(CAST(gain AS DOUBLE) / (CAST(n AS DOUBLE) *
         |    CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE)), 4) + 0.0 AS gain
         |FROM b""".stripMargin,
+
+    // signs around the explicit two-middle median (×2 so both parities
+    // stay integral); exact run/sign counts, one double z
+    "q_runs_test" ->
+      """WITH d AS (SELECT
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS t,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT count(*) AS m FROM d),
+        |mid AS (SELECT sum(y) AS half, count(*) AS k FROM (
+        |    SELECT y, row_number() OVER (ORDER BY y) AS rn FROM d), c
+        |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1),
+        |m2 AS (SELECT half * (3 - k) AS med2 FROM mid),
+        |sg AS (SELECT t, CASE WHEN y*2 > med2 THEN 1
+        |    WHEN y*2 < med2 THEN 0 END AS sgn FROM d, m2),
+        |f AS (SELECT t, sgn FROM sg WHERE sgn IS NOT NULL),
+        |r AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY t) IS NULL
+        |    OR lag(sgn) OVER (ORDER BY t) <> sgn THEN 1 ELSE 0 END AS chg
+        |  FROM f),
+        |agg AS (SELECT sum(sgn) AS n1, sum(1 - sgn) AS n2,
+        |    sum(chg) AS runs FROM r)
+        |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+        |  CAST(runs AS BIGINT) AS runs,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR 2*n1*n2 <= n1 + n2 THEN NULL
+        |    ELSE round((CAST(runs AS DOUBLE) -
+        |        (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |          CAST(n1 + n2 AS DOUBLE) + 1.0)) /
+        |      sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+        |        (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) -
+        |          CAST(n1 + n2 AS DOUBLE)) /
+        |        (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) *
+        |          (CAST(n1 + n2 AS DOUBLE) - 1.0))), 4) + 0.0
+        |    END AS z
+        |FROM agg""".stripMargin,
 
     // one double z over four exact counts, identical formula text
     "q_two_proportions" ->

@@ -168,6 +168,68 @@ object Stats {
           .as("h"))
   }
 
+  /** Wald–Wolfowitz RUNS TEST — is an ordered series random around its
+    * median, or does it trend/oscillate? (Too few runs = level shifts or
+    * trend — the [[Timeseries.changepointMean]] signal; too many =
+    * negative autocorrelation.) Values above the explicitly-selected
+    * median sign +, below sign −, exact ties to the median drop (the
+    * standard treatment); the run count is one lag comparison over the
+    * ordered panel. R, n₊, n₋ are exact integers; z against the exact
+    * mean 2n₊n₋/n + 1 is one double expression. Returns one row
+    * (n_pos, n_neg, runs, z); NULL z when either sign class is empty.
+    *
+    * Caller contract: a BOUNDED ordered panel (the [[theilSen]]
+    * calendar-grain contract) — the ordering window is panel-sized. */
+  def runsTest(df: DataFrame, orderQ: Column, valueQ: Column): DataFrame = {
+    val b = df.select(orderQ.cast("long").as("__t"),
+        valueQ.cast("long").as("__y"))
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    // explicit two-middle median on the doubled values (exact for both
+    // parities without fractional arithmetic): med2 = lo + hi
+    val w = Window.orderBy(col("__y"))
+    val cnt = b.agg(count(lit(1)).as("__m"))
+    val med2 = b.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(cnt))
+      .filter(col("__rn") === expr("(__m + 1) div 2") ||
+        col("__rn") === expr("__m div 2 + 1"))
+      .agg(sum(col("__y")).as("__half"), count(lit(1)).as("__k"))
+      // odd m: one middle row selected twice-over → ×2; even m: two rows
+      .select((col("__half") * (lit(3L) - col("__k"))).as("__med2"))
+    val signed = b.crossJoin(broadcast(med2))
+      .withColumn("__sgn",
+        when(col("__y") * 2L > col("__med2"), 1L)
+          .when(col("__y") * 2L < col("__med2"), 0L))
+      .filter(col("__sgn").isNotNull)
+    val wOrd = Window.orderBy(col("__t"))
+    signed
+      .withColumn("__chg",
+        when(lag(col("__sgn"), 1).over(wOrd).isNull ||
+          lag(col("__sgn"), 1).over(wOrd) =!= col("__sgn"), 1L)
+          .otherwise(0L))
+      .agg(sum(col("__sgn")).as("__n1"),
+        sum(lit(1L) - col("__sgn")).as("__n2"),
+        sum(col("__chg")).as("runs"))
+      .select(col("__n1").as("n_pos"), col("__n2").as("n_neg"), col("runs"),
+        // 2n₊n₋ = n ⇒ zero variance (e.g. one of each sign): no z exists
+        when(expr("__n1 = 0 OR __n2 = 0 OR 2*__n1*__n2 <= __n1 + __n2"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            (col("runs").cast("double") -
+              (lit(2.0) * expr("CAST(__n1 AS DOUBLE)") *
+                expr("CAST(__n2 AS DOUBLE)") /
+                expr("CAST(__n1 + __n2 AS DOUBLE)") + lit(1.0))) /
+            sqrt(lit(2.0) * expr("CAST(__n1 AS DOUBLE)") *
+              expr("CAST(__n2 AS DOUBLE)") *
+              (lit(2.0) * expr("CAST(__n1 AS DOUBLE)") *
+                expr("CAST(__n2 AS DOUBLE)") -
+                expr("CAST(__n1 + __n2 AS DOUBLE)")) /
+              (expr("CAST(__n1 + __n2 AS DOUBLE)") *
+                expr("CAST(__n1 + __n2 AS DOUBLE)") *
+                (expr("CAST(__n1 + __n2 AS DOUBLE)") - lit(1.0)))), 4)
+            + lit(0.0))
+          .as("z"))
+  }
+
   /** Two-proportion z-test (pooled) — the conversion-rate A/B readout:
     * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂. Counts are
     * exact; the z is ONE double expression over four exact longs, written

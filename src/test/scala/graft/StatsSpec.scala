@@ -208,4 +208,34 @@ class StatsSpec extends SparkSpec {
       .twoProportionsZ(allFail, col("s"), col("g")).collect()(0)
     assert(r2.isNullAt(6), r2.toString)
   }
+
+  test("runsTest: alternating and monotone series are mirror extremes") {
+    val alt = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L),
+      (6L, 2L)).toDF("t", "y")
+    val r1 = graft.operators.Stats.runsTest(alt, col("t"), col("y"))
+      .collect()(0)
+    // median2 = 3; signs alternate: 6 runs of 3+3 → z = +1.8257
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L &&
+      r1.getLong(2) == 6L, r1.toString)
+    assert(r1.getDouble(3) == 1.8257, r1.toString)
+    val mono = (1L to 6L).map(i => (i, i)).toDF("t", "y")
+    val r2 = graft.operators.Stats.runsTest(mono, col("t"), col("y"))
+      .collect()(0)
+    assert(r2.getLong(2) == 2L && r2.getDouble(3) == -1.8257, r2.toString)
+  }
+
+  test("runsTest: exact median ties drop; one-sided series yields NULL") {
+    val withTie = Seq((1L, 1L), (2L, 5L), (3L, 9L)).toDF("t", "y")
+    val r = graft.operators.Stats.runsTest(withTie, col("t"), col("y"))
+      .collect()(0)
+    // median 5 drops; remaining signs 0,1 → 2 runs of 1+1 → the
+    // zero-variance edge (2n₊n₋ = n): z must be NULL, not a 0/0
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 2L,
+      r.toString)
+    assert(r.isNullAt(3), r.toString)
+    val oneSided = Seq((1L, 9L), (2L, 9L), (3L, 1L)).toDF("t", "y")
+    val r2 = graft.operators.Stats.runsTest(oneSided, col("t"), col("y"))
+      .collect()(0)
+    assert(r2.isNullAt(3), r2.toString)
+  }
 }
