@@ -2479,6 +2479,13 @@ object SparkEntry {
       Timeseries.changepointMean(daily, col("day"), col("rev"))
     }),
 
+    // ---- effect sizes: Cohen's d / Hedges' g of each event type's value
+    // vs the rest — gaps in sd units, comparable where z/F are not ----
+    "q_effect_size" -> ((s, d) => {
+      Stats.cohensD(t(s, d, "events"), cents(col("value")), "event_type")
+        .orderBy("event_type")
+    }),
+
     // ---- randomness audit: Wald–Wolfowitz runs test on daily revenue
     // around its median — too few runs = trend/level shifts (the
     // q_changepoint signal), too many = oscillation ----
@@ -6045,6 +6052,38 @@ object SparkEntry {
         |  round(CAST(gain AS DOUBLE) / (CAST(n AS DOUBLE) *
         |    CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE)), 4) + 0.0 AS gain
         |FROM b""".stripMargin,
+
+    // rest-side moments are exact differences from the totals; identical
+    // double formula text over exact hugeint components
+    "q_effect_size" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pg AS (SELECT g, count(*) AS n1, sum(CAST(v AS HUGEINT)) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS ss1 FROM b GROUP BY g),
+        |tot AS (SELECT sum(n1) AS n, sum(s1) AS s, sum(ss1) AS ss FROM pg),
+        |m AS (SELECT g, n1, s1, ss1, n - n1 AS n2, s - s1 AS s2,
+        |    ss - ss1 AS ss2 FROM pg, tot),
+        |e AS (SELECT g, n1,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    CAST(n1*ss1 - s1*s1 AS DOUBLE) / CAST(n1*(n1 - 1) AS DOUBLE)
+        |      AS v1,
+        |    CAST(n2*ss2 - s2*s2 AS DOUBLE) / CAST(n2*(n2 - 1) AS DOUBLE)
+        |      AS v2,
+        |    n1 AS nn1, n2 AS nn2 FROM m),
+        |f AS (SELECT g, n1, m1, m2, nn1, nn2,
+        |    (CAST(nn1 - 1 AS DOUBLE) * v1 + CAST(nn2 - 1 AS DOUBLE) * v2)
+        |      / CAST(nn1 + nn2 - 2 AS DOUBLE) AS sp2 FROM e)
+        |SELECT g AS event_type, CAST(n1 AS BIGINT) AS n_in,
+        |  round(m1, 4) + 0.0 AS mean_in, round(m2, 4) + 0.0 AS mean_rest,
+        |  CASE WHEN nn1 < 2 OR nn2 < 2 OR sp2 <= 0 THEN NULL
+        |    ELSE round((m1 - m2) / sqrt(sp2), 4) + 0.0 END AS cohens_d,
+        |  CASE WHEN nn1 < 2 OR nn2 < 2 OR sp2 <= 0 THEN NULL
+        |    ELSE round((m1 - m2) / sqrt(sp2) *
+        |      (1.0 - 3.0 / CAST(4*(nn1 + nn2) - 9 AS DOUBLE)), 4) + 0.0
+        |    END AS hedges_g
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // signs around the explicit two-middle median (×2 so both parities
     // stay integral); exact run/sign counts, one double z

@@ -168,6 +168,61 @@ object Stats {
           .as("h"))
   }
 
+  /** Effect-size panel — Cohen's d (and the small-sample-corrected
+    * Hedges' g) of each group AGAINST THE REST: the "how big is the
+    * difference in standard-deviation units" readout that makes metric
+    * gaps comparable across metrics and table sizes, where a z or F only
+    * says "detectable" (the mean-difference sibling of [[cramersV]]).
+    * Group sums n/Σv/Σv² ride decimal(38,0); the rest-side moments are
+    * exact differences from the 1-row totals (one scan, no second pass);
+    * sample variances keep exact integer numerators n·Σv² − (Σv)² over
+    * n(n−1), and d is one double expression. Groups with n<2 on either
+    * side, or zero pooled variance, yield NULL. Returns per group
+    * (group, n_in, mean_in, mean_rest, cohens_d, hedges_g). */
+  def cohensD(df: DataFrame, valueQ: Column, groupCol: String): DataFrame = {
+    val perG = df.select(col(groupCol).as("__g"), valueQ.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).cast(d38).as("__n1"),
+        sum(col("__v").cast(d38)).as("__s1"),
+        sum((col("__v").cast(d38) * col("__v")).cast(d38)).as("__ss1"))
+    val tot = perG.agg(sum(col("__n1")).as("__n"), sum(col("__s1")).as("__s"),
+      sum(col("__ss1")).as("__ss"))
+    val m = perG.crossJoin(broadcast(tot))
+      .withColumn("__n2", (col("__n") - col("__n1")).cast(d38))
+      .withColumn("__s2", (col("__s") - col("__s1")).cast(d38))
+      .withColumn("__ss2", (col("__ss") - col("__ss1")).cast(d38))
+      // d as doubles over exact decimal components, identical formula text
+      .withColumn("__m1", expr("CAST(__s1 AS DOUBLE) / CAST(__n1 AS DOUBLE)"))
+      .withColumn("__m2", expr("CASE WHEN __n2 >= 1 THEN" +
+        " CAST(__s2 AS DOUBLE) / CAST(__n2 AS DOUBLE) END"))
+      // CASE-guarded: ANSI mode errors on division by zero even in an
+      // intermediate column the final guard would have masked
+      .withColumn("__v1", expr("CASE WHEN __n1 >= 2 THEN" +
+        " CAST(__n1*__ss1 - __s1*__s1 AS DOUBLE)" +
+        " / CAST(__n1*(__n1 - 1) AS DOUBLE) END"))
+      .withColumn("__v2", expr("CASE WHEN __n2 >= 2 THEN" +
+        " CAST(__n2*__ss2 - __s2*__s2 AS DOUBLE)" +
+        " / CAST(__n2*(__n2 - 1) AS DOUBLE) END"))
+      .withColumn("__sp2", expr("CASE WHEN __n1 >= 2 AND __n2 >= 2 THEN" +
+        " (CAST(__n1 - 1 AS DOUBLE) * __v1" +
+        " + CAST(__n2 - 1 AS DOUBLE) * __v2)" +
+        " / CAST(__n1 + __n2 - 2 AS DOUBLE) END"))
+    m.select(col("__g").as(groupCol), col("__n1").cast("long").as("n_in"),
+      (round(col("__m1"), 4) + lit(0.0)).as("mean_in"),
+      (round(col("__m2"), 4) + lit(0.0)).as("mean_rest"),
+      when(expr("__n1 < 2 OR __n2 < 2 OR __sp2 IS NULL OR __sp2 <= 0"),
+          lit(null).cast("double"))
+        .otherwise(round((col("__m1") - col("__m2")) / sqrt(col("__sp2")), 4)
+          + lit(0.0)).as("cohens_d"),
+      when(expr("__n1 < 2 OR __n2 < 2 OR __sp2 IS NULL OR __sp2 <= 0"),
+          lit(null).cast("double"))
+        .otherwise(round((col("__m1") - col("__m2")) / sqrt(col("__sp2")) *
+          (lit(1.0) - lit(3.0) /
+            expr("CAST(4*(__n1 + __n2) - 9 AS DOUBLE)")), 4) + lit(0.0))
+        .as("hedges_g"))
+  }
+
   /** Wald–Wolfowitz RUNS TEST — is an ordered series random around its
     * median, or does it trend/oscillate? (Too few runs = level shifts or
     * trend — the [[Timeseries.changepointMean]] signal; too many =

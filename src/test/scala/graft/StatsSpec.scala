@@ -238,4 +238,21 @@ class StatsSpec extends SparkSpec {
       .collect()(0)
     assert(r2.isNullAt(3), r2.toString)
   }
+
+  test("cohensD: hand fixture group-vs-rest; undersized groups NULL") {
+    val df = (Seq(2L, 4L).map(("a", _)) ++ Seq(1L, 1L, 1L).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.operators.Stats.cohensD(df, col("v"), "g")
+      .orderBy("g").collect()
+    val a = r(0)
+    // a=[2,4] vs rest=[1,1,1]: v1=2, v2=0, sp2=2/3 → d=2.4495, g=1.7814
+    assert(a.getString(0) == "a" && a.getLong(1) == 2L)
+    assert(a.getDouble(2) == 3.0 && a.getDouble(3) == 1.0, a.toString)
+    assert(a.getDouble(4) == 2.4495 && a.getDouble(5) == 1.7814, a.toString)
+    val single = (Seq(5L).map(("one", _)) ++ Seq(1L, 2L, 3L).map(("b", _)))
+      .toDF("g", "v")
+    val r2 = graft.operators.Stats.cohensD(single, col("v"), "g")
+      .orderBy("g").collect().map(x => x.getString(0) -> x.isNullAt(4)).toMap
+    assert(r2("one"), r2.toString)   // n_in = 1 → NULL d
+  }
 }
