@@ -5806,7 +5806,8 @@ object SparkEntry {
     // (group mean rank in ppm) is `div` ≡ `//` on both engines
     "q_kruskal" ->
       """WITH b AS (SELECT event_type AS g,
-        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
         |byv AS (SELECT v, count(*) AS t FROM b GROUP BY v),
         |mid AS (SELECT v, t,
         |    2*coalesce(sum(t) OVER (ORDER BY v
@@ -5834,7 +5835,8 @@ object SparkEntry {
     // of squares accumulate exactly around those truncated means
     "q_anova" ->
       """WITH b AS (SELECT event_type AS g,
-        |    CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |    CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
         |pg AS (SELECT g, count(*) AS ng, sum(v) AS sg, sum(v*v) AS ssg
         |  FROM b GROUP BY g),
         |tot AS (SELECT sum(ng) AS n, sum(sg) AS s FROM pg),
@@ -5862,7 +5864,9 @@ object SparkEntry {
     "q_spearman" ->
       """WITH b AS (SELECT l_returnflag AS g,
         |    CAST(round(l_quantity*100) AS BIGINT) AS x,
-        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y FROM lineitem),
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
         |bx AS (SELECT g, x, count(*) AS t FROM b GROUP BY 1, 2),
         |rx AS (SELECT g, x,
         |    2*coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
@@ -6301,7 +6305,8 @@ object SparkEntry {
         |p1 AS (SELECT ia, ib, n_co FROM p0 WHERE n_co >= 2
         |  UNION ALL SELECT ib, ia, n_co FROM p0 WHERE n_co >= 2),
         |sc AS (SELECT ia, ib, n_co,
-        |    (1000000000000 * n_co * n_co) // (sa.sup * sb.sup) AS cos2
+        |    (1000000000000 * CAST(n_co AS HUGEINT) * n_co)
+        |      // (CAST(sa.sup AS HUGEINT) * sb.sup) AS cos2
         |  FROM p1 JOIN sup sa ON p1.ia = sa.it JOIN sup sb ON p1.ib = sb.it),
         |r AS (SELECT ia, ib, n_co, cos2,
         |    row_number() OVER (PARTITION BY ia

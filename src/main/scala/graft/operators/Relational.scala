@@ -1168,9 +1168,12 @@ object RelationalOps {
         sum(when(col("__r").isNull, col("__o")).otherwise(0L))
           .as("n_unexpected"),
         sum(when(col("__r").isNotNull,
-          expr(s"(1000000 * (CAST(__o AS $d38) * $rsum - CAST(__n AS $d38)" +
+          // CASE-guarded: n = 0 (empty df / all-unexpected variants)
+          // would divide by zero, an error under ANSI mode
+          expr(s"CASE WHEN __n > 0 THEN" +
+            s" (1000000 * (CAST(__o AS $d38) * $rsum - CAST(__n AS $d38)" +
             s" * __r) * (CAST(__o AS $d38) * $rsum - CAST(__n AS $d38)" +
-            s" * __r)) div (CAST(__n AS $d38) * __r * $rsum)"))
+            s" * __r)) div (CAST(__n AS $d38) * __r * $rsum) ELSE 0 END"))
           .otherwise(0L)).as("__chi"))
       .select(col("__n").as("n"), col("__k").as("k"), col("n_unexpected"),
         (round(col("__chi") / 1e6, 4) + lit(0.0)).as("chi2"),
@@ -1509,7 +1512,17 @@ object RelationalOps {
     * exact to N ≈ 1e8 rows — past that, run it on a deterministic sample
     * (the statistic converges anyway; the audit question is "dependent
     * or not", not its 10th digit). */
-  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame =
+    chiSquareKernel(df, colA, colB)
+      .select(col("n"), col("dof"), col("chi2_micro"))
+
+  /** The shared cell kernel behind [[chiSquare]] and
+    * [[graft.operators.Stats.cramersV]]: one corpus scan into the cached
+    * cell relation, the full marginal grid (absent cells count 0), and
+    * the micro-truncated chi sum — plus the two marginal cardinalities,
+    * which V needs and the plain chi2 row does not ship. */
+  private[operators] def chiSquareKernel(df: DataFrame, colA: String,
+                                         colB: String): DataFrame = {
     val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("__x"), col(colB).as("__y"))
       .agg(count(lit(1)).as("__o"))
@@ -1534,7 +1547,8 @@ object RelationalOps {
       .crossJoin(broadcast(dofs))
       .select(coalesce(col("__n2"), lit(0L)).cast("long").as("n"),
         ((col("__ka") - 1) * (col("__kb") - 1)).cast("long").as("dof"),
-        coalesce(col("__chi"), lit(0L)).cast("long").as("chi2_micro"))
+        coalesce(col("__chi"), lit(0L)).cast("long").as("chi2_micro"),
+        col("__ka").cast("long").as("k_a"), col("__kb").cast("long").as("k_b"))
   }
 
   /** Gini concentration index of a NONNEGATIVE money-ish column, exact on

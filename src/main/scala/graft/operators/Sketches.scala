@@ -268,12 +268,18 @@ object Sketches {
     val sa = cmsBuild(a, aCol, depth, width)
     val sb = cmsBuild(b, bCol, depth, width)
     sa.select(col("row"), col("bucket"), col("cnt").as("__ca"))
+      // LEFT join: a hash row with NO colliding buckets proves the
+      // estimate is 0 — an inner join would drop it before the min and
+      // turn "disjoint inputs" into an overestimate (or a NULL)
       .join(sb.select(col("row"), col("bucket"), col("cnt").as("__cb")),
-        Seq("row", "bucket"))
+        Seq("row", "bucket"), "left")
       .groupBy("row")
-      .agg(sum((col("__ca").cast(d38) * col("__cb")).cast(d38)).as("__p"))
+      .agg(sum((col("__ca").cast(d38) * coalesce(col("__cb"), lit(0L)))
+        .cast(d38)).as("__p"))
       .agg(min(col("__p")).as("__est"))
-      .select(col("__est").cast("long").as("est_join_size"))
+      // empty A side: the true join size is 0, not NULL
+      .select(coalesce(col("__est").cast("long"), lit(0L))
+        .as("est_join_size"))
   }
 
   /** Heavy hitters: candidates whose count-min estimate clears

@@ -60,6 +60,10 @@ object Stats {
                   xQ: Column, yQ: Column): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
       xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
+      // pairwise-complete rows only, BEFORE ranking: a row dropped later
+      // by the other column's join must not shift anyone's midrank
+      .filter(col("__g").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
     def ranksOf(v: String, out: String): DataFrame = midrank2(
       base.groupBy(col("__g"), col(v)).agg(count(lit(1)).as("__t")),
       Seq("__g"), v, "__t", out).drop("__t")
@@ -95,6 +99,10 @@ object Stats {
                   xQ: Column, yQ: Column): DataFrame = {
     val b = df.select(col(idCol).cast("long").as("__i"),
       xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
+      // complete rows only: a NULL-x pair would count into n_pairs but
+      // none of the C/D/tie counters, deflating tau-b
+      .filter(col("__i").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
     val pairs = b.join(
       broadcast(b.select(col("__i").as("__j"),
         col("__x").as("__x2"), col("__y").as("__y2"))),
@@ -136,6 +144,9 @@ object Stats {
   def kruskalWallisH(df: DataFrame, valueQ: Column,
                      groupCol: String): DataFrame = {
     val b = df.select(col(groupCol).as("__g"), valueQ.cast("long").as("__v"))
+      // NULL values would join the value domain (shifting every midrank)
+      // yet drop from the per-group join — filter first, like the siblings
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
     val mid = midrank2(
       b.groupBy("__v").agg(count(lit(1)).as("__t")),
       Nil, "__v", "__t", "__mid2")
@@ -304,9 +315,11 @@ object Stats {
         sum(when(!col("__g") && col("__s"), 1L).otherwise(0L)).as("__x2"))
       .select(col("__n1").as("n_1"), col("__x1").as("x_1"),
         col("__n2").as("n_2"), col("__x2").as("x_2"),
-        (round(expr("CAST(__x1 AS DOUBLE) / CAST(__n1 AS DOUBLE)"), 6)
+        (round(expr("CASE WHEN __n1 > 0 THEN" +
+          " CAST(__x1 AS DOUBLE) / CAST(__n1 AS DOUBLE) END"), 6)
           + lit(0.0)).as("rate_1"),
-        (round(expr("CAST(__x2 AS DOUBLE) / CAST(__n2 AS DOUBLE)"), 6)
+        (round(expr("CASE WHEN __n2 > 0 THEN" +
+          " CAST(__x2 AS DOUBLE) / CAST(__n2 AS DOUBLE) END"), 6)
           + lit(0.0)).as("rate_2"),
         when(expr("__n1 = 0 OR __n2 = 0 OR __x1 + __x2 = 0" +
             " OR __x1 + __x2 = __n1 + __n2"), lit(null).cast("double"))
@@ -329,11 +342,12 @@ object Stats {
     * chi2_micro and the two exact cardinalities. Null when either margin
     * is constant (V undefined). */
   def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val ks = df.filter(col(colA).isNotNull && col(colB).isNotNull)
-      .agg(countDistinct(col(colA)).as("__ka"),
-        countDistinct(col(colB)).as("__kb"))
-    RelationalOps.chiSquare(df, colA, colB)
-      .crossJoin(broadcast(ks))
+    // the shared kernel already carries the marginal cardinalities — a
+    // separate countDistinct pass would re-scan the corpus for nothing
+    RelationalOps.chiSquareKernel(df, colA, colB)
+      .withColumnRenamed("k_a", "__ka").withColumnRenamed("k_b", "__kb")
+      .select(col("n"), col("dof"), col("chi2_micro"),
+        col("__ka"), col("__kb"))
       .select(col("n"), col("dof"),
         (round(col("chi2_micro") / 1e6, 4) + lit(0.0)).as("chi2"),
         when(expr("n = 0 OR least(__ka, __kb) <= 1"),
@@ -599,6 +613,7 @@ object Stats {
     * then group-grain arithmetic against a 1-row broadcast. */
   def anovaF(df: DataFrame, valueQ: Column, groupCol: String): DataFrame = {
     val perG = df.select(col(groupCol).as("__g"), valueQ.cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
       .groupBy("__g")
       .agg(count(lit(1)).cast(d38).as("__ng"),
         sum(col("__v").cast(d38)).as("__sg"),

@@ -1171,4 +1171,13 @@ class RelationalOpsSpec extends SparkSpec {
     // (4,2) by everything
     assert(out.toSeq == Seq((1L, 5L, 1L), (2L, 7L, 2L)), out.toSeq.toString)
   }
+
+  test("srmCheck: an empty frame reports n=0 without an ANSI divide error") {
+    import spark.implicits._
+    val r = RelationalOps.srmCheck(Seq.empty[String].toDF("variant"),
+      "variant", Seq(("v0", 1L), ("v1", 1L)), critMicro = 3841500L)
+      .collect()(0)
+    assert(r.getLong(0) == 0L && r.getDouble(3) == 0.0 && !r.getBoolean(4),
+      r.toString)
+  }
 }

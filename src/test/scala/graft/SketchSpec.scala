@@ -349,4 +349,14 @@ class SketchSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(est >= 50L, s"est=$est")  // true self-join size = 50
   }
+
+  test("cmsJoinSize: disjoint inputs estimate 0 via the zero-product rows") {
+    import spark.implicits._
+    val a = Seq("only-in-a-1", "only-in-a-2").toDF("k")
+    val b = Seq("only-in-b-1", "only-in-b-2").toDF("k")
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", depth = 3, width = 1024)
+      .collect()(0).getLong(0)
+    // no shared keys and no 1024-bucket collisions on 2 keys: exact 0
+    assert(est == 0L, s"est=$est")
+  }
 }

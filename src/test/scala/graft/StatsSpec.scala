@@ -255,4 +255,36 @@ class StatsSpec extends SparkSpec {
       .orderBy("g").collect().map(x => x.getString(0) -> x.isNullAt(4)).toMap
     assert(r2("one"), r2.toString)   // n_in = 1 → NULL d
   }
+
+  test("NULL rows are excluded from the rank/test kernels, not half-counted") {
+    // spearman: a NULL-x row must not shift the other rows' y midranks
+    val sp = Seq((Some(1L), Some(1L)), (Some(2L), Some(10L)),
+      (Some(3L), Some(11L)), (None, Some(5L)))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r1 = Stats.spearmanRho(sp, "g", col("x"), col("y")).collect()(0)
+    assert(r1.getLong(1) == 3L && r1.getDouble(2) == 1.0, r1.toString)
+    // kendall: NULL pairs must not inflate n_pairs
+    val kd = Seq((1L, Some(1L), 1L), (2L, Some(2L), 2L), (3L, None, 3L))
+      .toDF("id", "x", "y")
+    val r2 = Stats.kendallTauB(kd, "id", col("x"), col("y")).collect()(0)
+    assert(r2.getLong(0) == 1L && r2.getDouble(3) == 1.0, r2.toString)
+    // kruskal: a NULL value must not join the value domain
+    val kw0 = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 3L, 4L).map(("b", _))
+      ++ Seq(5L, 6L, 7L).map(("c", _)))
+      .map { case (g, v) => (g, Some(v)) }
+    val kw = (kw0 :+ ("a", Option.empty[Long])).toDF("g", "v")
+    val r3 = Stats.kruskalWallisH(kw, col("v"), "g").collect()(0)
+    assert(r3.getLong(0) == 9L && r3.getDouble(2) == 6.0565, r3.toString)
+    // anova: NULL values must not count into n
+    val an = (kw0 :+ ("a", Option.empty[Long])).toDF("g", "v")
+    val r4 = Stats.anovaF(an, col("v"), "g").collect()(0)
+    assert(r4.getLong(0) == 9L && r4.getDouble(2) == 13.0, r4.toString)
+  }
+
+  test("twoProportionsZ: an empty group gives NULL rate, not NaN") {
+    val df = Seq((true, true), (false, true)).toDF("s", "g")
+    val r = graft.operators.Stats
+      .twoProportionsZ(df, col("s"), col("g")).collect()(0)
+    assert(r.getLong(2) == 0L && r.isNullAt(5) && r.isNullAt(6), r.toString)
+  }
 }
