@@ -2415,7 +2415,9 @@ object SparkEntry {
       val ev = t(s, d, "events")
         .select(col("user_id").cast("string").as("uid"))
       val est = Sketches.cmsJoinSize(ev, "uid", ev, "uid")
-      val exact = t(s, d, "events").groupBy("user_id")
+      // NULL keys join nothing: excluded from BOTH lanes (SQL semantics)
+      val exact = t(s, d, "events").filter(col("user_id").isNotNull)
+        .groupBy("user_id")
         .agg(count(lit(1)).as("__f"))
         .agg(sum(expr("CAST(__f AS DECIMAL(38,0)) * __f")).cast("long")
           .as("exact_join_size"))
@@ -4597,7 +4599,7 @@ object SparkEntry {
          |    lang = 'en' AS y
          |  FROM documents),
          |f AS (SELECT p, CASE WHEN y THEN 1 ELSE 0 END AS o FROM sc
-         |  WHERE p BETWEEN 0 AND 10000),
+         |  WHERE p BETWEEN 0 AND 10000 AND y IS NOT NULL),
          |b AS (SELECT least((p * 10) // 10000, 9) AS bin, p, o FROM f),
          |pb AS (SELECT bin, count(*) AS nb, sum(p) AS sp, sum(o) AS pos,
          |    sum((p - 10000*o) * (p - 10000*o)) AS sq FROM b GROUP BY bin),
@@ -5922,7 +5924,8 @@ object SparkEntry {
           s"${graft.operators.Sketches.cmsBucketSql(j, 3, 1024, "uid")}" +
           " AS bucket FROM ev"
       }.mkString("\nUNION ALL\n")
-      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+         |  WHERE user_id IS NOT NULL),
          |cells AS (SELECT row, bucket, count(*) AS cnt FROM (
          |$arms
          |) GROUP BY 1, 2),
@@ -5930,7 +5933,8 @@ object SparkEntry {
          |  FROM cells GROUP BY row),
          |est AS (SELECT min(pr) AS e FROM p),
          |ex AS (SELECT sum(CAST(f AS HUGEINT) * f) AS x FROM (
-         |  SELECT count(*) AS f FROM events GROUP BY user_id))
+         |  SELECT count(*) AS f FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY user_id))
          |SELECT CAST(x AS BIGINT) AS exact_join_size,
          |  CAST(e AS BIGINT) AS est_join_size,
          |  CAST((10000 * e) // x AS BIGINT) AS est_bp
@@ -6029,8 +6033,9 @@ object SparkEntry {
         |    END AS cramers_v
         |FROM s, k""".stripMargin,
 
-    // the argmax split rides the exact integer gain on the common
-    // denominator n·t·(n−t); ties break to the earliest split
+    // the argmax compares the exact rationals D²/(t(n−t)) via the
+    // two-key (quotient, n⁴-scaled remainder quotient) form — unequal
+    // gains always differ in one key; ties break to the earliest split
     "q_changepoint" ->
       """WITH d AS (SELECT
         |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
@@ -6045,9 +6050,13 @@ object SparkEntry {
         |g AS (SELECT t, i, st, n, s,
         |    CAST(n AS HUGEINT) * (n - i) * st * st
         |      + CAST(n AS HUGEINT) * i * (s - st) * (s - st)
-        |      - CAST(i AS HUGEINT) * (n - i) * s * s AS gain
+        |      - CAST(i AS HUGEINT) * (n - i) * s * s AS gain,
+        |    CAST(i AS HUGEINT) * (n - i) AS bb
         |  FROM o, tot WHERE i < n),
-        |b AS (SELECT * FROM g ORDER BY gain DESC, t ASC LIMIT 1)
+        |k AS (SELECT *, gain // bb AS k1,
+        |    ((gain % bb) * CAST(n AS HUGEINT) * n * n * n) // bb AS k2
+        |  FROM g),
+        |b AS (SELECT * FROM k ORDER BY k1 DESC, k2 DESC, t ASC LIMIT 1)
         |SELECT CAST(t AS BIGINT) AS split_at, CAST(i AS BIGINT) AS n_left,
         |  CAST(n - i AS BIGINT) AS n_right,
         |  CAST((1000000 * st) // i AS DOUBLE) / 1e6 AS mean_left,

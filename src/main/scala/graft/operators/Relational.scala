@@ -1204,12 +1204,18 @@ object RelationalOps {
         sum(expr(s"abs(CAST(__ca AS $d38) * __nb" +
           s" - CAST(__cb AS $d38) * __na)")).as("__s"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_bins"),
-        (round(expr("CAST(__s AS DOUBLE)") /
-          (lit(2.0) * expr("CAST(__na AS DOUBLE)") *
-            expr("CAST(__nb AS DOUBLE)")), 6) + lit(0.0)).as("tv"),
-        (round(lit(1.0) - expr("CAST(__s AS DOUBLE)") /
-          (lit(2.0) * expr("CAST(__na AS DOUBLE)") *
-            expr("CAST(__nb AS DOUBLE)")), 6) + lit(0.0)).as("overlap"))
+        // degenerate guard (the cohensD/kruskalWallisH convention): an
+        // empty group makes TV 0/0 — report NULL, never NaN
+        when(col("__na") === 0L || col("__nb") === 0L, lit(null))
+          .otherwise(round(expr("CAST(__s AS DOUBLE)") /
+            (lit(2.0) * expr("CAST(__na AS DOUBLE)") *
+              expr("CAST(__nb AS DOUBLE)")), 6) + lit(0.0))
+          .cast("double").as("tv"),
+        when(col("__na") === 0L || col("__nb") === 0L, lit(null))
+          .otherwise(round(lit(1.0) - expr("CAST(__s AS DOUBLE)") /
+            (lit(2.0) * expr("CAST(__na AS DOUBLE)") *
+              expr("CAST(__nb AS DOUBLE)")), 6) + lit(0.0))
+          .cast("double").as("overlap"))
   }
 
   /** 2-D SKYLINE (pareto frontier, Börzsönyi et al. 2001) — the rows no
@@ -1272,9 +1278,14 @@ object RelationalOps {
       l.join(r, Seq("__v"), "left")
         .agg(count(lit(1)).as("n_lhs"),
           sum(coalesce(col("__hit"), lit(0L))).as("n_contained"))
-        .select(lit(name).as("ind"), col("n_lhs"), col("n_contained"),
-          expr("(1000000 * n_contained) div n_lhs").as("containment_ppm"),
-          (col("n_contained") === col("n_lhs")).as("ind_ok"))
+        .select(lit(name).as("ind"), col("n_lhs"),
+          coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+          // CASE-guard: an empty / all-NULL lhs would divide by zero
+          // (an error under ANSI mode) — NULL containment instead
+          expr("CASE WHEN n_lhs > 0 THEN (1000000 * n_contained)" +
+            " div n_lhs END").as("containment_ppm"),
+          (coalesce(col("n_contained"), lit(0L)) === col("n_lhs"))
+            .as("ind_ok"))
     }.reduce(_.unionByName(_)).orderBy("ind")
   }
 

@@ -265,8 +265,12 @@ object Sketches {
   def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
                   depth: Int = 3, width: Int = 1024): DataFrame = {
     val d38 = "decimal(38,0)"
-    val sa = cmsBuild(a, aCol, depth, width)
-    val sb = cmsBuild(b, bCol, depth, width)
+    // SQL join-key semantics: NULL joins nothing, so NULL keys are
+    // excluded HERE (md5Hash32(NULL) would otherwise ride a NULL bucket
+    // that can never match the other side's cells — a silent 0
+    // contribution the exact Σ f_A·f_B lane wouldn't share)
+    val sa = cmsBuild(a.filter(col(aCol).isNotNull), aCol, depth, width)
+    val sb = cmsBuild(b.filter(col(bCol).isNotNull), bCol, depth, width)
     sa.select(col("row"), col("bucket"), col("cnt").as("__ca"))
       // LEFT join: a hash row with NO colliding buckets proves the
       // estimate is 0 — an inner join would drop it before the min and

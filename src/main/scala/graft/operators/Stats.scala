@@ -496,7 +496,9 @@ object Stats {
     * integers; per-row squared error Σ(p−o)² accumulates exactly in
     * decimal(38,0); per-bin mean score / event rate truncate to micro
     * units (the theta_micro convention) and the two decomposition sums
-    * accumulate exactly around them. Returns one row
+    * accumulate exactly around them. NULL labels are EXCLUDED (the
+    * file-wide convention) — an unlabeled row is no evidence, not a
+    * negative outcome. Returns one row
     * (n, brier, reliability, resolution, uncertainty).
     *
     * Scale shape: one row-grain agg to bin grain (≤ bins rows), then
@@ -505,8 +507,9 @@ object Stats {
                          bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 10000, s"bins out of range: $bins")
     val base = df.select(scoreBp.cast("long").as("__p"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("__o"))
-      .filter(col("__p").between(0L, 10000L))
+        when(label.cast("boolean"), 1L)
+          .when(!label.cast("boolean"), 0L).as("__o"))
+      .filter(col("__p").between(0L, 10000L) && col("__o").isNotNull)
     val perB = base
       .withColumn("__b", least(expr(s"(__p * $bins) div 10000"),
         lit((bins - 1).toLong)))

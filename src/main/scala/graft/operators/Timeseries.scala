@@ -364,19 +364,26 @@ object Timeseries {
     * split, Scott & Knott / the CUSUM-optimum batch form): the split of an
     * ordered panel that maximizes the between-segment sum-of-squares
     * reduction. [[cusumAlarms]] watches a stream drift past a threshold;
-    * this finds the batch-optimal breakpoint after the fact. The argmax is
-    * decided on the EXACT integer gain scaled by the common denominator
-    * n·t·(n−t): G(t) = n(n−t)·S_t² + nt·(S−S_t)² − t(n−t)·S², so a
-    * double's ulps never pick the winner (ties break to the earliest
-    * split). Returns one row (split_at, n_left, n_right, mean_left,
-    * mean_right, gain) — gain in squared value units, means in exact
-    * micro.
+    * this finds the batch-optimal breakpoint after the fact. The true gain
+    * is gain(t) = D²/(n·t·(n−t)) with D = n·S_t − t·S; since the
+    * denominator VARIES with t, the argmax must compare the rationals
+    * D²/b(t), b(t) = t·(n−t), exactly (argmaxing D² alone is biased
+    * toward mid-panel splits). The comparison key is the exact pair
+    * (D² div b, ((D² mod b)·n⁴) div b): for any two splits
+    * b₁·b₂ ≤ n⁴/16 < n⁴, so unequal rationals always differ in one of the
+    * two integer keys (floor(x·K/b) separates fractions differing by
+    * ≥ 1/(b₁b₂) whenever K ≥ b₁b₂) — no double ever picks the winner
+    * (ties break to the earliest split). Returns one row (split_at,
+    * n_left, n_right, mean_left, mean_right, gain) — gain in squared
+    * value units, means in exact micro.
     *
     * Caller contract: a BOUNDED ordered panel (calendar grain — the
     * [[graft.operators.Stats.theilSen]] contract), so the prefix-sum
     * window's single-partition sort is data-independent. Overflow: n²·S²
-    * at calendar grain (≤1e5 points × cents) stays well inside
-    * decimal(38,0). */
+    * and the remainder key (D² mod b)·n⁴ ≤ n⁶/4 at calendar grain
+    * (≤1e5 points × cents) stay inside decimal(38,0); the quotient keys
+    * exceed LONG, so integral division is taken as (x − x mod b)/b in
+    * decimal — exact because the numerator is an exact multiple of b. */
   def changepointMean(df: DataFrame, orderQ: Column,
                       valueQ: Column): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -391,11 +398,20 @@ object Timeseries {
       .withColumn("__st", sum(col("__y").cast(d38)).over(wCur))
       .crossJoin(broadcast(tot))
       .filter(col("__i") < col("__n"))
+      // __gain = D² = (n·S_t − t·S)², expanded so every term is a product
+      // of exact decimals; identical expression text in the DuckDB twin.
       .withColumn("__gain",
         expr(s"""CAST(__n AS $d38) * (__n - __i) * __st * __st
                + CAST(__n AS $d38) * __i * (__s - __st) * (__s - __st)
                - CAST(__i AS $d38) * (__n - __i) * __s * __s"""))
-      .orderBy(col("__gain").desc, col("__t").asc).limit(1)
+      .withColumn("__b", expr(s"CAST(__i AS $d38) * (__n - __i)"))
+      .withColumn("__r", expr("__gain % __b"))
+      .withColumn("__k1", expr(s"CAST((__gain - __r) / __b AS $d38)"))
+      .withColumn("__rn",
+        expr(s"__r * CAST(__n AS $d38) * __n * __n * __n"))
+      .withColumn("__k2",
+        expr(s"CAST((__rn - __rn % __b) / __b AS $d38)"))
+      .orderBy(col("__k1").desc, col("__k2").desc, col("__t").asc).limit(1)
       .select(col("__t").as("split_at"), col("__i").as("n_left"),
         (col("__n") - col("__i")).as("n_right"),
         (expr("(1000000 * __st) div __i").cast("double") / 1e6)

@@ -1123,6 +1123,18 @@ class RelationalOpsSpec extends SparkSpec {
       ("r<l", 2L, 2L, 1000000L, true)), out.toSeq.toString)
   }
 
+  test("inclusionProfile: an all-NULL lhs reports NULL containment, " +
+      "no ANSI division error") {
+    import spark.implicits._
+    val l = Seq[Option[Long]](None, None).toDF("k")
+    val r = Seq(1L, 2L).toDF("k")
+    val row = RelationalOps.inclusionProfile(Seq(("empty<r", l, "k", r, "k")))
+      .collect()(0)
+    assert(row.getLong(1) == 0L && row.getLong(2) == 0L, row.toString)
+    assert(row.isNullAt(3), row.toString)
+    assert(row.getBoolean(4), row.toString) // vacuously contained
+  }
+
   test("srmCheck: 60/40 on a 1:1 split fires; unexpected variants count") {
     import spark.implicits._
     val df = (Seq.fill(60)("v0") ++ Seq.fill(40)("v1") ++ Seq.fill(5)("vX"))
@@ -1158,6 +1170,14 @@ class RelationalOpsSpec extends SparkSpec {
       .toDF("b", "g")
     val r2 = RelationalOps.overlapTv(disj, col("b"), col("g")).collect()(0)
     assert(r2.getDouble(3) == 1.0 && r2.getDouble(4) == 0.0, r2.toString)
+  }
+
+  test("overlapTv: an empty group yields NULL tv/overlap, never NaN") {
+    import spark.implicits._
+    val oneSided = Seq((1L, true), (2L, true)).toDF("b", "g")
+    val r = RelationalOps.overlapTv(oneSided, col("b"), col("g")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L, r.toString)
+    assert(r.isNullAt(3) && r.isNullAt(4), r.toString)
   }
 
   test("skyline2d: dominated points drop, duplicate frontier points count") {

@@ -342,6 +342,18 @@ class SketchSpec extends SparkSpec {
     assert(self == 10L, s"self=$self")  // 9 + 1
   }
 
+  test("cmsJoinSize: NULL keys join nothing — excluded from both sides") {
+    import spark.implicits._
+    val a = Seq(Some("k1"), Some("k1"), Some("k1"), Some("k2"), None, None)
+      .toDF("k")
+    val b = Seq(Some("k1"), Some("k2"), Some("k2"), Some("k3"), None)
+      .toDF("k")
+    val est = Sketches.cmsJoinSize(a, "k", b, "k", depth = 3, width = 1024)
+      .collect()(0).getLong(0)
+    // SQL semantics: the NULL groups contribute no f_A·f_B term
+    assert(est == 5L, s"est=$est")
+  }
+
   test("cmsJoinSize: forced collisions only overestimate") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"key$i").toDF("k")

@@ -90,6 +90,22 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.25, s"unc ${r.getDouble(4)}")
   }
 
+  test("brierDecomposition: NULL labels are excluded, not counted as " +
+      "negatives") {
+    // same fixture as above plus two NULL-label rows whose scores would
+    // shift every component if they were treated as o=0
+    val df = Seq((1000L, Some(false)), (3000L, Some(false)),
+      (3500L, Some(true)), (7000L, Some(true)), (9000L, Some(true)),
+      (9200L, Some(false)), (9900L, None), (100L, None)).toDF("p", "y")
+    val r = graft.operators.Stats
+      .brierDecomposition(df, col("p"), col("y"), bins = 10).collect()(0)
+    assert(r.getLong(0) == 6L, r.toString)
+    assert(r.getDouble(1) == 0.244817, s"brier ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.082908, s"rel ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.083333, s"res ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.25, s"unc ${r.getDouble(4)}")
+  }
+
   test("brierDecomposition: a perfectly calibrated constant score has " +
       "zero reliability and zero resolution") {
     val df = Seq((5000L, true), (5000L, false), (5000L, true),

@@ -272,6 +272,23 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getDouble(5) == 97.2, r.toString)
   }
 
+  test("changepointMean: the argmax divides by the per-split denominator " +
+      "t(n-t), not just the scaled numerator") {
+    import org.apache.spark.sql.functions.col
+    // D² alone peaks at t=5 (D²=900, gain 900/250=3.6) but the true gain
+    // D²/(n·t·(n−t)) peaks at t=2 (900/160=5.625) — the biased argmax
+    // used to return the mid-panel split here.
+    val ys = Seq(2L, 1L, 0L, 0L, 0L, -3L, 0L, 0L, 0L, 0L)
+    val df = ys.zipWithIndex.map { case (y, i) => (i + 1L, y) }.toDF("t", "y")
+    val r = Timeseries.changepointMean(df, col("t"), col("y")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 8L,
+      r.toString)
+    assert(r.getDouble(3) == 1.5, r.toString)
+    // mean_right = (1000000 * -3) div 8 / 1e6 (trunc toward zero)
+    assert(r.getDouble(4) == -0.375, r.toString)
+    assert(r.getDouble(5) == 5.625, r.toString)
+  }
+
   test("changepointMean: a constant series ties every split to gain 0 " +
       "and breaks to the earliest") {
     import org.apache.spark.sql.functions.col
