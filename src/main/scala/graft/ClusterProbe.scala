@@ -34,6 +34,7 @@ object ClusterProbe {
     val edges = timed("pairs pipeline (edges checkpoint)") {
       pairs.select(col("id_a"), col("id_b"))
         .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        // ckpt: one-shot — probe harness, single materialization
         .localCheckpoint()
     }
     println(s"[probe] edges=${edges.count()}")

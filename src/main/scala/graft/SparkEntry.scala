@@ -2397,6 +2397,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- the SKETCH lane of q_spearman: ranks against a broadcast
+    // 512-row sample ECDF per group (DKW ±6% quantile error at 95%) —
+    // one corpus scan, no corpus-grain rank joins; error priced vs the
+    // exact twin in BASELINE.md ----
+    "q_spearman_sketch" -> ((s, d) => {
+      Stats.spearmanSketch(
+          t(s, d, "lineitem").withColumn("__rowid",
+            col("l_orderkey") * 10L + col("l_linenumber")),
+          "l_returnflag", "__rowid",
+          cents(col("l_quantity")), cents(col("l_extendedprice")), k = 512)
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Kendall tau-b on the nation-grain panel (bounded all-pairs by
     // construction: 25 nations → 300 pairs; corpus-grain rank association
     // is q_spearman's linear kernel) ----
@@ -2928,6 +2941,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- linkage: the SCALE lane of q_fs_matches — the fixed
+    // (nat, postcode) blocking grain grows candidates quadratically with
+    // corpus density (its own sf1 trend row measured 10× wall at 10×
+    // data), so the production shape caps every block at FsBlockCap
+    // records per side BEFORE pair generation (the q_jaro_scaled
+    // pattern): bounded candidates at ANY corpus size, EM fit and
+    // classification both on the capped universe, recall priced against
+    // the exact twin in BASELINE.md ----
+    "q_fs_matches_scaled" -> ((s, d) => {
+      val (a, b) = erSidesCapped(s, d)
+      val cands = Linkage.blockedCandidates(a, b, "rec_id",
+        Seq("nat", "postcode"), Seq("name", "seg", "band"))
+      def bit(c: Column) = when(c, lit("1")).otherwise(lit("0"))
+      val withPat = cands.select(col("id_a"), col("id_b"),
+        concat(bit(col("a_name") <=> col("b_name")),
+          bit(col("a_seg") <=> col("b_seg")),
+          bit(col("a_band") <=> col("b_band"))).as("pattern"))
+      withPat.join(
+          broadcast(fsEmFitOn(a, b).patterns.filter(col("is_match"))
+            .select(col("pattern"), col("posterior_nano"))),
+          "pattern")
+        .select(col("id_a"), col("id_b"), col("posterior_nano"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- graphs: link prediction (common neighbors + RA index) ----
     "q_link_predict" -> ((s, d) => {
       Graphs.linkPrediction(nationTradeEdges(s, d), "u", "v")
@@ -3307,14 +3345,39 @@ object SparkEntry {
 
   /** The shared FS-EM fit over the ER fixture's un-thresholded blocked
     * candidates (q_fs_em + q_fs_params read one fit). */
-  private def fsEmFit(s: SparkSession, d: String): Linkage.FsEmResult = {
-    val (a, b) = erSides(s, d)
+  private def fsEmFitOn(a: DataFrame, b: DataFrame): Linkage.FsEmResult = {
     val cands = Linkage.blockedCandidates(a, b, "rec_id",
       Seq("nat", "postcode"), Seq("name", "seg", "band"))
     Linkage.fellegiSunterEM(cands, Seq(
       col("a_name") <=> col("b_name"),
       col("a_seg") <=> col("b_seg"),
       col("a_band") <=> col("b_band")), rounds = 5)
+  }
+  private def fsEmFit(s: SparkSession, d: String): Linkage.FsEmResult = {
+    val (a, b) = erSides(s, d)
+    fsEmFitOn(a, b)
+  }
+
+  /** Per-(nat, postcode)-block record cap for the SCALE lane of the FS
+    * family (q_fs_matches_scaled): the fixed blocking grain grows
+    * candidates quadratically with corpus density, so the production
+    * shape bounds every block at this many records per side
+    * (md5-lane ranked — deterministic, twin-reproducible). 12 ≈ 2× the
+    * sf0.1 mean occupancy: the cap is inert at oracle scale and binds
+    * exactly where density becomes pathological. */
+  private val FsBlockCap = 12
+
+  /** [[erSides]] with both sides block-capped — the q_fs_matches_scaled
+    * candidate universe. Both sides rank by the SAME md5(rec_id), so a
+    * kept record is kept on both sides and true-match pairs survive at
+    * the kept fraction (the recall trade is priced in BASELINE.md). */
+  private def erSidesCapped(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (a, b) = erSides(s, d)
+    (Linkage.capBlocks(a, Seq("nat", "postcode"), "rec_id",
+      cap = FsBlockCap, useMd5 = true),
+      Linkage.capBlocks(b, Seq("nat", "postcode"), "rec_id",
+        cap = FsBlockCap, useMd5 = true))
   }
 
   /** The ER fixture's two sides as CTEs — shared by the fixed-weight
@@ -3330,6 +3393,21 @@ object SparkEntry {
       |    CASE WHEN rec_id % 5 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
       |    band + CASE WHEN rec_id % 7 = 0 THEN 1 ELSE 0 END AS band
       |  FROM sa)""".stripMargin
+
+  /** [[erSidesCtes]] plus both sides block-capped at [[FsBlockCap]] by
+    * md5(rec_id) rank — the DuckDB twin of [[erSidesCapped]] (the
+    * q_jaro_scaled cap formula on the ER fixture). */
+  private def erSidesCappedCtes: String = {
+    val h = graft.operators.Sketches.kmvHash32Sql("CAST(rec_id AS VARCHAR)")
+    def capped(name: String, src: String) =
+      s"""$name AS (SELECT rec_id, nat, postcode, name, seg, band FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nat, postcode
+         |      ORDER BY ($h), rec_id) AS rk FROM $src)
+         |  WHERE rk <= $FsBlockCap)""".stripMargin
+    s"""$erSidesCtes,
+       |${capped("ca", "sa")},
+       |${capped("cb", "sb")}""".stripMargin
+  }
 
   /** Linkage CTEs shared by the two ER oracles (one definition, two
     * consumers). Weights/threshold are inlined from [[erFields]]'s values;
@@ -3353,7 +3431,8 @@ object SparkEntry {
     * HUGEINT mass sums with floor division and [1, 1e9−1] clamps. Ends
     * with one more E-step (`wFin`) under the converged params — the
     * pattern relation both q_fs_em and q_fs_params read. */
-  private def fsEmSql(rounds: Int): String = {
+  private def fsEmSql(rounds: Int, sidesCtes: String = erSidesCtes,
+                      aRel: String = "sa", bRel: String = "sb"): String = {
     val k = 3
     def clampSql(x: String) =
       s"greatest(CAST(1 AS HUGEINT), least(CAST(999999999 AS HUGEINT), $x))"
@@ -3383,13 +3462,14 @@ object SparkEntry {
     val roundCtes = (1 to rounds).map { r =>
       wCte(s"w$r", s"em${r - 1}") + ",\n" + emCte(s"em$r", s"w$r")
     }.mkString(",\n")
-    s"""$erSidesCtes,
+    s"""$sidesCtes,
        |pat AS MATERIALIZED (
        |  SELECT (a.name IS NOT DISTINCT FROM b.name) AS a0,
        |    (a.seg IS NOT DISTINCT FROM b.seg) AS a1,
        |    (a.band IS NOT DISTINCT FROM b.band) AS a2,
        |    count(*) AS n
-       |  FROM sa a JOIN sb b ON a.nat = b.nat AND a.postcode = b.postcode
+       |  FROM $aRel a JOIN $bRel b
+       |    ON a.nat = b.nat AND a.postcode = b.postcode
        |  GROUP BY 1, 2, 3),
        |em0 AS (SELECT CAST(100000000 AS HUGEINT) AS p,
        |  CAST(900000000 AS HUGEINT) AS m0, CAST(100000000 AS HUGEINT) AS u0,
@@ -5892,6 +5972,44 @@ object SparkEntry {
         |           CAST(n*syy - sy*sy AS DOUBLE)), 4) + 0.0 END AS rho
         |FROM a ORDER BY l_returnflag""".stripMargin,
 
+    // the sketch lane: Bernoulli-by-hash id sample (the q_fixed_sample
+    // Knuth hash against a per-group k·M div n threshold — duplicate
+    // synthetic ids cluster-sample identically on both engines), ranks
+    // via list-count expressions against the sorted sample arrays, then
+    // the identical exact Pearson tail
+    "q_spearman_sketch" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    l_orderkey*10 + l_linenumber AS id,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+        |thr AS (SELECT g, (CAST(512 AS BIGINT) * 1000000007) // count(*)
+        |    AS t FROM b GROUP BY g),
+        |s AS (SELECT b.g, list(b.x ORDER BY b.x) AS xs,
+        |    list(b.y ORDER BY b.y) AS ys
+        |  FROM b JOIN thr ON b.g = thr.g
+        |  WHERE ((b.id % 1000003) * 2654435761) % 1000000007 < thr.t
+        |  GROUP BY b.g),
+        |rk AS (SELECT b.g,
+        |    2*len(list_filter(s.xs, e -> e < b.x))
+        |      + len(list_filter(s.xs, e -> e = b.x)) + 1 AS rx2,
+        |    2*len(list_filter(s.ys, e -> e < b.y))
+        |      + len(list_filter(s.ys, e -> e = b.y)) + 1 AS ry2
+        |  FROM b JOIN s ON b.g = s.g),
+        |a AS (SELECT g, count(*) AS n,
+        |    sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+        |    sum(CAST(rx2 AS HUGEINT)*rx2) AS sxx,
+        |    sum(CAST(ry2 AS HUGEINT)*ry2) AS syy,
+        |    sum(CAST(rx2 AS HUGEINT)*ry2) AS sxy FROM rk GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+        |    ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |           CAST(n*syy - sy*sy AS DOUBLE)), 4) + 0.0 END AS rho
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     // exact pair classification on the 25-row nation panel
     "q_kendall" ->
       """WITH nat AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
@@ -6835,6 +6953,19 @@ object SparkEntry {
       s"""WITH ${fsEmSql(5)}
          |SELECT a.rec_id AS id_a, b.rec_id AS id_b, f.w AS posterior_nano
          |FROM sa a JOIN sb b ON a.nat = b.nat AND a.postcode = b.postcode
+         |JOIN wFin f
+         |  ON f.a0 = (a.name IS NOT DISTINCT FROM b.name)
+         | AND f.a1 = (a.seg IS NOT DISTINCT FROM b.seg)
+         | AND f.a2 = (a.band IS NOT DISTINCT FROM b.band)
+         |WHERE f.w >= 500000000
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same EM + classification as q_fs_matches, every pair drawn from the
+    // block-capped sides (fit and classify share the capped universe)
+    "q_fs_matches_scaled" ->
+      s"""WITH ${fsEmSql(5, erSidesCappedCtes, "ca", "cb")}
+         |SELECT a.rec_id AS id_a, b.rec_id AS id_b, f.w AS posterior_nano
+         |FROM ca a JOIN cb b ON a.nat = b.nat AND a.postcode = b.postcode
          |JOIN wFin f
          |  ON f.a0 = (a.name IS NOT DISTINCT FROM b.name)
          | AND f.a1 = (a.seg IS NOT DISTINCT FROM b.seg)

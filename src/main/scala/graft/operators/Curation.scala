@@ -669,6 +669,7 @@ object Curation {
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(split(col("word"), "").as("syms"), col("n"))
+      // ckpt: one-shot — initial vocab; every loop round goes through flatCk
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
@@ -715,6 +716,7 @@ object Curation {
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
       .distinct()
       .select(col("word"), split(col("word"), "").as("syms"))
+      // ckpt: one-shot — initial vocab; every loop round goes through flatCk
       .localCheckpoint()
     for ((l, r) <- merges)
       vocab = flatCk(vocab.select(col("word"), mergeFold(l, r).as("syms")))
@@ -927,6 +929,7 @@ object Curation {
         col("weight_bp") <= 0 || col("avail_tokens") <= 0)
       .withColumn("alloc_tokens",
         when(col("weight_bp") <= 0 || col("avail_tokens") <= 0, lit(0L)))
+      // ckpt: one-shot — initial state; every loop round goes through flatCk
       .localCheckpoint(eager = false)
     for (_ <- 0 until rounds) {
       val tot = st.agg(

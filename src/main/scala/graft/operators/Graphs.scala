@@ -170,6 +170,7 @@ object Graphs {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
+      // ckpt: one-shot — edges built once pre-loop; rounds go through flatCk
       .distinct().localCheckpoint()
     for (_ <- 0 until rounds) {
       val alive = e.select(col("u").as("node"))
@@ -218,6 +219,7 @@ object Graphs {
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
+      // ckpt: one-shot — deduped edges built once; wedge join reads it twice
       .distinct().localCheckpoint()
     val deg = raw.select(col("u").as("node"))
       .union(raw.select(col("v").as("node")))
@@ -235,6 +237,7 @@ object Graphs {
         when(col("uk") < col("vk"), col("uk.n")).otherwise(col("vk.n")).as("a"),
         when(col("uk") < col("vk"), col("vk")).otherwise(col("uk")).as("bk"))
       .select(col("a"), col("bk.n").as("b"), col("bk").as("bk"))
+      // ckpt: one-shot — oriented edges built once; wedge join reads it twice
       .localCheckpoint()
     val wedges = o.select(col("a"), col("b").as("wb"), col("bk").as("wbk"))
       .join(o.select(col("a"), col("b").as("wc"), col("bk").as("wck")), "a")

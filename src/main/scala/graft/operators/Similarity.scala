@@ -502,6 +502,7 @@ object Similarity {
     // stored pqCodes rows
     val codes = encodeAgainstCodebook(delta, vecCol, idCol,
       spark.read.parquet(indexDir + ".codebook"), m, dim)
+    // ckpt: one-shot — append-path rows, consumed once by the anti-join + write
     val rows = codes.join(assigned, idCol :: Nil).localCheckpoint()
     // Whole-index id anti-join, not touched-cells-only: a re-ingested id
     // whose new embedding assigns to a different cell would otherwise
@@ -606,6 +607,7 @@ object Similarity {
       .filter(!isnan(col("c_sim")))
       .orderBy(col("c_sim").desc, col("centroid_id").asc)
       .limit(nprobe)
+      // ckpt: one-shot — nprobe-bounded probe ranking, reused by two tiny consumers
       .localCheckpoint()
     val qres = ranked.crossJoin(broadcast(probe))
       .select(col("centroid_id"),
@@ -1049,6 +1051,7 @@ object Similarity {
     val centroids = spark.read.parquet(indexDir + ".centroids")
     val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
       .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
+    // ckpt: one-shot — append-path rows, consumed once by the anti-join + write
     val rows = delta.join(assigned, idCol).localCheckpoint()
     // Dedup against ids ANYWHERE in the index, not just the delta's
     // touched cells: an id re-ingested with a changed embedding can
@@ -1731,6 +1734,7 @@ object Similarity {
                            yCol: String): DataFrame =
     points.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y"))
+      // ckpt: one-shot — nodes relation built once; the CC loop itself flat-checkpoints
       .localCheckpoint()
 
   /** DBSCAN point classification on an integer-grid plane: every point's

@@ -88,6 +88,148 @@ object Stats {
           .as("rho"))
   }
 
+  /** Approximate Spearman from a BOUNDED per-group row sample — the
+    * production scale lane of [[spearmanRho]], whose exact kernel is the
+    * statistics family's only corpus-grain double rank-join. Ranks are
+    * estimated against the sample ECDF: a hash-threshold id sample per
+    * group — keep rows whose Knuth id-hash clears h(id) < k·M div n
+    * (the [[Curation.knuthHash]] lane; M = 2³⁰-scale modulus, n = group
+    * rows), a pure scan-side filter that is deterministic and
+    * engine-reproducible with NO top-k state and NO shuffle (a bottom-k
+    * aggregate in this slot costs O(k) per input row — measured 49 s at
+    * sf1) — folded once into sorted distinct-value/count arrays that
+    * BROADCAST (collected driver-side first: groups × ≤ k rows, the
+    * PQ-codebook bounded-collect class); every corpus row then ranks
+    * itself by an O(log k) binary search in a typed mapPartitions
+    * (2·|{s < x}| + |{s = x}| + 1, the 2× midrank convention against
+    * the sample — see the in-code note for why every declarative
+    * encoding of the descent measured pathological), and rho is the
+    * same exact Pearson tail over those integer ranks. Two corpus
+    * scans, no rank join, no corpus-grain shuffle beyond two
+    * map-side-combinable aggs — the whole rank structure rides a
+    * groups×k broadcast. The group column is compared and RETURNED in
+    * its string form (the typed hot loop's key).
+    *
+    * Error bound: the sample ECDF obeys DKW — P(sup|F̂−F| > ε) ≤
+    * 2·e^(−2kε²), so with k = 512 every rank is within ±6.0% of its
+    * true quantile with 95% confidence (±2.7% at k = 2048; the sample
+    * SIZE itself is binomial around nominal k — Bernoulli-by-hash, not
+    * exact-k), and rho inherits that scale of error (measured against
+    * the exact twin in BASELINE.md). Groups with ≤ k rows keep every
+    * row (threshold ≥ M) — the sketch is EXACT there (the sample
+    * midrank formula equals the value-domain midrank when
+    * sample = group).
+    *
+    * Duplicate ids (a non-unique row key) are handled as a CLUSTER
+    * sample: the hash filter admits every row of a sampled id —
+    * deterministic and engine-identical, where per-row top-k sampling
+    * would tie-break duplicate ids differently per engine. */
+  def spearmanSketch(df: DataFrame, groupCol: String, idCol: String,
+                     xQ: Column, yQ: Column, k: Int = 512): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k out of range: $k")
+    val hashMod = 1000000007L
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
+      .filter(col("__g").isNotNull && col("__id").isNotNull &&
+        col("__x").isNotNull && col("__y").isNotNull)
+    val thr = base.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .select(col("__g"),
+        expr(s"(CAST($k AS BIGINT) * $hashMod) div __n").as("__thr"))
+    val sampleRows = base.join(broadcast(thr), Seq("__g"))
+      .filter(Curation.knuthHash(col("__id"), hashMod) < col("__thr"))
+    // The sample model — per (group, axis), sorted distinct values with
+    // per-value count `eq` and exclusive cumulative `lt` (# sample < v)
+    // — collects DRIVER-SIDE: groups × ≤ k rows, the same bounded
+    // collect class as the PQ codebooks and IVF centroids, broadcast
+    // once to every task.
+    val modelRows = sampleRows
+      .groupBy(col("__g").cast("string").as("__gs"), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c")).collect()
+    def axisModel(get: org.apache.spark.sql.Row => Long)
+        : Map[String, (Array[Long], Array[Long], Array[Long])] =
+      modelRows.groupBy(_.getString(0)).map { case (g, rows) =>
+        val byV = rows.groupBy(get).view
+          .mapValues(_.map(_.getLong(3)).sum).toArray.sortBy(_._1)
+        val vs = byV.map(_._1)
+        val eq = byV.map(_._2)
+        val lt = eq.scanLeft(0L)(_ + _).dropRight(1)
+        g -> (vs, eq, lt)
+      }
+    // the (x, y) grain above loses nothing: eq/lt per axis re-aggregate
+    // from it, and one collect serves both axes
+    val mx = axisModel(_.getLong(1))
+    val my = axisModel(_.getLong(2))
+    val bc = base.sparkSession.sparkContext.broadcast((mx, my))
+    // Scan-side EXACT binary-search rank against the broadcast model in
+    // a typed mapPartitions — the one genuinely imperative hot loop in
+    // this file, and deliberately so: every declarative encoding of the
+    // per-row O(log k) descent measured pathological at sf1 (a linear
+    // array HOF: 47 s; the rank joined per distinct value: 11 s; an
+    // aggregate() fold: broke whole-stage codegen and interpreted
+    // Projects copied the k-arrays into every row: 45 s; this form:
+    // ~scan cost). Rows whose group has NO sampled id (possible only
+    // for extreme n where the Bernoulli threshold rounds to 1) drop,
+    // mirroring the twin's inner join against the sample relation.
+    // The Pearson partials fold IN the same loop (one output row per
+    // partition × group, never a per-row rank tuple — the rank-tuple
+    // shuffle alone measured ~6 s at sf1): per-partition sums stay in
+    // primitive longs (rx2·ry2 ≤ (2k+1)² ≈ 1e6, safe to ~9e12 rows per
+    // partition), cross-partition totals ride decimal(38,0).
+    val inEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val partials = base
+      .select(col("__g").cast("string").as("_1"), col("__x").as("_2"),
+        col("__y").as("_3"))
+      .as[(String, Long, Long)](inEnc)
+      .mapPartitions { it =>
+        val (mxL, myL) = bc.value
+        def rank2(m: Map[String, (Array[Long], Array[Long], Array[Long])],
+                  g: String, v: Long): Long = {
+          val (vs, eq, lt) = m(g)
+          val i = java.util.Arrays.binarySearch(vs, v)
+          if (i >= 0) 2L * lt(i) + eq(i) + 1L
+          else {
+            val ip = -i - 1 // insertion point = # sample values < v
+            val less = if (ip == 0) 0L else lt(ip - 1) + eq(ip - 1)
+            2L * less + 1L
+          }
+        }
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, Array[Long]]
+        it.foreach { case (g, x, y) =>
+          if (mxL.contains(g)) {
+            val rx = rank2(mxL, g, x); val ry = rank2(myL, g, y)
+            val a = acc.getOrElseUpdate(g, new Array[Long](6))
+            a(0) += 1L; a(1) += rx; a(2) += ry
+            a(3) += rx * rx; a(4) += ry * ry; a(5) += rx * ry
+          }
+        }
+        acc.iterator.map { case (g, a) =>
+          (g, a(0), a(1), a(2), a(3), a(4), a(5))
+        }
+      }(org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(String, Long, Long, Long, Long, Long, Long)]())
+      .toDF("__g", "__pn", "__psx", "__psy", "__psxx", "__psyy", "__psxy")
+    partials.groupBy(col("__g"))
+      .agg(sum(col("__pn").cast(d38)).as("__n"),
+        sum(col("__psx").cast(d38)).as("__sx"),
+        sum(col("__psy").cast(d38)).as("__sy"),
+        sum(col("__psxx").cast(d38)).as("__sxx"),
+        sum(col("__psyy").cast(d38)).as("__syy"),
+        sum(col("__psxy").cast(d38)).as("__sxy"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        when(expr("(__n*__sxx - __sx*__sx) = 0 OR (__n*__syy - __sy*__sy) = 0"),
+            lit(null).cast("double"))
+          .otherwise(round(
+            expr(s"CAST(__n*__sxy - __sx*__sy AS DOUBLE)") /
+              sqrt(expr(s"CAST(__n*__sxx - __sx*__sx AS DOUBLE)") *
+                   expr(s"CAST(__n*__syy - __sy*__sy AS DOUBLE)")),
+            4) + lit(0.0))
+          .as("rho"))
+  }
+
   /** Kendall tau-b over a BOUNDED relation (caller contract: a group-grain
     * or value-domain aggregate, thousands of rows, NOT the corpus — the
     * all-pairs kernel is quadratic by definition; at corpus grain use

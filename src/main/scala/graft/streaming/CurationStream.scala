@@ -177,6 +177,7 @@ object CurationStream {
         least(col("m_old"), col("m_new")).as("matched_doc"))
     // append AFTER the lookup plans are built — but force the flags first so
     // this batch can't see its own appended bands through the stored read
+    // ckpt: one-shot — per-batch flags, next batch reads parquet (fresh stats)
     val out = flags.localCheckpoint(eager = true)
     bands.write.mode("append").parquet(indexDir)
     bands.unpersist()

@@ -77,6 +77,35 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(2) == 13.0 && r.getDouble(3) == 0.8125, r.toString)
   }
 
+  test("spearmanSketch: EXACT when the group fits the sample (ties " +
+      "included), close to the exact kernel when it does not") {
+    // 24 rows with planted x-ties, k = 32 ≥ group → sample = group and
+    // the sample-midrank formula equals the value-domain midrank
+    val rows = (1 to 24).map(i =>
+      ("g", i.toLong, (i / 2).toLong, (i * i).toLong))
+    val df = rows.toDF("g", "id", "x", "y")
+    val exact = graft.operators.Stats
+      .spearmanRho(df, "g", col("x"), col("y")).collect()(0)
+    val sk = graft.operators.Stats
+      .spearmanSketch(df, "g", "id", col("x"), col("y"), k = 32)
+      .collect()(0)
+    assert(sk.getLong(1) == exact.getLong(1))
+    assert(sk.getDouble(2) == exact.getDouble(2),
+      s"sketch ${sk.getDouble(2)} vs exact ${exact.getDouble(2)}")
+    // 2000 noisy-monotone rows, k = 64 — DKW puts ranks within ~±15%
+    // at 95%; rho should land well inside ±0.1 of the exact value
+    val big = (1 to 2000).map { i =>
+      ("g", i.toLong, i.toLong, (i + (i * 7919 % 400)).toLong)
+    }.toDF("g", "id", "x", "y")
+    val exactBig = graft.operators.Stats
+      .spearmanRho(big, "g", col("x"), col("y")).collect()(0).getDouble(2)
+    val skBig = graft.operators.Stats
+      .spearmanSketch(big, "g", "id", col("x"), col("y"), k = 64)
+      .collect()(0).getDouble(2)
+    assert(math.abs(skBig - exactBig) < 0.1,
+      s"sketch $skBig too far from exact $exactBig")
+  }
+
   test("brierDecomposition: exact bp fixture matches Murphy's components") {
     val df = Seq((1000L, false), (3000L, false), (3500L, true),
       (7000L, true), (9000L, true), (9200L, false)).toDF("p", "y")
