@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
@@ -10,7 +10,32 @@ import org.apache.spark.sql.SparkSession
   * materialized through the `noop` sink — unlike count(), noop cannot be
   * shortcut by count-only column pruning, so every expression in the plan
   * actually executes. */
-object Bench {
+object Bench extends QueryShared {
+  /** PRODUCTION fast lanes, benchmarked alongside the oracle suite under
+    * `fast__`-prefixed names: the pinned q_link_tables / q_dedup_minhash
+    * numbers charge the md5 ORACLE-LANE digest kernel (DuckDB has no
+    * xxhash64, so the twin-reproducible lane pays ~2.4M md5 digests),
+    * while production runs the xxhash64 lane — equivalence is spec-pinned
+    * (`DedupSpec`/`DedupPackedSpec` dual-lane tests), these rows just make
+    * the pin show what production would pay. NOT part of the oracle
+    * contract (no DuckDB twin can replay xxhash64), hence registered here
+    * and not in `SparkEntry.queries`. */
+  private[graft] val fastLanes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fast__q_dedup_minhash" -> ((s, d) => {
+      operators.Dedup.minhashNearDups(Tables.load(s, d, "documents"),
+          "text", "doc_id", numHashes = 16, rowsPerBand = 4,
+          shingleSize = 3, threshold = 0.5, useMd5 = false)
+        .orderBy("id_a", "id_b")
+    }),
+    "fast__q_link_tables" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      operators.Dedup.linkTables(docs, "text", "doc_id",
+          linkRightTable(docs), "text", "doc_id", maxDist = 10,
+          useMd5 = false)
+        .orderBy("id_l", "id_r")
+    })
+  )
+
   /** Per-query seconds out of a prior record's flat `"queries":{...}` map
     * (our own machine-written format — no nesting inside the braces).
     * Failed-query -1 sentinels are dropped so they never join a subtotal. */
@@ -77,9 +102,10 @@ object Bench {
     // what the driver records
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchable = SparkEntry.queries ++ fastLanes
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
+      case Some(names) => benchable.filter(kv => names(kv._1))
+      case None => benchable
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

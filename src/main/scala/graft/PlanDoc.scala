@@ -125,7 +125,10 @@ object PlanDoc {
     "q_item_cf" -> "item-item CF: basket-gated pairing self-join, supports attach by BROADCAST, top-k via a per-item window — no global sort, ranking on truncated integer cos²",
     "q_js_sources" -> "per-source JSD: (source, word) agg + vocab/source-grain totals; absent-word mass folds in closed form — no source×vocab cross join in the plan",
     "q_skyline" -> "2-D skyline: value-domain agg, per-x max window, one domain-bounded running max — the corpus contributes a single scan, nothing pairwise",
-    "q_cms_join_size" -> "CMS join-size: two scan-side sketch builds into depth×width cells, cell-join dot product — the estimated join never runs, inputs never shuffle")
+    "q_cms_join_size" -> "CMS join-size: two scan-side sketch builds into depth×width cells, cell-join dot product — the estimated join never runs, inputs never shuffle",
+    "q_spearman_sketch" -> "Spearman sketch lane: Bernoulli-by-hash sample filter scan-side, groups×k model collected+broadcast, per-partition binary-search ranks folding the Pearson partials — zero corpus shuffles (vs the exact lane's two row-grain rank joins)",
+    "q_fs_matches_scaled" -> "FS scale lane: capBlocks row_number windows bound every (nat, postcode) block at 12/side BEFORE the candidate equi-join — pair volume is cap²·|blocks| at any corpus density",
+    "q_dbscan_clusters" -> "DBSCAN labels: partition-local union-find contraction (mapPartitions, no shuffle) collapses chains into stars before the flat-checkpointed pointer-doubling loop — global rounds scale with cross-partition hops, not component diameter")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
