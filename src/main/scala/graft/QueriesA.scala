@@ -1502,6 +1502,16 @@ private[graft] object QueriesA extends QueryShared {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup over the HIERARCHICAL quantizer — the 100 TB lane: tree-
+    // split cells (branch 16, leaf ≤ 64, depth ≤ 4) replace the flat
+    // ⌊√n⌋ quantizer's n^1.5 law with ~n·log n total work; same keep
+    // rule, recall vs the exact ground truth priced in BASELINE.md.
+    "q_semdedup_tree" -> ((s, d) => {
+      Similarity.semDedupTree(t(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // ---- similarity: IVF nprobe ANN search over the MATERIALIZED index ----
     // Build writes the centroid-partitioned index table once; the probe
     // then reads only its nprobe cell directories (partition-pruned scan,

@@ -1759,6 +1759,48 @@ private[graft] trait QueryShared {
     * `ivfPairsSql`); what's left is the kept set. */
   private[graft] def semDedupSql: String = semDedupSqlK("8")
 
+  /** Hierarchical-quantizer SemDeDup oracle — the unrolled twin of
+    * `Similarity.treeAssign(branch = 16, maxLeaf = 64, maxDepth = 4)` +
+    * the in-leaf keep rule. Each unrolled level mirrors one loop
+    * iteration exactly: cells with population > maxLeaf pick their 16
+    * lowest-id members as seeds (row_number here, the bounded TopKHits
+    * aggregate in the engine — same set), members re-assign by rounded
+    * cosine argmax with ties to the smaller seed id (row_number here,
+    * max(struct) there), non-split cells carry forward via the left-join
+    * COALESCE. A level where nothing splits is an identity pass on both
+    * sides (the engine breaks its loop; here the seed CTE is empty), so
+    * a fixed 4-level unroll equals the engine's early-exit loop. */
+  private[graft] def semDedupTreeSql: String = {
+    val branch = 16; val maxLeaf = 64; val depth = 4
+    def level(i: Int): String =
+      s"""p$i AS (SELECT cell FROM a$i GROUP BY cell HAVING count(*) > $maxLeaf),
+         |s$i AS (SELECT cell, sid, sv FROM (
+         |    SELECT a.cell, a.vec_id AS sid, a.vv AS sv,
+         |      row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rn
+         |    FROM a$i a JOIN p$i p ON a.cell = p.cell) WHERE rn <= $branch),
+         |b$i AS (SELECT vec_id, ncell FROM (
+         |    SELECT a.vec_id, a.cell || '-' || CAST(s.sid AS VARCHAR) AS ncell,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        round(list_dot_product(a.vv, s.sv)
+         |          / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(s.sv, s.sv))),4) DESC,
+         |        s.sid) AS rn
+         |    FROM a$i a JOIN s$i s ON a.cell = s.cell) WHERE rn = 1),
+         |a${i + 1} AS (SELECT a.vec_id, a.vv, coalesce(b.ncell, a.cell) AS cell
+         |  FROM a$i a LEFT JOIN b$i b ON a.vec_id = b.vec_id)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |a0 AS (SELECT vec_id, vv, 'r' AS cell FROM v),
+       |${(0 until depth).map(level).mkString(",\n")},
+       |n AS (SELECT vec_id, cell, vv,
+       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$depth),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35)
+       |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   private[graft] def semDedupSqlK(kExpr: String): String =
     s"""WITH ${ivfAssignCtesK(kExpr)},
        |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm

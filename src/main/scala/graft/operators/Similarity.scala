@@ -973,6 +973,105 @@ object Similarity {
     emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** HIERARCHICAL coarse quantizer — the 100 TB replacement for the flat
+    * ⌊√n⌋ quantizer, whose total work is n^1.5 by construction (n·k
+    * assignment vs n²/k in-cell pairs balance at k = √n; the sf1→sf10
+    * probe measured 25× for 10× data, right on the 10^1.5 theory line).
+    * A TREE splits only the cells that are still too big: every vector
+    * starts in one root cell, and each level re-assigns the members of
+    * every cell with population > `maxLeaf` to the `branch` most-similar
+    * of that cell's `branch` lowest-id member vectors (the deterministic
+    * seeding convention of [[ivfAssign]], applied per cell). Cells at or
+    * under `maxLeaf` stop splitting. With fixed branch b and leaf target
+    * c, depth is ⌈log_b(n/c)⌉ — assignment work n·b·log_b(n/c) ≈ n·log n
+    * and in-cell pair work ≈ n·c, so 10× data costs ~10× (plus one log
+    * factor), not 10^1.5.
+    *
+    * Per level the plan is scale-shaped end to end: population is a
+    * cells-grain hash aggregate; seed SELECTION is the bounded
+    * [[graft.functions.TopKHits]] aggregate over score = −id (map-side
+    * combinable, ≤ branch-element state — NEVER a window sort, which at
+    * level 0 would sort the whole corpus in one partition); seed vectors
+    * come from one id-keyed join; assignment scores branch cosines per
+    * member through the codegen'd [[cosineSim]] and takes the argmax as
+    * a map-side-combinable max(struct) keyed on the vector id (ties to
+    * the smaller seed id — the [[assignToCentroids]] convention). The
+    * cells-grain and seeds-grain sides stay small (≤ n/maxLeaf rows), so
+    * AQE broadcasts them at any realistic scale; no hint is forced
+    * because their size GROWS with n and a forced broadcast would be the
+    * 100 TB defect. Each level's frame goes through `flatCheckpoint`
+    * (loop kernel — plan growth is truncated per level).
+    *
+    * Termination: a cell of IDENTICAL vectors never shrinks (every
+    * member ties to the lowest-id seed), so `maxDepth` caps the loop and
+    * such a cell stays an oversized leaf — the caller's pair stage must
+    * keep its own hot-cell guard. Returns (idCol, vecCol, cell) with
+    * `cell` the root-to-leaf path string (root "r", child suffix
+    * "-<seedId>"), identical across engines. */
+  def treeAssign(emb: DataFrame, vecCol: String, idCol: String,
+                 branch: Int = 16, maxLeaf: Int = 64,
+                 maxDepth: Int = 4): DataFrame = {
+    require(branch >= 2, s"branch must be >= 2: $branch")
+    require(maxLeaf >= branch,
+      s"maxLeaf ($maxLeaf) must be >= branch ($branch) so a splitting " +
+        "cell always has enough members to seed")
+    val topSeeds = udaf(new graft.functions.TopKHits(branch),
+      graft.functions.TopKHits.hitEncoder)
+    var cur = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+      emb.select(col(idCol), col(vecCol), lit("r").as("cell")))
+    var level = 0
+    var splitting = true
+    while (splitting && level < maxDepth) {
+      val pops = cur.groupBy("cell").agg(count(lit(1)).as("__pop"))
+        .filter(col("__pop") > maxLeaf)
+        .select(col("cell"))
+      // bounded action: cells-grain count decides loop continuation
+      if (pops.count() == 0L) splitting = false
+      else {
+        val withPop = cur.join(pops, Seq("cell"), "left_semi")
+        val keep = cur.join(pops, Seq("cell"), "left_anti")
+        val seedIds = withPop
+          .groupBy("cell")
+          .agg(topSeeds((-col(idCol)).cast("double"), col(idCol)).as("__hits"))
+          .select(col("cell").as("__scell"), explode(col("__hits")).as("__h"))
+          .select(col("__scell"), col("__h.id").as("__sid"))
+        val seeds = cur.join(seedIds, col(idCol) === col("__sid"))
+          .select(col("__scell"), col("__sid"), col(vecCol).as("__sv"))
+        val assigned = withPop.join(seeds, col("cell") === col("__scell"))
+          .select(col(idCol), col(vecCol), col("cell"), col("__sid"),
+            r4(cosineSim(col(vecCol), col("__sv"))).as("__cs"))
+          .groupBy(col(idCol))
+          .agg(max(struct(col("__cs"), (-col("__sid")).as("__negsid"),
+            col("cell").as("__cell"), col(vecCol).as("__vec"))).as("__b"))
+          .select(col(idCol), col("__b.__vec").as(vecCol),
+            concat(col("__b.__cell"), lit("-"),
+              (-col("__b.__negsid")).cast("string")).as("cell"))
+        cur = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+          keep.unionByName(assigned))
+        level += 1
+      }
+    }
+    cur
+  }
+
+  /** Semantic dedup over the HIERARCHICAL quantizer — [[semDedup]]'s keep
+    * rule (drop iff a smaller-id leaf-mate has cosine ≥ threshold, lowest
+    * id survives per neighborhood) with [[treeAssign]] leaves as the
+    * blocking cells. The recall trade vs the flat lane is structural, not
+    * parametric: near-duplicates that the tree routes into different
+    * leaves are invisible, exactly as cross-cell pairs are invisible to
+    * the flat quantizer — BASELINE.md prices both against the exact
+    * all-pairs ground truth. */
+  def semDedupTree(emb: DataFrame, vecCol: String, idCol: String,
+                   threshold: Double, branch: Int = 16, maxLeaf: Int = 64,
+                   maxDepth: Int = 4, maxCell: Int = 8192): DataFrame = {
+    val leaves = treeAssign(emb, vecCol, idCol, branch, maxLeaf, maxDepth)
+    val dupIds = blockedNearDupPairs(leaves, vecCol, idCol, "cell",
+        threshold, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Materialize the IVF index: quantize the corpus ONCE and store it as a
     * parquet table hive-partitioned on `centroid_id`, plus a k-row centroid
     * table at `<indexDir>.centroids`. This is what makes IVF an INDEX —

@@ -135,6 +135,14 @@ object Stats {
     val thr = base.groupBy("__g").agg(count(lit(1)).as("__n"))
       .select(col("__g"),
         expr(s"(CAST($k AS BIGINT) * $hashMod) div __n").as("__thr"))
+    // Bounded-collect guard: the driver-side model is ≲ groups × 2k rows,
+    // so a near-unique groupCol would collect close to the whole corpus.
+    // Fail fast with the grain named instead of OOMing the driver (the
+    // count reuses the agg the threshold relation needs anyway).
+    val nGroups = thr.count()
+    require(nGroups * k.toLong <= 8000000L,
+      s"spearmanSketch: $nGroups groups x k=$k sample rows exceed the " +
+        "driver-collect budget (8e6); coarsen groupCol or lower k")
     val sampleRows = base.join(broadcast(thr), Seq("__g"))
       .filter(Curation.knuthHash(col("__id"), hashMod) < col("__thr"))
     // The sample model — per (group, axis), sorted distinct values with

@@ -383,7 +383,15 @@ object Timeseries {
     * and the remainder key (D² mod b)·n⁴ ≤ n⁶/4 at calendar grain
     * (≤1e5 points × cents) stay inside decimal(38,0); the quotient keys
     * exceed LONG, so integral division is taken as (x − x mod b)/b in
-    * decimal — exact because the numerator is an exact multiple of b. */
+    * decimal — exact because the numerator is an exact multiple of b.
+    * NOTE the quotients' headroom is NARROWER than the products': Spark
+    * types decimal(38,0)/decimal(38,0) as decimal(38,6) — only 32
+    * integer digits — so each quotient (k1 = D²/b, k2 = (r·n⁴)/b) must
+    * stay under 1e32 or it silently NULLs (non-ANSI) and demotes that
+    * split via NULLS LAST. At the stated grain the bound holds with
+    * ~1000× to spare: |D| ≤ n²·ymax ≤ 1e17 at ymax ≤ 1e7 cents, so
+    * k1 ≤ D²/(n−1) ≤ 1e29, and k2 < n⁴ ≤ 1e20. Callers beyond that
+    * grain must re-derive both bounds, not just the product one. */
   def changepointMean(df: DataFrame, orderQ: Column,
                       valueQ: Column): DataFrame = {
     val d38 = "decimal(38,0)"

@@ -70,7 +70,14 @@ class FlatCheckpointSpec extends SparkSpec {
         if (f.isDirectory) scalaFiles(f)
         else if (f.getName.endsWith(".scala")) Seq(f) else Nil
       }
-    val offenders = scalaFiles(new java.io.File("src/main/scala"))
+    val scanned = scalaFiles(new java.io.File("src/main/scala"))
+    // A wrong CWD makes listFiles return null and the gate pass vacuously
+    // — fail LOUDLY instead, so the audit can never silently stop gating.
+    assert(scanned.nonEmpty,
+      s"source gate found no .scala files under src/main/scala (cwd = " +
+        s"${new java.io.File(".").getAbsolutePath}) — the checkpoint audit " +
+        "would pass vacuously; run the suite from the repo root")
+    val offenders = scanned
       .filterNot(_.getPath.endsWith("org/apache/spark/sql/graft/bridge.scala"))
       .flatMap { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8")

@@ -1043,4 +1043,56 @@ class SimilaritySpec extends SparkSpec {
       }.toMap
     assert(wide == stacked)
   }
+
+  test("treeAssign: hand-computed split tree — seeds, argmax ties, early exit") {
+    // 2-d directions with EXACT 4-dp cosines (3-4-5 triangles and axes):
+    //   cos(id4, id0) = 1/sqrt2 = 0.70710678 -> 0.7071 (ties with seed 1,
+    //   breaks to the smaller seed id); cos(id4, id2) = 7/(5*sqrt2) =
+    //   0.98994949 -> 0.9899; cos(id2, id6) = 1 (same direction).
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(4f, 3f)), (3L, Array(3f, 4f)),
+      (4L, Array(1f, 1f)), (5L, Array(0f, 2f)),
+      (6L, Array(8f, 6f)), (7L, Array(-1f, 0f))).toDF("id", "v")
+    val cells = Similarity.treeAssign(emb, "v", "id",
+        branch = 2, maxLeaf = 3, maxDepth = 5)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Level 0: root(8) > 3 splits on seeds {0,1}: r-0 = {0,2,4,6}
+    // (id4 ties 0.7071/0.7071 -> seed 0), r-1 = {1,3,5,7}.
+    // Level 1: r-0 seeds {0,2}: id0 -> r-0-0; id2, id6 (cos 1), id4
+    // (0.9899 > 0.7071) -> r-0-2. r-1 seeds {1,3}: id1, id5 (cos 1),
+    // id7 (0 > -0.6) -> r-1-1; id3 -> r-1-3.
+    // Level 2: every cell <= 3 -> loop exits before maxDepth.
+    assert(cells == Map(
+      0L -> "r-0-0", 2L -> "r-0-2", 4L -> "r-0-2", 6L -> "r-0-2",
+      1L -> "r-1-1", 5L -> "r-1-1", 7L -> "r-1-1", 3L -> "r-1-3"))
+  }
+
+  test("semDedupTree: in-leaf dups drop, lowest id survives, cross-leaf twins kept") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(4f, 3f)), (3L, Array(3f, 4f)),
+      (4L, Array(1f, 1f)), (5L, Array(0f, 2f)),
+      (6L, Array(8f, 6f)), (7L, Array(-1f, 0f))).toDF("id", "v")
+    // Leaves (prev test): {0}, {2,4,6}, {1,5,7}, {3}. At threshold 0.97:
+    // in {2,4,6} cos(2,4) = 0.9899 and cos(2,6) = 1 drop 4 and 6; in
+    // {1,5,7} cos(1,5) = 1 drops 5 (cos with id7 is 0). id3 is a 0.9899
+    // twin of id4 but sits in its own leaf — the priced recall trade.
+    val kept = Similarity.semDedupTree(emb, "v", "id", threshold = 0.97,
+        branch = 2, maxLeaf = 3, maxDepth = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 7L))
+  }
+
+  test("treeAssign: a cell of identical vectors stops at maxDepth as an oversized leaf") {
+    // Every member ties at cosine 1 to the lowest-id seed, so the cell
+    // never shrinks — the documented degenerate case the maxDepth cap
+    // bounds (downstream pair stages keep their own hot-cell guard).
+    val emb = (0L until 6L).map(i => (i, Array(1f, 2f))).toDF("id", "v")
+    val cells = Similarity.treeAssign(emb, "v", "id",
+        branch = 2, maxLeaf = 2, maxDepth = 3)
+      .select("id", "cell").collect().map(_.getString(1)).distinct
+    assert(cells.toSeq == Seq("r-0-0-0"))
+  }
 }
