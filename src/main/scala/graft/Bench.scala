@@ -72,6 +72,20 @@ object Bench extends QueryShared {
     (promote, reason, freshShared, pinShared)
   }
 
+  /** Per-query contention flags (round-12): queries whose fresh time is
+    * ≥2× their pinned time AND ≥0.3 s absolute, with the ratio — the
+    * driver's loaded records each inflated a different random subset
+    * (r8/r10/r11; r11: q_pii_counts 31×), and the promotion gate already
+    * protects the pin, but a reader of a loaded record had to re-derive
+    * WHICH rows were contention artifacts. Sorted worst-first. */
+  private[graft] def contentionVsPin(
+      freshMap: Map[String, Double],
+      pinnedMap: Map[String, Double]): Seq[(String, Double)] =
+    freshMap.toSeq
+      .flatMap { case (k, v) => pinnedMap.get(k).collect {
+        case p if p > 0 && v >= 0.3 && v / p >= 2.0 => k -> v / p } }
+      .sortBy { case (k, r) => (-r, k) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -153,7 +167,10 @@ object Bench extends QueryShared {
     }
     val (promote, promoReason, freshShared, pinShared) =
       promotionDecision(freshMap, pinnedMap)
-    val meta = s""""failed":$failedList,"reps":$reps,"load_avg":$loadAvg,"cpus":$cpus,"sf":"$sfDir","bench_promotion":"$promoReason""""
+    val contention = contentionVsPin(freshMap, pinnedMap)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val meta = s""""failed":$failedList,"reps":$reps,"load_avg":$loadAvg,"cpus":$cpus,"sf":"$sfDir","bench_promotion":"$promoReason","contention_vs_pin":$contention"""
     val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$meta}"""
     println(full)
     // The recorder keeps only the last ~2000 chars of output, and the full

@@ -1350,7 +1350,15 @@ private[graft] object QueriesA extends QueryShared {
       val docs = t(s, d, "documents")
       TextAnalysis.buildBm25Stats(docs, "text", dir)
       val stats = TextAnalysis.loadBm25Stats(s, dir, retrievalPanel.flatMap(_._2))
+      // Materialize the match relation BEFORE the oracle contract's global
+      // sort: the range partitioner's sampling pass would otherwise
+      // re-execute the scoring scan (an interpreted array-HOF projection
+      // over the corpus), and the sort a third time — measured 209 s vs
+      // 76 s for the scan alone at the sf10 probe. The sort then pays
+      // match-relation cost only.
       TextAnalysis.bm25ScoreFrom(docs, "text", "doc_id", retrievalPanel, stats)
+        // ckpt: one-shot — sampling/sort barrier, built once per call
+        .localCheckpoint()
         .orderBy("query_id", "doc_id")
     }),
 

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall pricing for the IVF-family `_scaled` lanes against the EXACT
+  * all-pairs ground truth — the speed/recall trade as a number, not an
+  * argument (BASELINE.md's trend rows carry the wall times; these rows
+  * carry what the speed bought). Not part of the driver contract.
+  *
+  * Ground truth is the brute-force relation the blocked lanes prune:
+  *  - pairs: every (id_a < id_b) with rounded cosine ≥ 0.35 — the
+  *    candidate set q_ivf_pairs_scaled / the semdedup lanes would emit
+  *    with ONE all-covering cell;
+  *  - knn: every vector's exact top-3 by (rounded cosine DESC, id) —
+  *    what q_knn_graph_scaled approximates within cells.
+  * Both ground-truth kernels are n² by construction — that is WHY the
+  * blocked lanes exist — so this probe is runnable at sf0.1/sf1 (2k/20k
+  * vectors) but intentionally not part of any per-round gate.
+  *
+  * Lane pairs are subsets of the exact pairs (a blocked lane only ever
+  * PRUNES candidates; the verify threshold is identical), so pair
+  * recall is |lane| / |exact|; the semdedup DROP sets inherit the
+  * subset property (drop = "some smaller-id pair partner exists"), so
+  * drop recall is |lane drops| / |exact drops|.
+  *
+  * Usage: sbt "runMain graft.RecallProbe [sfDir]"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val emb = Tables.load(spark, d, "embeddings")
+    val n = emb.count()
+
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def dropSet(pairs: Set[(Long, Long)]): Set[Long] = pairs.map(_._2)
+
+    // ---- exact all-pairs ground truth (threshold family) ----
+    // Two operating points: 0.35 is the ORACLE CONTRACT threshold (it
+    // admits moderately-similar pairs, which single-probe blocking
+    // naturally splits across cells — the structurally low-recall
+    // regime), and 0.5 is the top of this synthetic corpus's similarity
+    // distribution (max pair cosine 0.6; no true near-dup pairs were
+    // planted), standing in for the production near-dup operating
+    // point where partners are nearly colinear and co-cell far more
+    // often.
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    val allPairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (round(graft.expressions.Exprs.cosineSim(col("v_a"), col("v_b")), 4)
+          + lit(0.0)).as("cs"))
+      .filter(!isnan(col("cs")))
+      // ckpt: one-shot — the n² scan feeds both thresholds once
+      .filter(col("cs") >= 0.35).localCheckpoint()
+
+    def row(lane: String, got: Int, base: Int, kind: String): Unit =
+      println(f"[recall] $lane%-22s $kind%-6s $got%8d / $base%8d = " +
+        f"${if (base == 0) 1.0 else got.toDouble / base}%.4f")
+
+    for (thr <- Seq(0.35, 0.5)) {
+      val exactPairs = pairSet(allPairs.filter(col("cs") >= thr))
+      println(s"[recall] sf_dir=$d n=$n threshold=$thr " +
+        s"exact_pairs=${exactPairs.size}")
+      val flatPairs = pairSet(
+        Similarity.ivfNearDupPairs(emb, "embedding", "vec_id",
+          k = Similarity.AutoCells, threshold = thr))
+      val treePairs = pairSet(
+        Similarity.blockedNearDupPairs(
+          Similarity.treeAssign(emb, "embedding", "vec_id"),
+          "embedding", "vec_id", "cell", threshold = thr))
+      row(s"q_ivf_pairs_scaled@$thr", (flatPairs intersect exactPairs).size,
+        exactPairs.size, "pairs")
+      row(s"q_semdedup_scaled@$thr", (dropSet(flatPairs) intersect dropSet(exactPairs)).size,
+        dropSet(exactPairs).size, "drops")
+      row(s"q_semdedup_tree@$thr", (dropSet(treePairs) intersect dropSet(exactPairs)).size,
+        dropSet(exactPairs).size, "drops")
+    }
+
+    // ---- exact knn@3 ground truth (ranking family) ----
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKHits(3),
+      graft.functions.TopKHits.hitEncoder)
+    val exactEdges = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .select(col("id_a").as("src"),
+        (round(graft.expressions.Exprs.cosineSim(col("v_a"), col("v_b")), 4)
+          + lit(0.0)).as("cs"),
+        col("id_b").as("dst"))
+      .groupBy("src").agg(topk(col("cs"), col("dst")).as("hits"))
+      .select(col("src"), explode(col("hits")).as("h"))
+      .select(col("src"), col("h.id").as("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val laneEdges = Similarity.knnGraph(emb, "embedding", "vec_id",
+        k = Similarity.AutoCells, kNeighbors = 3)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    row("q_knn_graph_scaled", (laneEdges intersect exactEdges).size,
+      exactEdges.size, "edges")
+    spark.stop()
+  }
+}

@@ -1172,17 +1172,51 @@ object TextAnalysis {
     * shape). One persisted tokenization pass feeds both artifacts; df
     * comes from source-deduped shingles, so no corpus-wide distinct. */
   def buildBm25Stats(docs: DataFrame, textCol: String, dir: String): Unit = {
-    val base = docs.select(
-        size(tokens(col(textCol))).cast("long").as("len"),
-        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1).as("toksD"))
+    val agg = bm25StatRelation(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.select(explode(col("toksD")).as("term")).filter(col("term") =!= "")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    agg.filter(col("term") =!= LenSentinel).select(col("term"), col("df"))
       .write.mode("overwrite").parquet(dir + ".terms")
-    base.select(count(lit(1)).cast("long").as("n"), sum("len").as("tot"))
+    agg.filter(col("term") === LenSentinel)
+      .select(col("df").as("n"), col("tot"))
       .write.mode("overwrite").parquet(dir + ".stats")
-    base.unpersist(); ()
+    agg.unpersist(); ()
   }
+
+  /** Sentinel "term" carrying per-document length into the one aggregate
+    * of [[bm25StatRelation]]. Collision-proof BY CONSTRUCTION, not by
+    * improbability: [[tokens]] splits on spaces, so no real token can
+    * ever contain one. */
+  private val LenSentinel = "  len"
+
+  /** The one-pass (term, df, tot) relation both stats artifacts project
+    * from: every document emits its source-deduped terms plus ONE
+    * sentinel row carrying its token length, and a single map-side-
+    * combinable hash aggregate then yields per-term document frequencies
+    * AND the corpus totals (n = the sentinel's df, tot = the sentinel's
+    * len sum) together. This replaces the corpus-sized MEMORY_AND_DISK
+    * persist of the tokenized corpus that fed two separate aggregates —
+    * the measured single-box spill at the sf10 probe (BASELINE.md:
+    * q_bm25_stored 14.4× for 10× data). Nothing corpus-sized is ever
+    * held now: the exploded rows stream through the partial aggregate,
+    * whose state is task-vocabulary-grain, and the only persist left is
+    * the vocabulary-sized result shared by the two artifact writes.
+    * Counts are integers, so the build is bit-equal to the two-pass
+    * form. NULL text contributes to n with zero length and no terms
+    * (the previous form's exact semantics, via the coalesces). */
+  private def bm25StatRelation(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(concat(
+        array(struct(lit(LenSentinel).as("term"),
+          coalesce(size(tokens(col(textCol))).cast("long"), lit(0L))
+            .as("len"))),
+        transform(
+          coalesce(
+            graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1),
+            array().cast("array<string>")),
+          t => struct(t.as("term"), lit(0L).as("len"))))).as("r"))
+      .select(col("r.term").as("term"), col("r.len").as("len"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("len").as("tot"))
 
   /** Ingest-path maintenance of a stored [[buildBm25Stats]] artifact:
     * fold a DELTA of new documents into the stored statistics WITHOUT
@@ -1197,9 +1231,9 @@ object TextAnalysis {
     * upstream). */
   def appendBm25Stats(delta: DataFrame, textCol: String, dir: String): Unit = {
     val spark = delta.sparkSession
-    val base = delta.select(
-        size(tokens(col(textCol))).cast("long").as("len"),
-        graft.expressions.Exprs.wordShinglesDistinct(col(textCol), 1).as("toksD"))
+    // delta-vocabulary-sized persist (the same one-pass relation as the
+    // full build — nothing delta-corpus-sized is held)
+    val agg = bm25StatRelation(delta, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shared swap discipline (incl. crash recovery of an orphaned
     // complete tmp) — see graft.sources.AtomicSwap
@@ -1208,16 +1242,15 @@ object TextAnalysis {
     graft.sources.AtomicSwap.recover(spark, dir + ".terms")
     graft.sources.AtomicSwap.recover(spark, dir + ".stats")
     swapIn(spark.read.parquet(dir + ".terms")
-      .unionByName(base.select(explode(col("toksD")).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy("term").agg(count(lit(1)).as("df")))
+      .unionByName(agg.filter(col("term") =!= LenSentinel)
+        .select(col("term"), col("df")))
       .groupBy("term").agg(sum("df").as("df")), ".terms")
     swapIn(spark.read.parquet(dir + ".stats")
-      .unionByName(base.select(count(lit(1)).cast("long").as("n"),
-        sum("len").as("tot")))
+      .unionByName(agg.filter(col("term") === LenSentinel)
+        .select(col("df").as("n"), col("tot")))
       .select(sum("n").cast("long").as("n"), sum("tot").cast("long").as("tot")),
       ".stats")
-    base.unpersist(); ()
+    agg.unpersist(); ()
   }
 
   /** The driver-side handle of a stored [[buildBm25Stats]] artifact:

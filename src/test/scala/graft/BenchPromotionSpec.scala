@@ -53,6 +53,19 @@ class BenchPromotionSpec extends AnyFunSuite {
     assert(Bench.parsePinnedQueries("").isEmpty)
   }
 
+  test("contentionVsPin flags only >=2x AND >=0.3s rows, worst-first") {
+    val pin = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 0.05, "e" -> 1.0)
+    val fresh = Map(
+      "a" -> 3.0, // 3.0x, flagged
+      "b" -> 0.25, // 2.5x but under the 0.3s absolute floor — noise, not flagged
+      "c" -> 3.0, // 1.5x — under the ratio bar
+      "d" -> 1.0, // 20x, flagged (absolute floor met)
+      "e" -> 1.0, // 1.0x
+      "new_q" -> 9.9) // not in the pin — nothing to compare against
+    assert(Bench.contentionVsPin(fresh, pin) ==
+      Seq("d" -> 20.0, "a" -> 3.0))
+  }
+
   test("real committed pin parses to the full query map") {
     val p = java.nio.file.Paths.get("BENCH_FULL.json")
     if (java.nio.file.Files.exists(p)) {

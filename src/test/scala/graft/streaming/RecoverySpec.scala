@@ -66,6 +66,48 @@ class RecoverySpec extends SparkSpec {
       EnrichedPageView("user2", "GOOG", "b.com")))
   }
 
+  test("J2 streamTableJoin: the changelog table survives a kill-and-restart") {
+    // The reference's durability story is RocksDB state + Kafka changelog
+    // (wikipedia-application.properties:31-34): a restarted job re-reads
+    // its table from the changelog. Spark's analogue is the state store
+    // restored from the checkpoint. Incarnation 2 feeds ONLY a view — the
+    // enrichment can succeed only if the profile upserted by incarnation 1
+    // was restored from checkpointed state, not recomputed.
+    val cp = Files.createTempDirectory("cp_stj").toString
+    val views = MemoryStream[PageView]
+    val profs = MemoryStream[Profile]
+    val acc = scala.collection.mutable.ArrayBuffer[EnrichedPageView]()
+    def start() = StatefulOps.streamTableJoin(views.toDS(), profs.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EnrichedPageView], _: Long) =>
+        val rows = batch.collect()
+        acc.synchronized { acc ++= rows }
+        ()
+      }
+      // append, matching the operator's OutputMode.Append declaration
+      .option("checkpointLocation", cp).outputMode("append").start()
+
+    // incarnation 1: profile THEN a view (same-batch enrich), then die
+    val q1 = start()
+    profs.addData(Profile("user1", "MSFT"))
+    views.addData(PageView("a.com", "user1", "in", ts(1)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // incarnation 2, same checkpoint: a bare view for user1 and a view
+    // for a never-profiled user (must stay null-dropped)
+    val q2 = start()
+    views.addData(PageView("b.com", "user1", "in", ts(2)),
+      PageView("c.com", "user9", "us", ts(3)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(acc.toSet == Set(
+      EnrichedPageView("user1", "MSFT", "a.com"),
+      EnrichedPageView("user1", "MSFT", "b.com")),
+      s"restart must enrich b.com from RESTORED profile state, saw ${acc.toSeq}")
+  }
+
   test("sequenceMonitor resumes its frontier and pending holes from the checkpoint") {
     import StatefulOps.{SeqId, SeqStatus}
     val cp = Files.createTempDirectory("cp_seqmon").toString
