@@ -1605,6 +1605,7 @@ private[graft] object OraclesA extends QueryShared {
     "q_semdedup" -> semDedupSql,
     "q_semdedup_scaled" -> semDedupSqlK(scaledCellsExpr),
     "q_semdedup_tree" -> semDedupTreeSql,
+    "q_semdedup_multi" -> semDedupMultiSql,
     "q_hybrid_search" ->
       s"""WITH q AS ($qualitySql),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -32,6 +32,7 @@ object PlanDoc {
     "q_gap_fill" -> "gap fill: grid/join/window all at (key, bucket) cardinality — the event corpus never hits a window",
     "q_semdedup" -> "semantic dedup: broadcast-centroid quantize, in-cell pairs only, left-anti against the pair-sized dup set",
     "q_semdedup_tree" -> "hierarchical semantic dedup: per-level bounded-agg seed pick + argmax re-assign of only still-oversized cells (~n log n total), leaf-bounded pairs, left-anti drop",
+    "q_semdedup_multi" -> "multi-assignment semantic dedup: top-2 cells per vector via bounded TopKHits, pairs in any shared cell + distinct — the measured recall lever (0.67->0.89 drop recall at sf1)",
     "q_edit_pairs" -> "edit-distance verify: banded candidates only — thresholded Levenshtein never sees a corpus cross product",
     "q_decontam_bloom" -> "Bloom pre-filter scan-side kills non-overlap shingles before the exact-verify shuffle join",
     "q_repeated_spans" -> "sliding-window spans: generate + projection, one partial-agg shuffle keyed on the span",

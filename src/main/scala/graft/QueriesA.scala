@@ -1510,6 +1510,15 @@ private[graft] object QueriesA extends QueryShared {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup under MULTI-ASSIGNMENT (top-2 cells per vector) — the
+    // measured recall lever: ~2× pair work recovers pairs the argmax
+    // assignment splits across cells (recall table in BASELINE.md).
+    "q_semdedup_multi" -> ((s, d) => {
+      Similarity.semDedupMulti(t(s, d, "embeddings"), "embedding", "vec_id",
+        k = Similarity.AutoCells, threshold = 0.35, nAssign = 2)
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup over the HIERARCHICAL quantizer — the 100 TB lane: tree-
     // split cells (branch 16, leaf ≤ 64, depth ≤ 4) replace the flat
     // ⌊√n⌋ quantizer's n^1.5 law with ~n·log n total work; same keep

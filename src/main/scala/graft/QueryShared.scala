@@ -1578,6 +1578,12 @@ private[graft] trait QueryShared {
       .stripMargin
 
   private[graft] def ivfAssignCtesK(kExpr: String): String =
+    ivfAssignCtesKN(kExpr, 1)
+
+  /** The multi-assignment generalization: `assign` keeps each vector's
+    * top `nAssign` cells (rn ≤ n) instead of only the argmax — the twin
+    * of `Similarity.ivfAssignMulti`. nAssign = 1 is the classic form. */
+  private[graft] def ivfAssignCtesKN(kExpr: String, nAssign: Int): String =
     s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
       |       FROM embeddings WHERE vec_id < $kExpr),
       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
@@ -1590,7 +1596,7 @@ private[graft] trait QueryShared {
       |  SELECT vec_id, cid, cs FROM (
       |    SELECT vec_id, cid, cs,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-      |    FROM scored) WHERE rn = 1)""".stripMargin
+      |    FROM scored) WHERE rn <= $nAssign)""".stripMargin
 
   private[graft] def ivfAssignSql: String =
     s"""WITH $ivfAssignCtes
@@ -1758,6 +1764,22 @@ private[graft] trait QueryShared {
     * neighbor at cosine ≥ 0.35 (same cells + pair kernel as
     * `ivfPairsSql`); what's left is the kept set. */
   private[graft] def semDedupSql: String = semDedupSqlK("8")
+
+  /** Multi-assignment SemDeDup oracle: each vector sits in its top-2
+    * cells (rn ≤ 2), pairs form in ANY shared cell, DISTINCT collapses
+    * the double-cell duplicates — the twin of
+    * `Similarity.semDedupMulti(nAssign = 2)` at production k. */
+  private[graft] def semDedupMultiSql: String =
+    s"""WITH ${ivfAssignCtesKN(scaledCellsExpr, 2)},
+       |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35)
+       |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY v.vec_id""".stripMargin
 
   /** Hierarchical-quantizer SemDeDup oracle — the unrolled twin of
     * `Similarity.treeAssign(branch = 16, maxLeaf = 64, maxDepth = 4)` +

@@ -78,11 +78,16 @@ object RecallProbe {
         Similarity.blockedNearDupPairs(
           Similarity.treeAssign(emb, "embedding", "vec_id"),
           "embedding", "vec_id", "cell", threshold = thr))
+      val multiPairs = pairSet(
+        Similarity.ivfNearDupPairsMulti(emb, "embedding", "vec_id",
+          k = Similarity.AutoCells, threshold = thr, nAssign = 2))
       row(s"q_ivf_pairs_scaled@$thr", (flatPairs intersect exactPairs).size,
         exactPairs.size, "pairs")
       row(s"q_semdedup_scaled@$thr", (dropSet(flatPairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
       row(s"q_semdedup_tree@$thr", (dropSet(treePairs) intersect dropSet(exactPairs)).size,
+        dropSet(exactPairs).size, "drops")
+      row(s"q_semdedup_multi@$thr", (dropSet(multiPairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
     }
 

@@ -973,6 +973,69 @@ object Similarity {
     emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** MULTI-ASSIGNMENT coarse quantizer: every vector lands in its
+    * `nAssign` most-similar cells instead of only the argmax one — the
+    * standard IVF recall lever (round-12 recall pricing measured
+    * single-assignment at 14–33% of tail-similarity pairs; a pair split
+    * across two argmax cells is recovered whenever EITHER side's second
+    * cell is the other's first). Work scales by nAssign on the pair
+    * stage (each vector sits in nAssign cells), not by cell count — the
+    * n²/k in-cell law is preserved.
+    *
+    * The top-nAssign selection is the bounded [[graft.functions
+    * .TopKHits]] aggregate over (rounded cosine DESC, centroid id ASC)
+    * — map-side combinable, ≤ nAssign state, same ordering contract as
+    * the oracle twin's row_number. A zero-norm vector (all-NaN scores)
+    * receives NO cells here while the SQL twin ranks NaN first; the
+    * divergence is unobservable downstream because every pair consumer
+    * NaN-drops, so such a vector produces no pairs on either engine. */
+  def ivfAssignMulti(emb: DataFrame, vecCol: String, idCol: String,
+                     k: Int, nAssign: Int): DataFrame = {
+    require(nAssign >= 1, s"nAssign must be >= 1: $nAssign")
+    val kk = resolveCells(emb, k)
+    val centroids = emb.filter(col(idCol) < kk)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+    val topCells = udaf(new graft.functions.TopKHits(nAssign),
+      graft.functions.TopKHits.hitEncoder)
+    emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol),
+        r4(cosineSim(col(vecCol), col("c_vec"))).as("__cs"),
+        col("centroid_id"))
+      .groupBy(col(idCol))
+      .agg(topCells(col("__cs"), col("centroid_id")).as("__hits"))
+      .select(col(idCol), explode(col("__hits")).as("__h"))
+      .select(col(idCol), col("__h.id").as("centroid_id"),
+        col("__h.score").as("cos_sim"))
+  }
+
+  /** [[ivfNearDupPairs]] under multi-assignment: pairs form inside ANY
+    * shared cell of the nAssign per vector, then dedup (a pair sharing
+    * two cells is produced twice — the one place the single-assignment
+    * "no distinct needed" invariant breaks). Candidate volume is ~
+    * nAssign× the single-assignment lane for the recall measured in
+    * BASELINE.md. */
+  def ivfNearDupPairsMulti(emb: DataFrame, vecCol: String, idCol: String,
+                           k: Int, threshold: Double, nAssign: Int = 2,
+                           maxCell: Int = 8192): DataFrame = {
+    val assigned = ivfAssignMulti(emb, vecCol, idCol, k, nAssign)
+      .select(col(idCol), col("centroid_id"))
+    blockedNearDupPairs(emb.join(assigned, idCol), vecCol, idCol,
+        "centroid_id", threshold, maxCell)
+      .distinct()
+  }
+
+  /** [[semDedup]] with the multi-assignment pair kernel — same keep
+    * rule, ~nAssign× pair work, measured-recall lever. */
+  def semDedupMulti(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+                    threshold: Double, nAssign: Int = 2,
+                    maxCell: Int = 8192): DataFrame = {
+    val dupIds = ivfNearDupPairsMulti(emb, vecCol, idCol, k, threshold,
+        nAssign, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** HIERARCHICAL coarse quantizer — the 100 TB replacement for the flat
     * ⌊√n⌋ quantizer, whose total work is n^1.5 by construction (n·k
     * assignment vs n²/k in-cell pairs balance at k = √n; the sf1→sf10

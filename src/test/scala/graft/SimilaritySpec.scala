@@ -1085,6 +1085,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 3L, 7L))
   }
 
+  test("semDedupMulti: a pair split across argmax cells is recovered by top-2 assignment") {
+    // Centroids are ids 0 (x-axis) and 1 (y-axis). Vectors 2 = (3,2) and
+    // 3 = (2,3) argmax-assign to DIFFERENT cells (cos to own axis
+    // 3/sqrt13 = 0.8321) yet are a 12/13 = 0.9231 pair — invisible to
+    // single assignment at threshold 0.9, recovered when each vector
+    // also sits in its second cell.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(3f, 2f)), (3L, Array(2f, 3f))).toDF("id", "v")
+    val single = Similarity.semDedup(emb, "v", "id", k = 2, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(single == Set(0L, 1L, 2L, 3L), "argmax cells must hide the pair")
+    val multi = Similarity.semDedupMulti(emb, "v", "id", k = 2,
+        threshold = 0.9, nAssign = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(multi == Set(0L, 1L, 2L), "top-2 assignment must recover it (3 drops)")
+  }
+
   test("treeAssign: a cell of identical vectors stops at maxDepth as an oversized leaf") {
     // Every member ties at cosine 1 to the lowest-id seed, so the cell
     // never shrinks — the documented degenerate case the maxDepth cap
