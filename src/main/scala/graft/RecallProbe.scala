@@ -81,6 +81,18 @@ object RecallProbe {
       val multiPairs = pairSet(
         Similarity.ivfNearDupPairsMulti(emb, "embedding", "vec_id",
           k = Similarity.AutoCells, threshold = thr, nAssign = 2))
+      // Lever #2 (measurement-only, no oracle lane): Lloyd-refined
+      // centroids replace the lowest-id seeding, so cells follow the
+      // data's actual structure; same single-assignment pair kernel.
+      val refinedPairs = pairSet(
+        Similarity.blockedNearDupPairs(
+          emb.join(
+            Similarity.assignToCentroids(emb, "embedding", "vec_id",
+              Similarity.kmeansCentroids(emb, "embedding", "vec_id",
+                Similarity.AutoCells, iters = 2))
+              .select(col("vec_id"), col("centroid_id")),
+            "vec_id"),
+          "embedding", "vec_id", "centroid_id", threshold = thr))
       row(s"q_ivf_pairs_scaled@$thr", (flatPairs intersect exactPairs).size,
         exactPairs.size, "pairs")
       row(s"q_semdedup_scaled@$thr", (dropSet(flatPairs) intersect dropSet(exactPairs)).size,
@@ -88,6 +100,8 @@ object RecallProbe {
       row(s"q_semdedup_tree@$thr", (dropSet(treePairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
       row(s"q_semdedup_multi@$thr", (dropSet(multiPairs) intersect dropSet(exactPairs)).size,
+        dropSet(exactPairs).size, "drops")
+      row(s"refined_kmeans2@$thr", (dropSet(refinedPairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
     }
 
