@@ -1602,9 +1602,11 @@ private[graft] object OraclesA extends QueryShared {
 
     "q_ivf_pairs" -> ivfPairsSql,
     "q_ivf_pairs_scaled" -> ivfPairsSqlK(scaledCellsExpr),
+    "q_ivf_pairs_multi" -> ivfPairsMultiSql,
     "q_semdedup" -> semDedupSql,
     "q_semdedup_scaled" -> semDedupSqlK(scaledCellsExpr),
     "q_semdedup_tree" -> semDedupTreeSql,
+    "q_semdedup_tree_multi" -> semDedupTreeMultiSql,
     "q_semdedup_multi" -> semDedupMultiSql,
     "q_hybrid_search" ->
       s"""WITH q AS ($qualitySql),

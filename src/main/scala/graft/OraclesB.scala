@@ -81,6 +81,8 @@ private[graft] object OraclesB extends QueryShared {
     // variant above deliberately does not use.
     "q_knn_graph_scaled" -> knnGraphSql(scaledCellsExpr),
 
+    "q_knn_graph_multi" -> knnGraphMultiSql(scaledCellsExpr, 2),
+
     "q_hits" -> hitsSql,
 
     "q_kcore" -> kCoreSql,

@@ -1482,6 +1482,15 @@ private[graft] object QueriesA extends QueryShared {
         .orderBy("id_a", "id_b")
     }),
 
+    // The PAIR lane under multi-assignment — the candidate relation
+    // q_semdedup_multi consumes, oracle-pinned on its own so the recall
+    // table's pair rows trace to a gated kernel (r12 verdict task 3).
+    "q_ivf_pairs_multi" -> ((s, d) => {
+      Similarity.ivfNearDupPairsMulti(t(s, d, "embeddings"), "embedding",
+        "vec_id", k = Similarity.AutoCells, threshold = 0.35, nAssign = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity: hybrid search (cosine relevance × quality prior) ----
     // The retrieval stage's production ranking: ANN relevance combined
     // with a scan-side document prior. Composes the broadcast-probe cosine
@@ -1526,6 +1535,17 @@ private[graft] object QueriesA extends QueryShared {
     "q_semdedup_tree" -> ((s, d) => {
       Similarity.semDedupTree(t(s, d, "embeddings"), "embedding", "vec_id",
         threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // The tree quantizer COMPOSED with multi-assignment (r12 verdict's
+    // top task): every primary spawns one frozen shadow membership at
+    // its runner-up child per split, shadows descend argmax-only — the
+    // scale-safe n·log n lane with a priced recall lever instead of the
+    // bare tree's 0.367 drop recall. Memberships ≤ 1 + depth per vector.
+    "q_semdedup_tree_multi" -> ((s, d) => {
+      Similarity.semDedupTreeMulti(t(s, d, "embeddings"), "embedding",
+        "vec_id", threshold = 0.35)
         .orderBy("vec_id")
     }),
 

@@ -325,6 +325,16 @@ private[graft] object QueriesB extends QueryShared {
         .orderBy("src", "rnk")
     }),
 
+    // MULTI-PROBE variant (r12 verdict task 2): the corpus keeps argmax
+    // cells (the stored-index layout) while every source probes the
+    // members of its top-2 cells — the measured fix for single-probe's
+    // 0.081 edge recall@3 at sf1 (recall table in BASELINE.md).
+    "q_knn_graph_multi" -> ((s, d) => {
+      Similarity.knnGraphMulti(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = Similarity.AutoCells, kNeighbors = 3, nProbe = 2)
+        .orderBy("src", "rnk")
+    }),
+
     // ---- graph: weighted HITS over the event-type transition graph ----
     // Same edge relation as q_pagerank; 2 exact-integer mean-normalized
     // half-step pairs. Hubs ≠ authorities on a directed flow graph —

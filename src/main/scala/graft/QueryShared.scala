@@ -1582,8 +1582,19 @@ private[graft] trait QueryShared {
 
   /** The multi-assignment generalization: `assign` keeps each vector's
     * top `nAssign` cells (rn ≤ n) instead of only the argmax — the twin
-    * of `Similarity.ivfAssignMulti`. nAssign = 1 is the classic form. */
-  private[graft] def ivfAssignCtesKN(kExpr: String, nAssign: Int): String =
+    * of `Similarity.ivfAssignMulti`. nAssign = 1 is the classic form.
+    *
+    * NaN contract: the nAssign > 1 ranking filters `NOT isnan(cs)`
+    * BEFORE row_number, because the engine's bounded TopKHits aggregate
+    * drops NaN hits outright (a NaN, once admitted, could never be
+    * displaced — arrival-order dependence). So a zero-norm CENTROID's
+    * cell is never assigned, and a zero-norm VECTOR receives no cells
+    * on either engine. The nAssign = 1 path keeps the repo's
+    * single-assignment convention instead (row_number ranks NaN FIRST,
+    * matching the engine's max(struct) ordering) — the two conventions
+    * agree on NaN-free input and each is engine-exact on its own lane. */
+  private[graft] def ivfAssignCtesKN(kExpr: String, nAssign: Int): String = {
+    val nanGuard = if (nAssign > 1) " WHERE NOT isnan(cs)" else ""
     s"""c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
       |       FROM embeddings WHERE vec_id < $kExpr),
       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
@@ -1596,7 +1607,8 @@ private[graft] trait QueryShared {
       |  SELECT vec_id, cid, cs FROM (
       |    SELECT vec_id, cid, cs,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-      |    FROM scored) WHERE rn <= $nAssign)""".stripMargin
+      |    FROM scored$nanGuard) WHERE rn <= $nAssign)""".stripMargin
+  }
 
   private[graft] def ivfAssignSql: String =
     s"""WITH $ivfAssignCtes
@@ -1618,6 +1630,56 @@ private[graft] trait QueryShared {
        |  FROM p)
        |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
        |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
+  /** Multi-probe kNN-graph oracle — the twin of
+    * `Similarity.knnGraphMulti(nProbe)`: the corpus side keeps its
+    * argmax cell over the UNFILTERED scores (`a1`, rn = 1, NaN-first —
+    * the single-assignment convention `ivfAssign` uses), while the
+    * probe side is the NaN-dropping top-nProbe `assign` of
+    * [[ivfAssignCtesKN]]. A (src, dst) pair arises at most once (dst
+    * lives in one corpus cell, src's probed cells are distinct), and
+    * pair cosines NaN-drop before ranking — the engine's TopKHits
+    * contract made explicit. Exactness precondition: no corpus cell
+    * above the engine's maxCell = 8192 guard (see
+    * [[semDedupMultiSql]]). */
+  private[graft] def knnGraphMultiSql(kExpr: String, nProbe: Int): String =
+    s"""WITH ${ivfAssignCtesKN(kExpr, nProbe)},
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |nb AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM a1 a JOIN v ON a.vec_id = v.vec_id),
+       |na AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |p AS (SELECT * FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst,
+       |      round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cs
+       |    FROM na x JOIN nb y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+       |  WHERE NOT isnan(cs)),
+       |r AS (SELECT src, dst, cs,
+       |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
+
+  /** Multi-assignment in-cell pair oracle — the twin of
+    * `Similarity.ivfNearDupPairsMulti(nAssign = 2)` at production k:
+    * pairs form in ANY shared top-2 cell, DISTINCT collapses the
+    * double-cell duplicates, and NaN cosines drop (the engine's pair
+    * filter). Exactness precondition: no cell above maxCell = 8192
+    * (see [[semDedupMultiSql]]). */
+  private[graft] def ivfPairsMultiSql: String =
+    s"""WITH ${ivfAssignCtesKN(scaledCellsExpr, 2)},
+       |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |px AS (SELECT * FROM (
+       |    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |      round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) AS cos_sim
+       |    FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |  WHERE NOT isnan(cos_sim) AND cos_sim >= 0.35)
+       |SELECT DISTINCT id_a, id_b, cos_sim FROM px
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** 2-iteration Lloyd refinement — the oracle twin of
     * `Similarity.kmeansCentroids(k = 8, iters = 2)`. Each round: argmax
@@ -1768,7 +1830,15 @@ private[graft] trait QueryShared {
   /** Multi-assignment SemDeDup oracle: each vector sits in its top-2
     * cells (rn ≤ 2), pairs form in ANY shared cell, DISTINCT collapses
     * the double-cell duplicates — the twin of
-    * `Similarity.semDedupMulti(nAssign = 2)` at production k. */
+    * `Similarity.semDedupMulti(nAssign = 2)` at production k.
+    *
+    * Exactness precondition (shared by every blocked-pair twin in this
+    * family): no cell may exceed the engine's hot-cell guard
+    * (maxCell = 8192 rows) — the engine sub-splits oversized cells by
+    * id hash and skips cross-sub-cell pairs, while this twin joins full
+    * cells. Gate-scale corpora sit orders of magnitude under the cap
+    * (≤ 2k vectors over ⌊√n⌋ cells); `SimilaritySpec` asserts it via
+    * `oversizedCells` at sf0.01. */
   private[graft] def semDedupMultiSql: String =
     s"""WITH ${ivfAssignCtesKN(scaledCellsExpr, 2)},
        |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
@@ -1791,7 +1861,14 @@ private[graft] trait QueryShared {
     * max(struct) there), non-split cells carry forward via the left-join
     * COALESCE. A level where nothing splits is an identity pass on both
     * sides (the engine breaks its loop; here the seed CTE is empty), so
-    * a fixed 4-level unroll equals the engine's early-exit loop. */
+    * a fixed 4-level unroll equals the engine's early-exit loop.
+    *
+    * Exactness precondition: no LEAF may exceed the engine's hot-cell
+    * guard (maxCell = 8192) — see [[semDedupMultiSql]]'s note; the
+    * tree's documented degenerate case (a cell of near-identical
+    * vectors that never shrinks stops at maxDepth arbitrarily large)
+    * is the reachable path, so `SimilaritySpec` asserts leaf sizes via
+    * `oversizedCells` at sf0.01. */
   private[graft] def semDedupTreeSql: String = {
     val branch = 16; val maxLeaf = 64; val depth = 4
     def level(i: Int): String =
@@ -1818,6 +1895,62 @@ private[graft] trait QueryShared {
        |  SELECT DISTINCT y.vec_id
        |  FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id < y.vec_id
        |  WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35)
+       |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
+  /** Shadow-augmented hierarchical SemDeDup oracle — the unrolled twin
+    * of `Similarity.semDedupTreeMulti(branch = 16, maxLeaf = 64,
+    * maxDepth = 4)`. Each level extends [[semDedupTreeSql]]'s unroll
+    * with the shadow rule: populations and seeds count PRIMARY rows
+    * only (`sh = 0` — the tree structure is the single lane's exactly),
+    * every splitting MEMBERSHIP follows its rn = 1 child, and primaries
+    * additionally spawn one frozen shadow at their rn = 2 child
+    * (shadows never spawn — memberships stay ≤ 1 + depth per vector).
+    * The rn ranking here is the bare (cs DESC, sid) row_number — NaN
+    * first, like the single lane — which the engine reproduces inside
+    * its NaN-dropping bounded aggregate by mapping NaN → +Infinity.
+    * Pair stage: every membership pairs within its cell, DISTINCT
+    * collapses pairs co-resident in more than one cell, NaN cosines
+    * drop (the engine's pair filter). Exactness preconditions as
+    * [[semDedupTreeSql]] (no leaf above maxCell = 8192). */
+  private[graft] def semDedupTreeMultiSql: String = {
+    val branch = 16; val maxLeaf = 64; val depth = 4
+    def level(i: Int): String =
+      s"""p$i AS (SELECT cell FROM a$i WHERE sh = 0
+         |  GROUP BY cell HAVING count(*) > $maxLeaf),
+         |s$i AS (SELECT cell, sid, sv FROM (
+         |    SELECT a.cell, a.vec_id AS sid, a.vv AS sv,
+         |      row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rn
+         |    FROM a$i a JOIN p$i p ON a.cell = p.cell WHERE a.sh = 0)
+         |  WHERE rn <= $branch),
+         |r$i AS (SELECT vec_id, vv, sh, ncell, rn FROM (
+         |    SELECT a.vec_id, a.vv, a.sh,
+         |      a.cell || '-' || CAST(s.sid AS VARCHAR) AS ncell,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.cell ORDER BY
+         |        round(list_dot_product(a.vv, s.sv)
+         |          / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(s.sv, s.sv))),4) DESC,
+         |        s.sid) AS rn
+         |    FROM a$i a JOIN s$i s ON a.cell = s.cell) WHERE rn <= 2),
+         |a${i + 1} AS (
+         |  SELECT a.vec_id, a.vv, a.cell, a.sh
+         |  FROM a$i a LEFT JOIN p$i p ON a.cell = p.cell WHERE p.cell IS NULL
+         |  UNION ALL
+         |  SELECT vec_id, vv, ncell AS cell, sh FROM r$i WHERE rn = 1
+         |  UNION ALL
+         |  SELECT vec_id, vv, ncell AS cell, 1 AS sh FROM r$i
+         |  WHERE rn = 2 AND sh = 0)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |a0 AS (SELECT vec_id, vv, 'r' AS cell, 0 AS sh FROM v),
+       |${(0 until depth).map(level).mkString(",\n")},
+       |n AS (SELECT vec_id, cell, vv,
+       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$depth),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id FROM n x JOIN n y
+       |  ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE NOT isnan(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm))
+       |    AND round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35)
        |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
        |WHERE d.vec_id IS NULL
        |ORDER BY v.vec_id""".stripMargin

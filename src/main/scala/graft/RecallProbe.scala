@@ -81,6 +81,12 @@ object RecallProbe {
       val multiPairs = pairSet(
         Similarity.ivfNearDupPairsMulti(emb, "embedding", "vec_id",
           k = Similarity.AutoCells, threshold = thr, nAssign = 2))
+      // r13: the tree × multi composition — shadow memberships pair in
+      // any shared cell (distinct, the multi-lane convention)
+      val treeMultiPairs = pairSet(
+        Similarity.blockedNearDupPairs(
+          Similarity.treeMultiMemberships(emb, "embedding", "vec_id"),
+          "embedding", "vec_id", "cell", threshold = thr).distinct())
       // Lever #2 (measurement-only, no oracle lane): Lloyd-refined
       // centroids replace the lowest-id seeding, so cells follow the
       // data's actual structure; same single-assignment pair kernel.
@@ -95,9 +101,15 @@ object RecallProbe {
           "embedding", "vec_id", "centroid_id", threshold = thr))
       row(s"q_ivf_pairs_scaled@$thr", (flatPairs intersect exactPairs).size,
         exactPairs.size, "pairs")
+      row(s"q_ivf_pairs_multi@$thr", (multiPairs intersect exactPairs).size,
+        exactPairs.size, "pairs")
+      row(s"q_semdedup_tree_multi_p@$thr", (treeMultiPairs intersect exactPairs).size,
+        exactPairs.size, "pairs")
       row(s"q_semdedup_scaled@$thr", (dropSet(flatPairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
       row(s"q_semdedup_tree@$thr", (dropSet(treePairs) intersect dropSet(exactPairs)).size,
+        dropSet(exactPairs).size, "drops")
+      row(s"q_semdedup_tree_multi@$thr", (dropSet(treeMultiPairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
       row(s"q_semdedup_multi@$thr", (dropSet(multiPairs) intersect dropSet(exactPairs)).size,
         dropSet(exactPairs).size, "drops")
@@ -124,6 +136,44 @@ object RecallProbe {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     row("q_knn_graph_scaled", (laneEdges intersect exactEdges).size,
       exactEdges.size, "edges")
+    // r13: the multi-probe lane — same ranking, top-nProbe probed cells
+    // (the extended p-list under `sweep` prices the ~0.3-recall
+    // operating point the r12 verdict asked for — recall is ~linear in
+    // nProbe on this corpus, so is candidate cost)
+    val probeList = if (args.contains("sweep")) Seq(2, 3, 4, 6, 8)
+      else Seq(2, 3)
+    for (np <- probeList) {
+      val multiEdges = Similarity.knnGraphMulti(emb, "embedding", "vec_id",
+          k = Similarity.AutoCells, kNeighbors = 3, nProbe = np)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      row(s"q_knn_graph_multi@p$np", (multiEdges intersect exactEdges).size,
+        exactEdges.size, "edges")
+    }
+
+    // ---- leaf-size sweep for the tree lanes (r12 verdict task 5):
+    // drop recall @0.35 × wall time per maxLeaf — the leaf knob as a
+    // priced trade instead of a default ----
+    if (args.contains("sweep")) {
+      val exactDrops = dropSet(pairSet(allPairs))
+      for (leaf <- Seq(64, 256, 1024); shadows <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val rel =
+          if (shadows) Similarity.treeMultiMemberships(emb, "embedding",
+            "vec_id", maxLeaf = leaf)
+          else Similarity.treeAssign(emb, "embedding", "vec_id",
+            maxLeaf = leaf)
+        val drops = dropSet(pairSet(
+          Similarity.blockedNearDupPairs(rel, "embedding", "vec_id",
+            "cell", threshold = 0.35).distinct()))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val lane = if (shadows) "tree_multi" else "tree"
+        println(f"[sweep] $lane%-10s maxLeaf=$leaf%-5d drops " +
+          f"${(drops intersect exactDrops).size}%6d / ${exactDrops.size}%6d" +
+          f" = ${if (exactDrops.isEmpty) 1.0 else (drops intersect exactDrops).size.toDouble / exactDrops.size}%.4f" +
+          f"  wall ${secs}%7.2f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -33,6 +33,16 @@ object Exprs {
     ColumnBridge.column(JaroWinkler(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** One-pass literal-panel term counts over a token array
+    * (`terms.length`-element long array, slot order = panel order). */
+  def termFrequencies(toks: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFrequencies(ColumnBridge.expression(toks), terms))
+
+  /** Fused tokenize + panel counts + token length over RAW text:
+    * `terms.length + 1` longs, last slot = token count. */
+  def panelTermStats(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(PanelTermStats(ColumnBridge.expression(text), terms))
+
   def bloomMightContain(s: Column,
       bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bloom))

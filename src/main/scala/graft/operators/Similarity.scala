@@ -269,6 +269,63 @@ object Similarity {
         col("col.id").as("dst"), col("col.score").as("cos_sim"))
   }
 
+  /** MULTI-PROBE [[knnGraph]] — the recall lever the round-12 pricing
+    * demanded (single-probe edge recall@3 was 0.081 at sf1, the weakest
+    * number in the repo): the CORPUS side keeps its argmax cell (the
+    * stored-index layout — one membership per vector, exactly like
+    * [[buildIvfIndex]] partitions), while every vector AS A PROBE scores
+    * the members of its `nProbe` most-similar cells
+    * ([[ivfAssignMulti]] on the probe side — the same machinery
+    * `ivfProbe` uses against the stored centroid table). A true
+    * neighbor is found whenever the neighbor's home cell is among the
+    * source's top-nProbe cells, not only when both argmax-agree.
+    *
+    * Scale shape is [[knnGraph]]'s ×nProbe: candidate volume is
+    * Σ_cell |probers| · |members| with |probers| ≤ nProbe·n/k expected,
+    * the per-source ranking stays the bounded TopKHits aggregate (no
+    * window sort), and a (src, dst) pair arises at most once (dst lives
+    * in ONE corpus cell; src's probed cells are distinct) so no
+    * dedup pass is needed. Hot-cell guard: both sides sub-split by
+    * their own id hash against the CORPUS cell population — a prober
+    * scans only its own hash bucket of an oversized cell, the
+    * [[withSubCell]] recall trade applied symmetrically. */
+  def knnGraphMulti(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+                    kNeighbors: Int, nProbe: Int = 2,
+                    maxCell: Int = 8192): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val corpus = ivfAssign(emb, vecCol, idCol, k)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    val probes = ivfAssignMulti(emb, vecCol, idCol, k, nProbe)
+      .select(col(idCol), col("centroid_id").as("cell"))
+    // guard sizes come from the corpus side (the stored-index grain);
+    // the sizes relation is cells-grain and broadcasts
+    val sizes = corpus.groupBy("cell").agg(count(lit(1)).as("__df"))
+    def subbed(assigned: DataFrame): DataFrame =
+      emb.select(col(idCol), col(vecCol)).join(assigned, idCol)
+        .join(broadcast(sizes), Seq("cell"), "left")
+        .withColumn("__sub",
+          when(coalesce(col("__df"), lit(0L)) > maxCell,
+            pmod(hash(col(idCol)), ceil(col("__df") / maxCell).cast("int")))
+            .otherwise(lit(0)))
+        .drop("__df")
+    val a = subbed(probes).select(col("cell"), col("__sub"),
+      col(idCol).as("src"), col(vecCol).as("v_a"))
+    val b = subbed(corpus).select(col("cell"), col("__sub"),
+      col(idCol).as("dst"), col(vecCol).as("v_b"))
+    val topk = udaf(new graft.functions.TopKHits(kNeighbors),
+      graft.functions.TopKHits.hitEncoder)
+    a.join(b, Seq("cell", "__sub"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"),
+        r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"),
+        col("dst"))
+      .groupBy("src")
+      .agg(topk(col("cos_sim"), col("dst")).as("hits"))
+      .select(col("src"), posexplode(col("hits")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("dst"), col("col.score").as("cos_sim"))
+  }
+
   /** Product-quantization codebook: `m` subspaces × `k` codes, each code
     * the subvector of one of the k lowest-id vectors (the deterministic
     * seeding convention of [[ivfAssign]]; production refines per-subspace
@@ -985,10 +1042,15 @@ object Similarity {
     * The top-nAssign selection is the bounded [[graft.functions
     * .TopKHits]] aggregate over (rounded cosine DESC, centroid id ASC)
     * — map-side combinable, ≤ nAssign state, same ordering contract as
-    * the oracle twin's row_number. A zero-norm vector (all-NaN scores)
-    * receives NO cells here while the SQL twin ranks NaN first; the
-    * divergence is unobservable downstream because every pair consumer
-    * NaN-drops, so such a vector produces no pairs on either engine. */
+    * the oracle twin's row_number. NaN contract: NaN scores are DROPPED
+    * from the selection on both engines (TopKHits drops them; the twin
+    * filters NOT isnan before ranking) — a zero-norm CENTROID's cell is
+    * never assigned via a NaN hit (the vector's next-best real cell
+    * takes the slot), and a zero-norm VECTOR receives no cells at all.
+    * This deliberately differs from the single-assignment lanes, where
+    * both engines rank NaN FIRST (max(struct) / bare row_number); the
+    * conventions agree on NaN-free input and each lane's twin mirrors
+    * its own engine exactly. */
   def ivfAssignMulti(emb: DataFrame, vecCol: String, idCol: String,
                      k: Int, nAssign: Int): DataFrame = {
     require(nAssign >= 1, s"nAssign must be >= 1: $nAssign")
@@ -1115,6 +1177,138 @@ object Similarity {
       }
     }
     cur
+  }
+
+  /** [[treeAssign]] composed with the MULTI-ASSIGNMENT recall lever —
+    * the round-12 verdict's top task: the tree lane is the only
+    * semantic-dedup quantizer with a 100 TB wall-time shape (~n·log n;
+    * sf1→sf10 measured 2.7× vs the flat lane's 25×), but single-path
+    * routing recalled only 0.367 of true drops at sf1. Here every
+    * PRIMARY row, at every split it participates in, also spawns ONE
+    * frozen-lineage SHADOW membership at its runner-up child (the rn=2
+    * cell of the same ranking that chose its argmax child); shadows
+    * thereafter descend argmax-only and never spawn, so memberships per
+    * vector are bounded by 1 + depth — never the 2^depth of full
+    * multi-path descent. A near-dup pair routed apart at ANY level ℓ
+    * gets a recovery chance: the vector whose runner-up at ℓ was its
+    * partner's child descends that same subtree as a shadow, and two
+    * similar vectors make the same argmax choices below it.
+    *
+    * The TREE STRUCTURE is identical to [[treeAssign]]'s by
+    * construction: populations (the split predicate) and seeds count
+    * PRIMARY rows only, so shadows ride along without perturbing the
+    * hierarchy, and the primary path of every vector equals the single
+    * lane's path exactly. Per-level ranking is the bounded
+    * [[graft.functions.TopKHits]](2) aggregate keyed per membership row
+    * — map-side combinable, never a window sort — over the cosine with
+    * NaN mapped to +Infinity: TopKHits drops NaN outright, but the
+    * single-assignment convention ranks NaN FIRST (max(struct) /
+    * row_number on both engines), and +Inf reproduces exactly that
+    * ordering (no real rounded cosine is infinite, ties fall to the
+    * smaller seed id) — so rn=1 stays bit-identical to [[treeAssign]]
+    * and rn=2 is well-defined on both engines without a divergent NaN
+    * contract. Returns one row per MEMBERSHIP: (idCol, vecCol, cell,
+    * is_shadow); (idCol, cell) is unique (a vector's memberships live in
+    * path-disjoint subtrees). */
+  def treeAssignMulti(emb: DataFrame, vecCol: String, idCol: String,
+                      branch: Int = 16, maxLeaf: Int = 64,
+                      maxDepth: Int = 4): DataFrame = {
+    require(branch >= 2, s"branch must be >= 2: $branch")
+    require(maxLeaf >= branch,
+      s"maxLeaf ($maxLeaf) must be >= branch ($branch) so a splitting " +
+        "cell always has enough members to seed")
+    val topSeeds = udaf(new graft.functions.TopKHits(branch),
+      graft.functions.TopKHits.hitEncoder)
+    val top2 = udaf(new graft.functions.TopKHits(2),
+      graft.functions.TopKHits.hitEncoder)
+    var cur = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+      emb.select(col(idCol), col(vecCol), lit("r").as("cell"),
+        lit(false).as("is_shadow")))
+    var level = 0
+    var splitting = true
+    while (splitting && level < maxDepth) {
+      val pops = cur.filter(!col("is_shadow"))
+        .groupBy("cell").agg(count(lit(1)).as("__pop"))
+        .filter(col("__pop") > maxLeaf)
+        .select(col("cell"))
+      // bounded action: cells-grain count decides loop continuation —
+      // identical predicate to treeAssign, so the loop exits at the
+      // same level and the primary hierarchy matches the single lane
+      if (pops.count() == 0L) splitting = false
+      else {
+        val withPop = cur.join(pops, Seq("cell"), "left_semi")
+        val keep = cur.join(pops, Seq("cell"), "left_anti")
+        val seedIds = withPop.filter(!col("is_shadow"))
+          .groupBy("cell")
+          .agg(topSeeds((-col(idCol)).cast("double"), col(idCol)).as("__hits"))
+          .select(col("cell").as("__scell"), explode(col("__hits")).as("__h"))
+          .select(col("__scell"), col("__h.id").as("__sid"))
+        val seeds = emb.join(seedIds, col(idCol) === col("__sid"))
+          .select(col("__scell"), col("__sid"), col(vecCol).as("__sv"))
+        // rank per MEMBERSHIP row (id, cell): NaN → +Inf keeps the
+        // single-assignment NaN-first ordering inside the NaN-dropping
+        // bounded aggregate (see scaladoc)
+        val ranked = withPop.join(seeds, col("cell") === col("__scell"))
+          .select(col(idCol), col(vecCol), col("cell"), col("is_shadow"),
+            col("__sid"),
+            r4(cosineSim(col(vecCol), col("__sv"))).as("__cs"))
+          .select(col(idCol), col(vecCol), col("cell"), col("is_shadow"),
+            col("__sid"),
+            when(isnan(col("__cs")), lit(Double.PositiveInfinity))
+              .otherwise(col("__cs")).as("__csr"))
+          .groupBy(col(idCol), col(vecCol), col("cell"), col("is_shadow"))
+          .agg(top2(col("__csr"), col("__sid")).as("__h2"))
+        val h1 = try_element_at(col("__h2"), lit(1))
+        val h2 = try_element_at(col("__h2"), lit(2))
+        // every splitting membership follows its argmax child; primaries
+        // additionally freeze a shadow at their runner-up child (a
+        // splitting cell has > maxLeaf ≥ branch ≥ 2 primary members, so
+        // rn=2 always exists)
+        val descended = ranked.select(col(idCol), col(vecCol),
+          concat(col("cell"), lit("-"), h1.getField("id").cast("string"))
+            .as("cell"),
+          col("is_shadow"))
+        val spawned = ranked.filter(!col("is_shadow"))
+          .select(col(idCol), col(vecCol),
+            concat(col("cell"), lit("-"), h2.getField("id").cast("string"))
+              .as("cell"),
+            lit(true).as("is_shadow"))
+        cur = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+          keep.unionByName(descended).unionByName(spawned))
+        level += 1
+      }
+    }
+    cur
+  }
+
+  /** The (idCol, vecCol, cell) membership relation of
+    * [[treeAssignMulti]] — primary leaves plus frozen shadow
+    * memberships, the blocking relation [[semDedupTreeMulti]] and the
+    * recall probes pair over. ≤ (1 + depth) rows per vector. */
+  def treeMultiMemberships(emb: DataFrame, vecCol: String, idCol: String,
+                           branch: Int = 16, maxLeaf: Int = 64,
+                           maxDepth: Int = 4): DataFrame =
+    treeAssignMulti(emb, vecCol, idCol, branch, maxLeaf, maxDepth)
+      .select(col(idCol), col(vecCol), col("cell"))
+
+  /** Semantic dedup over the SHADOW-AUGMENTED hierarchical quantizer —
+    * [[semDedupTree]]'s keep rule over [[treeAssignMulti]] memberships:
+    * pairs form in ANY shared cell (a pair co-resident both as primaries
+    * and as shadows is produced more than once — DISTINCT collapses it,
+    * the [[semDedupMulti]] convention). The scale shape stays the tree's
+    * n·log n with a ≤ (1 + depth) membership constant; recall vs the
+    * exact ground truth is priced in BASELINE.md next to the flat,
+    * multi, and single-tree lanes. */
+  def semDedupTreeMulti(emb: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, branch: Int = 16,
+                        maxLeaf: Int = 64, maxDepth: Int = 4,
+                        maxCell: Int = 8192): DataFrame = {
+    val rel = treeMultiMemberships(emb, vecCol, idCol, branch, maxLeaf,
+      maxDepth)
+    val dupIds = blockedNearDupPairs(rel, vecCol, idCol, "cell",
+        threshold, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Semantic dedup over the HIERARCHICAL quantizer — [[semDedup]]'s keep

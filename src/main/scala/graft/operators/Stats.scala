@@ -125,24 +125,42 @@ object Stats {
     * deterministic and engine-identical, where per-row top-k sampling
     * would tie-break duplicate ids differently per engine. */
   def spearmanSketch(df: DataFrame, groupCol: String, idCol: String,
-                     xQ: Column, yQ: Column, k: Int = 512): DataFrame = {
+                     xQ: Column, yQ: Column, k: Int = 512,
+                     budgetRows: Long = 0L): DataFrame = {
     require(k >= 16 && k <= 65536, s"k out of range: $k")
     val hashMod = 1000000007L
     val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
         xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
       .filter(col("__g").isNotNull && col("__id").isNotNull &&
         col("__x").isNotNull && col("__y").isNotNull)
+    // persisted across its TWO consumers — the guard count below and the
+    // broadcast join feeding the model collect — so the corpus-scan
+    // group-count aggregate runs once, not twice (r12 ADVICE); released
+    // right after the model materializes. NOTE: this function is EAGER
+    // by design — two driver-side jobs (the guard count, the model
+    // collect) run at call time, because the scan stage's typed hot loop
+    // must close over the broadcast model before its plan can exist.
     val thr = base.groupBy("__g").agg(count(lit(1)).as("__n"))
       .select(col("__g"),
         expr(s"(CAST($k AS BIGINT) * $hashMod) div __n").as("__thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bounded-collect guard: the driver-side model is ≲ groups × 2k rows,
     // so a near-unique groupCol would collect close to the whole corpus.
-    // Fail fast with the grain named instead of OOMing the driver (the
-    // count reuses the agg the threshold relation needs anyway).
+    // Fail fast with the grain named instead of OOMing the driver. The
+    // default budget DERIVES from the driver's actual heap (r11 ADVICE
+    // hard-coded 8e6): a collected model row (boxed group string + three
+    // boxed longs) plus its share of the per-axis vs/eq/lt arrays and
+    // groupBy scratch costs ~200 bytes, and the model may claim at most
+    // a quarter of the heap — floored at 1M rows so a small test heap
+    // still admits gate-scale corpora (a 1 GiB driver → ~1.3M rows;
+    // the old flat 8e6 needed ~6.4 GiB to be safe). Pass `budgetRows`
+    // explicitly to override (specs pin the failure path with it).
+    val budget = if (budgetRows > 0L) budgetRows
+      else math.max(1000000L, Runtime.getRuntime.maxMemory() / 4L / 200L)
     val nGroups = thr.count()
-    require(nGroups * k.toLong <= 8000000L,
+    require(nGroups * k.toLong <= budget,
       s"spearmanSketch: $nGroups groups x k=$k sample rows exceed the " +
-        "driver-collect budget (8e6); coarsen groupCol or lower k")
+        s"driver-collect budget ($budget); coarsen groupCol or lower k")
     val sampleRows = base.join(broadcast(thr), Seq("__g"))
       .filter(Curation.knuthHash(col("__id"), hashMod) < col("__thr"))
     // The sample model — per (group, axis), sorted distinct values with
@@ -153,6 +171,7 @@ object Stats {
     val modelRows = sampleRows
       .groupBy(col("__g").cast("string").as("__gs"), col("__x"), col("__y"))
       .agg(count(lit(1)).as("__c")).collect()
+    thr.unpersist()
     def axisModel(get: org.apache.spark.sql.Row => Long)
         : Map[String, (Array[Long], Array[Long], Array[Long])] =
       modelRows.groupBy(_.getString(0)).map { case (g, rows) =>

@@ -1289,22 +1289,37 @@ object TextAnalysis {
                     queries: Seq[(Long, Seq[String])], stats: Bm25Stats,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val avgdl = stats.totTokens.toDouble / stats.nDocs
-    val toks = tokens(col(textCol))
-    val len = size(toks).cast("long")
+    // Per-row tf for the WHOLE panel AND the token length come from ONE
+    // native byte pass over the raw text ([[graft.expressions
+    // .PanelTermStats]] — r13): the previous per-term
+    // `size(filter(toks, _ === term))` chain was |panel| interpreted
+    // array traversals per document plus the tokenize ArrayFilter lambda
+    // — the suite's largest remaining non-codegen hot path (the sf10
+    // probe's ~79 s scoring scan, BASELINE.md round-12). Slot order =
+    // deduped in-vocabulary panel terms, last slot = token count;
+    // vocabulary-missing terms contribute 0 and need no count. Scores
+    // are bit-identical (a slot IS that term's exact count, the last
+    // slot IS size(tokens(text)); the arithmetic below is unchanged),
+    // which the `q_bm25_stored` oracle pins.
+    val panelTerms = queries.flatMap(_._2).distinct.filter(stats.df.contains)
+    val slot = panelTerms.zipWithIndex.toMap
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.expressions.Exprs.panelTermStats(col(textCol), panelTerms)
+        .as("__ts"))
+    val len = col("__ts").getItem(panelTerms.length)
     val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * len / lit(avgdl))
     def contrib(term: String): Column = stats.df.get(term) match {
       case None => lit(0L)
       case Some(dfv) =>
         val idf = math.log(1.0 + (stats.nDocs - dfv + 0.5) / (dfv + 0.5))
-        val tf = size(filter(toks, x => x === lit(term))).cast("long")
+        val tf = col("__ts").getItem(slot(term))
         round(lit(idf) * (tf * lit(k1 + 1.0)) / (tf + norm) * 1e6, 0).cast("long")
     }
     val perQuery = queries.map { case (qid, ts) =>
       struct(lit(qid).as("query_id"),
         ts.map(contrib).reduceLeft(_ + _).as("score_micro"))
     }
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(array(perQuery: _*)).as("q"))
+    base.select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
       .select(col("doc_id"), col("q.query_id"), col("q.score_micro"))
       .filter(col("score_micro") > 0)
   }

@@ -118,4 +118,59 @@ class ExpressionPropertiesSpec extends SparkSpec {
       assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getLong(0)}")
     }
   }
+
+  test("TermFrequencies equals the per-term size(filter(...)) twin on " +
+      "arbitrary token arrays; panel order and misses pin to zero") {
+    import spark.implicits._
+    // small vocabulary so panel terms actually collide with tokens
+    val tok = Gen.oneOf("apple", "banana", "cherry", "date", "egg", "fig")
+    val doc = Gen.listOf(tok).map(_.mkString(" "))
+    val panel = Seq("banana", "date", "nosuchterm", "apple")
+    val rows = samples(doc, 200).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "t")
+    val toks = filter(split(col("t"), " "), x => x =!= "")
+    val got = df.select(col("id"),
+        Exprs.termFrequencies(toks, panel).as("tf"),
+        array(panel.map(tm =>
+          size(filter(toks, x => x === lit(tm))).cast("long")): _*).as("tw"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+    // null text → null array (the null-intolerant UnaryExpression
+    // contract the BM25 consumer's drop-semantics rely on)
+    val nr = Seq((0L, Option.empty[String])).toDF("id", "t")
+      .select(Exprs.termFrequencies(filter(split(col("t"), " "),
+        x => x =!= ""), panel).as("tf")).collect()(0)
+    assert(nr.isNullAt(0))
+    // empty panel → empty counts, not a crash
+    val er = Seq((0L, "apple fig")).toDF("id", "t")
+      .select(Exprs.termFrequencies(filter(split(col("t"), " "),
+        x => x =!= ""), Nil).as("tf")).collect()(0)
+    assert(er.getSeq[Long](0).isEmpty)
+  }
+
+  test("PanelTermStats equals termFrequencies + size(tokens) on arbitrary " +
+      "spacing, tabs and non-ASCII text (0x20-only split)") {
+    import spark.implicits._
+    // tokens may carry tabs/newlines/multibyte glyphs INSIDE them — only
+    // 0x20 splits, exactly like split(text, " ") — and spacing varies
+    val tok = Gen.oneOf("apple", "banana", "a\tb", "ü漢", "apple!", "x")
+    val doc = for {
+      ts <- Gen.listOf(tok)
+      pre <- Gen.choose(0, 2); gap <- Gen.choose(1, 3)
+    } yield (" " * pre) + ts.mkString(" " * gap)
+    val panel = Seq("banana", "a\tb", "ü漢", "missing", "apple")
+    val rows = samples(doc, 200).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "t")
+    val toks = filter(split(col("t"), " "), x => x =!= "")
+    val got = df.select(col("id"),
+        Exprs.panelTermStats(col("t"), panel).as("ps"),
+        concat(Exprs.termFrequencies(toks, panel),
+          array(size(toks).cast("long"))).as("tw"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+  }
 }

@@ -438,12 +438,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("stored-stats BM25 scoring is a pure scan-side projection (the percolator plan)") {
-    val p = plan("q_bm25_stored")
-    // scan → explode → filter → project; the ONLY exchange is the final orderBy
+    // the registry entry localCheckpoints before the contract sort, so
+    // probe the SCORING frame itself (what a stream runs) pre-checkpoint
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("planspec-bm25")
+      .toString + "/stats"
+    graft.operators.TextAnalysis.buildBm25Stats(docs, "text", dir)
+    val panel = (new QueryShared {}).retrievalPanel
+    val stats = graft.operators.TextAnalysis.loadBm25Stats(spark, dir,
+      panel.flatMap(_._2))
+    val p = graft.operators.TextAnalysis.bm25ScoreFrom(docs, "text",
+        "doc_id", panel, stats)
+      .queryExecution.explainString(FormattedMode)
+    // scan → project → explode → filter, NO exchange at all
     assert(!p.contains("Join"), s"no join in the scoring pass:\n$p")
     assert(!p.contains("Aggregate"), s"no aggregate in the scoring pass:\n$p")
-    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
-      s"only the output sort may exchange:\n$p")
+    assert(!p.contains("Exchange"), s"the scoring pass never shuffles:\n$p")
+    // r13: the scoring projection is the fused native kernel — whole
+    // panel + token length in one byte pass, NO interpreted array HOF
+    // (no lambda anywhere in the plan), and the scan-side stage stays
+    // inside whole-stage codegen
+    assert(p.contains("panel_term_stats"), s"fused kernel must score:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no interpreted higher-order function may remain:\n$p")
+    assert(p.contains("codegen id"), s"the scan stage must codegen:\n$p")
   }
 
   test("char entropy never shuffles — scan, project, output sort only") {

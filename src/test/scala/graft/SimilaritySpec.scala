@@ -1113,4 +1113,119 @@ class SimilaritySpec extends SparkSpec {
       .select("id", "cell").collect().map(_.getString(1)).distinct
     assert(cells.toSeq == Seq("r-0-0-0"))
   }
+
+  test("treeAssignMulti: primary paths equal treeAssign's; shadows freeze at " +
+      "runner-up children and descend argmax-only") {
+    // The treeAssign fixture (hand-computed cosines in that test). With
+    // shadows: level 0 sends every primary's shadow to the OTHER root
+    // child; level 1 splits r-0 (seeds {0,2}) and r-1 (seeds {1,3}) by
+    // PRIMARY populations only, descends the level-0 shadows argmax-only
+    // ({1,3,5,7} all prefer seed 2's direction in r-0; {0,2,4,6} all
+    // prefer seed 3's in r-1), and spawns each primary's level-1 shadow
+    // at its runner-up child. Loop exits at level 2 exactly like the
+    // single lane (primary populations ≤ 3).
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(4f, 3f)), (3L, Array(3f, 4f)),
+      (4L, Array(1f, 1f)), (5L, Array(0f, 2f)),
+      (6L, Array(8f, 6f)), (7L, Array(-1f, 0f))).toDF("id", "v")
+    val rows = Similarity.treeAssignMulti(emb, "v", "id",
+        branch = 2, maxLeaf = 3, maxDepth = 5)
+      .select("id", "cell", "is_shadow").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val primary = rows.filter(!_._3).map(r => r._1 -> r._2).toMap
+    assert(primary == Map(
+      0L -> "r-0-0", 2L -> "r-0-2", 4L -> "r-0-2", 6L -> "r-0-2",
+      1L -> "r-1-1", 5L -> "r-1-1", 7L -> "r-1-1", 3L -> "r-1-3"),
+      s"primary paths must equal the single lane's: $primary")
+    val byId = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // 1 + (splits participated) memberships; every (id, cell) unique
+    assert(rows.length == rows.map(r => (r._1, r._2)).distinct.length)
+    assert(byId(0L) == Set("r-0-0", "r-0-2", "r-1-3"), s"got: $byId")
+    assert(byId(2L) == Set("r-0-2", "r-0-0", "r-1-3"), s"got: $byId")
+    assert(byId(3L) == Set("r-1-3", "r-1-1", "r-0-2"), s"got: $byId")
+    assert(byId(7L) == Set("r-1-1", "r-1-3", "r-0-2"), s"got: $byId")
+  }
+
+  test("semDedupTreeMulti: a pair the tree routes apart is recovered by the " +
+      "shadow membership") {
+    // The semDedupMulti fixture: 2 = (3,2) and 3 = (2,3) argmax-route to
+    // different root children (cos to own axis 0.8321) yet are a 12/13 =
+    // 0.9231 pair. maxLeaf = 2 stops the tree at level 1 with leaves
+    // r-0 = {0,2}, r-1 = {1,3}; the single lane finds no in-leaf pair at
+    // 0.9, the shadow lane pairs 3's shadow (in r-0) with primary 2.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(3f, 2f)), (3L, Array(2f, 3f))).toDF("id", "v")
+    val single = Similarity.semDedupTree(emb, "v", "id", threshold = 0.9,
+        branch = 2, maxLeaf = 2, maxDepth = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(single == Set(0L, 1L, 2L, 3L), "tree leaves must hide the pair")
+    val multi = Similarity.semDedupTreeMulti(emb, "v", "id", threshold = 0.9,
+        branch = 2, maxLeaf = 2, maxDepth = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(multi == Set(0L, 1L, 2L), "the shadow must recover it (3 drops)")
+  }
+
+  test("knnGraphMulti: a cross-cell true neighbor is found via the probed " +
+      "second cell; corpus memberships stay argmax") {
+    // Centroid cells from seeds {0, 1}; 2 = (3,2) and 3 = (2,3) sit in
+    // different argmax cells but are each other's true nearest neighbor
+    // (0.9231). Single-probe sees only cellmates; top-2 probing scores
+    // both cells' members.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(3f, 2f)), (3L, Array(2f, 3f))).toDF("vec_id", "embedding")
+    val single = Similarity.knnGraph(emb, "embedding", "vec_id", k = 2,
+        kNeighbors = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(single.filter(_._1 == 2L).map(_._3).toSet == Set(0L),
+      "single-probe must only see the argmax cellmate")
+    val multi = Similarity.knnGraphMulti(emb, "embedding", "vec_id", k = 2,
+        kNeighbors = 3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val by2 = multi.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    // cos(2,3) = 0.9231 > cos(2,0) = 0.8321 > cos(2,1) = 0.5547
+    assert(by2 == Seq(3L, 0L, 1L), s"got: $by2")
+    // every dst still reachable at most once per src (one corpus cell)
+    assert(multi.length == multi.map(r => (r._1, r._3)).distinct.length)
+  }
+
+  test("ivfAssignMulti: a zero-norm centroid's NaN hit is dropped, not " +
+      "ranked first — the nAssign > 1 NaN contract") {
+    // id 0 is a zero vector and, with k = 2, also centroid 0: every
+    // vector's cosine to it is NaN. TopKHits drops the NaN hit, so the
+    // top-2 selection over 2 centroids yields ONE real cell (centroid 1)
+    // per vector — the oracle twin's NOT isnan(cs) filter, engine-side.
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(3f, 2f)), (3L, Array(2f, 3f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssignMulti(emb, "embedding", "vec_id",
+        k = 2, nAssign = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 1L), (2L, 1L), (3L, 1L)),
+      s"zero-norm vector 0 gets no cells, others only the real cell: " +
+        s"${out.toSeq}")
+  }
+
+  test("hot-cell precondition of the blocked-pair oracle twins holds at " +
+      "gate scale (oversizedCells empty at sf0.01)") {
+    // The DuckDB twins of the semdedup/pair/knn family join FULL cells,
+    // while the engine sub-splits cells above maxCell = 8192 — the
+    // documented shared exactness precondition (r12 ADVICE). Assert no
+    // cell in any gated blocking relation exceeds the cap at the
+    // driver-gate scale, including the tree lanes' documented degenerate
+    // case (an oversized leaf frozen at maxDepth).
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val flat = Similarity.ivfAssign(emb, "embedding", "vec_id",
+      Similarity.AutoCells).select(col("vec_id"), col("centroid_id"))
+    assert(Similarity.oversizedCells(flat, "centroid_id", 8192).count() == 0L)
+    val leaves = Similarity.treeAssign(emb, "embedding", "vec_id")
+    assert(Similarity.oversizedCells(leaves, "cell", 8192).count() == 0L)
+    val multi = Similarity.treeMultiMemberships(emb, "embedding", "vec_id")
+    assert(Similarity.oversizedCells(multi, "cell", 8192).count() == 0L)
+  }
 }

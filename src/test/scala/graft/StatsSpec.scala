@@ -106,6 +106,21 @@ class StatsSpec extends SparkSpec {
       s"sketch $skBig too far from exact $exactBig")
   }
 
+  test("spearmanSketch: the driver-collect budget guard fires with the " +
+      "grain named (explicit budget pins the failure path)") {
+    // 40 groups × k = 32 = 1280 model rows against a 1000-row budget —
+    // the near-unique-groupCol failure mode, made deterministic by the
+    // budgetRows override (the default derives from the driver heap).
+    val df = (1 to 40).map(i => (s"g$i", i.toLong, i.toLong, (i * i).toLong))
+      .toDF("g", "id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Stats.spearmanSketch(df, "g", "id", col("x"), col("y"),
+        k = 32, budgetRows = 1000L)
+    }
+    assert(e.getMessage.contains("40 groups") &&
+      e.getMessage.contains("budget (1000)"), e.getMessage)
+  }
+
   test("brierDecomposition: exact bp fixture matches Murphy's components") {
     val df = Seq((1000L, false), (3000L, false), (3500L, true),
       (7000L, true), (9000L, true), (9200L, false)).toDF("p", "y")
