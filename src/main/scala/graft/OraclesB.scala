@@ -83,6 +83,10 @@ private[graft] object OraclesB extends QueryShared {
 
     "q_knn_graph_multi" -> knnGraphMultiSql(scaledCellsExpr, 2),
 
+    "q_knn_graph_tree" -> knnGraphTreeSql,
+
+    "q_knn_graph_tree_multi" -> knnGraphTreeMultiSql,
+
     "q_hits" -> hitsSql,
 
     "q_kcore" -> kCoreSql,

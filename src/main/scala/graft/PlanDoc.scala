@@ -32,6 +32,7 @@ object PlanDoc {
     "q_gap_fill" -> "gap fill: grid/join/window all at (key, bucket) cardinality — the event corpus never hits a window",
     "q_semdedup" -> "semantic dedup: broadcast-centroid quantize, in-cell pairs only, left-anti against the pair-sized dup set",
     "q_semdedup_tree" -> "hierarchical semantic dedup: per-level bounded-agg seed pick + argmax re-assign of only still-oversized cells (~n log n total), leaf-bounded pairs, left-anti drop",
+    "q_semdedup_tree_multi" -> "tree x multi semantic dedup: primary hierarchy identical to the tree lane, one frozen shadow membership per split (TopKHits(2) rn=2, NaN->+Inf ordering), <= 1+depth memberships — 0.367->0.849 drop recall at sf1 for 3.5x at 10x data",
     "q_semdedup_multi" -> "multi-assignment semantic dedup: top-2 cells per vector via bounded TopKHits, pairs in any shared cell + distinct — the measured recall lever (0.67->0.89 drop recall at sf1)",
     "q_edit_pairs" -> "edit-distance verify: banded candidates only — thresholded Levenshtein never sees a corpus cross product",
     "q_decontam_bloom" -> "Bloom pre-filter scan-side kills non-overlap shingles before the exact-verify shuffle join",
@@ -75,6 +76,9 @@ object PlanDoc {
     "q_table_profile" -> "column profile: ONE corpus pass for every per-column stat (Expand for exact distincts), |cols|-row reshape",
     "q_knn_graph" -> "kNN graph: broadcast-centroid cells → in-cell pair join → bounded per-source TopKHits agg, no window sort",
     "q_knn_graph_scaled" -> "same graph at the production k = ⌊√n⌋ (AutoCells) — identical plan shape, cells sized to survive corpus growth",
+    "q_knn_graph_multi" -> "multi-probe kNN graph: argmax corpus cells (stored-index layout) joined by the top-nProbe probe-side assignment — recall linear in nProbe (0.081->0.334 at p8, sf1), same bounded TopKHits ranking",
+    "q_knn_graph_tree" -> "tree-blocked kNN graph: leaf-bounded candidates (n·maxLeaf) replace the flat family's n^1.5 law — 3.1x at 10x data",
+    "q_knn_graph_tree_multi" -> "shadow-membership kNN graph: tree leaves + frozen runner-up memberships, duplicate pairs collapsed INSIDE the bounded TopKHits(distinct) state (no candidate-grain exchange) — recall 0.179 at sf1 with a ~linear wall-time law (5.7x at 10x)",
     "q_bfs_hops" -> "BFS round: frontier equi-join against the cached edge relation + map-side-combinable min agg; lineage truncated per round (stats-flat)",
     "q_dbscan" -> "grid-blocked DBSCAN: 9-cell key explode + cell equi-join (lossless — cell width = eps), density-bounded fan-out, no all-pairs cross",
     "q_itemsets3" -> "apriori triples: frequent-pair tier reused 3×, candidates closed by LeftSemi joins BEFORE the basket verify fan-out",
@@ -109,7 +113,7 @@ object PlanDoc {
     "q_margin_mine" -> "margin mining: in-cell A×B candidates (never a side cross join), bounded per-side top-k aggs, id-keyed margin joins",
     "q_ivfpq_topk" -> "IVF-PQ probe: PartitionFilters-pruned code partitions, broadcast m·k LUT, vector-free (id, sub, code) scan, TakeOrdered cut",
     "q_bm25_topk" -> "BM25: panel filter BEFORE the tf agg (the one shuffle carries query-term postings, not the vocabulary), df/panel/stats broadcast, bounded per-query TopKHits agg",
-    "q_bm25_stored" -> "stored-stats BM25 scoring: driver-side idf constants + per-row tf from the token array — pure projection + explode, ZERO shuffle (the plan a percolating stream runs)",
+    "q_bm25_stored" -> "stored-stats BM25 scoring: driver-side idf constants + per-row panel tf/length from ONE native byte pass (panel_term_stats, zero HOFs, whole-stage codegen) — pure projection + explode, ZERO shuffle (the plan a percolating stream runs); sf10 scoring wall 89s -> 14.8s",
     "q_rrf_fusion" -> "RRF: both ranker legs are top-k-bounded before the fuse — the full-outer join + rank window touch ≤ 2k rows",
     "q_rank_metrics" -> "ranking eval: system/gold are bounded ranker outputs; hit join, per-group aggs and the ≤k-element IDCG fold are all groups-sized",
     "q_char_entropy" -> "char entropy: ONE native byte-pass kernel per row, fixed-order 26-term fold — scan → project, zero shuffle",

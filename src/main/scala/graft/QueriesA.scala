@@ -576,7 +576,7 @@ private[graft] object QueriesA extends QueryShared {
     // length-0 docs carry weight 0 and are excluded by contract
     "q_weighted_sample" -> ((s, d) => {
       val docs = t(s, d, "documents")
-        .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))).cast("long"))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       Curation.weightedSample(docs, "doc_id", "n_tokens", n = 200)
         .withColumnRenamed("weight", "n_tokens")
         .orderBy("doc_id")

@@ -335,6 +335,24 @@ private[graft] object QueriesB extends QueryShared {
         .orderBy("src", "rnk")
     }),
 
+    // TREE-blocked kNN graph (r13): the n·log n adjacency lane — leaf-
+    // bounded candidates (n·maxLeaf) replace the flat family's n^1.5
+    // in-cell law; same bounded TopKHits ranking. Recall priced in
+    // BASELINE.md next to the flat and multi-probe rows.
+    "q_knn_graph_tree" -> ((s, d) => {
+      Similarity.knnGraphTree(t(s, d, "embeddings"), "embedding", "vec_id",
+          kNeighbors = 3)
+        .orderBy("src", "rnk")
+    }),
+
+    // ... and with the shadow-membership recall lever composed on
+    // (duplicate pairs collapsed at candidate grain before ranking).
+    "q_knn_graph_tree_multi" -> ((s, d) => {
+      Similarity.knnGraphTreeMulti(t(s, d, "embeddings"), "embedding",
+          "vec_id", kNeighbors = 3)
+        .orderBy("src", "rnk")
+    }),
+
     // ---- graph: weighted HITS over the event-type transition graph ----
     // Same edge relation as q_pagerank; 2 exact-integer mean-normalized
     // half-step pairs. Hubs ≠ authorities on a directed flow graph —
@@ -847,7 +865,7 @@ private[graft] object QueriesB extends QueryShared {
     // both sides.
     "q_token_budget" -> ((s, d) => {
       val avail = t(s, d, "documents").groupBy("source")
-        .agg(sum(size(TextFunctions.tokens(col("text")))).cast("long")
+        .agg(sum(TextFunctions.tokenCount(col("text"))).cast("long")
           .as("avail"))
       val wts = avail.select(col("source"),
         ((expr("CAST(substring(source, 4) AS INT)") % 5 + 1) * 1000)
@@ -862,7 +880,7 @@ private[graft] object QueriesB extends QueryShared {
     "q_mix_execute" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val avail = docs.groupBy("source")
-        .agg(sum(size(TextFunctions.tokens(col("text")))).cast("long")
+        .agg(sum(TextFunctions.tokenCount(col("text"))).cast("long")
           .as("avail"))
       val wts = avail.select(col("source"),
         ((expr("CAST(substring(source, 4) AS INT)") % 5 + 1) * 1000)
@@ -1195,7 +1213,7 @@ private[graft] object QueriesB extends QueryShared {
     "q_stump" -> ((s, d) => {
       val feats = t(s, d, "documents").select(
         col("n_chars"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
         (col("lang") === "en").as("is_en"))
       Curation.trainStump(feats, Seq("n_chars", "n_words"), "is_en")
     }),
@@ -1373,7 +1391,7 @@ private[graft] object QueriesB extends QueryShared {
     "q_cv_stump" -> ((s, d) => {
       val feats = t(s, d, "documents").select(
         col("doc_id"), col("n_chars"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_words"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
         (col("lang") === "en").as("is_en"))
       Curation.crossValidateStump(feats, "doc_id",
           Seq("n_chars", "n_words"), "is_en", folds = 5)
@@ -1402,7 +1420,7 @@ private[graft] object QueriesB extends QueryShared {
     // ---- eval: calibration panel / reliability diagram over the
     // stopword-ratio "English probability" score ----
     "q_ece" -> ((s, d) => {
-      val nWords = size(TextFunctions.tokens(col("text"))).cast("long")
+      val nWords = TextFunctions.tokenCount(col("text"))
       val nStop = TextFunctions.stopwordCount(col("text")).cast("long")
       val scored = t(s, d, "documents")
         .select((lit(10000L) * nStop).as("__num"),
@@ -1417,7 +1435,7 @@ private[graft] object QueriesB extends QueryShared {
     // input, one row of (brier, reliability, resolution, uncertainty):
     // the panel says WHERE the bins sit, this says what the loss is ----
     "q_brier" -> ((s, d) => {
-      val nWords = size(TextFunctions.tokens(col("text"))).cast("long")
+      val nWords = TextFunctions.tokenCount(col("text"))
       val nStop = TextFunctions.stopwordCount(col("text")).cast("long")
       val scored = t(s, d, "documents")
         .select((lit(10000L) * nStop).as("__num"),

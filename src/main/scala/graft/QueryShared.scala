@@ -1869,8 +1869,14 @@ private[graft] trait QueryShared {
     * vectors that never shrinks stops at maxDepth arbitrarily large)
     * is the reachable path, so `SimilaritySpec` asserts leaf sizes via
     * `oversizedCells` at sf0.01. */
-  private[graft] def semDedupTreeSql: String = {
-    val branch = 16; val maxLeaf = 64; val depth = 4
+  /** Depth of the fixed tree unrolls (matches the engine's default
+    * maxDepth = 4); the final-level relation is `a4`. */
+  private[graft] val treeDepth = 4
+
+  /** The single-path tree CTE chain (v, a0 … a4) shared by every
+    * tree-blocked twin — semantics documented at [[semDedupTreeSql]]. */
+  private[graft] def treeLevelCtes: String = {
+    val branch = 16; val maxLeaf = 64
     def level(i: Int): String =
       s"""p$i AS (SELECT cell FROM a$i GROUP BY cell HAVING count(*) > $maxLeaf),
          |s$i AS (SELECT cell, sid, sv FROM (
@@ -1886,11 +1892,15 @@ private[graft] trait QueryShared {
          |    FROM a$i a JOIN s$i s ON a.cell = s.cell) WHERE rn = 1),
          |a${i + 1} AS (SELECT a.vec_id, a.vv, coalesce(b.ncell, a.cell) AS cell
          |  FROM a$i a LEFT JOIN b$i b ON a.vec_id = b.vec_id)""".stripMargin
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
        |a0 AS (SELECT vec_id, vv, 'r' AS cell FROM v),
-       |${(0 until depth).map(level).mkString(",\n")},
+       |${(0 until treeDepth).map(level).mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] def semDedupTreeSql: String =
+    s"""WITH $treeLevelCtes,
        |n AS (SELECT vec_id, cell, vv,
-       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$depth),
+       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$treeDepth),
        |dup AS (
        |  SELECT DISTINCT y.vec_id
        |  FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -1898,7 +1908,24 @@ private[graft] trait QueryShared {
        |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
        |WHERE d.vec_id IS NULL
        |ORDER BY v.vec_id""".stripMargin
-  }
+
+  /** Tree-blocked kNN graph twin ([[treeLevelCtes]] leaves as the cells,
+    * the `knnGraphSql` ranking; NaN pair cosines drop — the engine's
+    * TopKHits contract). */
+  private[graft] def knnGraphTreeSql: String =
+    s"""WITH $treeLevelCtes,
+       |n AS (SELECT vec_id, cell, vv,
+       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$treeDepth),
+       |p AS (SELECT * FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst,
+       |      round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cs
+       |    FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+       |  WHERE NOT isnan(cs)),
+       |r AS (SELECT src, dst, cs,
+       |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
 
   /** Shadow-augmented hierarchical SemDeDup oracle — the unrolled twin
     * of `Similarity.semDedupTreeMulti(branch = 16, maxLeaf = 64,
@@ -1915,8 +1942,11 @@ private[graft] trait QueryShared {
     * collapses pairs co-resident in more than one cell, NaN cosines
     * drop (the engine's pair filter). Exactness preconditions as
     * [[semDedupTreeSql]] (no leaf above maxCell = 8192). */
-  private[graft] def semDedupTreeMultiSql: String = {
-    val branch = 16; val maxLeaf = 64; val depth = 4
+  /** The shadow-augmented tree CTE chain (v, a0 … a4 with `sh` flags)
+    * shared by the tree×multi twins — semantics documented at
+    * [[semDedupTreeMultiSql]]. */
+  private[graft] def treeMultiLevelCtes: String = {
+    val branch = 16; val maxLeaf = 64; val depth = treeDepth
     def level(i: Int): String =
       s"""p$i AS (SELECT cell FROM a$i WHERE sh = 0
          |  GROUP BY cell HAVING count(*) > $maxLeaf),
@@ -1941,11 +1971,15 @@ private[graft] trait QueryShared {
          |  UNION ALL
          |  SELECT vec_id, vv, ncell AS cell, 1 AS sh FROM r$i
          |  WHERE rn = 2 AND sh = 0)""".stripMargin
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
        |a0 AS (SELECT vec_id, vv, 'r' AS cell, 0 AS sh FROM v),
-       |${(0 until depth).map(level).mkString(",\n")},
+       |${(0 until depth).map(level).mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] def semDedupTreeMultiSql: String =
+    s"""WITH $treeMultiLevelCtes,
        |n AS (SELECT vec_id, cell, vv,
-       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$depth),
+       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$treeDepth),
        |dup AS (
        |  SELECT DISTINCT y.vec_id FROM n x JOIN n y
        |  ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -1954,7 +1988,25 @@ private[graft] trait QueryShared {
        |SELECT v.vec_id AS vec_id FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
        |WHERE d.vec_id IS NULL
        |ORDER BY v.vec_id""".stripMargin
-  }
+
+  /** Shadow-membership kNN graph twin: pairs in ANY shared cell of the
+    * [[treeMultiLevelCtes]] memberships, DISTINCT at candidate grain
+    * BEFORE ranking (a pair sharing two cells must not occupy two top-k
+    * slots — the engine's pre-aggregate distinct), NaN cosines drop. */
+  private[graft] def knnGraphTreeMultiSql: String =
+    s"""WITH $treeMultiLevelCtes,
+       |n AS (SELECT vec_id, cell, vv,
+       |      sqrt(list_dot_product(vv, vv)) AS nrm FROM a$treeDepth),
+       |p AS (SELECT DISTINCT src, dst, cs FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst,
+       |      round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cs
+       |    FROM n x JOIN n y ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+       |  WHERE NOT isnan(cs)),
+       |r AS (SELECT src, dst, cs,
+       |    row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst, cs + 0.0 AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin
 
   private[graft] def semDedupSqlK(kExpr: String): String =
     s"""WITH ${ivfAssignCtesK(kExpr)},

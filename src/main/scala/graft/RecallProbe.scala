@@ -55,7 +55,9 @@ object RecallProbe {
     // often.
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    val allPairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+    // lazy: localCheckpoint is eager, and the knnonly mode never needs
+    // the pair ground truth
+    lazy val allPairs = a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (round(graft.expressions.Exprs.cosineSim(col("v_a"), col("v_b")), 4)
           + lit(0.0)).as("cs"))
@@ -67,7 +69,9 @@ object RecallProbe {
       println(f"[recall] $lane%-22s $kind%-6s $got%8d / $base%8d = " +
         f"${if (base == 0) 1.0 else got.toDouble / base}%.4f")
 
-    for (thr <- Seq(0.35, 0.5)) {
+    // `knnonly` skips the pair/drop families — re-pricing the kNN
+    // p-sweep without paying the exact pair ground truth twice
+    for (thr <- Seq(0.35, 0.5) if !args.contains("knnonly")) {
       val exactPairs = pairSet(allPairs.filter(col("cs") >= thr))
       println(s"[recall] sf_dir=$d n=$n threshold=$thr " +
         s"exact_pairs=${exactPairs.size}")
@@ -140,7 +144,8 @@ object RecallProbe {
     // (the extended p-list under `sweep` prices the ~0.3-recall
     // operating point the r12 verdict asked for — recall is ~linear in
     // nProbe on this corpus, so is candidate cost)
-    val probeList = if (args.contains("sweep")) Seq(2, 3, 4, 6, 8)
+    val probeList =
+      if (args.contains("sweep") || args.contains("knnonly")) Seq(2, 3, 4, 6, 8)
       else Seq(2, 3)
     for (np <- probeList) {
       val multiEdges = Similarity.knnGraphMulti(emb, "embedding", "vec_id",
@@ -150,6 +155,19 @@ object RecallProbe {
       row(s"q_knn_graph_multi@p$np", (multiEdges intersect exactEdges).size,
         exactEdges.size, "edges")
     }
+    // r13: the tree-blocked adjacency lanes (n·log n scale shape)
+    val treeEdges = Similarity.knnGraphTree(emb, "embedding", "vec_id",
+        kNeighbors = 3)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    row("q_knn_graph_tree", (treeEdges intersect exactEdges).size,
+      exactEdges.size, "edges")
+    val treeMultiEdges = Similarity.knnGraphTreeMulti(emb, "embedding",
+        "vec_id", kNeighbors = 3)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    row("q_knn_graph_tree_multi", (treeMultiEdges intersect exactEdges).size,
+      exactEdges.size, "edges")
 
     // ---- leaf-size sweep for the tree lanes (r12 verdict task 5):
     // drop recall @0.35 × wall time per maxLeaf — the leaf knob as a

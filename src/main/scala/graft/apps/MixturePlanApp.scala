@@ -49,7 +49,7 @@ object MixturePlanApp {
           budget: Long, weightSpec: String, numShards: Int): Unit = {
     import spark.implicits._
     val docs = graft.Tables.load(spark, docsDir, "documents")
-      .withColumn("__tok", size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("__tok", TextFunctions.tokenCount(col("text")))
     val avail = docs.groupBy("source").agg(sum("__tok").as("avail"))
     val weights =
       if (weightSpec.isEmpty)

@@ -97,9 +97,24 @@ object TextFunctions {
     * in the query layer, not here, so downstream ops can keep full precision. */
   def punctCount(text: Column): Column = regexp_count(text, lit("[^a-zA-Z0-9\\s]"))
 
+  /** Token count (LongType) via the native fused tokenizer — ONE byte
+    * pass, no intermediate array, no interpreted HOF; bit-equal to
+    * `size(tokens(text))` (the r13 `PanelTermStats` kernel with an empty
+    * panel: slot 0 is the token count). Use where the token ARRAY isn't
+    * otherwise consumed — explode/shingle consumers keep `tokens`. */
+  def tokenCount(text: Column): Column =
+    graft.expressions.Exprs.panelTermStats(text, Nil).getItem(0)
+
   val Stopwords = Seq("the", "a", "and", "of", "in", "to", "is", "has")
+
+  /** Stopword occurrences, natively: the panel-counts kernel over the
+    * lowered text, slots summed (stopwords are distinct, so the sum IS
+    * the any-of count). Replaces the interpreted per-token 8-branch
+    * lambda — bit-equal, now LongType (callers cast anyway). Codegen
+    * subexpression elimination collapses the repeated kernel reference
+    * to one evaluation per row. */
   def stopwordCount(text: Column): Column = {
-    val toks = tokens(lower(text))
-    size(filter(toks, t => Stopwords.foldLeft(lit(false))((acc, s) => acc || (t === s))))
+    val counts = graft.expressions.Exprs.panelTermStats(lower(text), Stopwords)
+    Stopwords.indices.map(i => counts.getItem(i)).reduce(_ + _)
   }
 }

@@ -24,12 +24,30 @@ case class Hit(score: Double, id: Long)
   * with tiny constants (k is 10-100 in practice); the aggregate stays
   * object-hash-aggregated, which is the expected physical form for a
   * typed buffer (no codegen, but state is k elements, not the corpus). */
-class TopKHits(k: Int) extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
+class TopKHits(k: Int, distinct: Boolean = false)
+    extends Aggregator[Hit, Seq[Hit], Seq[Hit]] {
   require(k > 0, s"k must be positive: $k")
 
   private def better(a: Hit, b: Hit): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
-  private def trim(s: Seq[Hit]): Seq[Hit] = s.sortWith(better).take(k)
+  // `distinct = true` gives SET semantics over (score, id): an exact
+  // duplicate hit never occupies a second slot. This replaces a full
+  // candidate-grain `.distinct()` EXCHANGE for callers whose input
+  // relation produces the same hit more than once (a pair sharing two
+  // membership cells in the tree×multi kNN graph) — dedup happens inside
+  // the bounded map-side-combinable state instead of a corpus-pair
+  // shuffle. Sorted-adjacent dedup is exact: equal hits are neighbors
+  // under the total (score DESC, id ASC) order, and cross-partition
+  // duplicates meet in merge's trim.
+  private def dedupSorted(s: Seq[Hit]): Seq[Hit] =
+    if (s.isEmpty) s
+    else s.head +: s.sliding(2).collect {
+      case Seq(p, c) if p != c => c
+    }.toSeq
+  private def trim(s: Seq[Hit]): Seq[Hit] = {
+    val sorted = s.sortWith(better)
+    (if (distinct) dedupSorted(sorted) else sorted).take(k)
+  }
 
   override def zero: Seq[Hit] = Nil
   override def reduce(buf: Seq[Hit], a: Hit): Seq[Hit] =

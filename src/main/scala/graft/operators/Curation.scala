@@ -319,7 +319,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(idCol), col(shardCol).as("shard"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col(idCol), col("shard"), col("n_tokens"),
         expr(s"start_off div $budgetTokens").as("pack_id"),

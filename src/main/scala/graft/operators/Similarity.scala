@@ -326,6 +326,71 @@ object Similarity {
         col("col.id").as("dst"), col("col.score").as("cos_sim"))
   }
 
+  /** Shared kNN-over-cells kernel: rank each source's cellmates by
+    * cosine with the bounded TopKHits aggregate (hot-cell guard applied,
+    * never a window sort). `dedup` switches the aggregate to SET
+    * semantics over (score, dst) — required when `rows` is a MEMBERSHIP
+    * relation (a pair sharing two cells would otherwise occupy two top-k
+    * slots). Dedup lives INSIDE the bounded aggregate state, not as a
+    * candidate-grain `.distinct()` — that exchange measured +~90 s at
+    * the sf10 probe (it shuffled every in-cell pair once just to drop
+    * the few double-cell ones); structurally unnecessary when every
+    * vector appears in exactly one cell. */
+  private def knnOverCells(rows0: DataFrame, vecCol: String, idCol: String,
+                           kNeighbors: Int, maxCell: Int,
+                           dedup: Boolean): DataFrame = {
+    val rows = withSubCell(
+      rows0.select(col("cell"), col(idCol), col(vecCol)),
+      "cell", idCol, maxCell)
+    val a = rows.select(col("cell"), col("__sub"), col(idCol).as("src"),
+      col(vecCol).as("v_a"))
+    val b = rows.select(col("cell"), col("__sub"), col(idCol).as("dst"),
+      col(vecCol).as("v_b"))
+    val topk = udaf(
+      new graft.functions.TopKHits(kNeighbors, distinct = dedup),
+      graft.functions.TopKHits.hitEncoder)
+    a.join(b, Seq("cell", "__sub"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"),
+        r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"),
+        col("dst"))
+      .groupBy("src")
+      .agg(topk(col("cos_sim"), col("dst")).as("hits"))
+      .select(col("src"), posexplode(col("hits")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("dst"), col("col.score").as("cos_sim"))
+  }
+
+  /** kNN graph blocked on the HIERARCHICAL quantizer's leaves — the
+    * n·log n adjacency lane: the flat ⌊√n⌋ graph family is n^1.5 by
+    * construction (each of n sources scans a √n-member cell), while tree
+    * leaves are maxLeaf-bounded, so candidate volume is n·maxLeaf and
+    * total work ~n·log n (assignment) + n·c (ranking) — the kNN twin of
+    * [[semDedupTree]]. Recall trade identical to that lane's: neighbors
+    * routed into other leaves are invisible — priced in BASELINE.md next
+    * to the flat and multi-probe rows. */
+  def knnGraphTree(emb: DataFrame, vecCol: String, idCol: String,
+                   kNeighbors: Int, branch: Int = 16, maxLeaf: Int = 64,
+                   maxDepth: Int = 4, maxCell: Int = 8192): DataFrame =
+    knnOverCells(treeAssign(emb, vecCol, idCol, branch, maxLeaf, maxDepth),
+      vecCol, idCol, kNeighbors, maxCell, dedup = false)
+
+  /** [[knnGraphTree]] over the SHADOW-AUGMENTED memberships of
+    * [[treeAssignMulti]] — the recall lever composed onto the scale
+    * lane, exactly as [[semDedupTreeMulti]] composes it for dedup: a
+    * source ranks the members of every cell it belongs to (primary leaf
+    * + ≤ depth frozen shadows), duplicate pairs collapsed BEFORE the
+    * bounded ranking (a pair co-resident in two cells must not occupy
+    * two top-k slots — the one place the membership relation needs a
+    * distinct, at candidate grain, still linear). */
+  def knnGraphTreeMulti(emb: DataFrame, vecCol: String, idCol: String,
+                        kNeighbors: Int, branch: Int = 16,
+                        maxLeaf: Int = 64, maxDepth: Int = 4,
+                        maxCell: Int = 8192): DataFrame =
+    knnOverCells(
+      treeMultiMemberships(emb, vecCol, idCol, branch, maxLeaf, maxDepth),
+      vecCol, idCol, kNeighbors, maxCell, dedup = true)
+
   /** Product-quantization codebook: `m` subspaces × `k` codes, each code
     * the subvector of one of the k lowest-id vectors (the deterministic
     * seeding convention of [[ivfAssign]]; production refines per-subspace

@@ -30,7 +30,7 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, textCol: String, idCol: String,
                    keepCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val nWords = size(tokens(t)).cast("double")
+    val nWords = tokenCount(t).cast("double")
     val nPunct = punctCount(t).cast("double")
     val nStop = stopwordCount(t).cast("double")
     val nChars = length(t).cast("double")
@@ -708,7 +708,7 @@ object TextAnalysis {
   def tokenHistogram(docs: DataFrame, textCol: String,
                      binWidth: Int = 50): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
-    docs.select(size(tokens(col(textCol))).cast("long").as("__n"))
+    docs.select(tokenCount(col(textCol)).as("__n"))
       .select((expr(s"__n div $binWidth") * binWidth).as("bin_lo"))
       .groupBy("bin_lo").agg(count(lit(1)).as("n_docs"))
   }
@@ -1206,7 +1206,7 @@ object TextAnalysis {
   private def bm25StatRelation(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(concat(
         array(struct(lit(LenSentinel).as("term"),
-          coalesce(size(tokens(col(textCol))).cast("long"), lit(0L))
+          coalesce(tokenCount(col(textCol)), lit(0L))
             .as("len"))),
         transform(
           coalesce(

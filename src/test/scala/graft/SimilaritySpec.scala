@@ -1191,6 +1191,31 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.length == multi.map(r => (r._1, r._3)).distinct.length)
   }
 
+  test("knnGraphTree/TreeMulti: leaf-bounded adjacency; the shadow " +
+      "membership recovers the cross-leaf neighbor exactly once") {
+    // tree fixture (semDedupTreeMulti test): leaves r-0 = {0,2},
+    // r-1 = {1,3}; memberships add shadows {1,3} to r-0 and {0,2} to
+    // r-1 — so every pair shares SOME cell, several share two.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(3f, 2f)), (3L, Array(2f, 3f))).toDF("vec_id", "embedding")
+    val tree = Similarity.knnGraphTree(emb, "embedding", "vec_id",
+        kNeighbors = 3, branch = 2, maxLeaf = 2, maxDepth = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tree.filter(_._1 == 2L).map(_._3).toSet == Set(0L),
+      "single-path leaves see only leaf-mates")
+    val multi = Similarity.knnGraphTreeMulti(emb, "embedding", "vec_id",
+        kNeighbors = 3, branch = 2, maxLeaf = 2, maxDepth = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val by2 = multi.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    // cos(2,3) = 0.9231 > cos(2,0) = 0.8321 > cos(2,1) = 0.5547; the
+    // (2,0) pair shares BOTH r-0 and r-1 — the pre-ranking distinct must
+    // keep it to one slot so all three neighbors surface
+    assert(by2 == Seq(3L, 0L, 1L), s"got: $by2")
+    assert(multi.length == multi.map(r => (r._1, r._3)).distinct.length,
+      "no duplicate (src, dst) edges after the candidate-grain distinct")
+  }
+
   test("ivfAssignMulti: a zero-norm centroid's NaN hit is dropped, not " +
       "ranked first — the nAssign > 1 NaN contract") {
     // id 0 is a zero vector and, with k = 2, also centroid 0: every

@@ -43,6 +43,44 @@ class RecoverySpec extends SparkSpec {
       s"restarted counter must resume at 3 and reach 5, saw ${totals.toSeq}")
   }
 
+  test("J3 remote-lookup enrichment resumes at the committed offset after " +
+      "a kill-and-restart (no replays, no gaps)") {
+    // J3 is stateless (mapPartitions enrichment), so continuity means the
+    // OFFSET log: symbols enriched before the kill must not re-emit, and
+    // symbols added across the restart must all arrive — the r12 verdict's
+    // optional task 8. The cache/rate-limit shape itself is pinned live in
+    // its own spec; here it rides the restart.
+    val cp = Files.createTempDirectory("cp_remote").toString
+    val in = MemoryStream[String]
+    val acc = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def start() = RemoteLookup.joinQuotes(in.toDS(), scope = s"recovery-$cp")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StockQuote], _: Long) =>
+        val rows = batch.collect().map(q => (q.symbol, q.close))
+        acc.synchronized { acc ++= rows }
+        ()
+      }
+      .option("checkpointLocation", cp).start()
+
+    val q1 = start()
+    in.addData("MSFT", "GOOG", "AAPL")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(acc.size == 3, s"first incarnation enriches 3, saw ${acc.toSeq}")
+
+    val q2 = start()
+    in.addData("NFLX", "MSFT")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val stub = new RemoteLookup.StubQuoteClient
+    val expect = Seq("MSFT", "GOOG", "AAPL", "NFLX", "MSFT")
+      .map(s => (s, stub.fetch(s).get))
+    assert(acc.sorted == expect.sorted,
+      s"exactly the pre-kill 3 plus the post-restart 2 (dup symbol kept — " +
+        s"it is a new EVENT): ${acc.toSeq}")
+  }
+
   test("J4 SQL stream-table join inside foreachBatch") {
     val pv = MemoryStream[PageView]
     val profiles = Seq(Profile("user1", "MSFT"), Profile("user2", "GOOG")).toDF()
