@@ -34,6 +34,13 @@ object Bench extends QueryShared {
           useMd5 = false)
         .orderBy("id_l", "id_r")
     })
+    // NOT here: a fast__ row for the tree-graph lane's leaf-1024
+    // operating point (BASELINE.md r13 graphsweep). The md5/xxhash64
+    // fast lanes measure a SCALE-INDEPENDENT substitution, so the sf0.1
+    // bench row is representative; leaf size is scale-DEPENDENT — at
+    // sf0.1's 2k vectors a 1024-leaf tree barely splits and the row
+    // would measure near-brute-force, not the operating point. The
+    // meaningful measurement lives in the sf1 sweep table.
   )
 
   /** Per-query seconds out of a prior record's flat `"queries":{...}` map

@@ -1604,6 +1604,8 @@ private[graft] object OraclesA extends QueryShared {
     "q_ivf_pairs_scaled" -> ivfPairsSqlK(scaledCellsExpr),
     "q_ivf_pairs_multi" -> ivfPairsMultiSql,
     "q_semdedup" -> semDedupSql,
+    "q_semdedup_indexed" -> semDedupIndexedSql,
+    "q_semdedup_indexed_scaled" -> semDedupIndexedSqlK(masterCellsExpr),
     "q_semdedup_scaled" -> semDedupSqlK(scaledCellsExpr),
     "q_semdedup_tree" -> semDedupTreeSql,
     "q_semdedup_tree_multi" -> semDedupTreeMultiSql,

@@ -127,6 +127,7 @@ object PlanDoc {
     "q_conformal" -> "conformal bound: distinct-cents reduction, domain-bounded cumulative window, 1-row rank/threshold broadcasts — no corpus sort",
     "q_compress_ratio" -> "entropy-coded size: char explode collapses map-side to docs×alphabet before the exchange, doc-grain sizes join — the r9 oracle-able compressibility lane",
     "q_link_indexed" -> "stored-index linkage: reference bands+texts read from parquet (kernel paid at build), delta-side kernel + candidates-only Levenshtein verify",
+    "q_semdedup_indexed" -> "stored-index semantic dedup: delta assigns against the broadcast centroid table, screens ONLY its touched index cells (partition-pruned IN literal) — delta-sized per-batch cost, never a corpus rescan",
     "q_spearman" -> "Spearman rho: two value-domain rank relations join back on (group, value) — the corpus shuffles twice at row grain, windows only ever sort the value domain",
     "q_item_cf" -> "item-item CF: basket-gated pairing self-join, supports attach by BROADCAST, top-k via a per-item window — no global sort, ranking on truncated integer cos²",
     "q_js_sources" -> "per-source JSD: (source, word) agg + vocab/source-grain totals; absent-word mass folds in closed form — no source×vocab cross join in the plan",

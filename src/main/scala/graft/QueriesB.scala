@@ -968,6 +968,47 @@ private[graft] object QueriesB extends QueryShared {
         .orderBy("id_l", "id_r")
     }),
 
+    // ---- semantic dedup against a STORED IVF index: the embedding twin
+    // of q_dedup_indexed/q_link_indexed — the master prefix (ids ≤
+    // ⌊2·max/3⌋, which contains the k = 8 seeds) is indexed once per JVM,
+    // the delta (the id suffix) screens against it partition-pruned;
+    // the oracle is the INLINE kernel restricted to the delta (master
+    // ids all precede delta ids, so "any indexed partner" == the inline
+    // smaller-id rule) ----
+    "q_semdedup_indexed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+      val dir = s"target/graft-semidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      if (!Similarity.ivfIndexCommitted(s, dir))
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") <= cut),
+          "embedding", "vec_id", kCentroids = 8, indexDir = dir)
+      Similarity.semDedupAgainstIndex(s, dir,
+          emb.filter(col("vec_id") > cut), "embedding", "vec_id",
+          threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // The production-k form: the index quantizer sized to the MASTER
+    // corpus (AutoCells → ⌊√n_master⌋), so cells keep √n grain as the
+    // indexed corpus grows instead of the pinned k = 8 contract's
+    // linearly-fattening cells — the q_semdedup_scaled convention
+    // applied to the stored-index screen.
+    "q_semdedup_indexed_scaled" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
+      val dir = s"target/graft-semidxsc/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+        f"-${d.hashCode}%08x-$jvmTag"
+      if (!Similarity.ivfIndexCommitted(s, dir))
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") <= cut),
+          "embedding", "vec_id", kCentroids = Similarity.AutoCells,
+          indexDir = dir)
+      Similarity.semDedupAgainstIndex(s, dir,
+          emb.filter(col("vec_id") > cut), "embedding", "vec_id",
+          threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // ---- sequences: per-user truncated event-type training rows ----
     "q_user_sequences" -> ((s, d) => {
       Sequences.userSequences(t(s, d, "events"), "user_id", "event_type",

@@ -2020,6 +2020,42 @@ private[graft] trait QueryShared {
        |WHERE d.vec_id IS NULL
        |ORDER BY v.vec_id""".stripMargin
 
+  /** Indexed SemDeDup oracle — the INLINE kernel restricted to the delta
+    * (`vec_id > ⌊2·max/3⌋`, the same cut the engine lane derives): the
+    * engine screens the delta against a STORED index built over the
+    * master prefix, and because every master id precedes every delta id,
+    * its "any indexed partner drops" rule coincides with the inline
+    * smaller-id rule — the oracle never needs to read the index artifact,
+    * exactly like `q_dedup_indexed` reuses the inline minhash twin. The
+    * master prefix contains the k = 8 lowest ids, so the inline seeds ARE
+    * the stored centroids and cell assignments agree by construction.
+    * Shares the family's maxCell = 8192 guard precondition (see
+    * [[semDedupMultiSql]]'s note). */
+  private[graft] def semDedupIndexedSql: String = semDedupIndexedSqlK("8")
+
+  /** The production-k twin sizes the quantizer to the MASTER (the corpus
+    * the index was built over) — ⌊√n_master⌋ with the [[scaledCellsExpr]]
+    * clamp, exactly `Similarity.resolveCells(master, AutoCells)`. */
+  private[graft] def masterCellsExpr: String =
+    """(SELECT greatest(8, least(65536,
+      |   CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings
+      | WHERE vec_id <= (SELECT CAST(floor(max(vec_id) * 2 / 3) AS BIGINT)
+      |                  FROM embeddings))""".stripMargin
+
+  private[graft] def semDedupIndexedSqlK(kExpr: String): String =
+    s"""WITH ${ivfAssignCtesK(kExpr)},
+       |n AS (SELECT a.vec_id, a.cid, v.vv, sqrt(list_dot_product(v.vv, v.vv)) AS nrm
+       |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+       |s AS (SELECT CAST(floor(max(vec_id) * 2 / 3) AS BIGINT) AS cut FROM embeddings),
+       |dup AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm),4) >= 0.35)
+       |SELECT v.vec_id AS vec_id FROM v, s
+       |WHERE v.vec_id > s.cut
+       |  AND v.vec_id NOT IN (SELECT vec_id FROM dup)
+       |ORDER BY v.vec_id""".stripMargin
+
   /** Ratio-margin bitext mining oracle, parameterized on the quantizer
     * cell-count expression like the rest of the IVF family. */
   private[graft] def marginMineSqlK(kExpr: String): String =

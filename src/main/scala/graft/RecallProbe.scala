@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * subset property (drop = "some smaller-id pair partner exists"), so
   * drop recall is |lane drops| / |exact drops|.
   *
-  * Usage: sbt "runMain graft.RecallProbe [sfDir]"
+  * Usage: sbt "runMain graft.RecallProbe [sfDir] [knnonly] [sweep] [graphsweep]"
+  * (the sfDir is the first NON-FLAG argument, so flag-only invocations
+  * keep the default directory instead of consuming a flag as the path)
   */
 object RecallProbe {
+  private val Flags = Set("knnonly", "sweep", "graphsweep")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,7 +39,7 @@ object RecallProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d = args.find(!Flags.contains(_)).getOrElse("/root/testdata/sf0.1")
     val emb = Tables.load(spark, d, "embeddings")
     val n = emb.count()
 
@@ -168,6 +172,32 @@ object RecallProbe {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     row("q_knn_graph_tree_multi", (treeMultiEdges intersect exactEdges).size,
       exactEdges.size, "edges")
+
+    // ---- leaf-size sweep for the tree-blocked ADJACENCY lanes (r13):
+    // same knob, other family — the semdedup sweep below showed larger
+    // leaves win on both axes at this corpus size; this prices the same
+    // trade for the scale-safe kNN path (edge recall@3 × wall per
+    // maxLeaf), turning the graph lanes' recall from a fixed number at
+    // leaf=64 into a priced operating curve ----
+    if (args.contains("graphsweep")) {
+      for (leaf <- Seq(64, 256, 1024); multi <- Seq(false, true)) {
+        val t0 = System.nanoTime()
+        val edges = (if (multi)
+            Similarity.knnGraphTreeMulti(emb, "embedding", "vec_id",
+              kNeighbors = 3, maxLeaf = leaf)
+          else
+            Similarity.knnGraphTree(emb, "embedding", "vec_id",
+              kNeighbors = 3, maxLeaf = leaf))
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val lane = if (multi) "graph_tree_multi" else "graph_tree"
+        println(f"[graphsweep] $lane%-16s maxLeaf=$leaf%-5d edges " +
+          f"${(edges intersect exactEdges).size}%6d / ${exactEdges.size}%6d" +
+          f" = ${if (exactEdges.isEmpty) 1.0 else (edges intersect exactEdges).size.toDouble / exactEdges.size}%.4f" +
+          f"  wall ${secs}%7.2f s")
+      }
+    }
 
     // ---- leaf-size sweep for the tree lanes (r12 verdict task 5):
     // drop recall @0.35 × wall time per maxLeaf — the leaf knob as a

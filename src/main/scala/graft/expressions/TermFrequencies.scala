@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (integer count; null tokens match nothing), so swapping it under the
   * BM25 arithmetic leaves every downstream score unchanged — the
   * `q_bm25_stored` oracle pins the round-trip.
+  *
+  * Role: this array-input form is the PROPERTY-TEST LADDER for the fused
+  * [[PanelTermStats]] — `ExpressionPropertiesSpec` first pins it against
+  * the interpreted `size(filter(...))` twin, then pins the fused kernel
+  * against it + `size(tokens)` — and the array-input entry point for any
+  * caller whose tokens are already materialized (custom tokenization).
+  * The production scoring path always uses the fused form.
   */
 case class TermFrequencies(child: Expression, terms: Seq[String])
     extends UnaryExpression {
@@ -94,8 +101,12 @@ case class PanelTermStats(child: Expression, terms: Seq[String])
   override def prettyName: String = "panel_term_stats"
 }
 
-class PanelTermStatsKernel(terms: Array[String]) extends Serializable {
-  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+/** The ONE copy of the term→slot map build both kernels share: UTF8String
+  * keys compare by bytes (probes never decode the token); first
+  * occurrence wins — mirrors the de-duplicated panels callers pass, a
+  * duplicate term would otherwise split its counts. */
+private object TermSlotMap {
+  def build(terms: Array[String]): java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
     var i = 0
     while (i < terms.length) {
@@ -105,6 +116,10 @@ class PanelTermStatsKernel(terms: Array[String]) extends Serializable {
     }
     m
   }
+}
+
+class PanelTermStatsKernel(terms: Array[String]) extends Serializable {
+  @transient private lazy val idx = TermSlotMap.build(terms)
 
   def compute(text: UTF8String): ArrayData = {
     val out = new Array[Long](terms.length + 1)
@@ -129,21 +144,10 @@ class PanelTermStatsKernel(terms: Array[String]) extends Serializable {
 }
 
 /** Static-shaped kernel shared by interpreted eval and generated code.
-  * The term→slot map is built lazily per deserialized instance (UTF8String
-  * keys compare by bytes, so probes never decode the token). */
+  * The term→slot map is built lazily per deserialized instance
+  * ([[TermSlotMap]]). */
 class TermFreqKernel(terms: Array[String]) extends Serializable {
-  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
-    val m = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
-    var i = 0
-    while (i < terms.length) {
-      // first occurrence wins — mirrors the de-duplicated panels callers
-      // pass; a duplicate term would otherwise split its counts
-      if (!m.containsKey(UTF8String.fromString(terms(i))))
-        m.put(UTF8String.fromString(terms(i)), i)
-      i += 1
-    }
-    m
-  }
+  @transient private lazy val idx = TermSlotMap.build(terms)
 
   def compute(toks: ArrayData): ArrayData = {
     val counts = new Array[Long](terms.length)

@@ -248,25 +248,8 @@ object Similarity {
                kNeighbors: Int, maxCell: Int = 8192): DataFrame = {
     val assigned = ivfAssign(emb, vecCol, idCol, k)
       .select(col(idCol), col("centroid_id").as("cell"))
-    val rows = withSubCell(
-      emb.select(col(idCol), col(vecCol)).join(assigned, idCol),
-      "cell", idCol, maxCell)
-    val a = rows.select(col("cell"), col("__sub"), col(idCol).as("src"),
-      col(vecCol).as("v_a"))
-    val b = rows.select(col("cell"), col("__sub"), col(idCol).as("dst"),
-      col(vecCol).as("v_b"))
-    val topk = udaf(new graft.functions.TopKHits(kNeighbors),
-      graft.functions.TopKHits.hitEncoder)
-    a.join(b, Seq("cell", "__sub"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"),
-        r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"),
-        col("dst"))
-      .groupBy("src")
-      .agg(topk(col("cos_sim"), col("dst")).as("hits"))
-      .select(col("src"), posexplode(col("hits")))
-      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
-        col("col.id").as("dst"), col("col.score").as("cos_sim"))
+    knnOverCells(emb.select(col(idCol), col(vecCol)).join(assigned, idCol),
+      vecCol, idCol, kNeighbors, maxCell, dedup = false)
   }
 
   /** MULTI-PROBE [[knnGraph]] — the recall lever the round-12 pricing
@@ -286,20 +269,35 @@ object Similarity {
     * window sort), and a (src, dst) pair arises at most once (dst lives
     * in ONE corpus cell; src's probed cells are distinct) so no
     * dedup pass is needed. Hot-cell guard: both sides sub-split by
-    * their own id hash against the CORPUS cell population — a prober
-    * scans only its own hash bucket of an oversized cell, the
-    * [[withSubCell]] recall trade applied symmetrically. */
+    * their own id hash against the LARGER of the two per-cell
+    * populations (corpus members AND probers — a hub centroid can be
+    * probed by far more vectors than it holds, and a guard sized by
+    * members alone would leave that |probers|·|members| key on one
+    * task); a prober scans only its own hash bucket of an oversized
+    * cell, the [[withSubCell]] recall trade applied symmetrically.
+    * Both assignment relations flatCheckpoint (id, cell) — each feeds
+    * the guard count AND the candidate join, and without the fence the
+    * full assignment scoring plan would execute twice per side. */
   def knnGraphMulti(emb: DataFrame, vecCol: String, idCol: String, k: Int,
                     kNeighbors: Int, nProbe: Int = 2,
                     maxCell: Int = 8192): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
-    val corpus = ivfAssign(emb, vecCol, idCol, k)
-      .select(col(idCol), col("centroid_id").as("cell"))
-    val probes = ivfAssignMulti(emb, vecCol, idCol, k, nProbe)
-      .select(col(idCol), col("centroid_id").as("cell"))
-    // guard sizes come from the corpus side (the stored-index grain);
-    // the sizes relation is cells-grain and broadcasts
-    val sizes = corpus.groupBy("cell").agg(count(lit(1)).as("__df"))
+    val kk = resolveCells(emb, k) // one corpus count, not one per assign
+    val corpus = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+      ivfAssign(emb, vecCol, idCol, kk)
+        .select(col(idCol), col("centroid_id").as("cell")))
+    val probes = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+      ivfAssignMulti(emb, vecCol, idCol, kk, nProbe)
+        .select(col(idCol), col("centroid_id").as("cell")))
+    // the sizes relation is cells-grain and broadcasts; the sub count
+    // must agree on both sides of the join (a prober's bucket must be
+    // the members' bucket), so ONE relation carries max(members, probers)
+    val sizes = corpus.groupBy("cell").agg(count(lit(1)).as("__dfc"))
+      .join(probes.groupBy("cell").agg(count(lit(1)).as("__dfp")),
+        Seq("cell"), "full_outer")
+      .select(col("cell"),
+        greatest(coalesce(col("__dfc"), lit(0L)),
+          coalesce(col("__dfp"), lit(0L))).as("__df"))
     def subbed(assigned: DataFrame): DataFrame =
       emb.select(col(idCol), col(vecCol)).join(assigned, idCol)
         .join(broadcast(sizes), Seq("cell"), "left")
@@ -308,22 +306,12 @@ object Similarity {
             pmod(hash(col(idCol)), ceil(col("__df") / maxCell).cast("int")))
             .otherwise(lit(0)))
         .drop("__df")
-    val a = subbed(probes).select(col("cell"), col("__sub"),
-      col(idCol).as("src"), col(vecCol).as("v_a"))
-    val b = subbed(corpus).select(col("cell"), col("__sub"),
-      col(idCol).as("dst"), col(vecCol).as("v_b"))
-    val topk = udaf(new graft.functions.TopKHits(kNeighbors),
-      graft.functions.TopKHits.hitEncoder)
-    a.join(b, Seq("cell", "__sub"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"),
-        r4(cosineSim(col("v_a"), col("v_b"))).as("cos_sim"),
-        col("dst"))
-      .groupBy("src")
-      .agg(topk(col("cos_sim"), col("dst")).as("hits"))
-      .select(col("src"), posexplode(col("hits")))
-      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
-        col("col.id").as("dst"), col("col.score").as("cos_sim"))
+    rankCellCandidates(
+      subbed(probes).select(col("cell"), col("__sub"),
+        col(idCol).as("src"), col(vecCol).as("v_a")),
+      subbed(corpus).select(col("cell"), col("__sub"),
+        col(idCol).as("dst"), col(vecCol).as("v_b")),
+      kNeighbors, dedup = false)
   }
 
   /** Shared kNN-over-cells kernel: rank each source's cellmates by
@@ -342,10 +330,24 @@ object Similarity {
     val rows = withSubCell(
       rows0.select(col("cell"), col(idCol), col(vecCol)),
       "cell", idCol, maxCell)
-    val a = rows.select(col("cell"), col("__sub"), col(idCol).as("src"),
-      col(vecCol).as("v_a"))
-    val b = rows.select(col("cell"), col("__sub"), col(idCol).as("dst"),
-      col(vecCol).as("v_b"))
+    rankCellCandidates(
+      rows.select(col("cell"), col("__sub"), col(idCol).as("src"),
+        col(vecCol).as("v_a")),
+      rows.select(col("cell"), col("__sub"), col(idCol).as("dst"),
+        col(vecCol).as("v_b")),
+      kNeighbors, dedup)
+  }
+
+  /** The ONE copy of the ranking contract every kNN-graph lane shares
+    * (flat, multi-probe, tree, tree-multi): join candidate sides on
+    * (cell, __sub), score with rounded cosine, rank per source with the
+    * bounded TopKHits aggregate (never a window sort), posexplode to
+    * (src, rnk, dst, cos_sim). `a` carries (cell, __sub, src, v_a),
+    * `b` (cell, __sub, dst, v_b); any NaN/tie-break change lands here
+    * once instead of drifting across three inlined copies. */
+  private def rankCellCandidates(a: DataFrame, b: DataFrame,
+                                 kNeighbors: Int,
+                                 dedup: Boolean): DataFrame = {
     val topk = udaf(
       new graft.functions.TopKHits(kNeighbors, distinct = dedup),
       graft.functions.TopKHits.hitEncoder)
@@ -379,10 +381,13 @@ object Similarity {
     * [[treeAssignMulti]] — the recall lever composed onto the scale
     * lane, exactly as [[semDedupTreeMulti]] composes it for dedup: a
     * source ranks the members of every cell it belongs to (primary leaf
-    * + ≤ depth frozen shadows), duplicate pairs collapsed BEFORE the
-    * bounded ranking (a pair co-resident in two cells must not occupy
-    * two top-k slots — the one place the membership relation needs a
-    * distinct, at candidate grain, still linear). */
+    * + ≤ depth frozen shadows), duplicate pairs collapsed INSIDE the
+    * bounded aggregate (`TopKHits(distinct = true)` — set semantics
+    * over (score, id), so a pair co-resident in two cells cannot occupy
+    * two top-k slots). The dedup deliberately does NOT run as a
+    * candidate-grain `.distinct()` before the ranking: that exchange
+    * shuffles every in-cell pair once just to drop the few double-cell
+    * ones and measured +~90 s at the sf10 probe (see [[knnOverCells]]). */
   def knnGraphTreeMulti(emb: DataFrame, vecCol: String, idCol: String,
                         kNeighbors: Int, branch: Int = 16,
                         maxLeaf: Int = 64, maxDepth: Int = 4,
@@ -1484,6 +1489,87 @@ object Similarity {
       .select(col(idCol)).distinct()
     rows.join(existingIds, Seq(idCol), "left_anti")
       .write.partitionBy("centroid_id").mode("append").parquet(indexDir)
+  }
+
+  /** Semantic near-dup SCREEN of a delta against a STORED IVF index —
+    * the embedding twin of the band-index delta join
+    * ([[graft.operators.Dedup.linkAgainstIndex]] / `nearDupStep`): the
+    * index is the canonical corpus, so a delta vector DROPS when ANY
+    * indexed partner in its assigned cell reaches `threshold` (rounded
+    * cosine, NaN never matches); within-delta duplicates follow
+    * [[semDedup]]'s smaller-id-partner rule. Returns the KEPT delta ids
+    * (one `idCol` column — [[semDedup]]'s output shape). A delta row
+    * whose id is ALREADY in the index never matches its own stored row
+    * (id-equality excluded): a foreachBatch replay of an already-appended
+    * batch is a retry, not a duplicate, so the kept set is retry-stable —
+    * the same contract [[appendToIvfIndex]] keeps on the write side.
+    *
+    * Plan shape: the delta assigns against the k-row stored centroid
+    * table (broadcast); only the delta's TOUCHED cells are read from the
+    * index — the cell list is a bounded ≤k-int driver collect (the
+    * [[ivfProbe]] class; the literal IN-list keeps parquet partition
+    * pruning) — and candidates are Σ_cell |delta|·|members| with the
+    * shared hot-cell guard sub-splitting both sides on
+    * max(members, delta) per cell (the [[knnGraphMulti]] guard). Cost per
+    * screen is delta-sized, never corpus-sized: the 100 TB ingest gate,
+    * where re-running the inline kernel per batch would re-pay the whole
+    * corpus every time.
+    *
+    * Exactness vs the inline kernel: when indexed ids all precede delta
+    * ids (the ingest invariant — ids grow monotonically) and no touched
+    * cell exceeds `maxCell` (the family's documented guard precondition),
+    * the kept set EQUALS [[semDedup]] run inline over (indexed ∪ delta)
+    * restricted to the delta — `q_semdedup_indexed` pins that equality
+    * against the DuckDB-inlined twin. */
+  def semDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, delta: DataFrame,
+                           vecCol: String, idCol: String, threshold: Double,
+                           maxCell: Int = 8192): DataFrame = {
+    val centroids = spark.read.parquet(indexDir + ".centroids")
+    val assigned = assignToCentroids(delta, vecCol, idCol, centroids)
+      .select(col(idCol), col("centroid_id").cast("int").as("centroid_id"))
+    // ckpt: the assigned delta feeds the cell-list collect, the guard
+    // count, and BOTH pair kernels — one assignment pass, not four
+    val deltaCells = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+      delta.select(col(idCol), col(vecCol)).join(assigned, idCol))
+    val cells = deltaCells.select("centroid_id").distinct()
+      .collect().map(_.getInt(0))
+    val members = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id").cast("int").as("centroid_id"))
+    // shared guard: ONE sizes relation (sub counts must agree across the
+    // delta-vs-members join), max of the two per-cell populations
+    val sizes = members.groupBy("centroid_id").agg(count(lit(1)).as("__dfm"))
+      .join(deltaCells.groupBy("centroid_id").agg(count(lit(1)).as("__dfd")),
+        Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        greatest(coalesce(col("__dfm"), lit(0L)),
+          coalesce(col("__dfd"), lit(0L))).as("__df"))
+    def subbed(rows: DataFrame): DataFrame = rows
+      .join(broadcast(sizes), Seq("centroid_id"), "left")
+      .withColumn("__sub",
+        when(coalesce(col("__df"), lit(0L)) > maxCell,
+          pmod(hash(col(idCol)), ceil(col("__df") / maxCell).cast("int")))
+          .otherwise(lit(0)))
+      .drop("__df")
+    val dropIndexed = subbed(deltaCells)
+      .select(col("centroid_id"), col("__sub"), col(idCol).as("__did"),
+        col(vecCol).as("v_d"))
+      .join(subbed(members)
+        .select(col("centroid_id"), col("__sub"), col(idCol).as("__mid"),
+          col(vecCol).as("v_m")),
+        Seq("centroid_id", "__sub"))
+      .filter(col("__did") =!= col("__mid"))
+      .select(col("__did"), r4(cosineSim(col("v_d"), col("v_m"))).as("cs"))
+      .filter(!isnan(col("cs")) && col("cs") >= threshold)
+      .select(col("__did").as(idCol)).distinct()
+    val dropDelta = blockedNearDupPairs(deltaCells, vecCol, idCol,
+        "centroid_id", threshold, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    delta.select(col(idCol))
+      .join(dropIndexed.unionByName(dropDelta).distinct(),
+        Seq(idCol), "left_anti")
   }
 
   /** Probe a stored IVF index: rank the k stored centroids against the

@@ -157,21 +157,25 @@ object Stats {
     // explicitly to override (specs pin the failure path with it).
     val budget = if (budgetRows > 0L) budgetRows
       else math.max(1000000L, Runtime.getRuntime.maxMemory() / 4L / 200L)
-    val nGroups = thr.count()
-    require(nGroups * k.toLong <= budget,
-      s"spearmanSketch: $nGroups groups x k=$k sample rows exceed the " +
-        s"driver-collect budget ($budget); coarsen groupCol or lower k")
-    val sampleRows = base.join(broadcast(thr), Seq("__g"))
-      .filter(Curation.knuthHash(col("__id"), hashMod) < col("__thr"))
-    // The sample model — per (group, axis), sorted distinct values with
-    // per-value count `eq` and exclusive cumulative `lt` (# sample < v)
-    // — collects DRIVER-SIDE: groups × ≤ k rows, the same bounded
-    // collect class as the PQ codebooks and IVF centroids, broadcast
-    // once to every task.
-    val modelRows = sampleRows
-      .groupBy(col("__g").cast("string").as("__gs"), col("__x"), col("__y"))
-      .agg(count(lit(1)).as("__c")).collect()
-    thr.unpersist()
+    // try/finally: the guard require below is EXPECTED to throw on
+    // near-unique group columns (specs pin that path) — the cached
+    // threshold relation must not outlive the failure
+    val modelRows = try {
+      val nGroups = thr.count()
+      require(nGroups * k.toLong <= budget,
+        s"spearmanSketch: $nGroups groups x k=$k sample rows exceed the " +
+          s"driver-collect budget ($budget); coarsen groupCol or lower k")
+      val sampleRows = base.join(broadcast(thr), Seq("__g"))
+        .filter(Curation.knuthHash(col("__id"), hashMod) < col("__thr"))
+      // The sample model — per (group, axis), sorted distinct values with
+      // per-value count `eq` and exclusive cumulative `lt` (# sample < v)
+      // — collects DRIVER-SIDE: groups × ≤ k rows, the same bounded
+      // collect class as the PQ codebooks and IVF centroids, broadcast
+      // once to every task.
+      sampleRows
+        .groupBy(col("__g").cast("string").as("__gs"), col("__x"), col("__y"))
+        .agg(count(lit(1)).as("__c")).collect()
+    } finally thr.unpersist()
     def axisModel(get: org.apache.spark.sql.Row => Long)
         : Map[String, (Array[Long], Array[Long], Array[Long])] =
       modelRows.groupBy(_.getString(0)).map { case (g, rows) =>

@@ -128,6 +128,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the pruned scan must not shuffle to meet the probes")
   }
 
+  test("indexed semantic dedup: the screen reads only the delta's touched cells") {
+    // q_semdedup_indexed builds the master index (side effect), then
+    // returns the SCREEN plan. The index member read must partition-prune
+    // to the delta's touched cells (the bounded cell-list IN literal) —
+    // an unpruned scan would re-read the whole canonical corpus per
+    // delta, the exact cost the stored index exists to avoid.
+    val p = plan("q_semdedup_indexed")
+    val pruned = p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id") && !l.contains("PartitionFilters: []"))
+    assert(pruned, s"index member scan must partition-prune on centroid_id:\n$p")
+    assert(!p.contains("Window"), "no window sort anywhere in the screen")
+  }
+
   test("batched top-k: bounded aggregate with map-side combine, no window sort") {
     // The scored (probe × corpus) rows must reach the shuffle already
     // reduced to ≤ k per (task, probe) by the TopKHits partial aggregate —

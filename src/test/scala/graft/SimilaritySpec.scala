@@ -1209,11 +1209,11 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val by2 = multi.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
     // cos(2,3) = 0.9231 > cos(2,0) = 0.8321 > cos(2,1) = 0.5547; the
-    // (2,0) pair shares BOTH r-0 and r-1 — the pre-ranking distinct must
-    // keep it to one slot so all three neighbors surface
+    // (2,0) pair shares BOTH r-0 and r-1 — TopKHits' in-aggregate set
+    // semantics must keep it to one slot so all three neighbors surface
     assert(by2 == Seq(3L, 0L, 1L), s"got: $by2")
     assert(multi.length == multi.map(r => (r._1, r._3)).distinct.length,
-      "no duplicate (src, dst) edges after the candidate-grain distinct")
+      "no duplicate (src, dst) edges under the in-aggregate dedup")
   }
 
   test("ivfAssignMulti: a zero-norm centroid's NaN hit is dropped, not " +

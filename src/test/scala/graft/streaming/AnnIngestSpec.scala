@@ -117,4 +117,50 @@ class AnnIngestSpec extends SparkSpec {
       .groupBy("vec_id").count().filter(col("count") > 1).count()
     assert(spanning == 0, "no id may hold codes in two cells")
   }
+
+  test("semDedupIngest: gate drops index dups and batch dups, keeps the rest; replay is stable") {
+    val root = java.nio.file.Files.createTempDirectory("semdd-ingest").toString
+    val idx = root + "/idx"
+    val in = MemoryStream[VecRow]
+    // bootstrap batch: 12 is a near-dup of 10 (same cell, cos ~0.9999)
+    in.addData(
+      VecRow(10L, v(1f, 0f)), VecRow(11L, v(0f, 1f)),
+      VecRow(12L, v(0.99f, 0.01f)))
+    val q = AnnIngest.semDedupIngest(in.toDF(), "embedding", "vec_id", idx,
+      keptDir = root + "/kept", checkpointDir = root + "/ck",
+      kCentroids = 2, threshold = 0.9)
+    q.processAllAvailable()
+    // the gate held 12 back: the index holds ONLY the survivors
+    assert(spark.read.parquet(idx).select("vec_id").as[Long].collect().toSet
+      == Set(10L, 11L), "bootstrap indexes only the self-deduped survivors")
+    assert(spark.read.parquet(root + "/kept").select("vec_id")
+      .as[Long].collect().toSet == Set(10L, 11L))
+
+    // second batch: 20/21 duplicate INDEXED vectors, 22 is novel
+    in.addData(
+      VecRow(20L, v(0.98f, 0.02f)), VecRow(21L, v(0.02f, 0.98f)),
+      VecRow(22L, v(0.7f, 0.7f)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(idx).select("vec_id").as[Long].collect().toSet
+      == Set(10L, 11L, 22L), "index grows only by the kept novel vector")
+    assert(spark.read.parquet(root + "/kept/epoch=1").select("vec_id")
+      .as[Long].collect().toSet == Set(22L))
+
+    // foreachBatch RETRY of the already-appended batch: 22's OWN stored
+    // row must not self-drop (id-equality excluded), the kept set is
+    // identical, and the anti-joined append adds nothing
+    val replayKept = AnnIngest.semDedupIngestStep(
+      Seq(VecRow(20L, v(0.98f, 0.02f)), VecRow(21L, v(0.02f, 0.98f)),
+        VecRow(22L, v(0.7f, 0.7f))).toDF(),
+      "embedding", "vec_id", idx, kCentroids = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(replayKept == Set(22L), s"retry-stable kept set: $replayKept")
+    assert(spark.read.parquet(idx).count() == 3, "replay appends nothing")
+
+    // an empty batch keeps nothing and must not disturb the index
+    val emptyKept = AnnIngest.semDedupIngestStep(Seq.empty[VecRow].toDF(),
+      "embedding", "vec_id", idx, kCentroids = 2, threshold = 0.9)
+    assert(emptyKept.isEmpty)
+    assert(spark.read.parquet(idx).count() == 3)
+  }
 }
