@@ -22,13 +22,13 @@ object Bench extends QueryShared {
     * and not in `SparkEntry.queries`. */
   private[graft] val fastLanes: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fast__q_dedup_minhash" -> ((s, d) => {
-      operators.Dedup.minhashNearDups(Tables.load(s, d, "documents"),
+      operators.Dedup.minhashNearDups(Tables.loadWide(s, d, "documents"),
           "text", "doc_id", numHashes = 16, rowsPerBand = 4,
           shingleSize = 3, threshold = 0.5, useMd5 = false)
         .orderBy("id_a", "id_b")
     }),
     "fast__q_link_tables" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.loadWide(s, d, "documents")
       operators.Dedup.linkTables(docs, "text", "doc_id",
           linkRightTable(docs), "text", "doc_id", maxDist = 10,
           useMd5 = false)
@@ -96,13 +96,13 @@ object Bench extends QueryShared {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

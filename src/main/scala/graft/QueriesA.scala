@@ -443,7 +443,7 @@ private[graft] object QueriesA extends QueryShared {
     // (~13% rse) — small enough that sf0.01's sources overflow the sketch
     // and the ESTIMATOR branch is the one under test, not the exact path
     "q_kmv_distinct" -> ((s, d) => {
-      val toks = t(s, d, "documents")
+      val toks = tw(s, d, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       Sketches.kmvDistinct(toks, "tok", "source", k = 64, useMd5 = true)
         .orderBy("source")
@@ -496,7 +496,7 @@ private[graft] object QueriesA extends QueryShared {
     // both engines. minCount=500 keeps the head and drops the rare tail
     // at the gate SF (both filter branches live).
     "q_heavy_hitters" -> ((s, d) => {
-      val words = t(s, d, "documents")
+      val words = tw(s, d, "documents")
         .select(explode(graft.expressions.Exprs.wordShingles(col("text"), 1))
           .as("word"))
         .filter(col("word") =!= "")
@@ -510,7 +510,7 @@ private[graft] object QueriesA extends QueryShared {
     // ONCE into 20 sketches; all 190 pair estimates come off the sketch
     // relation.
     "q_kmv_overlap" -> ((s, d) => {
-      val toks = t(s, d, "documents")
+      val toks = tw(s, d, "documents")
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       Sketches.kmvPairOverlap(toks, "tok", "source", k = 64, useMd5 = true)
         .orderBy("ga", "gb")
@@ -520,7 +520,7 @@ private[graft] object QueriesA extends QueryShared {
     // Same cluster kernel + split hash as q_dedup_clusters/q_eval_split;
     // 5 leaking clusters exist at sf0.01 — the audit has real rows.
     "q_split_leakage" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tw(s, d, "documents")
       val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
         numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
       val labels = Dedup.nearDupClusters(pairs)
@@ -660,7 +660,7 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- text analysis: language ID heuristic ----
     "q_langid" -> ((s, d) => {
-      TextAnalysis.languageId(t(s, d, "documents"), "text", "doc_id")
+      TextAnalysis.languageId(tw(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -739,14 +739,14 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- dedup: MinHash + LSH banding, Jaccard-verified ----
     "q_dedup_minhash" -> ((s, d) => {
-      Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+      Dedup.minhashNearDups(tw(s, d, "documents"), "text", "doc_id",
         numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
     // ---- dedup: LSH candidate recall/precision (measure-before-ship) ----
     "q_dedup_recall" -> ((s, d) => {
-      Dedup.lshCandidateEval(t(s, d, "documents"), "text", "doc_id",
+      Dedup.lshCandidateEval(tw(s, d, "documents"), "text", "doc_id",
         numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5,
         maxDf = 100)
     }),
@@ -775,7 +775,7 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- dedup: SimHash near-dup pairs (chunk banding + Hamming verify) ----
     "q_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashNearDups(t(s, d, "documents"), "text", "doc_id", maxDist = 3)
+      Dedup.simhashNearDups(tw(s, d, "documents"), "text", "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1032,14 +1032,14 @@ private[graft] object QueriesA extends QueryShared {
     // span-level dedup pass actually applies. String lane anchors the
     // oracle; the xxhash64 shuffle lane is spec-pinned identical.
     "q_span_dedup" -> ((s, d) => {
-      Dedup.duplicateSpans(t(s, d, "documents"), "text", "doc_id",
+      Dedup.duplicateSpans(tw(s, d, "documents"), "text", "doc_id",
         window = 8, minDocs = 2, hashLane = false)
         .orderBy("doc", "span_start")
     }),
 
     // ---- dedup: winnowing fingerprints (Schleimer et al. 2003 / MOSS) ----
     "q_winnow" -> ((s, d) => {
-      Dedup.winnowFingerprints(t(s, d, "documents"), "text", "doc_id",
+      Dedup.winnowFingerprints(tw(s, d, "documents"), "text", "doc_id",
         gram = 3, w = 4)
         .orderBy("doc")
     }),
@@ -1214,12 +1214,12 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- dedup: SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) => {
-      Dedup.simhash(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
+      Dedup.simhash(tw(s, d, "documents"), "text", "doc_id").orderBy("doc")
     }),
 
     // ---- dedup: SimHash packed-long fingerprints (the scale form) ----
     "q_simhash_packed" -> ((s, d) => {
-      Dedup.simhashPacked(t(s, d, "documents"), "text", "doc_id").orderBy("doc")
+      Dedup.simhashPacked(tw(s, d, "documents"), "text", "doc_id").orderBy("doc")
     }),
 
     // ---- dedup: exact n-gram Jaccard pairs (sparse baseline, df-cut) ----
@@ -1288,7 +1288,7 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- similarity: IVF-style blocked near-dup pairs ----
     "q_neardup_cosine" -> ((s, d) => {
-      Similarity.blockedNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+      Similarity.blockedNearDupPairs(tw(s, d, "embeddings"), "embedding", "vec_id",
         "label", threshold = 0.35)
         .orderBy("id_a", "id_b")
     }),
@@ -1420,7 +1420,7 @@ private[graft] object QueriesA extends QueryShared {
     // double division at the end - d²-bounded output however big the
     // corpus. pcaTrain eigensolves this relation driver-side (spec'd).
     "q_embed_cov" -> ((s, d) => {
-      Similarity.covarianceMatrix(t(s, d, "embeddings"), "embedding", "vec_id")
+      Similarity.covarianceMatrix(tw(s, d, "embeddings"), "embedding", "vec_id")
         .orderBy("i", "j")
     }),
 
@@ -1506,7 +1506,7 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- similarity: semantic dedup (SemDeDup — in-cell cosine prune) ----
     "q_semdedup" -> ((s, d) => {
-      Similarity.semDedup(t(s, d, "embeddings"), "embedding", "vec_id",
+      Similarity.semDedup(tw(s, d, "embeddings"), "embedding", "vec_id",
         k = 8, threshold = 0.35)
         .orderBy("vec_id")
     }),
@@ -1576,7 +1576,7 @@ private[graft] object QueriesA extends QueryShared {
     "q_ivfpq_topk" -> ((s, d) => {
       val idx = s"target/graft-ivfpq/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag"
-      val emb = t(s, d, "embeddings")
+      val emb = tw(s, d, "embeddings")
       Similarity.buildIvfPqIndex(emb, "embedding", "vec_id",
         kCentroids = 8, m = 4, kCodes = 16, dim = 64, indexDir = idx)
       val probe = emb.filter(col("vec_id") === 0L)

@@ -295,7 +295,7 @@ private[graft] object QueriesB extends QueryShared {
     // tables are fully dense at every SF); cents casting keeps min/max
     // strings engine-portable (raw DOUBLE renderings differ).
     "q_table_profile" -> ((s, d) => {
-      val ev = t(s, d, "events")
+      val ev = tw(s, d, "events")
       RelationalOps.profileColumns(ev, Seq(
         "event_id" -> col("event_id"),
         "event_type" -> col("event_type"),
@@ -308,7 +308,7 @@ private[graft] object QueriesB extends QueryShared {
     // Every vector's top-3 cellmates — the adjacency relation SemDeDup /
     // label-propagation stages consume. Bounded TopKHits agg, no window.
     "q_knn_graph" -> ((s, d) => {
-      Similarity.knnGraph(t(s, d, "embeddings"), "embedding", "vec_id",
+      Similarity.knnGraph(tw(s, d, "embeddings"), "embedding", "vec_id",
           k = 8, kNeighbors = 3)
         .orderBy("src", "rnk")
     }),
@@ -348,7 +348,7 @@ private[graft] object QueriesB extends QueryShared {
     // ... and with the shadow-membership recall lever composed on
     // (duplicate pairs collapsed at candidate grain before ranking).
     "q_knn_graph_tree_multi" -> ((s, d) => {
-      Similarity.knnGraphTreeMulti(t(s, d, "embeddings"), "embedding",
+      Similarity.knnGraphTreeMulti(tw(s, d, "embeddings"), "embedding",
           "vec_id", kNeighbors = 3)
         .orderBy("src", "rnk")
     }),
@@ -358,7 +358,7 @@ private[graft] object QueriesB extends QueryShared {
     // half-step pairs. Hubs ≠ authorities on a directed flow graph —
     // both columns carry signal.
     "q_hits" -> ((s, d) => {
-      val edges = Sequences.markovTransitions(t(s, d, "events"), "user_id",
+      val edges = Sequences.markovTransitions(tw(s, d, "events"), "user_id",
         "event_type", Seq("ts", "event_id"))
       Graphs.hits(edges, "from_type", "to_type", "n", iters = 2)
         .select(col("node"),
@@ -369,20 +369,20 @@ private[graft] object QueriesB extends QueryShared {
 
     // ---- embeddings: product-quantization codes (4 subspaces × 16) ----
     "q_pq_codes" -> ((s, d) => {
-      Similarity.pqCodes(t(s, d, "embeddings"), "embedding", "vec_id",
+      Similarity.pqCodes(tw(s, d, "embeddings"), "embedding", "vec_id",
           m = 4, k = 16, dim = 64)
         .orderBy("vec_id", "sub")
     }),
 
     // ---- embeddings: asymmetric-distance top-k over the PQ codes ----
     "q_pq_adc" -> ((s, d) => {
-      Similarity.pqTopK(t(s, d, "embeddings"), "embedding", "vec_id",
+      Similarity.pqTopK(tw(s, d, "embeddings"), "embedding", "vec_id",
         queryId = 0L, m = 4, k = 16, dim = 64, topK = 10)
     }),
 
     // ---- embeddings: two-stage retrieval (ADC shortlist → exact rerank) ----
     "q_pq_rerank" -> ((s, d) => {
-      Similarity.pqRerank(t(s, d, "embeddings"), "embedding", "vec_id",
+      Similarity.pqRerank(tw(s, d, "embeddings"), "embedding", "vec_id",
         queryId = 0L, m = 4, k = 16, dim = 64, shortlist = 40, topK = 10)
     }),
 
@@ -532,7 +532,7 @@ private[graft] object QueriesB extends QueryShared {
       import s.implicits._
       val domain = Seq("click", "error", "purchase", "signup", "view")
         .toDF("event_type")
-      RelationalOps.ldpFrequency(t(s, d, "events"), "event_id",
+      RelationalOps.ldpFrequency(tw(s, d, "events"), "event_id",
           "event_type", domain, pMicro = 750000L,
           releaseNonce = "graft-r10-ldp")
         .orderBy("event_type")
@@ -721,17 +721,17 @@ private[graft] object QueriesB extends QueryShared {
     "q_inclusion_deps" -> ((s, d) => {
       RelationalOps.inclusionProfile(Seq(
         ("customer.c_nationkey<nation.n_nationkey",
-          t(s, d, "customer"), "c_nationkey", t(s, d, "nation"), "n_nationkey"),
+          tw(s, d, "customer"), "c_nationkey", tw(s, d, "nation"), "n_nationkey"),
         ("lineitem.l_orderkey<orders.o_orderkey",
-          t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey"),
+          tw(s, d, "lineitem"), "l_orderkey", tw(s, d, "orders"), "o_orderkey"),
         ("lineitem.l_partkey<part.p_partkey",
-          t(s, d, "lineitem"), "l_partkey", t(s, d, "part"), "p_partkey"),
+          tw(s, d, "lineitem"), "l_partkey", tw(s, d, "part"), "p_partkey"),
         ("lineitem.l_partkey<supplier.s_suppkey",
-          t(s, d, "lineitem"), "l_partkey", t(s, d, "supplier"), "s_suppkey"),
+          tw(s, d, "lineitem"), "l_partkey", tw(s, d, "supplier"), "s_suppkey"),
         ("orders.o_custkey<customer.c_custkey",
-          t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"),
+          tw(s, d, "orders"), "o_custkey", tw(s, d, "customer"), "c_custkey"),
         ("orders.o_orderkey<lineitem.l_orderkey",
-          t(s, d, "orders"), "o_orderkey", t(s, d, "lineitem"), "l_orderkey")))
+          tw(s, d, "orders"), "o_orderkey", tw(s, d, "lineitem"), "l_orderkey")))
     }),
 
     // ---- feature screen: mutual information + NMI between event type
@@ -755,7 +755,7 @@ private[graft] object QueriesB extends QueryShared {
     // also bought" — ranked on truncated integer cos², never double) ----
     "q_item_cf" -> ((s, d) => {
       Graphs.itemItemCf(
-          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          tw(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey", maxBasketSize = 10, minCount = 2, k = 5)
         .orderBy("item", "rank")
     }),
@@ -943,7 +943,7 @@ private[graft] object QueriesB extends QueryShared {
     // a third are absent — matches at dist 0 AND dist > 0, plus
     // unmatched lefts, all live at every SF.
     "q_link_tables" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tw(s, d, "documents")
       Dedup.linkTables(docs, "text", "doc_id", linkRightTable(docs),
           "text", "doc_id", maxDist = 10)
         .orderBy("id_l", "id_r")
@@ -955,7 +955,7 @@ private[graft] object QueriesB extends QueryShared {
     // candidates-sized verify — the production lane of the accepted
     // q_link_tables inline-kernel artifact (the q_dedup_indexed pattern).
     "q_link_indexed" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tw(s, d, "documents")
       val dir = s"target/graft-link/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag"
       // bands is the LAST half buildLinkIndex writes (texts-first crash
@@ -976,7 +976,7 @@ private[graft] object QueriesB extends QueryShared {
     // ids all precede delta ids, so "any indexed partner" == the inline
     // smaller-id rule) ----
     "q_semdedup_indexed" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = tw(s, d, "embeddings")
       val cut = emb.agg(max(col("vec_id"))).head.getLong(0) * 2 / 3
       val dir = s"target/graft-semidx/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag"
@@ -1106,7 +1106,7 @@ private[graft] object QueriesB extends QueryShared {
 
     // ---- text: zero-shuffle linear scoring scan (weights as literal) ----
     "q_linear_scan" -> ((s, d) => {
-      TextAnalysis.linearScoreScan(t(s, d, "documents"), "text", "doc_id",
+      TextAnalysis.linearScoreScan(tw(s, d, "documents"), "text", "doc_id",
           scanWeightsMicro, biasMicro = 50000L)
         .orderBy("doc")
     }),
@@ -1316,7 +1316,7 @@ private[graft] object QueriesB extends QueryShared {
     // blocked self-join, sound letter-multiset prefilter before the
     // scorer -- candidates, never the cross product) ----
     "q_jaro_pairs" -> ((s, d) => {
-      val p = t(s, d, "part")
+      val p = tw(s, d, "part")
       val cands = Linkage.blockedCandidates(p, p, "p_partkey",
           Seq("p_brand"), Seq("p_name"))
         .filter(col("id_a") < col("id_b"))
@@ -1333,7 +1333,7 @@ private[graft] object QueriesB extends QueryShared {
     // shape caps blocks deterministically (bounded pairs at ANY corpus
     // size; recall trade priced by comparing against the exact twin) ----
     "q_jaro_scaled" -> ((s, d) => {
-      val capped = Linkage.capBlocks(t(s, d, "part"), Seq("p_brand"),
+      val capped = Linkage.capBlocks(tw(s, d, "part"), Seq("p_brand"),
         "p_partkey", cap = 400, useMd5 = true)
       val cands = Linkage.blockedCandidates(capped, capped, "p_partkey",
           Seq("p_brand"), Seq("p_name"))
@@ -1348,7 +1348,7 @@ private[graft] object QueriesB extends QueryShared {
 
     // ---- eval: Poisson bootstrap replicates (B resamples, ONE scan) ----
     "q_bootstrap" -> ((s, d) => {
-      RelationalOps.poissonBootstrap(t(s, d, "orders"),
+      RelationalOps.poissonBootstrap(tw(s, d, "orders"),
           col("o_orderkey").cast("string"),
           round(col("o_totalprice") * 100).cast("long"), resamples = 40)
         .orderBy("b")
@@ -1356,7 +1356,7 @@ private[graft] object QueriesB extends QueryShared {
 
     // ---- eval: percentile bootstrap CI over the replicate means ----
     "q_bootstrap_ci" -> ((s, d) => {
-      RelationalOps.poissonBootstrapCI(t(s, d, "orders"),
+      RelationalOps.poissonBootstrapCI(tw(s, d, "orders"),
           col("o_orderkey").cast("string"),
           round(col("o_totalprice") * 100).cast("long"), resamples = 40)
     }),

@@ -16,6 +16,13 @@ private[graft] trait QueryShared {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] with scale-adaptive scan conditioning (`Tables.loadWide`) —
+    * used by the queries whose scan-fused kernels are CPU-dense enough
+    * that the conditioning repartition was a measured win (optimization
+    * r13; the per-query evidence table lives in OPTIMIZATION_r13.md). */
+  private[graft] def tw(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadWide(s, dir, name)
+
   /** Per-JVM tag for scratch paths (e.g. the IVF index dir) so concurrent
     * processes writing mode=overwrite never race each other's reads. */
   private[graft] val jvmTag: String = java.util.UUID.randomUUID().toString.take(8)

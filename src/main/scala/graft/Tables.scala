@@ -16,8 +16,73 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Estimated scan-split count per path (what Spark's file planner will
+    * produce), cached — a Hadoop listing per (dir, table), once per JVM. */
+  private val splitEstimates =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Scale-adaptive input conditioning (optimization guide §2.5, "input
+    * skew / unsplittable file": *"otherwise repartition immediately after
+    * the read"*). The local fixtures are single-file, single-row-group
+    * parquet — Spark plans ONE scan task per table, and every kernel
+    * fused above the scan (shingle digests, Jaro-Winkler, cosine folds)
+    * runs on one core while the rest idle; relations persisted from such
+    * a scan inherit the single partition, serializing every downstream
+    * consumer too (measured: q_jaro_pairs spent 7.4 of 8.6 s in two
+    * single-task stages). When the planned splits cannot feed the cores
+    * AND the table is big enough to matter, a round-robin repartition to
+    * defaultParallelism spreads the scan output once, right after the
+    * read.
+    *
+    * Scale behaviour: at production sizes (splits >= cores) the
+    * condition is false and NO exchange is added — the repartition is a
+    * decision, not a constant. Deterministic under retry: round-robin
+    * repartition local-sorts its input first (sortBeforeRepartition,
+    * Spark default), and no query reads partition ids or input order.
+    * OPT-IN per call site ([[loadWide]]): a full-suite measurement
+    * (OPTIMIZATION_r13.md) showed conditioning every scan wins big on the
+    * ~40 CPU-dense kernels (-48 s) but taxes the ~250 light queries with
+    * dispatch latency and extra shuffle blocks (+0.1-0.5 s each), so only
+    * the measured winners ask for it. `spark.graft.scan.parallelize=false`
+    * (or env SPARK_GRAFT_SCAN_PARALLELIZE=false) is the kill switch. */
+  private def conditionScan(spark: SparkSession, path: String,
+                            df: DataFrame): DataFrame = {
+    if (!spark.conf.getOption("spark.graft.scan.parallelize")
+        .orElse(sys.env.get("SPARK_GRAFT_SCAN_PARALLELIZE"))
+        .forall(_.toBoolean)) return df
+    val (splits, bytes) = splitEstimates.getOrElseUpdate(path, {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val sizes = fs.listStatus(p).filter(_.isFile).map(_.getLen)
+      (sizes.map(l => (l + maxSplit - 1) / maxSplit).sum, sizes.sum)
+    })
+    val cores = spark.sparkContext.defaultParallelism
+    // Width: fewer than the cores on purpose (measured sweep in
+    // OPTIMIZATION_r13.md): every post-scan shuffle has width × R blocks
+    // and every stage pays width tasks of dispatch latency, so full-core
+    // width taxes the many LIGHT queries more than it helps the heavy
+    // ones; width 8 captures ~7/8 of the single-task kernels' win while
+    // keeping the per-stage overhead near the 1-task baseline.
+    val width = spark.conf.getOption("spark.graft.scan.parallelism")
+      .map(_.toInt).filter(_ > 0).getOrElse(math.min(8, cores))
+    // tiny tables (dimension lookups) skip: they broadcast anyway, and a
+    // 32-task exchange of 25 rows is pure scheduling overhead
+    if (splits >= width || bytes < 64 * 1024L) df
+    else df.repartition(width)
+  }
+
+  /** [[load]] + scale-adaptive input conditioning (see [[conditionScan]])
+    * — for the call sites whose per-row kernels are CPU-dense enough that
+    * a single-split local scan serializes them (measured per query). */
+  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    conditionScan(spark, path, load(spark, dir, name))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     // long (spark.sql.legacy.parquet.nanosAsLong=true, set by our session
     // builders). Convert to a microsecond timestamp with integer division —

@@ -168,8 +168,20 @@ object Dedup {
     * Scale path: xxhash64 seeded per j, one 64-bit hash each, codegen'd.
     */
   private def signatures(sh: DataFrame, numHashes: Int, useMd5: Boolean): DataFrame = {
+    // Both lanes aggregate LONGs (optimization r13): min over a STRING
+    // buffer is not hash-aggregable (immutable buffer type), so the md5
+    // lane's 16 min(substring(md5..)) aggs forced a SortAggregate — two
+    // full sorts of the shingle relation (partial + final) per side in
+    // every minhash plan. min over the PARSED 32-bit lane value is the
+    // same ordering (8 fixed lowercase hex chars compare lexicographically
+    // exactly as their uint32 values — the monotonicity the DuckDB twin
+    // already relies on), keeps a primitive agg buffer, and
+    // [[bandsFromSignatures]] reformats the winners back to the identical
+    // hex strings, so band keys — and the stored band indexes — are
+    // bit-for-bit unchanged. Plan: SortAggregate → HashAggregate, 2 sorts
+    // removed (plans/r13/q_dedup_minhash_{before,after}.txt).
     def h(j: Int): Column =
-      if (useMd5) min(substring(md5(concat(lit(s"${j / 4}:"), col("shingle"))), 1 + 8 * (j % 4), 8))
+      if (useMd5) min(conv(substring(md5(concat(lit(s"${j / 4}:"), col("shingle"))), 1 + 8 * (j % 4), 8), 16, 10).cast("long"))
       else min(xxhash64(lit(j), col("shingle")))
     val aggs = (0 until numHashes).map(j => h(j).as(s"mh$j"))
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
@@ -180,10 +192,18 @@ object Dedup {
     * S-curve: near-duplicates collide in ≥1 band w.h.p., unrelated docs
     * almost never do. Output: (doc, band, band_key), unpivoted for the
     * bucket self-join. */
-  private def bandsFromSignatures(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  private def bandsFromSignatures(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                                  useMd5: Boolean): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // md5 lane: the signature agg carries each lane as its uint32 value
+    // (hash-aggregable — see [[signatures]]); reformat to the original
+    // 8-char lowercase hex HERE, one projection at document grain, so the
+    // band keys are bit-identical to the hex-string form the oracle twin
+    // and the stored band indexes use.
+    def lane(idx: Int): Column =
+      if (useMd5) lpad(lower(hex(col(s"mh$idx"))), 8, "0") else col(s"mh$idx")
     val bandStructs = (0 until numBands).map { b =>
-      val key = md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      val key = md5(concat_ws("|", (0 until rowsPerBand).map(r => lane(b * rowsPerBand + r)): _*))
       struct(lit(b).as("band"), key.as("band_key"))
     }
     sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
@@ -197,7 +217,7 @@ object Dedup {
                    shingleSize: Int = 3, useMd5: Boolean = true): DataFrame =
     bandsFromSignatures(
       signatures(shingleRows(docs, textCol, idCol, shingleSize), numHashes, useMd5),
-      numHashes, rowsPerBand)
+      numHashes, rowsPerBand, useMd5)
 
   /** Raw banded candidate pairs (id_a < id_b, distinct) WITHOUT the Jaccard
     * verify — what the LSH stage alone proposes. Exists so candidate
@@ -269,7 +289,7 @@ object Dedup {
     // (At cluster scale this would be a checkpointed intermediate table.)
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand)
+    val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand, useMd5)
     verifyJaccardOnShingles(sh, bandCandidates(bands), threshold)
   }
 
@@ -289,7 +309,7 @@ object Dedup {
                       shingleSize: Int = 3, useMd5: Boolean = true): Unit = {
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand)
+    bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand, useMd5)
       .write.mode("overwrite").parquet(dir + "/bands")
     sh.write.mode("overwrite").parquet(dir + "/shingles")
     sh.unpersist(); ()

@@ -64,12 +64,29 @@ object Stats {
       // by the other column's join must not shift anyone's midrank
       .filter(col("__g").isNotNull && col("__x").isNotNull &&
         col("__y").isNotNull)
-    def ranksOf(v: String, out: String): DataFrame = midrank2(
-      base.groupBy(col("__g"), col(v)).agg(count(lit(1)).as("__t")),
-      Seq("__g"), v, "__t", out).drop("__t")
+    // BOTH value-domain rank relations from ONE corpus pass (optimization
+    // r13; guide §2.3/§2.4): the per-column groupBys used to scan the
+    // corpus once EACH — stacking (tag, value) rows folds them into one
+    // map-side-combinable agg (2 narrow rows per input row, one scan, one
+    // exchange), and the shared midrank window runs once over the stacked
+    // value domain. The checkpoint is value-domain bounded (the file
+    // header's grain argument) and keeps the two tag-filtered consumers
+    // from re-running the window; midranks are bit-identical (the window
+    // partitions by (group, tag), so each tag's cumulative counts see
+    // exactly the rows the per-column form saw).
+    val ranked = midrank2(
+      base.select(col("__g"),
+          expr("stack(2, 0L, __x, 1L, __y) AS (__c, __v)"))
+        .groupBy(col("__g"), col("__c"), col("__v"))
+        .agg(count(lit(1)).as("__t")),
+      Seq("__g", "__c"), "__v", "__t", "__r2").drop("__t")
+      .localCheckpoint(true)
+    def ranksOf(tag: Int, v: String, out: String): DataFrame = ranked
+      .filter(col("__c") === tag)
+      .select(col("__g"), col("__v").as(v), col("__r2").as(out))
     base
-      .join(ranksOf("__x", "__rx2"), Seq("__g", "__x"))
-      .join(ranksOf("__y", "__ry2"), Seq("__g", "__y"))
+      .join(ranksOf(0, "__x", "__rx2"), Seq("__g", "__x"))
+      .join(ranksOf(1, "__y", "__ry2"), Seq("__g", "__y"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).cast(d38).as("__n"),
         sum(col("__rx2").cast(d38)).as("__sx"),
@@ -545,8 +562,16 @@ object Stats {
     * explicit selection. Returns one row (n, n_slopes, slope, intercept).
     */
   def theilSen(df: DataFrame, xQ: Column, yQ: Column): DataFrame = {
+    // ckpt (optimization r13): the panel feeds FIVE consumers (both sides
+    // of the slopes pair join, medX, medY, n) — without materialization
+    // each consumer re-executes the caller's corpus-grain aggregate from
+    // the scan (5 corpus scans per call; guide §5 "reused AND expensive").
+    // The relation is panel-bounded by the caller contract (calendar /
+    // value-domain grain), so the one-shot eager checkpoint is tiny; the
+    // function is consequently EAGER at construction time.
     val b = df.select(xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
     // explicit middle-of-the-sorted-run median; single-partition sorts are
     // panel-bounded by the caller contract
     def median1(vals: DataFrame, v: String, out: String): DataFrame = {
@@ -558,7 +583,14 @@ object Stats {
           col("__rn") === expr("__m div 2 + 1"))
         .agg(avg(col(v)).as(out), max(col("__m")).as(s"${out}_n"))
     }
-    val slopes = b.join(
+    // spread the pair GENERATION (panel × panel/2 rows out of a panel-
+    // sized input — the byte-based partitioning of the checkpointed agg
+    // output cannot see the quadratic explosion, so without this the
+    // whole pair stream is generated on 1-2 tasks); the panel is bounded,
+    // so the repartition shuffle is trivially small at any corpus size
+    val slopes = b
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .join(
         broadcast(b.select(col("__x").as("__x2"), col("__y").as("__y2"))),
         col("__x") < col("__x2"))
       .select(((col("__y2") - col("__y")).cast("double") /
