@@ -27,11 +27,17 @@ object SessionTuning {
     * A 16 KiB floor keeps coalescing adaptive (tiny shuffles still
     * collapse) while CPU-dense stages spread over the cores.
     *
-    * Scale behaviour: at production shuffle sizes every partition is far
-    * above both floors, so the setting is a no-op there — it only
-    * matters exactly where byte-based sizing underestimates CPU. */
+    * Default: Spark's own 1 MiB nonetheless. A GLOBAL 16 KiB floor was
+    * tried first (optimization r13) and won big on the candidate-verify
+    * stages (q_link_tables 9.4 → 6.6 s from the floor alone) but taxed
+    * the suite's light tail and multiplied every iterative loop's
+    * per-round task dispatch (clean full-suite run: +35 s across ~250
+    * untouched queries, q_cluster_best 3.4 → 13.6 s) — so the CPU-dense
+    * verifies get explicit, targeted repartitions instead
+    * (`Dedup.spreadPairs`), and the floor stays at the default. The env
+    * knob remains for experiments. */
   val minPartitionSize: String =
-    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k")
+    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m")
 
   /** Enables [[Tables]]' scale-adaptive scan conditioning (see the
     * `conditionScan` scaladoc there): repartition a scan to the cores

@@ -331,6 +331,19 @@ object Dedup {
     * one row per pair (the distinct collapses multi-band collisions). The
     * Scala twin of the oracle's `cand` CTE — shared by the Jaccard and
     * Levenshtein verifies. */
+  /** Spread a candidate-pair relation across the cores before a CPU-dense
+    * per-pair verify (thresholded Levenshtein). Candidate rows are ~16
+    * bytes of ids, so AQE's byte-based coalescing packs them into one or
+    * two partitions — and the verify, whose cost is O(maxDist·len) per
+    * ROW, serializes onto one core (optimization r13 profile:
+    * q_link_tables spent 6.2 of 9.4 s in two single-task verify stages; a
+    * session-wide lower coalescing floor fixed it but taxed every other
+    * query, so the spread is explicit and local to the verify lanes).
+    * The exchange carries only id pairs — trivially small at any corpus
+    * size relative to the verify it unblocks. */
+  private def spreadPairs(cand: DataFrame): DataFrame =
+    cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+
   private def bandCandidates(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("band_key"), col("doc").as("id_a"))
     val b = bands.select(col("band"), col("band_key"), col("doc").as("id_b"))
@@ -364,7 +377,7 @@ object Dedup {
     val bands = minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
       shingleSize, useMd5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = bandCandidates(bands)
+    val candidates = spreadPairs(bandCandidates(bands))
     val texts = docs.select(col(idCol), col(textCol))
     candidates
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
@@ -419,7 +432,7 @@ object Dedup {
         .select(col("band"), col("band_key"), col("doc").as("id_r")),
         Seq("band", "band_key"))
       .select("id_l", "id_r").distinct()
-    cand
+    spreadPairs(cand)
       .join(leftTexts, Seq("id_l"))
       .join(rightTexts, Seq("id_r"))
       .select(col("id_l"), col("id_r"),

@@ -80,6 +80,8 @@ object Stats {
         .groupBy(col("__g"), col("__c"), col("__v"))
         .agg(count(lit(1)).as("__t")),
       Seq("__g", "__c"), "__v", "__t", "__r2").drop("__t")
+      // ckpt: one-shot — value-domain-bounded rank relation, built once
+      // per call (no loop); both tag-filtered consumers read it
       .localCheckpoint(true)
     def ranksOf(tag: Int, v: String, out: String): DataFrame = ranked
       .filter(col("__c") === tag)
@@ -571,6 +573,8 @@ object Stats {
     // function is consequently EAGER at construction time.
     val b = df.select(xQ.cast("long").as("__x"), yQ.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      // ckpt: one-shot — panel-bounded by the caller contract, built once
+      // per call (no loop); five consumers read it
       .localCheckpoint(true)
     // explicit middle-of-the-sorted-run median; single-partition sorts are
     // panel-bounded by the caller contract
