@@ -75,7 +75,10 @@ object OptProbe {
       }
       val totWall = rows.map(_.wallMs).sum
       val totTask = rows.map(_.taskMs).sum
-      println(f"   sum wall=${totWall}ms task=${totTask}ms " +
+      // "sum of per-stage wall spans": concurrent stages overlap, so this
+      // OVERSTATES elapsed time next to the warm wall figure — it is an
+      // attribution denominator, not an elapsed-time measurement
+      println(f"   sum of per-stage wall spans=${totWall}ms task=${totTask}ms " +
         f"(warm wall ${warm * 1000}%.0fms)")
     }
     spark.stop()

@@ -718,20 +718,26 @@ private[graft] object QueriesB extends QueryShared {
     // ---- profiling: inclusion dependencies across the star schema —
     // the referential-integrity audit before trusting a join key (the
     // cross-table companion of q_func_deps; two planted non-keys) ----
+    // Plain t(...) loads, deliberately (optimization r14): r13 conditioned
+    // all six scans and the profile REGRESSED 1.73 → 3.50 s reproducibly
+    // at both 8 and 32 cores — per-candidate work is a distinct projection
+    // + one value-domain join, join-light per byte, so the six extra
+    // exchanges cost more than the parallelism buys (VERDICT.md r13 §Next
+    // round #1; the revert was re-measured isolated this round).
     "q_inclusion_deps" -> ((s, d) => {
       RelationalOps.inclusionProfile(Seq(
         ("customer.c_nationkey<nation.n_nationkey",
-          tw(s, d, "customer"), "c_nationkey", tw(s, d, "nation"), "n_nationkey"),
+          t(s, d, "customer"), "c_nationkey", t(s, d, "nation"), "n_nationkey"),
         ("lineitem.l_orderkey<orders.o_orderkey",
-          tw(s, d, "lineitem"), "l_orderkey", tw(s, d, "orders"), "o_orderkey"),
+          t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey"),
         ("lineitem.l_partkey<part.p_partkey",
-          tw(s, d, "lineitem"), "l_partkey", tw(s, d, "part"), "p_partkey"),
+          t(s, d, "lineitem"), "l_partkey", t(s, d, "part"), "p_partkey"),
         ("lineitem.l_partkey<supplier.s_suppkey",
-          tw(s, d, "lineitem"), "l_partkey", tw(s, d, "supplier"), "s_suppkey"),
+          t(s, d, "lineitem"), "l_partkey", t(s, d, "supplier"), "s_suppkey"),
         ("orders.o_custkey<customer.c_custkey",
-          tw(s, d, "orders"), "o_custkey", tw(s, d, "customer"), "c_custkey"),
+          t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"),
         ("orders.o_orderkey<lineitem.l_orderkey",
-          tw(s, d, "orders"), "o_orderkey", tw(s, d, "lineitem"), "l_orderkey")))
+          t(s, d, "orders"), "o_orderkey", t(s, d, "lineitem"), "l_orderkey")))
     }),
 
     // ---- feature screen: mutual information + NMI between event type
@@ -1325,6 +1331,14 @@ private[graft] object QueriesB extends QueryShared {
       Linkage.fuzzyScorePairs(cands, Seq(("p_name", 1L)))
         .filter(col("score") >= 9000L)
         .select(col("id_a"), col("id_b"), col("score").as("jw_bp"))
+        // Materialize the scored pairs BEFORE the oracle contract's global
+        // sort (the q_bm25_stored pattern, guide §3.3): the range
+        // partitioner's sampling pass otherwise re-executes the whole
+        // blocked-JW scorer — OptProbe showed the scorer as twin stages.
+        // At scale that is a full extra corpus pass; the sort then pays
+        // result-relation cost only.
+        // ckpt: one-shot — sampling/sort barrier, built once per call
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 

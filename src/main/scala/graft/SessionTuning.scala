@@ -40,20 +40,29 @@ object SessionTuning {
     sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m")
 
   /** Enables [[Tables]]' scale-adaptive scan conditioning (see the
-    * `conditionScan` scaladoc there): repartition a scan to the cores
-    * ONLY when the planner would produce fewer splits than cores — a
-    * no-op decision at production split counts. */
+    * `conditionScan` scaladoc there): repartition a scan to a
+    * byte-adaptive width — min(8, cores) floor, scaling up with input
+    * bytes, capped at the cores — ONLY when the planner would produce
+    * fewer splits than that width; a no-op decision at production split
+    * counts. */
   val scanParallelize: String =
     sys.env.getOrElse("SPARK_GRAFT_SCAN_PARALLELIZE", "true")
 
-  /** Repartition width for conditioned scans; 0 = Tables' default
-    * (min(8, cores) — see the width note at `Tables.conditionScan`). */
+  /** Repartition width for conditioned scans; 0 = Tables' byte-adaptive
+    * default (clamp(bytes/targetBytesPerTask, min(8, cores), cores) — see
+    * the width note at `Tables.conditionScan`). */
   val scanParallelism: String =
     sys.env.getOrElse("SPARK_GRAFT_SCAN_PARALLELISM", "0")
+
+  /** Bytes of conditioned-scan input per task for the byte-adaptive
+    * width (default 1 MiB; r14 sweep in OPTIMIZATION_r14.md). */
+  val scanTargetBytesPerTask: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCAN_TARGET_BYTES", (1L << 20).toString)
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         minPartitionSize)
       .config("spark.graft.scan.parallelize", scanParallelize)
       .config("spark.graft.scan.parallelism", scanParallelism)
+      .config("spark.graft.scan.targetBytesPerTask", scanTargetBytesPerTask)
 }

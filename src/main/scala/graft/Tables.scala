@@ -44,28 +44,49 @@ object Tables {
     * ~40 CPU-dense kernels (-48 s) but taxes the ~250 light queries with
     * dispatch latency and extra shuffle blocks (+0.1-0.5 s each), so only
     * the measured winners ask for it. `spark.graft.scan.parallelize=false`
-    * (or env SPARK_GRAFT_SCAN_PARALLELIZE=false) is the kill switch. */
+    * (or env SPARK_GRAFT_SCAN_PARALLELIZE=false) is the kill switch.
+    *
+    * Width (optimization r14, byte-adaptive): a FLOOR of min(8, cores) —
+    * the r13 sweep's winner for the sub-MiB tables, where full-core width
+    * taxes every post-scan shuffle with width × R blocks and width tasks
+    * of dispatch latency — scaling up as bytes/targetBytesPerTask (conf
+    * `spark.graft.scan.targetBytesPerTask`, default 1 MiB) and clamping at
+    * defaultParallelism, so multi-MiB inputs feed all cores instead of
+    * topping out at 8 on a 32-core box. `spark.graft.scan.parallelism`
+    * still overrides the width outright. Malformed conf/env values fall
+    * back to the documented defaults instead of failing the query. */
   private def conditionScan(spark: SparkSession, path: String,
                             df: DataFrame): DataFrame = {
-    if (!spark.conf.getOption("spark.graft.scan.parallelize")
-        .orElse(sys.env.get("SPARK_GRAFT_SCAN_PARALLELIZE"))
-        .forall(_.toBoolean)) return df
+    def parsed[T](v: Option[String], f: String => T): Option[T] =
+      v.flatMap(s => scala.util.Try(f(s.trim)).toOption)
+    if (!parsed(spark.conf.getOption("spark.graft.scan.parallelize")
+        .orElse(sys.env.get("SPARK_GRAFT_SCAN_PARALLELIZE")), _.toBoolean)
+        .getOrElse(true)) return df
     val (splits, bytes) = splitEstimates.getOrElseUpdate(path, {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-      val sizes = fs.listStatus(p).filter(_.isFile).map(_.getLen)
-      (sizes.map(l => (l + maxSplit - 1) / maxSplit).sum, sizes.sum)
+      // recursive listing: a partitioned table ROOT (nested dirs of part
+      // files) must estimate from its leaf files, not read as 0 bytes
+      val it = fs.listFiles(p, true)
+      var nSplits = 0L; var nBytes = 0L
+      while (it.hasNext) {
+        val len = it.next().getLen
+        nSplits += (len + maxSplit - 1) / maxSplit
+        nBytes += len
+      }
+      (nSplits, nBytes)
     })
     val cores = spark.sparkContext.defaultParallelism
-    // Width: fewer than the cores on purpose (measured sweep in
-    // OPTIMIZATION_r13.md): every post-scan shuffle has width × R blocks
-    // and every stage pays width tasks of dispatch latency, so full-core
-    // width taxes the many LIGHT queries more than it helps the heavy
-    // ones; width 8 captures ~7/8 of the single-task kernels' win while
-    // keeping the per-stage overhead near the 1-task baseline.
-    val width = spark.conf.getOption("spark.graft.scan.parallelism")
-      .map(_.toInt).filter(_ > 0).getOrElse(math.min(8, cores))
+    val width = parsed(spark.conf.getOption("spark.graft.scan.parallelism"),
+        _.toInt).filter(_ > 0)
+      .getOrElse {
+        val target = parsed(
+          spark.conf.getOption("spark.graft.scan.targetBytesPerTask"),
+          _.toLong).filter(_ > 0).getOrElse(1L << 20)
+        math.min(cores.toLong,
+          math.max(math.min(8, cores).toLong, bytes / target)).toInt
+      }
     // tiny tables (dimension lookups) skip: they broadcast anyway, and a
     // 32-task exchange of 25 rows is pure scheduling overhead
     if (splits >= width || bytes < 64 * 1024L) df

@@ -2349,36 +2349,41 @@ object Similarity {
     * (DuckDB HUGEINT — the momentsVar lane) before ONE double division —
     * order-invariant, hash-identical in the twin.
     *
-    * Scale shape: the i ≤ j pair stream (d²/2 per row) is built by a
-    * NARROW nested explode — the outer posexplode walks i, the inner one
-    * walks the tail slice from the diagonal — so the only shuffle in the
-    * plan is the map-side-combinable (i, j) partial agg, and the output
-    * is d²-bounded (2080 rows at d=64) regardless of corpus size. The d²
-    * blow-up is a train-once pass; at open-web scale train on a uniform
-    * sample (the cov estimate converges at √n) — the scoring/projection
-    * pass never pays it. */
+    * Scale shape (optimization r14, guide §2.3 "aggregate before you
+    * shuffle"): ONE corpus pass through [[graft.expressions.GramMatrixAgg]]
+    * — a typed-imperative aggregate whose buffer holds the d(d+1)/2
+    * cross-moments in 128-bit, so each row costs d²/2 in-buffer
+    * multiply-adds and NOTHING row-grain ever reaches an exchange (the
+    * previous nested-posexplode form shipped d²/2 rows per vector into a
+    * hash aggregate). The output stays d²-bounded (2080 rows at d=64)
+    * regardless of corpus size, and every surfaced integer is bit-for-bit
+    * the value the decimal(38,0)/HUGEINT explode lane produced (products
+    * exact in long, cross-row sums 128-bit — see the GramMatrixAgg
+    * scaladoc). The d² blow-up is a train-once pass; at open-web scale
+    * train on a uniform sample (the cov estimate converges at √n) — the
+    * scoring/projection pass never pays it. */
   def covarianceMatrix(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
     // null vectors drop (run embeddingHealthCard first — this kernel
     // expects a health-checked input; a NaN component would poison its
     // whole row/column block)
     def u(c: Column): Column = round(c.cast("double") * 1e6, 0).cast("long")
-    val rows = emb.filter(col(vecCol).isNotNull)
-      .select(col(vecCol).as("__v"), posexplode(col(vecCol)))
-      .select((col("pos") + 1).cast("long").as("i"), u(col("col")).as("xu"),
-        slice(col("__v"), col("pos") + 1, size(col("__v")) - col("pos")).as("__tail"))
-    val marg = rows.groupBy("i").agg(count(lit(1)).as("n"), sum("xu").as("s"))
-    // each PRODUCT still rides a primitive long (|x| ≤ ~10 ⇒ ≤ 1e14), but
-    // the cross-row SUM accumulates in decimal(38,0) — the momentsVar
-    // lane — because a long accumulator wraps silently (non-ANSI) once
-    // ~9e4 rows of worst-case products stack up, far below corpus scale;
-    // DuckDB's HUGEINT sum is the exact twin
-    val pair = rows.select(col("i"), col("xu"), posexplode(col("__tail")))
-      .select(col("i"), (col("i") + col("pos")).as("j"),
-        (col("xu") * u(col("col"))).cast("decimal(38,0)").as("xy"))
-      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
-    pair
-      .join(marg.select(col("i"), col("n"), col("s").as("si")), "i")
-      .join(marg.select(col("i").as("j"), col("s").as("sj")), "j")
+    // quantization stays IN CATALYST (same round/cast expression tree the
+    // explode form applied per cell) so the aggregate only ever sees the
+    // exact longs the oracle lane defines
+    val vecs = emb.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol), x => u(x)).as("__xu"))
+    val gram = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.GramMatrixAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__xu")))
+        .toAggregateExpression())
+    vecs.agg(gram.as("__g"))
+      .select(col("__g.n").as("__ns"), col("__g.s").as("__ss"),
+        explode(col("__g.cells")).as("__c"))
+      .select(col("__c.i").as("i"), col("__c.j").as("j"),
+        col("__c.sxy").as("sxy"),
+        element_at(col("__ns"), col("__c.i").cast("int")).as("n"),
+        element_at(col("__ss"), col("__c.i").cast("int")).as("si"),
+        element_at(col("__ss"), col("__c.j").cast("int")).as("sj"))
       .select(col("i"), col("j"),
         (round((col("n").cast("decimal(38,0)") * col("sxy")
             - col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)"))

@@ -49,13 +49,19 @@ object Stats {
     * decimal(38,0); rho is ONE double expression over exact integers,
     * rounded. Zero-variance groups (a constant column) yield NULL.
     *
-    * Scale shape: two value-domain aggs (one per column) + their midrank
-    * windows (value-domain bound, see file header), two shuffle joins back
-    * on (group, value), one group-grain agg. Nothing exceeds corpus grain,
-    * no corpus-wide window. Overflow headroom: midranks ≤ 2n+1, so the
-    * largest sum Σrx·ry ≤ 4n³ and the rho numerator n·Σxy − ΣxΣy stays
-    * inside decimal(38,0) for per-group n up to ~1e9 — quantize coarser
-    * (the value domain only shrinks) past that. */
+    * Scale shape (optimization r14, guide §2.3/§2.4): ONE corpus scan
+    * into a (group, x, y) PAIR-DOMAIN count agg (map-side combinable);
+    * both per-column value-domain rank relations derive from that small
+    * relation (a stacked second-level agg — the corpus is never scanned
+    * again), the midrank windows stay value-domain bound (file header),
+    * and the rank attach joins run on the pair domain, not the corpus
+    * (the r13 form scanned the corpus twice and shipped every ROW through
+    * two rank joins; every cross-sum is recovered exactly as
+    * Σ cnt·f(rx, ry) over the pair domain — identical integers, identical
+    * rho). Overflow headroom: midranks ≤ 2n+1, so the largest sum
+    * Σrx·ry ≤ 4n³ and the rho numerator n·Σxy − ΣxΣy stays inside
+    * decimal(38,0) for per-group n up to ~1e9 — quantize coarser (the
+    * value domain only shrinks) past that. */
   def spearmanRho(df: DataFrame, groupCol: String,
                   xQ: Column, yQ: Column): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
@@ -64,38 +70,34 @@ object Stats {
       // by the other column's join must not shift anyone's midrank
       .filter(col("__g").isNotNull && col("__x").isNotNull &&
         col("__y").isNotNull)
-    // BOTH value-domain rank relations from ONE corpus pass (optimization
-    // r13; guide §2.3/§2.4): the per-column groupBys used to scan the
-    // corpus once EACH — stacking (tag, value) rows folds them into one
-    // map-side-combinable agg (2 narrow rows per input row, one scan, one
-    // exchange), and the shared midrank window runs once over the stacked
-    // value domain. The checkpoint is value-domain bounded (the file
-    // header's grain argument) and keeps the two tag-filtered consumers
-    // from re-running the window; midranks are bit-identical (the window
-    // partitions by (group, tag), so each tag's cumulative counts see
-    // exactly the rows the per-column form saw).
+    // the only corpus-grain pass: distinct (g, x, y) cells with counts
+    val xy = base.groupBy(col("__g"), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__cnt"))
+      // ckpt: one-shot — pair-domain-bounded, built once per call (no
+      // loop); read by the rank derivation AND the final attach
+      .localCheckpoint(true)
+    // per-column value-domain counts FOLD from the pair domain (summing
+    // __cnt per (g, value) sees exactly the rows the corpus-grain form
+    // saw — same __t, same midranks, bit-identical)
     val ranked = midrank2(
-      base.select(col("__g"),
+      xy.select(col("__g"), col("__cnt"),
           expr("stack(2, 0L, __x, 1L, __y) AS (__c, __v)"))
         .groupBy(col("__g"), col("__c"), col("__v"))
-        .agg(count(lit(1)).as("__t")),
+        .agg(sum(col("__cnt")).as("__t")),
       Seq("__g", "__c"), "__v", "__t", "__r2").drop("__t")
-      // ckpt: one-shot — value-domain-bounded rank relation, built once
-      // per call (no loop); both tag-filtered consumers read it
-      .localCheckpoint(true)
     def ranksOf(tag: Int, v: String, out: String): DataFrame = ranked
       .filter(col("__c") === tag)
       .select(col("__g"), col("__v").as(v), col("__r2").as(out))
-    base
+    xy
       .join(ranksOf(0, "__x", "__rx2"), Seq("__g", "__x"))
       .join(ranksOf(1, "__y", "__ry2"), Seq("__g", "__y"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).cast(d38).as("__n"),
-        sum(col("__rx2").cast(d38)).as("__sx"),
-        sum(col("__ry2").cast(d38)).as("__sy"),
-        sum((col("__rx2").cast(d38) * col("__rx2")).cast(d38)).as("__sxx"),
-        sum((col("__ry2").cast(d38) * col("__ry2")).cast(d38)).as("__syy"),
-        sum((col("__rx2").cast(d38) * col("__ry2")).cast(d38)).as("__sxy"))
+      .agg(sum(col("__cnt")).cast(d38).as("__n"),
+        sum((col("__cnt").cast(d38) * col("__rx2")).cast(d38)).as("__sx"),
+        sum((col("__cnt").cast(d38) * col("__ry2")).cast(d38)).as("__sy"),
+        sum((col("__cnt").cast(d38) * col("__rx2") * col("__rx2")).cast(d38)).as("__sxx"),
+        sum((col("__cnt").cast(d38) * col("__ry2") * col("__ry2")).cast(d38)).as("__syy"),
+        sum((col("__cnt").cast(d38) * col("__rx2") * col("__ry2")).cast(d38)).as("__sxy"))
       .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
         when(expr("(__n*__sxx - __sx*__sx) = 0 OR (__n*__syy - __sy*__sy) = 0"),
             lit(null).cast("double"))
@@ -562,7 +564,13 @@ object Stats {
     * quantile whose interpolation arithmetic might differ by an ulp.
     * Intercept is the Conover variant median(y) − slope·median(x), same
     * explicit selection. Returns one row (n, n_slopes, slope, intercept).
-    */
+    *
+    * SIDE-EFFECT caveat: the internal `localCheckpoint(true)` makes
+    * DataFrame CONSTRUCTION eagerly run the panel aggregate (explain/plan
+    * dumps included) and truncates lineage to executor-local storage — on
+    * a cluster an executor loss makes the query unrecoverable. At scale
+    * swap for `persist(MEMORY_AND_DISK)` + unpersist or a reliable
+    * `checkpoint()`; the plan shape is identical. */
   def theilSen(df: DataFrame, xQ: Column, yQ: Column): DataFrame = {
     // ckpt (optimization r13): the panel feeds FIVE consumers (both sides
     // of the slopes pair join, medX, medY, n) — without materialization

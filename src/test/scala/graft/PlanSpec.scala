@@ -633,7 +633,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("jaro pairs: candidates ride the brand equi-join — never a cartesian; scan pruned to 3 columns") {
-    val p = plan("q_jaro_pairs")
+    // the declared q_jaro_pairs plan truncates at the r14 pre-sort
+    // checkpoint (the double-scorer fix), so the scan/join invariants are
+    // asserted on the scorer relation built exactly as the query builds it
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Linkage
+    val part = Tables.loadWide(spark, d, "part")
+    val cands = Linkage.blockedCandidates(part, part, "p_partkey",
+        Seq("p_brand"), Seq("p_name"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Linkage.jaroBound(col("a_p_name"), col("b_p_name"),
+        minJwBp = 9000L))
+    val p = Linkage.fuzzyScorePairs(cands, Seq(("p_name", 1L)))
+      .filter(col("score") >= 9000L)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"blocking must stay an equi-join:\n$p")
@@ -641,6 +654,11 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("p_brand") && readSchema.contains("p_name") &&
       !readSchema.contains("p_retailprice"),
       s"scan must prune to the blocked fields:\n$readSchema")
+    // and the declared query itself keeps the sort directly above the
+    // materialization barrier (one scorer execution, guide §3.3)
+    val q = plan("q_jaro_pairs")
+    assert(q.contains("Sort") && q.contains("Scan ExistingRDD"),
+      s"q_jaro_pairs must sort over the checkpoint barrier:\n$q")
   }
 
   test("poisson bootstrap: ONE corpus scan, explode into a combinable agg, no join") {

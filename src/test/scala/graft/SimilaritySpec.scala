@@ -1253,4 +1253,72 @@ class SimilaritySpec extends SparkSpec {
     val multi = Similarity.treeMultiMemberships(emb, "embedding", "vec_id")
     assert(Similarity.oversizedCells(multi, "cell", 8192).count() == 0L)
   }
+
+  /** The nested-posexplode covariance formulation covarianceMatrix replaced
+    * in optimization r14 — kept HERE as the equivalence oracle: the Gram
+    * aggregate must reproduce it row-for-row, bit-for-bit. */
+  private def covExplodeForm(emb: org.apache.spark.sql.DataFrame,
+                             vecCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    def u(c: Column): Column = round(c.cast("double") * 1e6, 0).cast("long")
+    val rows = emb.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__v"), posexplode(col(vecCol)))
+      .select((col("pos") + 1).cast("long").as("i"), u(col("col")).as("xu"),
+        slice(col("__v"), col("pos") + 1, size(col("__v")) - col("pos")).as("__tail"))
+    val marg = rows.groupBy("i").agg(count(lit(1)).as("n"), sum("xu").as("s"))
+    val pair = rows.select(col("i"), col("xu"), posexplode(col("__tail")))
+      .select(col("i"), (col("i") + col("pos")).as("j"),
+        (col("xu") * u(col("col"))).cast("decimal(38,0)").as("xy"))
+      .groupBy("i", "j").agg(sum(col("xy")).as("sxy"))
+    pair
+      .join(marg.select(col("i"), col("n"), col("s").as("si")), "i")
+      .join(marg.select(col("i").as("j"), col("s").as("sj")), "j")
+      .select(col("i"), col("j"),
+        (round((col("n").cast("decimal(38,0)") * col("sxy")
+            - col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)"))
+            .cast("double")
+          / col("n").cast("double") / col("n").cast("double") / 1e12, 6)
+          + lit(0.0)).as("cov"))
+  }
+
+  test("covarianceMatrix: Gram aggregate ≡ explode form (signed, ragged, null cells)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ragged lengths, signed components, occasional null cells and one
+    // null vector — every semantic corner of the explode form
+    val data = (0 until 400).map { i =>
+      val len = 3 + rnd.nextInt(4) // 3..6
+      val v: Seq[java.lang.Float] =
+        if (i == 123) null
+        else (0 until len).map { j =>
+          if (rnd.nextInt(29) == 0) null
+          else java.lang.Float.valueOf(((rnd.nextDouble() - 0.5) * 19).toFloat)
+        }
+      (i.toLong, v)
+    }.toDF("id", "v").repartition(5)
+    val exp = covExplodeForm(data, "v")
+      .orderBy("i", "j").collect().map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    val got = Similarity.covarianceMatrix(data, "v", "id")
+      .orderBy("i", "j").collect().map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.length == exp.length && got.length == 6 * 7 / 2)
+    got.zip(exp).foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+
+  test("GramMatrixAgg: 128-bit cross-moment sums survive long overflow") {
+    import spark.implicits._
+    // 200k rows of ±10.0 components: per-cell product magnitude 1e14, so
+    // the long-range sum wraps at ~9.2e4 rows — the decimal(38,0) lane
+    // (and the 128-bit buffer) must NOT
+    val n = 200000
+    val data = (0 until n).map(i => (i.toLong, Seq(10.0f, -10.0f)))
+      .toDF("id", "v").repartition(7)
+    val out = Similarity.covarianceMatrix(data, "v", "id")
+      .orderBy("i", "j").collect()
+    // constant columns: covariance exactly 0 for all three cells, and the
+    // intermediate Σxy = ±2e19 (beyond long) must cancel n·sxy − si·sj
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getDouble(2) == 0.0, r.toString))
+  }
 }

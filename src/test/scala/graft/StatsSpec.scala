@@ -347,4 +347,39 @@ class StatsSpec extends SparkSpec {
       .twoProportionsZ(df, col("s"), col("g")).collect()(0)
     assert(r.getLong(2) == 0L && r.isNullAt(5) && r.isNullAt(6), r.toString)
   }
+
+  test("spearmanRho: pair-domain form ≡ brute-force midrank Pearson (random, ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // small value domains force heavy ties AND duplicate (x, y) cells —
+    // the __cnt > 1 path of the r14 pair-domain rewrite
+    val rows = (0 until 3000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      (g, (rnd.nextInt(12) - 4).toLong, (rnd.nextInt(9) - 3).toLong)
+    }
+    val got = Stats.spearmanRho(rows.toDF("g", "x", "y").repartition(5),
+        "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force: midranks per column, Pearson over them, exact BigInt sums
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      def midranks(vs: Seq[Long]): Map[Long, Double] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          val below = sorted.count(_ < v); val t = sorted.count(_ == v)
+          v -> (below + (t + 1) / 2.0)
+        }.toMap
+      }
+      val rx = midranks(rs.map(_._2)); val ry = midranks(rs.map(_._3))
+      val xs = rs.map(r => rx(r._2)); val ys = rs.map(r => ry(r._3))
+      val n = rs.size.toDouble
+      val num = xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum / n
+      val den = math.sqrt((xs.map(a => a * a).sum - xs.sum * xs.sum / n) *
+        (ys.map(b => b * b).sum - ys.sum * ys.sum / n))
+      val expected = BigDecimal(num / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gotN, gotRho) = got(g)
+      assert(gotN == rs.size, s"$g n")
+      assert(math.abs(gotRho - expected) <= 1e-4, s"$g rho $gotRho vs $expected")
+    }
+  }
 }
