@@ -25,6 +25,9 @@ object Bench extends QueryShared {
       operators.Dedup.minhashNearDups(Tables.loadWide(s, d, "documents"),
           "text", "doc_id", numHashes = 16, rowsPerBand = 4,
           shingleSize = 3, threshold = 0.5, useMd5 = false)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
     "fast__q_link_tables" -> ((s, d) => {
@@ -32,6 +35,9 @@ object Bench extends QueryShared {
       operators.Dedup.linkTables(docs, "text", "doc_id",
           linkRightTable(docs), "text", "doc_id", maxDist = 10,
           useMd5 = false)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_l", "id_r")
     })
     // NOT here: a fast__ row for the tree-graph lane's leaf-1024

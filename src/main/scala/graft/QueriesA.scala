@@ -741,6 +741,9 @@ private[graft] object QueriesA extends QueryShared {
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minhashNearDups(tw(s, d, "documents"), "text", "doc_id",
         numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 
@@ -768,14 +771,20 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- dedup: edit-distance verify on MinHash band candidates ----
     "q_edit_pairs" -> ((s, d) => {
-      Dedup.editDistancePairs(t(s, d, "documents"), "text", "doc_id",
+      Dedup.editDistancePairs(tw(s, d, "documents"), "text", "doc_id",
         maxDist = 10)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 
     // ---- dedup: SimHash near-dup pairs (chunk banding + Hamming verify) ----
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashNearDups(tw(s, d, "documents"), "text", "doc_id", maxDist = 3)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 
@@ -791,7 +800,7 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- dedup: connected-components clustering of near-dup pairs ----
     "q_dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.minhashNearDups(t(s, d, "documents"), "text", "doc_id",
+      val pairs = Dedup.minhashNearDups(tw(s, d, "documents"), "text", "doc_id",
         numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
       Dedup.nearDupClusters(pairs)
         .orderBy("id")
@@ -857,7 +866,9 @@ private[graft] object QueriesA extends QueryShared {
     // → quality + language filters. Every stage is an oracle-proven
     // operator; this query proves the COMPOSITION matches too.
     "q_curation" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // tw (r14): the md5 shingle/signature kernel serialized on the
+      // single-split scan (OptProbe: 4 single-task 2.9s stages)
+      val docs = tw(s, d, "documents")
       val keepExact = Dedup.exact(docs, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
       val clusters = Dedup.nearDupClusters(
@@ -890,7 +901,7 @@ private[graft] object QueriesA extends QueryShared {
     // recompute-inline number for comparison). Same oracle SQL as
     // q_curation by design: stored labels ≡ inline labels.
     "q_curation_indexed" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tw(s, d, "documents")
       val dir = s"target/graft-clusters/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
         f"-${d.hashCode}%08x-$jvmTag"
       val p = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
@@ -917,7 +928,8 @@ private[graft] object QueriesA extends QueryShared {
 
     // ---- curation: per-cluster survivor selection (argmax by n_chars) ----
     "q_cluster_best" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // tw (r14): same scan-serialized shingle kernel as q_curation
+      val docs = tw(s, d, "documents")
       val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
         numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5)
       Dedup.clusterSurvivors(Dedup.nearDupClusters(pairs), docs, "doc_id", "n_chars")
@@ -1226,6 +1238,9 @@ private[graft] object QueriesA extends QueryShared {
     "q_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         shingleSize = 3, threshold = 0.2, maxDf = 100)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 

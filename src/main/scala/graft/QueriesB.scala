@@ -94,7 +94,9 @@ private[graft] object QueriesB extends QueryShared {
     // (33 cores / 32 borders / 435 noise).
     "q_dbscan" -> ((s, d) => {
       Similarity.dbscanClassify(
-          Similarity.jlCoords2d(t(s, d, "embeddings"), "embedding",
+          // tw (r14): the JL fold is CPU-dense per row and was
+          // scan-serialized
+          Similarity.jlCoords2d(tw(s, d, "embeddings"), "embedding",
             "vec_id", dim = 64),
           "vec_id", "x", "y", eps = 1000L, minPts = 6)
         .orderBy("vec_id")
@@ -107,7 +109,7 @@ private[graft] object QueriesB extends QueryShared {
     // singleton cores included.
     "q_dbscan_clusters" -> ((s, d) => {
       Similarity.dbscanClusters(
-          Similarity.jlCoords2d(t(s, d, "embeddings"), "embedding",
+          Similarity.jlCoords2d(tw(s, d, "embeddings"), "embedding",
             "vec_id", dim = 64),
           "vec_id", "x", "y", eps = 1000L, minPts = 6)
         .orderBy("vec_id")
@@ -952,6 +954,9 @@ private[graft] object QueriesB extends QueryShared {
       val docs = tw(s, d, "documents")
       Dedup.linkTables(docs, "text", "doc_id", linkRightTable(docs),
           "text", "doc_id", maxDist = 10)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_l", "id_r")
     }),
 
@@ -971,6 +976,9 @@ private[graft] object QueriesB extends QueryShared {
         Dedup.buildLinkIndex(docs, "text", "doc_id", dir)
       Dedup.linkAgainstIndex(s, dir, linkRightTable(docs), "text", "doc_id",
           maxDist = 10)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_l", "id_r")
     }),
 
@@ -1122,6 +1130,9 @@ private[graft] object QueriesB extends QueryShared {
       val (a, b) = erSides(s, d)
       Linkage.linkPairs(a, b, "rec_id", Seq("nat", "postcode"), erFields,
           threshold = 25L)
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 
@@ -1174,6 +1185,9 @@ private[graft] object QueriesB extends QueryShared {
             .select(col("pattern"), col("posterior_nano"))),
           "pattern")
         .select(col("id_a"), col("id_b"), col("posterior_nano"))
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 
@@ -1199,6 +1213,9 @@ private[graft] object QueriesB extends QueryShared {
             .select(col("pattern"), col("posterior_nano"))),
           "pattern")
         .select(col("id_a"), col("id_b"), col("posterior_nano"))
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 
@@ -1357,6 +1374,9 @@ private[graft] object QueriesB extends QueryShared {
       Linkage.fuzzyScorePairs(cands, Seq(("p_name", 1L)))
         .filter(col("score") >= 9000L)
         .select(col("id_a"), col("id_b"), col("score").as("jw_bp"))
+        // ckpt: one-shot — sampling/sort barrier (the q_bm25_stored
+        // pattern): the range partitioner must not re-run the verify
+        .localCheckpoint()
         .orderBy("id_a", "id_b")
     }),
 

@@ -227,8 +227,12 @@ object Dedup {
                             numHashes: Int = 16, rowsPerBand: Int = 4,
                             shingleSize: Int = 3,
                             useMd5: Boolean = true): DataFrame =
+    // persist: both sides of the bucket self-join read the band relation
+    // (see the minhashNearDups note — broadcast build cannot reuse the
+    // probe side's plan, so each side would re-run the signature kernel)
     bandCandidates(minhashBands(docs, textCol, idCol, numHashes, rowsPerBand,
-      shingleSize, useMd5))
+      shingleSize, useMd5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** MEASURE-BEFORE-SHIP for the LSH banding plan — the dedup counterpart
     * of `Similarity.annRecallEval`: recall (what fraction of true ≥
@@ -289,7 +293,15 @@ object Dedup {
     // (At cluster scale this would be a checkpointed intermediate table.)
     val sh = shingleRows(docs, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5), numHashes, rowsPerBand, useMd5)
+    // Band relation persisted like editDistancePairs' (optimization r14):
+    // the bucket self-join broadcasts one side, and a broadcast exchange
+    // cannot reuse the probe side's plan — without the persist EACH side
+    // re-executes the corpus-grain shingle+signature kernel (OptProbe:
+    // twin md5-heavy stages in every minhash profile). 4 small rows per
+    // doc: cheap to hold, lazy, reclaimed on dereference.
+    val bands = bandsFromSignatures(signatures(sh, numHashes, useMd5),
+        numHashes, rowsPerBand, useMd5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccardOnShingles(sh, bandCandidates(bands), threshold)
   }
 
@@ -704,8 +716,17 @@ object Dedup {
     // one `weak` scale verdict). On a real cluster with a checkpoint dir,
     // swap for reliable `checkpoint()` — localCheckpoint dies with its
     // executor; the plan shape is identical.
-    val edgesRaw = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // Materialize the pairs ONCE before symmetrizing (optimization r14,
+    // guide §2.4): the union's two branches are two full plans of the
+    // upstream candidate+verify pipeline — the corpus-grain shingle/
+    // signature kernel executed TWICE per clustering call (OptProbe:
+    // twin md5-heavy stage families in every CC query profile). The
+    // checkpoint is pairs-bounded (the relation CC loops over), built
+    // once per call.
+    val pairsOnce = org.apache.spark.sql.graft.ColumnBridge.flatCheckpoint(
+      pairs.select(col("id_a"), col("id_b")))
+    val edgesRaw = pairsOnce
+      .union(pairsOnce.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // The loop runs over the PAIRS graph, which is orders of magnitude
     // smaller than the corpus that produced it — inheriting the corpus-scale
     // shuffle width would pay dozens of near-empty tasks per round. The loop
